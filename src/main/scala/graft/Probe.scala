@@ -1,0 +1,21 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Scratch main for local schema/behavior probes; not part of the library. */
+object Probe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // Driver smoke path: entry() on sf0.001 must return rows > 0.
+    val n = SparkEntry.entry(spark).count()
+    println(s"PROBE entry rows=$n")
+    println(s"PROBE queries=${SparkEntry.queries.size} oracles=${SparkEntry.oracleSql.size} bench=${SparkEntry.benchNames.size}")
+    spark.stop()
+  }
+}

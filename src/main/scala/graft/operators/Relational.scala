@@ -1,0 +1,376 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Core relational surface: scan/filter/limit (reference article_querry.py:13-27,
+  * SURVEY.md §2.2), anti/semi joins (§2.3 J1-J3), set ops (§2.4), window-based
+  * keep-first dedup (§2.5 D1/D2), grouped/rollup/cube aggregation, window
+  * functions, and scalar string/date expressions (§2.9).
+  *
+  * Scale notes (100 TB):
+  *  - Filters/projections are plain Catalyst expressions → pushed into the
+  *    parquet scan (PushedFilters / ReadSchema pruning verified via explain).
+  *  - Joins state keys declaratively; small dims (region/nation/supplier) are
+  *    hinted broadcast so the big fact side never shuffles for them. Fact-fact
+  *    joins (orders⋈lineitem) shuffle on the join key once and AQE picks
+  *    skew-aware plans at runtime.
+  *  - Keep-first dedup is a hash-partitioned window on the dedup key — one
+  *    shuffle, no driver-side state, arbitrarily wide keyspace.
+  *  - Top-K queries end in orderBy+limit which Spark fuses into
+  *    TakeOrderedAndProject (no global sort materialization).
+  */
+object Relational {
+
+  // ---- reference semantics helpers -------------------------------------
+
+  /** F1/F2/F4: pandas-style case-insensitive substring filter with na=False
+    * null semantics (null → no match). article_querry.py:14-26. */
+  def containsCI(c: Column, needle: String): Column =
+    coalesce(lower(c).contains(needle.toLowerCase), lit(false))
+
+  /** D1/D2: deterministic keep-first dedup. `dropDuplicates` is
+    * nondeterministic under shuffle; the reference's pandas `keep="first"`
+    * (scrappy.py:316,334-335) needs an explicit priority order. */
+  def dedupKeepFirst(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  // ---- flagship --------------------------------------------------------
+
+  /** Flagship (§7.1): the reference's --query-articles shape — scan → null-safe
+    * case-insensitive contains filter → deterministic order → limit. Collapses
+    * to FileScan + Filter + TakeOrderedAndProject. */
+  def flagship(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(containsCI(col("text"), "join"))
+      .orderBy("doc_id")
+      .limit(25)
+
+  // ---- query definitions ----------------------------------------------
+
+  def defs: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "q01_pricing_summary",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") <= to_timestamp(lit("2000-12-01 00:00:00")))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            round(sum("l_quantity"), 2).as("sum_qty"),
+            round(sum("l_extendedprice"), 2).as("sum_base_price"),
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+            round(avg("l_quantity"), 4).as("avg_qty"),
+            round(avg("l_extendedprice"), 4).as("avg_price"),
+            round(avg("l_discount"), 6).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+          .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |round(sum(l_quantity),2) AS sum_qty,
+             |round(sum(l_extendedprice),2) AS sum_base_price,
+             |round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+             |round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),2) AS sum_charge,
+             |round(avg(l_quantity),4) AS avg_qty,
+             |round(avg(l_extendedprice),4) AS avg_price,
+             |round(avg(l_discount),6) AS avg_disc,
+             |count(*) AS count_order
+             |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+             |GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin.replace("\n", " ")),
+      bench = true),
+
+    QueryDef(
+      "q02_filter_topk",
+      (s, dir) =>
+        Tables.part(s, dir)
+          .filter(containsCI(col("p_name"), "an"))
+          .select("p_partkey", "p_name", "p_brand", "p_retailprice")
+          .orderBy(col("p_retailprice").desc, col("p_partkey"))
+          .limit(25),
+      Some("""SELECT p_partkey, p_name, p_brand, p_retailprice FROM part
+             |WHERE lower(p_name) LIKE '%an%'
+             |ORDER BY p_retailprice DESC, p_partkey LIMIT 25""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q03_segment_revenue",
+      (s, dir) => {
+        val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+        val o = Tables.orders(s, dir)
+        val l = Tables.lineitem(s, dir)
+        c.join(o, col("c_custkey") === col("o_custkey"))
+          .join(l, col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("orderdate"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .limit(20)
+      },
+      Some("""SELECT l_orderkey, CAST(o_orderdate AS DATE) AS orderdate,
+             |round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+             |FROM customer JOIN orders ON c_custkey=o_custkey
+             |JOIN lineitem ON o_orderkey=l_orderkey
+             |WHERE c_mktsegment='BUILDING'
+             |GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
+             |ORDER BY revenue DESC, l_orderkey LIMIT 20""".stripMargin.replace("\n", " ")),
+      bench = true),
+
+    QueryDef(
+      "q05_nation_revenue",
+      (s, dir) => {
+        // Star-join: broadcast every dimension; only orders⋈lineitem shuffles.
+        val r = broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA"))
+        val n = broadcast(Tables.nation(s, dir))
+        val sup = broadcast(Tables.supplier(s, dir))
+        val c = Tables.customer(s, dir)
+        val o = Tables.orders(s, dir)
+        val l = Tables.lineitem(s, dir)
+        c.join(o, col("c_custkey") === col("o_custkey"))
+          .join(l, col("o_orderkey") === col("l_orderkey"))
+          .join(sup, col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+          .join(n, col("s_nationkey") === col("n_nationkey"))
+          .join(r, col("n_regionkey") === col("r_regionkey"))
+          .groupBy("n_name")
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+          .orderBy(col("revenue").desc, col("n_name"))
+      },
+      Some("""SELECT n_name, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+             |FROM customer JOIN orders ON c_custkey=o_custkey
+             |JOIN lineitem ON o_orderkey=l_orderkey
+             |JOIN supplier ON l_suppkey=s_suppkey AND c_nationkey=s_nationkey
+             |JOIN nation ON s_nationkey=n_nationkey
+             |JOIN region ON n_regionkey=r_regionkey
+             |WHERE r_name='ASIA'
+             |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin.replace("\n", " ")),
+      bench = true),
+
+    QueryDef(
+      "q06_semi_join",
+      (s, dir) => {
+        val o = Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+        Tables.customer(s, dir)
+          .join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+          .select("c_custkey", "c_name")
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey=c_custkey AND o_orderstatus='F')
+             |ORDER BY c_custkey""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q07_anti_join",
+      (s, dir) =>
+        Tables.customer(s, dir)
+          .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+          .select("c_custkey", "c_name", "c_mktsegment")
+          .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey=c_custkey)
+             |ORDER BY c_custkey""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q08_dedup_keepfirst",
+      (s, dir) =>
+        // (l_orderkey, l_linenumber) is NOT unique in the testdata — the
+        // keep-first order must be total, or ties make the result
+        // nondeterministic (SURVEY.md §7.4 #1). Any rows still tied after
+        // these columns are output-identical.
+        dedupKeepFirst(Tables.lineitem(s, dir), Seq("l_orderkey"),
+          Seq(col("l_linenumber"), col("l_partkey"), col("l_suppkey"), col("l_quantity")))
+          .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+          .orderBy("l_orderkey"),
+      Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM (
+             |SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,
+             |row_number() OVER (PARTITION BY l_orderkey
+             |ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity) AS rn
+             |FROM lineitem) t WHERE rn=1 ORDER BY l_orderkey""".stripMargin.replace("\n", " ")),
+      bench = true),
+
+    QueryDef(
+      "q09_window_rank",
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate").desc, col("o_orderkey"))
+        Tables.orders(s, dir)
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 3)
+          .select(col("o_custkey"), col("o_orderkey"),
+            col("o_orderdate").cast("date").as("orderdate"), col("rn"))
+          .orderBy("o_custkey", "rn")
+      },
+      Some("""SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS orderdate, rn FROM (
+             |SELECT o_custkey, o_orderkey, o_orderdate,
+             |row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey) AS rn
+             |FROM orders) t WHERE rn<=3 ORDER BY o_custkey, rn""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q10_window_running",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, dir)
+          .withColumn("running_value", round(sum("value").over(w), 2))
+          .select("event_id", "user_id", "running_value")
+          .orderBy("user_id", "event_id")
+      },
+      Some("""SELECT event_id, user_id,
+             |round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS running_value
+             |FROM events ORDER BY user_id, event_id""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q11_intersect",
+      (s, dir) =>
+        Tables.customer(s, dir).select(col("c_nationkey").as("nationkey"))
+          .intersect(Tables.supplier(s, dir).select(col("s_nationkey").as("nationkey")))
+          .orderBy("nationkey"),
+      Some("""SELECT c_nationkey AS nationkey FROM customer
+             |INTERSECT SELECT s_nationkey AS nationkey FROM supplier
+             |ORDER BY nationkey""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q12_except",
+      (s, dir) =>
+        Tables.customer(s, dir).select(col("c_nationkey").as("nationkey"))
+          .except(Tables.supplier(s, dir).select(col("s_nationkey").as("nationkey")))
+          .orderBy("nationkey"),
+      Some("""SELECT c_nationkey AS nationkey FROM customer
+             |EXCEPT SELECT s_nationkey AS nationkey FROM supplier
+             |ORDER BY nationkey""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q13_rollup",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .rollup("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("cnt"), round(sum("l_quantity"), 2).as("sum_qty"))
+          .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS cnt, round(sum(l_quantity),2) AS sum_qty
+             |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+             |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q14_cube",
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .cube("o_orderstatus", "o_orderpriority")
+          .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("total"))
+          .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first),
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS cnt, round(sum(o_totalprice),2) AS total
+             |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+             |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q15_having",
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .groupBy("o_custkey")
+          .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("total"))
+          .filter(col("n_orders") >= 12)
+          .orderBy("o_custkey"),
+      Some("""SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice),2) AS total
+             |FROM orders GROUP BY o_custkey HAVING count(*) >= 12
+             |ORDER BY o_custkey""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q16_distinct_agg",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .groupBy("l_returnflag")
+          .agg(countDistinct("l_partkey").as("n_parts"), countDistinct("l_suppkey").as("n_supps"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+             |count(DISTINCT l_suppkey) AS n_supps
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q17_conditional_agg",
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .groupBy("o_orderpriority")
+          .agg(
+            round(sum(when(col("o_orderstatus") === "F", col("o_totalprice")).otherwise(lit(0))), 2).as("total_f"),
+            round(sum(when(col("o_orderstatus") === "O", col("o_totalprice")).otherwise(lit(0))), 2).as("total_o"),
+            round(sum(when(col("o_orderstatus") === "P", col("o_totalprice")).otherwise(lit(0))), 2).as("total_p"))
+          .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority,
+             |round(sum(CASE WHEN o_orderstatus='F' THEN o_totalprice ELSE 0 END),2) AS total_f,
+             |round(sum(CASE WHEN o_orderstatus='O' THEN o_totalprice ELSE 0 END),2) AS total_o,
+             |round(sum(CASE WHEN o_orderstatus='P' THEN o_totalprice ELSE 0 END),2) AS total_p
+             |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q18_scalar_strings",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(
+            col("doc_id"),
+            // C1 normalize: strip non-alphanumerics, lower, trim (scrappy.py:46-47)
+            trim(lower(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", ""))).as("normalized"),
+            // C3 truncate with ellipsis (scrappy.py:385)
+            when(length(col("text")) > 60,
+              concat(substring(col("text"), 1, 60), lit("...")))
+              .otherwise(col("text")).as("preview"),
+            (length(col("text")) - length(regexp_replace(col("text"), " ", ""))).cast("long").as("n_spaces"),
+            upper(col("lang")).as("lang_uc"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |trim(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))) AS normalized,
+             |CASE WHEN length(text) > 60 THEN substring(text,1,60) || '...' ELSE text END AS preview,
+             |length(text) - length(replace(text, ' ', '')) AS n_spaces,
+             |upper(lang) AS lang_uc
+             |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q19_date_agg",
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .groupBy(
+            year(col("o_orderdate")).cast("long").as("yr"),
+            month(col("o_orderdate")).cast("long").as("mo"))
+          .agg(count(lit(1)).as("cnt"), round(avg("o_totalprice"), 2).as("avg_price"))
+          .orderBy("yr", "mo"),
+      Some("""SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, CAST(month(o_orderdate) AS BIGINT) AS mo,
+             |count(*) AS cnt, round(avg(o_totalprice),2) AS avg_price
+             |FROM orders GROUP BY 1, 2 ORDER BY yr, mo""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q20_year_strcast",
+      // F3: the reference compares year via string cast to tolerate mixed
+      // int/str columns (article_querry.py:22-23).
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .filter(year(col("o_orderdate")).cast("string") === lit("1997"))
+          .select("o_orderkey", "o_orderstatus")
+          .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, o_orderstatus FROM orders
+             |WHERE CAST(year(o_orderdate) AS VARCHAR) = '1997'
+             |ORDER BY o_orderkey""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q21_merge_existing_wins",
+      // D2: upsert-ignore merge — existing row beats incoming duplicate
+      // (scrappy.py:334-335), as a priority-ordered keep-first window.
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val existing = o.filter(col("o_orderkey") < 5000)
+          .select(col("o_orderkey"), lit("existing").as("src"), lit(0).as("pri"))
+        val incoming = o.filter(col("o_orderkey") >= 2500)
+          .select(col("o_orderkey"), lit("incoming").as("src"), lit(1).as("pri"))
+        dedupKeepFirst(existing.unionByName(incoming), Seq("o_orderkey"), Seq(col("pri")))
+          .select("o_orderkey", "src")
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, src FROM (
+             |SELECT o_orderkey, src, row_number() OVER (PARTITION BY o_orderkey ORDER BY pri) AS rn
+             |FROM (
+             |SELECT o_orderkey, 'existing' AS src, 0 AS pri FROM orders WHERE o_orderkey < 5000
+             |UNION ALL
+             |SELECT o_orderkey, 'incoming' AS src, 1 AS pri FROM orders WHERE o_orderkey >= 2500) u
+             |) t WHERE rn=1 ORDER BY o_orderkey""".stripMargin.replace("\n", " ")))
+  )
+}
