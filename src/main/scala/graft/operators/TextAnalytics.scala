@@ -1,0 +1,196 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** Text-analytics surface: the reference's n-gram term-frequency mining
+  * (scrappy.py:368-373 A1, 467-471 A2), TF-IDF corpus statistics
+  * (scrappy.py:36-37 A7), plus the LLM-pipeline text operators from the
+  * north star: quality scoring, language ID, token counting, and document
+  * fingerprinting — all over the `documents` table.
+  *
+  * Design rules:
+  *  - Tokenization is pure Catalyst (`split`/`filter` higher-order fns) so
+  *    it stays inside WholeStageCodegen — no UDFs, no mapPartitions.
+  *  - Hashing is md5 (identical hex output in Spark and DuckDB) so
+  *    fingerprint/minhash queries are oracle-checkable, unlike
+  *    engine-specific hash()/xxhash64.
+  *  - Every aggregation is a hash-agg with map-side partials; top-K =
+  *    orderBy+limit → TakeOrderedAndProject. At 100 TB the only shuffle is
+  *    the groupBy on term — the token explode is map-side.
+  *  - Spark arrays are 0-based, DuckDB lists 1-based: n-gram index
+  *    sequences are offset accordingly on each side.
+  */
+object TextAnalytics {
+
+  /** Shared stopword list (reference uses sklearn's english list;
+    * scrappy.py:368 — we pin a small explicit list so both engines agree). */
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "on", "for", "with")
+  private val stopSqlList = Stopwords.map(w => s"'$w'").mkString(", ")
+
+  /** Tokens: lowercase whitespace split, empties removed (handles the
+    * corpus's trailing spaces). Same expression text on both sides. */
+  private val toksExpr = "filter(split(lower(text), ' '), x -> x <> '')"
+  private val toksDuck = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
+
+  def defs: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "q30_term_freq",
+      // A1: corpus-wide term frequency, top-K vocabulary (scrappy.py:368-373).
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(explode(expr(toksExpr)).as("term"))
+          .filter(!col("term").isInCollection(Stopwords))
+          .groupBy("term")
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("term"))
+          .limit(100),
+      Some(s"""SELECT term, count(*) AS cnt FROM (
+              |SELECT unnest($toksDuck) AS term FROM documents) u
+              |WHERE term NOT IN ($stopSqlList)
+              |GROUP BY term ORDER BY cnt DESC, term LIMIT 100""".stripMargin.replace("\n", " ")),
+      bench = true),
+
+    QueryDef(
+      "q31_bigram_freq",
+      // A2: 2-gram variant (scrappy.py:467-470, ngram_range=(1,2)).
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(expr(toksExpr).as("w"))
+          .select(explode(expr(
+            """CASE WHEN size(w) >= 2
+              |THEN zip_with(slice(w, 1, size(w)-1), slice(w, 2, size(w)-1), (x, y) -> concat(x, ' ', y))
+              |ELSE slice(w, 1, 0) END""".stripMargin.replace("\n", " "))).as("term"))
+          .groupBy("term")
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("term"))
+          .limit(100),
+      Some(s"""WITH toks AS (SELECT $toksDuck AS w FROM documents)
+              |SELECT w[i] || ' ' || w[i+1] AS term, count(*) AS cnt
+              |FROM toks, LATERAL (SELECT unnest(generate_series(1, len(w)-1)) AS i) g
+              |GROUP BY 1 ORDER BY cnt DESC, term LIMIT 100""".stripMargin.replace("\n", " ")),
+      bench = true),
+
+    QueryDef(
+      "q32_tfidf",
+      // A7: TF-IDF as two grouped aggregates + a broadcast join — sklearn's
+      // smooth-idf formula ln((N+1)/(df+1))+1 (scrappy.py:36-37).
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val tok = docs.select(col("doc_id"), explode(expr(toksExpr)).as("term"))
+        val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dfT = tf.groupBy("term").agg(countDistinct("doc_id").as("df"))
+        val n = docs.agg(count(lit(1)).as("n"))
+        tf.join(broadcast(dfT), "term")
+          .crossJoin(broadcast(n))
+          .select(col("doc_id"), col("term"),
+            round(col("tf") * (log((col("n") + lit(1.0)) / (col("df") + lit(1.0))) + lit(1.0)), 6).as("tfidf"))
+          .orderBy(col("tfidf").desc, col("doc_id"), col("term"))
+          .limit(200)
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, unnest($toksDuck) AS term FROM documents),
+              |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+              |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+              |n AS (SELECT count(*) AS n FROM documents)
+              |SELECT tf.doc_id, tf.term, round(tf.tf * (ln((n.n+1.0)/(df.df+1.0))+1.0), 6) AS tfidf
+              |FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+              |ORDER BY tfidf DESC, tf.doc_id, tf.term LIMIT 200""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q33_quality_score",
+      // North-star text quality: length / token-count / stopword-ratio
+      // signals per document, all single-pass scan expressions.
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("doc_id"), expr(toksExpr).as("w"), col("text"))
+          .select(
+            col("doc_id"),
+            length(col("text")).cast("long").as("text_len"),
+            size(col("w")).cast("long").as("n_tokens"),
+            expr(s"size(filter(w, x -> x IN ($stopSqlList)))").cast("long").as("n_stop"),
+            // 1.0D: a bare 1.0 literal is DECIMAL in Spark SQL, which would
+            // make round() return Decimal while DuckDB returns DOUBLE.
+            expr("CASE WHEN size(w) = 0 THEN NULL ELSE round(length(replace(text, ' ', '')) * 1.0D / size(w), 4) END").as("avg_token_len"),
+            expr(s"CASE WHEN size(w) = 0 THEN NULL ELSE round(size(filter(w, x -> x IN ($stopSqlList))) * 1.0D / size(w), 4) END").as("stopword_ratio"))
+          .orderBy("doc_id"),
+      Some(s"""WITH t AS (SELECT doc_id, text, $toksDuck AS w FROM documents)
+              |SELECT doc_id, length(text) AS text_len, len(w) AS n_tokens,
+              |len(list_filter(w, x -> x IN ($stopSqlList))) AS n_stop,
+              |CASE WHEN len(w) = 0 THEN NULL ELSE round(length(replace(text, ' ', '')) * 1.0 / len(w), 4) END AS avg_token_len,
+              |CASE WHEN len(w) = 0 THEN NULL ELSE round(len(list_filter(w, x -> x IN ($stopSqlList))) * 1.0 / len(w), 4) END AS stopword_ratio
+              |FROM t ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q34_lang_id",
+      // North-star language ID: deterministic stopword-hit heuristic with a
+      // fixed argmax tie-break (en > es > de). Pure scan expressions.
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"), expr(toksExpr).as("w"))
+          .select(
+            col("doc_id"), col("lang"),
+            expr("size(filter(w, x -> x IN ('the','a','an','and','or','of','is','to')))").cast("long").as("n_en"),
+            expr("size(filter(w, x -> x IN ('el','la','de','que','y','en','los','se')))").cast("long").as("n_es"),
+            expr("size(filter(w, x -> x IN ('der','die','das','und','ist','von','mit','den')))").cast("long").as("n_de"))
+          .withColumn("predicted",
+            when(col("n_en") >= col("n_es") && col("n_en") >= col("n_de"), "en")
+              .when(col("n_es") >= col("n_de"), "es")
+              .otherwise("de"))
+          .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, lang, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w FROM documents),
+             |c AS (SELECT doc_id, lang,
+             |len(list_filter(w, x -> x IN ('the','a','an','and','or','of','is','to'))) AS n_en,
+             |len(list_filter(w, x -> x IN ('el','la','de','que','y','en','los','se'))) AS n_es,
+             |len(list_filter(w, x -> x IN ('der','die','das','und','ist','von','mit','den'))) AS n_de
+             |FROM t)
+             |SELECT doc_id, lang, n_en, n_es, n_de,
+             |CASE WHEN n_en >= n_es AND n_en >= n_de THEN 'en'
+             |WHEN n_es >= n_de THEN 'es' ELSE 'de' END AS predicted
+             |FROM c ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q35_fingerprint",
+      // North-star fingerprinting: exact content hash over normalized text
+      // (C1, scrappy.py:46-47) + a 1-permutation minhash over 3-token
+      // shingles — md5 so both engines produce identical hex.
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            md5(trim(lower(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", "")))).as("fp_exact"),
+            expr(toksExpr).as("w"))
+          .withColumn("fp_shingle_min",
+            // Spark arrays are 0-based: indices 0 .. size-3.
+            expr("""CASE WHEN size(w) >= 3
+                   |THEN array_min(transform(sequence(0, size(w)-3), i -> md5(concat(w[i], ' ', w[i+1], ' ', w[i+2]))))
+                   |ELSE NULL END""".stripMargin.replace("\n", " ")))
+          .drop("w")
+          .orderBy("doc_id"),
+      Some(s"""WITH t AS (SELECT doc_id, text, $toksDuck AS w FROM documents)
+              |SELECT doc_id,
+              |md5(trim(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))) AS fp_exact,
+              |CASE WHEN len(w) >= 3
+              |THEN list_min(list_transform(generate_series(1, len(w)-2), i -> md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2])))
+              |ELSE NULL END AS fp_shingle_min
+              |FROM t ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q36_token_count",
+      // North-star token counting: whitespace tokens, regex word tokens, and
+      // a chars/4 BPE-style approximation.
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(
+            col("doc_id"),
+            expr("size(filter(split(text, ' '), x -> x <> ''))").cast("long").as("ws_tokens"),
+            expr("size(filter(split(text, '[^a-zA-Z0-9]+'), x -> x <> ''))").cast("long").as("re_tokens"),
+            ceil(length(col("text")) / lit(4.0)).cast("long").as("approx_bpe"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |len(list_filter(string_split(text, ' '), x -> x <> '')) AS ws_tokens,
+             |len(list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9]+'), x -> x <> '')) AS re_tokens,
+             |CAST(ceil(length(text) / 4.0) AS BIGINT) AS approx_bpe
+             |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " ")))
+  )
+}
