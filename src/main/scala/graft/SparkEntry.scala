@@ -11,7 +11,8 @@ object SparkEntry {
 
   private def all: Seq[QueryDef] =
     operators.Relational.defs ++
-      operators.TextAnalytics.defs
+      operators.TextAnalytics.defs ++
+      operators.Dedup.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

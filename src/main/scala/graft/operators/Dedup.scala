@@ -1,0 +1,199 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** North-star deduplication suite over `documents` / `embeddings`
+  * (BASELINE.json north star; reference's own dedup is title keep-first,
+  * scrappy.py:316,334-335 — generalized here to content-defined keys).
+  *
+  * Five strategies, all shuffle-on-key (never cross-join) so they scale:
+  *  - q40 exact: hash-groupBy on a content key; keep-first via window.
+  *  - q41 MinHash+LSH: signature → band → bucket self-equi-join. The join
+  *    key is (band, hash) — at 100 TB candidate generation shuffles only
+  *    bucket-sized groups, never the corpus cross product.
+  *  - q42 n-gram Jaccard ground truth: token equi-join computes pairwise
+  *    intersections only for pairs sharing ≥1 token (inverted-index join).
+  *  - q43 SimHash: 16-bit signature from token hashes; prefix-bucket
+  *    blocking + Hamming-distance verify inside buckets.
+  *  - q44 embedding cosine near-dup: label-blocked pairs over the
+  *    embedding column (the IVF-style coarse partition; see Similarity for
+  *    the ANN search path).
+  *
+  * All hashing is md5 (engine-portable); min/lexicographic comparisons on
+  * hex strings agree between Spark and DuckDB.
+  */
+object Dedup {
+
+  private val toksExpr = "filter(split(lower(text), ' '), x -> x <> '')"
+  private val toksDuck = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
+
+  def defs: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "q40_dedup_exact",
+      // Exact dedup by content key (md5 of the first-3-token prefix of the
+      // normalized text), deterministic keep-first by doc_id. The window is
+      // hash-partitioned on the key — one shuffle at any scale.
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val t = Tables.documents(s, dir)
+          .select(col("doc_id"), expr(toksExpr).as("w"))
+          .filter(size(col("w")) >= 3)
+          // Spark arrays are 0-based.
+          .select(col("doc_id"), md5(expr("concat(w[0], ' ', w[1], ' ', w[2])")).as("k"))
+        val win = Window.partitionBy("k")
+        t.withColumn("rn", row_number().over(win.orderBy("doc_id")))
+          .withColumn("group_size", count(lit(1)).over(win))
+          .filter(col("rn") === 1)
+          .select(col("doc_id"), col("k"), col("group_size"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $toksDuck AS w FROM documents),
+              |k AS (SELECT doc_id, md5(w[1] || ' ' || w[2] || ' ' || w[3]) AS k FROM t WHERE len(w) >= 3),
+              |r AS (SELECT doc_id, k,
+              |row_number() OVER (PARTITION BY k ORDER BY doc_id) AS rn,
+              |count(*) OVER (PARTITION BY k) AS group_size FROM k)
+              |SELECT doc_id, k, group_size FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q41_dedup_minhash_lsh",
+      // MinHash (k=4 salted md5 permutations) + LSH with r=1 bands →
+      // candidate pairs from bucket collisions → verified with true
+      // token-set Jaccard ≥ 0.9.
+      (s, dir) => {
+        val t = Tables.documents(s, dir)
+          .select(col("doc_id"), expr(s"array_distinct($toksExpr)").as("w"))
+        val sigs = t.select(col("doc_id"), posexplode(expr(
+          "transform(sequence(0, 3), i -> array_min(transform(w, u -> md5(concat(cast(i AS STRING), ':', u)))))")))
+          .withColumnRenamed("pos", "band").withColumnRenamed("col", "h")
+        val cand = sigs.as("a")
+          .join(sigs.as("b"),
+            col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+          .distinct()
+        val sh = t.select(col("doc_id"), explode(col("w")).as("s"))
+        val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val inter = cand
+          .join(sh.as("sa"), col("da") === col("sa.doc_id"))
+          .join(sh.as("sb"), col("db") === col("sb.doc_id") && col("sa.s") === col("sb.s"))
+          .groupBy("da", "db").agg(count(lit(1)).as("i"))
+        inter
+          .join(sz.as("za"), col("da") === col("za.doc_id"))
+          .join(sz.as("zb"), col("db") === col("zb.doc_id"))
+          .select(col("da"), col("db"),
+            round(col("i") * lit(1.0) / (col("za.n") + col("zb.n") - col("i")), 4).as("jaccard"))
+          .filter(col("jaccard") >= 0.9)
+          .orderBy("da", "db")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, list_distinct($toksDuck) AS w FROM documents),
+              |sig AS (SELECT doc_id, i AS band,
+              |list_min(list_transform(w, u -> md5(CAST(i AS VARCHAR) || ':' || u))) AS h
+              |FROM t, LATERAL (SELECT unnest(generate_series(0, 3)) AS i) g),
+              |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db FROM sig a
+              |JOIN sig b ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id),
+              |sh AS (SELECT doc_id, unnest(w) AS s FROM t),
+              |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+              |inter AS (SELECT da, db, count(*) AS i FROM cand
+              |JOIN sh sa ON da = sa.doc_id JOIN sh sb ON db = sb.doc_id AND sa.s = sb.s GROUP BY 1, 2)
+              |SELECT da, db, round(i * 1.0 / (za.n + zb.n - i), 4) AS jaccard
+              |FROM inter JOIN sz za ON da = za.doc_id JOIN sz zb ON db = zb.doc_id
+              |WHERE round(i * 1.0 / (za.n + zb.n - i), 4) >= 0.9
+              |ORDER BY da, db""".stripMargin.replace("\n", " ")),
+      bench = true),
+
+    QueryDef(
+      "q42_dedup_jaccard",
+      // Ground-truth n-gram Jaccard pairs ≥ 0.9 via inverted-index
+      // equi-join on tokens (pairs sharing no token never materialize).
+      (s, dir) => {
+        val t = Tables.documents(s, dir)
+          .select(col("doc_id"), expr(s"array_distinct($toksExpr)").as("w"))
+        val sh = t.select(col("doc_id"), explode(col("w")).as("s"))
+        val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val inter = sh.as("sa")
+          .join(sh.as("sb"), col("sa.s") === col("sb.s") && col("sa.doc_id") < col("sb.doc_id"))
+          .groupBy(col("sa.doc_id").as("da"), col("sb.doc_id").as("db"))
+          .agg(count(lit(1)).as("i"))
+        inter
+          .join(sz.as("za"), col("da") === col("za.doc_id"))
+          .join(sz.as("zb"), col("db") === col("zb.doc_id"))
+          .select(col("da"), col("db"),
+            round(col("i") * lit(1.0) / (col("za.n") + col("zb.n") - col("i")), 4).as("jaccard"))
+          .filter(col("jaccard") >= 0.9)
+          .orderBy("da", "db")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, list_distinct($toksDuck) AS w FROM documents),
+              |sh AS (SELECT doc_id, unnest(w) AS s FROM t),
+              |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+              |inter AS (SELECT sa.doc_id AS da, sb.doc_id AS db, count(*) AS i FROM sh sa
+              |JOIN sh sb ON sa.s = sb.s AND sa.doc_id < sb.doc_id GROUP BY 1, 2)
+              |SELECT da, db, round(i * 1.0 / (za.n + zb.n - i), 4) AS jaccard
+              |FROM inter JOIN sz za ON da = za.doc_id JOIN sz zb ON db = zb.doc_id
+              |WHERE round(i * 1.0 / (za.n + zb.n - i), 4) >= 0.9
+              |ORDER BY da, db""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q43_dedup_simhash",
+      // 16-bit SimHash from per-token md5 parity; near-dup pairs found by
+      // 4-bit prefix blocking + Hamming ≤ 4 verify inside blocks.
+      (s, dir) => {
+        val sim = Tables.documents(s, dir)
+          .select(col("doc_id"), expr(toksExpr).as("w"))
+          .select(col("doc_id"), expr(
+            """aggregate(sequence(1, 16), 0L, (acc, j) -> acc +
+              |CASE WHEN aggregate(w, 0, (a2, u) ->
+              |a2 + CASE WHEN ascii(substring(md5(u), j, 1)) % 2 = 1 THEN 1 ELSE -1 END) > 0
+              |THEN shiftleft(1L, j - 1) ELSE 0L END)""".stripMargin.replace("\n", " ")).as("simhash"))
+        sim.as("a")
+          .join(sim.as("b"),
+            expr("shiftright(a.simhash, 12) = shiftright(b.simhash, 12) AND a.doc_id < b.doc_id"))
+          .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+            expr("bit_count(a.simhash ^ b.simhash)").cast("long").as("hamming"))
+          .filter(col("hamming") <= 4)
+          .orderBy("da", "db")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $toksDuck AS w FROM documents),
+              |sim AS (SELECT doc_id, CAST(list_sum(list_transform(generate_series(1, 16), j ->
+              |CASE WHEN list_sum(list_transform(w, u ->
+              |CASE WHEN ascii(substr(md5(u), j, 1)) % 2 = 1 THEN 1 ELSE -1 END)) > 0
+              |THEN (CAST(1 AS BIGINT) << (j - 1)) ELSE 0 END)) AS BIGINT) AS simhash FROM t)
+              |SELECT a.doc_id AS da, b.doc_id AS db,
+              |CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+              |FROM sim a JOIN sim b ON (a.simhash >> 12) = (b.simhash >> 12) AND a.doc_id < b.doc_id
+              |WHERE bit_count(xor(a.simhash, b.simhash)) <= 4
+              |ORDER BY da, db""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q44_dedup_embedding",
+      // Embedding-cosine near-dup, blocked by the label column (IVF-style
+      // coarse partition) so the join is label-local, never a full cross
+      // product. Floats are cast to double before any arithmetic; the dot
+      // product is a sequential left fold in both engines.
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("label"), col("embedding"),
+            expr("sqrt(aggregate(embedding, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))").as("nrm"))
+        e.as("a")
+          .join(e.as("b"), col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+            round(expr(
+              """aggregate(zip_with(a.embedding, b.embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)
+                |/ (a.nrm * b.nrm)""".stripMargin.replace("\n", " ")), 4).as("cos"))
+          .filter(col("cos") >= 0.4)
+          .orderBy("va", "vb")
+      },
+      Some("""WITH e AS (SELECT vec_id, label, embedding,
+             |sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+             |FROM embeddings)
+             |SELECT a.vec_id AS va, b.vec_id AS vb,
+             |round(list_sum(list_transform(generate_series(1, len(a.embedding)), i ->
+             |CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) / (a.nrm * b.nrm), 4) AS cos
+             |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+             |WHERE round(list_sum(list_transform(generate_series(1, len(a.embedding)), i ->
+             |CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) / (a.nrm * b.nrm), 4) >= 0.4
+             |ORDER BY va, vb""".stripMargin.replace("\n", " ")),
+      bench = true)
+  )
+}
