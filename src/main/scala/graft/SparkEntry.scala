@@ -12,7 +12,8 @@ object SparkEntry {
   private def all: Seq[QueryDef] =
     operators.Relational.defs ++
       operators.TextAnalytics.defs ++
-      operators.Dedup.defs
+      operators.Dedup.defs ++
+      operators.Similarity.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

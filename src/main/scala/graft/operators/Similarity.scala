@@ -1,0 +1,128 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** North-star similarity search over the `embeddings` table
+  * (reference analog: SentenceTransformer encode + BERTopic neighborhoods,
+  * scrappy.py:498-501 — here the embedding *column* operators).
+  *
+  * Two paths:
+  *  - [[cosineTopK]] brute force: broadcast the (small) query set, single
+  *    scan of the corpus, per-query top-k via window. At 100 TB the corpus
+  *    never shuffles — the only data movement is the broadcast and the
+  *    final TakeOrdered per query.
+  *  - [[ivfTopK]] IVF: coarse centroids (label partition = the pre-built
+  *    coarse quantizer), probe the nprobe nearest centroids, scan only
+  *    those partitions. The candidate scan shrinks by ~|labels|/nprobe;
+  *    on a real deployment the corpus would be bucketed BY label so
+  *    pruning happens at the file level.
+  *
+  * Dot products are sequential double folds over `zip_with`, kept inside
+  * codegen; scores are rounded before ranking so ordering is
+  * engine-portable (ties broken by vec_id).
+  */
+object Similarity {
+
+  private val dotExpr =
+    "aggregate(zip_with(%s, %s, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"
+  private val nrmExpr =
+    "sqrt(aggregate(%s, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+
+  /** Corpus with an L2 norm column attached. */
+  private def withNorm(e: DataFrame): DataFrame =
+    e.withColumn("nrm", expr(nrmExpr.format("embedding")))
+
+  /** Brute-force cosine top-k: one corpus scan per query batch. */
+  def cosineTopK(corpus: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    val e = withNorm(corpus)
+    val q = e.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("cos", round(expr(dotExpr.format("embedding", "qe")) / (col("nrm") * col("qn")), 6))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select("qid", "vec_id", "rn", "cos")
+      .orderBy("qid", "rn")
+  }
+
+  /** IVF top-k: rank label-centroids per query, probe the top `nprobe`
+    * labels, brute-force only inside them. */
+  def ivfTopK(corpus: DataFrame, queryIds: Seq[Long], k: Int, nprobe: Int): DataFrame = {
+    val e = withNorm(corpus)
+    // Coarse quantizer: per-label mean vector, built from exploded dims
+    // (groupBy(label, pos) — a single hash-agg shuffle, corpus-size bound).
+    val dims = e.select(col("vec_id"), col("label"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("label"), col("pos"), col("col").cast("double").as("v"))
+    val cent = dims.groupBy("label", "pos").agg(avg("v").as("cv"))
+    val centNorm = cent.groupBy("label").agg(sqrt(sum(col("cv") * col("cv"))).as("cn"))
+    val q = e.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
+    val qdims = q.select(col("qid"), col("qn"), posexplode(col("qe")))
+      .select(col("qid"), col("qn"), col("pos"), col("col").cast("double").as("qv"))
+    val qcScore = qdims.join(broadcast(cent), "pos")
+      .groupBy("qid", "label").agg(sum(col("qv") * col("cv")).as("dot"))
+      .join(broadcast(centNorm), "label")
+      .join(broadcast(q.select(col("qid"), col("qn"))), "qid")
+      .withColumn("cscore", round(col("dot") / (col("qn") * col("cn")), 6))
+    val probeW = Window.partitionBy("qid").orderBy(col("cscore").desc, col("label"))
+    val probed = qcScore.withColumn("pr", row_number().over(probeW))
+      .filter(col("pr") <= nprobe)
+      .select(col("qid").as("pqid"), col("label"))
+    // Candidate scan: only vectors whose label was probed for that query.
+    val scored = e.join(broadcast(probed), Seq("label"))
+      .join(broadcast(q), col("qid") === col("pqid") && col("vec_id") =!= col("qid"))
+      .withColumn("cos", round(expr(dotExpr.format("embedding", "qe")) / (col("nrm") * col("qn")), 6))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select("qid", "vec_id", "rn", "cos")
+      .orderBy("qid", "rn")
+  }
+
+  private def duckNorm(v: String) =
+    s"sqrt(list_sum(list_transform($v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+  private def duckDot(a: String, b: String) =
+    s"list_sum(list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+
+  def defs: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "q50_knn_bruteforce",
+      (s, dir) => cosineTopK(Tables.embeddings(s, dir), Seq(0L, 1L, 2L), 10),
+      Some(s"""WITH e AS (SELECT vec_id, embedding, ${duckNorm("embedding")} AS nrm FROM embeddings),
+              |q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM e WHERE vec_id IN (0, 1, 2)),
+              |sc AS (SELECT qid, vec_id, round(${duckDot("e.embedding", "qe")} / (nrm * qn), 6) AS cos
+              |FROM e, q WHERE vec_id <> qid),
+              |r AS (SELECT qid, vec_id, cos,
+              |row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn FROM sc)
+              |SELECT qid, vec_id, rn, cos FROM r WHERE rn <= 10 ORDER BY qid, rn""".stripMargin.replace("\n", " ")),
+      bench = true),
+
+    QueryDef(
+      "q51_knn_ivf",
+      (s, dir) => ivfTopK(Tables.embeddings(s, dir), Seq(0L, 1L, 2L), 10, 2),
+      Some(s"""WITH e AS (SELECT vec_id, label, embedding, ${duckNorm("embedding")} AS nrm FROM embeddings),
+              |dims AS (SELECT vec_id, label, i AS pos, CAST(embedding[i] AS DOUBLE) AS v
+              |FROM e, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g),
+              |cent AS (SELECT label, pos, avg(v) AS cv FROM dims GROUP BY 1, 2),
+              |centnorm AS (SELECT label, sqrt(sum(cv * cv)) AS cn FROM cent GROUP BY 1),
+              |q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM e WHERE vec_id IN (0, 1, 2)),
+              |qdims AS (SELECT qid, qn, i AS pos, CAST(qe[i] AS DOUBLE) AS qv
+              |FROM q, LATERAL (SELECT unnest(generate_series(1, len(qe))) AS i) g),
+              |qc AS (SELECT qd.qid, c.label, round(sum(qv * cv) / (any_value(qd.qn) * any_value(cn.cn)), 6) AS cscore
+              |FROM qdims qd JOIN cent c ON qd.pos = c.pos JOIN centnorm cn ON c.label = cn.label
+              |GROUP BY 1, 2),
+              |probed AS (SELECT qid, label FROM (SELECT qid, label,
+              |row_number() OVER (PARTITION BY qid ORDER BY cscore DESC, label) AS pr FROM qc) p WHERE pr <= 2),
+              |sc AS (SELECT q.qid, e.vec_id, round(${duckDot("e.embedding", "qe")} / (e.nrm * qn), 6) AS cos
+              |FROM e JOIN probed ON e.label = probed.label JOIN q ON q.qid = probed.qid
+              |WHERE e.vec_id <> q.qid),
+              |r AS (SELECT qid, vec_id, cos,
+              |row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn FROM sc)
+              |SELECT qid, vec_id, rn, cos FROM r WHERE rn <= 10 ORDER BY qid, rn""".stripMargin.replace("\n", " ")))
+  )
+}
