@@ -13,7 +13,8 @@ object SparkEntry {
     operators.Relational.defs ++
       operators.TextAnalytics.defs ++
       operators.Dedup.defs ++
-      operators.Similarity.defs
+      operators.Similarity.defs ++
+      operators.EventWindows.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

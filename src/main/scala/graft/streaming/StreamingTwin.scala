@@ -1,0 +1,81 @@
+package graft.streaming
+
+import graft.operators.EventWindows
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming twins of the batch event-window queries
+  * (SURVEY.md §2.11). The transforms in [[EventWindows]] are input-agnostic;
+  * here the same code runs on `readStream`, with the two streaming-only
+  * pieces added: a watermark (bounds state) and streaming dedup (the
+  * streaming analog of the reference's merge dedup D2, scrappy.py:334-335).
+  *
+  * At scale: state is keyed by (window × type) / (user × session) /
+  * event_id respectively — all partitioned by key across executors; the
+  * watermark caps state size regardless of stream length.
+  */
+object StreamingTwin {
+
+  /** The `events` schema as read from a stream source (ts already micros). */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming tumbling-window counts with a 10-minute watermark. */
+  def tumblingStream(events: DataFrame): DataFrame =
+    EventWindows.tumblingAgg(events.withWatermark("ts", "10 minutes"))
+
+  /** Streaming exact dedup by event_id within the watermark horizon. */
+  def dedupStream(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes").dropDuplicates("event_id")
+
+  /** Drive a parquet-backed stream of the events table through the
+    * tumbling aggregation into a memory sink; returns the settled result.
+    * Used by tests and the demo main. */
+  def runTumblingDemo(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The streaming file source wants a directory; stage the single-file
+    // table into one (a real deployment points at the ingest directory).
+    val stage = java.nio.file.Files.createTempDirectory("graft_stream_events")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      stage.resolve("events.parquet"))
+    val raw = spark.readStream
+      .schema(StructType(eventSchema.fields.map(f =>
+        if (f.name == "ts") StructField("ts", LongType) else f)))
+      .parquet(stage.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val q = tumblingStream(raw).writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("tumbling_demo")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table("tumbling_demo")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val res = runTumblingDemo(spark, "/root/testdata/sf0.001")
+    println(s"STREAM tumbling rows=${res.count()}")
+    res.orderBy("win_start", "event_type").show(5, false)
+    // Batch/stream equivalence: same transform, same input, same rows.
+    val batch = EventWindows.tumbling(graft.Tables.events(spark, "/root/testdata/sf0.001"))
+    val diff = batch.exceptAll(res).count() + res.exceptAll(batch).count()
+    println(s"STREAM batch-equivalence diff=$diff")
+    spark.stop()
+  }
+}
