@@ -14,7 +14,10 @@ object SparkEntry {
       operators.TextAnalytics.defs ++
       operators.Dedup.defs ++
       operators.Similarity.defs ++
-      operators.EventWindows.defs
+      operators.EventWindows.defs ++
+      operators.Ingest.defs ++
+      operators.KeywordTree.defs ++
+      ml.MlQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,47 @@
+package graft.ml
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** M5: topic clustering (reference: BERTopic fit_transform,
+  * scrappy.py:500-505). Contract preserved — doc → topic id, topic →
+  * top-5 keyword list — via KMeans over the embedding column + per-cluster
+  * term counts (c-TF-IDF simplified to cluster-local frequency; the
+  * approximation is documented in SURVEY.md §2.10).
+  *
+  * No UDFs: array<float> → Vector via ml.functions.array_to_vector.
+  * Scale: KMeans is MLlib's distributed Lloyd's; the keyword aggregation is
+  * the same hash-agg shape as TextAnalytics.
+  */
+object Topics {
+
+  def cluster(embeddings: DataFrame, k: Int = 8, seed: Long = 42L): DataFrame = {
+    val feat = embeddings.withColumn("features", array_to_vector(col("embedding")))
+    val model = new KMeans().setK(k).setSeed(seed).setFeaturesCol("features")
+      .setPredictionCol("topic_id").fit(feat)
+    model.transform(feat).select(col("vec_id"), col("topic_id"))
+  }
+
+  /** Per-topic summary: size + top-5 keywords from the joined documents
+    * (vec_id aligns with doc_id in the testdata). */
+  def topicSummary(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    val assigned = cluster(graft.Tables.embeddings(spark, dir), k)
+    val docs = graft.Tables.documents(spark, dir)
+    val toks = docs.join(assigned, docs("doc_id") === assigned("vec_id"))
+      .select(col("topic_id"), explode(expr("filter(split(lower(text), ' '), x -> x <> '')")).as("term"))
+      .filter(!col("term").isInCollection(graft.operators.TextAnalytics.Stopwords))
+    val counts = toks.groupBy("topic_id", "term").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("topic_id").orderBy(col("cnt").desc, col("term"))
+    // collect_list order is nondeterministic — sort by rank inside the agg.
+    val top = counts.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .groupBy("topic_id")
+      .agg(expr("concat_ws(',', transform(array_sort(collect_list(struct(rn, term))), s -> s.term))").as("top_terms"))
+    val sizes = assigned.groupBy("topic_id").agg(count(lit(1)).as("n_docs"))
+    sizes.join(top, Seq("topic_id"), "left")
+      .select(col("topic_id").cast("long"), col("n_docs"), col("top_terms"))
+      .orderBy("topic_id")
+  }
+}

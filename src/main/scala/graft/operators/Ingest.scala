@@ -1,0 +1,149 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.sources.Articles
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's ingest pipeline (SURVEY.md §3.1, scrappy.py:283-350),
+  * Spark-shaped: union-by-name of the five sources → keep-first dedup on
+  * title (D1) → institutions flatten (P2) → merge into the existing store
+  * with existing-wins semantics (D2) → delta report (J1 anti-join).
+  *
+  * Scale shape: one shuffle (the title window); the delta anti-join
+  * broadcasts existing titles when small. Keep-first priority is the
+  * explicit (source_rank, ingest_idx) pair — stable under any partitioning,
+  * unlike monotonically_increasing_id (SURVEY.md §7.4 #2).
+  */
+object Ingest {
+
+  /** U1: union-by-name of per-source article batches (dict-key alignment
+    * semantics of the reference's list concat, scrappy.py:286-311). */
+  def unionSources(spark: SparkSession, sources: Seq[Articles.ArticleSource],
+      terms: Seq[String]): DataFrame =
+    sources.map(_.fetch(spark, terms))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+
+  /** D1: intra-batch dedup by title; earlier source, earlier row wins
+    * (pandas keep="first" over fetch order, scrappy.py:316). */
+  def dedupByTitle(batch: DataFrame): DataFrame =
+    Relational.dedupKeepFirst(batch, Seq("title"),
+      Seq(col("source_rank"), col("ingest_idx")))
+
+  /** P2: flatten nested per-author institutions to the "; "-joined string
+    * form (scrappy.py:318-320 — minus its char-splitting bug on flat
+    * lists, which we avoid by typing institutions as array<array<string>>). */
+  def flattenInstitutions(df: DataFrame): DataFrame =
+    df.withColumn("insts", array_join(flatten(col("institutions")), "; "))
+
+  /** D2: merge batch into existing store — existing row beats incoming
+    * duplicate, never updates (upsert-ignore, scrappy.py:334-335). */
+  def mergeExistingWins(existing: DataFrame, batch: DataFrame): DataFrame = {
+    val e = existing.withColumn("pri", lit(0))
+    val b = batch.withColumn("pri", lit(1))
+    Relational.dedupKeepFirst(e.unionByName(b), Seq("title"),
+      Seq(col("pri"), col("source_rank"), col("ingest_idx"))).drop("pri")
+  }
+
+  /** J1: delta report — titles in the merged table absent from the prior
+    * store (scrappy.py:339-341). */
+  def deltaNew(merged: DataFrame, existing: DataFrame): DataFrame =
+    merged.join(existing.select("title"), Seq("title"), "left_anti")
+
+  /** M3: term contextualization (scrappy.py:390-426) — cross join the
+    * class-matched theme list, then append " AND healthcare" when the term
+    * has no health keyword. Pure DataFrame; the classifier that produces
+    * `label` is graft.ml.TextClassifier. */
+  def contextualize(termsLabeled: DataFrame, themes: DataFrame): DataFrame = {
+    val healthRe = "(health|hospital|medical|clinic)"
+    termsLabeled.join(themes, "label")
+      .withColumn("contextualized",
+        when(lower(col("term")).rlike(healthRe),
+          concat(col("term"), lit(" AND "), col("theme")))
+          .otherwise(concat(col("term"), lit(" AND "), col("theme"), lit(" AND healthcare"))))
+  }
+
+  /** Full pipeline used by q70. */
+  def pipeline(spark: SparkSession): DataFrame = {
+    val batch = dedupByTitle(unionSources(spark, Articles.allSources, Seq("t")))
+    val merged = mergeExistingWins(Articles.existingStore(spark), batch)
+    flattenInstitutions(merged)
+      .select(col("title"), col("source"), col("year"),
+        col("insts"), size(col("authors")).cast("long").as("n_authors"))
+      .orderBy(col("title").asc_nulls_first)
+  }
+
+  // The same 12 batch rows + 2 store rows as literal VALUES, so the whole
+  // pipeline is oracle-checkable in DuckDB without external fixtures.
+  private val batchValues =
+    """(VALUES
+      |('IEEE', 'Security of Infusion Pumps', ['Ana B','Raj K'], []::VARCHAR[][], '2021', 0, 0),
+      |('IEEE', 'Ransomware in Hospitals', ['Li W'], []::VARCHAR[][], '2020', 0, 1),
+      |('IEEE', NULL, []::VARCHAR[], []::VARCHAR[][], '', 0, 2),
+      |('GoogleScholar', 'Ransomware in Hospitals', []::VARCHAR[], []::VARCHAR[][], NULL, 1, 0),
+      |('GoogleScholar', 'Phishing Countermeasures', []::VARCHAR[], []::VARCHAR[][], NULL, 1, 1),
+      |('SemanticScholar', 'Phishing Countermeasures', ['Ana B'], [['MIT','CSAIL'],['Oxford']], '2019', 2, 0),
+      |('SemanticScholar', 'EHR Data Integrity', ['Tom H'], [['Stanford']], '2022', 2, 1),
+      |('PubMed', 'Null Abstract Study', []::VARCHAR[], [['NIH']], '2021', 3, 0),
+      |('PubMed', NULL, []::VARCHAR[], []::VARCHAR[][], '', 3, 1),
+      |('arXiv', 'EHR Data Integrity', ['Zoe Q'], []::VARCHAR[][], '2022', 4, 0),
+      |('arXiv', 'Adversarial ML in Radiology', ['Kim S'], []::VARCHAR[][], '2023', 4, 1)
+      |) b(source, title, authors, institutions, year, source_rank, ingest_idx)""".stripMargin
+
+  private val existingValues =
+    """(VALUES
+      |('Existing', 'Ransomware in Hospitals', ['Old A'], []::VARCHAR[][], '2018', -1, 0),
+      |('Existing', 'Zero-day Markets', []::VARCHAR[], []::VARCHAR[][], '2017', -1, 1)
+      |) e(source, title, authors, institutions, year, source_rank, ingest_idx)""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "q70_article_pipeline",
+      (s, _) => pipeline(s),
+      Some(s"""WITH batch AS (SELECT * FROM $batchValues),
+              |d1 AS (SELECT * FROM (SELECT b.*,
+              |row_number() OVER (PARTITION BY title ORDER BY source_rank, ingest_idx) AS rn
+              |FROM batch b) x WHERE rn = 1),
+              |store AS (SELECT * FROM $existingValues),
+              |u AS (SELECT 0 AS pri, source, title, authors, institutions, year, source_rank, ingest_idx FROM store
+              |UNION ALL SELECT 1 AS pri, source, title, authors, institutions, year, source_rank, ingest_idx FROM d1),
+              |merged AS (SELECT * FROM (SELECT u.*,
+              |row_number() OVER (PARTITION BY title ORDER BY pri, source_rank, ingest_idx) AS rn2
+              |FROM u) y WHERE rn2 = 1)
+              |SELECT title, source, year,
+              |coalesce(array_to_string(flatten(institutions), '; '), '') AS insts,
+              |len(authors) AS n_authors
+              |FROM merged ORDER BY title NULLS FIRST""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q71_contextualize",
+      (s, _) => {
+        import s.implicits._
+        val terms = Seq(
+          ("ransomware attacks", "threat"),
+          ("phishing", "threat"),
+          ("hospital networks", "infrastructure"),
+          ("medical device security", "infrastructure")).toDF("term", "label")
+        val themes = Seq(
+          ("threat", "data breach"), ("threat", "malware defense"),
+          ("infrastructure", "network security"), ("infrastructure", "medical devices"))
+          .toDF("label", "theme")
+        contextualize(terms, themes)
+          .select("term", "label", "theme", "contextualized")
+          .orderBy("term", "theme")
+      },
+      Some("""WITH terms(term, label) AS (VALUES
+             |('ransomware attacks', 'threat'), ('phishing', 'threat'),
+             |('hospital networks', 'infrastructure'), ('medical device security', 'infrastructure')),
+             |themes(label, theme) AS (VALUES
+             |('threat', 'data breach'), ('threat', 'malware defense'),
+             |('infrastructure', 'network security'), ('infrastructure', 'medical devices'))
+             |SELECT term, t.label AS label, theme,
+             |CASE WHEN regexp_matches(lower(term), '(health|hospital|medical|clinic)')
+             |THEN term || ' AND ' || theme
+             |ELSE term || ' AND ' || theme || ' AND healthcare' END AS contextualized
+             |FROM terms t JOIN themes h ON t.label = h.label
+             |ORDER BY term, theme""".stripMargin.replace("\n", " ")))
+  )
+}

@@ -1,0 +1,82 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** M6: recursive keyword-tree expansion (reference: depth-limited DFS with
+  * a visited set, scrappy.py:431-493), as level-synchronous frontier
+  * expansion: control flow (the tiny frontier term list) lives on the
+  * driver, every data operation is a distributed DataFrame op.
+  *
+  * Per level: docs containing a frontier term → token explode → co-occur
+  * counts → top-`fanout` novel children per parent. Visited pruning is
+  * global and level-synchronous (order-independent, unlike the reference's
+  * traversal-order-dependent DFS — documented deviation for determinism).
+  *
+  * Scale: the frontier is ≤ fanout^depth strings (control plane); each
+  * level is one broadcast join + one hash-agg + one window over the corpus.
+  * The collect() only ever moves the child term list, never data rows.
+  */
+object KeywordTree {
+
+  private val toksExpr = "filter(split(lower(text), ' '), x -> x <> '')"
+
+  def expand(docs: DataFrame, seeds: Seq[String], depth: Int = 2,
+      fanout: Int = 5, stop: Seq[String] = TextAnalytics.Stopwords): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var visited = seeds.map(_.toLowerCase).toSet
+    var frontier = seeds.map(_.toLowerCase).distinct.sorted
+    var edges: Option[DataFrame] = None
+    for (d <- 1 to depth if frontier.nonEmpty) {
+      val fr = frontier.toDF("parent")
+      val blocked = (stop ++ visited).distinct
+      val cand = docs.join(broadcast(fr), expr("contains(lower(text), parent)"))
+        .select(col("parent"), explode(expr(toksExpr)).as("child"))
+        .filter(!col("child").isInCollection(blocked) && col("child") =!= col("parent"))
+        .groupBy("parent", "child").agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("parent").orderBy(col("cnt").desc, col("child"))
+      val top = cand.withColumn("rn", row_number().over(w)).filter(col("rn") <= fanout)
+        .select(col("parent"), col("child"), lit(d).cast("long").as("depth"), col("cnt"))
+      edges = Some(edges.map(_.unionByName(top)).getOrElse(top))
+      val children = top.select("child").distinct().as[String].collect().toSeq.sorted
+      frontier = children.filterNot(visited)
+      visited ++= children
+    }
+    edges.get.orderBy(col("depth"), col("parent"), col("cnt").desc, col("child"))
+  }
+
+  private val stopSqlList = TextAnalytics.Stopwords.map(w => s"'$w'").mkString(", ")
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q73_keyword_tree",
+      (s, dir) => expand(Tables.documents(s, dir), Seq("join", "scan"), depth = 2, fanout = 5),
+      // Depth-2 unrolling of the same expansion in SQL.
+      Some(s"""WITH d0 AS (SELECT lower(text) AS lt,
+              |list_filter(string_split(lower(text), ' '), x -> x <> '') AS w FROM documents),
+              |seeds(parent) AS (VALUES ('join'), ('scan')),
+              |l1c AS (SELECT parent, child, count(*) AS cnt FROM
+              |(SELECT s.parent, unnest(d.w) AS child FROM d0 d JOIN seeds s ON contains(d.lt, s.parent)) x
+              |WHERE child NOT IN ($stopSqlList) AND child <> parent
+              |AND child NOT IN (SELECT parent FROM seeds) GROUP BY 1, 2),
+              |l1 AS (SELECT parent, child, cnt FROM
+              |(SELECT *, row_number() OVER (PARTITION BY parent ORDER BY cnt DESC, child) AS rn FROM l1c) y
+              |WHERE rn <= 5),
+              |f2(parent) AS (SELECT DISTINCT child FROM l1),
+              |l2c AS (SELECT parent, child, count(*) AS cnt FROM
+              |(SELECT f.parent, unnest(d.w) AS child FROM d0 d JOIN f2 f ON contains(d.lt, f.parent)) x
+              |WHERE child NOT IN ($stopSqlList) AND child <> parent
+              |AND child NOT IN (SELECT parent FROM seeds)
+              |AND child NOT IN (SELECT child FROM l1) GROUP BY 1, 2),
+              |l2 AS (SELECT parent, child, cnt FROM
+              |(SELECT *, row_number() OVER (PARTITION BY parent ORDER BY cnt DESC, child) AS rn FROM l2c) y
+              |WHERE rn <= 5)
+              |SELECT parent, child, CAST(1 AS BIGINT) AS depth, cnt FROM l1
+              |UNION ALL
+              |SELECT parent, child, CAST(2 AS BIGINT) AS depth, cnt FROM l2
+              |ORDER BY depth, parent, cnt DESC, child""".stripMargin.replace("\n", " ")))
+  )
+}
