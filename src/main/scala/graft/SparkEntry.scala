@@ -17,6 +17,7 @@ object SparkEntry {
       operators.EventWindows.defs ++
       operators.Ingest.defs ++
       operators.KeywordTree.defs ++
+      operators.Multimodal.defs ++
       ml.MlQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,61 @@
+package graft
+
+import graft.operators.{Ingest, KeywordTree}
+import graft.sources.Articles
+import org.scalatest.funsuite.AnyFunSuite
+
+class PipelineSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  test("ingest pipeline end state matches the reference semantics exactly") {
+    val got = Ingest.pipeline(spark)
+      .select("title", "source").as[(String, String)].collect().toSeq
+    // 7 distinct batch titles (incl. the null group) + 2 store titles - 1 overlap
+    assert(got.size == 8)
+    val m = got.filter(_._1 != null).toMap
+    // existing wins over the incoming IEEE/GS duplicate
+    assert(m("Ransomware in Hospitals") == "Existing")
+    // earlier source rank wins the intra-batch dup
+    assert(m("Phishing Countermeasures") == "GoogleScholar")
+    assert(m("EHR Data Integrity") == "SemanticScholar")
+    // null titles dedup as one group; IEEE (rank 0) wins
+    assert(got.filter(_._1 == null).map(_._2) == Seq("IEEE"))
+    // store-only rows survive
+    assert(m.contains("Zero-day Markets"))
+  }
+
+  test("delta anti-join reports only genuinely new titles") {
+    val batch = Ingest.dedupByTitle(
+      Ingest.unionSources(spark, Articles.allSources, Seq("t")))
+    val existing = Articles.existingStore(spark)
+    val merged = Ingest.mergeExistingWins(existing, batch)
+    val delta = Ingest.deltaNew(merged, existing)
+      .select("title").as[String].collect().toSet
+    assert(!delta.contains("Ransomware in Hospitals")) // pre-existing
+    assert(!delta.contains("Zero-day Markets"))        // store only
+    assert(delta.contains("Adversarial ML in Radiology"))
+  }
+
+  test("keyword tree respects depth, fanout, and the visited set") {
+    val docs = Tables.documents(spark, sfDir)
+    val edges = KeywordTree.expand(docs, Seq("join"), depth = 2, fanout = 3)
+      .select("parent", "child", "depth").as[(String, String, Long)].collect()
+    assert(edges.map(_._3).max <= 2)
+    // fanout bound per (parent, depth)
+    edges.groupBy(e => (e._1, e._3)).foreach { case (_, g) => assert(g.length <= 3) }
+    // a level-1 child never reappears as a level-2 child (visited pruning)
+    val l1 = edges.filter(_._3 == 1L).map(_._2).toSet
+    val l2 = edges.filter(_._3 == 2L).map(_._2).toSet
+    assert(l1.intersect(l2).isEmpty)
+    assert(!l2.contains("join"))
+  }
+
+  test("classifier separates its own training data") {
+    val model = ml.TextClassifier.train(spark)
+    val preds = ml.TextClassifier.predict(spark, model, ml.TextClassifier.trainingData.map(_._1))
+      .as[(String, String)].collect().toMap
+    val truth = ml.TextClassifier.trainingData.toMap
+    val acc = truth.count { case (t, l) => preds(t) == l }.toDouble / truth.size
+    assert(acc >= 0.9, s"training accuracy $acc")
+  }
+}

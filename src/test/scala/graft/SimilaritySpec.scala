@@ -1,0 +1,31 @@
+package graft
+
+import graft.operators.Similarity
+import org.scalatest.funsuite.AnyFunSuite
+
+class SimilaritySpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  test("brute-force top-1 of an exact duplicate vector is that duplicate with cos=1") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),
+      (1L, Array(1.0f, 0.0f, 0.0f), 0),   // duplicate of 0
+      (2L, Array(0.0f, 1.0f, 0.0f), 1),
+      (3L, Array(0.6f, 0.8f, 0.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.cosineTopK(emb, Seq(0L), 3)
+      .select("vec_id", "rn", "cos").as[(Long, Long, Double)].collect()
+    assert(got.head == ((1L, 1L, 1.0)))          // duplicate first
+    assert(got.map(_._1).toSeq == Seq(1L, 3L, 2L)) // then by cosine desc
+  }
+
+  test("ivf with nprobe = all labels equals brute force") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.1f, 0.0f), 0), (1L, Array(0.9f, 0.2f, 0.1f), 0),
+      (2L, Array(0.0f, 1.0f, 0.2f), 1), (3L, Array(0.1f, 0.9f, 0.3f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val bf = Similarity.cosineTopK(emb, Seq(0L), 3).select("vec_id", "rn").collect().toSeq
+    val ivf = Similarity.ivfTopK(emb, Seq(0L), 3, nprobe = 2).select("vec_id", "rn").collect().toSeq
+    assert(bf == ivf)
+  }
+}

@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextAnalyticsSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  test("normalize (C1) strips punctuation, lowers, trims — and is idempotent") {
+    val norm = (c: org.apache.spark.sql.Column) =>
+      trim(lower(regexp_replace(c, "[^a-zA-Z0-9 ]", "")))
+    val df = Seq("  Héllo, World! 42 ", "already clean").toDF("t")
+      .select(norm($"t").as("n1"))
+      .select($"n1", norm($"n1").as("n2"))
+    df.collect().foreach { r =>
+      assert(r.getString(0) == r.getString(1)) // idempotent
+    }
+    assert(df.select("n1").as[String].collect()(0) == "hllo world 42")
+  }
+
+  test("unigram counts match a hand-counted fixture") {
+    val docs = Seq((1L, "spark join spark"), (2L, "join the spark"))
+      .toDF("doc_id", "text")
+    val got = docs
+      .select(explode(expr("filter(split(lower(text), ' '), x -> x <> '')")).as("term"))
+      .filter(!$"term".isInCollection(operators.TextAnalytics.Stopwords))
+      .groupBy("term").count()
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("spark" -> 3L, "join" -> 2L))
+  }
+
+  test("bigram expression handles degenerate token counts") {
+    val docs = Seq((1L, "solo"), (2L, ""), (3L, "a b c")).toDF("doc_id", "text")
+    val bigrams = docs
+      .select(expr("filter(split(lower(text), ' '), x -> x <> '')").as("w"))
+      .select(explode(expr(
+        "CASE WHEN size(w) >= 2 THEN zip_with(slice(w, 1, size(w)-1), slice(w, 2, size(w)-1), (x, y) -> concat(x, ' ', y)) ELSE slice(w, 1, 0) END")).as("bg"))
+      .as[String].collect().toSet
+    assert(bigrams == Set("a b", "b c"))
+  }
+}
