@@ -19,6 +19,12 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val names = if (SparkEntry.benchNames.nonEmpty) SparkEntry.benchNames
                 else SparkEntry.queries.keys.toSeq.sorted
+    // Untimed warmup: JVM/codegen/file-listing costs land here, not on the
+    // first timed query.
+    try {
+      Tables.lineitem(spark, sfDir).count()
+      operators.Relational.flagship(spark, sfDir).count()
+    } catch { case _: Throwable => () }
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()

@@ -58,14 +58,18 @@ object Dedup {
 
     QueryDef(
       "q41_dedup_minhash_lsh",
-      // MinHash (k=4 salted md5 permutations) + LSH with r=1 bands →
-      // candidate pairs from bucket collisions → verified with true
-      // token-set Jaccard ≥ 0.9.
+      // MinHash (k=4 salted md5 permutations) + LSH with b=2 bands of r=2
+      // rows (band hash = md5 of two consecutive minhashes; P[band match] =
+      // j², keeping buckets small on low-diversity corpora) → candidate
+      // pairs from bucket collisions → verified with true token-set
+      // Jaccard ≥ 0.9.
       (s, dir) => {
         val t = Tables.documents(s, dir)
           .select(col("doc_id"), expr(s"array_distinct($toksExpr)").as("w"))
-        val sigs = t.select(col("doc_id"), posexplode(expr(
-          "transform(sequence(0, 3), i -> array_min(transform(w, u -> md5(concat(cast(i AS STRING), ':', u)))))")))
+        val sigs = t.select(col("doc_id"), expr(
+          "transform(sequence(0, 3), i -> array_min(transform(w, u -> md5(concat(cast(i AS STRING), ':', u)))))").as("sigs"))
+          .select(col("doc_id"), posexplode(expr(
+            "transform(sequence(0, 1), b -> md5(concat(sigs[2*b], '|', sigs[2*b+1])))")))
           .withColumnRenamed("pos", "band").withColumnRenamed("col", "h")
         val cand = sigs.as("a")
           .join(sigs.as("b"),
@@ -88,9 +92,10 @@ object Dedup {
           .orderBy("da", "db")
       },
       Some(s"""WITH t AS (SELECT doc_id, list_distinct($toksDuck) AS w FROM documents),
-              |sig AS (SELECT doc_id, i AS band,
-              |list_min(list_transform(w, u -> md5(CAST(i AS VARCHAR) || ':' || u))) AS h
-              |FROM t, LATERAL (SELECT unnest(generate_series(0, 3)) AS i) g),
+              |sigs AS (SELECT doc_id, list_transform(generate_series(0, 3), i ->
+              |list_min(list_transform(w, u -> md5(CAST(i AS VARCHAR) || ':' || u)))) AS sigs FROM t),
+              |sig AS (SELECT doc_id, b AS band, md5(sigs[2*b+1] || '|' || sigs[2*b+2]) AS h
+              |FROM sigs, LATERAL (SELECT unnest(generate_series(0, 1)) AS b) g),
               |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db FROM sig a
               |JOIN sig b ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id),
               |sh AS (SELECT doc_id, unnest(w) AS s FROM t),
@@ -100,7 +105,69 @@ object Dedup {
               |SELECT da, db, round(i * 1.0 / (za.n + zb.n - i), 4) AS jaccard
               |FROM inter JOIN sz za ON da = za.doc_id JOIN sz zb ON db = zb.doc_id
               |WHERE round(i * 1.0 / (za.n + zb.n - i), 4) >= 0.9
-              |ORDER BY da, db""".stripMargin.replace("\n", " ")),
+              |ORDER BY da, db""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q45_dedup_survivors",
+      // The 100 TB-shaped dedup: identical-signature docs collapse to one
+      // representative FIRST (hash-groupBy — kills the quadratic blowup of
+      // near-identical clusters), then LSH + Jaccard-verify runs only on
+      // representatives; a rep is dropped if a smaller-id rep is ≥ 0.9
+      // similar. Output: surviving rep per cluster + collapsed size.
+      (s, dir) => {
+        val t = Tables.documents(s, dir)
+          .select(col("doc_id"), expr(s"array_distinct($toksExpr)").as("w"))
+          .withColumn("sigs", expr(
+            "transform(sequence(0, 3), i -> array_min(transform(w, u -> md5(concat(cast(i AS STRING), ':', u)))))"))
+          .withColumn("sigkey", md5(concat_ws("|", col("sigs"))))
+        val reps = Relational.dedupKeepFirst(t, Seq("sigkey"), Seq(col("doc_id")))
+          .join(t.groupBy("sigkey").agg(count(lit(1)).as("cluster_size")), "sigkey")
+        val bands = reps.select(col("doc_id"), posexplode(expr(
+          "transform(sequence(0, 1), b -> md5(concat(sigs[2*b], '|', sigs[2*b+1])))")))
+          .withColumnRenamed("pos", "band").withColumnRenamed("col", "h")
+        val cand = bands.as("a")
+          .join(bands.as("b"),
+            col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
+              col("a.doc_id") > col("b.doc_id"))
+          .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+          .distinct()
+        val sh = reps.select(col("doc_id"), explode(col("w")).as("s"))
+        val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val dropped = cand
+          .join(sh.as("sa"), col("da") === col("sa.doc_id"))
+          .join(sh.as("sb"), col("db") === col("sb.doc_id") && col("sa.s") === col("sb.s"))
+          .groupBy("da", "db").agg(count(lit(1)).as("i"))
+          .join(sz.as("za"), col("da") === col("za.doc_id"))
+          .join(sz.as("zb"), col("db") === col("zb.doc_id"))
+          .filter(round(col("i") * lit(1.0) / (col("za.n") + col("zb.n") - col("i")), 4) >= 0.9)
+          .select(col("da").as("doc_id")).distinct()
+        reps.join(dropped, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("cluster_size"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, list_distinct($toksDuck) AS w FROM documents),
+              |sg AS (SELECT doc_id, w, list_transform(generate_series(0, 3), i ->
+              |list_min(list_transform(w, u -> md5(CAST(i AS VARCHAR) || ':' || u)))) AS sigs FROM t),
+              |sk AS (SELECT doc_id, w, sigs, md5(array_to_string(sigs, '|')) AS sigkey FROM sg),
+              |reps AS (SELECT doc_id, w, sigs, sigkey FROM
+              |(SELECT *, row_number() OVER (PARTITION BY sigkey ORDER BY doc_id) AS rn FROM sk) x WHERE rn = 1),
+              |csize AS (SELECT sigkey, count(*) AS cluster_size FROM sk GROUP BY 1),
+              |bands AS (SELECT doc_id, b AS band, md5(sigs[2*b+1] || '|' || sigs[2*b+2]) AS h
+              |FROM reps, LATERAL (SELECT unnest(generate_series(0, 1)) AS b) g),
+              |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db FROM bands a
+              |JOIN bands b ON a.band = b.band AND a.h = b.h AND a.doc_id > b.doc_id),
+              |sh AS (SELECT doc_id, unnest(w) AS s FROM reps),
+              |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+              |dropped AS (SELECT DISTINCT da AS doc_id FROM
+              |(SELECT da, db, count(*) AS i FROM cand
+              |JOIN sh sa ON da = sa.doc_id JOIN sh sb ON db = sb.doc_id AND sa.s = sb.s
+              |GROUP BY 1, 2) iv
+              |JOIN sz za ON da = za.doc_id JOIN sz zb ON db = zb.doc_id
+              |WHERE round(i * 1.0 / (za.n + zb.n - i), 4) >= 0.9)
+              |SELECT r.doc_id, c.cluster_size FROM reps r
+              |JOIN csize c ON r.sigkey = c.sigkey
+              |WHERE r.doc_id NOT IN (SELECT doc_id FROM dropped)
+              |ORDER BY r.doc_id""".stripMargin.replace("\n", " ")),
       bench = true),
 
     QueryDef(
@@ -172,15 +239,14 @@ object Dedup {
       // product. Floats are cast to double before any arithmetic; the dot
       // product is a sequential left fold in both engines.
       (s, dir) => {
+        import graft.functions.VectorExprs.{vecDot, vecNorm}
         val e = Tables.embeddings(s, dir)
           .select(col("vec_id"), col("label"), col("embedding"),
-            expr("sqrt(aggregate(embedding, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))").as("nrm"))
+            vecNorm(col("embedding")).as("nrm"))
         e.as("a")
           .join(e.as("b"), col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
           .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
-            round(expr(
-              """aggregate(zip_with(a.embedding, b.embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)
-                |/ (a.nrm * b.nrm)""".stripMargin.replace("\n", " ")), 4).as("cos"))
+            round(vecDot(col("a.embedding"), col("b.embedding")) / (col("a.nrm") * col("b.nrm")), 4).as("cos"))
           .filter(col("cos") >= 0.4)
           .orderBy("va", "vb")
       },

