@@ -11,6 +11,7 @@ object SparkEntry {
 
   private def all: Seq[QueryDef] =
     operators.Relational.defs ++
+      operators.Relational2.defs ++
       operators.TextAnalytics.defs ++
       operators.Dedup.defs ++
       operators.Similarity.defs ++
@@ -18,6 +19,7 @@ object SparkEntry {
       operators.Ingest.defs ++
       operators.KeywordTree.defs ++
       operators.Multimodal.defs ++
+      operators.Salting.defs ++
       ml.MlQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
