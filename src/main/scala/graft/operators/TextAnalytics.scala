@@ -74,6 +74,37 @@ object TextAnalytics {
       bench = true),
 
     QueryDef(
+      "q46_ngram123",
+      // A1 exact shape: CountVectorizer(ngram_range=(1,3), max_features=1000)
+      // — unigrams+bigrams+trigrams counted together, top-1000 vocabulary
+      // (scrappy.py:368-371). One explode over the concatenated n-gram
+      // arrays; map-side partial agg; top-K via TakeOrderedAndProject.
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(expr(toksExpr).as("w"))
+          .select(explode(expr(
+            """concat(w,
+              |CASE WHEN size(w) >= 2 THEN zip_with(slice(w, 1, size(w)-1), slice(w, 2, size(w)-1), (x, y) -> concat(x, ' ', y)) ELSE slice(w, 1, 0) END,
+              |CASE WHEN size(w) >= 3 THEN transform(sequence(0, size(w)-3), i -> concat(w[i], ' ', w[i+1], ' ', w[i+2])) ELSE slice(w, 1, 0) END)"""
+              .stripMargin.replace("\n", " "))).as("term"))
+          .filter(!col("term").isInCollection(Stopwords))
+          .groupBy("term")
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("term"))
+          .limit(1000),
+      Some(s"""WITH toks AS (SELECT $toksDuck AS w FROM documents),
+              |grams AS (
+              |SELECT w[i] AS term FROM toks, LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) g
+              |UNION ALL
+              |SELECT w[i] || ' ' || w[i+1] AS term FROM toks, LATERAL (SELECT unnest(generate_series(1, len(w)-1)) AS i) g
+              |UNION ALL
+              |SELECT w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS term FROM toks, LATERAL (SELECT unnest(generate_series(1, len(w)-2)) AS i) g)
+              |SELECT term, count(*) AS cnt FROM grams
+              |WHERE term NOT IN ($stopSqlList)
+              |GROUP BY term ORDER BY cnt DESC, term LIMIT 1000""".stripMargin.replace("\n", " ")),
+      bench = true),
+
+    QueryDef(
       "q32_tfidf",
       // A7: TF-IDF as two grouped aggregates + a broadcast join — sklearn's
       // smooth-idf formula ln((N+1)/(df+1))+1 (scrappy.py:36-37).
