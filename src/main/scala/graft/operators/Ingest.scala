@@ -63,6 +63,35 @@ object Ingest {
           .otherwise(concat(col("term"), lit(" AND "), col("theme"), lit(" AND healthcare"))))
   }
 
+  /** Suggest-terms pipeline (scrappy.py:354-429, minus the interactive
+    * gate): n-gram candidate mining (A1) → novelty anti-join against the
+    * saved terms (J2) → top-N (A4) → up to 2 example contexts per term
+    * with truncated previews (A6 + C3). One broadcast of the tiny top-N
+    * list against the corpus for examples — no per-term driver loop. */
+  def suggestTerms(docs: DataFrame, existingTerms: Seq[String], topN: Int,
+      examples: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = "filter(split(lower(text), ' '), x -> x <> '')"
+    val grams = docs.select(expr(toks).as("w"))
+      .select(explode(expr(
+        s"""concat(w, CASE WHEN size(w) >= 2
+           |THEN zip_with(slice(w, 1, size(w)-1), slice(w, 2, size(w)-1), (x, y) -> concat(x, ' ', y))
+           |ELSE slice(w, 1, 0) END)""".stripMargin.replace("\n", " "))).as("term"))
+      .filter(!col("term").isInCollection(TextAnalytics.Stopwords))
+      .filter(!lower(col("term")).isInCollection(existingTerms.map(_.toLowerCase)))
+    val top = grams.groupBy("term").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term")).limit(topN)
+    val w = Window.partitionBy("term").orderBy("doc_id")
+    docs.join(broadcast(top), expr("contains(lower(text), term)"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= examples)
+      .select(col("term"), col("cnt"), col("doc_id"),
+        when(length(col("text")) > 60,
+          concat(substring(col("text"), 1, 60), lit("...")))
+          .otherwise(col("text")).as("preview"))
+      .orderBy(col("cnt").desc, col("term"), col("doc_id"))
+  }
+
   /** Full pipeline used by q70. */
   def pipeline(spark: SparkSession): DataFrame = {
     val batch = dedupByTitle(unionSources(spark, Articles.allSources, Seq("t")))
@@ -115,6 +144,28 @@ object Ingest {
               |coalesce(array_to_string(flatten(institutions), '; '), '') AS insts,
               |len(authors) AS n_authors
               |FROM merged ORDER BY title NULLS FIRST""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q47_suggest_terms",
+      (s, dir) => suggestTerms(graft.Tables.documents(s, dir),
+        existingTerms = Seq("data", "join", "query"), topN = 20, examples = 2),
+      Some(s"""WITH toks AS (SELECT doc_id, text,
+              |list_filter(string_split(lower(text), ' '), x -> x <> '') AS w FROM documents),
+              |grams AS (
+              |SELECT w[i] AS term FROM toks, LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) g
+              |UNION ALL
+              |SELECT w[i] || ' ' || w[i+1] AS term FROM toks, LATERAL (SELECT unnest(generate_series(1, len(w)-1)) AS i) g),
+              |cand AS (SELECT term, count(*) AS cnt FROM grams
+              |WHERE term NOT IN (${TextAnalytics.Stopwords.map(w => s"'$w'").mkString(", ")})
+              |AND lower(term) NOT IN ('data', 'join', 'query')
+              |GROUP BY term),
+              |top AS (SELECT term, cnt FROM cand ORDER BY cnt DESC, term LIMIT 20),
+              |ex AS (SELECT t.term, t.cnt, d.doc_id,
+              |CASE WHEN length(d.text) > 60 THEN substring(d.text, 1, 60) || '...' ELSE d.text END AS preview,
+              |row_number() OVER (PARTITION BY t.term ORDER BY d.doc_id) AS rn
+              |FROM top t JOIN toks d ON contains(lower(d.text), t.term))
+              |SELECT term, cnt, doc_id, preview FROM ex WHERE rn <= 2
+              |ORDER BY cnt DESC, term, doc_id""".stripMargin.replace("\n", " "))),
 
     QueryDef(
       "q71_contextualize",
