@@ -203,32 +203,33 @@ object Dedup {
 
     QueryDef(
       "q43_dedup_simhash",
-      // 16-bit SimHash from per-token md5 parity; near-dup pairs found by
-      // 4-bit prefix blocking + Hamming ≤ 4 verify inside blocks.
+      // 32-bit SimHash from per-token md5 hex-digit parity (one bit per
+      // md5 hex position); near-dup pairs via 8-bit prefix blocking +
+      // Hamming ≤ 4 verify inside blocks.
       (s, dir) => {
         val sim = Tables.documents(s, dir)
           .select(col("doc_id"), expr(toksExpr).as("w"))
           .select(col("doc_id"), expr(
-            """aggregate(sequence(1, 16), 0L, (acc, j) -> acc +
+            """aggregate(sequence(1, 32), 0L, (acc, j) -> acc +
               |CASE WHEN aggregate(w, 0, (a2, u) ->
               |a2 + CASE WHEN ascii(substring(md5(u), j, 1)) % 2 = 1 THEN 1 ELSE -1 END) > 0
               |THEN shiftleft(1L, j - 1) ELSE 0L END)""".stripMargin.replace("\n", " ")).as("simhash"))
         sim.as("a")
           .join(sim.as("b"),
-            expr("shiftright(a.simhash, 12) = shiftright(b.simhash, 12) AND a.doc_id < b.doc_id"))
+            expr("shiftright(a.simhash, 24) = shiftright(b.simhash, 24) AND a.doc_id < b.doc_id"))
           .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
             expr("bit_count(a.simhash ^ b.simhash)").cast("long").as("hamming"))
           .filter(col("hamming") <= 4)
           .orderBy("da", "db")
       },
       Some(s"""WITH t AS (SELECT doc_id, $toksDuck AS w FROM documents),
-              |sim AS (SELECT doc_id, CAST(list_sum(list_transform(generate_series(1, 16), j ->
+              |sim AS (SELECT doc_id, CAST(list_sum(list_transform(generate_series(1, 32), j ->
               |CASE WHEN list_sum(list_transform(w, u ->
               |CASE WHEN ascii(substr(md5(u), j, 1)) % 2 = 1 THEN 1 ELSE -1 END)) > 0
               |THEN (CAST(1 AS BIGINT) << (j - 1)) ELSE 0 END)) AS BIGINT) AS simhash FROM t)
               |SELECT a.doc_id AS da, b.doc_id AS db,
               |CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-              |FROM sim a JOIN sim b ON (a.simhash >> 12) = (b.simhash >> 12) AND a.doc_id < b.doc_id
+              |FROM sim a JOIN sim b ON (a.simhash >> 24) = (b.simhash >> 24) AND a.doc_id < b.doc_id
               |WHERE bit_count(xor(a.simhash, b.simhash)) <= 4
               |ORDER BY da, db""".stripMargin.replace("\n", " "))),
 

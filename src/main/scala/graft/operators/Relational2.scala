@@ -167,6 +167,53 @@ object Relational2 {
              |ORDER BY purchase_id""".stripMargin.replace("\n", " "))),
 
     QueryDef(
+      "q48_unpivot",
+      // wide → long reshape (melt): the inverse of the q17 conditional
+      // pivot, via Dataset.unpivot.
+      (s, dir) => {
+        val wide = Tables.orders(s, dir)
+          .groupBy("o_orderpriority")
+          .agg(
+            round(sum(when(col("o_orderstatus") === "F", col("o_totalprice")).otherwise(lit(0))), 2).as("total_f"),
+            round(sum(when(col("o_orderstatus") === "O", col("o_totalprice")).otherwise(lit(0))), 2).as("total_o"),
+            round(sum(when(col("o_orderstatus") === "P", col("o_totalprice")).otherwise(lit(0))), 2).as("total_p"))
+        wide.unpivot(
+            Array(col("o_orderpriority")),
+            Array(col("total_f"), col("total_o"), col("total_p")),
+            "status", "total")
+          .orderBy("o_orderpriority", "status")
+      },
+      Some("""SELECT o_orderpriority, status, total FROM (
+             |SELECT o_orderpriority,
+             |round(sum(CASE WHEN o_orderstatus='F' THEN o_totalprice ELSE 0 END), 2) AS total_f,
+             |round(sum(CASE WHEN o_orderstatus='O' THEN o_totalprice ELSE 0 END), 2) AS total_o,
+             |round(sum(CASE WHEN o_orderstatus='P' THEN o_totalprice ELSE 0 END), 2) AS total_p
+             |FROM orders GROUP BY 1) w
+             |UNPIVOT (total FOR status IN (total_f, total_o, total_p))
+             |ORDER BY o_orderpriority, status""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q49_date_spine",
+      // Generated date dimension (sequence + explode) left-joined to the
+      // fact — months with zero orders still appear.
+      (s, dir) => {
+        val spine = Tables.orders(s, dir).sparkSession.range(1)
+          .select(explode(expr(
+            "sequence(to_date('1995-01-01'), to_date('2001-08-01'), interval 1 month)")).as("month_start"))
+        val counts = Tables.orders(s, dir)
+          .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("m"))
+          .agg(count(lit(1)).as("cnt"))
+        spine.join(counts, col("month_start") === col("m"), "left")
+          .select(col("month_start"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+          .orderBy("month_start")
+      },
+      Some("""SELECT CAST(g.m AS DATE) AS month_start, coalesce(c.cnt, 0) AS cnt
+             |FROM generate_series(TIMESTAMP '1995-01-01', TIMESTAMP '2001-08-01', INTERVAL 1 MONTH) g(m)
+             |LEFT JOIN (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m2, count(*) AS cnt
+             |FROM orders GROUP BY 1) c ON CAST(g.m AS DATE) = c.m2
+             |ORDER BY month_start""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
       "q37_weighted_words",
       // A5: weighted word accumulation (scrappy.py:508-517) — weights are
       // the per-doc TF-IDF scores, summed per term, stopwords skipped.
