@@ -32,15 +32,19 @@ object EventWindows {
   def tumbling(events: DataFrame): DataFrame =
     tumblingAgg(events).orderBy("win_start", "event_type")
 
-  /** Sliding 1-hour windows every 30 minutes (each event lands in 2). */
-  def sliding(events: DataFrame): DataFrame =
+  /** Sliding 1-hour windows every 30 minutes (each event lands in 2) —
+    * sort-free core, batch or streaming. */
+  def slidingAgg(events: DataFrame): DataFrame =
     events
       .groupBy(window(col("ts"), "1 hour", "30 minutes").as("win"), col("event_type"))
       .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
       .select(
         date_format(col("win.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
         col("event_type"), col("cnt"), col("sum_value"))
-      .orderBy("win_start", "event_type")
+
+  /** Batch/oracle form of [[slidingAgg]] with deterministic output order. */
+  def sliding(events: DataFrame): DataFrame =
+    slidingAgg(events).orderBy("win_start", "event_type")
 
   /** Gap-based sessionization (30-minute inactivity gap) per user, via
     * Spark's native session_window. */

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** API-surface parity checks: the dedicated APIs produce the same results
+  * as the expression formulations the oracle queries use.
+  */
+class ApiParitySpec extends AnyFunSuite with SparkSuite {
+
+  test("RelationalGroupedDataset.pivot equals the conditional-agg form (q17)") {
+    val viaPivot = Tables.orders(spark, sfDir)
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(round(sum(when(lit(true), col("o_totalprice")).otherwise(0)), 2))
+      .na.fill(0.0)
+      .withColumnsRenamed(Map("F" -> "total_f", "O" -> "total_o", "P" -> "total_p"))
+    val viaCase = SparkEntry.queries("q17_conditional_agg")(spark, sfDir)
+    assert(viaPivot.exceptAll(viaCase).count() == 0)
+    assert(viaCase.exceptAll(viaPivot).count() == 0)
+  }
+
+  test("approx_count_distinct is within 5% of exact") {
+    val r = Tables.lineitem(spark, sfDir)
+      .agg(
+        countDistinct("l_partkey").as("exact"),
+        approx_count_distinct("l_partkey").as("approx"))
+      .collect().head
+    val exact = r.getLong(0).toDouble
+    val approx = r.getLong(1).toDouble
+    assert(math.abs(approx - exact) / exact < 0.05, s"exact=$exact approx=$approx")
+  }
+
+  test("seeded sample is reproducible and in bounds") {
+    val li = Tables.lineitem(spark, sfDir)
+    val a = li.sample(0.1, seed = 7).count()
+    val b = li.sample(0.1, seed = 7).count()
+    assert(a == b)
+    val n = li.count()
+    assert(a > n / 20 && a < n / 5)
+  }
+}

@@ -13,4 +13,28 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     assert(batch.exceptAll(stream).count() == 0)
     assert(stream.exceptAll(batch).count() == 0)
   }
+
+  test("streaming sliding-window aggregation equals the batch query") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stage = java.nio.file.Files.createTempDirectory("graft_sliding_events")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      stage.resolve("events.parquet"))
+    val raw = spark.readStream
+      .schema(StructType(StreamingTwin.eventSchema.fields.map(f =>
+        if (f.name == "ts") StructField("ts", LongType) else f)))
+      .parquet(stage.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val q = EventWindows.slidingAgg(raw.withWatermark("ts", "10 minutes"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("sliding_stream").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val stream = spark.table("sliding_stream")
+    val batch = EventWindows.sliding(Tables.events(spark, sfDir))
+    assert(batch.exceptAll(stream).count() == 0)
+    assert(stream.exceptAll(batch).count() == 0)
+  }
 }
