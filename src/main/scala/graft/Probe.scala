@@ -16,6 +16,11 @@ object Probe {
     val n = SparkEntry.entry(spark).count()
     println(s"PROBE entry rows=$n")
     println(s"PROBE queries=${SparkEntry.queries.size} oracles=${SparkEntry.oracleSql.size} bench=${SparkEntry.benchNames.size}")
+    org.apache.spark.sql.GraftColumnBridge.registerGraftFunctions(spark)
+    val d = spark.sql(
+      "SELECT vec_dot(array(CAST(1 AS FLOAT), CAST(2 AS FLOAT)), array(CAST(3 AS FLOAT), CAST(4 AS FLOAT))) AS d")
+      .collect().head.getDouble(0)
+    println(s"PROBE vec_dot_sql=$d")
     spark.stop()
   }
 }

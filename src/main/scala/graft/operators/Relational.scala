@@ -316,13 +316,16 @@ object Relational {
               concat(substring(col("text"), 1, 60), lit("...")))
               .otherwise(col("text")).as("preview"),
             (length(col("text")) - length(regexp_replace(col("text"), " ", ""))).cast("long").as("n_spaces"),
-            upper(col("lang")).as("lang_uc"))
+            upper(col("lang")).as("lang_uc"),
+            // C8: url-encode-ish space→'+' (scrappy.py:254)
+            regexp_replace(substring(col("text"), 1, 30), " ", "+").as("url_prefix"))
           .orderBy("doc_id"),
       Some("""SELECT doc_id,
              |trim(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))) AS normalized,
              |CASE WHEN length(text) > 60 THEN substring(text,1,60) || '...' ELSE text END AS preview,
              |length(text) - length(replace(text, ' ', '')) AS n_spaces,
-             |upper(lang) AS lang_uc
+             |upper(lang) AS lang_uc,
+             |replace(substring(text, 1, 30), ' ', '+') AS url_prefix
              |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "))),
 
     QueryDef(

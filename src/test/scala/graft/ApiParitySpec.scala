@@ -31,6 +31,24 @@ class ApiParitySpec extends AnyFunSuite with SparkSuite {
     assert(math.abs(approx - exact) / exact < 0.05, s"exact=$exact approx=$approx")
   }
 
+  test("vec_dot is callable from SQL after registration") {
+    org.apache.spark.sql.GraftColumnBridge.registerGraftFunctions(spark)
+    val r = spark.sql(
+      "SELECT vec_dot(array(CAST(1 AS FLOAT), CAST(2 AS FLOAT)), array(CAST(3 AS FLOAT), CAST(4 AS FLOAT))) AS d")
+      .collect().head.getDouble(0)
+    assert(r == 11.0)
+  }
+
+  test("from_json typed struct agrees with get_json_object") {
+    import org.apache.spark.sql.types._
+    val parsed = Tables.events(spark, sfDir)
+      .select(col("event_id"),
+        from_json(col("props"), StructType(Seq(StructField("k", LongType))))
+          .getField("k").as("k_struct"),
+        get_json_object(col("props"), "$.k").cast("long").as("k_path"))
+    assert(parsed.filter(!(col("k_struct") <=> col("k_path"))).count() == 0)
+  }
+
   test("seeded sample is reproducible and in bounds") {
     val li = Tables.lineitem(spark, sfDir)
     val a = li.sample(0.1, seed = 7).count()
