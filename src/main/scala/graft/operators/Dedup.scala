@@ -7,14 +7,16 @@ import org.apache.spark.sql.functions._
   * (BASELINE.json north star; reference's own dedup is title keep-first,
   * scrappy.py:316,334-335 — generalized here to content-defined keys).
   *
-  * Five strategies, all shuffle-on-key (never cross-join) so they scale:
+  * Six strategies, all shuffle-on-key (never cross-join) so they scale:
   *  - q40 exact: hash-groupBy on a content key; keep-first via window.
   *  - q41 MinHash+LSH: signature → band → bucket self-equi-join. The join
   *    key is (band, hash) — at 100 TB candidate generation shuffles only
   *    bucket-sized groups, never the corpus cross product.
+  *  - q45 survivor form: identical signatures collapse to representatives
+  *    BEFORE the pairwise verify (the production path — see SCALE.md).
   *  - q42 n-gram Jaccard ground truth: token equi-join computes pairwise
   *    intersections only for pairs sharing ≥1 token (inverted-index join).
-  *  - q43 SimHash: 16-bit signature from token hashes; prefix-bucket
+  *  - q43 SimHash: 32-bit signature from token hashes; prefix-bucket
   *    blocking + Hamming-distance verify inside buckets.
   *  - q44 embedding cosine near-dup: label-blocked pairs over the
   *    embedding column (the IVF-style coarse partition; see Similarity for
@@ -27,6 +29,61 @@ object Dedup {
 
   private val toksExpr = "filter(split(lower(text), ' '), x -> x <> '')"
   private val toksDuck = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
+
+  import org.apache.spark.sql.DataFrame
+
+  /** documents → (doc_id, w: distinct token set). */
+  private def tokenSets(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"), expr(s"array_distinct($toksExpr)").as("w"))
+
+  /** k=4 salted-md5 minhash signature array over the token set. */
+  private val sigsExpr =
+    "transform(sequence(0, 3), i -> array_min(transform(w, u -> md5(concat(cast(i AS STRING), ':', u)))))"
+
+  /** b=2 bands of r=2 rows: band hash = md5 of two consecutive minhashes
+    * (P[band match] = j², keeping buckets small on low-diversity corpora). */
+  private val bandsExpr =
+    "transform(sequence(0, 1), b -> md5(concat(sigs[2*b], '|', sigs[2*b+1])))"
+
+  /** (doc_id, sigs, ...) → exploded (doc_id, band, h) band table. */
+  private def bandHashes(withSigs: DataFrame): DataFrame =
+    withSigs.select(col("doc_id"), posexplode(expr(bandsExpr)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "h")
+
+  /** Distinct candidate pairs from bucket collisions (da <op> db). */
+  private def bucketPairs(bands: DataFrame, pairCond: (Column, Column) => Column): DataFrame =
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
+          pairCond(col("a.doc_id"), col("b.doc_id")))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+
+  /** Inverted token index: (sh = (doc_id, s), sz = (doc_id, n)). */
+  private def invertedIndex(t: DataFrame): (DataFrame, DataFrame) = {
+    val sh = t.select(col("doc_id"), explode(col("w")).as("s"))
+    (sh, sh.groupBy("doc_id").agg(count(lit(1)).as("n")))
+  }
+
+  /** Attach rounded Jaccard to (da, db, i) intersection counts. */
+  private def jaccardFromInter(inter: DataFrame, sz: DataFrame): DataFrame =
+    inter
+      .join(sz.as("za"), col("da") === col("za.doc_id"))
+      .join(sz.as("zb"), col("db") === col("zb.doc_id"))
+      .select(col("da"), col("db"),
+        round(col("i") * lit(1.0) / (col("za.n") + col("zb.n") - col("i")), 4).as("jaccard"))
+
+  /** Verified Jaccard for explicit candidate pairs. */
+  private def jaccardOfCandidates(cand: DataFrame, t: DataFrame): DataFrame = {
+    val (sh, sz) = invertedIndex(t)
+    val inter = cand
+      .join(sh.as("sa"), col("da") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("db") === col("sb.doc_id") && col("sa.s") === col("sb.s"))
+      .groupBy("da", "db").agg(count(lit(1)).as("i"))
+    jaccardFromInter(inter, sz)
+  }
+
+  private type Column = org.apache.spark.sql.Column
 
   def defs: Seq[QueryDef] = Seq(
 
@@ -64,30 +121,9 @@ object Dedup {
       // pairs from bucket collisions → verified with true token-set
       // Jaccard ≥ 0.9.
       (s, dir) => {
-        val t = Tables.documents(s, dir)
-          .select(col("doc_id"), expr(s"array_distinct($toksExpr)").as("w"))
-        val sigs = t.select(col("doc_id"), expr(
-          "transform(sequence(0, 3), i -> array_min(transform(w, u -> md5(concat(cast(i AS STRING), ':', u)))))").as("sigs"))
-          .select(col("doc_id"), posexplode(expr(
-            "transform(sequence(0, 1), b -> md5(concat(sigs[2*b], '|', sigs[2*b+1])))")))
-          .withColumnRenamed("pos", "band").withColumnRenamed("col", "h")
-        val cand = sigs.as("a")
-          .join(sigs.as("b"),
-            col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
-              col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-          .distinct()
-        val sh = t.select(col("doc_id"), explode(col("w")).as("s"))
-        val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-        val inter = cand
-          .join(sh.as("sa"), col("da") === col("sa.doc_id"))
-          .join(sh.as("sb"), col("db") === col("sb.doc_id") && col("sa.s") === col("sb.s"))
-          .groupBy("da", "db").agg(count(lit(1)).as("i"))
-        inter
-          .join(sz.as("za"), col("da") === col("za.doc_id"))
-          .join(sz.as("zb"), col("db") === col("zb.doc_id"))
-          .select(col("da"), col("db"),
-            round(col("i") * lit(1.0) / (col("za.n") + col("zb.n") - col("i")), 4).as("jaccard"))
+        val t = tokenSets(s, dir)
+        val bands = bandHashes(t.withColumn("sigs", expr(sigsExpr)))
+        jaccardOfCandidates(bucketPairs(bands, _ < _), t)
           .filter(col("jaccard") >= 0.9)
           .orderBy("da", "db")
       },
@@ -115,31 +151,13 @@ object Dedup {
       // representatives; a rep is dropped if a smaller-id rep is ≥ 0.9
       // similar. Output: surviving rep per cluster + collapsed size.
       (s, dir) => {
-        val t = Tables.documents(s, dir)
-          .select(col("doc_id"), expr(s"array_distinct($toksExpr)").as("w"))
-          .withColumn("sigs", expr(
-            "transform(sequence(0, 3), i -> array_min(transform(w, u -> md5(concat(cast(i AS STRING), ':', u)))))"))
+        val t = tokenSets(s, dir)
+          .withColumn("sigs", expr(sigsExpr))
           .withColumn("sigkey", md5(concat_ws("|", col("sigs"))))
         val reps = Relational.dedupKeepFirst(t, Seq("sigkey"), Seq(col("doc_id")))
           .join(t.groupBy("sigkey").agg(count(lit(1)).as("cluster_size")), "sigkey")
-        val bands = reps.select(col("doc_id"), posexplode(expr(
-          "transform(sequence(0, 1), b -> md5(concat(sigs[2*b], '|', sigs[2*b+1])))")))
-          .withColumnRenamed("pos", "band").withColumnRenamed("col", "h")
-        val cand = bands.as("a")
-          .join(bands.as("b"),
-            col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
-              col("a.doc_id") > col("b.doc_id"))
-          .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-          .distinct()
-        val sh = reps.select(col("doc_id"), explode(col("w")).as("s"))
-        val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-        val dropped = cand
-          .join(sh.as("sa"), col("da") === col("sa.doc_id"))
-          .join(sh.as("sb"), col("db") === col("sb.doc_id") && col("sa.s") === col("sb.s"))
-          .groupBy("da", "db").agg(count(lit(1)).as("i"))
-          .join(sz.as("za"), col("da") === col("za.doc_id"))
-          .join(sz.as("zb"), col("db") === col("zb.doc_id"))
-          .filter(round(col("i") * lit(1.0) / (col("za.n") + col("zb.n") - col("i")), 4) >= 0.9)
+        val dropped = jaccardOfCandidates(bucketPairs(bandHashes(reps), _ > _), reps)
+          .filter(col("jaccard") >= 0.9)
           .select(col("da").as("doc_id")).distinct()
         reps.join(dropped, Seq("doc_id"), "left_anti")
           .select(col("doc_id"), col("cluster_size"))
@@ -175,19 +193,12 @@ object Dedup {
       // Ground-truth n-gram Jaccard pairs ≥ 0.9 via inverted-index
       // equi-join on tokens (pairs sharing no token never materialize).
       (s, dir) => {
-        val t = Tables.documents(s, dir)
-          .select(col("doc_id"), expr(s"array_distinct($toksExpr)").as("w"))
-        val sh = t.select(col("doc_id"), explode(col("w")).as("s"))
-        val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val (sh, sz) = invertedIndex(tokenSets(s, dir))
         val inter = sh.as("sa")
           .join(sh.as("sb"), col("sa.s") === col("sb.s") && col("sa.doc_id") < col("sb.doc_id"))
           .groupBy(col("sa.doc_id").as("da"), col("sb.doc_id").as("db"))
           .agg(count(lit(1)).as("i"))
-        inter
-          .join(sz.as("za"), col("da") === col("za.doc_id"))
-          .join(sz.as("zb"), col("db") === col("zb.doc_id"))
-          .select(col("da"), col("db"),
-            round(col("i") * lit(1.0) / (col("za.n") + col("zb.n") - col("i")), 4).as("jaccard"))
+        jaccardFromInter(inter, sz)
           .filter(col("jaccard") >= 0.9)
           .orderBy("da", "db")
       },
