@@ -36,6 +36,9 @@ object KeywordTree {
       val cand = docs.join(broadcast(fr), expr("contains(lower(text), parent)"))
         .select(col("parent"), explode(expr(toksExpr)).as("child"))
         .filter(!col("child").isInCollection(blocked) && col("child") =!= col("parent"))
+        // C5 subset pruning (scrappy.py:483): a child whose words are all
+        // contained in the parent's word set is not a new direction.
+        .filter(expr("size(array_except(split(child, ' '), split(parent, ' '))) > 0"))
         .groupBy("parent", "child").agg(count(lit(1)).as("cnt"))
       val w = Window.partitionBy("parent").orderBy(col("cnt").desc, col("child"))
       val top = cand.withColumn("rn", row_number().over(w)).filter(col("rn") <= fanout)

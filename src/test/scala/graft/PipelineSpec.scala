@@ -50,6 +50,18 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     assert(!l2.contains("join"))
   }
 
+  test("keyword tree subset-word pruning: a multi-word seed never yields its own words") {
+    val docs = Seq(
+      (0L, "hash join merge sort hash join scan"),
+      (1L, "hash join filter scan")).toDF("doc_id", "text")
+    val edges = KeywordTree.expand(docs, Seq("hash join"), depth = 1, fanout = 5)
+      .select("child").as[String].collect().toSet
+    // 'hash' and 'join' are words of the parent term — pruned (C5,
+    // scrappy.py:483); genuinely new directions survive.
+    assert(!edges.contains("hash") && !edges.contains("join"))
+    assert(edges.contains("scan"))
+  }
+
   test("classifier separates its own training data") {
     val model = ml.TextClassifier.train(spark)
     val preds = ml.TextClassifier.predict(spark, model, ml.TextClassifier.trainingData.map(_._1))
