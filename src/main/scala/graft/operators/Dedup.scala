@@ -154,7 +154,10 @@ object Dedup {
       (s, dir) => {
         val t = tokenSets(s, dir)
           .withColumn("sigs", expr(sigsExpr))
-          .withColumn("sigkey", md5(concat_ws("|", col("sigs"))))
+          // Exact-collapse key = hash of the SORTED TOKEN SET itself, not
+          // the minhash signature: true set-identity collapse, independent
+          // of the banding configuration.
+          .withColumn("sigkey", md5(concat_ws(" ", array_sort(col("w")))))
         val reps = Relational.dedupKeepFirst(t, Seq("sigkey"), Seq(col("doc_id")))
           .join(t.groupBy("sigkey").agg(count(lit(1)).as("cluster_size")), "sigkey")
         val dropped = jaccardOfCandidates(bucketPairs(bandHashes(reps), _ > _), reps)
@@ -167,7 +170,7 @@ object Dedup {
       Some(s"""WITH t AS (SELECT doc_id, list_distinct($toksDuck) AS w FROM documents),
               |sg AS (SELECT doc_id, w, list_transform(generate_series(0, 5), i ->
               |list_min(list_transform(w, u -> md5(CAST(i AS VARCHAR) || ':' || u)))) AS sigs FROM t),
-              |sk AS (SELECT doc_id, w, sigs, md5(array_to_string(sigs, '|')) AS sigkey FROM sg),
+              |sk AS (SELECT doc_id, w, sigs, md5(array_to_string(list_sort(w), ' ')) AS sigkey FROM sg),
               |reps AS (SELECT doc_id, w, sigs, sigkey FROM
               |(SELECT *, row_number() OVER (PARTITION BY sigkey ORDER BY doc_id) AS rn FROM sk) x WHERE rn = 1),
               |csize AS (SELECT sigkey, count(*) AS cluster_size FROM sk GROUP BY 1),

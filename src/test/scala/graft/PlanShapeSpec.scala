@@ -1,0 +1,42 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Regression net for the physical plans SCALE.md's claims rest on. If a
+  * future change silently degrades a plan (lost broadcast, surprise
+  * nested loop, unpruned scan), these fail before a benchmark would.
+  */
+class PlanShapeSpec extends AnyFunSuite with SparkSuite {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("q05 star join is all broadcast hash joins") {
+    val p = plan("q05_nation_revenue")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, p.take(500))
+    assert(!p.contains("SortMergeJoin"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q02 top-k fuses into TakeOrderedAndProject") {
+    val p = plan("q02_filter_topk")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q02 scan prunes to the projected columns") {
+    val p = plan("q02_filter_topk")
+    assert(p.contains("ReadSchema"))
+    assert(!p.contains("p_type"), "unused column p_type must not be read")
+  }
+
+  test("q28 range join plans as a hash join, not a nested loop") {
+    val p = plan("q28_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("q44 cosine uses the codegen'd expression, not interpreted HOFs") {
+    val p = plan("q44_dedup_embedding")
+    assert(p.contains("floatvecdot"))
+    assert(!p.contains("aggregate(zip_with"))
+  }
+}
