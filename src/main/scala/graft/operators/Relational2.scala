@@ -167,6 +167,26 @@ object Relational2 {
              |ORDER BY purchase_id""".stripMargin.replace("\n", " "))),
 
     QueryDef(
+      "q86_correlated_subquery",
+      // TPC-H Q17 shape: correlated scalar subquery (per-part average)
+      // through the SQL surface — Catalyst decorrelates it into an
+      // aggregate + join rather than a per-row subplan.
+      (s, dir) => {
+        Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+        Tables.part(s, dir).createOrReplaceTempView("part_v")
+        s.sql("""SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+                 FROM lineitem_v, part_v
+                 WHERE p_partkey = l_partkey AND p_brand = 'Brand#4'
+                 AND l_quantity < (SELECT 0.5 * avg(l_quantity)
+                                   FROM lineitem_v l2 WHERE l2.l_partkey = p_partkey)""")
+      },
+      Some("""SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+             |FROM lineitem, part
+             |WHERE p_partkey = l_partkey AND p_brand = 'Brand#4'
+             |AND l_quantity < (SELECT 0.5 * avg(l_quantity)
+             |FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
       "q48_unpivot",
       // wide → long reshape (melt): the inverse of the q17 conditional
       // pivot, via Dataset.unpivot.
