@@ -82,6 +82,65 @@ object Similarity {
       .orderBy("qid", "rn")
   }
 
+  // ---- random-hyperplane LSH (q53) --------------------------------------
+
+  /** Deterministic ±1 hyperplane matrix (8 planes × 64 dims), derived from
+    * md5 so it is reproducible; embedded as LITERALS in both the Spark
+    * expression and the DuckDB oracle (at scale the matrix is a broadcast
+    * constant either way — recomputing md5 per row would be waste). */
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** 4 planes: P[bit agrees] = 1 - θ/π per plane; this corpus's true
+    * neighbors sit near cos 0.37 (θ≈68°, p≈0.62), so 8 bits + Hamming-1
+    * probing captures only ~13% of them (measured 0.10). 4 bits + Hamming-1
+    * lifts recall to ~0.5 predicted / 0.4 measured while scanning ~30% of
+    * the corpus — the honest operating point for weakly-clustered
+    * embeddings; tightly-clustered corpora (cos→1) support many more bits. */
+  private val planes = 4
+  private val dims = 64
+  private[operators] val signMatrix: IndexedSeq[IndexedSeq[Int]] =
+    (0 until planes).map(p => (0 until dims).map(d =>
+      if (md5hex(s"$p:$d").head.toInt % 2 == 1) 1 else -1))
+
+  private val mSpark = signMatrix
+    .map(r => "array(" + r.map(v => s"${v}D").mkString(",") + ")")
+    .mkString("array(", ",", ")")
+  private val mDuck = signMatrix
+    .map(r => r.mkString("[", ",", "]")).mkString("[", ",", "]")
+
+  /** Cosine-sketch: bit p = sign of the p-th hyperplane projection. The
+    * projection fold is sequential in both engines, so sketches agree. */
+  private val sketchSpark =
+    s"""aggregate(sequence(0, ${planes - 1}), 0L, (acc, p) -> acc +
+       |CASE WHEN aggregate(sequence(0, ${dims - 1}), 0D, (a2, d) ->
+       |a2 + element_at(element_at($mSpark, p + 1), d + 1) * CAST(embedding[d] AS DOUBLE)) > 0
+       |THEN shiftleft(1L, p) ELSE 0L END)""".stripMargin.replace("\n", " ")
+  private val sketchDuck =
+    s"""CAST(list_sum(list_transform(generate_series(0, ${planes - 1}), p ->
+       |CASE WHEN list_sum(list_transform(generate_series(1, $dims), d ->
+       |($mDuck)[p + 1][d] * CAST(embedding[d] AS DOUBLE))) > 0
+       |THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)) AS BIGINT)""".stripMargin.replace("\n", " ")
+
+  /** Hyperplane-LSH top-k: candidates share the query's sketch bucket or
+    * any Hamming-1 neighbor bucket (9 probes); exact cosine re-ranks. */
+  def lshTopK(corpus: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    val e = withNorm(corpus).withColumn("sk", expr(sketchSpark))
+    val q = e.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"),
+        explode(expr(s"concat(array(sk), transform(sequence(0, ${planes - 1}), p -> sk ^ shiftleft(1L, p)))")).as("probe"))
+    // The 9 probe keys per query are pairwise distinct, so a corpus row
+    // matches at most one — no dedup needed.
+    val scored = e.join(broadcast(q), col("sk") === col("probe") && col("vec_id") =!= col("qid"))
+      .withColumn("cos", round(vecDot(col("embedding"), col("qe")) / (col("nrm") * col("qn")), 6))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select("qid", "vec_id", "rn", "cos")
+      .orderBy("qid", "rn")
+  }
+
   private def duckNorm(v: String) =
     s"sqrt(list_sum(list_transform($v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
   private def duckDot(a: String, b: String) =
@@ -100,6 +159,20 @@ object Similarity {
               |row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn FROM sc)
               |SELECT qid, vec_id, rn, cos FROM r WHERE rn <= 10 ORDER BY qid, rn""".stripMargin.replace("\n", " ")),
       bench = true),
+
+    QueryDef(
+      "q53_knn_lsh",
+      (s, dir) => lshTopK(Tables.embeddings(s, dir), Seq(0L, 1L, 2L), 10),
+      Some(s"""WITH e AS (SELECT vec_id, embedding, ${duckNorm("embedding")} AS nrm, $sketchDuck AS sk FROM embeddings),
+              |q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn, sk AS qsk FROM e WHERE vec_id IN (0, 1, 2)),
+              |probes AS (SELECT qid, qe, qn,
+              |unnest(list_concat([qsk], list_transform(generate_series(0, ${planes - 1}), p -> xor(qsk, CAST(1 AS BIGINT) << p)))) AS probe
+              |FROM q),
+              |sc AS (SELECT qid, vec_id, round(${duckDot("e.embedding", "qe")} / (nrm * qn), 6) AS cos
+              |FROM e JOIN probes ON e.sk = probes.probe AND e.vec_id <> probes.qid),
+              |r AS (SELECT qid, vec_id, cos,
+              |row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn FROM sc)
+              |SELECT qid, vec_id, rn, cos FROM r WHERE rn <= 10 ORDER BY qid, rn""".stripMargin.replace("\n", " "))),
 
     QueryDef(
       "q51_knn_ivf",
