@@ -175,6 +175,35 @@ object Similarity {
               |SELECT qid, vec_id, rn, cos FROM r WHERE rn <= 10 ORDER BY qid, rn""".stripMargin.replace("\n", " "))),
 
     QueryDef(
+      "q54_embedding_quantize",
+      // int8 scalar quantization (per-vector max-abs scale): the 4×
+      // compression step a 100 TB embedding store runs before anything
+      // else. Round-half-up via floor(x+0.5) so both engines agree; output
+      // is the reconstruction MSE (×1e6) per vector.
+      (s, dir) =>
+        Tables.embeddings(s, dir)
+          .withColumn("mx", expr(
+            "aggregate(embedding, 0D, (a, x) -> greatest(a, abs(CAST(x AS DOUBLE))))"))
+          .filter(col("mx") > 0)
+          .withColumn("qv", expr(
+            "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0D / mx + 0.5D) AS INT))"))
+          .withColumn("mse", expr(
+            """aggregate(zip_with(embedding, qv, (x, q) ->
+              |pow(CAST(x AS DOUBLE) - q * mx / 127.0D, 2D)), 0D, (a, v) -> a + v) / size(embedding)"""
+              .stripMargin.replace("\n", " ")))
+          .select(col("vec_id"), round(col("mse") * lit(1e6), 4).as("mse_e6"))
+          .orderBy("vec_id"),
+      Some("""WITH m AS (SELECT vec_id, embedding,
+             |list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+             |FROM embeddings),
+             |q AS (SELECT vec_id, embedding, mx,
+             |list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / mx + 0.5) AS INT)) AS qv
+             |FROM m WHERE mx > 0)
+             |SELECT vec_id, round(list_sum(list_transform(generate_series(1, len(embedding)), i ->
+             |pow(CAST(embedding[i] AS DOUBLE) - qv[i] * mx / 127.0, 2))) / len(embedding) * 1e6, 4) AS mse_e6
+             |FROM q ORDER BY vec_id""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
       "q51_knn_ivf",
       (s, dir) => ivfTopK(Tables.embeddings(s, dir), Seq(0L, 1L, 2L), 10, 2),
       Some(s"""WITH e AS (SELECT vec_id, label, embedding, ${duckNorm("embedding")} AS nrm FROM embeddings),
