@@ -34,23 +34,28 @@ object StreamingTwin {
   def dedupStream(events: DataFrame): DataFrame =
     events.withWatermark("ts", "10 minutes").dropDuplicates("event_id")
 
+  /** Stream the events table from a staged directory (the streaming file
+    * source wants a directory; a real deployment points at the ingest
+    * path), with the TIMESTAMP(NANOS) handling from Tables.events. */
+  def eventStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stage = java.nio.file.Files.createTempDirectory("graft_stream_events")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      stage.resolve("events.parquet"))
+    spark.readStream
+      .schema(StructType(eventSchema.fields.map(f =>
+        if (f.name == "ts") StructField("ts", LongType) else f)))
+      .parquet(stage.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
   /** Drive a parquet-backed stream of the events table through the
     * tumbling aggregation into a memory sink; returns the settled result.
     * Used by tests and the demo main. */
   def runTumblingDemo(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // The streaming file source wants a directory; stage the single-file
-    // table into one (a real deployment points at the ingest directory).
-    val stage = java.nio.file.Files.createTempDirectory("graft_stream_events")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$dir/events.parquet"),
-      stage.resolve("events.parquet"))
-    val raw = spark.readStream
-      .schema(StructType(eventSchema.fields.map(f =>
-        if (f.name == "ts") StructField("ts", LongType) else f)))
-      .parquet(stage.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = eventStream(spark, dir)
     val q = tumblingStream(raw).writeStream
       .outputMode("complete")
       .format("memory")

@@ -9,17 +9,32 @@ import org.scalatest.funsuite.AnyFunSuite
 class StatefulStreamingSpec extends AnyFunSuite with SparkSuite {
   import spark.implicits._
 
-  private def stagedEventStream() = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val stage = java.nio.file.Files.createTempDirectory("graft_stateful_events")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
-      stage.resolve("events.parquet"))
-    spark.readStream
-      .schema(StructType(StreamingTwin.eventSchema.fields.map(f =>
-        if (f.name == "ts") StructField("ts", LongType) else f)))
-      .parquet(stage.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  private def stagedEventStream() = StreamingTwin.eventStream(spark, sfDir)
+
+  test("stream-stream interval join equals the batch range join") {
+    val clicks = stagedEventStream().filter($"event_type" === "click")
+      .select($"event_id".as("click_id"), $"user_id".as("cu"), $"ts".as("cts"))
+      .withWatermark("cts", "10 minutes")
+    val purchases = stagedEventStream().filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id".as("pu"), $"ts".as("pts"))
+      .withWatermark("pts", "10 minutes")
+    val q = clicks.join(purchases,
+        expr("cu = pu AND pts > cts AND pts <= cts + interval 5 minutes"))
+      .select("click_id", "purchase_id")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ss_join").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val stream = spark.table("ss_join")
+    val e = Tables.events(spark, sfDir)
+    val batch = e.filter($"event_type" === "click")
+      .select($"event_id".as("click_id"), $"user_id".as("cu"), $"ts".as("cts"))
+      .join(e.filter($"event_type" === "purchase")
+        .select($"event_id".as("purchase_id"), $"user_id".as("pu"), $"ts".as("pts")),
+        expr("cu = pu AND pts > cts AND pts <= cts + interval 5 minutes"))
+      .select("click_id", "purchase_id")
+    assert(stream.count() > 0)
+    assert(batch.exceptAll(stream).count() == 0)
+    assert(stream.exceptAll(batch).count() == 0)
   }
 
   test("flatMapGroupsWithState running stats converge to the batch aggregate") {
