@@ -277,6 +277,33 @@ object Relational2 {
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin.replace("\n", " "))),
 
     QueryDef(
+      "q87_decimal_sum",
+      // Exact decimal aggregation — the money path that needs NO rounding
+      // dance: both engines sum DECIMAL(18,2) exactly; the final cast pins
+      // the output type.
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .groupBy("l_returnflag")
+          .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(18,2)").as("total"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q88_regexp_extract",
+      // Regex capture-group extraction over the raw props string (the
+      // non-JSON path to C14's nested-field access).
+      (s, dir) =>
+        Tables.events(s, dir)
+          .select(col("event_id"),
+            regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long").as("k"))
+          .orderBy("event_id"),
+      Some("""SELECT event_id,
+             |CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k
+             |FROM events ORDER BY event_id""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
       "q39_string_agg",
       (s, dir) =>
         Tables.lineitem(s, dir)
