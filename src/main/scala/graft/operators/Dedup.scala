@@ -160,7 +160,17 @@ object Dedup {
           .withColumn("sigkey", md5(concat_ws(" ", array_sort(col("w")))))
         val reps = Relational.dedupKeepFirst(t, Seq("sigkey"), Seq(col("doc_id")))
           .join(t.groupBy("sigkey").agg(count(lit(1)).as("cluster_size")), "sigkey")
-        val dropped = jaccardOfCandidates(bucketPairs(bandHashes(reps), _ > _), reps)
+        // Anchor policy: each rep is verified ONLY against the minimum
+        // doc_id of its LSH bucket — candidates are O(b) per rep instead of
+        // O(bucket²), which is what keeps this linear when near-identical
+        // clusters make buckets huge (the all-pairs policy is q41).
+        val bands = bandHashes(reps)
+        val anchors = bands.groupBy("band", "h").agg(min("doc_id").as("anchor"))
+        val cand = bands.join(anchors, Seq("band", "h"))
+          .filter(col("doc_id") > col("anchor"))
+          .select(col("doc_id").as("da"), col("anchor").as("db"))
+          .distinct()
+        val dropped = jaccardOfCandidates(cand, reps)
           .filter(col("jaccard") >= 0.9)
           .select(col("da").as("doc_id")).distinct()
         reps.join(dropped, Seq("doc_id"), "left_anti")
@@ -176,8 +186,9 @@ object Dedup {
               |csize AS (SELECT sigkey, count(*) AS cluster_size FROM sk GROUP BY 1),
               |bands AS (SELECT doc_id, b AS band, md5(sigs[2*b+1] || '|' || sigs[2*b+2]) AS h
               |FROM reps, LATERAL (SELECT unnest(generate_series(0, 2)) AS b) g),
-              |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db FROM bands a
-              |JOIN bands b ON a.band = b.band AND a.h = b.h AND a.doc_id > b.doc_id),
+              |anchors AS (SELECT band, h, min(doc_id) AS anchor FROM bands GROUP BY 1, 2),
+              |cand AS (SELECT DISTINCT b.doc_id AS da, a.anchor AS db FROM bands b
+              |JOIN anchors a ON b.band = a.band AND b.h = a.h AND b.doc_id > a.anchor),
               |sh AS (SELECT doc_id, unnest(w) AS s FROM reps),
               |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
               |dropped AS (SELECT DISTINCT da AS doc_id FROM
