@@ -21,6 +21,15 @@ object Probe {
       "SELECT vec_dot(array(CAST(1 AS FLOAT), CAST(2 AS FLOAT)), array(CAST(3 AS FLOAT), CAST(4 AS FLOAT))) AS d")
       .collect().head.getDouble(0)
     println(s"PROBE vec_dot_sql=$d")
+    // persistence drive: fresh store, idempotent re-run, stale-staging recovery
+    val store = java.nio.file.Files.createTempDirectory("graft_probe_store").toString + "/articles"
+    val batch = operators.Ingest.unionSources(spark, sources.Articles.allSources, Seq("t"))
+    operators.Ingest.persistMerge(spark, store, batch)
+    val n1 = spark.read.parquet(store).count()
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(store + ".staging")) // simulate crashed run
+    operators.Ingest.persistMerge(spark, store, batch)
+    val n2 = spark.read.parquet(store).count()
+    println(s"PROBE persist rows=$n1 idempotent=${n1 == n2} staleStagingRecovered=${!java.nio.file.Files.exists(java.nio.file.Paths.get(store + ".old"))}")
     spark.stop()
   }
 }

@@ -63,6 +63,31 @@ object Ingest {
           .otherwise(concat(col("term"), lit(" AND "), col("theme"), lit(" AND healthcare"))))
   }
 
+  /** The reference's persistent store (raw_articles.csv append-merge,
+    * scrappy.py:333-350) as a parquet store with upsert-ignore semantics:
+    * read existing → existing-wins merge → write to a staging dir → atomic
+    * swap. Re-running with the same batch is a no-op (idempotent); on a
+    * real deployment the same flow targets a table format with commit
+    * semantics (the stage-and-swap is the filesystem stand-in).
+    */
+  def persistMerge(spark: SparkSession, storeDir: String, batch: DataFrame): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val store = Paths.get(storeDir)
+    val merged =
+      if (Files.exists(store)) mergeExistingWins(spark.read.parquet(storeDir), batch)
+      else Relational.dedupKeepFirst(batch, Seq("title"),
+        Seq(col("source_rank"), col("ingest_idx")))
+    val stage = Paths.get(storeDir + ".staging")
+    merged.write.mode("overwrite").parquet(stage.toString)
+    val old = Paths.get(storeDir + ".old")
+    if (Files.exists(store)) Files.move(store, old, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(stage, store, StandardCopyOption.ATOMIC_MOVE)
+    if (Files.exists(old)) {
+      Files.walk(old).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    }
+  }
+
   /** Suggest-terms pipeline (scrappy.py:354-429, minus the interactive
     * gate): n-gram candidate mining (A1) → novelty anti-join against the
     * saved terms (J2) → top-N (A4) → up to 2 example contexts per term
