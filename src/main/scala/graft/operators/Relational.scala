@@ -57,6 +57,28 @@ object Relational {
   def defs: Seq[QueryDef] = Seq(
 
     QueryDef(
+      "q89_conjunctive_query",
+      // The reference's --query-articles with EVERY filter family at once
+      // (article_querry.py:13-27): case-insensitive contains on two text
+      // columns (F1), a second contains filter (F2/F4), an equality with
+      // string-cast tolerance (F3), and the default limit (F5) — one scan,
+      // one conjunctive predicate, TakeOrderedAndProject.
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .filter(containsCI(col("text"), "scan") || containsCI(col("text"), "query"))
+          .filter(containsCI(col("source"), "src1"))
+          .filter(col("lang").cast("string") === lit("en"))
+          .filter(col("n_chars") >= 100)
+          .orderBy("doc_id")
+          .limit(10),
+      Some("""SELECT * FROM documents
+             |WHERE (lower(text) LIKE '%scan%' OR lower(text) LIKE '%query%')
+             |AND lower(source) LIKE '%src1%'
+             |AND CAST(lang AS VARCHAR) = 'en'
+             |AND n_chars >= 100
+             |ORDER BY doc_id LIMIT 10""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
       "q01_pricing_summary",
       (s, dir) =>
         Tables.lineitem(s, dir)
