@@ -116,11 +116,9 @@ object Dedup {
 
     QueryDef(
       "q41_dedup_minhash_lsh",
-      // MinHash (k=4 salted md5 permutations) + LSH with b=2 bands of r=2
-      // rows (band hash = md5 of two consecutive minhashes; P[band match] =
-      // j², keeping buckets small on low-diversity corpora) → candidate
-      // pairs from bucket collisions → verified with true token-set
-      // Jaccard ≥ 0.9.
+      // MinHash + LSH (k=6 permutations, b=3 bands of r=2 — see sigsExpr/
+      // bandsExpr above for the recall math) → candidate pairs from bucket
+      // collisions → verified with true token-set Jaccard ≥ 0.9.
       (s, dir) => {
         val t = tokenSets(s, dir)
         val bands = bandHashes(t.withColumn("sigs", expr(sigsExpr)))

@@ -73,19 +73,28 @@ object Ingest {
   def persistMerge(spark: SparkSession, storeDir: String, batch: DataFrame): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val store = Paths.get(storeDir)
+    val old = Paths.get(storeDir + ".old")
+    def rmTree(p: java.nio.file.Path): Unit =
+      if (Files.exists(p))
+        Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .forEach(q => Files.delete(q))
+    // Crash recovery BEFORE touching anything: a missing store with a
+    // surviving .old means the previous swap died between its two moves —
+    // restore the backup (the merge below is idempotent, so re-applying
+    // the batch is safe). A store AND a stale .old means the swap
+    // completed but cleanup didn't — drop the stale backup.
+    if (!Files.exists(store) && Files.exists(old))
+      Files.move(old, store, StandardCopyOption.ATOMIC_MOVE)
+    else rmTree(old)
     val merged =
       if (Files.exists(store)) mergeExistingWins(spark.read.parquet(storeDir), batch)
       else Relational.dedupKeepFirst(batch, Seq("title"),
         Seq(col("source_rank"), col("ingest_idx")))
     val stage = Paths.get(storeDir + ".staging")
     merged.write.mode("overwrite").parquet(stage.toString)
-    val old = Paths.get(storeDir + ".old")
     if (Files.exists(store)) Files.move(store, old, StandardCopyOption.ATOMIC_MOVE)
     Files.move(stage, store, StandardCopyOption.ATOMIC_MOVE)
-    if (Files.exists(old)) {
-      Files.walk(old).sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => Files.delete(p))
-    }
+    rmTree(old)
   }
 
   /** Suggest-terms pipeline (scrappy.py:354-429, minus the interactive

@@ -48,7 +48,16 @@ object KeywordTree {
       frontier = children.filterNot(visited)
       visited ++= children
     }
-    edges.get.orderBy(col("depth"), col("parent"), col("cnt").desc, col("child"))
+    edges match {
+      case Some(e) => e.orderBy(col("depth"), col("parent"), col("cnt").desc, col("child"))
+      case None => // empty seeds or depth < 1: empty result, not a crash
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("parent", org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("child", org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("depth", org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("cnt", org.apache.spark.sql.types.LongType))))
+    }
   }
 
   private val stopSqlList = TextAnalytics.Stopwords.map(w => s"'$w'").mkString(", ")

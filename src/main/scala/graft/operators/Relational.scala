@@ -29,7 +29,9 @@ object Relational {
   /** F1/F2/F4: pandas-style case-insensitive substring filter with na=False
     * null semantics (null → no match). article_querry.py:14-26. */
   def containsCI(c: Column, needle: String): Column =
-    coalesce(lower(c).contains(needle.toLowerCase), lit(false))
+    // Locale.ROOT: JVM-default-locale lowercasing (e.g. Turkish dotless i)
+    // would diverge from Spark's locale-insensitive lower().
+    coalesce(lower(c).contains(needle.toLowerCase(java.util.Locale.ROOT)), lit(false))
 
   /** D1/D2: deterministic keep-first dedup. `dropDuplicates` is
     * nondeterministic under shuffle; the reference's pandas `keep="first"`

@@ -84,7 +84,7 @@ object Similarity {
 
   // ---- random-hyperplane LSH (q53) --------------------------------------
 
-  /** Deterministic ±1 hyperplane matrix (8 planes × 64 dims), derived from
+  /** Deterministic ±1 hyperplane matrix (`planes` × `dims`), derived from
     * md5 so it is reproducible; embedded as LITERALS in both the Spark
     * expression and the DuckDB oracle (at scale the matrix is a broadcast
     * constant either way — recomputing md5 per row would be waste). */
@@ -124,13 +124,13 @@ object Similarity {
        |THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)) AS BIGINT)""".stripMargin.replace("\n", " ")
 
   /** Hyperplane-LSH top-k: candidates share the query's sketch bucket or
-    * any Hamming-1 neighbor bucket (9 probes); exact cosine re-ranks. */
+    * any Hamming-1 neighbor bucket (planes + 1 probes); exact cosine re-ranks. */
   def lshTopK(corpus: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
     val e = withNorm(corpus).withColumn("sk", expr(sketchSpark))
     val q = e.filter(col("vec_id").isInCollection(queryIds))
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"),
         explode(expr(s"concat(array(sk), transform(sequence(0, ${planes - 1}), p -> sk ^ shiftleft(1L, p)))")).as("probe"))
-    // The 9 probe keys per query are pairwise distinct, so a corpus row
+    // The probe keys per query are pairwise distinct, so a corpus row
     // matches at most one — no dedup needed.
     val scored = e.join(broadcast(q), col("sk") === col("probe") && col("vec_id") =!= col("qid"))
       .withColumn("cos", round(vecDot(col("embedding"), col("qe")) / (col("nrm") * col("qn")), 6))

@@ -34,15 +34,23 @@ object StreamingTwin {
   def dedupStream(events: DataFrame): DataFrame =
     events.withWatermark("ts", "10 minutes").dropDuplicates("event_id")
 
+  // One staged copy per source dir per JVM — repeated calls (tests, demos)
+  // must not leak a fresh copy of the dataset into /tmp each time.
+  private val stagedDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+
   /** Stream the events table from a staged directory (the streaming file
     * source wants a directory; a real deployment points at the ingest
     * path), with the TIMESTAMP(NANOS) handling from Tables.events. */
   def eventStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val stage = java.nio.file.Files.createTempDirectory("graft_stream_events")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$dir/events.parquet"),
-      stage.resolve("events.parquet"))
+    val stage = stagedDirs.computeIfAbsent(dir, { d =>
+      val p = java.nio.file.Files.createTempDirectory("graft_stream_events")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$d/events.parquet"),
+        p.resolve("events.parquet"))
+      p
+    })
     spark.readStream
       .schema(StructType(eventSchema.fields.map(f =>
         if (f.name == "ts") StructField("ts", LongType) else f)))

@@ -39,6 +39,14 @@ class ApiParitySpec extends AnyFunSuite with SparkSuite {
     assert(r == 11.0)
   }
 
+  test("vec_dot rejects non-float arrays at analysis time instead of returning garbage") {
+    org.apache.spark.sql.GraftColumnBridge.registerGraftFunctions(spark)
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT vec_dot(array(1.0, 2.0), array(3.0, 4.0))").collect()
+    }
+    assert(e.getMessage.contains("array<float>"))
+  }
+
   test("from_json typed struct agrees with get_json_object") {
     import org.apache.spark.sql.types._
     val parsed = Tables.events(spark, sfDir)

@@ -38,4 +38,17 @@ class PersistMergeSpec extends AnyFunSuite with SparkSuite {
     assert(v3("Brand New Paper") == "NewSrc")          // appended
     assert(v3.size == v1.size + 1)
   }
+
+  test("persistMerge recovers a store stranded as .old by a mid-swap crash") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val dir = java.nio.file.Files.createTempDirectory("graft_crash").toString + "/articles"
+    val batch = Ingest.unionSources(spark, Articles.allSources, Seq("t"))
+    Ingest.persistMerge(spark, dir, batch)
+    val before = spark.read.parquet(dir).count()
+    // simulate a crash between the two moves: store gone, backup stranded
+    Files.move(Paths.get(dir), Paths.get(dir + ".old"), StandardCopyOption.ATOMIC_MOVE)
+    Ingest.persistMerge(spark, dir, batch)
+    assert(spark.read.parquet(dir).count() == before) // nothing lost
+    assert(!Files.exists(Paths.get(dir + ".old")))
+  }
 }
