@@ -207,6 +207,24 @@ object TextAnalytics {
               |FROM t ORDER BY doc_id""".stripMargin.replace("\n", " "))),
 
     QueryDef(
+      "q90_rolling_hash",
+      // Rabin-Karp-style polynomial prefix hash (base 31 over the first 8
+      // chars — fits in int64 without modular reduction). Spark computes it
+      // as a Horner fold; the oracle spells out the powers — identical
+      // integer result, exact compare.
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            expr("aggregate(sequence(1, 8), 0L, (acc, i) -> acc * 31 + ascii(substring(text, i, 1)))")
+              .as("polyhash"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |CAST(list_sum(list_transform(generate_series(1, 8), i ->
+             |ascii(substr(text, i, 1)) * ([27512614111, 887503681, 28629151, 923521, 29791, 961, 31, 1])[i]
+             |)) AS BIGINT) AS polyhash
+             |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
       "q36_token_count",
       // North-star token counting: whitespace tokens, regex word tokens, and
       // a chars/4 BPE-style approximation.
