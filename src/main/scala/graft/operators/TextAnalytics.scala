@@ -207,6 +207,30 @@ object TextAnalytics {
               |FROM t ORDER BY doc_id""".stripMargin.replace("\n", " "))),
 
     QueryDef(
+      "q91_token_entropy",
+      // Shannon entropy of the within-document token distribution — the
+      // standard repetitiveness signal for quality filtering (low entropy =
+      // degenerate/repetitive text). Two hash-aggs; ln() agrees bit-for-bit
+      // across engines on identical count-derived ratios.
+      (s, dir) => {
+        val tok = Tables.documents(s, dir)
+          .select(col("doc_id"), explode(expr(toksExpr)).as("term"))
+        val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+        val n = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        tf.join(n, "doc_id")
+          .groupBy("doc_id")
+          .agg(round(-sum((col("c") / col("n")) * log(col("c") / col("n"))), 6).as("entropy"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, unnest($toksDuck) AS term FROM documents),
+              |tf AS (SELECT doc_id, term, count(*) AS c FROM tok GROUP BY 1, 2),
+              |n AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1)
+              |SELECT tf.doc_id,
+              |round(-sum((c * 1.0 / n.n) * ln(c * 1.0 / n.n)), 6) AS entropy
+              |FROM tf JOIN n ON tf.doc_id = n.doc_id
+              |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
       "q90_rolling_hash",
       // Rabin-Karp-style polynomial prefix hash (base 31 over the first 8
       // chars — fits in int64 without modular reduction). Spark computes it
