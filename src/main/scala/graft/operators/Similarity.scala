@@ -111,13 +111,16 @@ object Similarity {
     .map(r => r.mkString("[", ",", "]")).mkString("[", ",", "]")
 
   /** Cosine-sketch: bit p = sign of the p-th hyperplane projection. The
-    * projection fold is sequential in both engines, so sketches agree. */
-  private val sketchSpark =
+    * projection fold is sequential in both engines, so sketches agree.
+    * Package-visible: Dedup.q44 reuses the same sketch as its blocking key
+    * (the VERDICT r1 fix — anchor-verify inside sketch blocks instead of
+    * within-label all-pairs). */
+  private[graft] val sketchSpark =
     s"""aggregate(sequence(0, ${planes - 1}), 0L, (acc, p) -> acc +
        |CASE WHEN aggregate(sequence(0, ${dims - 1}), 0D, (a2, d) ->
        |a2 + element_at(element_at($mSpark, p + 1), d + 1) * CAST(embedding[d] AS DOUBLE)) > 0
        |THEN shiftleft(1L, p) ELSE 0L END)""".stripMargin.replace("\n", " ")
-  private val sketchDuck =
+  private[graft] val sketchDuck =
     s"""CAST(list_sum(list_transform(generate_series(0, ${planes - 1}), p ->
        |CASE WHEN list_sum(list_transform(generate_series(1, $dims), d ->
        |($mDuck)[p + 1][d] * CAST(embedding[d] AS DOUBLE))) > 0
