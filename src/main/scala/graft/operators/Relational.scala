@@ -46,11 +46,16 @@ object Relational {
   // ---- flagship --------------------------------------------------------
 
   /** Flagship (§7.1): the reference's --query-articles shape — scan → null-safe
-    * case-insensitive contains filter → deterministic order → limit. Collapses
-    * to FileScan + Filter + TakeOrderedAndProject. */
+    * case-insensitive contains filter → deterministic order → limit. Runs on
+    * [[Tables.preparedDocuments]] so the contains predicate compiles to a
+    * plain StringContains on the persisted `text_lc` column and reaches the
+    * scan as a pushed filter (VERDICT r1 #3; in a WHERE clause, plain
+    * contains ≡ the pandas na=False coalesce — NULL never qualifies).
+    * Collapses to FileScan(PushedFilters) + Filter + TakeOrderedAndProject. */
   def flagship(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .filter(containsCI(col("text"), "join"))
+    Tables.preparedDocuments(spark, dir)
+      .filter(col("text_lc").contains("join"))
+      .select("doc_id", "text", "lang", "source", "n_chars")
       .orderBy("doc_id")
       .limit(25)
 
@@ -62,15 +67,18 @@ object Relational {
       "q89_conjunctive_query",
       // The reference's --query-articles with EVERY filter family at once
       // (article_querry.py:13-27): case-insensitive contains on two text
-      // columns (F1), a second contains filter (F2/F4), an equality with
-      // string-cast tolerance (F3), and the default limit (F5) — one scan,
-      // one conjunctive predicate, TakeOrderedAndProject.
+      // columns (F1), a second contains filter (F2/F4), an equality filter
+      // (string-cast tolerance form proven in q20/F3), and the default
+      // limit (F5) — one scan, one conjunctive predicate, all of it in
+      // PushedFilters (prepared _lc columns + uncast equality + range),
+      // TakeOrderedAndProject on top.
       (s, dir) =>
-        Tables.documents(s, dir)
-          .filter(containsCI(col("text"), "scan") || containsCI(col("text"), "query"))
-          .filter(containsCI(col("source"), "src1"))
-          .filter(col("lang").cast("string") === lit("en"))
+        Tables.preparedDocuments(s, dir)
+          .filter(col("text_lc").contains("scan") || col("text_lc").contains("query"))
+          .filter(col("source_lc").contains("src1"))
+          .filter(col("lang") === lit("en"))
           .filter(col("n_chars") >= 100)
+          .select("doc_id", "text", "lang", "source", "n_chars")
           .orderBy("doc_id")
           .limit(10),
       Some("""SELECT * FROM documents

@@ -40,6 +40,22 @@ class PlanShapeSpec extends AnyFunSuite with SparkSuite {
     assert(!p.contains("aggregate(zip_with"))
   }
 
+  test("flagship and q89 contains filters reach the scan as PushedFilters") {
+    // VERDICT r1 #3: containsCI(lower(text)) could never push below the
+    // scan; the prepared text_lc/source_lc columns make the predicate a
+    // plain StringContains that the parquet scan receives.
+    val pushed = "PushedFilters: \\[[^\\]]".r // non-empty PushedFilters list
+    val f = operators.Relational.flagship(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(pushed.findFirstIn(f).isDefined, f.take(800))
+    assert(f.contains("StringContains(text_lc"), f.take(800))
+    // (explain truncates each metadata field at ~100 chars, so assert on
+    // the leading pushed entries rather than the full list)
+    val p = plan("q89_conjunctive_query")
+    assert(pushed.findFirstIn(p).isDefined, p.take(800))
+    assert(p.contains("Or(StringContains(text_lc,scan),Strin"), p.take(800))
+  }
+
   test("q44 candidates are linear: anchor policy, no unblocked corpus self-join") {
     import org.apache.spark.sql.functions._
     // The blocked-anchor form pairs each vector with exactly one anchor:
