@@ -20,6 +20,7 @@ object SparkEntry {
       operators.KeywordTree.defs ++
       operators.Multimodal.defs ++
       operators.Salting.defs ++
+      sources.Articles.defs ++
       ml.MlQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,6 +1,8 @@
 package graft.sources
 
+import graft.QueryDef
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** The unified article table (SURVEY.md §1.1; reference builds it from five
@@ -84,22 +86,104 @@ object Articles {
         "http://s2", Seq("Tom H"), Seq(Seq("Stanford")), Seq(), "ehr", "2022")))
   }
 
+  private val emptyInsts = "CAST(array() AS ARRAY<ARRAY<STRING>>)"
+  private val emptyStrs = "CAST(array() AS ARRAY<STRING>)"
+
+  /** PubMed is the reference's TWO-PHASE scan (scrappy.py:209-231): an
+    * esearch call returns an XML id list; a second efetch call returns
+    * article XML for exactly those ids. Modeled as two DataFrames — the
+    * id phase SEMI-JOINS into the detail phase, so details whose id the
+    * search did not return are never ingested (PipelineSpec proves the
+    * negative case with the decoy detail row p3). Both phases parse their
+    * source's real wire shape with Spark's native `from_xml` (the
+    * reference uses BeautifulSoup, scrappy.py:217-231). */
   object FixturePubmed extends ArticleSource {
     val name = "PubMed"; val rank = 3
-    def fetch(spark: SparkSession, terms: Seq[String]): DataFrame = fixture(spark, Seq(
-      row(name, rank, 0, "Null Abstract Study", null,
-        "http://p1", Seq(), Seq(Seq("NIH")), Seq(), "misc", "2021"),
-      row(name, rank, 1, null, null,
-        "http://p2", Seq(), Seq(), Seq(), "misc", "")))
+
+    private val esearchXml =
+      "<eSearchResult><IdList><Id>p1</Id><Id>p2</Id></IdList></eSearchResult>"
+
+    private val efetchSchema =
+      """MedlineCitation STRUCT<PMID: STRING, Article: STRUCT<
+        |ArticleTitle: STRING,
+        |Abstract: STRUCT<AbstractText: STRING>,
+        |AuthorList: STRUCT<Author: ARRAY<STRUCT<ForeName: STRING, LastName: STRING>>>,
+        |AffiliationInfo: STRUCT<Affiliation: STRING>,
+        |PubDate: STRUCT<Year: STRING>>>""".stripMargin.replace("\n", " ")
+
+    // p3 is a DECOY: a fetchable detail row whose id esearch did NOT
+    // return — the semi-join must drop it.
+    private val efetchXml = Seq(
+      (0, """<PubmedArticle><MedlineCitation><PMID>p1</PMID><Article><ArticleTitle>Null Abstract Study</ArticleTitle><AffiliationInfo><Affiliation>NIH</Affiliation></AffiliationInfo><PubDate><Year>2021</Year></PubDate></Article></MedlineCitation></PubmedArticle>"""),
+      (1, """<PubmedArticle><MedlineCitation><PMID>p2</PMID><Article/></MedlineCitation></PubmedArticle>"""),
+      (2, """<PubmedArticle><MedlineCitation><PMID>p3</PMID><Article><ArticleTitle>Decoy Not Fetched</ArticleTitle></Article></MedlineCitation></PubmedArticle>"""))
+
+    /** Phase 1: the esearch id list, one row per returned id. */
+    def esearchIds(spark: SparkSession): DataFrame = {
+      import spark.implicits._
+      Seq(esearchXml).toDF("xml")
+        .select(from_xml(col("xml"), lit("IdList STRUCT<Id: ARRAY<STRING>>")).as("r"))
+        .select(explode(col("r.IdList.Id")).as("pmid"))
+    }
+
+    /** Phase 2: every fetchable article detail, parsed from efetch XML. */
+    def efetchDetails(spark: SparkSession): DataFrame = {
+      import spark.implicits._
+      efetchXml.toDF("ingest_idx", "xml")
+        .select(col("ingest_idx"), from_xml(col("xml"), lit(efetchSchema)).as("r"))
+        .select(
+          col("ingest_idx"),
+          col("r.MedlineCitation.PMID").as("pmid"),
+          col("r.MedlineCitation.Article.ArticleTitle").as("title"),
+          col("r.MedlineCitation.Article.Abstract.AbstractText").as("abstract"),
+          expr(s"coalesce(transform(r.MedlineCitation.Article.AuthorList.Author, a -> concat(a.ForeName, ' ', a.LastName)), $emptyStrs)").as("authors"),
+          // the fixture models affiliation at article level; wrap to the
+          // pinned nested array<array<string>> type
+          expr(s"CASE WHEN r.MedlineCitation.Article.AffiliationInfo.Affiliation IS NULL THEN $emptyInsts ELSE array(array(r.MedlineCitation.Article.AffiliationInfo.Affiliation)) END").as("institutions"),
+          coalesce(col("r.MedlineCitation.Article.PubDate.Year"), lit("")).as("year"))
+    }
+
+    def fetch(spark: SparkSession, terms: Seq[String]): DataFrame =
+      efetchDetails(spark)
+        .join(esearchIds(spark), Seq("pmid"), "left_semi")
+        .select(
+          lit(name).as("source"), col("title"), col("abstract"),
+          concat(lit("http://"), col("pmid")).as("url"),
+          col("authors"), col("institutions"),
+          expr(emptyStrs).as("keywords"),
+          lit("misc").as("term"), col("year"),
+          lit(rank).as("source_rank"), col("ingest_idx"))
   }
 
+  /** arXiv returns Atom XML (scrappy.py:255-278, ElementTree there);
+    * parsed here with native `from_xml` — repeated `<author>` elements
+    * land in an array column, `<published>` yields the string year. */
   object FixtureArxiv extends ArticleSource {
     val name = "arXiv"; val rank = 4
-    def fetch(spark: SparkSession, terms: Seq[String]): DataFrame = fixture(spark, Seq(
-      row(name, rank, 0, "EHR Data Integrity", "Dup from arXiv",
-        "http://a1", Seq("Zoe Q"), Seq(), Seq(), "ehr", "2022"),
-      row(name, rank, 1, "Adversarial ML in Radiology", "New from arXiv",
-        "http://a2", Seq("Kim S"), Seq(), Seq(), "adversarial", "2023")))
+
+    private[graft] val atomSchema =
+      "id STRING, title STRING, summary STRING, published STRING, author ARRAY<STRUCT<name: STRING>>"
+
+    private val atomXml = Seq(
+      (0, "ehr", """<entry><id>http://a1</id><title>EHR Data Integrity</title><summary>Dup from arXiv</summary><published>2022-01-15T00:00:00Z</published><author><name>Zoe Q</name></author></entry>"""),
+      (1, "adversarial", """<entry><id>http://a2</id><title>Adversarial ML in Radiology</title><summary>New from arXiv</summary><published>2023-06-01T00:00:00Z</published><author><name>Kim S</name></author></entry>"""))
+
+    def fetch(spark: SparkSession, terms: Seq[String]): DataFrame = {
+      import spark.implicits._
+      atomXml.toDF("ingest_idx", "term", "xml")
+        .select(col("ingest_idx"), col("term"), from_xml(col("xml"), lit(atomSchema)).as("e"))
+        .select(
+          lit(name).as("source"),
+          col("e.title").as("title"),
+          col("e.summary").as("abstract"),
+          col("e.id").as("url"),
+          expr("transform(e.author, a -> a.name)").as("authors"),
+          expr(emptyInsts).as("institutions"),
+          expr(emptyStrs).as("keywords"),
+          col("term"),
+          substring(col("e.published"), 1, 4).as("year"),
+          lit(rank).as("source_rank"), col("ingest_idx"))
+    }
   }
 
   /** All five, in the reference's fetch order. */
@@ -113,4 +197,48 @@ object Articles {
       "http://e1", Seq("Old A"), Seq(), Seq(), "ransomware", "2018"),
     row("Existing", -1, 1, "Zero-day Markets", "Store only",
       "http://e2", Seq(), Seq(), Seq(), "markets", "2017")))
+
+  def defs: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "q75_xml_articles",
+      // The XML ingestion path end-to-end: arXiv Atom + PubMed efetch wire
+      // XML → from_xml → pinned article schema. The oracle pins the
+      // expected extraction (title/year/author-count/affiliation flatten)
+      // as literal VALUES — including PubMed's null title, ''-year row and
+      // the EXCLUDED decoy detail p3.
+      (s, _) =>
+        FixtureArxiv.fetch(s, Seq())
+          .unionByName(FixturePubmed.fetch(s, Seq()))
+          .select(col("source"), col("title"), col("year"), col("url"),
+            size(col("authors")).cast("long").as("n_authors"),
+            array_join(flatten(col("institutions")), "; ").as("insts"))
+          .orderBy("source", "url"),
+      Some("""SELECT * FROM (VALUES
+             |('PubMed', 'Null Abstract Study', '2021', 'http://p1', CAST(0 AS BIGINT), 'NIH'),
+             |('PubMed', NULL, '', 'http://p2', CAST(0 AS BIGINT), ''),
+             |('arXiv', 'EHR Data Integrity', '2022', 'http://a1', CAST(1 AS BIGINT), ''),
+             |('arXiv', 'Adversarial ML in Radiology', '2023', 'http://a2', CAST(1 AS BIGINT), '')
+             |) v(source, title, year, url, n_authors, insts)
+             |ORDER BY source, url""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q76_pubmed_twophase",
+      // The two-phase scan as a declared query: detail rows survive ONLY
+      // if their id came back from the search phase (semi-join); the
+      // oracle expresses the same with VALUES + IN — decoy p3 absent.
+      (s, _) =>
+        FixturePubmed.efetchDetails(s)
+          .join(FixturePubmed.esearchIds(s), Seq("pmid"), "left_semi")
+          .select(col("pmid"), col("title"), col("year"))
+          .orderBy("pmid"),
+      Some("""WITH ids(pmid) AS (VALUES ('p1'), ('p2')),
+             |details(pmid, title, year) AS (VALUES
+             |('p1', 'Null Abstract Study', '2021'),
+             |('p2', NULL, ''),
+             |('p3', 'Decoy Not Fetched', ''))
+             |SELECT pmid, title, year FROM details
+             |WHERE pmid IN (SELECT pmid FROM ids)
+             |ORDER BY pmid""".stripMargin.replace("\n", " ")))
+  )
 }

@@ -36,6 +36,35 @@ class PipelineSpec extends AnyFunSuite with SparkSuite {
     assert(delta.contains("Adversarial ML in Radiology"))
   }
 
+  test("pubmed two-phase scan fetches exactly the esearch ids; decoys dropped") {
+    val ids = Articles.FixturePubmed.esearchIds(spark).as[String].collect().toSet
+    assert(ids == Set("p1", "p2"))
+    val details = Articles.FixturePubmed.efetchDetails(spark)
+    // the detail phase KNOWS about p3, but fetch must never ingest it
+    assert(details.select("pmid").as[String].collect().toSet == Set("p1", "p2", "p3"))
+    val fetched = Articles.FixturePubmed.fetch(spark, Seq())
+      .select("url").as[String].collect().toSet
+    assert(fetched == Set("http://p1", "http://p2"))
+    // negative case: the anti-join of details vs ids is exactly the decoy
+    val dropped = details.join(Articles.FixturePubmed.esearchIds(spark), Seq("pmid"), "left_anti")
+      .select("pmid").as[String].collect().toSeq
+    assert(dropped == Seq("p3"))
+  }
+
+  test("from_xml parses repeated Atom author elements into an array") {
+    import org.apache.spark.sql.functions.{col, expr, from_xml, lit}
+    val xml = "<entry><id>u</id><title>T</title><summary>S</summary>" +
+      "<published>2024-02-03T00:00:00Z</published>" +
+      "<author><name>A One</name></author><author><name>B Two</name></author></entry>"
+    val r = Seq(xml).toDF("xml")
+      .select(from_xml(col("xml"), lit(Articles.FixtureArxiv.atomSchema)).as("e"))
+      .select(expr("transform(e.author, a -> a.name)").as("authors"),
+        expr("substring(e.published, 1, 4)").as("year"))
+      .as[(Seq[String], String)].head()
+    assert(r._1 == Seq("A One", "B Two"))
+    assert(r._2 == "2024")
+  }
+
   test("keyword tree respects depth, fanout, and the visited set") {
     val docs = Tables.documents(spark, sfDir)
     val edges = KeywordTree.expand(docs, Seq("join"), depth = 2, fanout = 3)
