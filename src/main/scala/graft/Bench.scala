@@ -23,6 +23,9 @@ object Bench {
     // first timed query.
     try {
       Tables.lineitem(spark, sfDir).count()
+      // flagship now reads the prepared table, so warm the raw documents
+      // scan separately — q30 is otherwise the first touch of that file.
+      Tables.documents(spark, sfDir).count()
       operators.Relational.flagship(spark, sfDir).count()
     } catch { case _: Throwable => () }
     val results = names.map { name =>
@@ -31,14 +34,21 @@ object Bench {
       // noop sink forces full evaluation of every output column — count()
       // would let Catalyst prune aggregate expressions and eliminate sorts,
       // under-measuring the real work.
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
+        catch { case e: Throwable => Some(e.getClass.getSimpleName) }
+      (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // A failed query must be VISIBLE, not a near-zero time silently summed
+    // into the headline: successes go to "queries"/"value", failures to
+    // "errors" and are excluded from the total.
+    val ok = results.filter(_._3.isEmpty)
+    val qs = ok.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = results.collect { case (k, _, Some(e)) => s"\"$k\":\"$e\"" }
+      .mkString("{", ",", "}")
+    val total = if (ok.nonEmpty) ok.map(_._2).sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

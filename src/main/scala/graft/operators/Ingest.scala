@@ -69,6 +69,12 @@ object Ingest {
     * swap. Re-running with the same batch is a no-op (idempotent); on a
     * real deployment the same flow targets a table format with commit
     * semantics (the stage-and-swap is the filesystem stand-in).
+    *
+    * SINGLE-WRITER contract: concurrent callers (same or different JVMs)
+    * can interleave the store→old / stage→store moves and fail or lose a
+    * batch — there is deliberately no lock file here because the real
+    * deployment target (a commit-protocol table format) owns that
+    * concern. Callers must serialize invocations per storeDir.
     */
   def persistMerge(spark: SparkSession, storeDir: String, batch: DataFrame): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
@@ -200,6 +206,35 @@ object Ingest {
               |FROM top t JOIN toks d ON contains(lower(d.text), t.term))
               |SELECT term, cnt, doc_id, preview FROM ex WHERE rn <= 2
               |ORDER BY cnt DESC, term, doc_id""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q78_keyword_filter",
+      // F4 on the REAL keywords array (article_querry.py:25-26): the
+      // reference filters the stringified keywords list case-insensitively
+      // with na=False; here that is containsCI over array_join(keywords)
+      // across the full five-source union — null/empty keyword lists never
+      // match, matching pandas' na=False.
+      (s, _) =>
+        unionSources(s, Articles.allSources, Seq("t"))
+          .filter(Relational.containsCI(array_join(col("keywords"), ","), "ransom"))
+          .select(col("source"), col("title"), col("year"))
+          .orderBy("source", "title"),
+      Some("""WITH b(source, title, year, kws) AS (VALUES
+             |('IEEE', 'Security of Infusion Pumps', '2021', ['security', 'pumps']),
+             |('IEEE', 'Ransomware in Hospitals', '2020', ['ransomware']),
+             |('IEEE', NULL, '', []::VARCHAR[]),
+             |('GoogleScholar', 'Ransomware in Hospitals', NULL, []::VARCHAR[]),
+             |('GoogleScholar', 'Phishing Countermeasures', NULL, []::VARCHAR[]),
+             |('SemanticScholar', 'Phishing Countermeasures', '2019', []::VARCHAR[]),
+             |('SemanticScholar', 'EHR Data Integrity', '2022', []::VARCHAR[]),
+             |('PubMed', 'Null Abstract Study', '2021', []::VARCHAR[]),
+             |('PubMed', NULL, '', []::VARCHAR[]),
+             |('arXiv', 'EHR Data Integrity', '2022', []::VARCHAR[]),
+             |('arXiv', 'Adversarial ML in Radiology', '2023', []::VARCHAR[])
+             |)
+             |SELECT source, title, year FROM b
+             |WHERE contains(lower(array_to_string(kws, ',')), 'ransom')
+             |ORDER BY source, title""".stripMargin.replace("\n", " "))),
 
     QueryDef(
       "q71_contextualize",

@@ -60,6 +60,42 @@ object KeywordTree {
     }
   }
 
+  /** The user-visible artifact of the reference's --build-tree: the edge
+    * table reassembled into the recursively nested dict shape of
+    * topic_tree.json (scrappy.py:535-540 — `tree[base] = recursive(...)`,
+    * leaves are `{}`), rendered exactly like json.dump(indent=2).
+    * Driver-side recursive assembly over the COLLECTED edge list — the
+    * same control-plane data expand() already moves; the artifact is
+    * bounded by fanout^depth terms, never by corpus size. Children print
+    * in (cnt desc, child) order — the ranking order the edges carry; a
+    * child reached from two parents at the same level nests its subtree
+    * under both (the level-synchronous analog of the reference's
+    * traversal-order-dependent single attachment, documented deviation
+    * as in expand()). */
+  def toNestedJson(edges: DataFrame, seeds: Seq[String]): String = {
+    val rows = edges.select("parent", "child", "depth", "cnt").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val kidsOf: Map[(String, Long), Seq[String]] =
+      rows.groupBy(r => (r._1, r._3)).view
+        .mapValues(g => g.sortBy(e => (-e._4, e._2)).map(_._2).toSeq).toMap
+    def esc(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    def render(term: String, depth: Long, indent: Int): String = {
+      val kids = kidsOf.getOrElse((term, depth + 1), Seq.empty)
+      if (kids.isEmpty) "{}"
+      else kids.map(k => "  " * (indent + 1) + s""""${esc(k)}": ${render(k, depth + 1, indent + 1)}""")
+        .mkString("{\n", ",\n", "\n" + "  " * indent + "}")
+    }
+    // roots keep the caller's term order, like the reference's main loop
+    val roots = seeds.map(_.toLowerCase).distinct
+    if (roots.isEmpty) "{}"
+    else roots.map(s => s"""  "${esc(s)}": ${render(s, 0L, 1)}""").mkString("{\n", ",\n", "\n}")
+  }
+
   private val stopSqlList = TextAnalytics.Stopwords.map(w => s"'$w'").mkString(", ")
 
   def defs: Seq[QueryDef] = Seq(
@@ -73,6 +109,7 @@ object KeywordTree {
               |l1c AS (SELECT parent, child, count(*) AS cnt FROM
               |(SELECT s.parent, unnest(d.w) AS child FROM d0 d JOIN seeds s ON contains(d.lt, s.parent)) x
               |WHERE child NOT IN ($stopSqlList) AND child <> parent
+              |AND len(list_filter(string_split(child, ' '), t -> NOT list_contains(string_split(parent, ' '), t))) > 0
               |AND child NOT IN (SELECT parent FROM seeds) GROUP BY 1, 2),
               |l1 AS (SELECT parent, child, cnt FROM
               |(SELECT *, row_number() OVER (PARTITION BY parent ORDER BY cnt DESC, child) AS rn FROM l1c) y
@@ -81,6 +118,7 @@ object KeywordTree {
               |l2c AS (SELECT parent, child, count(*) AS cnt FROM
               |(SELECT f.parent, unnest(d.w) AS child FROM d0 d JOIN f2 f ON contains(d.lt, f.parent)) x
               |WHERE child NOT IN ($stopSqlList) AND child <> parent
+              |AND len(list_filter(string_split(child, ' '), t -> NOT list_contains(string_split(parent, ' '), t))) > 0
               |AND child NOT IN (SELECT parent FROM seeds)
               |AND child NOT IN (SELECT child FROM l1) GROUP BY 1, 2),
               |l2 AS (SELECT parent, child, cnt FROM

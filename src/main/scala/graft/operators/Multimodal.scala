@@ -44,7 +44,12 @@ object Multimodal {
   private def decodeOne(m: MediaRecord): DecodedMedia = {
     // ??? real codec goes here; stub derives dims from byte content.
     val n = m.payload.length.toLong
-    val first = if (n > 0) m.payload(0) & 0xff else 0
+    // First Unicode CODEPOINT of the UTF-8-decoded payload — the same
+    // value the q80 expression twin's ascii(cast(payload AS STRING))
+    // computes, so the two paths agree on non-ASCII payloads too
+    // (MultimodalSpec pins a non-ASCII row).
+    val s = new String(m.payload, java.nio.charset.StandardCharsets.UTF_8)
+    val first = if (s.nonEmpty) s.codePointAt(0) else 0
     DecodedMedia(m.media_id, m.kind, n,
       width = (n % 640).toInt, height = first,
       format = if (n % 3 == 0) "png" else if (n % 3 == 1) "jpeg" else "webp")

@@ -13,6 +13,24 @@ import org.apache.spark.sql.functions._
   */
 object Relational2 {
 
+  import org.apache.spark.sql.DataFrame
+
+  /** q49's body: generated month spine (sequence + explode) left-joined to
+    * per-month counts — months with zero rows still appear with cnt = 0
+    * (the zero branch is exercised on a gap fixture in RelationalSpec;
+    * the testdata has no empty months). */
+  def monthlyCounts(df: DataFrame, dateCol: String, from: String, to: String): DataFrame = {
+    val spine = df.sparkSession.range(1)
+      .select(explode(expr(
+        s"sequence(to_date('$from'), to_date('$to'), interval 1 month)")).as("month_start"))
+    val counts = df
+      .groupBy(date_trunc("month", col(dateCol)).cast("date").as("m"))
+      .agg(count(lit(1)).as("cnt"))
+    spine.join(counts, col("month_start") === col("m"), "left")
+      .select(col("month_start"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+      .orderBy("month_start")
+  }
+
   def defs: Seq[QueryDef] = Seq(
 
     QueryDef(
@@ -214,19 +232,9 @@ object Relational2 {
 
     QueryDef(
       "q49_date_spine",
-      // Generated date dimension (sequence + explode) left-joined to the
-      // fact — months with zero orders still appear.
-      (s, dir) => {
-        val spine = Tables.orders(s, dir).sparkSession.range(1)
-          .select(explode(expr(
-            "sequence(to_date('1995-01-01'), to_date('2001-08-01'), interval 1 month)")).as("month_start"))
-        val counts = Tables.orders(s, dir)
-          .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("m"))
-          .agg(count(lit(1)).as("cnt"))
-        spine.join(counts, col("month_start") === col("m"), "left")
-          .select(col("month_start"), coalesce(col("cnt"), lit(0L)).as("cnt"))
-          .orderBy("month_start")
-      },
+      // Generated date dimension left-joined to the fact — months with
+      // zero orders still appear (see monthlyCounts).
+      (s, dir) => monthlyCounts(Tables.orders(s, dir), "o_orderdate", "1995-01-01", "2001-08-01"),
       Some("""SELECT CAST(g.m AS DATE) AS month_start, coalesce(c.cnt, 0) AS cnt
              |FROM generate_series(TIMESTAMP '1995-01-01', TIMESTAMP '2001-08-01', INTERVAL 1 MONTH) g(m)
              |LEFT JOIN (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m2, count(*) AS cnt

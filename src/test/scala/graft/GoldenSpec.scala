@@ -29,6 +29,17 @@ class GoldenSpec extends AnyFunSuite with SparkSuite {
     assert(got == golden)
   }
 
+  test("golden: nested topic_tree.json artifact matches the committed file") {
+    // The reference's observable --build-tree output (scrappy.py:539-540):
+    // recursively nested dict, leaves {}, rendered as json.dump(indent=2).
+    val edges = KeywordTree.expand(corpus, Seq("join"), depth = 2, fanout = 2)
+    val got = KeywordTree.toNestedJson(edges, Seq("join"))
+    val golden = new String(
+      getClass.getResourceAsStream("/golden/topic_tree.json").readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8).stripTrailing()
+    assert(got == golden, s"\n--- got ---\n$got\n--- golden ---\n$golden")
+  }
+
   test("golden: suggest terms on the frozen corpus") {
     val got = Ingest.suggestTerms(corpus, Seq("spark"), topN = 3, examples = 1)
       .as[(String, Long, Long, String)].collect().toSeq

@@ -38,4 +38,15 @@ class RelationalSpec extends AnyFunSuite with SparkSuite {
     assert(got.count() > 0)
     assert(got.filter(!lower($"text").contains("join")).count() == 0)
   }
+
+  test("monthlyCounts (q49) emits cnt=0 rows for months with no data") {
+    val gap = Seq("1995-01-10", "1995-01-20", "1995-03-05").toDF("d")
+      .select(to_date(col("d")).as("o_orderdate"))
+    val got = operators.Relational2.monthlyCounts(gap, "o_orderdate", "1995-01-01", "1995-03-01")
+      .as[(java.sql.Date, Long)].collect().toSeq
+    assert(got == Seq(
+      (java.sql.Date.valueOf("1995-01-01"), 2L),
+      (java.sql.Date.valueOf("1995-02-01"), 0L),
+      (java.sql.Date.valueOf("1995-03-01"), 1L)))
+  }
 }

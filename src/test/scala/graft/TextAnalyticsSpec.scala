@@ -38,4 +38,12 @@ class TextAnalyticsSpec extends AnyFunSuite with SparkSuite {
       .as[String].collect().toSet
     assert(bigrams == Set("a b", "b c"))
   }
+
+  test("lang-id heuristic is >=0.9 accurate on the multi-language fixture (q79)") {
+    val rows = SparkEntry.queries("q79_lang_id_fixture")(spark, sfDir)
+      .select("lang", "predicted").as[(String, String)].collect()
+    val acc = rows.count { case (l, p) => l == p }.toDouble / rows.length
+    assert(rows.length == operators.TextAnalytics.langIdFixture.size)
+    assert(acc >= 0.9, s"accuracy $acc")
+  }
 }
