@@ -20,6 +20,7 @@ object SparkEntry {
       operators.KeywordTree.defs ++
       operators.Multimodal.defs ++
       operators.Salting.defs ++
+      operators.Corpus.defs ++
       sources.Articles.defs ++
       ml.MlQueries.defs
 

@@ -1,0 +1,117 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** Training-data corpus operators beyond the reference's surface (north
+  * star, BASELINE.json): the transforms an LLM data pipeline runs between
+  * ingest and training — chunking, scrubbing, split assignment, and the
+  * approximate sketches that replace exact aggregates at 100 TB.
+  *
+  * All are single-pass scan expressions or one-shuffle aggregates:
+  *  - q93 chunking: token windows of size 20 / stride 15 via
+  *    sequence+transform+explode — rows multiply map-side, no shuffle at
+  *    all; at 100 TB this is the map stage before tokenize-and-pack.
+  *  - q94 redaction: regexp_replace scrubbing with redaction counts —
+  *    pure codegen'd scan expressions.
+  *  - q95 split assignment: deterministic md5-bucket train/val/test
+  *    labels — content-stable (survives re-partitioning, re-ingestion
+  *    order, cluster size), unlike rand(seed) which is partition-dependent.
+  *  - q92 sketches: approx_count_distinct (HLL) + approx_percentile —
+  *    the fixed-memory forms of q16/q25; sketch merge is commutative, so
+  *    results are partitioning-independent (rows-only check + error-bound
+  *    spec, since DuckDB's sketches differ by construction).
+  */
+object Corpus {
+
+  private val toksExpr = "filter(split(lower(text), ' '), x -> x <> '')"
+  private val toksDuck = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
+
+  def defs: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "q93_chunk_documents",
+      // Fixed-size token windows (size 20, stride 15 → 5-token overlap),
+      // the chunking step before tokenization/packing. Chunk starts are
+      // i·stride for i in 0..(n-1) div stride, so every token lands in ≥1
+      // chunk; the final chunk clips at the document end.
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("doc_id"), expr(toksExpr).as("w"))
+          .filter(size(col("w")) > 0)
+          .select(col("doc_id"), explode(expr(
+            """transform(sequence(0, (size(w)-1) div 15), i ->
+              |struct(CAST(i AS BIGINT) AS chunk_idx,
+              |array_join(slice(w, i*15+1, 20), ' ') AS chunk,
+              |CAST(size(slice(w, i*15+1, 20)) AS BIGINT) AS n_tokens))"""
+              .stripMargin.replace("\n", " "))).as("c"))
+          .select(col("doc_id"), col("c.chunk_idx"), col("c.chunk"), col("c.n_tokens"))
+          .orderBy("doc_id", "chunk_idx"),
+      Some(s"""WITH t AS (SELECT doc_id, $toksDuck AS w FROM documents)
+              |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+              |array_to_string(w[i*15+1 : i*15+20], ' ') AS chunk,
+              |CAST(len(w[i*15+1 : i*15+20]) AS BIGINT) AS n_tokens
+              |FROM t, LATERAL (SELECT unnest(generate_series(0, (len(w)-1)//15)) AS i) g
+              |WHERE len(w) > 0
+              |ORDER BY doc_id, chunk_idx""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q94_redact",
+      // Quality scrubbing: mask numeric tokens (the stand-in for
+      // phone/id/email scrubbing — this corpus has no PII shapes) and
+      // count the redactions. Pure scan expressions, fully pushed into
+      // whole-stage codegen.
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            regexp_replace(col("text"), "[0-9]+", "<NUM>").as("redacted"),
+            expr("CAST(size(regexp_extract_all(text, '[0-9]+', 0)) AS BIGINT)").as("n_redactions"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |regexp_replace(text, '[0-9]+', '<NUM>', 'g') AS redacted,
+             |CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_redactions
+             |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q95_split_assign",
+      // Deterministic train/val/test assignment from a CONTENT hash
+      // bucket (first md5 hex digit of the id: 0-c train, d-e val,
+      // f test ≈ 81/13/6) — the split a 100 TB pipeline can recompute on
+      // any cluster without a stored assignment table. md5 agrees across
+      // engines; rand(seed) would not survive repartitioning.
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            expr("CAST(locate(substring(md5(CAST(doc_id AS STRING)), 1, 1), '0123456789abcdef') - 1 AS BIGINT)")
+              .as("bucket"))
+          .withColumn("split",
+            when(col("bucket") <= 12, "train")
+              .when(col("bucket") <= 14, "val")
+              .otherwise("test"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS BIGINT) AS bucket,
+             |CASE WHEN strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 <= 12 THEN 'train'
+             |WHEN strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 <= 14 THEN 'val'
+             |ELSE 'test' END AS split
+             |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q92_approx_sketches",
+      // The fixed-memory aggregates that REPLACE q16/q25 at 100 TB:
+      // HyperLogLog++ distinct counts and approximate percentiles. Sketch
+      // merges are commutative/associative → results are deterministic
+      // under any partitioning (CorpusSpec proves stability and the error
+      // bound vs the exact forms). No DuckDB oracle: its sketches differ
+      // by construction — this is the one honest rows-only entry outside
+      // the iterative-ML trio.
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .groupBy("l_returnflag")
+          .agg(
+            approx_count_distinct("l_partkey", 0.02).as("approx_parts"),
+            expr("approx_percentile(l_quantity, 0.5, 1000)").as("approx_median"))
+          .orderBy("l_returnflag"),
+      None)
+  )
+}

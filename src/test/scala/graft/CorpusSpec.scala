@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CorpusSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  test("q93 chunking covers every token and respects size/stride") {
+    val chunks = SparkEntry.queries("q93_chunk_documents")(spark, sfDir)
+      .select("doc_id", "chunk_idx", "n_tokens").as[(Long, Long, Long)].collect()
+    assert(chunks.nonEmpty)
+    assert(chunks.forall(_._3 <= 20))
+    // total tokens covered = n + overlap·(chunks-1) per doc:
+    // with stride 15 every non-final chunk contributes exactly 15 NEW tokens
+    val toks = Tables.documents(spark, sfDir)
+      .select($"doc_id", expr("size(filter(split(lower(text), ' '), x -> x <> ''))").cast("long"))
+      .as[(Long, Long)].collect().toMap
+    chunks.groupBy(_._1).foreach { case (d, cs) =>
+      val n = toks(d)
+      val expected = (n - 1) / 15 + 1
+      assert(cs.length == expected, s"doc $d: ${cs.length} chunks for $n tokens")
+      val last = cs.maxBy(_._2)
+      assert(last._2 * 15 + last._3 == n, s"doc $d: final chunk must end at the last token")
+    }
+  }
+
+  test("q95 split assignment is content-stable and roughly 81/13/6") {
+    val q = SparkEntry.queries("q95_split_assign")
+    val a = q(spark, sfDir).select("doc_id", "split").as[(Long, String)].collect().toMap
+    // repartitioning the input cannot change a content-hash assignment
+    val b = Tables.documents(spark, sfDir).repartition(7)
+      .select(col("doc_id"),
+        expr("CAST(locate(substring(md5(CAST(doc_id AS STRING)), 1, 1), '0123456789abcdef') - 1 AS BIGINT)").as("bucket"))
+      .withColumn("split",
+        when(col("bucket") <= 12, "train").when(col("bucket") <= 14, "val").otherwise("test"))
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(a == b)
+    val frac = a.values.groupBy(identity).view.mapValues(_.size.toDouble / a.size).toMap
+    assert(frac("train") > 0.7 && frac("train") < 0.9, frac.toString)
+    assert(frac.getOrElse("test", 0.0) < 0.15, frac.toString)
+  }
+
+  test("q92 sketches stay within error bounds of the exact aggregates") {
+    val approx = SparkEntry.queries("q92_approx_sketches")(spark, sfDir)
+      .as[(String, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val exact = Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg(countDistinct("l_partkey").as("d"), expr("percentile(l_quantity, 0.5)").as("m"))
+      .as[(String, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    exact.foreach { case (k, (d, m)) =>
+      val (ad, am) = approx(k)
+      assert(math.abs(ad - d).toDouble / d < 0.05, s"$k: approx distinct $ad vs exact $d")
+      assert(math.abs(am - m) / math.max(m, 1.0) < 0.10, s"$k: approx median $am vs exact $m")
+    }
+  }
+
+  test("q92 sketch results are partitioning-independent (commutative merge)") {
+    val base = SparkEntry.queries("q92_approx_sketches")(spark, sfDir)
+      .as[(String, Long, Double)].collect().toSeq
+    val reparted = Tables.lineitem(spark, sfDir).repartition(13)
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct("l_partkey", 0.02).as("approx_parts"),
+        expr("approx_percentile(l_quantity, 0.5, 1000)").as("approx_median"))
+      .orderBy("l_returnflag").as[(String, Long, Double)].collect().toSeq
+    assert(base == reparted)
+  }
+
+  test("stratified sampling (sampleBy) hits per-stratum fractions with a fixed seed") {
+    val docs = Tables.documents(spark, sfDir)
+    val fractions = Map("en" -> 0.5, "es" -> 0.1, "de" -> 0.9)
+    val s1 = docs.stat.sampleBy("lang", fractions, 42L)
+    val s2 = docs.stat.sampleBy("lang", fractions, 42L)
+    // deterministic under a fixed seed
+    assert(s1.select("doc_id").as[Long].collect().toSeq ==
+      s2.select("doc_id").as[Long].collect().toSeq)
+    val got = s1.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val tot = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    fractions.foreach { case (k, f) =>
+      val g = got.getOrElse(k, 0L).toDouble / tot(k)
+      assert(math.abs(g - f) < 0.15, s"stratum $k: sampled $g, wanted $f")
+    }
+  }
+}
