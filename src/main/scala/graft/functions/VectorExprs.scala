@@ -70,6 +70,82 @@ case class FloatVecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Random-hyperplane cosine sketch as a codegen'd expression: bit p of the
+  * result = sign of Σ_d m[p][d]·v[d], where m[p][d] = ±1 is encoded as bit
+  * d of `masks(p)` (set = +1). The fold adds ±v[d] in ascending d order —
+  * bit-identical to the interpreted `aggregate(sequence(...))` HOF twin in
+  * Similarity.sketchSpark (asserted equal in SimilaritySpec), so the
+  * DuckDB oracle is unaffected; unlike the HOF it stays inside
+  * whole-stage codegen, which matters because sketching is a full-corpus
+  * scan at 100 TB (every q44 dedup / q53 index build touches every row).
+  * Dimensions beyond the vector length are treated as 0 (the HOF twin
+  * would null out instead — the corpus is fixed-width so neither path is
+  * exercised). */
+case class HyperplaneSketch(child: Expression, masks: Seq[Long], dims: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "vec_sketch"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    child.dataType match {
+      case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"vec_sketch requires array<float>, got ${t.simpleString(10)}")
+    }
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val n = math.min(dims, v.numElements())
+    var acc = 0L
+    var p = 0
+    while (p < masks.length) {
+      val mask = masks(p)
+      var s = 0.0
+      var d = 0
+      while (d < n) {
+        val e = v.getFloat(d).toDouble
+        s += (if (((mask >>> d) & 1L) == 1L) e else -e)
+        d += 1
+      }
+      if (s > 0) acc |= (1L << p)
+      p += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val masksRef = ctx.addReferenceObj("masks", masks.toArray, "long[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val p = ctx.freshName("p")
+      val d = ctx.freshName("d")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val e = ctx.freshName("e")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($dims, $a.numElements());
+         |long $acc = 0L;
+         |for (int $p = 0; $p < ${masks.length}; $p++) {
+         |  double $s = 0.0;
+         |  for (int $d = 0; $d < $n; $d++) {
+         |    double $e = (double) $a.getFloat($d);
+         |    $s += ((($masksRef[$p] >>> $d) & 1L) == 1L) ? $e : -$e;
+         |  }
+         |  if ($s > 0) $acc |= (1L << $p);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneSketch =
+    copy(child = newChild)
+}
+
 object VectorExprs {
   /** Column API: dot(a, b) over array<float>. Spark 4 Columns wrap
     * ColumnNodes; the Expression bridge goes through GraftColumnBridge. */
@@ -82,4 +158,10 @@ object VectorExprs {
     import org.apache.spark.sql.functions.sqrt
     sqrt(vecDot(v, v))
   }
+
+  /** Column API: hyperplane sketch with the sign matrix packed as one
+    * 64-bit mask per plane (bit d set = +1). */
+  def vecSketch(v: Column, masks: Seq[Long], dims: Int): Column =
+    GraftColumnBridge.column(
+      HyperplaneSketch(GraftColumnBridge.expression(v), masks, dims))
 }

@@ -291,7 +291,7 @@ object Dedup {
         val e = Tables.embeddings(s, dir)
           .select(col("vec_id"), col("embedding"),
             vecNorm(col("embedding")).as("nrm"),
-            expr(Similarity.sketchSpark).as("sk"))
+            Similarity.sketchCol(col("embedding")).as("sk"))
         // ≤ 2^planes = 16 blocks: both the anchor map and the anchor
         // vectors are broadcast-sized at ANY corpus scale.
         val anchors = e.groupBy("sk").agg(min("vec_id").as("anchor"))

@@ -104,6 +104,22 @@ object Similarity {
     (0 until planes).map(p => (0 until dims).map(d =>
       if (md5hex(s"$p:$d").head.toInt % 2 == 1) 1 else -1))
 
+  /** The same matrix packed one 64-bit mask per plane (bit d = +1) for the
+    * codegen'd HyperplaneSketch expression. */
+  private[graft] val signMasks: Seq[Long] =
+    signMatrix.map(_.zipWithIndex.foldLeft(0L) {
+      case (m, (1, d)) => m | (1L << d)
+      case (m, _) => m
+    })
+
+  /** Codegen'd sketch column — provably equal to expr(sketchSpark)
+    * (SimilaritySpec) but inside whole-stage codegen; the form every
+    * full-corpus sketch scan uses. */
+  private[graft] def sketchCol(v: Column): Column =
+    graft.functions.VectorExprs.vecSketch(v, signMasks, dims)
+
+  private type Column = org.apache.spark.sql.Column
+
   private val mSpark = signMatrix
     .map(r => "array(" + r.map(v => s"${v}D").mkString(",") + ")")
     .mkString("array(", ",", ")")
@@ -129,7 +145,7 @@ object Similarity {
   /** Hyperplane-LSH top-k: candidates share the query's sketch bucket or
     * any Hamming-1 neighbor bucket (planes + 1 probes); exact cosine re-ranks. */
   def lshTopK(corpus: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
-    val e = withNorm(corpus).withColumn("sk", expr(sketchSpark))
+    val e = withNorm(corpus).withColumn("sk", sketchCol(col("embedding")))
     val q = e.filter(col("vec_id").isInCollection(queryIds))
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"),
         explode(expr(s"concat(array(sk), transform(sequence(0, ${planes - 1}), p -> sk ^ shiftleft(1L, p)))")).as("probe"))

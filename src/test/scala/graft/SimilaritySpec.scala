@@ -47,4 +47,13 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     assert(files.nonEmpty)
     assert(files.forall(f => probed.exists(l => f.contains(s"label=$l"))), files.take(3).mkString)
   }
+
+  test("codegen'd vec_sketch equals the interpreted HOF sketch on the corpus") {
+    val e = Tables.embeddings(spark, sfDir)
+    val both = e.select($"vec_id",
+      operators.Similarity.sketchCol($"embedding").as("fast"),
+      expr(operators.Similarity.sketchSpark).as("hof"))
+    assert(both.filter($"fast" =!= $"hof").count() == 0)
+    assert(both.count() > 0)
+  }
 }
