@@ -81,4 +81,35 @@ class CorpusSpec extends AnyFunSuite with SparkSuite {
       assert(math.abs(g - f) < 0.15, s"stratum $k: sampled $g, wanted $f")
     }
   }
+
+  test("q96 packing: bins respect the token budget up to one straddling chunk") {
+    val rows = SparkEntry.queries("q96_pack_chunks")(spark, sfDir)
+      .select("grp", "bin", "n_tokens").as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    // chunks are assigned by starting offset, so a bin can overflow only
+    // by the tail of its last chunk (chunk size <= 20)
+    rows.groupBy(r => (r._1, r._2)).foreach { case (gb, cs) =>
+      val tot = cs.map(_._3).sum
+      assert(tot < 128 + 20, s"bin $gb holds $tot tokens")
+    }
+    // bins within a group are contiguous from 0
+    rows.groupBy(_._1).foreach { case (g, cs) =>
+      val bins = cs.map(_._2).distinct.sorted.toSeq
+      assert(bins == Seq.range(0L, bins.length.toLong), s"group $g bins: $bins")
+    }
+  }
+
+  test("q97 decontamination drops exactly the eval-fingerprint docs") {
+    val kept = SparkEntry.queries("q97_decontaminate")(spark, sfDir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!kept.contains(3L) && !kept.contains(7L))
+    val all = Tables.documents(spark, sfDir).select("doc_id").as[Long].collect().toSet
+    val dropped = all -- kept
+    // every dropped doc must share a fingerprint with the eval docs
+    val fps = Tables.documents(spark, sfDir)
+      .select($"doc_id", md5(trim(lower(regexp_replace($"text", "[^a-zA-Z0-9 ]", "")))).as("fp"))
+      .as[(Long, String)].collect().toMap
+    val evalFps = Set(fps(3L), fps(7L))
+    assert(dropped.forall(d => evalFps.contains(fps(d))), s"over-dropped: $dropped")
+  }
 }
