@@ -17,6 +17,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark.experimental.extraOptimizations ++= Seq(graft.plans.LowercaseContainsRewrite)
     val names = if (SparkEntry.benchNames.nonEmpty) SparkEntry.benchNames
                 else SparkEntry.queries.keys.toSeq.sorted
     // Untimed warmup: JVM/codegen/file-listing costs land here, not on the
