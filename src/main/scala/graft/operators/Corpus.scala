@@ -27,6 +27,23 @@ object Corpus {
   private val toksExpr = "filter(split(lower(text), ' '), x -> x <> '')"
   private val toksDuck = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
 
+  import org.apache.spark.sql.DataFrame
+
+  /** q93's body, input-agnostic (docs needs `doc_id`, `text`): stateless
+    * map-side chunking — also runs unchanged on a readStream source
+    * (StreamingSpec proves batch ≡ stream). */
+  def chunkTokens(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), expr(toksExpr).as("w"))
+      .filter(size(col("w")) > 0)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, (size(w)-1) div 15), i ->
+          |struct(CAST(i AS BIGINT) AS chunk_idx,
+          |array_join(slice(w, i*15+1, 20), ' ') AS chunk,
+          |CAST(size(slice(w, i*15+1, 20)) AS BIGINT) AS n_tokens))"""
+          .stripMargin.replace("\n", " "))).as("c"))
+      .select(col("doc_id"), col("c.chunk_idx"), col("c.chunk"), col("c.n_tokens"))
+
   def defs: Seq[QueryDef] = Seq(
 
     QueryDef(
@@ -36,17 +53,7 @@ object Corpus {
       // i·stride for i in 0..(n-1) div stride, so every token lands in ≥1
       // chunk; the final chunk clips at the document end.
       (s, dir) =>
-        Tables.documents(s, dir)
-          .select(col("doc_id"), expr(toksExpr).as("w"))
-          .filter(size(col("w")) > 0)
-          .select(col("doc_id"), explode(expr(
-            """transform(sequence(0, (size(w)-1) div 15), i ->
-              |struct(CAST(i AS BIGINT) AS chunk_idx,
-              |array_join(slice(w, i*15+1, 20), ' ') AS chunk,
-              |CAST(size(slice(w, i*15+1, 20)) AS BIGINT) AS n_tokens))"""
-              .stripMargin.replace("\n", " "))).as("c"))
-          .select(col("doc_id"), col("c.chunk_idx"), col("c.chunk"), col("c.n_tokens"))
-          .orderBy("doc_id", "chunk_idx"),
+        chunkTokens(Tables.documents(s, dir)).orderBy("doc_id", "chunk_idx"),
       Some(s"""WITH t AS (SELECT doc_id, $toksDuck AS w FROM documents)
               |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
               |array_to_string(w[i*15+1 : i*15+20], ' ') AS chunk,

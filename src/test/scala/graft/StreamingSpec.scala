@@ -37,4 +37,27 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     assert(batch.exceptAll(stream).count() == 0)
     assert(stream.exceptAll(batch).count() == 0)
   }
+
+  test("streaming chunking equals the batch query (stateless corpus transform)") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val stage = java.nio.file.Files.createTempDirectory("graft_stream_docs")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/documents.parquet"),
+      stage.resolve("documents.parquet"))
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val streamed = graft.operators.Corpus.chunkTokens(
+      spark.readStream.schema(docSchema).parquet(stage.toString))
+    val q = streamed.writeStream.outputMode("append").format("memory")
+      .queryName("chunk_stream").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val stream = spark.table("chunk_stream")
+    val batch = graft.operators.Corpus.chunkTokens(Tables.documents(spark, sfDir))
+    assert(stream.count() > 0)
+    assert(batch.exceptAll(stream).count() == 0)
+    assert(stream.exceptAll(batch).count() == 0)
+  }
 }
