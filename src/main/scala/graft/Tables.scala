@@ -34,6 +34,17 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "embeddings")
 
+  /** S6 missing-store guard (article_querry.py:5-11: a missing
+    * raw_articles.csv yields an EMPTY frame, not a crash — queries over a
+    * store that hasn't been written yet return no rows). Schema-pinned so
+    * downstream selects/filters still resolve. */
+  def tableOrEmpty(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
+      spark.read.schema(schema).parquet(path)
+    else
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
   /** `documents` with PERSISTED lowercased columns (`text_lc`, `source_lc`),
     * materialized once per source dir — the ingest-time mitigation for the
     * reference's hottest query path (case-insensitive contains,

@@ -231,6 +231,27 @@ object Relational2 {
              |ORDER BY o_orderpriority, status""".stripMargin.replace("\n", " "))),
 
     QueryDef(
+      "q98_pivot",
+      // The dedicated pivot API (RelationalGroupedDataset.pivot with
+      // explicit values — the form that avoids the extra distinct-values
+      // job and keeps the plan a single hash aggregate). q17/q48 cover
+      // the conditional-aggregate and unpivot shapes; this declares the
+      // API itself.
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .groupBy("o_orderpriority")
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(round(sum("o_totalprice"), 2))
+          .na.fill(0.0, Seq("F", "O", "P"))
+          .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority,
+             |coalesce(round(sum(CASE WHEN o_orderstatus='F' THEN o_totalprice END), 2), 0) AS "F",
+             |coalesce(round(sum(CASE WHEN o_orderstatus='O' THEN o_totalprice END), 2), 0) AS "O",
+             |coalesce(round(sum(CASE WHEN o_orderstatus='P' THEN o_totalprice END), 2), 0) AS "P"
+             |FROM orders GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
       "q49_date_spine",
       // Generated date dimension left-joined to the fact — months with
       // zero orders still appear (see monthlyCounts).

@@ -47,4 +47,35 @@ class PropertySpec extends AnyFunSuite with SparkSuite {
       .filter($"n1" =!= $"n2")
     assert(bad.count() == 0)
   }
+
+  test("chunking: coverage, count, and reconstruction hold for random token counts") {
+    // For any doc of n tokens (n in 0..100, incl. empty and 1-token):
+    // chunk count = ceil-by-stride, every chunk <= 20 tokens, the final
+    // chunk ends at the last token, and stitching chunk starts (every 15
+    // tokens) reconstructs the token stream.
+    val docs = (0 until 60).map { i =>
+      val n = rnd.nextInt(101)
+      (i.toLong, Seq.fill(n)(rnd.alphanumeric.take(3).mkString.toLowerCase).mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val got = operators.Corpus.chunkTokens(df)
+      .select("doc_id", "chunk_idx", "chunk", "n_tokens")
+      .as[(Long, Long, String, Long)].collect().groupBy(_._1)
+    docs.foreach { case (id, text) =>
+      val toks = text.split(" ").filter(_.nonEmpty)
+      val n = toks.length
+      val cs = got.getOrElse(id, Array.empty).sortBy(_._2)
+      if (n == 0) assert(cs.isEmpty, s"doc $id: empty doc must yield no chunks")
+      else {
+        assert(cs.length == (n - 1) / 15 + 1, s"doc $id: ${cs.length} chunks for $n tokens")
+        assert(cs.forall(_._4 <= 20))
+        val last = cs.last
+        assert(last._2 * 15 + last._4 == n, s"doc $id: final chunk must clip at token $n")
+        // reconstruction: the first 15 tokens of each chunk, then the tail
+        val stitched = cs.flatMap(c => c._3.split(" ").take(15)).take(n) ++
+          cs.last._3.split(" ").drop(15)
+        assert(stitched.toSeq == toks.toSeq, s"doc $id: stitched stream diverges")
+      }
+    }
+  }
 }

@@ -49,4 +49,19 @@ class RelationalSpec extends AnyFunSuite with SparkSuite {
       (java.sql.Date.valueOf("1995-02-01"), 0L),
       (java.sql.Date.valueOf("1995-03-01"), 1L)))
   }
+
+  test("tableOrEmpty: missing store queries as an empty schema-pinned frame (S6)") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("title", StringType), StructField("year", StringType)))
+    val df = Tables.tableOrEmpty(spark, "/tmp/graft-definitely-missing.parquet", schema)
+    // downstream operations still resolve and return no rows, like the
+    // reference's empty-DataFrame fallback (article_querry.py:5-11)
+    assert(df.filter(Relational.containsCI(col("title"), "x")).count() == 0)
+    assert(df.schema == schema)
+    // and an existing path reads normally through the same call
+    val real = Tables.tableOrEmpty(spark, s"$sfDir/documents.parquet",
+      Tables.documents(spark, sfDir).schema)
+    assert(real.count() > 0)
+  }
 }
