@@ -55,6 +55,54 @@ object Multimodal {
       format = if (n % 3 == 0) "png" else if (n % 3 == 1) "jpeg" else "webp")
   }
 
+  final case class MediaFeatures(media_id: Long, features: Array[Double])
+
+  /** Fit-into-box resize arithmetic over the decoded dimensions: the
+    * metadata transform every image pipeline runs before batching. Pure
+    * expressions — the actual pixel resample would live in the decode
+    * seam; THIS (target-dim math, aspect preservation, degenerate-input
+    * guard) is the part with query semantics. */
+  def resizePlan(decoded: DataFrame, box: Int): DataFrame =
+    decoded
+      .withColumn("scale", expr(
+        s"CASE WHEN width <= 0 OR height <= 0 THEN 0D ELSE least($box.0D / width, $box.0D / height) END"))
+      .select(col("media_id"), col("width"), col("height"),
+        expr("CAST(floor(width * scale) AS BIGINT)").as("out_w"),
+        expr("CAST(floor(height * scale) AS BIGINT)").as("out_h"))
+
+  /** STUB feature extraction through the same mapPartitions seam as
+    * decode: an 8-bin character histogram over the first 64 chars of the
+    * UTF-8 payload, L1-normalized — deterministic fake features with the
+    * REAL shape (fixed-length vector per media row, codec-free). A real
+    * deployment swaps the histogram for a model forward pass; the seam,
+    * batching, and schema carry over. Expression twin proven equal in
+    * MultimodalSpec (q82 oracles the twin). */
+  def featureBatch(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // model/codec init would happen here, once per partition
+      it.map { m =>
+        val s = new String(m.payload, java.nio.charset.StandardCharsets.UTF_8).take(64)
+        val h = new Array[Double](8)
+        s.foreach(c => h(c.toInt % 8) += 1.0)
+        val n = h.sum
+        MediaFeatures(m.media_id, if (n == 0) h else h.map(_ / n))
+      }
+    }
+  }
+
+  /** The q82 expression twin of [[featureBatch]] (rounded for the oracle). */
+  def featureTwin(media: DataFrame): DataFrame =
+    media
+      .withColumn("s", expr("substring(cast(payload AS STRING), 1, 64)"))
+      .select(col("media_id"), posexplode(expr(
+        """transform(sequence(0, 7), b ->
+          |CASE WHEN length(s) = 0 THEN 0D ELSE
+          |size(filter(sequence(1, length(s)), i -> ascii(substring(s, i, 1)) % 8 = b)) * 1.0D / length(s)
+          |END)""".stripMargin.replace("\n", " "))))
+      .select(col("media_id"), col("pos").cast("long").as("bin"),
+        round(col("col"), 6).as("weight"))
+
   /** Video-style frame sampling: every `stride`-th frame index of a fake
     * frame count derived from payload size. Pure Catalyst. */
   def frameSample(media: DataFrame, stride: Int): DataFrame =
@@ -89,6 +137,47 @@ object Multimodal {
              |CASE WHEN octet_length(payload) % 3 = 0 THEN 'png'
              |WHEN octet_length(payload) % 3 = 1 THEN 'jpeg' ELSE 'webp' END AS format
              |FROM m ORDER BY media_id""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q82_media_features",
+      // Feature extraction twin (see featureBatch): 8-bin char histogram,
+      // exploded to (media_id, bin, weight) so the oracle compares scalar
+      // rows, not float arrays.
+      (s, dir) =>
+        featureTwin(toMediaTable(Tables.documents(s, dir)))
+          .orderBy("media_id", "bin"),
+      Some("""WITH m AS (SELECT doc_id AS media_id, substr(text, 1, 64) AS s FROM documents)
+             |SELECT media_id, CAST(b AS BIGINT) AS bin,
+             |round(CASE WHEN length(s) = 0 THEN 0 ELSE
+             |len(list_filter(generate_series(1, length(s)), i -> ascii(substr(s, i, 1)) % 8 = b)) * 1.0 / length(s)
+             |END, 6) AS weight
+             |FROM m, LATERAL (SELECT unnest(generate_series(0, 7)) AS b) g
+             |ORDER BY media_id, bin""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q83_resize_dims",
+      // Fit-into-256 resize arithmetic over the decoded metadata (q80's
+      // width/height), aspect-preserving with a degenerate-dims guard.
+      (s, dir) => {
+        val decoded = toMediaTable(Tables.documents(s, dir))
+          .select(col("media_id"),
+            (length(col("payload")) % 640).cast("long").as("width"),
+            expr("CASE WHEN length(payload) > 0 THEN ascii(substring(cast(payload AS STRING), 1, 1)) ELSE 0 END")
+              .cast("long").as("height"))
+        resizePlan(decoded, 256).orderBy("media_id")
+      },
+      Some("""WITH m AS (SELECT doc_id AS media_id, encode(text) AS payload FROM documents),
+             |d AS (SELECT media_id,
+             |CAST(octet_length(payload) % 640 AS BIGINT) AS width,
+             |CAST(CASE WHEN octet_length(payload) > 0 THEN ascii(substr(decode(payload), 1, 1)) ELSE 0 END AS BIGINT) AS height
+             |FROM m),
+             |r AS (SELECT media_id, width, height,
+             |CASE WHEN width <= 0 OR height <= 0 THEN 0 ELSE least(256.0 / width, 256.0 / height) END AS scale
+             |FROM d)
+             |SELECT media_id, width, height,
+             |CAST(floor(width * scale) AS BIGINT) AS out_w,
+             |CAST(floor(height * scale) AS BIGINT) AS out_h
+             |FROM r ORDER BY media_id""".stripMargin.replace("\n", " "))),
 
     QueryDef(
       "q81_frame_sample",

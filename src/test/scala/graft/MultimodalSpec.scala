@@ -32,6 +32,28 @@ class MultimodalSpec extends AnyFunSuite with SparkSuite {
     assert(decoded(2L) == "日".codePointAt(0)) // genuinely non-ASCII, not byte 0xE6
   }
 
+  test("mapPartitions feature extraction equals the expression twin (q82)") {
+    val media = Multimodal.toMediaTable(Tables.documents(spark, sfDir))
+    val seam = Multimodal.featureBatch(media.as[Multimodal.MediaRecord])
+      .flatMap(f => f.features.zipWithIndex.map { case (w, b) =>
+        (f.media_id, b.toLong, BigDecimal(w).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) })
+      .toDF("media_id", "bin", "weight")
+    val twin = Multimodal.featureTwin(media)
+    assert(seam.exceptAll(twin).count() == 0)
+    assert(twin.exceptAll(seam).count() == 0)
+  }
+
+  test("resize preserves aspect ratio and guards degenerate dims") {
+    val decoded = Seq((1L, 640L, 480L), (2L, 100L, 400L), (3L, 0L, 200L))
+      .toDF("media_id", "width", "height")
+    val got = Multimodal.resizePlan(decoded, 256)
+      .select("media_id", "out_w", "out_h").as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ((256L, 192L)))  // landscape: width hits the box
+    assert(got(2L) == ((64L, 256L)))   // portrait: height hits the box
+    assert(got(3L) == ((0L, 0L)))      // degenerate input never divides by 0
+  }
+
   test("frame sampling respects the stride") {
     val media = Multimodal.toMediaTable(Tables.documents(spark, sfDir))
     val frames = Multimodal.frameSample(media, 4)
