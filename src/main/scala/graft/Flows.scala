@@ -1,0 +1,89 @@
+package graft
+
+import graft.operators.{Ingest, KeywordTree, Relational}
+import graft.sources.Articles
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's five CLI entry points (scrappy.py main, scrappy.py:545-625;
+  * article_querry.py) as one Spark-native API — what a user who switches
+  * from the reference actually calls. Each flow is the composition of the
+  * declared operators; artifacts land in `outDir` (the reference writes
+  * raw_articles.csv / search_terms.json / topic_tree.json next to itself).
+  *
+  * The `main` drives all five flows end-to-end against the fixtures +
+  * testdata and prints one status line per flow (FlowsSpec asserts the
+  * artifact contents).
+  */
+object Flows {
+
+  /** --fetch-articles: fetch all sources → dedup → merge into the
+    * persistent store (existing wins) → delta report. */
+  def fetchArticles(spark: SparkSession, storeDir: String, terms: Seq[String]): DataFrame = {
+    val batch = Ingest.dedupByTitle(Ingest.unionSources(spark, Articles.allSources, terms))
+    // snapshot the prior titles EAGERLY — persistMerge swaps the store
+    // files underneath, so a lazy read of the old dir would dangle (a
+    // table format's snapshot id replaces this localCheckpoint at scale)
+    val before = Tables.tableOrEmpty(spark, storeDir, batch.schema)
+      .select("title").localCheckpoint()
+    Ingest.persistMerge(spark, storeDir, batch)
+    Ingest.deltaNew(spark.read.parquet(storeDir), before)
+  }
+
+  /** --query-articles: the conjunctive filter family over the store
+    * (term/institution/year/keyword, each optional), limit 10. */
+  def queryArticles(store: DataFrame, term: Option[String] = None,
+      institution: Option[String] = None, year: Option[String] = None,
+      keyword: Option[String] = None, limit: Int = 10): DataFrame = {
+    val t0 = store
+    val t1 = term.fold(t0)(t => t0.filter(
+      Relational.containsCI(col("title"), t) || Relational.containsCI(col("abstract"), t)))
+    val t2 = institution.fold(t1)(i => t1.filter(
+      Relational.containsCI(array_join(flatten(col("institutions")), "; "), i)))
+    val t3 = year.fold(t2)(y => t2.filter(col("year").cast("string") === lit(y)))
+    val t4 = keyword.fold(t3)(k => t3.filter(
+      Relational.containsCI(array_join(col("keywords"), ","), k)))
+    t4.orderBy(col("source_rank"), col("ingest_idx")).limit(limit)
+  }
+
+  /** --suggest-terms over a docs corpus (doc_id, text). */
+  def suggestTerms(docs: DataFrame, existing: Seq[String], topN: Int): DataFrame =
+    Ingest.suggestTerms(docs, existing, topN, examples = 2)
+
+  /** --build-tree: expansion + the nested topic_tree.json artifact. */
+  def buildTree(docs: DataFrame, seeds: Seq[String], depth: Int, outPath: java.nio.file.Path): String = {
+    val edges = KeywordTree.expand(docs, seeds, depth, fanout = 5)
+    val json = KeywordTree.toNestedJson(edges, seeds)
+    java.nio.file.Files.writeString(outPath, json)
+    json
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val out = java.nio.file.Files.createTempDirectory("graft_flows")
+    val store = out.resolve("articles_store").toString
+
+    val delta = fetchArticles(spark, store, Seq("security"))
+    println(s"FLOW fetch-articles delta=${delta.count()} store=${spark.read.parquet(store).count()}")
+
+    val q = queryArticles(spark.read.parquet(store), term = Some("ransomware"))
+    println(s"FLOW query-articles rows=${q.count()}")
+
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val sug = suggestTerms(docs, Seq("data", "join"), topN = 5)
+    println(s"FLOW suggest-terms rows=${sug.count()}")
+
+    val json = buildTree(docs, Seq("join"), depth = 2, out.resolve("topic_tree.json"))
+    println(s"FLOW build-tree chars=${json.length}")
+
+    val taxonomy = SparkEntry.queries("q77_wordcloud_weights")(spark, "/root/testdata/sf0.001")
+    println(s"FLOW build-taxonomy rows=${taxonomy.count()}")
+    spark.stop()
+  }
+}

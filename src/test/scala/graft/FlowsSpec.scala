@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end flow parity: the five reference CLI entry points composed
+  * from the declared operators, against a fresh persistent store. */
+class FlowsSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  test("fetch → persist → re-fetch is idempotent and delta shrinks to zero") {
+    val out = java.nio.file.Files.createTempDirectory("graft_flows_spec")
+    val store = out.resolve("store").toString
+    val d1 = Flows.fetchArticles(spark, store, Seq("t"))
+    assert(d1.count() > 0) // first run: everything is new
+    val n1 = spark.read.parquet(store).count()
+    val d2 = Flows.fetchArticles(spark, store, Seq("t"))
+    // Reference-faithful quirk: pandas isin never matches NaN, so the
+    // null-title row re-reports as "new" every run (scrappy.py:339-341);
+    // the equi-anti-join reproduces that. Every TITLED row must not.
+    assert(d2.filter(org.apache.spark.sql.functions.col("title").isNotNull).count() == 0,
+      "re-ingesting the same batch must add no titled rows")
+    // the store itself IS idempotent — nothing was appended
+    assert(spark.read.parquet(store).count() == n1)
+  }
+
+  test("query-articles composes the four optional filters like the reference") {
+    val out = java.nio.file.Files.createTempDirectory("graft_flows_spec_q")
+    val store = out.resolve("store").toString
+    Flows.fetchArticles(spark, store, Seq("t"))
+    val df = spark.read.parquet(store)
+    val byTerm = Flows.queryArticles(df, term = Some("ransomware"))
+      .select("title").as[String].collect()
+    assert(byTerm.nonEmpty && byTerm.forall(_.toLowerCase.contains("ransomware")))
+    val byYear = Flows.queryArticles(df, year = Some("2023"))
+      .select("year").as[String].collect()
+    assert(byYear.nonEmpty && byYear.forall(_ == "2023"))
+    val byKeyword = Flows.queryArticles(df, keyword = Some("pumps"))
+      .select("title").as[String].collect()
+    assert(byKeyword.toSeq == Seq("Security of Infusion Pumps"))
+    val byInst = Flows.queryArticles(df, institution = Some("nih"))
+      .select("title").as[String].collect()
+    assert(byInst.toSeq == Seq("Null Abstract Study"))
+    // conjunctive: term + year that never co-occur → empty, no crash (F6)
+    assert(Flows.queryArticles(df, term = Some("ransomware"), year = Some("2023")).isEmpty)
+  }
+
+  test("build-tree writes the nested artifact file") {
+    val out = java.nio.file.Files.createTempDirectory("graft_flows_spec_t")
+    val docs = Seq(
+      (0L, "spark join scan filter join"),
+      (1L, "join scan hash join spark")).toDF("doc_id", "text")
+    val json = Flows.buildTree(docs, Seq("join"), depth = 1, out.resolve("tree.json"))
+    assert(java.nio.file.Files.readString(out.resolve("tree.json")) == json)
+    assert(json.startsWith("{\n  \"join\": {"))
+  }
+}
