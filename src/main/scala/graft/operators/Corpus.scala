@@ -26,6 +26,7 @@ object Corpus {
 
   private val toksExpr = "filter(split(lower(text), ' '), x -> x <> '')"
   private val toksDuck = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
+  private val stopList = TextAnalytics.Stopwords.map(w => s"'$w'").mkString(", ")
 
   import org.apache.spark.sql.DataFrame
 
@@ -167,6 +168,69 @@ object Corpus {
              |SELECT doc_id, fp FROM docs
              |WHERE fp NOT IN (SELECT fp FROM ev)
              |ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q99_repetition_score",
+      // Within-document repetition (the Gopher/C4 quality signal): the
+      // fraction of trigram occurrences that are repeats of an earlier
+      // trigram in the SAME doc — 0 for fully novel text, →1 for loops.
+      // Single-pass scan expression over the trigram array; no shuffle.
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("doc_id"), expr(toksExpr).as("w"))
+          .withColumn("tri", expr(
+            """CASE WHEN size(w) >= 3
+              |THEN transform(sequence(0, size(w)-3), i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))
+              |ELSE slice(w, 1, 0) END""".stripMargin.replace("\n", " ")))
+          .select(col("doc_id"),
+            size(col("tri")).cast("long").as("n_trigrams"),
+            size(array_distinct(col("tri"))).cast("long").as("n_distinct"),
+            expr("CASE WHEN size(tri) = 0 THEN NULL ELSE round((size(tri) - size(array_distinct(tri))) * 1.0D / size(tri), 4) END")
+              .as("rep_ratio"))
+          .orderBy("doc_id"),
+      Some(s"""WITH t AS (SELECT doc_id, $toksDuck AS w FROM documents),
+              |g AS (SELECT doc_id, CASE WHEN len(w) >= 3
+              |THEN list_transform(generate_series(1, len(w)-2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+              |ELSE []::VARCHAR[] END AS tri FROM t)
+              |SELECT doc_id, len(tri) AS n_trigrams,
+              |len(list_distinct(tri)) AS n_distinct,
+              |CASE WHEN len(tri) = 0 THEN NULL ELSE round((len(tri) - len(list_distinct(tri))) * 1.0 / len(tri), 4) END AS rep_ratio
+              |FROM g ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q100_quality_gate",
+      // The composite keep/drop decision of a pretraining filter, from
+      // rules already proven individually: length bounds, stopword-ratio
+      // band (q33), token-length band, repetition cap (q99). One scan,
+      // every rule a codegen'd expression, the verdict plus each rule's
+      // bit so a 100 TB run can report WHY documents dropped.
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("text"), expr(toksExpr).as("w"))
+          .withColumn("tri", expr(
+            """CASE WHEN size(w) >= 3
+              |THEN transform(sequence(0, size(w)-3), i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))
+              |ELSE slice(w, 1, 0) END""".stripMargin.replace("\n", " ")))
+          .select(col("doc_id"),
+            (length(col("text")) >= 100 && length(col("text")) <= 5000).as("len_ok"),
+            expr(s"size(w) > 0 AND size(filter(w, x -> x IN ($stopList))) * 1.0D / size(w) BETWEEN 0.05D AND 0.6D").as("stop_ok"),
+            expr("size(w) > 0 AND length(replace(text, ' ', '')) * 1.0D / size(w) BETWEEN 2D AND 12D").as("toklen_ok"),
+            expr("size(tri) = 0 OR (size(tri) - size(array_distinct(tri))) * 1.0D / size(tri) <= 0.3D").as("rep_ok"))
+          .withColumn("keep", col("len_ok") && col("stop_ok") && col("toklen_ok") && col("rep_ok"))
+          .orderBy("doc_id"),
+      Some(s"""WITH t AS (SELECT doc_id, text, $toksDuck AS w FROM documents),
+              |g AS (SELECT doc_id, text, w, CASE WHEN len(w) >= 3
+              |THEN list_transform(generate_series(1, len(w)-2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+              |ELSE []::VARCHAR[] END AS tri FROM t),
+              |r AS (SELECT doc_id,
+              |length(text) >= 100 AND length(text) <= 5000 AS len_ok,
+              |len(w) > 0 AND len(list_filter(w, x -> x IN ($stopList))) * 1.0 / len(w) BETWEEN 0.05 AND 0.6 AS stop_ok,
+              |len(w) > 0 AND length(replace(text, ' ', '')) * 1.0 / len(w) BETWEEN 2 AND 12 AS toklen_ok,
+              |len(tri) = 0 OR (len(tri) - len(list_distinct(tri))) * 1.0 / len(tri) <= 0.3 AS rep_ok
+              |FROM g)
+              |SELECT doc_id, len_ok, stop_ok, toklen_ok, rep_ok,
+              |len_ok AND stop_ok AND toklen_ok AND rep_ok AS keep
+              |FROM r ORDER BY doc_id""".stripMargin.replace("\n", " "))),
 
     QueryDef(
       "q92_approx_sketches",

@@ -112,4 +112,28 @@ class CorpusSpec extends AnyFunSuite with SparkSuite {
     val evalFps = Set(fps(3L), fps(7L))
     assert(dropped.forall(d => evalFps.contains(fps(d))), s"over-dropped: $dropped")
   }
+
+  test("q100 quality gate discriminates and its verdict is the AND of its rules") {
+    val rows = SparkEntry.queries("q100_quality_gate")(spark, sfDir)
+      .select("len_ok", "stop_ok", "toklen_ok", "rep_ok", "keep")
+      .as[(Boolean, Boolean, Boolean, Boolean, Boolean)].collect()
+    assert(rows.exists(_._5) && rows.exists(!_._5), "gate must keep some and drop some")
+    rows.foreach { case (a, b, c, d, k) => assert(k == (a && b && c && d)) }
+  }
+
+  test("q99 repetition: a looping doc scores near 1, novel text scores 0") {
+    val docs = Seq(
+      (1L, "spam ham eggs " * 20),          // one trigram repeated
+      (2L, (1 to 40).map(i => s"w$i").mkString(" "))) // all-novel trigrams
+      .toDF("doc_id", "text")
+    val got = docs
+      .select(col("doc_id"), expr("filter(split(lower(text), ' '), x -> x <> '')").as("w"))
+      .withColumn("tri", expr(
+        "transform(sequence(0, size(w)-3), i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))"))
+      .select(col("doc_id"),
+        expr("(size(tri) - size(array_distinct(tri))) * 1.0D / size(tri)").as("r"))
+      .as[(Long, Double)].collect().toMap
+    assert(got(1L) > 0.9)
+    assert(got(2L) == 0.0)
+  }
 }
