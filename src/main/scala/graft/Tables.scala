@@ -56,24 +56,48 @@ object Tables {
     * ingest job — one-time cost, paid back by every subsequent query.
     * (PlanShapeSpec pins the pushed-filter plan shape.)
     *
-    * Single-writer per JVM (synchronized); cross-JVM safe via
-    * stage-then-atomic-rename, and an existing materialization is reused.
+    * The cache key fingerprints the SOURCE (path + per-file size/mtime),
+    * so regenerated testdata invalidates the materialization instead of
+    * silently serving stale rows. Writers stage into a per-attempt dir
+    * and atomically rename; a concurrent winner's output is accepted
+    * (losers discard their stage), so concurrent JVMs are safe.
     */
   def preparedDocuments(spark: SparkSession, dir: String): DataFrame = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
+    val src = Paths.get(s"$dir/documents.parquet")
+    val fingerprint = {
+      val parts =
+        if (Files.isDirectory(src))
+          Files.list(src).sorted().map[String](p =>
+            s"${p.getFileName}:${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}")
+            .toArray.mkString("|")
+        else s"${Files.size(src)}:${Files.getLastModifiedTime(src).toMillis}"
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(s"$dir|$parts".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    }
     val base = Paths.get(sys.props("java.io.tmpdir"), "graft-prepared")
-    val out = base.resolve(dir.replaceAll("[^a-zA-Z0-9.]", "_"))
+    val out = base.resolve(fingerprint)
     this.synchronized {
       if (!Files.exists(out.resolve("_SUCCESS"))) {
-        val stage = Paths.get(out.toString + ".stage")
+        // per-attempt stage dir: concurrent JVMs never write the same path
+        val stage = base.resolve(s"$fingerprint.stage-${java.util.UUID.randomUUID()}")
         documents(spark, dir)
-          .withColumn("text_lc", lower(col("text")))
-          .withColumn("source_lc", lower(col("source")))
+          .withColumn("text_lc", lower(col("text")).as("text_lc",
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .putString("graft.lc_of", "text").build()))
+          .withColumn("source_lc", lower(col("source")).as("source_lc",
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .putString("graft.lc_of", "source").build()))
           .write.mode("overwrite").parquet(stage.toString)
-        if (Files.exists(out))
-          Files.walk(out).sorted(java.util.Comparator.reverseOrder())
-            .forEach(p => Files.delete(p))
-        Files.move(stage, out, StandardCopyOption.ATOMIC_MOVE)
+        try Files.move(stage, out, StandardCopyOption.ATOMIC_MOVE)
+        catch {
+          // another JVM won the race: accept its output, drop ours
+          case _: java.nio.file.FileAlreadyExistsException
+               | _: java.nio.file.DirectoryNotEmptyException
+               | _: java.nio.file.AccessDeniedException =>
+            Files.walk(stage).sorted(java.util.Comparator.reverseOrder())
+              .forEach(p => Files.delete(p))
+        }
       }
     }
     spark.read.parquet(out.toString)

@@ -115,15 +115,8 @@ object Corpus {
       // where a global greedy pass cannot.
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
-        val chunks = Tables.documents(s, dir)
-          .select(col("doc_id"), expr(toksExpr).as("w"))
-          .filter(size(col("w")) > 0)
-          .select(col("doc_id"), explode(expr(
-            """transform(sequence(0, (size(w)-1) div 15), i ->
-              |struct(CAST(i AS BIGINT) AS chunk_idx,
-              |CAST(size(slice(w, i*15+1, 20)) AS BIGINT) AS n_tokens))"""
-              .stripMargin.replace("\n", " "))).as("c"))
-          .select(col("doc_id"), col("c.chunk_idx"), col("c.n_tokens"))
+        val chunks = chunkTokens(Tables.documents(s, dir))
+          .select(col("doc_id"), col("chunk_idx"), col("n_tokens"))
           .withColumn("grp", (col("doc_id") % 8).cast("long"))
         val w = Window.partitionBy("grp").orderBy("doc_id", "chunk_idx")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)

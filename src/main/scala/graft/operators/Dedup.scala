@@ -75,14 +75,20 @@ object Dedup {
       .select(col("da"), col("db"),
         round(col("i") * lit(1.0) / (col("za.n") + col("zb.n") - col("i")), 4).as("jaccard"))
 
-  /** Verified Jaccard for explicit candidate pairs. */
-  private def jaccardOfCandidates(cand: DataFrame, t: DataFrame): DataFrame = {
-    val (sh, sz) = invertedIndex(t)
+  /** Verified Jaccard for explicit candidate pairs, reusing an already
+    * built inverted index (callers that derived one for candidate
+    * generation must not pay the corpus re-tokenization twice). */
+  private def jaccardOfCandidates(cand: DataFrame, sh: DataFrame, sz: DataFrame): DataFrame = {
     val inter = cand
       .join(sh.as("sa"), col("da") === col("sa.doc_id"))
       .join(sh.as("sb"), col("db") === col("sb.doc_id") && col("sa.s") === col("sb.s"))
       .groupBy("da", "db").agg(count(lit(1)).as("i"))
     jaccardFromInter(inter, sz)
+  }
+
+  private def jaccardOfCandidates(cand: DataFrame, t: DataFrame): DataFrame = {
+    val (sh, sz) = invertedIndex(t)
+    jaccardOfCandidates(cand, sh, sz)
   }
 
   private type Column = org.apache.spark.sql.Column
@@ -225,7 +231,7 @@ object Dedup {
           .join(sh.as("fb"), col("pa.s") === col("fb.s") && col("pa.doc_id") < col("fb.doc_id"))
           .select(col("pa.doc_id").as("da"), col("fb.doc_id").as("db"))
           .distinct()
-        jaccardOfCandidates(cand, t)
+        jaccardOfCandidates(cand, sh, sz)
           .filter(col("jaccard") >= 0.9)
           .orderBy("da", "db")
       },

@@ -82,9 +82,13 @@ object Multimodal {
     media.mapPartitions { it =>
       // model/codec init would happen here, once per partition
       it.map { m =>
-        val s = new String(m.payload, java.nio.charset.StandardCharsets.UTF_8).take(64)
+        // CODEPOINTS, not UTF-16 units: Spark's substring/length and
+        // DuckDB's substr/length count code points, so the expression
+        // twin does too — a surrogate pair must be ONE histogram entry.
+        val cps = new String(m.payload, java.nio.charset.StandardCharsets.UTF_8)
+          .codePoints().limit(64).toArray
         val h = new Array[Double](8)
-        s.foreach(c => h(c.toInt % 8) += 1.0)
+        cps.foreach(cp => h(cp % 8) += 1.0)
         val n = h.sum
         MediaFeatures(m.media_id, if (n == 0) h else h.map(_ / n))
       }

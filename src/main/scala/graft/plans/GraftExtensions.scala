@@ -24,11 +24,15 @@ import org.apache.spark.sql.types.{BooleanType, StringType}
   * express the semantics.
   *
   * Soundness:
-  *  - Fires only when the child outputs a StringType attribute literally
-  *    named `<x>_lc` — only prepared tables carry those — and only when
-  *    the needle literal is already lowercase (containsCI lowercases at
-  *    build time; a mixed-case literal under lower() can never match
-  *    anyway, but we leave such expressions alone).
+  *  - Fires only when the child outputs a StringType attribute named
+  *    `<x>_lc` that DECLARES the invariant via column metadata
+  *    `graft.lc_of = "<x>"` (written by Tables.preparedDocuments and
+  *    persisted through parquet) — a coincidentally-named `x_lc` column,
+  *    e.g. from another relation in a join or an unrelated withColumn,
+  *    never triggers the rewrite (PlansSpec pins the negative case) —
+  *    and only when the needle literal is already lowercase (containsCI
+  *    lowercases at build time; a mixed-case literal under lower() can
+  *    never match anyway, but we leave such expressions alone).
   *  - `contains(x_lc, n)` is null exactly when `contains(lower(x), n)` is
   *    null (x null ⇔ x_lc null), so the bare rewrite is equivalence-
   *    preserving in ANY context.
@@ -42,7 +46,10 @@ import org.apache.spark.sql.types.{BooleanType, StringType}
 object LowercaseContainsRewrite extends Rule[LogicalPlan] {
 
   private def twin(child: LogicalPlan, a: AttributeReference): Option[Attribute] =
-    child.output.find(o => o.name == a.name + "_lc" && o.dataType == StringType)
+    child.output.find(o =>
+      o.name == a.name + "_lc" && o.dataType == StringType &&
+        o.metadata.contains("graft.lc_of") &&
+        o.metadata.getString("graft.lc_of") == a.name)
 
   private def lowercaseLit(l: Literal): Boolean = l.value match {
     case s: org.apache.spark.unsafe.types.UTF8String =>

@@ -34,6 +34,10 @@ class MultimodalSpec extends AnyFunSuite with SparkSuite {
 
   test("mapPartitions feature extraction equals the expression twin (q82)") {
     val media = Multimodal.toMediaTable(Tables.documents(spark, sfDir))
+      // include a supplementary-plane row: one emoji must be ONE codepoint
+      // in both paths (the UTF-16 code-unit trap)
+      .unionByName(Multimodal.toMediaTable(
+        Seq((100001L, "😀 beyond the basic plane 😀 text")).toDF("doc_id", "text")))
     val seam = Multimodal.featureBatch(media.as[Multimodal.MediaRecord])
       .flatMap(f => f.features.zipWithIndex.map { case (w, b) =>
         (f.media_id, b.toLong, BigDecimal(w).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) })

@@ -48,14 +48,22 @@ class PlansSpec extends AnyFunSuite with SparkSuite {
       // attribute (non-literal) needle → untouched
       val attr = prepared.filter(expr("contains(lower(text), source)"))
       assert(attr.queryExecution.optimizedPlan.toString.contains("lower(text"))
+      // a coincidentally-NAMED text_lc without the graft.lc_of metadata
+      // declaration must NOT trigger the rewrite (it may hold anything)
+      val impostor = Tables.documents(spark, sfDir)
+        .withColumn("text_lc", reverse(col("text")))
+        .filter(Relational.containsCI(col("text"), "join"))
+      assert(impostor.queryExecution.optimizedPlan.toString.contains("lower(text"))
     }
   }
 
   test("null text: rewritten positive filter drops nulls exactly like containsCI") {
     withRule {
+      val lcMeta = new org.apache.spark.sql.types.MetadataBuilder()
+        .putString("graft.lc_of", "text").build()
       val docs = Seq((1L, Option("has join here"), "s"), (2L, None, "s"), (3L, Option("other"), "s"))
         .toDF("doc_id", "text", "source")
-        .withColumn("text_lc", lower(col("text")))
+        .withColumn("text_lc", lower(col("text")).as("text_lc", lcMeta))
       val kept = docs.filter(Relational.containsCI(col("text"), "join"))
         .select("doc_id").as[Long].collect().toSeq
       assert(kept == Seq(1L))
