@@ -19,7 +19,9 @@ object ExplainAudit {
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.01"
     val targets = if (args.nonEmpty) args.toSeq
-      else Seq("q02_filter_topk", "q05_nation_revenue", "q30_term_freq", "q44_dedup_embedding")
+      else Seq("q02_filter_topk", "q05_nation_revenue", "q30_term_freq",
+        "q44_dedup_embedding", "q45_dedup_survivors", "q89_conjunctive_query",
+        "q93_chunk_documents", "q96_pack_chunks")
     targets.foreach { name =>
       println(s"\n===== $name =====")
       SparkEntry.queries(name)(spark, dir).explain("formatted")
