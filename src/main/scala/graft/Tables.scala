@@ -67,11 +67,13 @@ object Tables {
     val src = Paths.get(s"$dir/documents.parquet")
     val fingerprint = {
       val parts =
-        if (Files.isDirectory(src))
-          Files.list(src).sorted().map[String](p =>
+        if (Files.isDirectory(src)) {
+          val ls = Files.list(src)
+          try ls.sorted().map[String](p =>
             s"${p.getFileName}:${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}")
             .toArray.mkString("|")
-        else s"${Files.size(src)}:${Files.getLastModifiedTime(src).toMillis}"
+          finally ls.close()
+        } else s"${Files.size(src)}:${Files.getLastModifiedTime(src).toMillis}"
       val md = java.security.MessageDigest.getInstance("MD5")
       md.digest(s"$dir|$parts".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
     }
