@@ -27,7 +27,9 @@ object Flows {
     val before = Tables.tableOrEmpty(spark, storeDir, batch.schema)
       .select("title").localCheckpoint()
     Ingest.persistMerge(spark, storeDir, batch)
-    Ingest.deltaNew(spark.read.parquet(storeDir), before)
+    // the delta is checkpointed too: the returned frame must survive the
+    // NEXT merge's store swap, not just this one's
+    Ingest.deltaNew(spark.read.parquet(storeDir), before).localCheckpoint()
   }
 
   /** --query-articles: the conjunctive filter family over the store

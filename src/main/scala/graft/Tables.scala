@@ -74,8 +74,12 @@ object Tables {
             .toArray.mkString("|")
           finally ls.close()
         } else s"${Files.size(src)}:${Files.getLastModifiedTime(src).toMillis}"
+      // prepV bumps whenever the prepared schema/metadata contract
+      // changes — an old build's materialization must never be served
+      // to a build that expects different columns.
+      val prepV = "v2:text_lc,source_lc,graft.lc_of"
       val md = java.security.MessageDigest.getInstance("MD5")
-      md.digest(s"$dir|$parts".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+      md.digest(s"$prepV|$dir|$parts".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
     }
     val base = Paths.get(sys.props("java.io.tmpdir"), "graft-prepared")
     val out = base.resolve(fingerprint)

@@ -18,27 +18,29 @@ import org.apache.spark.sql.expressions.Aggregator
   */
 class TopKTerms(k: Int) extends Aggregator[(String, Long), Map[String, Long], Seq[(String, Long)]] {
 
-  // The buffer holds up to OverTrim·k entries before evicting (r1 advice:
-  // the old Seq buffer re-sorted all k entries on EVERY input row). With a
-  // map buffer, reduce is an O(1) update amortized; the occasional trim is
-  // O(b log b). The slack factor also shrinks heavy-hitter lossiness on
-  // raw-occurrence input: a term must stay out of the top 4k of every
-  // partial to lose mass (still SpaceSaving-like, still only EXACT when
-  // the input is pre-aggregated — one row per term per partition).
+  // Buffer with HYSTERESIS (r1 advice + r2 review): grow to 2·OverTrim·k
+  // before trimming DOWN to OverTrim·k, so on high-cardinality streams a
+  // trim is amortized over ≥ OverTrim·k inserts — O(log b) per row —
+  // instead of firing on every row once saturated. The retained slack
+  // also shrinks heavy-hitter lossiness on raw-occurrence input: a term
+  // must stay out of the top 4k of every partial to lose mass (still
+  // SpaceSaving-like, still only EXACT when the input is pre-aggregated
+  // — one row per term per partition).
   private val OverTrim = 4
+  private def keepSize = OverTrim * k
+  private def trimAt = 2 * OverTrim * k
 
-  private def trim(buf: Map[String, Long], to: Int): Map[String, Long] =
-    if (buf.size <= to) buf
-    else buf.toSeq.sortBy { case (t, c) => (-c, t) }.take(to).toMap
+  private def trim(buf: Map[String, Long]): Map[String, Long] =
+    if (buf.size <= trimAt) buf
+    else buf.toSeq.sortBy { case (t, c) => (-c, t) }.take(keepSize).toMap
 
   override def zero: Map[String, Long] = Map.empty
 
   override def reduce(buf: Map[String, Long], in: (String, Long)): Map[String, Long] =
-    trim(buf.updated(in._1, buf.getOrElse(in._1, 0L) + in._2), OverTrim * k)
+    trim(buf.updated(in._1, buf.getOrElse(in._1, 0L) + in._2))
 
   override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] =
-    trim(b.foldLeft(a) { case (m, (t, c)) => m.updated(t, m.getOrElse(t, 0L) + c) },
-      OverTrim * k)
+    trim(b.foldLeft(a) { case (m, (t, c)) => m.updated(t, m.getOrElse(t, 0L) + c) })
 
   override def finish(buf: Map[String, Long]): Seq[(String, Long)] =
     buf.toSeq.sortBy { case (t, c) => (-c, t) }.take(k)

@@ -31,7 +31,7 @@ object Topics {
     val assigned = cluster(graft.Tables.embeddings(spark, dir), k)
     val docs = graft.Tables.documents(spark, dir)
     val toks = docs.join(assigned, docs("doc_id") === assigned("vec_id"))
-      .select(col("topic_id"), explode(expr("filter(split(lower(text), ' '), x -> x <> '')")).as("term"))
+      .select(col("topic_id"), explode(expr(graft.operators.TextAnalytics.toksExpr)).as("term"))
       .filter(!col("term").isInCollection(graft.operators.TextAnalytics.Stopwords))
     val counts = toks.groupBy("topic_id", "term").agg(count(lit(1)).as("cnt"))
     val w = Window.partitionBy("topic_id").orderBy(col("cnt").desc, col("term"))

@@ -24,9 +24,9 @@ import org.apache.spark.sql.functions._
   */
 object Corpus {
 
-  private val toksExpr = "filter(split(lower(text), ' '), x -> x <> '')"
-  private val toksDuck = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
-  private val stopList = TextAnalytics.Stopwords.map(w => s"'$w'").mkString(", ")
+  private val toksExpr = TextAnalytics.toksExpr
+  private val toksDuck = TextAnalytics.toksDuck
+  private val stopList = TextAnalytics.stopSqlList
 
   import org.apache.spark.sql.DataFrame
 

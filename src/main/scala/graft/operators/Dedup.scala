@@ -28,8 +28,8 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  private val toksExpr = "filter(split(lower(text), ' '), x -> x <> '')"
-  private val toksDuck = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
+  private val toksExpr = TextAnalytics.toksExpr
+  private val toksDuck = TextAnalytics.toksDuck
 
   import org.apache.spark.sql.DataFrame
 

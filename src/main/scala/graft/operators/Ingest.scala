@@ -111,7 +111,7 @@ object Ingest {
   def suggestTerms(docs: DataFrame, existingTerms: Seq[String], topN: Int,
       examples: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = "filter(split(lower(text), ' '), x -> x <> '')"
+    val toks = TextAnalytics.toksExpr
     val grams = docs.select(expr(toks).as("w"))
       .select(explode(expr(
         s"""concat(w, CASE WHEN size(w) >= 2

@@ -21,7 +21,7 @@ import org.apache.spark.sql.functions._
   */
 object KeywordTree {
 
-  private val toksExpr = "filter(split(lower(text), ' '), x -> x <> '')"
+  private val toksExpr = TextAnalytics.toksExpr
 
   def expand(docs: DataFrame, seeds: Seq[String], depth: Int = 2,
       fanout: Int = 5, stop: Seq[String] = TextAnalytics.Stopwords): DataFrame = {
@@ -96,7 +96,7 @@ object KeywordTree {
     else roots.map(s => s"""  "${esc(s)}": ${render(s, 0L, 1)}""").mkString("{\n", ",\n", "\n}")
   }
 
-  private val stopSqlList = TextAnalytics.Stopwords.map(w => s"'$w'").mkString(", ")
+  private val stopSqlList = TextAnalytics.stopSqlList
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef(

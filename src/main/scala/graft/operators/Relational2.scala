@@ -269,7 +269,7 @@ object Relational2 {
       (s, dir) => {
         val docs = Tables.documents(s, dir)
         val tok = docs.select(col("doc_id"),
-          explode(expr("filter(split(lower(text), ' '), x -> x <> '')")).as("term"))
+          explode(expr(TextAnalytics.toksExpr)).as("term"))
           .filter(!col("term").isInCollection(TextAnalytics.Stopwords))
         val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
         val dfT = tf.groupBy("term").agg(countDistinct("doc_id").as("df"))

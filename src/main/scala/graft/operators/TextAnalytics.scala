@@ -27,12 +27,17 @@ object TextAnalytics {
     * scrappy.py:368 — we pin a small explicit list so both engines agree). */
   val Stopwords: Seq[String] =
     Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "on", "for", "with")
-  private val stopSqlList = Stopwords.map(w => s"'$w'").mkString(", ")
+  /** The one quoted-SQL form of the stop list (oracle-parity critical —
+    * every module must interpolate THIS, not its own copy). */
+  private[graft] val stopSqlList = Stopwords.map(w => s"'$w'").mkString(", ")
 
   /** Tokens: lowercase whitespace split, empties removed (handles the
-    * corpus's trailing spaces). Same expression text on both sides. */
-  private val toksExpr = "filter(split(lower(text), ' '), x -> x <> '')"
-  private val toksDuck = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
+    * corpus's trailing spaces). Same expression text on both sides. This
+    * pair DEFINES what a token is for every oracle-checked query — one
+    * shared copy (q30/q42/q77/q93..q100 all interpolate it) so the Spark
+    * and DuckDB strings can never drift module-by-module. */
+  private[graft] val toksExpr = "filter(split(lower(text), ' '), x -> x <> '')"
+  private[graft] val toksDuck = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
 
   /** Deterministic multi-language corpus for q79: sentences dense in each
     * language's own stopword signal, disjoint from the other two lists —

@@ -45,11 +45,21 @@ import org.apache.spark.sql.types.{BooleanType, StringType}
   */
 object LowercaseContainsRewrite extends Rule[LogicalPlan] {
 
+  /** The lowercase twin of `a`, resolved by LINEAGE, not name: find the
+    * leaf relation whose output carries a's exprId, take ITS declared
+    * `<name>_lc` column, and require that attribute (same exprId) to
+    * still be visible in the child's output. Under a self-join both
+    * sides expose a `text_lc` — name-based matching could hand back the
+    * other relation's column; exprId lineage pins the right side (and
+    * bails if a projection re-aliased the twin away). */
   private def twin(child: LogicalPlan, a: AttributeReference): Option[Attribute] =
-    child.output.find(o =>
-      o.name == a.name + "_lc" && o.dataType == StringType &&
-        o.metadata.contains("graft.lc_of") &&
-        o.metadata.getString("graft.lc_of") == a.name)
+    child.collectLeaves()
+      .find(_.output.exists(_.exprId == a.exprId))
+      .flatMap(_.output.find(o =>
+        o.name == a.name + "_lc" && o.dataType == StringType &&
+          o.metadata.contains("graft.lc_of") &&
+          o.metadata.getString("graft.lc_of") == a.name))
+      .flatMap(t => child.output.find(_.exprId == t.exprId))
 
   private def lowercaseLit(l: Literal): Boolean = l.value match {
     case s: org.apache.spark.unsafe.types.UTF8String =>
