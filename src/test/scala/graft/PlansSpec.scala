@@ -72,4 +72,20 @@ class PlansSpec extends AnyFunSuite with SparkSuite {
       assert(keptNeg == Seq(2L, 3L)) // null row kept: na=False semantics under NOT
     }
   }
+
+  test("rule under a self-join rewrites onto the filtered side's own twin") {
+    withRule {
+      val prep = Tables.preparedDocuments(spark, sfDir)
+      val joined = prep.as("l")
+        .join(prep.as("r"), col("l.doc_id") === col("r.doc_id") + 250)
+        .filter(Relational.containsCI(col("r.text"), "join"))
+        .select(col("l.doc_id").as("l_id"), col("r.doc_id").as("r_id"))
+      val raw = Tables.documents(spark, sfDir).as("l")
+        .join(Tables.documents(spark, sfDir).as("r"), col("l.doc_id") === col("r.doc_id") + 250)
+        .filter(Relational.containsCI(col("r.text"), "join"))
+        .select(col("l.doc_id").as("l_id"), col("r.doc_id").as("r_id"))
+      assert(joined.exceptAll(raw).count() == 0 && raw.exceptAll(joined).count() == 0)
+      assert(joined.count() > 0, "fixture filter must match something")
+    }
+  }
 }
