@@ -333,6 +333,29 @@ object Relational2 {
              |FROM events ORDER BY event_id""".stripMargin.replace("\n", " "))),
 
     QueryDef(
+      "q101_map_ops",
+      // Map-typed column surface: parse the props JSON into MAP<STRING,
+      // STRING> and exercise the map function family (map_keys /
+      // element_at / size) — the dynamic-schema path C14's fixed-path
+      // extraction (q38) doesn't cover. All scan expressions.
+      (s, dir) =>
+        Tables.events(s, dir)
+          .select(col("event_id"),
+            from_json(col("props"), org.apache.spark.sql.types.MapType(
+              org.apache.spark.sql.types.StringType,
+              org.apache.spark.sql.types.StringType)).as("m"))
+          .select(col("event_id"),
+            size(map_keys(col("m"))).cast("long").as("n_keys"),
+            array_join(array_sort(map_keys(col("m"))), ",").as("keys"),
+            element_at(col("m"), "k").cast("long").as("k"))
+          .orderBy("event_id"),
+      Some("""SELECT event_id,
+             |CAST(len(json_keys(props)) AS BIGINT) AS n_keys,
+             |array_to_string(list_sort(json_keys(props)), ',') AS keys,
+             |CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+             |FROM events ORDER BY event_id""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
       "q39_string_agg",
       (s, dir) =>
         Tables.lineitem(s, dir)
