@@ -45,6 +45,22 @@ object Corpus {
           .stripMargin.replace("\n", " "))).as("c"))
       .select(col("doc_id"), col("c.chunk_idx"), col("c.chunk"), col("c.n_tokens"))
 
+  /** q100's body, input-agnostic — stateless scan expressions, so the
+    * same gate runs on a readStream source (StreamingSpec). */
+  def qualityGate(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("text"), expr(toksExpr).as("w"))
+      .withColumn("tri", expr(
+        """CASE WHEN size(w) >= 3
+          |THEN transform(sequence(0, size(w)-3), i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))
+          |ELSE slice(w, 1, 0) END""".stripMargin.replace("\n", " ")))
+      .select(col("doc_id"),
+        (length(col("text")) >= 100 && length(col("text")) <= 5000).as("len_ok"),
+        expr(s"size(w) > 0 AND size(filter(w, x -> x IN ($stopList))) * 1.0D / size(w) BETWEEN 0.05D AND 0.6D").as("stop_ok"),
+        expr("size(w) > 0 AND length(replace(text, ' ', '')) * 1.0D / size(w) BETWEEN 2D AND 12D").as("toklen_ok"),
+        expr("size(tri) = 0 OR (size(tri) - size(array_distinct(tri))) * 1.0D / size(tri) <= 0.3D").as("rep_ok"))
+      .withColumn("keep", col("len_ok") && col("stop_ok") && col("toklen_ok") && col("rep_ok"))
+
   def defs: Seq[QueryDef] = Seq(
 
     QueryDef(
@@ -197,20 +213,7 @@ object Corpus {
       // band (q33), token-length band, repetition cap (q99). One scan,
       // every rule a codegen'd expression, the verdict plus each rule's
       // bit so a 100 TB run can report WHY documents dropped.
-      (s, dir) =>
-        Tables.documents(s, dir)
-          .select(col("doc_id"), col("text"), expr(toksExpr).as("w"))
-          .withColumn("tri", expr(
-            """CASE WHEN size(w) >= 3
-              |THEN transform(sequence(0, size(w)-3), i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))
-              |ELSE slice(w, 1, 0) END""".stripMargin.replace("\n", " ")))
-          .select(col("doc_id"),
-            (length(col("text")) >= 100 && length(col("text")) <= 5000).as("len_ok"),
-            expr(s"size(w) > 0 AND size(filter(w, x -> x IN ($stopList))) * 1.0D / size(w) BETWEEN 0.05D AND 0.6D").as("stop_ok"),
-            expr("size(w) > 0 AND length(replace(text, ' ', '')) * 1.0D / size(w) BETWEEN 2D AND 12D").as("toklen_ok"),
-            expr("size(tri) = 0 OR (size(tri) - size(array_distinct(tri))) * 1.0D / size(tri) <= 0.3D").as("rep_ok"))
-          .withColumn("keep", col("len_ok") && col("stop_ok") && col("toklen_ok") && col("rep_ok"))
-          .orderBy("doc_id"),
+      (s, dir) => qualityGate(Tables.documents(s, dir)).orderBy("doc_id"),
       Some(s"""WITH t AS (SELECT doc_id, text, $toksDuck AS w FROM documents),
               |g AS (SELECT doc_id, text, w, CASE WHEN len(w) >= 3
               |THEN list_transform(generate_series(1, len(w)-2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])

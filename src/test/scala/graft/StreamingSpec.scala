@@ -60,4 +60,27 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
     assert(batch.exceptAll(stream).count() == 0)
     assert(stream.exceptAll(batch).count() == 0)
   }
+
+  test("streaming quality gate equals the batch query") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val stage = java.nio.file.Files.createTempDirectory("graft_stream_gate")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/documents.parquet"),
+      stage.resolve("documents.parquet"))
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val q = graft.operators.Corpus.qualityGate(
+        spark.readStream.schema(docSchema).parquet(stage.toString))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("gate_stream").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val stream = spark.table("gate_stream")
+    val batch = graft.operators.Corpus.qualityGate(Tables.documents(spark, sfDir))
+    assert(stream.count() > 0)
+    assert(batch.exceptAll(stream).count() == 0)
+    assert(stream.exceptAll(batch).count() == 0)
+  }
 }
