@@ -76,7 +76,9 @@ object Tables {
         } else s"${Files.size(src)}:${Files.getLastModifiedTime(src).toMillis}"
       // prepV bumps whenever the prepared schema/metadata contract
       // changes — an old build's materialization must never be served
-      // to a build that expects different columns.
+      // to a build that expects different columns. Superseded
+      // fingerprints are NOT swept (a sibling may be another sf dir's
+      // LIVE cache); orphans rely on OS tmp reaping.
       val prepV = "v2:text_lc,source_lc,graft.lc_of"
       val md = java.security.MessageDigest.getInstance("MD5")
       md.digest(s"$prepV|$dir|$parts".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
@@ -101,8 +103,10 @@ object Tables {
           case _: java.nio.file.FileAlreadyExistsException
                | _: java.nio.file.DirectoryNotEmptyException
                | _: java.nio.file.AccessDeniedException =>
-            Files.walk(stage).sorted(java.util.Comparator.reverseOrder())
+            val w = Files.walk(stage)
+            try w.sorted(java.util.Comparator.reverseOrder())
               .forEach(p => Files.delete(p))
+            finally w.close()
         }
       }
     }

@@ -6,11 +6,12 @@ import org.apache.spark.sql.expressions.Aggregator
 /** Typed Aggregator showcase (SURVEY.md §2.12): top-K (term, count) pairs
   * as a single-pass aggregate. Counts for the same term are summed before
   * trimming, so partial buffers from different partitions combine
-  * correctly. The buffer is bounded at K entries per partition — which
-  * makes this EXACT when input terms are pre-aggregated (each term on one
-  * row per partition, the q30-style shape) and a heavy-hitters
-  * approximation when fed raw occurrences (count mass for a term evicted
-  * from a partial is lost, like SpaceSaving without error bounds).
+  * correctly. The buffer is bounded at 2·OverTrim·K entries per partition
+  * (trimmed down to OverTrim·K with hysteresis — see below) — EXACT when
+  * input terms are pre-aggregated (each term on one row per partition,
+  * the q30-style shape) and a heavy-hitters approximation when fed raw
+  * occurrences (count mass for a term evicted from a partial is lost,
+  * like SpaceSaving without error bounds).
   *
   * (The declared queries use orderBy+limit — TakeOrderedAndProject — which
   * Catalyst already optimizes; this Aggregator is the custom-UDAF

@@ -190,7 +190,7 @@ object Ingest {
       (s, dir) => suggestTerms(graft.Tables.documents(s, dir),
         existingTerms = Seq("data", "join", "query"), topN = 20, examples = 2),
       Some(s"""WITH toks AS (SELECT doc_id, text,
-              |list_filter(string_split(lower(text), ' '), x -> x <> '') AS w FROM documents),
+              |${graft.operators.TextAnalytics.toksDuck} AS w FROM documents),
               |grams AS (
               |SELECT w[i] AS term FROM toks, LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) g
               |UNION ALL

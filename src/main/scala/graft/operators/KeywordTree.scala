@@ -104,7 +104,7 @@ object KeywordTree {
       (s, dir) => expand(Tables.documents(s, dir), Seq("join", "scan"), depth = 2, fanout = 5),
       // Depth-2 unrolling of the same expansion in SQL.
       Some(s"""WITH d0 AS (SELECT lower(text) AS lt,
-              |list_filter(string_split(lower(text), ' '), x -> x <> '') AS w FROM documents),
+              |${TextAnalytics.toksDuck} AS w FROM documents),
               |seeds(parent) AS (VALUES ('join'), ('scan')),
               |l1c AS (SELECT parent, child, count(*) AS cnt FROM
               |(SELECT s.parent, unnest(d.w) AS child FROM d0 d JOIN seeds s ON contains(d.lt, s.parent)) x

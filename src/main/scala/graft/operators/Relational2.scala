@@ -280,7 +280,7 @@ object Relational2 {
           .orderBy(col("weight").desc, col("term"))
           .limit(50)
       },
-      Some(s"""WITH tok AS (SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS term FROM documents),
+      Some(s"""WITH tok AS (SELECT doc_id, unnest(${TextAnalytics.toksDuck}) AS term FROM documents),
               |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
               |WHERE term NOT IN (${TextAnalytics.Stopwords.map(w => s"'$w'").mkString(", ")}) GROUP BY 1, 2),
               |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),

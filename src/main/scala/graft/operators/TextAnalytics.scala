@@ -241,7 +241,7 @@ object TextAnalytics {
               .when(col("n_es") >= col("n_de"), "es")
               .otherwise("de"))
           .orderBy("doc_id"),
-      Some("""WITH t AS (SELECT doc_id, lang, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w FROM documents),
+      Some(s"""WITH t AS (SELECT doc_id, lang, $toksDuck AS w FROM documents),
              |c AS (SELECT doc_id, lang,
              |len(list_filter(w, x -> x IN ('the','a','an','and','or','of','is','to'))) AS n_en,
              |len(list_filter(w, x -> x IN ('el','la','de','que','y','en','los','se'))) AS n_es,
@@ -277,7 +277,7 @@ object TextAnalytics {
       Some(s"""WITH f(id, lang, text) AS (VALUES ${langIdFixture.map {
                 case (i, l, t) => s"($i, '$l', '$t')" }.mkString(", ")}),
               |t AS (SELECT CAST(id AS BIGINT) AS id, lang,
-              |list_filter(string_split(lower(text), ' '), x -> x <> '') AS w FROM f),
+              |$toksDuck AS w FROM f),
               |c AS (SELECT id, lang,
               |len(list_filter(w, x -> x IN ('the','a','an','and','or','of','is','to'))) AS n_en,
               |len(list_filter(w, x -> x IN ('el','la','de','que','y','en','los','se'))) AS n_es,

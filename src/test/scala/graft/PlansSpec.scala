@@ -86,6 +86,9 @@ class PlansSpec extends AnyFunSuite with SparkSuite {
         .select(col("l.doc_id").as("l_id"), col("r.doc_id").as("r_id"))
       assert(joined.exceptAll(raw).count() == 0 && raw.exceptAll(joined).count() == 0)
       assert(joined.count() > 0, "fixture filter must match something")
+      // and the rewrite actually FIRED (row parity alone would also pass
+      // if the rule silently no-opped)
+      assert(!joined.queryExecution.optimizedPlan.toString.contains("lower(text"))
     }
   }
 }

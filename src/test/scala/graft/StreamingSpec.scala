@@ -6,6 +6,23 @@ import org.scalatest.funsuite.AnyFunSuite
 
 class StreamingSpec extends AnyFunSuite with SparkSuite {
 
+  // shared staging for the stateless document-transform twins: the file
+  // stream source wants a directory; the schema mirrors documents.parquet
+  private lazy val docSchema = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+  }
+  private def stagedDocsDir(prefix: String): String = {
+    val stage = java.nio.file.Files.createTempDirectory(prefix)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/documents.parquet"),
+      stage.resolve("documents.parquet"))
+    stage.toString
+  }
+
   test("streaming tumbling aggregation equals the batch query") {
     val stream = StreamingTwin.runTumblingDemo(spark, sfDir)
     val batch = EventWindows.tumbling(Tables.events(spark, sfDir))
@@ -40,17 +57,8 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
 
   test("streaming chunking equals the batch query (stateless corpus transform)") {
     import org.apache.spark.sql.streaming.Trigger
-    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
-    val stage = java.nio.file.Files.createTempDirectory("graft_stream_docs")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$sfDir/documents.parquet"),
-      stage.resolve("documents.parquet"))
-    val docSchema = StructType(Seq(
-      StructField("doc_id", LongType), StructField("text", StringType),
-      StructField("lang", StringType), StructField("source", StringType),
-      StructField("n_chars", LongType)))
     val streamed = graft.operators.Corpus.chunkTokens(
-      spark.readStream.schema(docSchema).parquet(stage.toString))
+      spark.readStream.schema(docSchema).parquet(stagedDocsDir("graft_stream_docs")))
     val q = streamed.writeStream.outputMode("append").format("memory")
       .queryName("chunk_stream").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
@@ -63,17 +71,8 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
 
   test("streaming quality gate equals the batch query") {
     import org.apache.spark.sql.streaming.Trigger
-    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
-    val stage = java.nio.file.Files.createTempDirectory("graft_stream_gate")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$sfDir/documents.parquet"),
-      stage.resolve("documents.parquet"))
-    val docSchema = StructType(Seq(
-      StructField("doc_id", LongType), StructField("text", StringType),
-      StructField("lang", StringType), StructField("source", StringType),
-      StructField("n_chars", LongType)))
     val q = graft.operators.Corpus.qualityGate(
-        spark.readStream.schema(docSchema).parquet(stage.toString))
+        spark.readStream.schema(docSchema).parquet(stagedDocsDir("graft_stream_gate")))
       .writeStream.outputMode("append").format("memory")
       .queryName("gate_stream").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
