@@ -170,7 +170,7 @@ object TextAnalytics {
               |row_number() OVER (PARTITION BY topic ORDER BY count(*) DESC, word) AS rn
               |FROM grams GROUP BY topic, word) x WHERE rn <= 5),
               |sizes AS (SELECT topic, count(*) AS n_docs FROM docs GROUP BY topic)
-              |SELECT word, sum(wgt * n_docs) AS weight
+              |SELECT word, CAST(sum(wgt * n_docs) AS BIGINT) AS weight
               |FROM tw JOIN sizes USING (topic)
               |WHERE len(list_filter(string_split(word, ' '), x -> x IN ($stopSqlList))) = 0
               |GROUP BY word ORDER BY weight DESC, word""".stripMargin.replace("\n", " "))),

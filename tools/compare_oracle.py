@@ -4,12 +4,16 @@ parquet dumps against DuckDB running SparkEntry.oracleSql on the same tables.
 
 Usage: python3 tools/compare_oracle.py <sfDir> <verifyOutDir>
 
-Strict by design: exact value equality (incl. floats) in row order, columns
-sorted by name — if this passes, the driver's hash compare should too.
+Strict by design: results flow through pandas (like the driver's hash
+compare), so type-lossy conversions such as DuckDB HUGEINT -> float64
+(sum of BIGINTs) surface as int-vs-float FAILs here instead of passing
+locally and hash-mismatching at the driver. Exact value equality (incl.
+floats) in row order, columns sorted by name.
 """
 import sys, json, glob, math
 
 import duckdb
+import numpy as np
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -31,15 +35,16 @@ def main():
             n_fail += 1
             continue
         try:
-            got = con.execute(
-                f"SELECT * FROM read_parquet({files!r})").fetchall()
-            got_cols = [d[0] for d in con.description]
-            exp = con.execute(sql).fetchall()
-            exp_cols = [d[0] for d in con.description]
+            gdf = con.execute(f"SELECT * FROM read_parquet({files!r})").df()
+            edf = con.execute(sql).df()
         except Exception as e:
             print(f"FAIL {name}: {e}")
             n_fail += 1
             continue
+        got_cols = list(gdf.columns)
+        exp_cols = list(edf.columns)
+        got = list(gdf.itertuples(index=False, name=None))
+        exp = list(edf.itertuples(index=False, name=None))
         ok, msg = compare(got, got_cols, exp, exp_cols)
         if ok:
             print(f"PASS {name} ({len(got)} rows)")
@@ -62,17 +67,34 @@ def compare(got, got_cols, exp, exp_cols):
         for c, (a, b) in enumerate(zip([g[i] for i in gi], [e[i] for i in ei])):
             if not eq(a, b):
                 return False, (f"row {rn} col {sorted(got_cols)[c]}: "
-                               f"spark={a!r} duck={b!r}")
+                               f"spark={a!r} ({type(a).__name__}) "
+                               f"duck={b!r} ({type(b).__name__})")
     return True, ""
 
 
+def is_null(x):
+    if x is None:
+        return True
+    if isinstance(x, (float, np.floating)):
+        return math.isnan(x)
+    return False
+
+
 def eq(a, b):
-    if a is None or b is None:
-        return a is None and b is None
-    if isinstance(a, float) and isinstance(b, float):
-        if math.isnan(a) and math.isnan(b):
-            return True
+    if is_null(a) or is_null(b):
+        return is_null(a) and is_null(b)
+    a_f = isinstance(a, (float, np.floating))
+    b_f = isinstance(b, (float, np.floating))
+    a_i = isinstance(a, (int, np.integer)) and not isinstance(a, bool)
+    b_i = isinstance(b, (int, np.integer)) and not isinstance(b, bool)
+    if (a_f or a_i) and (b_f or b_i):
+        # int-vs-float is the driver's "132" vs "132.0" hash mismatch: FAIL.
+        if a_f != b_f:
+            return False
         return a == b
+    if isinstance(a, np.ndarray) or isinstance(b, np.ndarray):
+        a_l, b_l = list(a), list(b)
+        return len(a_l) == len(b_l) and all(eq(x, y) for x, y in zip(a_l, b_l))
     return a == b
 
 
