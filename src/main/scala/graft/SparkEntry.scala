@@ -14,6 +14,7 @@ object SparkEntry {
       operators.Relational2.defs ++
       operators.TextAnalytics.defs ++
       operators.Dedup.defs ++
+      operators.Components.defs ++
       operators.Similarity.defs ++
       operators.EventWindows.defs ++
       operators.Ingest.defs ++

@@ -1,0 +1,130 @@
+package graft.operators
+
+import graft.QueryDef
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components — the transitive-closure step a
+  * near-dup pipeline needs between "LSH gives me verified PAIRS" (q41)
+  * and "give me one CLUSTER id per document" (the form every corpus
+  * dedup actually consumes: keep one doc per component).
+  *
+  * Reference analog: scrappy.py's dedup is per-title keep-first
+  * (scrappy.py:316,334-335) — no pair graph ever forms. At 100 TB the
+  * pair graph is unavoidable (near-dup similarity is not transitive), so
+  * this implements the alternating large-star/small-star algorithm of
+  * Kiveris et al., "Connected Components in MapReduce and Beyond"
+  * (SoCC 2014): each round is two shuffle stages built purely from
+  * groupBy(min) + equi-join — no collect, no driver-side graph — and the
+  * edge set converges to a star forest rooted at each component's
+  * minimum id in O(log² n) rounds (2-4 in practice on dedup graphs,
+  * whose components are near-cliques from LSH buckets).
+  *
+  * Scale notes:
+  *  - Each round's lineage is cut with an eager localCheckpoint —
+  *    without it the iterated plan doubles per round and the optimizer
+  *    re-plans the whole prefix chain every iteration.
+  *  - Convergence is detected by (count, bit_xor(xxhash64)) of the
+  *    canonical edge set: edge sets here are exact duplicates-free
+  *    (a < b, distinct), so equal count + equal xor-fold across
+  *    consecutive rounds means "same set" up to an astronomically
+  *    unlikely 64-bit collision; an exact `except` check would cost two
+  *    extra jobs per round at any scale.
+  *  - High-degree skew (one doc near-dup to millions) is exactly what
+  *    large-star handles: it rewires a big star's leaves directly to the
+  *    minimum, so no reducer ever sees more than a node's CURRENT
+  *    neighborhood, which shrinks every round.
+  */
+object Components {
+
+  /** Connected components over an undirected pair list. Input: first two
+    * columns are the edge endpoints (any orientation, self-loops and
+    * duplicates tolerated). Output: (id, comp) for every endpoint that
+    * appears in `pairs`, where comp = the minimum id in the component.
+    * Singleton docs never appear in a pair list — callers left-join. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    val cols = pairs.columns
+    var e = pairs
+      .select(col(cols(0)).cast("long").as("a"), col(cols(1)).cast("long").as("b"))
+      .filter(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
+      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+      .distinct()
+      .localCheckpoint()
+
+    def checksum(d: DataFrame): (Long, Long) = {
+      // bit_xor fold: order-independent, can't overflow under ANSI mode,
+      // and duplicate rows (which would cancel under xor) can't occur —
+      // the edge set is distinct by construction.
+      val r = d.agg(count(lit(1)), coalesce(expr("bit_xor(xxhash64(a, b))"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    var prev = checksum(e)
+    var it = 0
+    var converged = prev._1 == 0L
+    while (!converged && it < maxIter) {
+      // Large-star: for every node u, connect each LARGER neighbor v
+      // directly to m(u) = min(u ∪ neighbors(u)). Detaches big stars'
+      // leaves onto the minimum in one round.
+      val sym = e.select(col("a").as("u"), col("b").as("v"))
+        .union(e.select(col("b").as("u"), col("a").as("v")))
+      val mins = sym.groupBy("u").agg(min("v").as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      val ls = sym.filter(col("v") > col("u"))
+        .join(mins, "u")
+        // m ≤ u < v, so (m, v) is already canonical; m = v impossible.
+        .select(col("m").as("a"), col("v").as("b"))
+        .distinct()
+
+      // Small-star: for every node u, connect each SMALLER neighbor
+      // (and u itself) to the minimum of u's smaller neighborhood.
+      // On canonical edges (a < b), u's smaller neighbors are the `a`
+      // side of its `b` rows.
+      val mins2 = ls.groupBy("b").agg(min("a").as("m"))
+      val ss = ls.join(mins2, "b")
+        .select(col("a"), col("m"))
+        .union(mins2.select(col("b").as("a"), col("m")))
+        .filter(col("a") =!= col("m"))
+        .select(least(col("m"), col("a")).as("a"), greatest(col("m"), col("a")).as("b"))
+        .distinct()
+
+      val next = ss.localCheckpoint()
+      val c = checksum(next)
+      converged = c == prev
+      prev = c
+      e = next
+      it += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    // Star forest: every edge is (root, leaf) with root = component min.
+    e.select(col("b").as("id"), col("a").as("comp"))
+      .union(e.select(col("a").as("id"), col("a").as("comp")))
+      .distinct()
+  }
+
+  def defs: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "q55_dedup_clusters",
+      // q41's verified near-dup pairs → one cluster id per document plus
+      // the component size: the consumable form of LSH dedup (keep
+      // doc_id == comp, drop the rest). Oracle: DuckDB recursive CTE
+      // computing min-reachable-id over the same pair list.
+      (s, dir) => {
+        val cc = connectedComponents(Dedup.lshVerifiedPairs(s, dir).select("da", "db"))
+        cc.join(cc.groupBy("comp").agg(count(lit(1)).as("cluster_size")), "comp")
+          .select(col("id").as("doc_id"), col("comp"), col("cluster_size"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE ${Dedup.lshPairsDuckCte},
+              |edges AS (SELECT da AS a, db AS b FROM pairs UNION SELECT db AS a, da AS b FROM pairs),
+              |reach AS (
+              |SELECT a AS id, a AS r FROM (SELECT DISTINCT a FROM edges) base
+              |UNION
+              |SELECT e.a AS id, re.r AS r FROM edges e JOIN reach re ON re.id = e.b),
+              |comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+              |sizes AS (SELECT comp, count(*) AS cluster_size FROM comp GROUP BY comp)
+              |SELECT c.id AS doc_id, c.comp, s.cluster_size
+              |FROM comp c JOIN sizes s USING (comp) ORDER BY doc_id""".stripMargin.replace("\n", " ")))
+  )
+}

@@ -93,6 +93,36 @@ object Dedup {
 
   private type Column = org.apache.spark.sql.Column
 
+  /** The q41 pipeline up to (but not including) its final ORDER BY:
+    * LSH-candidate pairs verified at true token-set Jaccard ≥ 0.9 —
+    * (da, db, jaccard) with da < db. Also the edge set q55's
+    * connected-components clustering runs on. */
+  private[graft] def lshVerifiedPairs(
+      s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val t = tokenSets(s, dir)
+    val bands = bandHashes(t.withColumn("sigs", expr(sigsExpr)))
+    jaccardOfCandidates(bucketPairs(bands, _ < _), t)
+      .filter(col("jaccard") >= 0.9)
+  }
+
+  /** DuckDB CTE chain ending in `pairs(da, db)` — the oracle twin of
+    * [[lshVerifiedPairs]] (q41's oracle recomputes the jaccard column in
+    * its final SELECT from the same `inter`/`sz` CTEs). */
+  private[operators] val lshPairsDuckCte: String =
+    s"""t AS (SELECT doc_id, list_distinct($toksDuck) AS w FROM documents),
+       |sigs AS (SELECT doc_id, list_transform(generate_series(0, 5), i ->
+       |list_min(list_transform(w, u -> md5(CAST(i AS VARCHAR) || ':' || u)))) AS sigs FROM t),
+       |sig AS (SELECT doc_id, b AS band, md5(sigs[2*b+1] || '|' || sigs[2*b+2]) AS h
+       |FROM sigs, LATERAL (SELECT unnest(generate_series(0, 2)) AS b) g),
+       |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db FROM sig a
+       |JOIN sig b ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id),
+       |sh AS (SELECT doc_id, unnest(w) AS s FROM t),
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |inter AS (SELECT da, db, count(*) AS i FROM cand
+       |JOIN sh sa ON da = sa.doc_id JOIN sh sb ON db = sb.doc_id AND sa.s = sb.s GROUP BY 1, 2),
+       |pairs AS (SELECT da, db FROM inter JOIN sz za ON da = za.doc_id JOIN sz zb ON db = zb.doc_id
+       |WHERE round(i * 1.0 / (za.n + zb.n - i), 4) >= 0.9)""".stripMargin.replace("\n", " ")
+
   def defs: Seq[QueryDef] = Seq(
 
     QueryDef(
@@ -126,13 +156,7 @@ object Dedup {
       // MinHash + LSH (k=6 permutations, b=3 bands of r=2 — see sigsExpr/
       // bandsExpr above for the recall math) → candidate pairs from bucket
       // collisions → verified with true token-set Jaccard ≥ 0.9.
-      (s, dir) => {
-        val t = tokenSets(s, dir)
-        val bands = bandHashes(t.withColumn("sigs", expr(sigsExpr)))
-        jaccardOfCandidates(bucketPairs(bands, _ < _), t)
-          .filter(col("jaccard") >= 0.9)
-          .orderBy("da", "db")
-      },
+      (s, dir) => lshVerifiedPairs(s, dir).orderBy("da", "db"),
       Some(s"""WITH t AS (SELECT doc_id, list_distinct($toksDuck) AS w FROM documents),
               |sigs AS (SELECT doc_id, list_transform(generate_series(0, 5), i ->
               |list_min(list_transform(w, u -> md5(CAST(i AS VARCHAR) || ':' || u)))) AS sigs FROM t),
