@@ -15,6 +15,7 @@ object SparkEntry {
       operators.TextAnalytics.defs ++
       operators.Dedup.defs ++
       operators.Components.defs ++
+      operators.Indexing.defs ++
       operators.Similarity.defs ++
       operators.EventWindows.defs ++
       operators.Ingest.defs ++

@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scalable global row indexing — assign every row a contiguous 0..n-1
+  * index in a total key order WITHOUT the naive scale-killer:
+  * `row_number() OVER (ORDER BY k)` plans as a Window with an EMPTY
+  * partition spec, which funnels the entire table through one task (the
+  * 100 TB equivalent of a driver collect). The reference has the same
+  * need in miniature — pandas' implicit RangeIndex after sort
+  * (article_querry.py's head(25) display relies on it).
+  *
+  * The scalable form is the classic two-pass:
+  *   1. repartitionByRange(k) — parallel range exchange (sampled bounds),
+  *      materialized ONCE with an eager localCheckpoint so both passes
+  *      see identical partition boundaries (range bounds are sampled per
+  *      execution; without pinning, pass 1's offsets could describe a
+  *      different partitioning than pass 2 indexes — silently wrong ids).
+  *   2. A #partitions-row histogram to the driver → exclusive prefix-sum
+  *      offsets (control plane, like the keyword-tree frontier), then
+  *      per-partition local row_number + broadcast offset join.
+  *
+  * Every Window in the final plan is partitioned (by _pid); nothing
+  * single-partition survives — PlanShapeSpec pins this. Contrast with
+  * `monotonically_increasing_id()`: parallel and cheap but NON-contiguous
+  * (partition id in the high bits), so it can't serve as a stable
+  * training-example ordinal or a join key against an external 0..n-1
+  * numbering; this can.
+  */
+object Indexing {
+
+  /** (df, total key order) → df + contiguous `idx` 0..n-1 in that order.
+    * The order must be total (tie-free) for the index to be
+    * deterministic — pass a unique key last. */
+  def globalIndex(df: DataFrame, order: Seq[Column]): DataFrame = {
+    val parted = df.repartitionByRange(order: _*).localCheckpoint()
+    val withPid = parted.withColumn("_pid", spark_partition_id())
+    val counts = withPid.groupBy("_pid").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = counts.scanLeft((-1, 0L)) { case ((_, acc), (p, c)) => (p, acc + c) }
+      .sliding(2).collect { case Array((_, off), (p, _)) => (p, off) }.toSeq
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offDf = offsets.toDF("_pid", "_off")
+    withPid
+      .withColumn("_local",
+        row_number().over(Window.partitionBy("_pid").orderBy(order: _*)).cast("long") - 1L)
+      .join(broadcast(offDf), "_pid")
+      .withColumn("idx", col("_off") + col("_local"))
+      .drop("_pid", "_off", "_local")
+  }
+
+  def defs: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "q56_global_index",
+      // Contiguous global ordinal over documents in doc_id order. The
+      // oracle is the naive single-partition window — same VALUES, the
+      // difference is the distributed PLAN (asserted in PlanShapeSpec).
+      (s, dir) =>
+        globalIndex(Tables.documents(s, dir).select("doc_id", "n_chars"), Seq(col("doc_id")))
+          .select(col("doc_id"), col("n_chars"), col("idx"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id, n_chars,
+             |row_number() OVER (ORDER BY doc_id) - 1 AS idx
+             |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " ")))
+  )
+}

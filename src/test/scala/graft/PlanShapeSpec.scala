@@ -75,4 +75,20 @@ class PlanShapeSpec extends AnyFunSuite with SparkSuite {
     assert(!p.contains("SortMergeJoin"))
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("q56 global index never funnels through a single partition") {
+    import org.apache.spark.sql.functions._
+    // The naive form's plan contains `Exchange SinglePartition` feeding
+    // an unpartitioned Window — the whole table through one task. The
+    // scalable form must show a parallel RangePartitioning exchange and
+    // NO SinglePartition anywhere.
+    val naive = Tables.documents(spark, sfDir).select("doc_id")
+      .withColumn("idx", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("doc_id")))
+      .queryExecution.executedPlan.toString
+    assert(naive.contains("SinglePartition"), naive.take(300))
+    val p = plan("q56_global_index")
+    assert(!p.contains("SinglePartition"), p.take(800))
+    assert(p.contains("rangepartitioning") || p.contains("RangePartitioning"), p.take(800))
+  }
 }
