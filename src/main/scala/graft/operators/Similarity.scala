@@ -243,6 +243,62 @@ object Similarity {
               |WHERE e.vec_id <> q.qid),
               |r AS (SELECT qid, vec_id, cos,
               |row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn FROM sc)
-              |SELECT qid, vec_id, rn, cos FROM r WHERE rn <= 10 ORDER BY qid, rn""".stripMargin.replace("\n", " ")))
+              |SELECT qid, vec_id, rn, cos FROM r WHERE rn <= 10 ORDER BY qid, rn""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q57_pq_quantize",
+      // Product quantization (Jégou et al., "Product Quantization for
+      // Nearest Neighbor Search", TPAMI 2011): split each 64-dim vector
+      // into M=8 subvectors of 8 dims, assign each to the nearest of K=4
+      // centroids, store only the 8 codes (2 bits each → 32× compression
+      // vs float32, vs q54's 4×). Real deployments train the codebook
+      // with per-subspace k-means (iterative → rows-only, like q52); here
+      // the codebook is PINNED (a shared 4×8 literal grid, exact integer/
+      // 10 rationals so both engines compute identical doubles), which
+      // keeps assignment + reconstruction fully oracle-checkable. At
+      // 100 TB the codebook is broadcast-trivial (32 doubles) and the
+      // whole op is a single codegen'd projection — no shuffle at all.
+      (s, dir) => {
+        val cbVals = pqCodebook.mkString(", ")
+        Tables.embeddings(s, dir)
+          .withColumn("cb", expr(s"array(${cbVals})"))
+          .withColumn("dmat", expr(
+            """transform(sequence(0, 7), m -> transform(sequence(0, 3), c ->
+              |aggregate(sequence(0, 7), 0D, (a, j) ->
+              |a + pow(CAST(embedding[m*8+j] AS DOUBLE) - cb[c*8+j], 2D))))"""
+              .stripMargin.replace("\n", " ")))
+          .withColumn("codes", expr(
+            "transform(dmat, d -> array_position(d, array_min(d)) - 1)"))
+          .withColumn("mse", expr(
+            """aggregate(sequence(0, 7), 0D, (a, m) ->
+              |a + aggregate(sequence(0, 7), 0D, (a2, j) ->
+              |a2 + pow(CAST(embedding[m*8+j] AS DOUBLE) - cb[CAST(codes[m] AS INT)*8+j], 2D))) / 64.0D"""
+              .stripMargin.replace("\n", " ")))
+          .select(col("vec_id"),
+            expr("array_join(transform(codes, c -> CAST(c AS STRING)), '')").as("codes_str"),
+            round(col("mse") * lit(1e6), 4).as("mse_e6"))
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH cbv AS (SELECT [${pqCodebook.mkString(", ")}] AS cb),
+              |d AS (SELECT vec_id, embedding, cb,
+              |list_transform(generate_series(0, 7), m -> list_transform(generate_series(0, 3), c ->
+              |list_sum(list_transform(generate_series(1, 8), j ->
+              |pow(CAST(embedding[m*8+j] AS DOUBLE) - cb[c*8+j], 2))))) AS dmat
+              |FROM embeddings, cbv),
+              |k AS (SELECT vec_id, embedding, cb,
+              |list_transform(dmat, dd -> list_position(dd, list_min(dd)) - 1) AS codes FROM d)
+              |SELECT vec_id,
+              |array_to_string(list_transform(codes, c -> CAST(c AS VARCHAR)), '') AS codes_str,
+              |round(list_sum(list_transform(generate_series(0, 7), m ->
+              |list_sum(list_transform(generate_series(1, 8), j ->
+              |pow(CAST(embedding[m*8+j] AS DOUBLE) - cb[codes[m+1]*8+j], 2))))) / 64.0 * 1e6, 4) AS mse_e6
+              |FROM k ORDER BY vec_id""".stripMargin.replace("\n", " ")))
   )
+
+  /** Pinned shared PQ codebook: K=4 centroids × 8 dims, flattened
+    * row-major (centroid c, dim j at index c*8+j). Exact one-decimal
+    * rationals so Spark and DuckDB materialize bit-identical doubles. */
+  private[graft] val pqCodebook: IndexedSeq[Double] =
+    for (c <- 0 until 4; j <- 0 until 8)
+      yield (((c * 8 + j) * 37 % 19) - 9) / 10.0
 }

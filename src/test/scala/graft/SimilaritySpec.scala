@@ -56,4 +56,23 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     assert(both.filter($"fast" =!= $"hof").count() == 0)
     assert(both.count() > 0)
   }
+
+  test("q57 PQ codes are valid and argmin-optimal per vector") {
+    // Argmin optimality: reconstructing from the CHOSEN codes can never
+    // be worse than pinning every subspace to centroid 0 — per subspace
+    // d(chosen) ≤ d(0) by definition, so it holds per vector, exactly.
+    val cbVals = operators.Similarity.pqCodebook.mkString(", ")
+    val q57 = SparkEntry.queries("q57_pq_quantize")(spark, sfDir)
+    assert(q57.filter(!$"codes_str".rlike("^[0-3]{8}$")).count() == 0)
+    val base = Tables.embeddings(spark, sfDir)
+      .withColumn("cb", expr(s"array(${cbVals})"))
+      .select($"vec_id", (expr(
+        """aggregate(sequence(0, 7), 0D, (a, m) ->
+          |a + aggregate(sequence(0, 7), 0D, (a2, j) ->
+          |a2 + pow(CAST(embedding[m*8+j] AS DOUBLE) - cb[j], 2D))) / 64.0D"""
+          .stripMargin.replace("\n", " ")) * lit(1e6)).as("mse0"))
+    val joined = q57.join(base, "vec_id")
+    assert(joined.count() > 0)
+    assert(joined.filter($"mse_e6" > $"mse0" + lit(1e-6)).count() == 0)
+  }
 }
