@@ -179,6 +179,74 @@ object Corpus {
              |ORDER BY doc_id""".stripMargin.replace("\n", " "))),
 
     QueryDef(
+      "q58_bloom_decontaminate",
+      // q97's decontamination at the scale where the eval list itself is
+      // too big to broadcast raw: fold the eval fingerprints into an
+      // m=4096-bit / k=3 Bloom bitmap (64 longs — DISTRIBUTED build via
+      // groupBy(word)+bit_or, so the eval set never collects), broadcast
+      // the tiny bitmap, bit-test every corpus fingerprint, and run the
+      // exact membership join ONLY on Bloom hits. No false negatives by
+      // construction, so kept == q97's survivors exactly (CorpusSpec);
+      // false positives only cost a redundant exact check. At 1e9 eval
+      // fps you'd size m ≈ 10·n (still MBs); the build stays one
+      // shuffle of (word, bit) pairs. Hash positions are md5-derived
+      // (engine-portable): value of the first 8 hex chars of
+      // md5(h ':' fp), mod m, for h = 0,1,2.
+      (s, dir) => {
+        val posSpark =
+          """transform(transform(sequence(0, 2), h -> substring(md5(concat(CAST(h AS STRING), ':', fp)), 1, 8)),
+            |hx -> CAST(aggregate(sequence(1, 8), 0L, (a, i) ->
+            |a * 16 + CASE WHEN ascii(substring(hx, i, 1)) >= 97
+            |THEN CAST(ascii(substring(hx, i, 1)) - 87 AS BIGINT)
+            |ELSE CAST(ascii(substring(hx, i, 1)) - 48 AS BIGINT) END) % 4096 AS INT))"""
+            .stripMargin.replace("\n", " ")
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            md5(trim(lower(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", "")))).as("fp"))
+        val ev = docs.filter(col("doc_id").isInCollection(Seq(3L, 7L)))
+          .select(col("fp")).distinct()
+        val words = ev.select(explode(expr(posSpark)).as("pos"))
+          .select(expr("pos div 64").as("word"), expr("pos % 64").as("bit"))
+          .groupBy("word").agg(expr("bit_or(shiftleft(1L, bit))").as("bits"))
+        val tested = docs
+          .select(col("doc_id"), col("fp"), explode(expr(posSpark)).as("pos"))
+          .select(col("doc_id"), col("fp"),
+            expr("pos div 64").as("word"), expr("pos % 64").as("bit"))
+          .join(broadcast(words), Seq("word"), "left")
+          .select(col("doc_id"), col("fp"),
+            expr("CASE WHEN bits IS NULL THEN 0 ELSE CAST(shiftright(bits, bit) & 1 AS INT) END").as("setbit"))
+          .groupBy("doc_id", "fp").agg(min("setbit").as("bloom_hit"))
+        tested
+          .join(broadcast(ev.withColumn("inev", lit(1))), Seq("fp"), "left")
+          .select(col("doc_id"), col("bloom_hit").cast("long").as("bloom_hit"),
+            expr("CASE WHEN bloom_hit = 1 AND inev = 1 THEN 0L ELSE 1L END").as("kept"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH docs AS (SELECT doc_id,
+             |md5(trim(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))) AS fp FROM documents),
+             |ev AS (SELECT DISTINCT fp FROM docs WHERE doc_id IN (3, 7)),
+             |evpos AS (SELECT unnest(list_transform(
+             |list_transform(generate_series(0, 2), h -> substr(md5(CAST(h AS VARCHAR) || ':' || fp), 1, 8)),
+             |hx -> CAST(list_sum(list_transform(generate_series(1, 8), i ->
+             |(CASE WHEN ascii(substr(hx, i, 1)) >= 97 THEN ascii(substr(hx, i, 1)) - 87
+             |ELSE ascii(substr(hx, i, 1)) - 48 END) * (CAST(1 AS BIGINT) << (4 * (8 - i))))) % 4096 AS INT))) AS pos
+             |FROM ev),
+             |words AS (SELECT pos // 64 AS word, bit_or(CAST(1 AS BIGINT) << (pos % 64)) AS bits
+             |FROM evpos GROUP BY 1),
+             |dpos AS (SELECT doc_id, fp, unnest(list_transform(
+             |list_transform(generate_series(0, 2), h -> substr(md5(CAST(h AS VARCHAR) || ':' || fp), 1, 8)),
+             |hx -> CAST(list_sum(list_transform(generate_series(1, 8), i ->
+             |(CASE WHEN ascii(substr(hx, i, 1)) >= 97 THEN ascii(substr(hx, i, 1)) - 87
+             |ELSE ascii(substr(hx, i, 1)) - 48 END) * (CAST(1 AS BIGINT) << (4 * (8 - i))))) % 4096 AS INT))) AS pos
+             |FROM docs),
+             |tested AS (SELECT doc_id, fp, min(CASE WHEN w.bits IS NULL THEN 0
+             |ELSE CAST((w.bits >> (pos % 64)) & 1 AS INT) END) AS bloom_hit
+             |FROM dpos LEFT JOIN words w ON pos // 64 = w.word GROUP BY 1, 2)
+             |SELECT doc_id, CAST(bloom_hit AS BIGINT) AS bloom_hit,
+             |CASE WHEN bloom_hit = 1 AND fp IN (SELECT fp FROM ev) THEN 0 ELSE 1 END::BIGINT AS kept
+             |FROM tested ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
       "q99_repetition_score",
       // Within-document repetition (the Gopher/C4 quality signal): the
       // fraction of trigram occurrences that are repeats of an earlier

@@ -121,6 +121,18 @@ class CorpusSpec extends AnyFunSuite with SparkSuite {
     rows.foreach { case (a, b, c, d, k) => assert(k == (a && b && c && d)) }
   }
 
+  test("q58 bloom prefilter: kept set equals q97's exact survivors, no false negatives") {
+    val q58 = SparkEntry.queries("q58_bloom_decontaminate")(spark, sfDir)
+      .select("doc_id", "bloom_hit", "kept").as[(Long, Long, Long)].collect()
+    val keptBloom = q58.filter(_._3 == 1L).map(_._1).toSet
+    val keptExact = SparkEntry.queries("q97_decontaminate")(spark, sfDir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptBloom == keptExact)
+    // No false negatives: every dropped (contaminated) doc was a bloom hit.
+    q58.filter(_._3 == 0L).foreach { case (id, hit, _) => assert(hit == 1L, s"doc $id") }
+    assert(q58.exists(_._3 == 0L), "fixture must drop something")
+  }
+
   test("q99 repetition: a looping doc scores near 1, novel text scores 0") {
     val docs = Seq(
       (1L, "spam ham eggs " * 20),          // one trigram repeated
