@@ -34,6 +34,48 @@ object StreamingTwin {
   def dedupStream(events: DataFrame): DataFrame =
     events.withWatermark("ts", "10 minutes").dropDuplicates("event_id")
 
+  /** Watermark-bounded dedup (Spark 3.5+ dropDuplicatesWithinWatermark):
+    * unlike [[dedupStream]], state for a key is dropped once the
+    * watermark passes its FIRST-seen event time plus the delay, so the
+    * state store is bounded by stream rate × delay instead of by total
+    * distinct keys — the form that survives an unbounded 100 TB stream
+    * where event_ids never repeat after their horizon. */
+  def dedupWithinWatermarkStream(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark("event_id")
+
+  /** Stream-stream interval join: each click paired with the same user's
+    * views in the preceding 5 minutes. Input-agnostic — the batch twin
+    * runs it on static frames (StreamingSpec proves equality). On
+    * streams, BOTH sides carry watermarks and the time-interval predicate
+    * is what lets Spark bound each side's join state (state for a view
+    * is dropped once the watermark passes ts + 5 min); an equi-join
+    * without the interval would keep both streams' full history. */
+  def clickViewJoin(views: DataFrame, clicks: DataFrame): DataFrame =
+    clicks.as("c").join(views.as("v"),
+      expr("""c.user_id = v.user_id AND
+             |v.ts >= c.ts - INTERVAL 5 MINUTES AND v.ts <= c.ts""".stripMargin.replace("\n", " ")))
+      .select(col("c.event_id").as("click_id"), col("v.event_id").as("view_id"),
+        col("c.user_id").as("user_id"),
+        (unix_timestamp(col("c.ts")) - unix_timestamp(col("v.ts"))).as("gap_s"))
+
+  /** Streaming upsert sink: every micro-batch is existing-wins-merged
+    * into the parquet store via foreachBatch — the streaming face of the
+    * reference's D2 persistent merge (scrappy.py:334-335). foreachBatch
+    * is the idiomatic seam for sinks Spark has no native writer for;
+    * persistMerge is idempotent, so a batch replayed after a failure
+    * (foreachBatch's at-least-once contract) converges to the same
+    * store. */
+  def upsertSink(spark: SparkSession, batches: DataFrame, storeDir: String): Unit = {
+    import org.apache.spark.sql.streaming.Trigger
+    val q = batches.writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        graft.operators.Ingest.persistMerge(spark, storeDir, b)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   // One staged copy per source dir per JVM — repeated calls (tests, demos)
   // must not leak a fresh copy of the dataset into /tmp each time.
   private val stagedDirs =
