@@ -45,4 +45,43 @@ class PartitioningSpec extends AnyFunSuite with SparkSuite {
       spark.sql("DROP TABLE IF EXISTS lineitem_bkt")
     }
   }
+
+  test("AQE splits a skewed join partition at runtime (skew=true in the final plan)") {
+    // Salting (q85) is the declarative skew fix; AQE skew-join is the
+    // runtime one — prove this session can actually trigger it, so the
+    // 100 TB claim "AQE re-plans skew" is tested, not asserted.
+    val saved = Seq(
+      "spark.sql.adaptive.enabled", "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // One pathological key carrying ~100k rows vs 1-row tails.
+      val left = spark.range(0, 100000).select(lit(0L).as("k"), col("id").as("v"))
+        .union(spark.range(1, 1000).select(col("id").as("k"), col("id").as("v")))
+      val right = spark.range(0, 1000).select(col("id").as("k"), (col("id") * 2).as("w"))
+      val joined = left.join(right, "k")
+      // Execute THIS dataframe (count() builds a different QueryExecution,
+      // whose AQE plan would never be finalized on `joined` itself).
+      var n = 0L
+      joined.toLocalIterator().forEachRemaining(_ => n += 1)
+      assert(n == 100000 + 999)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("isFinalPlan=true"), plan.take(300))
+      assert(plan.contains("skew=true"), plan.take(1500))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
