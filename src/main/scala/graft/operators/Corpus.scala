@@ -179,6 +179,26 @@ object Corpus {
              |ORDER BY doc_id""".stripMargin.replace("\n", " "))),
 
     QueryDef(
+      "q84_length_histogram",
+      // Sequence-length distribution (the first diagnostic run before
+      // choosing a chunk/pack size — q93/q96's parameters come from
+      // exactly this histogram): bucket docs by token count in bins of
+      // 32. Single scan + one tiny groupBy; the histogram has
+      // O(max_len/32) rows at ANY corpus scale.
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(size(expr(toksExpr)).cast("long").as("n_toks"))
+          .select(expr("n_toks div 32").as("bucket"), col("n_toks"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_docs"),
+            min("n_toks").as("min_toks"), max("n_toks").as("max_toks"))
+          .orderBy("bucket"),
+      Some(s"""WITH t AS (SELECT CAST(len($toksDuck) AS BIGINT) AS n_toks FROM documents)
+              |SELECT n_toks // 32 AS bucket, count(*) AS n_docs,
+              |min(n_toks) AS min_toks, max(n_toks) AS max_toks
+              |FROM t GROUP BY 1 ORDER BY bucket""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
       "q58_bloom_decontaminate",
       // q97's decontamination at the scale where the eval list itself is
       // too big to broadcast raw: fold the eval fingerprints into an

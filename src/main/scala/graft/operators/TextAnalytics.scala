@@ -176,6 +176,55 @@ object TextAnalytics {
               |GROUP BY word ORDER BY weight DESC, word""".stripMargin.replace("\n", " "))),
 
     QueryDef(
+      "q59_bm25",
+      // BM25 ranking (Robertson/Spärck Jones probabilistic retrieval;
+      // k1=1.2, b=0.75) for a fixed 3-term query — the scale-grade
+      // upgrade of the reference's contains-filter search
+      // (article_querry.py:13-27): instead of a boolean match, every doc
+      // gets the standard tf-saturated, length-normalized relevance
+      // score. Shape at 100 TB: one explode→groupBy for tf (only QUERY
+      // terms survive the filter, so the shuffle is tiny), df and corpus
+      // stats broadcast as scalars. Per-doc term scores are summed via a
+      // SORTED fold (array_sort before aggregate) because double
+      // addition is order-sensitive and collect_list order is not
+      // deterministic — the oracle folds in the same term order.
+      (s, dir) => {
+        val qterms = Seq("scan", "join", "filter")
+        val docs = Tables.documents(s, dir)
+        val tok = docs.select(col("doc_id"), explode(expr(toksExpr)).as("term"))
+        val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        val stats = dl.agg((sum("dl") * lit(1.0) / count(lit(1))).as("avgdl"))
+        val n = docs.agg(count(lit(1)).as("n"))
+        val tf = tok.filter(col("term").isInCollection(qterms))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        tf.join(broadcast(dfT), "term")
+          .join(dl, "doc_id")
+          .crossJoin(broadcast(stats))
+          .crossJoin(broadcast(n))
+          .withColumn("sc", expr(
+            """ln((n - df + 0.5D) / (df + 0.5D) + 1.0D) * tf * 2.2D /
+              |(tf + 1.2D * (0.25D + 0.75D * dl / avgdl))""".stripMargin.replace("\n", " ")))
+          .groupBy("doc_id")
+          .agg(expr("round(aggregate(array_sort(collect_list(struct(term, sc))), 0D, (a, x) -> a + x.sc), 4)")
+            .as("bm25"))
+          .orderBy(col("bm25").desc, col("doc_id"))
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, unnest($toksDuck) AS term FROM documents),
+              |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+              |stats AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+              |n AS (SELECT count(*) AS n FROM documents),
+              |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+              |WHERE term IN ('scan', 'join', 'filter') GROUP BY 1, 2),
+              |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+              |sc AS (SELECT tf.doc_id, tf.term,
+              |ln((n.n - dfx.df + 0.5) / (dfx.df + 0.5) + 1.0) * tf.tf * 2.2 /
+              |(tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) AS sc
+              |FROM tf JOIN dfx USING (term) JOIN dl USING (doc_id), stats, n)
+              |SELECT doc_id, round(list_sum(list(sc ORDER BY term)), 4) AS bm25
+              |FROM sc GROUP BY doc_id ORDER BY bm25 DESC, doc_id""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
       "q32_tfidf",
       // A7: TF-IDF as two grouped aggregates + a broadcast join — sklearn's
       // smooth-idf formula ln((N+1)/(df+1))+1 (scrappy.py:36-37).

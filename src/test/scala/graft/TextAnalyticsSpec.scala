@@ -46,4 +46,20 @@ class TextAnalyticsSpec extends AnyFunSuite with SparkSuite {
     assert(rows.length == operators.TextAnalytics.langIdFixture.size)
     assert(acc >= 0.9, s"accuracy $acc")
   }
+
+  test("q59 BM25: positive scores, only matching docs, tf saturation holds") {
+    val got = SparkEntry.queries("q59_bm25")(spark, sfDir)
+      .select("doc_id", "bm25").as[(Long, Double)].collect()
+    assert(got.nonEmpty && got.forall(_._2 > 0))
+    // Every scored doc really contains a query term; no matching doc is lost.
+    val matching = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), expr("filter(split(lower(text), ' '), x -> x <> '')").as("w"))
+      .filter(expr("size(array_intersect(w, array('scan', 'join', 'filter'))) > 0"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(got.map(_._1).toSet == matching)
+    // Saturation: tf's contribution is bounded by (k1+1)·idf, so no
+    // single-term score can exceed 3 terms × 2.2 × max idf (ln(N+1)).
+    val n = Tables.documents(spark, sfDir).count()
+    assert(got.forall(_._2 <= 3 * 2.2 * math.log(n + 1.0)))
+  }
 }
