@@ -37,9 +37,16 @@ object Dedup {
   private def tokenSets(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).select(col("doc_id"), expr(s"array_distinct($toksExpr)").as("w"))
 
-  /** k=6 salted-md5 minhash signature array over the token set. */
-  private val sigsExpr =
+  /** k=6 salted-md5 minhash signature array over the token set — the HOF
+    * reference form, kept as the equality twin for the codegen'd
+    * [[graft.functions.MinHashSigs]] expression that actually runs
+    * (DedupSpec asserts they agree on the corpus). */
+  private[graft] val sigsHofExpr =
     "transform(sequence(0, 5), i -> array_min(transform(w, u -> md5(concat(cast(i AS STRING), ':', u)))))"
+
+  /** The signature column the queries use: codegen'd, same semantics. */
+  private def sigsCol: org.apache.spark.sql.Column =
+    graft.functions.MinHashSigs.minhashSigs(col("w"), 6)
 
   /** b=3 bands of r=2 rows: band hash = md5 of two consecutive minhashes.
     * P[band match] = j² keeps buckets small on low-diversity corpora;
@@ -100,7 +107,7 @@ object Dedup {
   private[graft] def lshVerifiedPairs(
       s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     val t = tokenSets(s, dir)
-    val bands = bandHashes(t.withColumn("sigs", expr(sigsExpr)))
+    val bands = bandHashes(t.withColumn("sigs", sigsCol))
     jaccardOfCandidates(bucketPairs(bands, _ < _), t)
       .filter(col("jaccard") >= 0.9)
   }
@@ -153,7 +160,7 @@ object Dedup {
 
     QueryDef(
       "q41_dedup_minhash_lsh",
-      // MinHash + LSH (k=6 permutations, b=3 bands of r=2 — see sigsExpr/
+      // MinHash + LSH (k=6 permutations, b=3 bands of r=2 — see sigsHofExpr/
       // bandsExpr above for the recall math) → candidate pairs from bucket
       // collisions → verified with true token-set Jaccard ≥ 0.9.
       (s, dir) => lshVerifiedPairs(s, dir).orderBy("da", "db"),
@@ -182,7 +189,7 @@ object Dedup {
       // similar. Output: surviving rep per cluster + collapsed size.
       (s, dir) => {
         val t = tokenSets(s, dir)
-          .withColumn("sigs", expr(sigsExpr))
+          .withColumn("sigs", sigsCol)
           // Exact-collapse key = hash of the SORTED TOKEN SET itself, not
           // the minhash signature: true set-identity collapse, independent
           // of the banding configuration.

@@ -6,6 +6,27 @@ import org.scalatest.funsuite.AnyFunSuite
 class DedupSpec extends AnyFunSuite with SparkSuite {
   import spark.implicits._
 
+  test("codegen'd minhash_sigs equals the HOF form, incl. empty and null tokens") {
+    val corpus = Tables.documents(spark, sfDir)
+      .select($"doc_id", expr("array_distinct(filter(split(lower(text), ' '), x -> x <> ''))").as("w"))
+    val edge = Seq(
+      (9001L, Array("alpha", "beta")),
+      (9002L, Array.empty[String]),
+      (9003L, Array("solo")))
+      .toDF("doc_id", "w")
+      // a null element among the tokens (the HOF hashes it to null and
+      // array_min skips it)
+      .union(Seq(9004L).toDF("doc_id")
+        .select($"doc_id", expr("array('tok', CAST(NULL AS STRING))").as("w")))
+    Seq(corpus, edge).foreach { df =>
+      val both = df.select(
+        graft.functions.MinHashSigs.minhashSigs($"w", 6).as("fast"),
+        expr(operators.Dedup.sigsHofExpr).as("hof"))
+      assert(both.count() > 0)
+      assert(both.filter(!($"fast" <=> $"hof")).count() == 0)
+    }
+  }
+
   test("q41 minhash: identical token sets always share every band") {
     // jaccard=1 docs must collide in ALL bands — LSH can never miss them.
     val df = Seq((1L, "alpha beta gamma"), (2L, "gamma alpha beta"))
