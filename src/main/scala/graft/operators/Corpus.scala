@@ -317,6 +317,55 @@ object Corpus {
               |FROM r ORDER BY doc_id""".stripMargin.replace("\n", " "))),
 
     QueryDef(
+      "q63_training_pipeline",
+      // The whole corpus flow end-to-end AS ONE QUERY — documents →
+      // quality gate (q100) → exact dedup keep-first on the normalized
+      // fingerprint (q40/q95's key) → eval-set decontamination (q97) →
+      // token-window chunking (q93) — composed from the SAME
+      // input-agnostic bodies the individual queries declare, so this is
+      // the integration proof that the pieces actually chain: one scan
+      // feeds codegen'd gate expressions, the only shuffles are the
+      // dedup window and the final order, the eval set broadcasts, and
+      // chunking multiplies rows map-side. The DuckDB oracle replays the
+      // identical four stages as chained CTEs.
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val kept = docs.join(
+          qualityGate(docs).filter(col("keep")).select("doc_id"), "doc_id")
+        val withFp = kept.select(col("doc_id"), col("text"),
+          md5(trim(lower(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", "")))).as("fp"))
+        val deduped = Relational.dedupKeepFirst(withFp, Seq("fp"), Seq(col("doc_id")))
+        val evalFps = docs.filter(col("doc_id").isInCollection(Seq(3L, 7L)))
+          .select(md5(trim(lower(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", "")))).as("fp"))
+          .distinct()
+        val clean = deduped.join(broadcast(evalFps), Seq("fp"), "left_anti")
+        chunkTokens(clean.select("doc_id", "text")).orderBy("doc_id", "chunk_idx")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, text, $toksDuck AS w FROM documents),
+              |g AS (SELECT doc_id, text, w, CASE WHEN len(w) >= 3
+              |THEN list_transform(generate_series(1, len(w)-2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+              |ELSE []::VARCHAR[] END AS tri FROM t),
+              |keepers AS (SELECT doc_id, text FROM g
+              |WHERE length(text) >= 100 AND length(text) <= 5000
+              |AND len(w) > 0 AND len(list_filter(w, x -> x IN ($stopList))) * 1.0 / len(w) BETWEEN 0.05 AND 0.6
+              |AND length(replace(text, ' ', '')) * 1.0 / len(w) BETWEEN 2 AND 12
+              |AND (len(tri) = 0 OR (len(tri) - len(list_distinct(tri))) * 1.0 / len(tri) <= 0.3)),
+              |fps AS (SELECT doc_id, text,
+              |md5(trim(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))) AS fp FROM keepers),
+              |dd AS (SELECT doc_id, text, fp FROM
+              |(SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM fps) x WHERE rn = 1),
+              |ev AS (SELECT DISTINCT md5(trim(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))) AS fp
+              |FROM documents WHERE doc_id IN (3, 7)),
+              |clean AS (SELECT doc_id, $toksDuck AS w FROM dd
+              |WHERE fp NOT IN (SELECT fp FROM ev))
+              |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+              |array_to_string(w[i*15+1 : i*15+20], ' ') AS chunk,
+              |CAST(len(w[i*15+1 : i*15+20]) AS BIGINT) AS n_tokens
+              |FROM clean, LATERAL (SELECT unnest(generate_series(0, (len(w)-1)//15)) AS i) g
+              |WHERE len(w) > 0
+              |ORDER BY doc_id, chunk_idx""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
       "q92_approx_sketches",
       // The fixed-memory aggregates that REPLACE q16/q25 at 100 TB:
       // HyperLogLog++ distinct counts and approximate percentiles. Sketch

@@ -133,6 +133,24 @@ class CorpusSpec extends AnyFunSuite with SparkSuite {
     assert(q58.exists(_._3 == 0L), "fixture must drop something")
   }
 
+  test("q63 end-to-end pipeline is consistent with its component stages") {
+    val chunks = SparkEntry.queries("q63_training_pipeline")(spark, sfDir)
+      .select("doc_id", "chunk_idx").as[(Long, Long)].collect()
+    assert(chunks.nonEmpty)
+    val docs63 = chunks.map(_._1).toSet
+    val keepers = SparkEntry.queries("q100_quality_gate")(spark, sfDir)
+      .filter(col("keep")).select("doc_id").as[Long].collect().toSet
+    assert(docs63.subsetOf(keepers), "pipeline must only chunk gate-passing docs")
+    val decontaminated = SparkEntry.queries("q97_decontaminate")(spark, sfDir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(docs63.subsetOf(decontaminated), "no contaminated doc may be chunked")
+    // Chunk indices are contiguous from 0 per doc.
+    chunks.groupBy(_._1).foreach { case (_, cs) =>
+      val idxs = cs.map(_._2).sorted
+      assert(idxs.head == 0L && idxs.last == idxs.length - 1)
+    }
+  }
+
   test("q99 repetition: a looping doc scores near 1, novel text scores 0") {
     val docs = Seq(
       (1L, "spam ham eggs " * 20),          // one trigram repeated
