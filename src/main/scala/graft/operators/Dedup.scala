@@ -130,7 +130,64 @@ object Dedup {
        |pairs AS (SELECT da, db FROM inter JOIN sz za ON da = za.doc_id JOIN sz zb ON db = zb.doc_id
        |WHERE round(i * 1.0 / (za.n + zb.n - i), 4) >= 0.9)""".stripMargin.replace("\n", " ")
 
+  /** Incremental near-dup dedup — the shape a GROWING 100 TB corpus
+    * actually runs: the store's band table is a persisted index that is
+    * NEVER recomputed; only the (tiny) new batch is signed and banded,
+    * probes the index for store collisions, and self-joins for
+    * within-batch collisions. A batch doc is dropped when it
+    * Jaccard-verifies ≥ 0.9 against ANY store doc or a SMALLER-id batch
+    * doc (greedy-by-id, the q45 anchor discipline); `dup_of` reports the
+    * minimum such partner, -1 when kept. Both inputs are (doc_id, w)
+    * token-set frames. */
+  private[graft] def dedupIncremental(store: DataFrame, batch: DataFrame): DataFrame = {
+    val storeIdx = bandHashes(store.withColumn("sigs", sigsCol))
+    val bBands = bandHashes(batch.withColumn("sigs", sigsCol))
+    val candStore = bBands.as("b")
+      .join(storeIdx.as("s"),
+        col("b.band") === col("s.band") && col("b.h") === col("s.h"))
+      .select(col("b.doc_id").as("da"), col("s.doc_id").as("db"))
+    val candBatch = bBands.as("x")
+      .join(bBands.as("y"),
+        col("x.band") === col("y.band") && col("x.h") === col("y.h") &&
+          col("x.doc_id") > col("y.doc_id"))
+      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+    val cand = candStore.union(candBatch).distinct()
+    val dup = jaccardOfCandidates(cand, store.unionByName(batch))
+      .filter(col("jaccard") >= 0.9)
+      .groupBy("da").agg(min("db").as("dup_of"))
+    batch.select(col("doc_id"))
+      .join(dup.withColumnRenamed("da", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("dup_of"), lit(-1L)).as("dup_of"),
+        when(col("dup_of").isNull, 1L).otherwise(0L).as("kept"))
+      .orderBy("doc_id")
+  }
+
   def defs: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "q64_dedup_incremental",
+      // Store = doc_id % 5 != 0, batch = the rest — a deterministic split
+      // standing in for "yesterday's corpus + today's crawl". The oracle
+      // derives the same verdicts from the full q41 pair relation
+      // restricted to (batch × store) ∪ (batch × smaller-batch): the
+      // incremental index-probe plan and the full-corpus pair relation
+      // agree exactly, which is the correctness claim of incremental
+      // dedup (no near-dup is missed by only banding the delta).
+      (s, dir) => {
+        val t = tokenSets(s, dir)
+        dedupIncremental(
+          t.filter(col("doc_id") % 5 =!= 0), t.filter(col("doc_id") % 5 === 0))
+      },
+      Some(s"""WITH $lshPairsDuckCte,
+              |partners AS (SELECT da AS d, db AS p FROM pairs UNION ALL SELECT db AS d, da AS p FROM pairs),
+              |batch AS (SELECT doc_id FROM documents WHERE doc_id % 5 = 0),
+              |q AS (SELECT b.doc_id, min(p.p) AS dup_of FROM batch b
+              |JOIN partners p ON p.d = b.doc_id
+              |WHERE p.p % 5 <> 0 OR p.p < b.doc_id GROUP BY 1)
+              |SELECT b.doc_id, coalesce(q.dup_of, -1) AS dup_of,
+              |CAST(CASE WHEN q.doc_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+              |FROM batch b LEFT JOIN q ON b.doc_id = q.doc_id
+              |ORDER BY b.doc_id""".stripMargin.replace("\n", " "))),
 
     QueryDef(
       "q40_dedup_exact",

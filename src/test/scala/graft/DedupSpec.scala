@@ -27,6 +27,19 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("incremental dedup: store dups, in-batch dups, and novel docs are classified") {
+    def toks(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+      .select($"doc_id", expr("array_distinct(filter(split(lower(text), ' '), x -> x <> ''))").as("w"))
+    val store = toks(Seq((1L, "alpha beta gamma delta epsilon")))
+    val batch = toks(Seq(
+      (5L, "alpha beta gamma delta epsilon"),   // exact dup of store doc 1
+      (10L, "totally novel content here now"),  // kept
+      (15L, "totally novel content here now"))) // in-batch dup of 10
+    val got = operators.Dedup.dedupIncremental(store, batch)
+      .select("doc_id", "dup_of", "kept").as[(Long, Long, Long)].collect().toList
+    assert(got == List((5L, 1L, 0L), (10L, -1L, 1L), (15L, 10L, 0L)))
+  }
+
   test("q41 minhash: identical token sets always share every band") {
     // jaccard=1 docs must collide in ALL bands — LSH can never miss them.
     val df = Seq((1L, "alpha beta gamma"), (2L, "gamma alpha beta"))
