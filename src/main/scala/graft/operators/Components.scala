@@ -125,6 +125,47 @@ object Components {
               |comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
               |sizes AS (SELECT comp, count(*) AS cluster_size FROM comp GROUP BY comp)
               |SELECT c.id AS doc_id, c.comp, s.cluster_size
-              |FROM comp c JOIN sizes s USING (comp) ORDER BY doc_id""".stripMargin.replace("\n", " ")))
+              |FROM comp c JOIN sizes s USING (comp) ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q65_dedup_best_survivor",
+      // Survivor SELECTION on top of q55's clusters: real pipelines keep
+      // the best-quality member of each near-dup cluster, not the
+      // smallest id — here longest-token-count wins (ties → min doc_id),
+      // the standard keep-the-most-complete-copy heuristic. One window
+      // over the (tiny) clustered subset; the quality signal joins in
+      // from the corpus scan.
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val cc = connectedComponents(Dedup.lshVerifiedPairs(s, dir).select("da", "db"))
+        val toks = graft.Tables.documents(s, dir)
+          .select(col("doc_id"),
+            expr(s"CAST(size(array_distinct(${TextAnalytics.toksExpr})) AS BIGINT)").as("n_toks"))
+        cc.withColumnRenamed("id", "doc_id")
+          .join(toks, "doc_id")
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("comp").orderBy(col("n_toks").desc, col("doc_id"))))
+          .filter(col("rn") === 1)
+          .join(cc.groupBy("comp").agg(count(lit(1)).as("cluster_size")), "comp")
+          .select(col("comp"), col("doc_id").as("survivor"),
+            col("n_toks").as("survivor_toks"), col("cluster_size"))
+          .orderBy("comp")
+      },
+      Some(s"""WITH RECURSIVE ${Dedup.lshPairsDuckCte},
+              |edges AS (SELECT da AS a, db AS b FROM pairs UNION SELECT db AS a, da AS b FROM pairs),
+              |reach AS (
+              |SELECT a AS id, a AS r FROM (SELECT DISTINCT a FROM edges) base
+              |UNION
+              |SELECT e.a AS id, re.r AS r FROM edges e JOIN reach re ON re.id = e.b),
+              |comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+              |toks AS (SELECT doc_id, CAST(len(list_distinct(${TextAnalytics.toksDuck})) AS BIGINT) AS n_toks
+              |FROM documents),
+              |ranked AS (SELECT c.comp, c.id, t.n_toks,
+              |row_number() OVER (PARTITION BY c.comp ORDER BY t.n_toks DESC, c.id) AS rn
+              |FROM comp c JOIN toks t ON c.id = t.doc_id),
+              |sizes AS (SELECT comp, count(*) AS cluster_size FROM comp GROUP BY comp)
+              |SELECT r.comp, r.id AS survivor, r.n_toks AS survivor_toks, s.cluster_size
+              |FROM ranked r JOIN sizes s USING (comp) WHERE r.rn = 1
+              |ORDER BY r.comp""".stripMargin.replace("\n", " ")))
   )
 }
