@@ -27,7 +27,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Null semantics mirror the HOF: a null element in `w` hashes to null
   * and is skipped by the min; an empty (or all-null) token set yields
-  * null signature elements.
+  * null signature elements; a NULL token-set column is handled by the
+  * Column wrapper in the companion (k nulls, matching transform's
+  * null-in-array behavior).
   */
 case class MinHashSigs(child: Expression, k: Int) extends UnaryExpression {
 
@@ -119,7 +121,14 @@ object MinHashSigs {
     new String(c)
   }
 
-  /** Column API. */
-  def minhashSigs(w: Column, k: Int): Column =
-    GraftColumnBridge.column(MinHashSigs(GraftColumnBridge.expression(w), k))
+  /** Column API. The HOF twin maps a NULL token set to an array of k
+    * nulls (transform propagates null INTO the array), while the bare
+    * expression is null-intolerant like any UnaryExpression — the
+    * `when` wrapper restores exact parity for null inputs. */
+  def minhashSigs(w: Column, k: Int): Column = {
+    import org.apache.spark.sql.functions.{array_repeat, lit, when}
+    when(w.isNull, array_repeat(lit(null).cast("string"), k))
+      .otherwise(GraftColumnBridge.column(
+        MinHashSigs(GraftColumnBridge.expression(w), k)))
+  }
 }

@@ -92,6 +92,10 @@ object Components {
       val c = checksum(next)
       converged = c == prev
       prev = c
+      // Free the superseded round's checkpoint blocks now — over 50
+      // rounds the copies would otherwise sit in executor storage until
+      // the ContextCleaner happens to collect them.
+      org.apache.spark.sql.GraftColumnBridge.unpersistLocalCheckpoint(e)
       e = next
       it += 1
     }

@@ -27,6 +27,7 @@ object Corpus {
   private val toksExpr = TextAnalytics.toksExpr
   private val toksDuck = TextAnalytics.toksDuck
   private val stopList = TextAnalytics.stopSqlList
+  private val fpDuck = TextAnalytics.fpExactDuck
 
   import org.apache.spark.sql.DataFrame
 
@@ -164,15 +165,15 @@ object Corpus {
       (s, dir) => {
         val docs = Tables.documents(s, dir)
           .select(col("doc_id"),
-            md5(trim(lower(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", "")))).as("fp"))
+            TextAnalytics.fpExactCol.as("fp"))
         val evalSet = docs.filter(col("doc_id").isInCollection(Seq(3L, 7L)))
           .select(col("fp")).distinct()
         docs.join(broadcast(evalSet), Seq("fp"), "left_anti")
           .select(col("doc_id"), col("fp"))
           .orderBy("doc_id")
       },
-      Some("""WITH docs AS (SELECT doc_id,
-             |md5(trim(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))) AS fp FROM documents),
+      Some(s"""WITH docs AS (SELECT doc_id,
+             |$fpDuck AS fp FROM documents),
              |ev AS (SELECT DISTINCT fp FROM docs WHERE doc_id IN (3, 7))
              |SELECT doc_id, fp FROM docs
              |WHERE fp NOT IN (SELECT fp FROM ev)
@@ -222,7 +223,7 @@ object Corpus {
             .stripMargin.replace("\n", " ")
         val docs = Tables.documents(s, dir)
           .select(col("doc_id"),
-            md5(trim(lower(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", "")))).as("fp"))
+            TextAnalytics.fpExactCol.as("fp"))
         val ev = docs.filter(col("doc_id").isInCollection(Seq(3L, 7L)))
           .select(col("fp")).distinct()
         val words = ev.select(explode(expr(posSpark)).as("pos"))
@@ -236,14 +237,22 @@ object Corpus {
           .select(col("doc_id"), col("fp"),
             expr("CASE WHEN bits IS NULL THEN 0 ELSE CAST(shiftright(bits, bit) & 1 AS INT) END").as("setbit"))
           .groupBy("doc_id", "fp").agg(min("setbit").as("bloom_hit"))
-        tested
+        // The exact membership join consumes ONLY the Bloom-hit rows —
+        // misses are kept outright. At true scale the hit set is tiny,
+        // so this join runs as a standard shuffle join of |hits| rows
+        // against the eval table; the broadcast here is local-test
+        // convenience, not the load-bearing part.
+        val hits = tested.filter(col("bloom_hit") === 1)
           .join(broadcast(ev.withColumn("inev", lit(1))), Seq("fp"), "left")
           .select(col("doc_id"), col("bloom_hit").cast("long").as("bloom_hit"),
-            expr("CASE WHEN bloom_hit = 1 AND inev = 1 THEN 0L ELSE 1L END").as("kept"))
-          .orderBy("doc_id")
+            expr("CASE WHEN inev = 1 THEN 0L ELSE 1L END").as("kept"))
+        val misses = tested.filter(col("bloom_hit") === 0)
+          .select(col("doc_id"), col("bloom_hit").cast("long").as("bloom_hit"),
+            lit(1L).as("kept"))
+        hits.unionByName(misses).orderBy("doc_id")
       },
-      Some("""WITH docs AS (SELECT doc_id,
-             |md5(trim(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))) AS fp FROM documents),
+      Some(s"""WITH docs AS (SELECT doc_id,
+             |$fpDuck AS fp FROM documents),
              |ev AS (SELECT DISTINCT fp FROM docs WHERE doc_id IN (3, 7)),
              |evpos AS (SELECT unnest(list_transform(
              |list_transform(generate_series(0, 2), h -> substr(md5(CAST(h AS VARCHAR) || ':' || fp), 1, 8)),
@@ -333,10 +342,10 @@ object Corpus {
         val kept = docs.join(
           qualityGate(docs).filter(col("keep")).select("doc_id"), "doc_id")
         val withFp = kept.select(col("doc_id"), col("text"),
-          md5(trim(lower(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", "")))).as("fp"))
+          TextAnalytics.fpExactCol.as("fp"))
         val deduped = Relational.dedupKeepFirst(withFp, Seq("fp"), Seq(col("doc_id")))
         val evalFps = docs.filter(col("doc_id").isInCollection(Seq(3L, 7L)))
-          .select(md5(trim(lower(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", "")))).as("fp"))
+          .select(TextAnalytics.fpExactCol.as("fp"))
           .distinct()
         val clean = deduped.join(broadcast(evalFps), Seq("fp"), "left_anti")
         chunkTokens(clean.select("doc_id", "text")).orderBy("doc_id", "chunk_idx")
@@ -351,10 +360,10 @@ object Corpus {
               |AND length(replace(text, ' ', '')) * 1.0 / len(w) BETWEEN 2 AND 12
               |AND (len(tri) = 0 OR (len(tri) - len(list_distinct(tri))) * 1.0 / len(tri) <= 0.3)),
               |fps AS (SELECT doc_id, text,
-              |md5(trim(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))) AS fp FROM keepers),
+              |$fpDuck AS fp FROM keepers),
               |dd AS (SELECT doc_id, text, fp FROM
               |(SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM fps) x WHERE rn = 1),
-              |ev AS (SELECT DISTINCT md5(trim(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))) AS fp
+              |ev AS (SELECT DISTINCT $fpDuck AS fp
               |FROM documents WHERE doc_id IN (3, 7)),
               |clean AS (SELECT doc_id, $toksDuck AS w FROM dd
               |WHERE fp NOT IN (SELECT fp FROM ev))

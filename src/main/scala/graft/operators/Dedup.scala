@@ -152,7 +152,13 @@ object Dedup {
           col("x.doc_id") > col("y.doc_id"))
       .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
     val cand = candStore.union(candBatch).distinct()
-    val dup = jaccardOfCandidates(cand, store.unionByName(batch))
+    // The verify index covers ONLY store docs that actually collided
+    // (semi-join on the candidate partners) plus the batch — without
+    // this, every ingest would re-explode the full store's token sets
+    // and the O(|batch|) incremental claim would be false.
+    val touched = store.join(
+      cand.select(col("db").as("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+    val dup = jaccardOfCandidates(cand, touched.unionByName(batch))
       .filter(col("jaccard") >= 0.9)
       .groupBy("da").agg(min("db").as("dup_of"))
     batch.select(col("doc_id"))

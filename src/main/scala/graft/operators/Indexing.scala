@@ -36,21 +36,31 @@ object Indexing {
     * The order must be total (tie-free) for the index to be
     * deterministic — pass a unique key last. */
   def globalIndex(df: DataFrame, order: Seq[Column]): DataFrame = {
+    // Internal column names are uniquified against the input so a frame
+    // that already has a `_pid` (or `_off`/`_local`) is never clobbered.
+    def fresh(base: String): String = {
+      var n = base
+      while (df.columns.contains(n)) n += "_"
+      n
+    }
+    val pidCol = fresh("_pid")
+    val offCol = fresh("_off")
+    val localCol = fresh("_local")
     val parted = df.repartitionByRange(order: _*).localCheckpoint()
-    val withPid = parted.withColumn("_pid", spark_partition_id())
-    val counts = withPid.groupBy("_pid").agg(count(lit(1)).as("c"))
+    val withPid = parted.withColumn(pidCol, spark_partition_id())
+    val counts = withPid.groupBy(pidCol).agg(count(lit(1)).as("c"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     val offsets = counts.scanLeft((-1, 0L)) { case ((_, acc), (p, c)) => (p, acc + c) }
       .sliding(2).collect { case Array((_, off), (p, _)) => (p, off) }.toSeq
     val spark = df.sparkSession
     import spark.implicits._
-    val offDf = offsets.toDF("_pid", "_off")
+    val offDf = offsets.toDF(pidCol, offCol)
     withPid
-      .withColumn("_local",
-        row_number().over(Window.partitionBy("_pid").orderBy(order: _*)).cast("long") - 1L)
-      .join(broadcast(offDf), "_pid")
-      .withColumn("idx", col("_off") + col("_local"))
-      .drop("_pid", "_off", "_local")
+      .withColumn(localCol,
+        row_number().over(Window.partitionBy(pidCol).orderBy(order: _*)).cast("long") - 1L)
+      .join(broadcast(offDf), pidCol)
+      .withColumn("idx", col(offCol) + col(localCol))
+      .drop(pidCol, offCol, localCol)
   }
 
   def defs: Seq[QueryDef] = Seq(

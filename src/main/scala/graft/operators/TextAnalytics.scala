@@ -31,6 +31,17 @@ object TextAnalytics {
     * every module must interpolate THIS, not its own copy). */
   private[graft] val stopSqlList = Stopwords.map(w => s"'$w'").mkString(", ")
 
+  /** Exact-content fingerprint: md5 of the C1-normalized text (q35's
+    * fp_exact) — THE dedup/decontamination key. ONE definition: q35,
+    * q58, q63, q97 and their oracles all reference this pair, so a
+    * change to the normalization cannot silently desynchronize what
+    * "duplicate" means across the pipeline. */
+  private[graft] def fpExactCol: org.apache.spark.sql.Column =
+    md5(trim(lower(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", ""))))
+
+  private[graft] val fpExactDuck =
+    "md5(trim(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))))"
+
   /** Tokens: lowercase whitespace split, empties removed (handles the
     * corpus's trailing spaces). Same expression text on both sides. This
     * pair DEFINES what a token is for every oracle-checked query — one
@@ -345,7 +356,7 @@ object TextAnalytics {
       (s, dir) =>
         Tables.documents(s, dir)
           .select(col("doc_id"),
-            md5(trim(lower(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", "")))).as("fp_exact"),
+            fpExactCol.as("fp_exact"),
             expr(toksExpr).as("w"))
           .withColumn("fp_shingle_min",
             // Spark arrays are 0-based: indices 0 .. size-3.
@@ -356,7 +367,7 @@ object TextAnalytics {
           .orderBy("doc_id"),
       Some(s"""WITH t AS (SELECT doc_id, text, $toksDuck AS w FROM documents)
               |SELECT doc_id,
-              |md5(trim(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))) AS fp_exact,
+              |$fpExactDuck AS fp_exact,
               |CASE WHEN len(w) >= 3
               |THEN list_min(list_transform(generate_series(1, len(w)-2), i -> md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2])))
               |ELSE NULL END AS fp_shingle_min

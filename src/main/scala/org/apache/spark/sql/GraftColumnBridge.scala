@@ -11,6 +11,18 @@ object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Unpersist the block-manager copies behind a localCheckpoint'ed
+    * Dataset (its analyzed plan is a LogicalRDD over the checkpointed
+    * RDD). Dataset.unpersist only covers cache()-registered plans, so
+    * iterative algorithms that checkpoint per round (Components) need
+    * this to release superseded rounds deterministically instead of
+    * waiting for the ContextCleaner. No-op for non-checkpointed frames. */
+  def unpersistLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: execution.LogicalRDD => l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** Register graft's custom expressions in the session's SQL function
     * registry so `spark.sql("... vec_dot(a, b) ...")` works. */
   def registerGraftFunctions(spark: SparkSession): Unit =

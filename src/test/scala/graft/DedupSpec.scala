@@ -18,6 +18,9 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
       // array_min skips it)
       .union(Seq(9004L).toDF("doc_id")
         .select($"doc_id", expr("array('tok', CAST(NULL AS STRING))").as("w")))
+      // a NULL token-set column (null-text doc): both forms → k nulls
+      .union(Seq(9005L).toDF("doc_id")
+        .select($"doc_id", expr("CAST(NULL AS ARRAY<STRING>)").as("w")))
     Seq(corpus, edge).foreach { df =>
       val both = df.select(
         graft.functions.MinHashSigs.minhashSigs($"w", 6).as("fast"),

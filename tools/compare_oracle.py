@@ -14,6 +14,7 @@ import sys, json, glob, math
 
 import duckdb
 import numpy as np
+import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -77,16 +78,24 @@ def is_null(x):
         return True
     if isinstance(x, (float, np.floating)):
         return math.isnan(x)
+    # pandas null timestamps arrive as NaT through .df(), not None
+    if x is pd.NaT or isinstance(x, np.datetime64) and np.isnat(x):
+        return True
     return False
 
 
 def eq(a, b):
     if is_null(a) or is_null(b):
         return is_null(a) and is_null(b)
+    a_b = isinstance(a, (bool, np.bool_))
+    b_b = isinstance(b, (bool, np.bool_))
+    if a_b != b_b:
+        # bool-vs-int stringifies as "True" vs "1" at the driver: FAIL.
+        return False
     a_f = isinstance(a, (float, np.floating))
     b_f = isinstance(b, (float, np.floating))
-    a_i = isinstance(a, (int, np.integer)) and not isinstance(a, bool)
-    b_i = isinstance(b, (int, np.integer)) and not isinstance(b, bool)
+    a_i = isinstance(a, (int, np.integer)) and not a_b
+    b_i = isinstance(b, (int, np.integer)) and not b_b
     if (a_f or a_i) and (b_f or b_i):
         # int-vs-float is the driver's "132" vs "132.0" hash mismatch: FAIL.
         if a_f != b_f:
