@@ -60,6 +60,29 @@ object Flows {
     json
   }
 
+  /** The training-corpus flow (north star, q63's composition as API):
+    * quality gate → exact-fingerprint dedup (keep-first) → eval-set
+    * decontamination → token-window chunking, with the chunks written as
+    * a globally ordered parquet layout (disjoint sorted key ranges —
+    * Sinks.writeOrdered) ready for a pack/tokenize stage to consume with
+    * min/max pruning. Returns the chunk frame; `evalDocIds` marks the
+    * held-out docs whose fingerprints must not survive. */
+  def corpusFlow(docs: DataFrame, evalDocIds: Seq[Long], outDir: String): DataFrame = {
+    import graft.operators.{Corpus, Relational, TextAnalytics}
+    val kept = docs.join(
+      Corpus.qualityGate(docs).filter(col("keep")).select("doc_id"), "doc_id")
+    val withFp = kept.select(col("doc_id"), col("text"),
+      TextAnalytics.fpExactCol.as("fp"))
+    val deduped = Relational.dedupKeepFirst(withFp, Seq("fp"), Seq(col("doc_id")))
+    val evalFps = docs.filter(col("doc_id").isInCollection(evalDocIds))
+      .select(TextAnalytics.fpExactCol.as("fp")).distinct()
+    val clean = deduped.join(broadcast(evalFps), Seq("fp"), "left_anti")
+    val chunks = Corpus.chunkTokens(clean.select("doc_id", "text"))
+    graft.sources.Sinks.writeOrdered(
+      chunks, Seq(col("doc_id"), col("chunk_idx")), outDir, numFiles = Some(4))
+    chunks
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master("local[4]")
@@ -86,6 +109,9 @@ object Flows {
 
     val taxonomy = SparkEntry.queries("q77_wordcloud_weights")(spark, "/root/testdata/sf0.001")
     println(s"FLOW build-taxonomy rows=${taxonomy.count()}")
+
+    val chunks = corpusFlow(docs, Seq(3L, 7L), out.resolve("corpus_chunks").toString)
+    println(s"FLOW corpus chunks=${chunks.count()}")
     spark.stop()
   }
 }

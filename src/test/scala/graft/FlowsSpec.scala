@@ -44,6 +44,20 @@ class FlowsSpec extends AnyFunSuite with SparkSuite {
     assert(Flows.queryArticles(df, term = Some("ransomware"), year = Some("2023")).isEmpty)
   }
 
+  test("corpus flow matches q63 and writes an ordered, lossless chunk layout") {
+    val out = java.nio.file.Files.createTempDirectory("graft_flows_corpus")
+      .resolve("chunks").toString
+    val docs = Tables.documents(spark, sfDir)
+    val chunks = Flows.corpusFlow(docs, Seq(3L, 7L), out)
+    val viaQuery = SparkEntry.queries("q63_training_pipeline")(spark, sfDir)
+    assert(chunks.count() > 0)
+    assert(viaQuery.exceptAll(chunks).count() == 0)
+    assert(chunks.exceptAll(viaQuery).count() == 0)
+    // the written layout round-trips losslessly
+    val back = spark.read.parquet(out)
+    assert(back.count() == chunks.count())
+  }
+
   test("build-tree writes the nested artifact file") {
     val out = java.nio.file.Files.createTempDirectory("graft_flows_spec_t")
     val docs = Seq(
