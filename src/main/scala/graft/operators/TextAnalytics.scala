@@ -236,6 +236,49 @@ object TextAnalytics {
               |FROM sc GROUP BY doc_id ORDER BY bm25 DESC, doc_id""".stripMargin.replace("\n", " "))),
 
     QueryDef(
+      "q66_pmi_collocations",
+      // Pointwise mutual information over document co-occurrence — the
+      // classic collocation/association signal (Church & Hanks 1990):
+      // PMI(a,b) = ln(df(a,b)·N / (df(a)·df(b))) on the top-20
+      // non-stopword vocabulary. Scale shape: the vocabulary cap bounds
+      // the pair space at V²/2 (190 pairs) regardless of corpus size,
+      // the top-V table broadcasts, and the per-doc self-join runs on
+      // the doc-partitioned filtered term sets — never on the raw
+      // corpus.
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val tok = docs.select(col("doc_id"),
+          explode(expr(s"array_distinct($toksExpr)")).as("t"))
+          .filter(!col("t").isInCollection(Stopwords))
+        val top = tok.groupBy("t").agg(count(lit(1)).as("df"))
+          .orderBy(col("df").desc, col("t")).limit(20)
+        val ft = tok.join(broadcast(top), "t")
+        val n = docs.agg(count(lit(1)).as("n"))
+        ft.as("a")
+          .join(ft.as("b"),
+            col("a.doc_id") === col("b.doc_id") && col("a.t") < col("b.t"))
+          .groupBy(col("a.t").as("ta"), col("b.t").as("tb"))
+          .agg(count(lit(1)).as("df_ab"),
+            first(col("a.df")).as("df_a"), first(col("b.df")).as("df_b"))
+          .crossJoin(broadcast(n))
+          .select(col("ta"), col("tb"), col("df_ab"),
+            round(log(col("df_ab") * col("n") * lit(1.0) / (col("df_a") * col("df_b"))), 6).as("pmi"))
+          .orderBy(col("pmi").desc, col("ta"), col("tb"))
+      },
+      Some(s"""WITH tok AS (SELECT DISTINCT doc_id, t FROM
+              |(SELECT doc_id, unnest(list_distinct($toksDuck)) AS t FROM documents) u
+              |WHERE t NOT IN ($stopSqlList)),
+              |top AS (SELECT t, count(*) AS df FROM tok GROUP BY 1 ORDER BY df DESC, t LIMIT 20),
+              |ft AS (SELECT tok.doc_id, tok.t, top.df FROM tok JOIN top USING (t)),
+              |n AS (SELECT count(*) AS n FROM documents),
+              |p AS (SELECT a.t AS ta, b.t AS tb, count(*) AS df_ab,
+              |any_value(a.df) AS df_a, any_value(b.df) AS df_b
+              |FROM ft a JOIN ft b ON a.doc_id = b.doc_id AND a.t < b.t GROUP BY 1, 2)
+              |SELECT ta, tb, df_ab,
+              |round(ln(df_ab * n.n * 1.0 / (df_a * df_b)), 6) AS pmi
+              |FROM p, n ORDER BY pmi DESC, ta, tb""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
       "q32_tfidf",
       // A7: TF-IDF as two grouped aggregates + a broadcast join — sklearn's
       // smooth-idf formula ln((N+1)/(df+1))+1 (scrappy.py:36-37).
