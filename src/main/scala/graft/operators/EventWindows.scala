@@ -62,6 +62,70 @@ object EventWindows {
   def defs: Seq[QueryDef] = Seq(
 
     QueryDef(
+      "q67_event_funnel",
+      // Ordered conversion funnel: per user, the first view → first
+      // click AFTER that view → first purchase AFTER that click; the
+      // output is the per-stage user count (the funnel chart's bars).
+      // Shape: three tiny per-user min-aggregates off one scan, joined
+      // on user — one shuffle by user_id; no self-join of raw events
+      // against raw events.
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val v = ev.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min("ts").as("t_view"))
+        val c = ev.filter(col("event_type") === "click").as("c")
+          .join(v, "user_id")
+          .filter(col("ts") >= col("t_view"))
+          .groupBy("user_id").agg(min("ts").as("t_click"), first("t_view").as("t_view"))
+        val p = ev.filter(col("event_type") === "purchase").as("p")
+          .join(c, "user_id")
+          .filter(col("ts") >= col("t_click"))
+          .groupBy("user_id").agg(min("ts").as("t_purchase"))
+        val stages = v.select(lit("1_view").as("stage"), col("user_id"))
+          .unionByName(c.select(lit("2_click").as("stage"), col("user_id")))
+          .unionByName(p.select(lit("3_purchase").as("stage"), col("user_id")))
+        stages.groupBy("stage").agg(countDistinct("user_id").as("users"))
+          .orderBy("stage")
+      },
+      Some("""WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+             |WHERE event_type = 'view' GROUP BY 1),
+             |c AS (SELECT e.user_id, min(e.ts) AS t_click FROM events e
+             |JOIN v ON e.user_id = v.user_id AND e.ts >= v.t_view
+             |WHERE e.event_type = 'click' GROUP BY 1),
+             |p AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM events e
+             |JOIN c ON e.user_id = c.user_id AND e.ts >= c.t_click
+             |WHERE e.event_type = 'purchase' GROUP BY 1),
+             |stages AS (SELECT '1_view' AS stage, user_id FROM v
+             |UNION ALL SELECT '2_click', user_id FROM c
+             |UNION ALL SELECT '3_purchase', user_id FROM p)
+             |SELECT stage, count(DISTINCT user_id) AS users
+             |FROM stages GROUP BY stage ORDER BY stage""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q68_event_transitions",
+      // Behavioral transition matrix: per user, consecutive event-type
+      // pairs in time order (lead window), counted corpus-wide — the
+      // Markov-chain view of session behavior. One window shuffle by
+      // user, one tiny groupBy; ties in ts broken by event_id so the
+      // sequence is total.
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        Tables.events(s, dir)
+          .withColumn("next_type", lead("event_type", 1).over(
+            Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))))
+          .filter(col("next_type").isNotNull)
+          .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+          .agg(count(lit(1)).as("transitions"))
+          .orderBy("from_type", "to_type")
+      },
+      Some("""WITH seq AS (SELECT user_id, event_type,
+             |lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+             |FROM events)
+             |SELECT event_type AS from_type, next_type AS to_type, count(*) AS transitions
+             |FROM seq WHERE next_type IS NOT NULL
+             |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
       "q60_tumbling_window",
       (s, dir) => tumbling(Tables.events(s, dir)),
       // Spark's window() aligns to the epoch; date_trunc('hour') is the
