@@ -76,6 +76,17 @@ class PlanShapeSpec extends AnyFunSuite with SparkSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q58/q59 keep their small sides broadcast — no corpus-wide sort-merge join") {
+    // q58: the 64-long Bloom bitmap and the eval set broadcast; the
+    // corpus side never shuffles for a join. q59: df/avgdl/N broadcast.
+    Seq("q58_bloom_decontaminate", "q59_bm25").foreach { name =>
+      val p = plan(name)
+      assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+        s"$name: ${p.take(300)}")
+      assert(!p.contains("SortMergeJoin"), s"$name grew a corpus shuffle join:\n${p.take(800)}")
+    }
+  }
+
   test("q56 global index never funnels through a single partition") {
     import org.apache.spark.sql.functions._
     // The naive form's plan contains `Exchange SinglePartition` feeding

@@ -78,4 +78,33 @@ class PropertySpec extends AnyFunSuite with SparkSuite {
       }
     }
   }
+
+  test("connected components match a union-find reference on 15 random graphs") {
+    def unionFind(n: Long, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // normalize: every node in an edge → min id of its component
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val byRoot = nodes.groupBy(find)
+      byRoot.flatMap { case (_, ns) => ns.map(_ -> ns.min) }.toMap
+    }
+    (1 to 15).foreach { trial =>
+      val n = rnd.nextInt(50) + 10L
+      val m = rnd.nextInt(80) + 1
+      val edges = Seq.fill(m)((rnd.nextLong(n), rnd.nextLong(n)))
+        .filter { case (a, b) => a != b }
+      if (edges.nonEmpty) {
+        val got = operators.Components.connectedComponents(edges.toDF("a", "b"))
+          .as[(Long, Long)].collect().toMap
+        assert(got == unionFind(n, edges), s"trial $trial: $edges")
+      }
+    }
+  }
 }
