@@ -21,7 +21,9 @@ object ExplainAudit {
     val targets = if (args.nonEmpty) args.toSeq
       else Seq("q02_filter_topk", "q05_nation_revenue", "q30_term_freq",
         "q44_dedup_embedding", "q45_dedup_survivors", "q89_conjunctive_query",
-        "q93_chunk_documents", "q96_pack_chunks")
+        "q93_chunk_documents", "q96_pack_chunks",
+        "q56_global_index", "q58_bloom_decontaminate", "q59_bm25",
+        "q63_training_pipeline", "q64_dedup_incremental", "q66_pmi_collocations")
     targets.foreach { name =>
       println(s"\n===== $name =====")
       SparkEntry.queries(name)(spark, dir).explain("formatted")
