@@ -269,6 +269,11 @@ object Dedup {
           .filter(col("doc_id") > col("anchor"))
           .select(col("doc_id").as("da"), col("anchor").as("db"))
           .distinct()
+        // (Measured, r3: q64-style semi-join pruning of the verify index
+        // is ~1.5s SLOWER here at sf0.1 — on this corpus nearly every rep
+        // pairs with an anchor, so the prune keeps ~all tokens while
+        // adding a fourth recomputation of the reps pipeline. q64 keeps
+        // the prune because its store/batch asymmetry makes it pay.)
         val dropped = jaccardOfCandidates(cand, reps)
           .filter(col("jaccard") >= 0.9)
           .select(col("da").as("doc_id")).distinct()
