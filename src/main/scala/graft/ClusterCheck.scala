@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Scale evidence for the clustering queries whose DuckDB oracles are
+  * gate-scale only (q55/q65 — the recursive-CTE closure is O(E·cluster),
+  * intractable at sf0.1; see COVERAGE.md): verifies the Spark results'
+  * defining invariants directly at ANY scale factor —
+  *   1. pair consistency: both endpoints of every q41-verified pair share
+  *      a component;
+  *   2. rootedness: every component id is the minimum member id and a
+  *      member itself;
+  *   3. q65 coherence: exactly one survivor per component, and it is a
+  *      member of that component.
+  * These three properties plus the sf0.01 oracle hash-match are the full
+  * correctness story for the clustering family.
+  *
+  * Usage: runMain graft.ClusterCheck [sfDir]
+  */
+object ClusterCheck {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val pairs = operators.Dedup.lshVerifiedPairs(spark, dir)
+      .select("da", "db").as[(Long, Long)].collect()
+    val comp = SparkEntry.queries("q55_dedup_clusters")(spark, dir)
+      .select("doc_id", "comp").as[(Long, Long)].collect().toMap
+    val badPairs = pairs.count { case (a, b) => comp(a) != comp(b) }
+    val badRoots = comp.groupBy(_._2).count { case (c, ms) => ms.keys.min != c }
+    val surv = SparkEntry.queries("q65_dedup_best_survivor")(spark, dir)
+      .select("comp", "survivor").as[(Long, Long)].collect()
+    val badSurv = surv.count { case (c, s) => comp.get(s) != Some(c) } +
+      (surv.map(_._1).distinct.length - surv.length).abs +
+      (comp.values.toSet -- surv.map(_._1).toSet).size
+    println(s"CLUSTERCHECK dir=$dir pairs=${pairs.length} docs=${comp.size} " +
+      s"components=${comp.values.toSet.size} badPairs=$badPairs badRoots=$badRoots badSurvivors=$badSurv")
+    assert(badPairs == 0 && badRoots == 0 && badSurv == 0, "cluster invariants violated")
+    println("CLUSTERCHECK ok=true")
+    spark.stop()
+  }
+}
