@@ -170,6 +170,30 @@ object Components {
               |sizes AS (SELECT comp, count(*) AS cluster_size FROM comp GROUP BY comp)
               |SELECT r.comp, r.id AS survivor, r.n_toks AS survivor_toks, s.cluster_size
               |FROM ranked r JOIN sizes s USING (comp) WHERE r.rn = 1
-              |ORDER BY r.comp""".stripMargin.replace("\n", " ")))
+              |ORDER BY r.comp""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q69_embedding_clusters",
+      // The same pair→cluster closure for the EMBEDDING near-dup family:
+      // connected components over q44's sketch-anchor pairs. Blocks are
+      // star-shaped around their anchors, so components converge in 1-2
+      // large-star/small-star rounds; the closure input is the (small)
+      // verified pair set, never the vector corpus.
+      (s, dir) => {
+        val cc = connectedComponents(Dedup.embAnchorPairs(s, dir).select("va", "vb"))
+        cc.join(cc.groupBy("comp").agg(count(lit(1)).as("cluster_size")), "comp")
+          .select(col("id").as("vec_id"), col("comp"), col("cluster_size"))
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH RECURSIVE ${Dedup.embPairsDuckCte},
+              |edges AS (SELECT va AS a, vb AS b FROM pairs UNION SELECT vb AS a, va AS b FROM pairs),
+              |reach AS (
+              |SELECT a AS id, a AS r FROM (SELECT DISTINCT a FROM edges) base
+              |UNION
+              |SELECT e2.a AS id, re.r AS r FROM edges e2 JOIN reach re ON re.id = e2.b),
+              |comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+              |sizes AS (SELECT comp, count(*) AS cluster_size FROM comp GROUP BY comp)
+              |SELECT c.id AS vec_id, c.comp, s.cluster_size
+              |FROM comp c JOIN sizes s USING (comp) ORDER BY vec_id""".stripMargin.replace("\n", " ")))
   )
 }

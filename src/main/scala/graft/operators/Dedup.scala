@@ -391,39 +391,52 @@ object Dedup {
       // same block and match its anchor; like q45's anchor policy, this
       // trades all-pairs recall (q50 brute force remains the ground truth)
       // for a candidate count that survives a 100× corpus.
-      (s, dir) => {
-        import graft.functions.VectorExprs.{vecDot, vecNorm}
-        val e = Tables.embeddings(s, dir)
-          .select(col("vec_id"), col("embedding"),
-            vecNorm(col("embedding")).as("nrm"),
-            Similarity.sketchCol(col("embedding")).as("sk"))
-        // ≤ 2^planes = 16 blocks: both the anchor map and the anchor
-        // vectors are broadcast-sized at ANY corpus scale.
-        val anchors = e.groupBy("sk").agg(min("vec_id").as("anchor"))
-        val anchorVecs = e.join(anchors.select(col("anchor").as("vec_id")), Seq("vec_id"), "left_semi")
-          .select(col("vec_id").as("anchor"), col("embedding").as("ae"), col("nrm").as("an"))
-        e.join(broadcast(anchors), "sk")
-          .filter(col("vec_id") > col("anchor"))
-          .join(broadcast(anchorVecs), "anchor")
-          .select(col("anchor").as("va"), col("vec_id").as("vb"),
-            round(vecDot(col("embedding"), col("ae")) / (col("nrm") * col("an")), 4).as("cos"))
-          .filter(col("cos") >= 0.2)
-          .orderBy("va", "vb")
-      },
-      Some(s"""WITH e AS (SELECT vec_id, embedding,
-             |sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm,
-             |${Similarity.sketchDuck} AS sk
-             |FROM embeddings),
-             |anchors AS (SELECT sk, min(vec_id) AS anchor FROM e GROUP BY sk),
-             |cand AS (SELECT a.anchor AS va, e.vec_id AS vb FROM e
-             |JOIN anchors a ON e.sk = a.sk AND e.vec_id > a.anchor)
-             |SELECT va, vb,
-             |round(list_sum(list_transform(generate_series(1, len(ea.embedding)), i ->
-             |CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE))) / (ea.nrm * eb.nrm), 4) AS cos
-             |FROM cand JOIN e ea ON va = ea.vec_id JOIN e eb ON vb = eb.vec_id
-             |WHERE round(list_sum(list_transform(generate_series(1, len(ea.embedding)), i ->
-             |CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE))) / (ea.nrm * eb.nrm), 4) >= 0.2
+      (s, dir) => embAnchorPairs(s, dir).orderBy("va", "vb"),
+      Some(s"""WITH $embPairsDuckCte
+             |SELECT va, vb, cos FROM pairs
              |ORDER BY va, vb""".stripMargin.replace("\n", " ")),
       bench = true)
   )
+
+  /** The q44 pipeline up to (but not including) its final ORDER BY:
+    * sketch-blocked anchor pairs verified at cosine ≥ 0.2 — (va, vb,
+    * cos) with va = the block anchor. Also the edge set q69's embedding
+    * clustering runs on. */
+  private[graft] def embAnchorPairs(
+      s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorExprs.{vecDot, vecNorm}
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"),
+        vecNorm(col("embedding")).as("nrm"),
+        Similarity.sketchCol(col("embedding")).as("sk"))
+    // ≤ 2^planes = 16 blocks: both the anchor map and the anchor
+    // vectors are broadcast-sized at ANY corpus scale.
+    val anchors = e.groupBy("sk").agg(min("vec_id").as("anchor"))
+    val anchorVecs = e.join(anchors.select(col("anchor").as("vec_id")), Seq("vec_id"), "left_semi")
+      .select(col("vec_id").as("anchor"), col("embedding").as("ae"), col("nrm").as("an"))
+    e.join(broadcast(anchors), "sk")
+      .filter(col("vec_id") > col("anchor"))
+      .join(broadcast(anchorVecs), "anchor")
+      .select(col("anchor").as("va"), col("vec_id").as("vb"),
+        round(vecDot(col("embedding"), col("ae")) / (col("nrm") * col("an")), 4).as("cos"))
+      .filter(col("cos") >= 0.2)
+  }
+
+  /** DuckDB CTE chain ending in `pairs(va, vb, cos)` — the oracle twin
+    * of [[embAnchorPairs]]. */
+  private[operators] val embPairsDuckCte: String =
+    s"""e AS (SELECT vec_id, embedding,
+       |sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm,
+       |${Similarity.sketchDuck} AS sk
+       |FROM embeddings),
+       |anchors AS (SELECT sk, min(vec_id) AS anchor FROM e GROUP BY sk),
+       |cand AS (SELECT a.anchor AS va, e.vec_id AS vb FROM e
+       |JOIN anchors a ON e.sk = a.sk AND e.vec_id > a.anchor),
+       |pairs AS (SELECT va, vb,
+       |round(list_sum(list_transform(generate_series(1, len(ea.embedding)), i ->
+       |CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE))) / (ea.nrm * eb.nrm), 4) AS cos
+       |FROM cand JOIN e ea ON va = ea.vec_id JOIN e eb ON vb = eb.vec_id
+       |WHERE round(list_sum(list_transform(generate_series(1, len(ea.embedding)), i ->
+       |CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE))) / (ea.nrm * eb.nrm), 4) >= 0.2)"""
+      .stripMargin.replace("\n", " ")
 }
