@@ -45,10 +45,15 @@ object Bench {
       // cache between rounds, which lands multi-hundred-ms cold-read
       // penalties on arbitrary queries; min-of-2 reports the query's cost
       // with its inputs resident, which is the comparable number across
-      // rounds. A first-run failure is reported without a retry.
+      // rounds. A first-run failure is reported without a retry; a
+      // SECOND-run failure keeps the successful first duration (the
+      // failed run's near-zero time must never become the reported min).
       val (d1, e1) = once()
       if (e1.isDefined) (name, d1, e1)
-      else { val (d2, _) = once(); (name, math.min(d1, d2), None) }
+      else {
+        val (d2, e2) = once()
+        (name, if (e2.isEmpty) math.min(d1, d2) else d1, None)
+      }
     }
     // A failed query must be VISIBLE, not a near-zero time silently summed
     // into the headline: successes go to "queries"/"value", failures to

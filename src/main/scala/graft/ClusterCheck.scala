@@ -32,9 +32,19 @@ object ClusterCheck {
 
     val pairs = operators.Dedup.lshVerifiedPairs(spark, dir)
       .select("da", "db").as[(Long, Long)].collect()
-    val comp = SparkEntry.queries("q55_dedup_clusters")(spark, dir)
-      .select("doc_id", "comp").as[(Long, Long)].collect().toMap
-    val badPairs = pairs.count { case (a, b) => comp(a) != comp(b) }
+    val compRows = SparkEntry.queries("q55_dedup_clusters")(spark, dir)
+      .select("doc_id", "comp").as[(Long, Long)].collect()
+    // One row per doc is itself an invariant — a duplicated doc_id with
+    // conflicting comps must FAIL here, not vanish into a .toMap.
+    val dupDocs = compRows.length - compRows.map(_._1).distinct.length
+    val comp = compRows.toMap
+    // Missing endpoints count as bad pairs instead of crashing the check.
+    val badPairs = pairs.count { case (a, b) =>
+      (comp.get(a), comp.get(b)) match {
+        case (Some(ca), Some(cb)) => ca != cb
+        case _ => true
+      }
+    }
     val badRoots = comp.groupBy(_._2).count { case (c, ms) => ms.keys.min != c }
     val surv = SparkEntry.queries("q65_dedup_best_survivor")(spark, dir)
       .select("comp", "survivor").as[(Long, Long)].collect()
@@ -42,8 +52,10 @@ object ClusterCheck {
       (surv.map(_._1).distinct.length - surv.length).abs +
       (comp.values.toSet -- surv.map(_._1).toSet).size
     println(s"CLUSTERCHECK dir=$dir pairs=${pairs.length} docs=${comp.size} " +
-      s"components=${comp.values.toSet.size} badPairs=$badPairs badRoots=$badRoots badSurvivors=$badSurv")
-    assert(badPairs == 0 && badRoots == 0 && badSurv == 0, "cluster invariants violated")
+      s"components=${comp.values.toSet.size} dupDocs=$dupDocs " +
+      s"badPairs=$badPairs badRoots=$badRoots badSurvivors=$badSurv")
+    assert(dupDocs == 0 && badPairs == 0 && badRoots == 0 && badSurv == 0,
+      "cluster invariants violated")
     println("CLUSTERCHECK ok=true")
     spark.stop()
   }

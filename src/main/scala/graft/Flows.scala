@@ -67,20 +67,16 @@ object Flows {
     * Sinks.writeOrdered) ready for a pack/tokenize stage to consume with
     * min/max pruning. Returns the chunk frame; `evalDocIds` marks the
     * held-out docs whose fingerprints must not survive. */
-  def corpusFlow(docs: DataFrame, evalDocIds: Seq[Long], outDir: String): DataFrame = {
-    import graft.operators.{Corpus, Relational, TextAnalytics}
-    val kept = docs.join(
-      Corpus.qualityGate(docs).filter(col("keep")).select("doc_id"), "doc_id")
-    val withFp = kept.select(col("doc_id"), col("text"),
-      TextAnalytics.fpExactCol.as("fp"))
-    val deduped = Relational.dedupKeepFirst(withFp, Seq("fp"), Seq(col("doc_id")))
-    val evalFps = docs.filter(col("doc_id").isInCollection(evalDocIds))
-      .select(TextAnalytics.fpExactCol.as("fp")).distinct()
-    val clean = deduped.join(broadcast(evalFps), Seq("fp"), "left_anti")
-    val chunks = Corpus.chunkTokens(clean.select("doc_id", "text"))
+  def corpusFlow(docs: DataFrame, evalDocIds: Seq[Long], outDir: String,
+      numFiles: Option[Int] = Some(4)): DataFrame = {
+    // Same body as the oracled q63 — ONE definition in Corpus, so this
+    // API can never drift from what the correctness gate checks.
+    val chunks = operators.Corpus.trainingPipeline(docs, evalDocIds)
     graft.sources.Sinks.writeOrdered(
-      chunks, Seq(col("doc_id"), col("chunk_idx")), outDir, numFiles = Some(4))
-    chunks
+      chunks, Seq(col("doc_id"), col("chunk_idx")), outDir, numFiles)
+    // Hand back the LANDED layout, not the unwritten lineage — a caller
+    // action on the lineage would re-run the whole pipeline per action.
+    docs.sparkSession.read.parquet(outDir)
   }
 
   def main(args: Array[String]): Unit = {

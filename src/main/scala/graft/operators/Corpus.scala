@@ -62,6 +62,22 @@ object Corpus {
         expr("size(tri) = 0 OR (size(tri) - size(array_distinct(tri))) * 1.0D / size(tri) <= 0.3D").as("rep_ok"))
       .withColumn("keep", col("len_ok") && col("stop_ok") && col("toklen_ok") && col("rep_ok"))
 
+  /** q63's body, input-agnostic: the gate → fingerprint-dedup →
+    * decontaminate → chunk composition. ONE definition — the oracled
+    * query and `Flows.corpusFlow` both call this, so the user-facing API
+    * can never drift from what the oracle checks. */
+  def trainingPipeline(docs: DataFrame, evalDocIds: Seq[Long]): DataFrame = {
+    val kept = docs.join(
+      qualityGate(docs).filter(col("keep")).select("doc_id"), "doc_id")
+    val withFp = kept.select(col("doc_id"), col("text"),
+      TextAnalytics.fpExactCol.as("fp"))
+    val deduped = Relational.dedupKeepFirst(withFp, Seq("fp"), Seq(col("doc_id")))
+    val evalFps = docs.filter(col("doc_id").isInCollection(evalDocIds))
+      .select(TextAnalytics.fpExactCol.as("fp")).distinct()
+    val clean = deduped.join(broadcast(evalFps), Seq("fp"), "left_anti")
+    chunkTokens(clean.select("doc_id", "text"))
+  }
+
   def defs: Seq[QueryDef] = Seq(
 
     QueryDef(
@@ -337,19 +353,9 @@ object Corpus {
       // dedup window and the final order, the eval set broadcasts, and
       // chunking multiplies rows map-side. The DuckDB oracle replays the
       // identical four stages as chained CTEs.
-      (s, dir) => {
-        val docs = Tables.documents(s, dir)
-        val kept = docs.join(
-          qualityGate(docs).filter(col("keep")).select("doc_id"), "doc_id")
-        val withFp = kept.select(col("doc_id"), col("text"),
-          TextAnalytics.fpExactCol.as("fp"))
-        val deduped = Relational.dedupKeepFirst(withFp, Seq("fp"), Seq(col("doc_id")))
-        val evalFps = docs.filter(col("doc_id").isInCollection(Seq(3L, 7L)))
-          .select(TextAnalytics.fpExactCol.as("fp"))
-          .distinct()
-        val clean = deduped.join(broadcast(evalFps), Seq("fp"), "left_anti")
-        chunkTokens(clean.select("doc_id", "text")).orderBy("doc_id", "chunk_idx")
-      },
+      (s, dir) =>
+        trainingPipeline(Tables.documents(s, dir), Seq(3L, 7L))
+          .orderBy("doc_id", "chunk_idx"),
       Some(s"""WITH t AS (SELECT doc_id, text, $toksDuck AS w FROM documents),
               |g AS (SELECT doc_id, text, w, CASE WHEN len(w) >= 3
               |THEN list_transform(generate_series(1, len(w)-2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])

@@ -76,7 +76,7 @@ object EventWindows {
         val c = ev.filter(col("event_type") === "click").as("c")
           .join(v, "user_id")
           .filter(col("ts") >= col("t_view"))
-          .groupBy("user_id").agg(min("ts").as("t_click"), first("t_view").as("t_view"))
+          .groupBy("user_id").agg(min("ts").as("t_click"))
         val p = ev.filter(col("event_type") === "purchase").as("p")
           .join(c, "user_id")
           .filter(col("ts") >= col("t_click"))

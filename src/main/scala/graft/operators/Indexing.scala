@@ -38,9 +38,14 @@ object Indexing {
   def globalIndex(df: DataFrame, order: Seq[Column]): DataFrame = {
     // Internal column names are uniquified against the input so a frame
     // that already has a `_pid` (or `_off`/`_local`) is never clobbered.
+    // Spark resolution is case-INsensitive by default, so so is this
+    // check; the output column `idx` is part of the contract and must
+    // not exist on the input.
+    def taken(n: String): Boolean = df.columns.exists(_.equalsIgnoreCase(n))
+    require(!taken("idx"), "globalIndex adds an `idx` column; input already has one")
     def fresh(base: String): String = {
       var n = base
-      while (df.columns.contains(n)) n += "_"
+      while (taken(n)) n += "_"
       n
     }
     val pidCol = fresh("_pid")
