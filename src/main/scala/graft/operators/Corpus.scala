@@ -29,6 +29,48 @@ object Corpus {
   private val stopList = TextAnalytics.stopSqlList
   private val fpDuck = TextAnalytics.fpExactDuck
 
+  /** Distinct 5-token shingles of a token array `w` (q102). Spark array
+    * subscripts are 0-based, DuckDB's 1-based — both forms below produce
+    * the identical shingle multiset. */
+  private val shingleSpark =
+    """CASE WHEN size(w) >= 5
+      |THEN array_distinct(transform(sequence(0, size(w)-5), i ->
+      |concat(w[i], ' ', w[i+1], ' ', w[i+2], ' ', w[i+3], ' ', w[i+4])))
+      |ELSE slice(w, 1, 0) END""".stripMargin.replace("\n", " ")
+  private val shingleDuck =
+    """CASE WHEN len(w) >= 5
+      |THEN list_distinct(list_transform(generate_series(1, len(w)-4), i ->
+      |w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]))
+      |ELSE []::VARCHAR[] END""".stripMargin.replace("\n", " ")
+
+  /** All trigram occurrences of `w` in document order (q99/q100's signal;
+    * q105 aggregates it corpus-wide). */
+  private[operators] val triSpark =
+    """CASE WHEN size(w) >= 3
+      |THEN transform(sequence(0, size(w)-3), i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))
+      |ELSE slice(w, 1, 0) END""".stripMargin.replace("\n", " ")
+  private val triDuck =
+    """CASE WHEN len(w) >= 3
+      |THEN list_transform(generate_series(1, len(w)-2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+      |ELSE []::VARCHAR[] END""".stripMargin.replace("\n", " ")
+
+  /** Engine-portable uniform hash bucket: the integer value of the first
+    * `n` hex chars of an md5 hex column — the same per-character fold in
+    * both engines (q58's trick), uniform on [0, 16^n). `hx` must already
+    * hold the hex prefix (precomputed so Spark folds a column, not a
+    * re-evaluated md5 call per character). */
+  private def hexFoldSpark(hx: String, n: Int): String =
+    s"""CAST(aggregate(sequence(1, $n), 0L, (a, i) ->
+       |a * 16 + CASE WHEN ascii(substring($hx, i, 1)) >= 97
+       |THEN CAST(ascii(substring($hx, i, 1)) - 87 AS BIGINT)
+       |ELSE CAST(ascii(substring($hx, i, 1)) - 48 AS BIGINT) END) AS BIGINT)"""
+      .stripMargin.replace("\n", " ")
+  private def hexFoldDuck(hx: String, n: Int): String =
+    s"""CAST(list_sum(list_transform(generate_series(1, $n), i ->
+       |(CASE WHEN ascii(substr($hx, i, 1)) >= 97 THEN ascii(substr($hx, i, 1)) - 87
+       |ELSE ascii(substr($hx, i, 1)) - 48 END) * (CAST(1 AS BIGINT) << (4 * ($n - i))))) AS BIGINT)"""
+      .stripMargin.replace("\n", " ")
+
   import org.apache.spark.sql.DataFrame
 
   /** q93's body, input-agnostic (docs needs `doc_id`, `text`): stateless
@@ -51,10 +93,7 @@ object Corpus {
   def qualityGate(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), col("text"), expr(toksExpr).as("w"))
-      .withColumn("tri", expr(
-        """CASE WHEN size(w) >= 3
-          |THEN transform(sequence(0, size(w)-3), i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))
-          |ELSE slice(w, 1, 0) END""".stripMargin.replace("\n", " ")))
+      .withColumn("tri", expr(triSpark))
       .select(col("doc_id"),
         (length(col("text")) >= 100 && length(col("text")) <= 5000).as("len_ok"),
         expr(s"size(w) > 0 AND size(filter(w, x -> x IN ($stopList))) * 1.0D / size(w) BETWEEN 0.05D AND 0.6D").as("stop_ok"),
