@@ -23,6 +23,7 @@ object SparkEntry {
       operators.Multimodal.defs ++
       operators.Salting.defs ++
       operators.Corpus.defs ++
+      operators.Corpus2.defs ++
       sources.Articles.defs ++
       ml.MlQueries.defs
 

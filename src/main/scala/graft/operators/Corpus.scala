@@ -32,12 +32,12 @@ object Corpus {
   /** Distinct 5-token shingles of a token array `w` (q102). Spark array
     * subscripts are 0-based, DuckDB's 1-based — both forms below produce
     * the identical shingle multiset. */
-  private val shingleSpark =
+  private[operators] val shingleSpark =
     """CASE WHEN size(w) >= 5
       |THEN array_distinct(transform(sequence(0, size(w)-5), i ->
       |concat(w[i], ' ', w[i+1], ' ', w[i+2], ' ', w[i+3], ' ', w[i+4])))
       |ELSE slice(w, 1, 0) END""".stripMargin.replace("\n", " ")
-  private val shingleDuck =
+  private[operators] val shingleDuck =
     """CASE WHEN len(w) >= 5
       |THEN list_distinct(list_transform(generate_series(1, len(w)-4), i ->
       |w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]))
@@ -59,13 +59,13 @@ object Corpus {
     * both engines (q58's trick), uniform on [0, 16^n). `hx` must already
     * hold the hex prefix (precomputed so Spark folds a column, not a
     * re-evaluated md5 call per character). */
-  private def hexFoldSpark(hx: String, n: Int): String =
+  private[operators] def hexFoldSpark(hx: String, n: Int): String =
     s"""CAST(aggregate(sequence(1, $n), 0L, (a, i) ->
        |a * 16 + CASE WHEN ascii(substring($hx, i, 1)) >= 97
        |THEN CAST(ascii(substring($hx, i, 1)) - 87 AS BIGINT)
        |ELSE CAST(ascii(substring($hx, i, 1)) - 48 AS BIGINT) END) AS BIGINT)"""
       .stripMargin.replace("\n", " ")
-  private def hexFoldDuck(hx: String, n: Int): String =
+  private[operators] def hexFoldDuck(hx: String, n: Int): String =
     s"""CAST(list_sum(list_transform(generate_series(1, $n), i ->
        |(CASE WHEN ascii(substr($hx, i, 1)) >= 97 THEN ascii(substr($hx, i, 1)) - 87
        |ELSE ascii(substr($hx, i, 1)) - 48 END) * (CAST(1 AS BIGINT) << (4 * ($n - i))))) AS BIGINT)"""

@@ -1,0 +1,356 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-4 training-corpus operators — the selection/encoding half of the
+  * pipeline that `Corpus` (gate → dedup → decontaminate → chunk) feeds:
+  * vocabulary building + id encoding, token-budget selection, mixture
+  * sampling, boilerplate detection, Gopher-style repetition signals,
+  * n-gram-level eval contamination, percentile gating, balanced shard
+  * assignment, cross-source distribution drift, profiling, and
+  * deterministic uniform sampling.
+  *
+  * Scale notes (per query, also in SCALE.md):
+  *  - Everything keyed per-doc (q106/q107) shuffles once on doc_id.
+  *  - Corpus-wide ordinals/running sums (q103/q109) use Indexing's
+  *    two-pass range-exchange primitives — no single-partition window
+  *    ever touches full-corpus data. Windows over AGGREGATED tiny tables
+  *    (the vocab in q102, per-doc top-1 in q106) are O(|vocab|)/per-key
+  *    and scale-free.
+  *  - Sampling (q104/q112) is content-hash-deterministic: survives
+  *    repartitioning, re-ingestion order, and cluster size, unlike
+  *    rand(seed); q112's top-k-by-hash is TakeOrderedAndProject — the
+  *    distributed reservoir sample.
+  */
+object Corpus2 {
+
+  private val toksExpr = TextAnalytics.toksExpr
+  private val toksDuck = TextAnalytics.toksDuck
+
+  /** All bigram occurrences of token array `w` in document order. */
+  private val biSpark =
+    """CASE WHEN size(w) >= 2
+      |THEN transform(sequence(0, size(w)-2), i -> concat(w[i], ' ', w[i+1]))
+      |ELSE slice(w, 1, 0) END""".stripMargin.replace("\n", " ")
+  private val biDuck =
+    """CASE WHEN len(w) >= 2
+      |THEN list_transform(generate_series(1, len(w)-1), i -> w[i] || ' ' || w[i+1])
+      |ELSE []::VARCHAR[] END""".stripMargin.replace("\n", " ")
+
+  def defs: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "q102_vocab_encode",
+      // Vocabulary building + id encoding: rank tokens by corpus
+      // frequency (count desc, token asc), keep the top 50 as ids
+      // 0..49, re-encode every document as its id sequence (OOV → -1).
+      // The vocab ranking window runs over the AGGREGATED vocab table
+      // (O(|vocab|) rows at any corpus scale — scale-free); encoding is
+      // posexplode → broadcast vocab join → per-doc regroup, ordered by
+      // the original token position so the id string is exact.
+      (s, dir) => {
+        val toks = Tables.documents(s, dir)
+          .select(col("doc_id"), posexplode(expr(toksExpr)).as(Seq("pos", "tok")))
+        val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+          .withColumn("id",
+            row_number().over(Window.orderBy(col("cnt").desc, col("tok"))).cast("long") - 1L)
+          .filter(col("id") < 50).select("tok", "id")
+        toks.join(broadcast(vocab), Seq("tok"), "left")
+          .withColumn("id", coalesce(col("id"), lit(-1L)))
+          .groupBy("doc_id")
+          .agg(
+            expr("array_join(transform(array_sort(collect_list(struct(pos, id))), x -> CAST(x.id AS STRING)), ' ')")
+              .as("ids"),
+            sum(when(col("id") === -1L, 1L).otherwise(0L)).as("n_oov"),
+            count(lit(1)).as("n_toks"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $toksDuck AS w FROM documents),
+              |tok AS (SELECT doc_id, i AS pos, w[i] AS tok
+              |FROM t, LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) g
+              |WHERE len(w) > 0),
+              |v AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY 1),
+              |vid AS (SELECT tok, id FROM (SELECT tok,
+              |CAST(row_number() OVER (ORDER BY cnt DESC, tok) - 1 AS BIGINT) AS id FROM v) z
+              |WHERE id < 50)
+              |SELECT doc_id,
+              |array_to_string(list(CAST(coalesce(id, -1) AS VARCHAR) ORDER BY pos), ' ') AS ids,
+              |CAST(sum(CASE WHEN id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+              |count(*) AS n_toks
+              |FROM tok LEFT JOIN vid USING (tok)
+              |GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q103_token_budget",
+      // Token-budget selection: take documents in priority order
+      // (n_chars desc as the stand-in quality score, doc_id tie-break)
+      // while the INCLUSIVE running token total stays ≤ 10,000 — the
+      // "fill the training budget from the best documents" step. The
+      // running sum is Indexing.globalPrefixSum's two-pass range
+      // exchange, not a single-partition window; the oracle states the
+      // naive window — same values, distributed plan.
+      (s, dir) => {
+        val scored = Tables.documents(s, dir)
+          .select(col("doc_id"), col("n_chars"),
+            size(expr(toksExpr)).cast("long").as("n_toks"))
+        Indexing.globalPrefixSum(scored,
+            Seq(col("n_chars").desc, col("doc_id")), col("n_toks"))
+          .filter(col("run") <= 10000L)
+          .select(col("doc_id"), col("n_chars"), col("n_toks"), col("run"))
+          .orderBy(col("n_chars").desc, col("doc_id"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, n_chars, CAST(len($toksDuck) AS BIGINT) AS n_toks FROM documents),
+              |r AS (SELECT doc_id, n_chars, n_toks,
+              |CAST(sum(n_toks) OVER (ORDER BY n_chars DESC, doc_id
+              |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run FROM t)
+              |SELECT doc_id, n_chars, n_toks, run FROM r WHERE run <= 10000
+              |ORDER BY n_chars DESC, doc_id""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q104_mixture_sample",
+      // Domain-mixture sampling: each source gets a target keep-fraction
+      // (src_num % 4 + 1)/4 ∈ {0.25, 0.5, 0.75, 1.0}; a document is kept
+      // iff its md5-derived uniform u ∈ [0, 65536) falls under the
+      // fraction. Content-hash sampling is the 100 TB form: pure scan
+      // expressions (no shuffle at all), deterministic across
+      // repartitioning and cluster size, and re-weightable by changing
+      // only the fraction map. Integer compare (u·4 < 65536·k) — no
+      // float thresholds to disagree across engines.
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .withColumn("hx", expr("substring(md5(CAST(doc_id AS STRING)), 1, 4)"))
+          .withColumn("u", expr(Corpus.hexFoldSpark("hx", 4)))
+          .withColumn("frac_num", expr("CAST(substr(source, 4) AS INT) % 4 + 1"))
+          .filter(expr("u * 4 < 65536 * frac_num"))
+          .select(col("doc_id"), col("source"), col("u"))
+          .orderBy("doc_id"),
+      Some(s"""WITH d AS (SELECT doc_id, source,
+              |substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS hx FROM documents),
+              |u AS (SELECT doc_id, source, ${Corpus.hexFoldDuck("hx", 4)} AS u,
+              |CAST(substr(source, 4) AS INT) % 4 + 1 AS frac_num FROM d)
+              |SELECT doc_id, source, u FROM u WHERE u * 4 < 65536 * frac_num
+              |ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q105_boilerplate_ngrams",
+      // Cross-document boilerplate detection (the C4 signal at shingle
+      // granularity, since this corpus has no line structure): distinct
+      // 5-token shingles per doc, explode, count how many documents
+      // share each shingle, report repeated ones. One explode + one
+      // hash aggregate — the same shape as the n-gram term-freq family;
+      // at 100 TB the groupBy key space is bounded by a df-cap (the
+      // HAVING ≥ 2 here) long before the top-k.
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("doc_id"), expr(toksExpr).as("w"))
+          .select(col("doc_id"), explode(expr(Corpus.shingleSpark)).as("shingle"))
+          .groupBy("shingle").agg(count(lit(1)).as("n_docs"))
+          .filter(col("n_docs") >= 2)
+          .orderBy(col("n_docs").desc, col("shingle")).limit(50),
+      Some(s"""WITH t AS (SELECT doc_id, $toksDuck AS w FROM documents),
+              |sh AS (SELECT doc_id, unnest(${Corpus.shingleDuck}) AS shingle FROM t)
+              |SELECT shingle, count(*) AS n_docs FROM sh GROUP BY 1
+              |HAVING count(*) >= 2
+              |ORDER BY n_docs DESC, shingle LIMIT 50""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q106_top2gram_fraction",
+      // Gopher's top-2gram repetition signal: the fraction of a doc's
+      // bigram occurrences taken by its single most frequent bigram
+      // (tie-break lexicographic). explode → per-(doc, bigram) count →
+      // per-doc top-1 window — both shuffles are keyed by doc_id, so
+      // the work distributes per-document at any corpus size.
+      (s, dir) => {
+        val bi = Tables.documents(s, dir)
+          .select(col("doc_id"), expr(toksExpr).as("w"))
+          .withColumn("bi", expr(biSpark))
+          .select(col("doc_id"), size(col("bi")).cast("long").as("n_bi"),
+            explode(col("bi")).as("g"))
+        bi.groupBy("doc_id", "n_bi", "g").agg(count(lit(1)).as("cnt"))
+          .withColumn("rn",
+            row_number().over(Window.partitionBy("doc_id")
+              .orderBy(col("cnt").desc, col("g"))))
+          .filter(col("rn") === 1)
+          .select(col("doc_id"), col("g").as("top_bigram"), col("cnt").as("top_cnt"),
+            expr("round(cnt * 1.0D / n_bi, 4)").as("top_frac"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $toksDuck AS w FROM documents),
+              |b0 AS (SELECT doc_id, $biDuck AS bi FROM t),
+              |b AS (SELECT doc_id, len(bi) AS n_bi, unnest(bi) AS g FROM b0),
+              |c AS (SELECT doc_id, n_bi, g, count(*) AS cnt FROM b GROUP BY 1, 2, 3),
+              |r AS (SELECT doc_id, n_bi, g, cnt,
+              |row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, g) AS rn FROM c)
+              |SELECT doc_id, g AS top_bigram, CAST(cnt AS BIGINT) AS top_cnt,
+              |round(cnt * 1.0 / n_bi, 4) AS top_frac
+              |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q107_ngram_contamination",
+      // n-gram-level eval contamination (the graded form of q97/q58's
+      // exact-fingerprint decontamination): for every document, the
+      // fraction of its distinct 5-token shingles that also appear in
+      // the eval docs (3, 7). The eval shingle set is tiny at any
+      // scale → broadcast; the corpus side is one explode + one
+      // per-doc aggregate. Eval docs themselves score 1.0 (the spec
+      // pins this).
+      (s, dir) => {
+        val sh = Tables.documents(s, dir)
+          .select(col("doc_id"), expr(toksExpr).as("w"))
+          .select(col("doc_id"), explode(expr(Corpus.shingleSpark)).as("shingle"))
+        val ev = sh.filter(col("doc_id").isInCollection(Seq(3L, 7L)))
+          .select("shingle").distinct().withColumn("hit", lit(1))
+        sh.join(broadcast(ev), Seq("shingle"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+          .withColumn("contamination", expr("round(n_hit * 1.0D / n_shingles, 4)"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $toksDuck AS w FROM documents),
+              |sh AS (SELECT doc_id, unnest(${Corpus.shingleDuck}) AS shingle FROM t),
+              |ev AS (SELECT DISTINCT shingle, 1 AS hit FROM sh WHERE doc_id IN (3, 7))
+              |SELECT doc_id, count(*) AS n_shingles,
+              |CAST(sum(coalesce(hit, 0)) AS BIGINT) AS n_hit,
+              |round(sum(coalesce(hit, 0)) * 1.0 / count(*), 4) AS contamination
+              |FROM sh LEFT JOIN ev USING (shingle)
+              |GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q108_percentile_gate",
+      // Dynamic quality thresholding: keep documents at or above the
+      // corpus 75th percentile of n_chars. The exact interpolated
+      // percentile (one tiny global aggregate, broadcast back over the
+      // scan) is the oracle-able form; at 100 TB the same query swaps
+      // in q92's approx_percentile sketch — same plan shape, fixed
+      // memory.
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
+        val thr = docs.agg(expr("percentile(n_chars, 0.75D)").as("thr"))
+        docs.crossJoin(broadcast(thr))
+          .select(col("doc_id"), col("n_chars"),
+            round(col("thr"), 4).as("thr"),
+            (col("n_chars") >= col("thr")).as("kept"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT quantile_cont(n_chars, 0.75) AS thr FROM documents)
+             |SELECT doc_id, n_chars, round(thr, 4) AS thr, n_chars >= thr AS kept
+             |FROM documents, t ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q109_shard_assign",
+      // Balanced training-shard assignment: rank documents by token
+      // count (desc, doc_id tie-break) with Indexing.globalIndex's
+      // two-pass range exchange, deal rank % 8 round-robin (longest
+      // first ≈ LPT balance), and report per-shard doc/token totals —
+      // the output-layout step before Sinks writes one file set per
+      // shard. No single-partition window anywhere (the oracle states
+      // the naive one).
+      (s, dir) => {
+        val scored = Tables.documents(s, dir)
+          .select(col("doc_id"), size(expr(toksExpr)).cast("long").as("n_toks"))
+        Indexing.globalIndex(scored, Seq(col("n_toks").desc, col("doc_id")))
+          .withColumn("shard", expr("idx % 8"))
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("total_toks"),
+            min("n_toks").as("min_toks"), max("n_toks").as("max_toks"))
+          .orderBy("shard")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, CAST(len($toksDuck) AS BIGINT) AS n_toks FROM documents),
+              |r AS (SELECT doc_id, n_toks,
+              |CAST((row_number() OVER (ORDER BY n_toks DESC, doc_id) - 1) % 8 AS BIGINT) AS shard FROM t)
+              |SELECT shard, count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS total_toks,
+              |min(n_toks) AS min_toks, max(n_toks) AS max_toks
+              |FROM r GROUP BY 1 ORDER BY shard""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q110_distribution_drift",
+      // Cross-slice distribution drift: which tokens differ most
+      // between the en and de sub-corpora. The score is the
+      // cross-multiplied count difference |c_en·t_de − c_de·t_en| —
+      // ALL-INTEGER arithmetic, so it is exactly reproducible across
+      // engines (a float KL/JS sum would be summation-order-dependent);
+      // it ranks identically to |p_en − p_de| scaled by t_en·t_de.
+      // One explode + one vocab-keyed aggregate + a broadcast 1-row
+      // totals join.
+      (s, dir) => {
+        val toks = Tables.documents(s, dir)
+          .filter(col("lang").isin("en", "de"))
+          .select(col("lang"), explode(expr(toksExpr)).as("tok"))
+        val c = toks.groupBy("tok").agg(
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("c_en"),
+          sum(when(col("lang") === "de", 1L).otherwise(0L)).as("c_de"))
+        val tot = c.agg(sum("c_en").as("t_en"), sum("c_de").as("t_de"))
+        c.crossJoin(broadcast(tot))
+          .select(col("tok"), col("c_en"), col("c_de"),
+            abs(col("c_en") * col("t_de") - col("c_de") * col("t_en")).as("drift"))
+          .orderBy(col("drift").desc, col("tok")).limit(20)
+      },
+      Some(s"""WITH t AS (SELECT lang, unnest($toksDuck) AS tok FROM documents
+              |WHERE lang IN ('en', 'de')),
+              |c AS (SELECT tok,
+              |CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS c_en,
+              |CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS c_de
+              |FROM t GROUP BY 1),
+              |tot AS (SELECT CAST(sum(c_en) AS BIGINT) AS t_en,
+              |CAST(sum(c_de) AS BIGINT) AS t_de FROM c)
+              |SELECT tok, c_en, c_de,
+              |CAST(abs(c_en * t_de - c_de * t_en) AS BIGINT) AS drift
+              |FROM c, tot ORDER BY drift DESC, tok LIMIT 20""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q111_profile",
+      // Corpus profiling: null count, exact distinct count, and
+      // lexicographic min/max per column — the first diagnostic a
+      // pipeline runs on a new ingest (TESTDATA.md's tables get exactly
+      // this treatment in SURVEY §1). One aggregate pass per column,
+      // each a scale-free scalar row; at 100 TB the distincts swap to
+      // approx_count_distinct (q92) with the same shape.
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        def prof(c: String) = docs.agg(
+            sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+            countDistinct(col(c)).as("n_distinct"),
+            min(col(c).cast("string")).as("min_val"),
+            max(col(c).cast("string")).as("max_val"))
+          .select(lit(c).as("col_name"), col("n_null"), col("n_distinct"),
+            col("min_val"), col("max_val"))
+        prof("source").unionByName(prof("lang")).unionByName(prof("n_chars"))
+          .orderBy("col_name")
+      },
+      Some("""SELECT * FROM (
+             |SELECT 'source' AS col_name,
+             |CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+             |CAST(count(DISTINCT source) AS BIGINT) AS n_distinct,
+             |min(source) AS min_val, max(source) AS max_val FROM documents
+             |UNION ALL
+             |SELECT 'lang',
+             |CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             |CAST(count(DISTINCT lang) AS BIGINT),
+             |min(lang), max(lang) FROM documents
+             |UNION ALL
+             |SELECT 'n_chars',
+             |CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             |CAST(count(DISTINCT n_chars) AS BIGINT),
+             |min(CAST(n_chars AS VARCHAR)), max(CAST(n_chars AS VARCHAR)) FROM documents
+             |) u ORDER BY col_name""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q112_sample_uniform",
+      // Deterministic uniform sample without a reservoir: order by a
+      // content hash and take the first 100 — plans as
+      // TakeOrderedAndProject (per-partition top-k, merge at the
+      // driver), the distributed equivalent of reservoir sampling with
+      // none of its sequential state, and stable across repartitioning
+      // because the key is content-derived.
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            expr("substring(md5(CAST(doc_id AS STRING)), 1, 8)").as("h"))
+          .orderBy("h", "doc_id").limit(100),
+      Some("""SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h
+             |FROM documents ORDER BY h, doc_id LIMIT 100""".stripMargin.replace("\n", " ")))
+  )
+}

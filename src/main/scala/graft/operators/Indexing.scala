@@ -68,6 +68,45 @@ object Indexing {
       .drop(pidCol, offCol, localCol)
   }
 
+  /** (df, total key order, value) → df + `run`: the INCLUSIVE running sum
+    * of `value` over the whole frame in that order — the primitive behind
+    * token-budget selection (q103) — built with the same two-pass shape as
+    * [[globalIndex]] instead of the single-partition
+    * `sum() OVER (ORDER BY …)` window: range exchange pinned once by
+    * localCheckpoint, per-partition value totals → driver prefix-sum
+    * offsets (a #partitions-row control-plane collect), then a
+    * PARTITIONED running-sum window plus the broadcast offset. `value`
+    * must be integral (summed as long); the order must be total. */
+  def globalPrefixSum(df: DataFrame, order: Seq[Column], value: Column): DataFrame = {
+    def taken(n: String): Boolean = df.columns.exists(_.equalsIgnoreCase(n))
+    require(!taken("run"), "globalPrefixSum adds a `run` column; input already has one")
+    def fresh(base: String): String = {
+      var n = base
+      while (taken(n)) n += "_"
+      n
+    }
+    val pidCol = fresh("_pid")
+    val offCol = fresh("_off")
+    val valCol = fresh("_val")
+    val parted = df.withColumn(valCol, value.cast("long"))
+      .repartitionByRange(order: _*).localCheckpoint()
+    val withPid = parted.withColumn(pidCol, spark_partition_id())
+    val sums = withPid.groupBy(pidCol).agg(sum(col(valCol)).as("s"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = sums.scanLeft((-1, 0L)) { case ((_, acc), (p, c)) => (p, acc + c) }
+      .sliding(2).collect { case Array((_, off), (p, _)) => (p, off) }.toSeq
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offDf = offsets.toDF(pidCol, offCol)
+    withPid
+      .join(broadcast(offDf), pidCol)
+      .withColumn("run",
+        col(offCol) + sum(col(valCol))
+          .over(Window.partitionBy(pidCol).orderBy(order: _*)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop(pidCol, offCol, valCol)
+  }
+
   def defs: Seq[QueryDef] = Seq(
 
     QueryDef(
