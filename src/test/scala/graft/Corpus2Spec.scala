@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavioral checks for the q102-q112 selection/encoding tranche — what
+  * the DuckDB oracle can't see: invariants (coverage, budgets, balance),
+  * determinism under repartitioning, and plan shape via the shared
+  * primitives (globalIndex/globalPrefixSum are plan-pinned in
+  * IndexingSpec/PlanShapeSpec).
+  */
+class Corpus2Spec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  test("q102 encoding round-trips: in-vocab ids decode back to the original tokens") {
+    val enc = SparkEntry.queries("q102_vocab_encode")(spark, sfDir)
+      .select("doc_id", "ids", "n_oov", "n_toks")
+      .as[(Long, String, Long, Long)].collect()
+    assert(enc.nonEmpty)
+    val toks = Tables.documents(spark, sfDir)
+      .select($"doc_id", expr(operators.TextAnalytics.toksExpr).as("w"))
+      .as[(Long, Seq[String])].collect().toMap
+    // rebuild the vocab the query's contract declares: top-50 by (count
+    // desc, token asc), ids 0..49
+    val vocab = toks.values.flatten
+      .groupBy(identity).view.mapValues(_.size).toSeq
+      .sortBy { case (t, c) => (-c, t) }.take(50).map(_._1)
+      .zipWithIndex.toMap
+    enc.foreach { case (d, ids, nOov, nToks) =>
+      val w = toks(d)
+      assert(nToks == w.size, s"doc $d token count")
+      val encoded = ids.split(' ').map(_.toLong)
+      assert(encoded.length == w.size, s"doc $d id-sequence length")
+      val expected = w.map(t => vocab.get(t).map(_.toLong).getOrElse(-1L))
+      assert(encoded.toSeq == expected, s"doc $d id sequence")
+      assert(nOov == expected.count(_ == -1L), s"doc $d oov count")
+    }
+  }
+
+  test("q103 fills the budget maximally in priority order") {
+    val sel = SparkEntry.queries("q103_token_budget")(spark, sfDir)
+      .select("doc_id", "n_chars", "n_toks", "run")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(sel.nonEmpty)
+    assert(sel.forall(_._4 <= 10000L), "every inclusive running total within budget")
+    // selection is the exact prefix of the (n_chars desc, doc_id) order:
+    // the first unselected doc must overflow the budget
+    val all = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"n_chars",
+        expr(s"CAST(size(${operators.TextAnalytics.toksExpr}) AS BIGINT)"))
+      .as[(Long, Long, Long)].collect()
+      .sortBy { case (d, c, _) => (-c, d) }
+    val runs = all.scanLeft(0L) { case (acc, (_, _, t)) => acc + t }.tail
+    val expectedKeep = all.zip(runs).takeWhile(_._2 <= 10000L)
+    assert(sel.map(_._1).toSeq == expectedKeep.map(_._1._1).toSeq,
+      "selected ids are the exact budget prefix")
+    if (expectedKeep.length < all.length)
+      assert(runs(expectedKeep.length) > 10000L, "next doc would overflow")
+  }
+
+  test("q104 mixture sampling hits per-source fractions and is repartition-stable") {
+    val q = SparkEntry.queries("q104_mixture_sample")
+    val kept = q(spark, sfDir).select("doc_id", "source").as[(Long, String)].collect()
+    assert(kept.nonEmpty)
+    val totals = Tables.documents(spark, sfDir).groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    totals.keys.foreach { src =>
+      val frac = (src.drop(3).toInt % 4 + 1) / 4.0
+      val got = kept.count(_._2 == src).toDouble / totals(src)
+      // sf0.001 has 25 docs/source — binomial noise is wide; just pin
+      // the ordering property: fraction-1.0 sources keep everything
+      if (frac == 1.0) assert(got == 1.0, s"$src: frac-1.0 source must keep all docs")
+      else assert(got <= 1.0 && math.abs(got - frac) < 0.35, s"$src: got $got want ~$frac")
+    }
+    // content-hash sampling cannot depend on physical layout
+    val again = q(spark, sfDir).select("doc_id").as[Long].collect()
+    assert(kept.map(_._1).sorted.toSeq == again.sorted.toSeq)
+  }
+
+  test("q107 eval docs are fully contaminated; disjoint docs score 0") {
+    val c = SparkEntry.queries("q107_ngram_contamination")(spark, sfDir)
+      .select("doc_id", "contamination").as[(Long, Double)].collect().toMap
+    assert(c(3L) == 1.0 && c(7L) == 1.0, "eval docs overlap themselves completely")
+    assert(c.values.forall(v => v >= 0.0 && v <= 1.0))
+    assert(c.values.count(_ == 0.0) > 0, "some doc shares no 5-gram with the eval set")
+  }
+
+  test("q108 keeps exactly the docs at/above the exact 75th percentile") {
+    val rows = SparkEntry.queries("q108_percentile_gate")(spark, sfDir)
+      .select("doc_id", "n_chars", "thr", "kept")
+      .as[(Long, Long, Double, Boolean)].collect()
+    val chars = rows.map(_._2.toDouble).sorted
+    val idx = 0.75 * (chars.length - 1)
+    val lo = chars(idx.toInt)
+    val hi = chars(math.ceil(idx).toInt)
+    val thr = lo + (idx - idx.toInt) * (hi - lo)
+    assert(math.abs(rows.head._3 - thr) < 1e-9, "interpolated percentile")
+    rows.foreach { case (d, c, t, k) => assert(k == (c >= t), s"doc $d gate bit") }
+    val kept = rows.count(_._4).toDouble / rows.length
+    assert(kept >= 0.2 && kept <= 0.35, s"~25% pass a p75 gate, got $kept")
+  }
+
+  test("q109 shards are balanced and partition all documents") {
+    val shards = SparkEntry.queries("q109_shard_assign")(spark, sfDir)
+      .select("shard", "n_docs", "total_toks").as[(Long, Long, Long)].collect()
+    assert(shards.map(_._1).sorted.toSeq == (0L until 8L))
+    val nDocs = Tables.documents(spark, sfDir).count()
+    assert(shards.map(_._2).sum == nDocs, "every doc lands in exactly one shard")
+    val toks = shards.map(_._3)
+    // LPT round-robin on 50 docs: shard token totals stay within ~20%
+    assert(toks.max - toks.min <= toks.max / 5, s"balance: ${toks.mkString(",")}")
+  }
+
+  test("q112 sample is the global top-k by content hash and repartition-stable") {
+    val q = SparkEntry.queries("q112_sample_uniform")
+    val s1 = q(spark, sfDir).select("doc_id", "h").as[(Long, String)].collect()
+    val all = Tables.documents(spark, sfDir).select("doc_id").as[Long].collect()
+    assert(s1.length == math.min(100, all.length))
+    val expected = all.map(d =>
+        (d, org.apache.commons.codec.digest.DigestUtils.md5Hex(d.toString).take(8)))
+      .sortBy { case (d, h) => (h, d) }.take(100)
+    assert(s1.toSeq == expected.toSeq, "exact hash-order prefix")
+  }
+}

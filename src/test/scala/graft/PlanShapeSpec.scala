@@ -101,5 +101,12 @@ class PlanShapeSpec extends AnyFunSuite with SparkSuite {
     val p = plan("q56_global_index")
     assert(!p.contains("SinglePartition"), p.take(800))
     assert(p.contains("rangepartitioning") || p.contains("RangePartitioning"), p.take(800))
+    // same contract for the running-sum primitive (q103) and the shard
+    // ranking built on globalIndex (q109)
+    Seq("q103_token_budget", "q109_shard_assign").foreach { name =>
+      val pp = plan(name)
+      assert(!pp.contains("SinglePartition"),
+        s"$name funnels the corpus through one task:\n${pp.take(800)}")
+    }
   }
 }
