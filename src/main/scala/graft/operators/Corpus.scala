@@ -29,30 +29,32 @@ object Corpus {
   private val stopList = TextAnalytics.stopSqlList
   private val fpDuck = TextAnalytics.fpExactDuck
 
-  /** Distinct 5-token shingles of a token array `w` (q102). Spark array
-    * subscripts are 0-based, DuckDB's 1-based — both forms below produce
-    * the identical shingle multiset. */
-  private[operators] val shingleSpark =
-    """CASE WHEN size(w) >= 5
-      |THEN array_distinct(transform(sequence(0, size(w)-5), i ->
-      |concat(w[i], ' ', w[i+1], ' ', w[i+2], ' ', w[i+3], ' ', w[i+4])))
-      |ELSE slice(w, 1, 0) END""".stripMargin.replace("\n", " ")
-  private[operators] val shingleDuck =
-    """CASE WHEN len(w) >= 5
-      |THEN list_distinct(list_transform(generate_series(1, len(w)-4), i ->
-      |w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]))
-      |ELSE []::VARCHAR[] END""".stripMargin.replace("\n", " ")
+  /** All n-gram occurrences of a token array `w` in document order — THE
+    * template for the bigram (q106), trigram (q99/q100), and 5-shingle
+    * (q41/q105/q107) signals, generated once for both engines so the
+    * 0-based (Spark) vs 1-based (DuckDB) subscript arithmetic and the
+    * empty-array ELSE branch live in exactly one place. */
+  private[operators] def ngramSpark(n: Int): String = {
+    val parts = (0 until n)
+      .map(j => if (j == 0) "w[i]" else s"w[i+$j]").mkString(", ' ', ")
+    s"CASE WHEN size(w) >= $n THEN transform(sequence(0, size(w)-$n), i -> concat($parts)) ELSE slice(w, 1, 0) END"
+  }
+  private[operators] def ngramDuck(n: Int): String = {
+    val parts = (0 until n)
+      .map(j => if (j == 0) "w[i]" else s"w[i+$j]").mkString(" || ' ' || ")
+    s"CASE WHEN len(w) >= $n THEN list_transform(generate_series(1, len(w)-${n - 1}), i -> $parts) ELSE []::VARCHAR[] END"
+  }
+
+  /** Distinct 5-token shingles of `w` (q102's note: Spark subscripts are
+    * 0-based, DuckDB's 1-based — both forms produce the identical
+    * shingle multiset). */
+  private[operators] val shingleSpark = s"array_distinct(${ngramSpark(5)})"
+  private[operators] val shingleDuck = s"list_distinct(${ngramDuck(5)})"
 
   /** All trigram occurrences of `w` in document order (q99/q100's signal;
     * q105 aggregates it corpus-wide). */
-  private[operators] val triSpark =
-    """CASE WHEN size(w) >= 3
-      |THEN transform(sequence(0, size(w)-3), i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))
-      |ELSE slice(w, 1, 0) END""".stripMargin.replace("\n", " ")
-  private val triDuck =
-    """CASE WHEN len(w) >= 3
-      |THEN list_transform(generate_series(1, len(w)-2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
-      |ELSE []::VARCHAR[] END""".stripMargin.replace("\n", " ")
+  private[operators] val triSpark = ngramSpark(3)
+  private val triDuck = ngramDuck(3)
 
   /** Engine-portable uniform hash bucket: the integer value of the first
     * `n` hex chars of an md5 hex column — the same per-character fold in

@@ -29,15 +29,10 @@ object Corpus2 {
   private val toksExpr = TextAnalytics.toksExpr
   private val toksDuck = TextAnalytics.toksDuck
 
-  /** All bigram occurrences of token array `w` in document order. */
-  private val biSpark =
-    """CASE WHEN size(w) >= 2
-      |THEN transform(sequence(0, size(w)-2), i -> concat(w[i], ' ', w[i+1]))
-      |ELSE slice(w, 1, 0) END""".stripMargin.replace("\n", " ")
-  private val biDuck =
-    """CASE WHEN len(w) >= 2
-      |THEN list_transform(generate_series(1, len(w)-1), i -> w[i] || ' ' || w[i+1])
-      |ELSE []::VARCHAR[] END""".stripMargin.replace("\n", " ")
+  /** All bigram occurrences of token array `w` in document order —
+    * Corpus's shared n-gram template at n=2. */
+  private val biSpark = Corpus.ngramSpark(2)
+  private val biDuck = Corpus.ngramDuck(2)
 
   def defs: Seq[QueryDef] = Seq(
 
@@ -270,11 +265,15 @@ object Corpus2 {
       // Cross-slice distribution drift: which tokens differ most
       // between the en and de sub-corpora. The score is the
       // cross-multiplied count difference |c_en·t_de − c_de·t_en| —
-      // ALL-INTEGER arithmetic, so it is exactly reproducible across
+      // EXACT-INTEGER arithmetic, so it is exactly reproducible across
       // engines (a float KL/JS sum would be summation-order-dependent);
       // it ranks identically to |p_en − p_de| scaled by t_en·t_de.
-      // One explode + one vocab-keyed aggregate + a broadcast 1-row
-      // totals join.
+      // The products are computed in DECIMAL(18,0)·DECIMAL(18,0) →
+      // DECIMAL(37,0): at 100 TB a common token's count·total product
+      // (~1e11 · ~1e13 = 1e24) overflows BIGINT, and under ANSI mode
+      // that aborts the query — decimal keeps the exactness claim true
+      // at the design scale. One explode + one vocab-keyed aggregate +
+      // a broadcast 1-row totals join.
       (s, dir) => {
         val toks = Tables.documents(s, dir)
           .filter(col("lang").isin("en", "de"))
@@ -285,7 +284,9 @@ object Corpus2 {
         val tot = c.agg(sum("c_en").as("t_en"), sum("c_de").as("t_de"))
         c.crossJoin(broadcast(tot))
           .select(col("tok"), col("c_en"), col("c_de"),
-            abs(col("c_en") * col("t_de") - col("c_de") * col("t_en")).as("drift"))
+            abs(col("c_en").cast("decimal(18,0)") * col("t_de").cast("decimal(18,0)")
+              - col("c_de").cast("decimal(18,0)") * col("t_en").cast("decimal(18,0)"))
+              .cast("decimal(38,0)").as("drift"))
           .orderBy(col("drift").desc, col("tok")).limit(20)
       },
       Some(s"""WITH t AS (SELECT lang, unnest($toksDuck) AS tok FROM documents
@@ -297,7 +298,8 @@ object Corpus2 {
               |tot AS (SELECT CAST(sum(c_en) AS BIGINT) AS t_en,
               |CAST(sum(c_de) AS BIGINT) AS t_de FROM c)
               |SELECT tok, c_en, c_de,
-              |CAST(abs(c_en * t_de - c_de * t_en) AS BIGINT) AS drift
+              |CAST(abs(CAST(c_en AS DECIMAL(18,0)) * CAST(t_de AS DECIMAL(18,0))
+              |- CAST(c_de AS DECIMAL(18,0)) * CAST(t_en AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS drift
               |FROM c, tot ORDER BY drift DESC, tok LIMIT 20""".stripMargin.replace("\n", " "))),
 
     QueryDef(

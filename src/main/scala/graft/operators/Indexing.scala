@@ -32,54 +32,18 @@ import org.apache.spark.sql.functions._
   */
 object Indexing {
 
-  /** (df, total key order) → df + contiguous `idx` 0..n-1 in that order.
-    * The order must be total (tie-free) for the index to be
-    * deterministic — pass a unique key last. */
-  def globalIndex(df: DataFrame, order: Seq[Column]): DataFrame = {
-    // Internal column names are uniquified against the input so a frame
-    // that already has a `_pid` (or `_off`/`_local`) is never clobbered.
-    // Spark resolution is case-INsensitive by default, so so is this
-    // check; the output column `idx` is part of the contract and must
-    // not exist on the input.
+  /** The shared two-pass core: inclusive running total of `value` in the
+    * given total order, landed in `outCol`. Internal column names are
+    * uniquified against the input (case-insensitively, matching Spark's
+    * resolution) so a frame that already has a `_pid`/`_off`/`_val` is
+    * never clobbered; `outCol` is part of the caller's contract and must
+    * not exist on the input. NULL values count as 0 (a range partition
+    * whose sum were NULL would otherwise NPE the driver-side offset
+    * collect). */
+  private def runningTotal(
+      df: DataFrame, order: Seq[Column], value: Column, outCol: String): DataFrame = {
     def taken(n: String): Boolean = df.columns.exists(_.equalsIgnoreCase(n))
-    require(!taken("idx"), "globalIndex adds an `idx` column; input already has one")
-    def fresh(base: String): String = {
-      var n = base
-      while (taken(n)) n += "_"
-      n
-    }
-    val pidCol = fresh("_pid")
-    val offCol = fresh("_off")
-    val localCol = fresh("_local")
-    val parted = df.repartitionByRange(order: _*).localCheckpoint()
-    val withPid = parted.withColumn(pidCol, spark_partition_id())
-    val counts = withPid.groupBy(pidCol).agg(count(lit(1)).as("c"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    val offsets = counts.scanLeft((-1, 0L)) { case ((_, acc), (p, c)) => (p, acc + c) }
-      .sliding(2).collect { case Array((_, off), (p, _)) => (p, off) }.toSeq
-    val spark = df.sparkSession
-    import spark.implicits._
-    val offDf = offsets.toDF(pidCol, offCol)
-    withPid
-      .withColumn(localCol,
-        row_number().over(Window.partitionBy(pidCol).orderBy(order: _*)).cast("long") - 1L)
-      .join(broadcast(offDf), pidCol)
-      .withColumn("idx", col(offCol) + col(localCol))
-      .drop(pidCol, offCol, localCol)
-  }
-
-  /** (df, total key order, value) → df + `run`: the INCLUSIVE running sum
-    * of `value` over the whole frame in that order — the primitive behind
-    * token-budget selection (q103) — built with the same two-pass shape as
-    * [[globalIndex]] instead of the single-partition
-    * `sum() OVER (ORDER BY …)` window: range exchange pinned once by
-    * localCheckpoint, per-partition value totals → driver prefix-sum
-    * offsets (a #partitions-row control-plane collect), then a
-    * PARTITIONED running-sum window plus the broadcast offset. `value`
-    * must be integral (summed as long); the order must be total. */
-  def globalPrefixSum(df: DataFrame, order: Seq[Column], value: Column): DataFrame = {
-    def taken(n: String): Boolean = df.columns.exists(_.equalsIgnoreCase(n))
-    require(!taken("run"), "globalPrefixSum adds a `run` column; input already has one")
+    require(!taken(outCol), s"adds a `$outCol` column; input already has one")
     def fresh(base: String): String = {
       var n = base
       while (taken(n)) n += "_"
@@ -88,7 +52,7 @@ object Indexing {
     val pidCol = fresh("_pid")
     val offCol = fresh("_off")
     val valCol = fresh("_val")
-    val parted = df.withColumn(valCol, value.cast("long"))
+    val parted = df.withColumn(valCol, coalesce(value.cast("long"), lit(0L)))
       .repartitionByRange(order: _*).localCheckpoint()
     val withPid = parted.withColumn(pidCol, spark_partition_id())
     val sums = withPid.groupBy(pidCol).agg(sum(col(valCol)).as("s"))
@@ -100,12 +64,26 @@ object Indexing {
     val offDf = offsets.toDF(pidCol, offCol)
     withPid
       .join(broadcast(offDf), pidCol)
-      .withColumn("run",
+      .withColumn(outCol,
         col(offCol) + sum(col(valCol))
           .over(Window.partitionBy(pidCol).orderBy(order: _*)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .drop(pidCol, offCol, valCol)
   }
+
+  /** (df, total key order) → df + contiguous `idx` 0..n-1 in that order:
+    * the running count minus one. The order must be total (tie-free) for
+    * the index to be deterministic — pass a unique key last. */
+  def globalIndex(df: DataFrame, order: Seq[Column]): DataFrame =
+    runningTotal(df, order, lit(1L), "idx")
+      .withColumn("idx", col("idx") - 1L)
+
+  /** (df, total key order, value) → df + `run`: the INCLUSIVE running sum
+    * of `value` over the whole frame in that order — the primitive behind
+    * token-budget selection (q103). `value` is summed as long, NULLs
+    * counting as 0; the order must be total. */
+  def globalPrefixSum(df: DataFrame, order: Seq[Column], value: Column): DataFrame =
+    runningTotal(df, order, value, "run")
 
   def defs: Seq[QueryDef] = Seq(
 

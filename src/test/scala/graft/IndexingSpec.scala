@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.Indexing.globalIndex
+import graft.operators.Indexing.{globalIndex, globalPrefixSum}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -31,5 +31,22 @@ class IndexingSpec extends AnyFunSuite with SparkSuite {
   test("empty input yields empty output with the idx column") {
     val out = globalIndex(Seq.empty[(Long, String)].toDF("k", "v"), Seq(col("k")))
     assert(out.columns.contains("idx") && out.isEmpty)
+  }
+
+  test("globalPrefixSum matches the naive running-sum window, NULLs count as 0") {
+    val df = Seq((5L, Some(3L)), (1L, Some(10L)), (3L, None), (2L, Some(7L)), (4L, Some(1L)))
+      .toDF("k", "v")
+    val got = globalPrefixSum(df, Seq(col("k")), col("v"))
+      .select("k", "run").as[(Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 10L), (2L, 17L), (3L, 17L), (4L, 18L), (5L, 21L)))
+  }
+
+  test("globalPrefixSum: empty input, and run-column collision is rejected") {
+    val out = globalPrefixSum(Seq.empty[(Long, Long)].toDF("k", "v"), Seq(col("k")), col("v"))
+    assert(out.columns.contains("run") && out.isEmpty)
+    val bad = Seq((1L, 2L)).toDF("k", "RUN") // case-insensitive, like Spark resolution
+    assertThrows[IllegalArgumentException] {
+      globalPrefixSum(bad, Seq(col("k")), col("k"))
+    }
   }
 }
