@@ -353,6 +353,75 @@ object Corpus2 {
             expr("substring(md5(CAST(doc_id AS STRING)), 1, 8)").as("h"))
           .orderBy("h", "doc_id").limit(100),
       Some("""SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h
-             |FROM documents ORDER BY h, doc_id LIMIT 100""".stripMargin.replace("\n", " ")))
+             |FROM documents ORDER BY h, doc_id LIMIT 100""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q113_fuzzy_join",
+      // Fuzzy self-join on a derived title (first 5 tokens): pairs
+      // within edit distance 3 — the graded form of the reference's
+      // exact-title dedup (scrappy.py:316 drop_duplicates on title).
+      // Blocking keeps it off the O(n²) cliff: equi-join on the first
+      // token (a hash shuffle, never a cross product), then a cheap
+      // length-band filter, THEN levenshtein only inside the band —
+      // the classic filter-verify cascade. At 100 TB blocking keys get
+      // skew treatment (AQE skew-join is on; q85's salting is the
+      // manual form) and the block key graduates to an LSH bucket
+      // (q41) — same plan shape either way.
+      (s, dir) => {
+        val titles = Tables.documents(s, dir)
+          .select(col("doc_id"), expr(toksExpr).as("w"))
+          .filter(size(col("w")) >= 5)
+          .select(col("doc_id"),
+            expr("array_join(slice(w, 1, 5), ' ')").as("title"),
+            expr("w[0]").as("blk"))
+        titles.as("a").join(titles.as("b"),
+            col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id") &&
+              abs(length(col("a.title")) - length(col("b.title"))) <= 3 &&
+              levenshtein(col("a.title"), col("b.title")) <= 3)
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+            col("a.title").as("title_a"), col("b.title").as("title_b"),
+            levenshtein(col("a.title"), col("b.title")).cast("long").as("dist"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $toksDuck AS w FROM documents),
+              |titles AS (SELECT doc_id, array_to_string(w[1:5], ' ') AS title, w[1] AS blk
+              |FROM t WHERE len(w) >= 5)
+              |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |a.title AS title_a, b.title AS title_b,
+              |CAST(levenshtein(a.title, b.title) AS BIGINT) AS dist
+              |FROM titles a JOIN titles b ON a.blk = b.blk AND a.doc_id < b.doc_id
+              |AND abs(length(a.title) - length(b.title)) <= 3
+              |AND levenshtein(a.title, b.title) <= 3
+              |ORDER BY doc_a, doc_b""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q115_group_budget",
+      // q103's budget selection under a MIXTURE: each source fills its
+      // own 600-token budget in priority order (n_chars desc, doc_id).
+      // Because the budget is per-group, the running sum is an ordinary
+      // PARTITIONED window — one shuffle on source, every partition
+      // independent, nothing single-partition — so this is the form
+      // that scales without the two-pass machinery: specify the mixture
+      // and the global budget decomposes into per-source windows.
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("source")
+          .orderBy(col("n_chars").desc, col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            size(expr(toksExpr)).cast("long").as("n_toks"))
+          .withColumn("src_run", sum("n_toks").over(w))
+          .filter(col("src_run") <= 600L)
+          .orderBy(col("source"), col("n_chars").desc, col("doc_id"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, source, n_chars,
+              |CAST(len($toksDuck) AS BIGINT) AS n_toks FROM documents),
+              |r AS (SELECT doc_id, source, n_chars, n_toks,
+              |CAST(sum(n_toks) OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id
+              |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS src_run FROM t)
+              |SELECT doc_id, source, n_chars, n_toks, src_run FROM r
+              |WHERE src_run <= 600
+              |ORDER BY source, n_chars DESC, doc_id""".stripMargin.replace("\n", " ")))
   )
 }

@@ -121,6 +121,66 @@ class Corpus2Spec extends AnyFunSuite with SparkSuite {
     assert(toks.max - toks.min <= toks.max / 5, s"balance: ${toks.mkString(",")}")
   }
 
+  test("q113 fuzzy pairs respect the block, the band, and the edit bound") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val pairs = SparkEntry.queries("q113_fuzzy_join")(spark, sfDir)
+      .select("doc_a", "doc_b", "title_a", "title_b", "dist")
+      .as[(Long, Long, String, String, Long)].collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b, ta, tb, dist) =>
+      assert(a < b, "canonical orientation")
+      assert(ta.split(' ').head == tb.split(' ').head, "same block key")
+      assert(dist == lev(ta, tb), s"($a,$b) reported distance")
+      assert(dist <= 3)
+    }
+    // the exact-dup pairs (distance 0) must all be present
+    val dup0 = pairs.count(_._5 == 0L)
+    assert(dup0 > 0, "corpus has exact title dups; the join must surface them")
+  }
+
+  test("q114 PageRank conserves mass and covers exactly the graph's nodes") {
+    val pr = SparkEntry.queries("q114_pagerank")(spark, sfDir)
+      .select("doc_id", "pr").as[(Long, Double)].collect()
+    assert(pr.nonEmpty)
+    assert(pr.forall(_._2 > 0.0))
+    // symmetric graph + no dangling nodes → total rank stays 1.0
+    assert(math.abs(pr.map(_._2).sum - 1.0) < 1e-3, s"mass = ${pr.map(_._2).sum}")
+    assert(pr.map(_._1).distinct.length == pr.length)
+  }
+
+  test("q115 fills each source's budget maximally in priority order") {
+    val sel = SparkEntry.queries("q115_group_budget")(spark, sfDir)
+      .select("doc_id", "source", "n_toks", "src_run")
+      .as[(Long, String, Long, Long)].collect()
+    assert(sel.nonEmpty)
+    assert(sel.forall(_._4 <= 600L))
+    assert(sel.length < Tables.documents(spark, sfDir).count(),
+      "the budget must actually cut — a budget above every source's total selects nothing")
+    val bySrc = sel.groupBy(_._2)
+    assert(bySrc.keySet == Tables.documents(spark, sfDir)
+      .select("source").distinct().as[String].collect().toSet,
+      "every source fills some of its budget")
+    val all = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"source", $"n_chars",
+        expr(s"CAST(size(${operators.TextAnalytics.toksExpr}) AS BIGINT)"))
+      .as[(Long, String, Long, Long)].collect()
+    all.groupBy(_._2).foreach { case (src, docs) =>
+      val ordered = docs.sortBy { case (d, _, c, _) => (-c, d) }
+      val runs = ordered.scanLeft(0L) { case (acc, (_, _, _, t)) => acc + t }.tail
+      val expected = ordered.zip(runs).takeWhile(_._2 <= 600L).map(_._1._1)
+      assert(bySrc(src).map(_._1).sorted.toSeq == expected.sorted.toSeq,
+        s"$src: exact per-source budget prefix")
+    }
+  }
+
   test("q112 sample is the global top-k by content hash and repartition-stable") {
     val q = SparkEntry.queries("q112_sample_uniform")
     val s1 = q(spark, sfDir).select("doc_id", "h").as[(Long, String)].collect()
