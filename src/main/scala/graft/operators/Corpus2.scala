@@ -422,6 +422,54 @@ object Corpus2 {
               |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS src_run FROM t)
               |SELECT doc_id, source, n_chars, n_toks, src_run FROM r
               |WHERE src_run <= 600
-              |ORDER BY source, n_chars DESC, doc_id""".stripMargin.replace("\n", " ")))
+              |ORDER BY source, n_chars DESC, doc_id""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q116_containment",
+      // Asymmetric containment |A∩B|/|A| over distinct 5-shingle sets —
+      // what symmetric Jaccard (q42) misses: a short document quoted
+      // wholly inside a long one scores low Jaccard but containment
+      // ~1.0, and the CONTAINED side is the one a dedup pipeline drops.
+      // Same df-capped inverted-index join as q114's edge builder
+      // (popular boilerplate shingles are excluded from evidence AND
+      // from the per-doc denominator, keeping the ratio consistent);
+      // overlap counts once per unordered pair, then both directions'
+      // ratios are emitted. Reported at ≥ 0.8; one-sided 1.0 = a doc
+      // fully contained in another (the drop candidate).
+      (s, dir) => {
+        val sh = Tables.documents(s, dir)
+          .select(col("doc_id"), expr(toksExpr).as("w"))
+          .select(col("doc_id"), explode(expr(Corpus.shingleSpark)).as("sg"))
+          .withColumn("df", count(lit(1)).over(Window.partitionBy("sg")))
+          .filter(col("df") <= 8)
+        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+        val ov = sh.as("a").join(sh.as("b"),
+            col("a.sg") === col("b.sg") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("overlap"))
+        ov.join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+          .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+          .withColumn("cont_a", expr("round(overlap * 1.0D / n_a, 4)"))
+          .withColumn("cont_b", expr("round(overlap * 1.0D / n_b, 4)"))
+          .filter(expr("greatest(cont_a, cont_b) >= 0.8D"))
+          .select(col("doc_a"), col("doc_b"), col("overlap"),
+            col("cont_a"), col("cont_b"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $toksDuck AS w FROM documents),
+              |sh0 AS (SELECT doc_id, unnest(${Corpus.shingleDuck}) AS sg FROM t),
+              |sh AS (SELECT doc_id, sg FROM
+              |(SELECT doc_id, sg, count(*) OVER (PARTITION BY sg) AS df FROM sh0) z WHERE df <= 8),
+              |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+              |ov AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS overlap
+              |FROM sh a JOIN sh b ON a.sg = b.sg AND a.doc_id < b.doc_id GROUP BY 1, 2),
+              |r AS (SELECT doc_a, doc_b, CAST(overlap AS BIGINT) AS overlap,
+              |round(overlap * 1.0 / sa.n_sh, 4) AS cont_a,
+              |round(overlap * 1.0 / sb.n_sh, 4) AS cont_b
+              |FROM ov JOIN sizes sa ON ov.doc_a = sa.doc_id
+              |JOIN sizes sb ON ov.doc_b = sb.doc_id)
+              |SELECT doc_a, doc_b, overlap, cont_a, cont_b FROM r
+              |WHERE greatest(cont_a, cont_b) >= 0.8
+              |ORDER BY doc_a, doc_b""".stripMargin.replace("\n", " ")))
   )
 }

@@ -181,6 +181,24 @@ class Corpus2Spec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("q116 containment flags exact dups at 1.0 and stays within [0,1]") {
+    val rows = SparkEntry.queries("q116_containment")(spark, sfDir)
+      .select("doc_a", "doc_b", "cont_a", "cont_b")
+      .as[(Long, Long, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, b, ca, cb) =>
+      assert(a < b)
+      assert(ca > 0.0 && ca <= 1.0 && cb > 0.0 && cb <= 1.0)
+      assert(math.max(ca, cb) >= 0.8, "only high-containment pairs are reported")
+    }
+    // the corpus's near-dups are not shingle-identical (q113's dist-0
+    // pairs share only the 5-token TITLE), so mutual 1.0 doesn't occur —
+    // but one-sided full containment (every capped shingle of the
+    // shorter doc inside the longer) does, and that sub-document case
+    // is precisely what this operator exists to flag
+    assert(rows.exists { case (_, _, ca, cb) => math.max(ca, cb) == 1.0 })
+  }
+
   test("q112 sample is the global top-k by content hash and repartition-stable") {
     val q = SparkEntry.queries("q112_sample_uniform")
     val s1 = q(spark, sfDir).select("doc_id", "h").as[(Long, String)].collect()
