@@ -33,6 +33,35 @@ object StatefulOps {
       }
   }
 
+  final case class DocTok(doc_id: Long, source: String, n_chars: Long, n_toks: Long)
+  final case class Admitted(doc_id: Long, source: String, n_toks: Long, src_run: Long)
+
+  /** Streaming twin of q115's per-source token-budget selection: admit
+    * documents against a per-source budget held in keyed state. The
+    * running total accumulates over EVERY seen document (not just
+    * admitted ones), so the admitted set is the same priority-prefix
+    * q115's window computes; within a micro-batch rows are re-sorted to
+    * that priority order (n_chars desc, doc_id), and across batches the
+    * cursor persists — a corpus replayed in one AvailableNow batch
+    * reproduces the batch result exactly (StatefulStreamingSpec). State
+    * per source is ONE long; at 100 TB of stream the state store holds
+    * |sources| counters, partitioned by key. */
+  def budgetAdmission(docs: Dataset[DocTok], budget: Long): Dataset[Admitted] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.source)
+      .flatMapGroupsWithState[Long, Admitted](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (src: String, rows: Iterator[DocTok], state: GroupState[Long]) =>
+          var run = state.getOption.getOrElse(0L)
+          val admitted = rows.toSeq.sortBy(d => (-d.n_chars, d.doc_id)).flatMap { d =>
+            run += d.n_toks
+            if (run <= budget) Some(Admitted(d.doc_id, src, d.n_toks, run)) else None
+          }
+          state.update(run)
+          admitted.iterator
+      }
+  }
+
   /** Batch twin for equivalence tests. */
   def runningStatsBatch(spark: SparkSession, dir: String): Dataset[UserStat] = {
     import spark.implicits._

@@ -100,6 +100,27 @@ object StreamingTwin {
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
+  /** The `documents` schema for stream sources. */
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Stream the documents table from a staged directory (keyed separately
+    * from the events stage — same dir, different table). */
+  def docStream(spark: SparkSession, dir: String): DataFrame = {
+    val stage = stagedDirs.computeIfAbsent(s"$dir#documents", { _ =>
+      val p = java.nio.file.Files.createTempDirectory("graft_stream_docs")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/documents.parquet"),
+        p.resolve("documents.parquet"))
+      p
+    })
+    spark.readStream.schema(docSchema).parquet(stage.toString)
+  }
+
   /** Drive a parquet-backed stream of the events table through the
     * tumbling aggregation into a memory sink; returns the settled result.
     * Used by tests and the demo main. */

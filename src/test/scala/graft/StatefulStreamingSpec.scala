@@ -54,6 +54,24 @@ class StatefulStreamingSpec extends AnyFunSuite with SparkSuite {
     assert(batch.exceptAll(fin).count() == 0)
   }
 
+  test("stateful budget admission equals the batch q115 prefix") {
+    val docs = StreamingTwin.docStream(spark, sfDir)
+      .select($"doc_id", $"source", $"n_chars",
+        expr(s"CAST(size(${operators.TextAnalytics.toksExpr}) AS BIGINT)").as("n_toks"))
+      .as[StatefulOps.DocTok]
+    val q = StatefulOps.budgetAdmission(docs, 600L).writeStream
+      .outputMode("append").format("memory").queryName("budget_admission")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val stream = spark.table("budget_admission")
+      .select("doc_id", "source", "n_toks", "src_run")
+    val batch = SparkEntry.queries("q115_group_budget")(spark, sfDir)
+      .select("doc_id", "source", "n_toks", "src_run")
+    assert(stream.count() > 0)
+    assert(batch.exceptAll(stream).count() == 0)
+    assert(stream.exceptAll(batch).count() == 0)
+  }
+
   test("streaming dedup by event_id keeps exactly the distinct ids") {
     val q = StreamingTwin.dedupStream(stagedEventStream()).writeStream
       .outputMode("append").format("memory").queryName("dedup_stream")
