@@ -214,13 +214,7 @@ object Components {
       // billion-node graph the same loop runs with the edge table
       // bucketed by src so the per-round join co-locates.
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val sh = graft.Tables.documents(s, dir)
-          .select(col("doc_id"), expr(TextAnalytics.toksExpr).as("w"))
-          .select(col("doc_id"), explode(expr(Corpus.shingleSpark)).as("sg"))
-        val capped = sh
-          .withColumn("df", count(lit(1)).over(Window.partitionBy("sg")))
-          .filter(col("df") <= 8)
+        val capped = Corpus.cappedShingles(graft.Tables.documents(s, dir), 8)
         val pairs = capped.as("a").join(capped.as("b"),
             col("a.sg") === col("b.sg") && col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst")).distinct()
@@ -231,31 +225,33 @@ object Components {
         val nDf = deg.agg(count(lit(1)).cast("double").as("n"))
         var pr = deg.select(col("src").as("id")).crossJoin(broadcast(nDf))
           .select(col("id"), (lit(1.0) / col("n")).as("pr"))
+        // each round's incoming contributions are summed via a SORTED
+        // fold over src (the q59 discipline: double addition is
+        // order-sensitive, shuffle order is not deterministic — the
+        // oracle folds in the same src order)
         for (_ <- 1 to 3)
           pr = e.join(pr.withColumnRenamed("id", "src"), "src")
             .join(deg, "src")
-            .select(col("dst").as("id"), (col("pr") / col("deg")).as("c"))
-            .groupBy("id").agg(sum(col("c")).as("m"))
+            .select(col("dst").as("id"), col("src"), (col("pr") / col("deg")).as("c"))
+            .groupBy("id")
+            .agg(expr("aggregate(array_sort(collect_list(struct(src, c))), 0D, (a, x) -> a + x.c)").as("m"))
             .crossJoin(broadcast(nDf))
             .select(col("id"), (lit(0.15) / col("n") + lit(0.85) * col("m")).as("pr"))
         pr.select(col("id").as("doc_id"), round(col("pr"), 6).as("pr"))
           .orderBy("doc_id")
       },
-      Some(s"""WITH t AS (SELECT doc_id, ${TextAnalytics.toksDuck} AS w FROM documents),
-              |sh AS (SELECT doc_id, unnest(${Corpus.shingleDuck}) AS sg FROM t),
-              |cap AS (SELECT doc_id, sg FROM
-              |(SELECT doc_id, sg, count(*) OVER (PARTITION BY sg) AS df FROM sh) z WHERE df <= 8),
-              |p AS (SELECT a.doc_id AS src, b.doc_id AS dst FROM cap a
-              |JOIN cap b ON a.sg = b.sg AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      Some(s"""WITH ${Corpus.cappedShinglesDuckCte(8)},
+              |p AS (SELECT a.doc_id AS src, b.doc_id AS dst FROM sh a
+              |JOIN sh b ON a.sg = b.sg AND a.doc_id < b.doc_id GROUP BY 1, 2),
               |e AS (SELECT src, dst FROM p UNION ALL SELECT dst AS src, src AS dst FROM p),
               |deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM e GROUP BY 1),
               |n AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM deg),
               |pr0 AS (SELECT src AS id, 1.0 / (SELECT nn FROM n) AS pr FROM deg),
-              |pr1 AS (SELECT e.dst AS id, 0.15 / (SELECT nn FROM n) + 0.85 * sum(p0.pr / d.deg) AS pr
+              |pr1 AS (SELECT e.dst AS id, 0.15 / (SELECT nn FROM n) + 0.85 * list_sum(list(p0.pr / d.deg ORDER BY e.src)) AS pr
               |FROM e JOIN pr0 p0 ON e.src = p0.id JOIN deg d ON e.src = d.src GROUP BY e.dst),
-              |pr2 AS (SELECT e.dst AS id, 0.15 / (SELECT nn FROM n) + 0.85 * sum(p1.pr / d.deg) AS pr
+              |pr2 AS (SELECT e.dst AS id, 0.15 / (SELECT nn FROM n) + 0.85 * list_sum(list(p1.pr / d.deg ORDER BY e.src)) AS pr
               |FROM e JOIN pr1 p1 ON e.src = p1.id JOIN deg d ON e.src = d.src GROUP BY e.dst),
-              |pr3 AS (SELECT e.dst AS id, 0.15 / (SELECT nn FROM n) + 0.85 * sum(p2.pr / d.deg) AS pr
+              |pr3 AS (SELECT e.dst AS id, 0.15 / (SELECT nn FROM n) + 0.85 * list_sum(list(p2.pr / d.deg ORDER BY e.src)) AS pr
               |FROM e JOIN pr2 p2 ON e.src = p2.id JOIN deg d ON e.src = d.src GROUP BY e.dst)
               |SELECT id AS doc_id, round(pr, 6) AS pr FROM pr3
               |ORDER BY doc_id""".stripMargin.replace("\n", " ")))

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Training-data corpus operators beyond the reference's surface (north
@@ -56,6 +57,30 @@ object Corpus {
   private[operators] val triSpark = ngramSpark(3)
   private val triDuck = ngramDuck(3)
 
+  /** (docs, dfCap) → (doc_id, sg): each document's distinct 5-shingles,
+    * keeping only shingles whose document frequency is ≤ dfCap — the
+    * blocking discipline that bounds every shingle self-join (q114's
+    * edge builder, q116's containment evidence) to O(dfCap) fan-out per
+    * shingle instead of d². ONE definition on each engine so the cap and
+    * the tokenization can never drift between the queries that share it. */
+  private[operators] def cappedShingles(docs: DataFrame, dfCap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs.select(col("doc_id"), expr(TextAnalytics.toksExpr).as("w"))
+      .select(col("doc_id"), explode(expr(shingleSpark)).as("sg"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("sg")))
+      .filter(col("df") <= dfCap)
+      .select("doc_id", "sg")
+  }
+
+  /** The DuckDB CTE chain matching [[cappedShingles]]; splice after WITH.
+    * Defines `t`, `sh0`, and the final `sh(doc_id, sg)`. */
+  private[operators] def cappedShinglesDuckCte(dfCap: Int): String =
+    s"""t AS (SELECT doc_id, ${TextAnalytics.toksDuck} AS w FROM documents),
+       |sh0 AS (SELECT doc_id, unnest($shingleDuck) AS sg FROM t),
+       |sh AS (SELECT doc_id, sg FROM
+       |(SELECT doc_id, sg, count(*) OVER (PARTITION BY sg) AS df FROM sh0) z
+       |WHERE df <= $dfCap)""".stripMargin.replace("\n", " ")
+
   /** Engine-portable uniform hash bucket: the integer value of the first
     * `n` hex chars of an md5 hex column — the same per-character fold in
     * both engines (q58's trick), uniform on [0, 16^n). `hx` must already
@@ -73,7 +98,6 @@ object Corpus {
        |ELSE ascii(substr($hx, i, 1)) - 48 END) * (CAST(1 AS BIGINT) << (4 * ($n - i))))) AS BIGINT)"""
       .stripMargin.replace("\n", " ")
 
-  import org.apache.spark.sql.DataFrame
 
   /** q93's body, input-agnostic (docs needs `doc_id`, `text`): stateless
     * map-side chunking — also runs unchanged on a readStream source

@@ -376,11 +376,16 @@ object Corpus2 {
             expr("w[0]").as("blk"))
         titles.as("a").join(titles.as("b"),
             col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id") &&
-              abs(length(col("a.title")) - length(col("b.title"))) <= 3 &&
-              levenshtein(col("a.title"), col("b.title")) <= 3)
+              abs(length(col("a.title")) - length(col("b.title"))) <= 3)
+          // one bounded DP per banded candidate (threshold form
+          // early-exits rows over the bound, returning -1), computed
+          // ONCE — not re-evaluated in both the join filter and the
+          // projection
+          .withColumn("dist",
+            levenshtein(col("a.title"), col("b.title"), 3).cast("long"))
+          .filter(col("dist") >= 0 && col("dist") <= 3)
           .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-            col("a.title").as("title_a"), col("b.title").as("title_b"),
-            levenshtein(col("a.title"), col("b.title")).cast("long").as("dist"))
+            col("a.title").as("title_a"), col("b.title").as("title_b"), col("dist"))
           .orderBy("doc_a", "doc_b")
       },
       Some(s"""WITH t AS (SELECT doc_id, $toksDuck AS w FROM documents),
@@ -404,7 +409,6 @@ object Corpus2 {
       // that scales without the two-pass machinery: specify the mixture
       // and the global budget decomposes into per-source windows.
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
         val w = Window.partitionBy("source")
           .orderBy(col("n_chars").desc, col("doc_id"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -437,11 +441,7 @@ object Corpus2 {
       // ratios are emitted. Reported at ≥ 0.8; one-sided 1.0 = a doc
       // fully contained in another (the drop candidate).
       (s, dir) => {
-        val sh = Tables.documents(s, dir)
-          .select(col("doc_id"), expr(toksExpr).as("w"))
-          .select(col("doc_id"), explode(expr(Corpus.shingleSpark)).as("sg"))
-          .withColumn("df", count(lit(1)).over(Window.partitionBy("sg")))
-          .filter(col("df") <= 8)
+        val sh = Corpus.cappedShingles(Tables.documents(s, dir), 8)
         val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
         val ov = sh.as("a").join(sh.as("b"),
             col("a.sg") === col("b.sg") && col("a.doc_id") < col("b.doc_id"))
@@ -456,10 +456,7 @@ object Corpus2 {
             col("cont_a"), col("cont_b"))
           .orderBy("doc_a", "doc_b")
       },
-      Some(s"""WITH t AS (SELECT doc_id, $toksDuck AS w FROM documents),
-              |sh0 AS (SELECT doc_id, unnest(${Corpus.shingleDuck}) AS sg FROM t),
-              |sh AS (SELECT doc_id, sg FROM
-              |(SELECT doc_id, sg, count(*) OVER (PARTITION BY sg) AS df FROM sh0) z WHERE df <= 8),
+      Some(s"""WITH ${Corpus.cappedShinglesDuckCte(8)},
               |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
               |ov AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS overlap
               |FROM sh a JOIN sh b ON a.sg = b.sg AND a.doc_id < b.doc_id GROUP BY 1, 2),

@@ -39,13 +39,16 @@ object StatefulOps {
   /** Streaming twin of q115's per-source token-budget selection: admit
     * documents against a per-source budget held in keyed state. The
     * running total accumulates over EVERY seen document (not just
-    * admitted ones), so the admitted set is the same priority-prefix
-    * q115's window computes; within a micro-batch rows are re-sorted to
-    * that priority order (n_chars desc, doc_id), and across batches the
-    * cursor persists — a corpus replayed in one AvailableNow batch
-    * reproduces the batch result exactly (StatefulStreamingSpec). State
-    * per source is ONE long; at 100 TB of stream the state store holds
-    * |sources| counters, partitioned by key. */
+    * admitted ones) and rows are re-sorted to q115's priority order
+    * (n_chars desc, doc_id) WITHIN each micro-batch; across batches the
+    * cursor persists but arrival order rules — a stream cannot see
+    * future priorities, so admission is priority-ordered per batch and
+    * greedy across batches. The batch-equivalence claim is therefore
+    * scoped: a corpus replayed in ONE AvailableNow batch reproduces
+    * q115's prefix exactly (StatefulStreamingSpec proves that case);
+    * a multi-batch replay is a different, order-sensitive policy by
+    * construction. State per source is ONE long; at 100 TB of stream
+    * the state store holds |sources| counters, partitioned by key. */
   def budgetAdmission(docs: Dataset[DocTok], budget: Long): Dataset[Admitted] = {
     import docs.sparkSession.implicits._
     docs.groupByKey(_.source)
