@@ -40,11 +40,13 @@ object Corpus {
       .map(j => if (j == 0) "w[i]" else s"w[i+$j]").mkString(", ' ', ")
     s"CASE WHEN size(w) >= $n THEN transform(sequence(0, size(w)-$n), i -> concat($parts)) ELSE slice(w, 1, 0) END"
   }
-  private[operators] def ngramDuck(n: Int): String = {
-    val parts = (0 until n)
-      .map(j => if (j == 0) "w[i]" else s"w[i+$j]").mkString(" || ' ' || ")
-    s"CASE WHEN len(w) >= $n THEN list_transform(generate_series(1, len(w)-${n - 1}), i -> $parts) ELSE []::VARCHAR[] END"
-  }
+  private[operators] def ngramDuck(n: Int): String =
+    s"CASE WHEN len(w) >= $n THEN list_transform(generate_series(1, len(w)-${n - 1}), i -> ${ngramAtDuck(n)}) ELSE []::VARCHAR[] END"
+
+  /** The n-gram STARTING AT position `i` of `w` (DuckDB, 1-based `i`) —
+    * for positional explodes where `i` comes from a LATERAL series. */
+  private[operators] def ngramAtDuck(n: Int): String =
+    (0 until n).map(j => if (j == 0) "w[i]" else s"w[i+$j]").mkString(" || ' ' || ")
 
   /** Distinct 5-token shingles of `w` (q102's note: Spark subscripts are
     * 0-based, DuckDB's 1-based — both forms produce the identical

@@ -467,6 +467,62 @@ object Corpus2 {
               |JOIN sizes sb ON ov.doc_b = sb.doc_id)
               |SELECT doc_a, doc_b, overlap, cont_a, cont_b FROM r
               |WHERE greatest(cont_a, cont_b) >= 0.8
+              |ORDER BY doc_a, doc_b""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q117_shared_spans",
+      // Exact-substring near-dup evidence (the Lee et al. "Deduplicating
+      // Training Data Makes Language Models Better" signal): the LONGEST
+      // token span shared verbatim by each document pair, found without
+      // ever comparing documents directly. Positional 8-grams (kept only
+      // below a document-frequency cap, same discipline as q114/q116)
+      // equi-join into (pair, pos_a, pos_b) matches; matches on the same
+      // DIAGONAL (pos_a − pos_b) with consecutive pos_a form a verbatim
+      // run — classic gaps-and-islands: island id = pos_a − row_number
+      // per diagonal, span length = island extent + 7. Every stage is an
+      // equi-join or a (pair, diag)-keyed window — nothing quadratic in
+      // corpus size, nothing single-partition.
+      (s, dir) => {
+        val g = Tables.documents(s, dir)
+          .select(col("doc_id"), expr(toksExpr).as("w"))
+          .select(col("doc_id"), posexplode(expr(Corpus.ngramSpark(8))).as(Seq("pos", "g")))
+        val dfOk = g.groupBy("g").agg(countDistinct("doc_id").as("df"))
+          .filter(col("df") <= 8).select("g")
+        val capped = g.join(dfOk, "g")
+        val m = capped.as("a").join(capped.as("b"),
+            col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+            col("a.pos").as("pa"), col("b.pos").as("pb"))
+          .distinct()
+          .withColumn("diag", col("pa") - col("pb"))
+        val islands = m
+          .withColumn("isl", col("pa") - row_number().over(
+            Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")))
+          .groupBy("doc_a", "doc_b", "diag", "isl")
+          .agg((max(col("pa")) - min(col("pa")) + 8).cast("long").as("span"))
+        islands.groupBy("doc_a", "doc_b")
+          .agg(max("span").as("longest_span"), count(lit(1)).as("n_spans"))
+          .filter(col("longest_span") >= 12)
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $toksDuck AS w FROM documents),
+              |g0 AS (SELECT doc_id, i AS pos, ${Corpus.ngramAtDuck(8)} AS g
+              |FROM t, LATERAL (SELECT unnest(generate_series(1, len(w)-7)) AS i) s
+              |WHERE len(w) >= 8),
+              |dfok AS (SELECT g FROM
+              |(SELECT g, count(DISTINCT doc_id) AS df FROM g0 GROUP BY 1) z WHERE df <= 8),
+              |g AS (SELECT doc_id, pos, g FROM g0 JOIN dfok USING (g)),
+              |m AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb
+              |FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id),
+              |isl AS (SELECT doc_a, doc_b, pa - pb AS diag, pa,
+              |pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS isl
+              |FROM m),
+              |spans AS (SELECT doc_a, doc_b, diag, isl,
+              |CAST(max(pa) - min(pa) + 8 AS BIGINT) AS span
+              |FROM isl GROUP BY 1, 2, 3, 4)
+              |SELECT doc_a, doc_b, CAST(max(span) AS BIGINT) AS longest_span,
+              |count(*) AS n_spans
+              |FROM spans GROUP BY 1, 2 HAVING max(span) >= 12
               |ORDER BY doc_a, doc_b""".stripMargin.replace("\n", " ")))
   )
 }

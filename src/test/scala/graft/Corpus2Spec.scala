@@ -199,6 +199,40 @@ class Corpus2Spec extends AnyFunSuite with SparkSuite {
     assert(rows.exists { case (_, _, ca, cb) => math.max(ca, cb) == 1.0 })
   }
 
+  test("q117 shared spans are genuine verbatim runs, bounded by the true LCS") {
+    // longest common token substring by DP
+    def lcs(a: Array[String], b: Array[String]): Int = {
+      var best = 0
+      val dp = Array.ofDim[Int](b.length + 1)
+      for (i <- 1 to a.length) {
+        var prev = 0
+        for (j <- 1 to b.length) {
+          val cur = dp(j)
+          dp(j) = if (a(i - 1) == b(j - 1)) prev + 1 else 0
+          if (dp(j) > best) best = dp(j)
+          prev = cur
+        }
+      }
+      best
+    }
+    val spans = SparkEntry.queries("q117_shared_spans")(spark, sfDir)
+      .select("doc_a", "doc_b", "longest_span").as[(Long, Long, Long)].collect()
+    assert(spans.nonEmpty)
+    val toks = Tables.documents(spark, sfDir)
+      .select($"doc_id", expr(operators.TextAnalytics.toksExpr))
+      .as[(Long, Seq[String])].collect().toMap
+    spans.foreach { case (a, b, span) =>
+      assert(a < b && span >= 12)
+      val true_ = lcs(toks(a).toArray, toks(b).toArray)
+      // the df cap can only REMOVE evidence (a popular 8-gram inside a
+      // span), never invent it — reported span ≤ the true LCS
+      assert(span <= true_, s"($a,$b): reported $span > true LCS ${true_}")
+    }
+    // and on pairs whose evidence survives the cap, it is exact
+    assert(spans.exists { case (a, b, span) =>
+      span == lcs(toks(a).toArray, toks(b).toArray) })
+  }
+
   test("q112 sample is the global top-k by content hash and repartition-stable") {
     val q = SparkEntry.queries("q112_sample_uniform")
     val s1 = q(spark, sfDir).select("doc_id", "h").as[(Long, String)].collect()
