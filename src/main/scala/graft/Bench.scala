@@ -18,8 +18,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.experimental.extraOptimizations ++= Seq(graft.plans.LowercaseContainsRewrite)
-    val names = if (SparkEntry.benchNames.nonEmpty) SparkEntry.benchNames
-                else SparkEntry.queries.keys.toSeq.sorted
+    // args override the headline set for ad-hoc timing of specific
+    // queries (e.g. `runMain graft.Bench q117_shared_spans`); the
+    // driver's no-arg invocation keeps the stable cross-round set.
+    val names =
+      if (args.nonEmpty) args.toSeq
+      else if (SparkEntry.benchNames.nonEmpty) SparkEntry.benchNames
+      else SparkEntry.queries.keys.toSeq.sorted
     // Untimed warmup: JVM/codegen/file-listing costs land here, not on the
     // first timed query.
     try {

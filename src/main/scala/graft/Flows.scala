@@ -79,6 +79,22 @@ object Flows {
     docs.sparkSession.read.parquet(outDir)
   }
 
+  /** The corpus SELECTION flow (round 4's tranche as API): mixture
+    * sampling (q104) → per-source token budgets (q115) → balanced shard
+    * assignment (q109) → one hive partition per shard, ready for a
+    * per-shard training reader. Same input-agnostic bodies as the
+    * oracled queries — the API cannot drift from the correctness gate.
+    * Returns the landed layout (reading it back prunes by `shard=`). */
+  def selectionFlow(docs: DataFrame, budget: Long, nShards: Int,
+      outDir: String): DataFrame = {
+    val sampled = operators.Corpus2.mixtureSample(docs)
+    val selected = operators.Corpus2.groupBudget(sampled, budget)
+    val sharded = operators.Corpus2.shardOf(
+      selected.select("doc_id", "source", "n_chars", "n_toks"), nShards)
+    graft.sources.Sinks.writeHivePartitioned(sharded, Seq("shard"), outDir)
+    docs.sparkSession.read.parquet(outDir)
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master("local[4]")
@@ -108,6 +124,10 @@ object Flows {
 
     val chunks = corpusFlow(docs, Seq(3L, 7L), out.resolve("corpus_chunks").toString)
     println(s"FLOW corpus chunks=${chunks.count()}")
+
+    val sel = selectionFlow(docs, budget = 600L, nShards = 4,
+      out.resolve("corpus_selection").toString)
+    println(s"FLOW selection rows=${sel.count()} shards=${sel.select("shard").distinct().count()}")
     spark.stop()
   }
 }

@@ -34,6 +34,40 @@ object Corpus2 {
   private val biSpark = Corpus.ngramSpark(2)
   private val biDuck = Corpus.ngramDuck(2)
 
+  import org.apache.spark.sql.DataFrame
+
+  /** q104's body, input-agnostic (needs `doc_id`, `source`): the
+    * content-hash mixture keep decision. ONE definition — the oracled
+    * query and `Flows.selectionFlow` share it. */
+  def mixtureSample(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("hx", expr("substring(md5(CAST(doc_id AS STRING)), 1, 4)"))
+      .withColumn("u", expr(Corpus.hexFoldSpark("hx", 4)))
+      .withColumn("frac_num", expr("CAST(substr(source, 4) AS INT) % 4 + 1"))
+      .filter(expr("u * 4 < 65536 * frac_num"))
+      .drop("hx", "frac_num")
+
+  /** q115's body, input-agnostic (needs `doc_id`, `source`, `n_chars`,
+    * `text`): per-source token-budget prefix in priority order. */
+  def groupBudget(docs: DataFrame, budget: Long): DataFrame = {
+    val w = Window.partitionBy("source")
+      .orderBy(col("n_chars").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("n_toks", size(expr(toksExpr)).cast("long"))
+      .withColumn("src_run", sum("n_toks").over(w))
+      .filter(col("src_run") <= budget)
+  }
+
+  /** q109's ranking body, input-agnostic (needs `doc_id` and a
+    * precomputed `n_toks` — callers choose how wide the exchanged row
+    * is): per-document shard id by LPT round-robin over the two-pass
+    * global token rank. */
+  def shardOf(docs: DataFrame, nShards: Int): DataFrame =
+    Indexing.globalIndex(docs, Seq(col("n_toks").desc, col("doc_id")))
+      .withColumn("shard", expr(s"idx % $nShards"))
+      .drop("idx")
+
   def defs: Seq[QueryDef] = Seq(
 
     QueryDef(
@@ -114,11 +148,7 @@ object Corpus2 {
       // only the fraction map. Integer compare (u·4 < 65536·k) — no
       // float thresholds to disagree across engines.
       (s, dir) =>
-        Tables.documents(s, dir)
-          .withColumn("hx", expr("substring(md5(CAST(doc_id AS STRING)), 1, 4)"))
-          .withColumn("u", expr(Corpus.hexFoldSpark("hx", 4)))
-          .withColumn("frac_num", expr("CAST(substr(source, 4) AS INT) % 4 + 1"))
-          .filter(expr("u * 4 < 65536 * frac_num"))
+        mixtureSample(Tables.documents(s, dir))
           .select(col("doc_id"), col("source"), col("u"))
           .orderBy("doc_id"),
       Some(s"""WITH d AS (SELECT doc_id, source,
@@ -243,16 +273,13 @@ object Corpus2 {
       // the output-layout step before Sinks writes one file set per
       // shard. No single-partition window anywhere (the oracle states
       // the naive one).
-      (s, dir) => {
-        val scored = Tables.documents(s, dir)
-          .select(col("doc_id"), size(expr(toksExpr)).cast("long").as("n_toks"))
-        Indexing.globalIndex(scored, Seq(col("n_toks").desc, col("doc_id")))
-          .withColumn("shard", expr("idx % 8"))
+      (s, dir) =>
+        shardOf(Tables.documents(s, dir)
+            .select(col("doc_id"), size(expr(toksExpr)).cast("long").as("n_toks")), 8)
           .groupBy("shard")
           .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("total_toks"),
             min("n_toks").as("min_toks"), max("n_toks").as("max_toks"))
-          .orderBy("shard")
-      },
+          .orderBy("shard"),
       Some(s"""WITH t AS (SELECT doc_id, CAST(len($toksDuck) AS BIGINT) AS n_toks FROM documents),
               |r AS (SELECT doc_id, n_toks,
               |CAST((row_number() OVER (ORDER BY n_toks DESC, doc_id) - 1) % 8 AS BIGINT) AS shard FROM t)
@@ -408,17 +435,11 @@ object Corpus2 {
       // independent, nothing single-partition — so this is the form
       // that scales without the two-pass machinery: specify the mixture
       // and the global budget decomposes into per-source windows.
-      (s, dir) => {
-        val w = Window.partitionBy("source")
-          .orderBy(col("n_chars").desc, col("doc_id"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        Tables.documents(s, dir)
+      (s, dir) =>
+        groupBudget(Tables.documents(s, dir), 600L)
           .select(col("doc_id"), col("source"), col("n_chars"),
-            size(expr(toksExpr)).cast("long").as("n_toks"))
-          .withColumn("src_run", sum("n_toks").over(w))
-          .filter(col("src_run") <= 600L)
-          .orderBy(col("source"), col("n_chars").desc, col("doc_id"))
-      },
+            col("n_toks"), col("src_run"))
+          .orderBy(col("source"), col("n_chars").desc, col("doc_id")),
       Some(s"""WITH t AS (SELECT doc_id, source, n_chars,
               |CAST(len($toksDuck) AS BIGINT) AS n_toks FROM documents),
               |r AS (SELECT doc_id, source, n_chars, n_toks,

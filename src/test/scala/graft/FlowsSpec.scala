@@ -58,6 +58,26 @@ class FlowsSpec extends AnyFunSuite with SparkSuite {
     assert(back.count() == chunks.count())
   }
 
+  test("selection flow lands the q104→q115→q109 composition, hive-partitioned") {
+    val out = java.nio.file.Files.createTempDirectory("graft_flows_sel")
+      .resolve("selection").toString
+    val docs = Tables.documents(spark, sfDir)
+    val landed = Flows.selectionFlow(docs, budget = 600L, nShards = 4, out)
+    assert(landed.count() > 0)
+    // the landed doc set = the mixture sample run through the budget
+    // (the same bodies q104/q115 declare)
+    val expected = graft.operators.Corpus2.groupBudget(
+        graft.operators.Corpus2.mixtureSample(docs), 600L)
+      .select("doc_id").as[Long].collect().sorted
+    import org.apache.spark.sql.functions.col
+    assert(landed.select("doc_id").as[Long].collect().sorted.toSeq == expected.toSeq)
+    // every shard materialized as a hive partition; reading one prunes
+    val shards = landed.select("shard").distinct().as[Int].collect().sorted
+    assert(shards.toSeq == (0 until 4))
+    val one = spark.read.parquet(out).filter(col("shard") === 0)
+    assert(one.count() > 0 && one.count() < landed.count())
+  }
+
   test("build-tree writes the nested artifact file") {
     val out = java.nio.file.Files.createTempDirectory("graft_flows_spec_t")
     val docs = Seq(
