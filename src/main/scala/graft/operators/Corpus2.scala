@@ -68,6 +68,63 @@ object Corpus2 {
       .withColumn("shard", expr(s"idx % $nShards"))
       .drop("idx")
 
+  /** q118's body, input-agnostic (needs `doc_id`, `text`): per-document
+    * cross-entropy in nats under an add-1-smoothed bigram LM trained on
+    * the same corpus. Returns (doc_id, n_bi, ce). The per-doc log-prob
+    * sum folds a position-sorted list (double addition is
+    * order-sensitive; q59's discipline). */
+  def lmScore(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), expr(toksExpr).as("w"))
+    val occ = base
+      .select(col("doc_id"), col("w"), posexplode(col("w")).as(Seq("pos", "cur")))
+      .filter(col("pos") >= 1)
+      .select(col("doc_id"), col("pos"), expr("element_at(w, pos)").as("prev"), col("cur"))
+    val lm = occ.groupBy("prev", "cur").agg(count(lit(1)).as("c_bi"))
+    val ctx = lm.groupBy("prev").agg(sum("c_bi").as("c_ctx"))
+    val v = base.select(explode(col("w")).as("tok"))
+      .agg(countDistinct(col("tok")).as("v"))
+    occ.join(lm, Seq("prev", "cur"))
+      .join(ctx, Seq("prev"))
+      .crossJoin(broadcast(v))
+      .withColumn("lp", expr("ln((c_bi + 1.0D) / (c_ctx + CAST(v AS DOUBLE)))"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bi"),
+        expr("aggregate(array_sort(collect_list(struct(pos, lp))), 0D, (a, x) -> a + x.lp)")
+          .as("s"))
+      .select(col("doc_id"), col("n_bi"), expr("round(-s / n_bi, 4)").as("ce"))
+  }
+
+  /** q119's body, input-agnostic (needs `doc_id`, `text`): DSIR-style
+    * importance weight — the average hashed-unigram log-likelihood ratio
+    * of the target distribution (docs `targetIds`, add-1 smoothed over
+    * 256 md5 buckets) against the corpus distribution. Returns every
+    * scored document (doc_id, n_toks, llr); callers rank/limit. */
+  def importanceWeights(docs: DataFrame, targetIds: Seq[Long]): DataFrame = {
+    val tok = docs.select(col("doc_id"), expr(toksExpr).as("w"))
+      .select(col("doc_id"), posexplode(col("w")).as(Seq("pos", "tok")))
+      .withColumn("hx", expr("substring(md5(tok), 1, 2)"))
+      .withColumn("b", expr(Corpus.hexFoldSpark("hx", 2)))
+      .select("doc_id", "pos", "b")
+    val cc = tok.groupBy("b").agg(count(lit(1)).as("c_c"))
+    val ct = tok.filter(col("doc_id").isInCollection(targetIds))
+      .groupBy("b").agg(count(lit(1)).as("c_t"))
+    val totals = cc.agg(sum("c_c").as("n_c")).crossJoin(
+      ct.agg(sum("c_t").as("n_t")))
+    val wgt = cc.join(ct, Seq("b"), "left")
+      .withColumn("c_t", coalesce(col("c_t"), lit(0L)))
+      .crossJoin(broadcast(totals))
+      .withColumn("wgt", expr(
+        """ln(((c_t + 1.0D) / (n_t + 256.0D)) /
+          |((c_c + 1.0D) / (n_c + 256.0D)))""".stripMargin.replace("\n", " ")))
+      .select("b", "wgt")
+    tok.join(broadcast(wgt), "b")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"),
+        expr("aggregate(array_sort(collect_list(struct(pos, wgt))), 0D, (a, x) -> a + x.wgt)")
+          .as("s"))
+      .select(col("doc_id"), col("n_toks"), expr("round(s / n_toks, 4)").as("llr"))
+  }
+
   def defs: Seq[QueryDef] = Seq(
 
     QueryDef(
@@ -544,6 +601,69 @@ object Corpus2 {
               |SELECT doc_a, doc_b, CAST(max(span) AS BIGINT) AS longest_span,
               |count(*) AS n_spans
               |FROM spans GROUP BY 1, 2 HAVING max(span) >= 12
-              |ORDER BY doc_a, doc_b""".stripMargin.replace("\n", " ")))
+              |ORDER BY doc_a, doc_b""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q118_lm_score",
+      // Bigram-LM cross-entropy scoring — the CCNet/KenLM-style
+      // distributional quality filter: train an add-1-smoothed bigram LM
+      // on the corpus, score every document by its average negative log
+      // probability (nats). Documents far from the corpus distribution
+      // (high ce) are the filter's drop candidates. Scale shape: the LM
+      // is two vocab-keyed aggregates (bounded by vocab², ≪ corpus);
+      // scoring is two hash-keyed equi-joins back onto the bigram
+      // occurrences — at 100 TB the standard deployment swaps the
+      // self-trained LM for a pre-trained external one broadcast to
+      // executors, leaving the scoring joins identical. Per-doc sums
+      // fold position-sorted lists (q59's order discipline).
+      (s, dir) =>
+        lmScore(Tables.documents(s, dir)).orderBy("doc_id"),
+      Some(s"""WITH t AS (SELECT doc_id, $toksDuck AS w FROM documents),
+              |occ AS (SELECT doc_id, i - 1 AS pos, w[i-1] AS prev, w[i] AS cur
+              |FROM t, LATERAL (SELECT unnest(generate_series(2, len(w))) AS i) g
+              |WHERE len(w) >= 2),
+              |lm AS (SELECT prev, cur, count(*) AS c_bi FROM occ GROUP BY 1, 2),
+              |ctx AS (SELECT prev, CAST(sum(c_bi) AS BIGINT) AS c_ctx FROM lm GROUP BY 1),
+              |v AS (SELECT count(DISTINCT tok) AS v FROM (SELECT unnest(w) AS tok FROM t) z),
+              |sc AS (SELECT occ.doc_id, occ.pos,
+              |ln((lm.c_bi + 1.0) / (ctx.c_ctx + CAST(v.v AS DOUBLE))) AS lp
+              |FROM occ JOIN lm USING (prev, cur) JOIN ctx USING (prev), v)
+              |SELECT doc_id, count(*) AS n_bi,
+              |round(-list_sum(list(lp ORDER BY pos)) / count(*), 4) AS ce
+              |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q119_importance",
+      // DSIR-style data selection (Xie et al., "Data Selection for
+      // Language Models via Importance Resampling"): rank documents by
+      // the average log-likelihood ratio of a TARGET distribution (the
+      // eval docs 3 and 7 — "find me more data like this") against the
+      // corpus distribution, both estimated over 256 hashed unigram
+      // buckets with add-1 smoothing. Hashing is what makes this the
+      // 100 TB form: the weight table is ≤ 256 rows REGARDLESS of
+      // vocabulary size, broadcast to a single map-side join over the
+      // token scan — no vocab-sized shuffle anywhere. The md5 hex-fold
+      // bucket is engine-portable (q58/q104's trick), so the oracle
+      // reproduces the exact bucketing.
+      (s, dir) =>
+        importanceWeights(Tables.documents(s, dir), Seq(3L, 7L))
+          .orderBy(col("llr").desc, col("doc_id")).limit(30),
+      Some(s"""WITH t AS (SELECT doc_id, $toksDuck AS w FROM documents),
+              |tok0 AS (SELECT doc_id, i AS pos, substr(md5(w[i]), 1, 2) AS hx
+              |FROM t, LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) g
+              |WHERE len(w) > 0),
+              |tok AS (SELECT doc_id, pos, ${Corpus.hexFoldDuck("hx", 2)} AS b FROM tok0),
+              |cc AS (SELECT b, count(*) AS c_c FROM tok GROUP BY 1),
+              |ct AS (SELECT b, count(*) AS c_t FROM tok WHERE doc_id IN (3, 7) GROUP BY 1),
+              |tot AS (SELECT (SELECT CAST(sum(c_c) AS BIGINT) FROM cc) AS n_c,
+              |(SELECT CAST(sum(c_t) AS BIGINT) FROM ct) AS n_t),
+              |wgt AS (SELECT cc.b,
+              |ln(((coalesce(ct.c_t, 0) + 1.0) / (tot.n_t + 256.0)) /
+              |((cc.c_c + 1.0) / (tot.n_c + 256.0))) AS wgt
+              |FROM cc LEFT JOIN ct USING (b), tot)
+              |SELECT doc_id, count(*) AS n_toks,
+              |round(list_sum(list(wgt ORDER BY pos)) / count(*), 4) AS llr
+              |FROM tok JOIN wgt USING (b)
+              |GROUP BY doc_id ORDER BY llr DESC, doc_id LIMIT 30""".stripMargin.replace("\n", " ")))
   )
 }

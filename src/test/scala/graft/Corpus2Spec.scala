@@ -243,4 +243,67 @@ class Corpus2Spec extends AnyFunSuite with SparkSuite {
       .sortBy { case (d, h) => (h, d) }.take(100)
     assert(s1.toSeq == expected.toSeq, "exact hash-order prefix")
   }
+
+  private def localToks: Map[Long, Array[String]] =
+    Tables.documents(spark, sfDir).select("doc_id", "text")
+      .as[(Long, String)].collect()
+      .map { case (d, t) => d -> t.toLowerCase.split(' ').filter(_.nonEmpty) }
+      .toMap
+
+  test("q118 cross-entropy matches an independent local bigram-LM recompute") {
+    val got = SparkEntry.queries("q118_lm_score")(spark, sfDir)
+      .select("doc_id", "n_bi", "ce").as[(Long, Long, Double)].collect()
+    assert(got.nonEmpty)
+    val toks = localToks
+    val bigrams = toks.toSeq.flatMap { case (_, w) => w.sliding(2).filter(_.length == 2) }
+      .map(p => (p(0), p(1)))
+    val cBi = bigrams.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cCtx = bigrams.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val v = toks.values.flatten.toSet.size.toDouble
+    got.foreach { case (d, nBi, ce) =>
+      val w = toks(d)
+      assert(nBi == math.max(0, w.length - 1), s"doc $d bigram count")
+      // fold in document (position) order, like the query
+      val s = w.sliding(2).filter(_.length == 2).map { p =>
+        math.log((cBi((p(0), p(1))) + 1.0) / (cCtx(p(0)) + v))
+      }.foldLeft(0.0)(_ + _)
+      assert(math.abs(ce - (-s / nBi)) <= 1e-4, s"doc $d ce $ce vs ${-s / nBi}")
+    }
+    // discriminative sanity: scores vary across the corpus
+    assert(got.map(_._3).distinct.length > 10)
+  }
+
+  test("q119 importance weights match a local recompute and rank the target docs on top") {
+    val toks = localToks
+    def bucket(tok: String): Long = {
+      val hx = org.apache.commons.codec.digest.DigestUtils.md5Hex(tok).take(2)
+      java.lang.Long.parseLong(hx, 16)
+    }
+    val buckets = toks.view.mapValues(_.map(bucket)).toMap
+    val cC = buckets.values.flatten.toSeq.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val target = Seq(3L, 7L)
+    val cT = target.flatMap(buckets(_)).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nC = cC.values.sum.toDouble
+    val nT = target.map(buckets(_).length).sum.toDouble
+    def wgt(b: Long): Double =
+      math.log(((cT.getOrElse(b, 0L) + 1.0) / (nT + 256.0)) /
+        ((cC(b) + 1.0) / (nC + 256.0)))
+    val local = buckets.map { case (d, bs) =>
+      d -> bs.foldLeft(0.0)((a, b) => a + wgt(b)) / bs.length
+    }
+    // the full scored relation (the declared query limits to 30)
+    val full = operators.Corpus2.importanceWeights(
+        Tables.documents(spark, sfDir), target)
+      .select("doc_id", "n_toks", "llr").as[(Long, Long, Double)].collect()
+    assert(full.length == toks.count(_._2.nonEmpty))
+    full.foreach { case (d, n, llr) =>
+      assert(n == toks(d).length, s"doc $d token count")
+      assert(math.abs(llr - local(d)) <= 1e-4, s"doc $d llr $llr vs ${local(d)}")
+    }
+    // the target docs ARE distributed like the target: both in the top 10
+    val ranked = full.sortBy { case (d, _, llr) => (-llr, d) }.map(_._1).toSeq
+    target.foreach { d =>
+      assert(ranked.indexOf(d) < 10, s"target doc $d rank ${ranked.indexOf(d)}")
+    }
+  }
 }
