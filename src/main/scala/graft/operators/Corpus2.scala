@@ -68,6 +68,83 @@ object Corpus2 {
       .withColumn("shard", expr(s"idx % $nShards"))
       .drop("idx")
 
+  /** q117's evidence pipeline, input-agnostic (needs `doc_id`, `text`):
+    * maximal same-diagonal runs of df-capped positional 8-grams per
+    * ordered document pair. Returns one row per verbatim island —
+    * (doc_a, doc_b, diag, lo_a, hi_a, span) with lo_a/hi_a the first and
+    * last matching 8-gram START positions in doc_a (the run covers
+    * tokens lo_a .. hi_a+7 in doc_a, lo_a-diag .. hi_a-diag+7 in doc_b).
+    * q117 aggregates it into per-pair evidence; q120 turns it into the
+    * scrub action. */
+  def sharedSpanIslands(docs: DataFrame): DataFrame = {
+    val g = docs.select(col("doc_id"), expr(toksExpr).as("w"))
+      .select(col("doc_id"), posexplode(expr(Corpus.ngramSpark(8))).as(Seq("pos", "g")))
+    val dfOk = g.groupBy("g").agg(countDistinct("doc_id").as("df"))
+      .filter(col("df") <= 8).select("g")
+    val capped = g.join(dfOk, "g")
+    val m = capped.as("a").join(capped.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.pos").as("pa"), col("b.pos").as("pb"))
+      .distinct()
+      .withColumn("diag", col("pa") - col("pb"))
+    m.withColumn("isl", col("pa") - row_number().over(
+        Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")))
+      .groupBy("doc_a", "doc_b", "diag", "isl")
+      .agg(min("pa").as("lo_a"), max("pa").as("hi_a"),
+        (max(col("pa")) - min(col("pa")) + 8).cast("long").as("span"))
+  }
+
+  /** The DuckDB CTE chain matching [[sharedSpanIslands]]; splice after
+    * WITH. Defines `t` (doc tokens) and the final
+    * `spans(doc_a, doc_b, diag, lo_a, hi_a, span)`. Positions are
+    * 1-based here vs Spark's 0-based posexplode — diffs (diag, span,
+    * interval arithmetic) cancel the shift, so every consumer works in
+    * either base as long as it stays engine-internal. */
+  private def sharedSpansDuckCte: String =
+    s"""t AS (SELECT doc_id, $toksDuck AS w FROM documents),
+       |g0 AS (SELECT doc_id, i AS pos, ${Corpus.ngramAtDuck(8)} AS g
+       |FROM t, LATERAL (SELECT unnest(generate_series(1, len(w)-7)) AS i) s
+       |WHERE len(w) >= 8),
+       |dfok AS (SELECT g FROM
+       |(SELECT g, count(DISTINCT doc_id) AS df FROM g0 GROUP BY 1) z WHERE df <= 8),
+       |g AS (SELECT doc_id, pos, g FROM g0 JOIN dfok USING (g)),
+       |m AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb
+       |FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id),
+       |isl AS (SELECT doc_a, doc_b, pa - pb AS diag, pa,
+       |pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS isl
+       |FROM m),
+       |spans AS (SELECT doc_a, doc_b, diag, isl, min(pa) AS lo_a, max(pa) AS hi_a,
+       |CAST(max(pa) - min(pa) + 8 AS BIGINT) AS span
+       |FROM isl GROUP BY 1, 2, 3, 4)""".stripMargin.replace("\n", " ")
+
+  /** q120's body, input-agnostic (needs `doc_id`, `text`): remove every
+    * token of the LOWER-priority document (doc_b — keep-first policy)
+    * covered by a shared verbatim span ≥ 12 tokens, and reassemble.
+    * Returns (doc_id, n_toks, n_kept, n_removed, clean_md5) for every
+    * document. */
+  def scrubSharedSpans(docs: DataFrame): DataFrame = {
+    val iv = sharedSpanIslands(docs).filter(col("span") >= 12)
+      .select(col("doc_b").as("doc_id"),
+        (col("lo_a") - col("diag")).as("lo"),
+        (col("hi_a") - col("diag") + 7).as("hi"))
+    val tok = docs.select(col("doc_id"), posexplode(expr(toksExpr)).as(Seq("pos", "tok")))
+    val kept = tok.as("t").join(iv.as("r"),
+        col("t.doc_id") === col("r.doc_id") &&
+          col("t.pos") >= col("r.lo") && col("t.pos") <= col("r.hi"),
+        "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        expr("md5(array_join(transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok), ' '))")
+          .as("clean_md5"))
+    docs.select(col("doc_id"), size(expr(toksExpr)).cast("long").as("n_toks"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_toks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_toks") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("clean_md5"), md5(lit(""))).as("clean_md5"))
+  }
+
   /** q118's body, input-agnostic (needs `doc_id`, `text`): per-document
     * cross-entropy in nats under an add-1-smoothed bigram LM trained on
     * the same corpus. Returns (doc_id, n_bi, ce). The per-doc log-prob
@@ -560,48 +637,51 @@ object Corpus2 {
       // per diagonal, span length = island extent + 7. Every stage is an
       // equi-join or a (pair, diag)-keyed window — nothing quadratic in
       // corpus size, nothing single-partition.
-      (s, dir) => {
-        val g = Tables.documents(s, dir)
-          .select(col("doc_id"), expr(toksExpr).as("w"))
-          .select(col("doc_id"), posexplode(expr(Corpus.ngramSpark(8))).as(Seq("pos", "g")))
-        val dfOk = g.groupBy("g").agg(countDistinct("doc_id").as("df"))
-          .filter(col("df") <= 8).select("g")
-        val capped = g.join(dfOk, "g")
-        val m = capped.as("a").join(capped.as("b"),
-            col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-            col("a.pos").as("pa"), col("b.pos").as("pb"))
-          .distinct()
-          .withColumn("diag", col("pa") - col("pb"))
-        val islands = m
-          .withColumn("isl", col("pa") - row_number().over(
-            Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")))
-          .groupBy("doc_a", "doc_b", "diag", "isl")
-          .agg((max(col("pa")) - min(col("pa")) + 8).cast("long").as("span"))
-        islands.groupBy("doc_a", "doc_b")
+      (s, dir) =>
+        sharedSpanIslands(Tables.documents(s, dir))
+          .groupBy("doc_a", "doc_b")
           .agg(max("span").as("longest_span"), count(lit(1)).as("n_spans"))
           .filter(col("longest_span") >= 12)
-          .orderBy("doc_a", "doc_b")
-      },
-      Some(s"""WITH t AS (SELECT doc_id, $toksDuck AS w FROM documents),
-              |g0 AS (SELECT doc_id, i AS pos, ${Corpus.ngramAtDuck(8)} AS g
-              |FROM t, LATERAL (SELECT unnest(generate_series(1, len(w)-7)) AS i) s
-              |WHERE len(w) >= 8),
-              |dfok AS (SELECT g FROM
-              |(SELECT g, count(DISTINCT doc_id) AS df FROM g0 GROUP BY 1) z WHERE df <= 8),
-              |g AS (SELECT doc_id, pos, g FROM g0 JOIN dfok USING (g)),
-              |m AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb
-              |FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id),
-              |isl AS (SELECT doc_a, doc_b, pa - pb AS diag, pa,
-              |pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS isl
-              |FROM m),
-              |spans AS (SELECT doc_a, doc_b, diag, isl,
-              |CAST(max(pa) - min(pa) + 8 AS BIGINT) AS span
-              |FROM isl GROUP BY 1, 2, 3, 4)
+          .orderBy("doc_a", "doc_b"),
+      Some(s"""WITH $sharedSpansDuckCte
               |SELECT doc_a, doc_b, CAST(max(span) AS BIGINT) AS longest_span,
               |count(*) AS n_spans
               |FROM spans GROUP BY 1, 2 HAVING max(span) >= 12
               |ORDER BY doc_a, doc_b""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q120_span_scrub",
+      // The ACTION step of exact-substring dedup (Lee et al. REMOVE the
+      // duplicated spans, they don't just report them): every token of
+      // the lower-priority document (doc_b under the keep-first policy)
+      // covered by a shared verbatim span ≥ 12 tokens is dropped, and
+      // the cleaned document is reassembled in original token order.
+      // Output is compact and hash-stable: kept/removed counts plus the
+      // md5 of the cleaned text. Scale shape: q117's island pipeline
+      // (nothing quadratic, nothing single-partition) plus one bounded
+      // interval anti-join — intervals per victim are few, keyed by
+      // doc_id — and one per-doc regroup.
+      (s, dir) =>
+        scrubSharedSpans(Tables.documents(s, dir)).orderBy("doc_id"),
+      Some(s"""WITH $sharedSpansDuckCte,
+              |iv AS (SELECT doc_b AS doc_id, lo_a - diag AS lo, hi_a - diag + 7 AS hi
+              |FROM spans WHERE span >= 12),
+              |tok AS (SELECT doc_id, i AS pos, w[i] AS tok
+              |FROM t, LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) s
+              |WHERE len(w) > 0),
+              |kept AS (SELECT tok.doc_id, tok.pos, tok.tok FROM tok
+              |WHERE NOT EXISTS (SELECT 1 FROM iv
+              |WHERE iv.doc_id = tok.doc_id AND tok.pos BETWEEN iv.lo AND iv.hi)),
+              |k AS (SELECT doc_id, count(*) AS n_kept,
+              |md5(array_to_string(list(tok ORDER BY pos), ' ')) AS clean_md5
+              |FROM kept GROUP BY 1),
+              |n AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_toks FROM t)
+              |SELECT n.doc_id, n.n_toks,
+              |CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+              |CAST(n.n_toks - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed,
+              |coalesce(k.clean_md5, md5('')) AS clean_md5
+              |FROM n LEFT JOIN k USING (doc_id)
+              |ORDER BY doc_id""".stripMargin.replace("\n", " "))),
 
     QueryDef(
       "q118_lm_score",

@@ -244,6 +244,39 @@ class Corpus2Spec extends AnyFunSuite with SparkSuite {
     assert(s1.toSeq == expected.toSeq, "exact hash-order prefix")
   }
 
+  test("q120 scrub removes exactly the span-covered victim tokens and reassembles") {
+    val got = SparkEntry.queries("q120_span_scrub")(spark, sfDir)
+      .select("doc_id", "n_toks", "n_kept", "n_removed", "clean_md5")
+      .as[(Long, Long, Long, Long, String)].collect()
+    val toks = localToks
+    assert(got.length == toks.size, "every document is reported")
+    // replay the scrub locally from the factored island relation: victim
+    // intervals → kept positions → reassembled text
+    val iv = operators.Corpus2.sharedSpanIslands(Tables.documents(spark, sfDir))
+      .filter($"span" >= 12)
+      .select($"doc_b", $"lo_a" - $"diag", $"hi_a" - $"diag" + 7)
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3))).toMap
+    got.foreach { case (d, nToks, nKept, nRemoved, md5Got) =>
+      val w = toks(d)
+      assert(nToks == w.length && nKept + nRemoved == nToks, s"doc $d counts")
+      val ranges = iv.getOrElse(d, Array.empty[(Long, Long)])
+      val kept = w.zipWithIndex.collect {
+        case (t, p) if !ranges.exists(r => p >= r._1 && p <= r._2) => t
+      }
+      assert(nKept == kept.length, s"doc $d kept count")
+      assert(md5Got ==
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(kept.mkString(" ")),
+        s"doc $d cleaned text")
+    }
+    // the corpus's embedded near-dups make this non-vacuous: something
+    // is scrubbed, and untouched docs pass through verbatim
+    assert(got.exists(_._4 > 0), "at least one doc scrubbed")
+    assert(got.exists(g => g._4 == 0 &&
+      g._5 == org.apache.commons.codec.digest.DigestUtils.md5Hex(
+        toks(g._1).mkString(" "))), "untouched doc reassembles identically")
+  }
+
   private def localToks: Map[Long, Array[String]] =
     Tables.documents(spark, sfDir).select("doc_id", "text")
       .as[(Long, String)].collect()
