@@ -145,6 +145,89 @@ object Corpus2 {
         coalesce(col("clean_md5"), md5(lit(""))).as("clean_md5"))
   }
 
+  /** One BPE merge round over a symbolization relation
+    * (word, freq, pos, sym) with `pos` dense per word. Declarative end
+    * to end: the argmax pair is a 1-row broadcast (no driver collect),
+    * and greedy LEFT-TO-RIGHT NON-OVERLAPPING application — the part of
+    * BPE that looks imperative — is windows + gaps-and-islands:
+    * consecutive matches of the winning pair form islands, alternating
+    * island positions activate, and a row consumed by its left
+    * neighbor's merge drops out. Everything is partitioned by word.
+    * Returns (next symbolization re-indexed densely, the 1-row winner
+    * (b_sym, b_nxt)). */
+  def bpeRound(syms: DataFrame): (DataFrame, DataFrame) = {
+    val wOrd = Window.partitionBy("word").orderBy("pos")
+    val paired = syms.withColumn("nxt", lead("sym", 1).over(wOrd))
+    val best = paired.filter(col("nxt").isNotNull)
+      .groupBy("sym", "nxt").agg(sum("freq").as("cnt"))
+      .orderBy(col("cnt").desc, col("sym"), col("nxt")).limit(1)
+      .select(col("sym").as("b_sym"), col("nxt").as("b_nxt"))
+    val next = paired.crossJoin(broadcast(best))
+      .withColumn("m", col("nxt").isNotNull &&
+        col("sym") === col("b_sym") && col("nxt") === col("b_nxt"))
+      .withColumn("isl",
+        col("pos") - sum(when(col("m"), 1L).otherwise(0L)).over(wOrd))
+      .withColumn("act", col("m") &&
+        ((col("pos") - min(when(col("m"), col("pos")))
+          .over(Window.partitionBy("word", "isl"))) % 2) === lit(0))
+      .withColumn("prev_act", coalesce(lag("act", 1).over(wOrd), lit(false)))
+      .filter(!col("prev_act"))
+      .select(col("word"), col("freq"),
+        (row_number().over(wOrd) - 1).cast("int").as("pos2"),
+        when(col("act"), concat(col("sym"), col("nxt"))).otherwise(col("sym")).as("sym"))
+      .withColumnRenamed("pos2", "pos")
+    (next, best)
+  }
+
+  /** q121's body, input-agnostic (needs `doc_id`, `text`): learn
+    * `rounds` BPE merges on the corpus word-frequency table and return
+    * every word's final symbolization plus the learned merge sequence
+    * (merge columns are constant across rows). */
+  def bpeMerges(docs: DataFrame, rounds: Int): DataFrame = {
+    val words = docs.select(explode(expr(toksExpr)).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    val s0 = words.select(col("word"), col("freq"),
+      posexplode(expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+        .as(Seq("pos", "sym")))
+    val (finalSyms, bests) =
+      (1 to rounds).foldLeft((s0, Seq.empty[(Int, DataFrame)])) {
+        case ((s, bs), r) =>
+          val (s2, b) = bpeRound(s)
+          (s2, bs :+ (r -> b))
+      }
+    val out = finalSyms.groupBy("word")
+      .agg(max("freq").as("freq"),
+        expr("array_join(transform(array_sort(collect_list(struct(pos, sym))), x -> x.sym), ' ')")
+          .as("syms"))
+    bests.foldLeft(out) { case (df, (r, b)) =>
+      df.crossJoin(broadcast(
+        b.select(concat(col("b_sym"), lit("+"), col("b_nxt")).as(s"merge$r"))))
+    }.orderBy("word")
+  }
+
+  /** The DuckDB CTE chain for one BPE round r (consuming s{r-1},
+    * defining s{r} and b{r}) — the oracle-side twin of [[bpeRound]]. */
+  private def bpeRoundDuckCte(r: Int): String = {
+    val (p, i) = (s"s${r - 1}", r)
+    s"""p$i AS (SELECT word, freq, pos, sym,
+       |lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt FROM $p),
+       |b$i AS (SELECT sym AS b_sym, nxt AS b_nxt FROM
+       |(SELECT sym, nxt, sum(freq) AS cnt FROM p$i WHERE nxt IS NOT NULL
+       |GROUP BY 1, 2 ORDER BY cnt DESC, sym, nxt LIMIT 1) z),
+       |f$i AS (SELECT p$i.*, (nxt IS NOT NULL AND sym = b_sym AND nxt = b_nxt) AS m
+       |FROM p$i, b$i),
+       |i$i AS (SELECT *, pos - sum(CASE WHEN m THEN 1 ELSE 0 END)
+       |OVER (PARTITION BY word ORDER BY pos) AS isl FROM f$i),
+       |a$i AS (SELECT *, m AND ((pos - min(CASE WHEN m THEN pos END)
+       |OVER (PARTITION BY word, isl)) % 2 = 0) AS act FROM i$i),
+       |g$i AS (SELECT *, coalesce(lag(act) OVER (PARTITION BY word ORDER BY pos), false)
+       |AS prev_act FROM a$i),
+       |s$i AS (SELECT word, freq,
+       |row_number() OVER (PARTITION BY word ORDER BY pos) - 1 AS pos,
+       |CASE WHEN act THEN sym || nxt ELSE sym END AS sym
+       |FROM g$i WHERE NOT prev_act)""".stripMargin.replace("\n", " ")
+  }
+
   /** q118's body, input-agnostic (needs `doc_id`, `text`): per-document
     * cross-entropy in nats under an add-1-smoothed bigram LM trained on
     * the same corpus. Returns (doc_id, n_bi, ce). The per-doc log-prob
@@ -682,6 +765,35 @@ object Corpus2 {
               |coalesce(k.clean_md5, md5('')) AS clean_md5
               |FROM n LEFT JOIN k USING (doc_id)
               |ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q121_bpe_merges",
+      // BPE tokenizer training (Sennrich et al.) as a DECLARATIVE Spark
+      // job: 3 merge rounds learned on the corpus word-frequency table,
+      // reporting every word's final symbolization and the learned merge
+      // sequence. The scale story is that BPE never touches the corpus
+      // after the first aggregate — symbol work runs on the VOCAB table
+      // (O(|vocab|) rows at any corpus size), every window is
+      // word-partitioned, and the argmax pair is a 1-row broadcast, so
+      // the same plan trains a 50k-merge vocabulary on a 100 TB corpus
+      // (more rounds = a longer chain or Components-style iterate-with-
+      // checksum; the per-round shape is fixed). Greedy non-overlapping
+      // merge application — BPE's imperative-looking core — is
+      // gaps-and-islands + alternating parity, exactly oracle-able.
+      (s, dir) => bpeMerges(Tables.documents(s, dir), 3),
+      Some(s"""WITH w0 AS (SELECT unnest($toksDuck) AS word FROM documents),
+              |words AS (SELECT word, count(*) AS freq FROM w0 GROUP BY 1),
+              |s0 AS (SELECT word, freq, i - 1 AS pos, substr(word, i, 1) AS sym
+              |FROM words, LATERAL (SELECT unnest(generate_series(1, length(word))) AS i) g),
+              |${bpeRoundDuckCte(1)},
+              |${bpeRoundDuckCte(2)},
+              |${bpeRoundDuckCte(3)}
+              |SELECT word, max(freq) AS freq,
+              |array_to_string(list(sym ORDER BY pos), ' ') AS syms,
+              |(SELECT b_sym || '+' || b_nxt FROM b1) AS merge1,
+              |(SELECT b_sym || '+' || b_nxt FROM b2) AS merge2,
+              |(SELECT b_sym || '+' || b_nxt FROM b3) AS merge3
+              |FROM s3 GROUP BY word ORDER BY word""".stripMargin.replace("\n", " "))),
 
     QueryDef(
       "q118_lm_score",

@@ -277,6 +277,42 @@ class Corpus2Spec extends AnyFunSuite with SparkSuite {
         toks(g._1).mkString(" "))), "untouched doc reassembles identically")
   }
 
+  test("q121 matches a reference BPE implementation: merges, symbolizations, coverage") {
+    val got = SparkEntry.queries("q121_bpe_merges")(spark, sfDir)
+      .select("word", "freq", "syms", "merge1", "merge2", "merge3")
+      .as[(String, Long, String, String, String, String)].collect()
+    assert(got.nonEmpty)
+    // reference: textbook greedy BPE over the word-frequency table
+    val words: Map[String, Long] = localToks.values.flatten.toSeq
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    var syms: Map[String, Vector[String]] =
+      words.keys.map(w => w -> w.split("").toVector).toMap
+    val merges = scala.collection.mutable.Buffer[String]()
+    for (_ <- 1 to 3) {
+      val cnt = scala.collection.mutable.Map[(String, String), Long]().withDefaultValue(0L)
+      for ((w, ss) <- syms; p <- ss.sliding(2).filter(_.length == 2))
+        cnt((p(0), p(1))) += words(w)
+      val best = cnt.toSeq.minBy { case ((a, b), c) => (-c, a, b) }._1
+      merges += s"${best._1}+${best._2}"
+      syms = syms.map { case (w, ss) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < ss.length) {
+          if (i + 1 < ss.length && ss(i) == best._1 && ss(i + 1) == best._2) {
+            out += ss(i) + ss(i + 1); i += 2
+          } else { out += ss(i); i += 1 }
+        }
+        w -> out.result()
+      }
+    }
+    assert(got.map(_._1).toSet == words.keySet, "every vocab word symbolized")
+    got.foreach { case (w, f, s, m1, m2, m3) =>
+      assert(f == words(w), s"word $w freq")
+      assert(Seq(m1, m2, m3) == merges.toSeq, "learned merge sequence")
+      assert(s == syms(w).mkString(" "), s"word $w symbolization")
+    }
+  }
+
   private def localToks: Map[Long, Array[String]] =
     Tables.documents(spark, sfDir).select("doc_id", "text")
       .as[(Long, String)].collect()
