@@ -179,22 +179,28 @@ object Corpus2 {
     (next, best)
   }
 
-  /** q121's body, input-agnostic (needs `doc_id`, `text`): learn
-    * `rounds` BPE merges on the corpus word-frequency table and return
-    * every word's final symbolization plus the learned merge sequence
-    * (merge columns are constant across rows). */
-  def bpeMerges(docs: DataFrame, rounds: Int): DataFrame = {
+  /** Learn `rounds` BPE merges on the corpus word-frequency table.
+    * Returns the final symbolization in ROW form (word, freq, pos, sym)
+    * plus each round's 1-row winner — q121 aggregates it per word, q122
+    * joins it back onto documents to encode. */
+  def bpeSymbolization(docs: DataFrame, rounds: Int): (DataFrame, Seq[(Int, DataFrame)]) = {
     val words = docs.select(explode(expr(toksExpr)).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
     val s0 = words.select(col("word"), col("freq"),
       posexplode(expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
         .as(Seq("pos", "sym")))
-    val (finalSyms, bests) =
-      (1 to rounds).foldLeft((s0, Seq.empty[(Int, DataFrame)])) {
-        case ((s, bs), r) =>
-          val (s2, b) = bpeRound(s)
-          (s2, bs :+ (r -> b))
-      }
+    (1 to rounds).foldLeft((s0, Seq.empty[(Int, DataFrame)])) {
+      case ((s, bs), r) =>
+        val (s2, b) = bpeRound(s)
+        (s2, bs :+ (r -> b))
+    }
+  }
+
+  /** q121's body, input-agnostic (needs `doc_id`, `text`): every word's
+    * final symbolization plus the learned merge sequence (merge columns
+    * are constant across rows). */
+  def bpeMerges(docs: DataFrame, rounds: Int): DataFrame = {
+    val (finalSyms, bests) = bpeSymbolization(docs, rounds)
     val out = finalSyms.groupBy("word")
       .agg(max("freq").as("freq"),
         expr("array_join(transform(array_sort(collect_list(struct(pos, sym))), x -> x.sym), ' ')")
@@ -202,7 +208,7 @@ object Corpus2 {
     bests.foldLeft(out) { case (df, (r, b)) =>
       df.crossJoin(broadcast(
         b.select(concat(col("b_sym"), lit("+"), col("b_nxt")).as(s"merge$r"))))
-    }.orderBy("word")
+    }
   }
 
   /** The DuckDB CTE chain for one BPE round r (consuming s{r-1},
@@ -780,7 +786,7 @@ object Corpus2 {
       // checksum; the per-round shape is fixed). Greedy non-overlapping
       // merge application — BPE's imperative-looking core — is
       // gaps-and-islands + alternating parity, exactly oracle-able.
-      (s, dir) => bpeMerges(Tables.documents(s, dir), 3),
+      (s, dir) => bpeMerges(Tables.documents(s, dir), 3).orderBy("word"),
       Some(s"""WITH w0 AS (SELECT unnest($toksDuck) AS word FROM documents),
               |words AS (SELECT word, count(*) AS freq FROM w0 GROUP BY 1),
               |s0 AS (SELECT word, freq, i - 1 AS pos, substr(word, i, 1) AS sym
@@ -794,6 +800,43 @@ object Corpus2 {
               |(SELECT b_sym || '+' || b_nxt FROM b2) AS merge2,
               |(SELECT b_sym || '+' || b_nxt FROM b3) AS merge3
               |FROM s3 GROUP BY word ORDER BY word""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q122_bpe_encode",
+      // The ENCODE step of the trained tokenizer: every document's token
+      // stream re-expressed in q121's learned BPE symbols, reported as
+      // per-document word/symbol counts and fertility (symbols per
+      // word — the tokenizer-efficiency diagnostic every pipeline
+      // tracks). The trained tokenizer is a VOCAB-sized artifact: the
+      // word → symbol-count table broadcasts, so encoding a 100 TB
+      // corpus is one map-side join over the token scan — no shuffle
+      // keyed on anything corpus-sized except the final per-doc
+      // aggregate.
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val (finalSyms, _) = bpeSymbolization(docs, 3)
+        val ws = finalSyms.groupBy("word").agg(count(lit(1)).as("n_syms"))
+        docs.select(col("doc_id"), explode(expr(toksExpr)).as("word"))
+          .join(broadcast(ws), "word")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_words"), sum("n_syms").as("n_bpe"))
+          .select(col("doc_id"), col("n_words"), col("n_bpe"),
+            expr("round(n_bpe * 1.0D / n_words, 4)").as("fertility"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH w0 AS (SELECT unnest($toksDuck) AS word FROM documents),
+              |words AS (SELECT word, count(*) AS freq FROM w0 GROUP BY 1),
+              |s0 AS (SELECT word, freq, i - 1 AS pos, substr(word, i, 1) AS sym
+              |FROM words, LATERAL (SELECT unnest(generate_series(1, length(word))) AS i) g),
+              |${bpeRoundDuckCte(1)},
+              |${bpeRoundDuckCte(2)},
+              |${bpeRoundDuckCte(3)},
+              |ws AS (SELECT word, count(*) AS n_syms FROM s3 GROUP BY 1),
+              |tok AS (SELECT doc_id, unnest($toksDuck) AS word FROM documents)
+              |SELECT doc_id, count(*) AS n_words, CAST(sum(n_syms) AS BIGINT) AS n_bpe,
+              |round(sum(n_syms) * 1.0 / count(*), 4) AS fertility
+              |FROM tok JOIN ws USING (word)
+              |GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", " "))),
 
     QueryDef(
       "q118_lm_score",

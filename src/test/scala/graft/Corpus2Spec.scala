@@ -313,6 +313,25 @@ class Corpus2Spec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("q122 encoding is consistent with q121's symbolizations, word by word") {
+    val symLen = SparkEntry.queries("q121_bpe_merges")(spark, sfDir)
+      .select("word", "syms").as[(String, String)].collect()
+      .map { case (w, s) => w -> s.split(' ').length.toLong }.toMap
+    val got = SparkEntry.queries("q122_bpe_encode")(spark, sfDir)
+      .select("doc_id", "n_words", "n_bpe", "fertility")
+      .as[(Long, Long, Long, Double)].collect()
+    val toks = localToks
+    assert(got.length == toks.count(_._2.nonEmpty))
+    got.foreach { case (d, nW, nB, fert) =>
+      val w = toks(d)
+      assert(nW == w.length, s"doc $d word count")
+      val expected = w.map(symLen).sum
+      assert(nB == expected, s"doc $d bpe symbol count")
+      assert(math.abs(fert - nB.toDouble / nW) <= 1e-4, s"doc $d fertility")
+      assert(fert >= 1.0, "a word never encodes to fewer than 1 symbol")
+    }
+  }
+
   private def localToks: Map[Long, Array[String]] =
     Tables.documents(spark, sfDir).select("doc_id", "text")
       .as[(Long, String)].collect()

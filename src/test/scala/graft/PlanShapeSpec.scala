@@ -109,4 +109,14 @@ class PlanShapeSpec extends AnyFunSuite with SparkSuite {
         s"$name funnels the corpus through one task:\n${pp.take(800)}")
     }
   }
+
+  test("q119/q122 keep their vocab-sized artifacts broadcast — scoring stays map-side") {
+    // the DSIR weight table (≤256 rows) and the trained BPE tokenizer
+    // (vocab-sized) must join the corpus scan as broadcasts, never as a
+    // corpus-wide shuffle join
+    Seq("q119_importance", "q122_bpe_encode").foreach { name =>
+      val p = plan(name)
+      assert(p.contains("BroadcastHashJoin"), s"$name: ${p.take(500)}")
+    }
+  }
 }
