@@ -292,7 +292,63 @@ object Similarity {
               |round(list_sum(list_transform(generate_series(0, 7), m ->
               |list_sum(list_transform(generate_series(1, 8), j ->
               |pow(CAST(embedding[m*8+j] AS DOUBLE) - cb[codes[m+1]*8+j], 2))))) / 64.0 * 1e6, 4) AS mse_e6
-              |FROM k ORDER BY vec_id""".stripMargin.replace("\n", " ")))
+              |FROM k ORDER BY vec_id""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q123_hybrid_rrf",
+      // Hybrid retrieval by reciprocal-rank fusion (Cormack et al.; the
+      // standard RAG stack): the BM25 lexical ranking (q59's scorer, 3
+      // query terms) and the dense cosine ranking (query = doc 0's
+      // embedding; vec_id ≡ doc_id on this corpus) each produce their
+      // top-100 CANDIDATE list first — TakeOrderedAndProject, the
+      // distributed top-k — and only those ≤100-row lists see a global
+      // rank window and the full-outer fusion join. k=60 per the
+      // original paper. At 100 TB both sides stay the efficient form:
+      // nothing corpus-sized is globally sorted, the fusion operates on
+      // bounded candidate sets, and absent-side ranks contribute 0.
+      (s, dir) => {
+        val tTop = TextAnalytics.bm25Scores(
+            Tables.documents(s, dir), Seq("scan", "join", "filter"))
+          .orderBy(col("bm25").desc, col("doc_id")).limit(100)
+          .withColumn("t_rank", row_number().over(
+            Window.orderBy(col("bm25").desc, col("doc_id"))).cast("long"))
+          .select(col("doc_id").as("id"), col("t_rank"))
+        val e = withNorm(Tables.embeddings(s, dir))
+        val q = e.filter(col("vec_id") === 0L)
+          .select(col("embedding").as("qe"), col("nrm").as("qn"))
+        val vTop = e.crossJoin(broadcast(q))
+          .withColumn("cos",
+            round(vecDot(col("embedding"), col("qe")) / (col("nrm") * col("qn")), 6))
+          .orderBy(col("cos").desc, col("vec_id")).limit(100)
+          .withColumn("v_rank", row_number().over(
+            Window.orderBy(col("cos").desc, col("vec_id"))).cast("long"))
+          .select(col("vec_id").as("id"), col("v_rank"))
+        tTop.join(vTop, Seq("id"), "full_outer")
+          .withColumn("rrf", round(
+            expr("coalesce(1.0D / (60 + t_rank), 0D) + coalesce(1.0D / (60 + v_rank), 0D)"), 6))
+          .select(col("id"),
+            coalesce(col("t_rank"), lit(-1L)).as("t_rank"),
+            coalesce(col("v_rank"), lit(-1L)).as("v_rank"), col("rrf"))
+          .orderBy(col("rrf").desc, col("id")).limit(20)
+      },
+      Some(s"""WITH ${TextAnalytics.bm25DuckCte(Seq("scan", "join", "filter"))},
+              |tr AS (SELECT doc_id AS id,
+              |CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS t_rank
+              |FROM (SELECT doc_id, bm25 FROM bm ORDER BY bm25 DESC, doc_id LIMIT 100) z),
+              |e AS (SELECT vec_id, embedding, ${duckNorm("embedding")} AS nrm FROM embeddings),
+              |qv AS (SELECT embedding AS qe, nrm AS qn FROM e WHERE vec_id = 0),
+              |vsc AS (SELECT vec_id, round(${duckDot("e.embedding", "qe")} / (nrm * qn), 6) AS cos
+              |FROM e, qv),
+              |vr AS (SELECT vec_id AS id,
+              |CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS BIGINT) AS v_rank
+              |FROM (SELECT vec_id, cos FROM vsc ORDER BY cos DESC, vec_id LIMIT 100) z)
+              |SELECT coalesce(tr.id, vr.id) AS id,
+              |CAST(coalesce(t_rank, -1) AS BIGINT) AS t_rank,
+              |CAST(coalesce(v_rank, -1) AS BIGINT) AS v_rank,
+              |round(coalesce(CAST(1 AS DOUBLE) / (60 + t_rank), 0) +
+              |coalesce(CAST(1 AS DOUBLE) / (60 + v_rank), 0), 6) AS rrf
+              |FROM tr FULL OUTER JOIN vr ON tr.id = vr.id
+              |ORDER BY rrf DESC, id LIMIT 20""".stripMargin.replace("\n", " ")))
   )
 
   /** Pinned shared PQ codebook: K=4 centroids × 8 dims, flattened

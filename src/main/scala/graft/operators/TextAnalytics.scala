@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Text-analytics surface: the reference's n-gram term-frequency mining
@@ -67,6 +68,52 @@ object TextAnalytics {
     (9, "de", "die sonne ist von der stadt und das licht mit den farben"),
     (10, "de", "das auto von der firma und die strasse ist mit den wagen"),
     (11, "de", "der wald und die berge von das land ist mit den seen"))
+
+  /** q59's body, input-agnostic (needs `doc_id`, `text`): BM25 scores
+    * (k1=1.2, b=0.75) for the documents matching any of `qterms` —
+    * (doc_id, bm25), unordered. Only query-term postings survive the tf
+    * filter, so the scoring shuffle is tiny at any corpus size; df and
+    * corpus stats broadcast as scalars; per-doc term scores fold a
+    * term-sorted list (double addition is order-sensitive). Shared by
+    * q59 and q123's fusion. */
+  private[operators] def bm25Scores(docs: DataFrame, qterms: Seq[String]): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(expr(toksExpr)).as("term"))
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg((sum("dl") * lit(1.0) / count(lit(1))).as("avgdl"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val tf = tok.filter(col("term").isInCollection(qterms))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfT), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .crossJoin(broadcast(n))
+      .withColumn("sc", expr(
+        """ln((n - df + 0.5D) / (df + 0.5D) + 1.0D) * tf * 2.2D /
+          |(tf + 1.2D * (0.25D + 0.75D * dl / avgdl))""".stripMargin.replace("\n", " ")))
+      .groupBy("doc_id")
+      .agg(expr("round(aggregate(array_sort(collect_list(struct(term, sc))), 0D, (a, x) -> a + x.sc), 4)")
+        .as("bm25"))
+  }
+
+  /** The DuckDB CTE chain matching [[bm25Scores]]; splice after WITH.
+    * Defines the final `bm(doc_id, bm25)`. */
+  private[operators] def bm25DuckCte(qterms: Seq[String]): String = {
+    val termList = qterms.map(t => s"'$t'").mkString(", ")
+    s"""tok AS (SELECT doc_id, unnest($toksDuck) AS term FROM documents),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+       |stats AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+       |n AS (SELECT count(*) AS n FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       |WHERE term IN ($termList) GROUP BY 1, 2),
+       |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |sc AS (SELECT tf.doc_id, tf.term,
+       |ln((n.n - dfx.df + 0.5) / (dfx.df + 0.5) + 1.0) * tf.tf * 2.2 /
+       |(tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) AS sc
+       |FROM tf JOIN dfx USING (term) JOIN dl USING (doc_id), stats, n),
+       |bm AS (SELECT doc_id, round(list_sum(list(sc ORDER BY term)), 4) AS bm25
+       |FROM sc GROUP BY doc_id)""".stripMargin.replace("\n", " ")
+  }
 
   def defs: Seq[QueryDef] = Seq(
 
@@ -199,41 +246,12 @@ object TextAnalytics {
       // SORTED fold (array_sort before aggregate) because double
       // addition is order-sensitive and collect_list order is not
       // deterministic — the oracle folds in the same term order.
-      (s, dir) => {
-        val qterms = Seq("scan", "join", "filter")
-        val docs = Tables.documents(s, dir)
-        val tok = docs.select(col("doc_id"), explode(expr(toksExpr)).as("term"))
-        val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-        val stats = dl.agg((sum("dl") * lit(1.0) / count(lit(1))).as("avgdl"))
-        val n = docs.agg(count(lit(1)).as("n"))
-        val tf = tok.filter(col("term").isInCollection(qterms))
-          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-        val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
-        tf.join(broadcast(dfT), "term")
-          .join(dl, "doc_id")
-          .crossJoin(broadcast(stats))
-          .crossJoin(broadcast(n))
-          .withColumn("sc", expr(
-            """ln((n - df + 0.5D) / (df + 0.5D) + 1.0D) * tf * 2.2D /
-              |(tf + 1.2D * (0.25D + 0.75D * dl / avgdl))""".stripMargin.replace("\n", " ")))
-          .groupBy("doc_id")
-          .agg(expr("round(aggregate(array_sort(collect_list(struct(term, sc))), 0D, (a, x) -> a + x.sc), 4)")
-            .as("bm25"))
-          .orderBy(col("bm25").desc, col("doc_id"))
-      },
-      Some(s"""WITH tok AS (SELECT doc_id, unnest($toksDuck) AS term FROM documents),
-              |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
-              |stats AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
-              |n AS (SELECT count(*) AS n FROM documents),
-              |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
-              |WHERE term IN ('scan', 'join', 'filter') GROUP BY 1, 2),
-              |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-              |sc AS (SELECT tf.doc_id, tf.term,
-              |ln((n.n - dfx.df + 0.5) / (dfx.df + 0.5) + 1.0) * tf.tf * 2.2 /
-              |(tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) AS sc
-              |FROM tf JOIN dfx USING (term) JOIN dl USING (doc_id), stats, n)
-              |SELECT doc_id, round(list_sum(list(sc ORDER BY term)), 4) AS bm25
-              |FROM sc GROUP BY doc_id ORDER BY bm25 DESC, doc_id""".stripMargin.replace("\n", " "))),
+      (s, dir) =>
+        bm25Scores(Tables.documents(s, dir), Seq("scan", "join", "filter"))
+          .orderBy(col("bm25").desc, col("doc_id")),
+      Some(s"""WITH ${bm25DuckCte(Seq("scan", "join", "filter"))}
+              |SELECT doc_id, bm25 FROM bm
+              |ORDER BY bm25 DESC, doc_id""".stripMargin.replace("\n", " "))),
 
     QueryDef(
       "q66_pmi_collocations",

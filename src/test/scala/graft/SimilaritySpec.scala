@@ -75,4 +75,41 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     assert(joined.count() > 0)
     assert(joined.filter($"mse_e6" > $"mse0" + lit(1e-6)).count() == 0)
   }
+
+  test("q123 fusion matches a local recompute of both candidate lists") {
+    val got = SparkEntry.queries("q123_hybrid_rrf")(spark, sfDir)
+      .select("id", "t_rank", "v_rank", "rrf")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.length == 20)
+    // lexical side: q59's (already oracled) scores in rank order
+    val tRanks = SparkEntry.queries("q59_bm25")(spark, sfDir)
+      .select("doc_id").as[Long].collect().take(100)
+      .zipWithIndex.map { case (d, i) => d -> (i + 1).toLong }.toMap
+    // dense side: cosine to vec 0 recomputed locally with the same
+    // sequential double fold and 6-dp rounding
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+    def dot(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x.toDouble * y.toDouble }
+    def norm(a: Seq[Float]): Double = math.sqrt(dot(a, a))
+    val qe = vecs.find(_._1 == 0L).get._2
+    val (qn0) = norm(qe)
+    val vRanks = vecs
+      .map { case (id, e) =>
+        id -> BigDecimal(dot(e, qe) / (norm(e) * qn0))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble }
+      .sortBy { case (id, c) => (-c, id) }.take(100)
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1).toLong }.toMap
+    val expected = (tRanks.keySet ++ vRanks.keySet).toSeq
+      .map { id =>
+        val (t, v) = (tRanks.get(id), vRanks.get(id))
+        (id, t.getOrElse(-1L), v.getOrElse(-1L),
+          t.map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+            v.map(r => 1.0 / (60 + r)).getOrElse(0.0))
+      }
+      .sortBy { case (id, _, _, r) => (-r, id) }.take(20)
+      .map { case (id, t, v, r) =>
+        (id, t, v, BigDecimal(r).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+    assert(got.toSeq == expected, s"got=${got.take(5).toSeq} expected=${expected.take(5)}")
+  }
 }
