@@ -23,7 +23,9 @@ object ExplainAudit {
         "q44_dedup_embedding", "q45_dedup_survivors", "q89_conjunctive_query",
         "q93_chunk_documents", "q96_pack_chunks",
         "q56_global_index", "q58_bloom_decontaminate", "q59_bm25",
-        "q63_training_pipeline", "q64_dedup_incremental", "q66_pmi_collocations")
+        "q63_training_pipeline", "q64_dedup_incremental", "q66_pmi_collocations",
+        "q118_lm_score", "q119_importance", "q120_span_scrub",
+        "q121_bpe_merges", "q122_bpe_encode", "q123_hybrid_rrf")
     targets.foreach { name =>
       println(s"\n===== $name =====")
       SparkEntry.queries(name)(spark, dir).explain("formatted")
