@@ -95,6 +95,28 @@ object Flows {
     docs.sparkSession.read.parquet(outDir)
   }
 
+  /** The TOKENIZER flow (round 4's BPE family as API): learn `rounds`
+    * BPE merges on the corpus (q121's body) → encode every document with
+    * the trained tokenizer (q122's body) → land the encoded corpus
+    * hive-partitioned by source for per-source training readers, with
+    * the learned merge table written alongside as the model artifact.
+    * Same input-agnostic bodies as the oracled queries — the API cannot
+    * drift from the correctness gate. Returns the landed encoded
+    * layout. */
+  def tokenizerFlow(docs: DataFrame, rounds: Int, outDir: String): DataFrame = {
+    val (finalSyms, _) = operators.Corpus2.bpeSymbolization(docs, rounds)
+    val ws = finalSyms.groupBy("word").agg(count(lit(1)).as("n_syms"))
+    operators.Corpus2.bpeMerges(docs, rounds)
+      .write.mode("overwrite").parquet(s"$outDir/_tokenizer")
+    val encoded = docs.select(col("doc_id"), col("source"),
+        explode(expr(operators.TextAnalytics.toksExpr)).as("word"))
+      .join(broadcast(ws), "word")
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_words"), sum("n_syms").as("n_bpe"))
+    graft.sources.Sinks.writeHivePartitioned(encoded, Seq("source"), s"$outDir/encoded")
+    docs.sparkSession.read.parquet(s"$outDir/encoded")
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master("local[4]")
@@ -128,6 +150,9 @@ object Flows {
     val sel = selectionFlow(docs, budget = 600L, nShards = 4,
       out.resolve("corpus_selection").toString)
     println(s"FLOW selection rows=${sel.count()} shards=${sel.select("shard").distinct().count()}")
+
+    val enc = tokenizerFlow(docs, rounds = 3, out.resolve("tokenizer").toString)
+    println(s"FLOW tokenizer encoded=${enc.count()}")
     spark.stop()
   }
 }

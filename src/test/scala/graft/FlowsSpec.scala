@@ -78,6 +78,26 @@ class FlowsSpec extends AnyFunSuite with SparkSuite {
     assert(one.count() > 0 && one.count() < landed.count())
   }
 
+  test("tokenizer flow lands the encoded corpus + the merge-table artifact") {
+    val out = java.nio.file.Files.createTempDirectory("graft_flows_spec_k").toString
+    val docs = Tables.documents(spark, sfDir)
+    val landed = Flows.tokenizerFlow(docs, rounds = 3, out)
+    // encoded rows = q122's (already oracled) relation, doc by doc
+    val expected = SparkEntry.queries("q122_bpe_encode")(spark, sfDir)
+      .select("doc_id", "n_words", "n_bpe").as[(Long, Long, Long)].collect().sorted
+    assert(landed.select("doc_id", "n_words", "n_bpe")
+      .as[(Long, Long, Long)].collect().sorted.toSeq == expected.toSeq)
+    // the model artifact is the q121 merge table
+    val tok = spark.read.parquet(s"$out/_tokenizer")
+    assert(tok.count() ==
+      SparkEntry.queries("q121_bpe_merges")(spark, sfDir).count())
+    assert(tok.columns.contains("merge1") && tok.columns.contains("syms"))
+    // hive layout prunes by source
+    import org.apache.spark.sql.functions.col
+    val one = spark.read.parquet(s"$out/encoded").filter(col("source") === "src0")
+    assert(one.count() > 0 && one.count() < landed.count())
+  }
+
   test("build-tree writes the nested artifact file") {
     val out = java.nio.file.Files.createTempDirectory("graft_flows_spec_t")
     val docs = Seq(
