@@ -89,11 +89,11 @@ object Corpus {
     * hold the hex prefix (precomputed so Spark folds a column, not a
     * re-evaluated md5 call per character). */
   private[operators] def hexFoldSpark(hx: String, n: Int): String =
-    s"""CAST(aggregate(sequence(1, $n), 0L, (a, i) ->
-       |a * 16 + CASE WHEN ascii(substring($hx, i, 1)) >= 97
-       |THEN CAST(ascii(substring($hx, i, 1)) - 87 AS BIGINT)
-       |ELSE CAST(ascii(substring($hx, i, 1)) - 48 AS BIGINT) END) AS BIGINT)"""
-      .stripMargin.replace("\n", " ")
+    // conv() is the codegen'd builtin for exactly this fold — the
+    // aggregate()-HOF formulation it replaced fell out of whole-stage
+    // codegen and ran interpreted per row (`n` kept for signature parity
+    // with the DuckDB twin, which stays a vectorized list fold)
+    s"CAST(conv($hx, 16, 10) AS BIGINT)"
   private[operators] def hexFoldDuck(hx: String, n: Int): String =
     s"""CAST(list_sum(list_transform(generate_series(1, $n), i ->
        |(CASE WHEN ascii(substr($hx, i, 1)) >= 97 THEN ascii(substr($hx, i, 1)) - 87

@@ -271,13 +271,13 @@ object Corpus2 {
       .withColumn("hx", expr("substring(md5(tok), 1, 2)"))
       .withColumn("b", expr(Corpus.hexFoldSpark("hx", 2)))
       .select("doc_id", "pos", "b")
-    val cc = tok.groupBy("b").agg(count(lit(1)).as("c_c"))
-    val ct = tok.filter(col("doc_id").isInCollection(targetIds))
-      .groupBy("b").agg(count(lit(1)).as("c_t"))
-    val totals = cc.agg(sum("c_c").as("n_c")).crossJoin(
-      ct.agg(sum("c_t").as("n_t")))
-    val wgt = cc.join(ct, Seq("b"), "left")
-      .withColumn("c_t", coalesce(col("c_t"), lit(0L)))
+    // ONE histogram pass builds both distributions (the target count is
+    // a conditional sum), so the token scan is hashed twice total —
+    // once for the weight table, once for scoring — not three times
+    val hist = tok.groupBy("b").agg(count(lit(1)).as("c_c"),
+      sum(when(col("doc_id").isInCollection(targetIds), 1L).otherwise(0L)).as("c_t"))
+    val totals = hist.agg(sum("c_c").as("n_c"), sum("c_t").as("n_t"))
+    val wgt = hist
       .crossJoin(broadcast(totals))
       .withColumn("wgt", expr(
         """ln(((c_t + 1.0D) / (n_t + 256.0D)) /
@@ -888,14 +888,14 @@ object Corpus2 {
               |FROM t, LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) g
               |WHERE len(w) > 0),
               |tok AS (SELECT doc_id, pos, ${Corpus.hexFoldDuck("hx", 2)} AS b FROM tok0),
-              |cc AS (SELECT b, count(*) AS c_c FROM tok GROUP BY 1),
-              |ct AS (SELECT b, count(*) AS c_t FROM tok WHERE doc_id IN (3, 7) GROUP BY 1),
-              |tot AS (SELECT (SELECT CAST(sum(c_c) AS BIGINT) FROM cc) AS n_c,
-              |(SELECT CAST(sum(c_t) AS BIGINT) FROM ct) AS n_t),
-              |wgt AS (SELECT cc.b,
-              |ln(((coalesce(ct.c_t, 0) + 1.0) / (tot.n_t + 256.0)) /
-              |((cc.c_c + 1.0) / (tot.n_c + 256.0))) AS wgt
-              |FROM cc LEFT JOIN ct USING (b), tot)
+              |hist AS (SELECT b, count(*) AS c_c,
+              |sum(CASE WHEN doc_id IN (3, 7) THEN 1 ELSE 0 END) AS c_t FROM tok GROUP BY 1),
+              |tot AS (SELECT CAST(sum(c_c) AS BIGINT) AS n_c,
+              |CAST(sum(c_t) AS BIGINT) AS n_t FROM hist),
+              |wgt AS (SELECT b,
+              |ln(((c_t + 1.0) / (tot.n_t + 256.0)) /
+              |((c_c + 1.0) / (tot.n_c + 256.0))) AS wgt
+              |FROM hist, tot)
               |SELECT doc_id, count(*) AS n_toks,
               |round(list_sum(list(wgt ORDER BY pos)) / count(*), 4) AS llr
               |FROM tok JOIN wgt USING (b)
