@@ -168,6 +168,44 @@ object EventWindows {
              |strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
              |count(*) AS n_events, round(sum(value), 2) AS sum_value
              |FROM sid GROUP BY user_id, sess
-             |ORDER BY user_id, session_start""".stripMargin.replace("\n", " ")))
+             |ORDER BY user_id, session_start""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q124_retention_cohorts",
+      // Daily retention cohorts — the classic product-analytics matrix:
+      // users grouped by the DATE of their first event, each cohort's
+      // active-user count at every day offset, and the retention rate
+      // against the cohort size. Scale shape: one user-keyed aggregate
+      // for the cohort date, one user-keyed distinct for activity days,
+      // a user-keyed join between them, then a (cohort, offset)
+      // aggregate — nothing wider than the user key ever shuffles, and
+      // the cohort-size table (≤ one row per day) broadcasts.
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), to_date(col("ts")).as("d"))
+        val coh = ev.groupBy("user_id").agg(min("d").as("cohort_d"))
+        val act = ev.distinct()
+        val sizes = coh.groupBy("cohort_d").agg(count(lit(1)).as("cohort_n"))
+        act.join(coh, "user_id")
+          .withColumn("offset_d", datediff(col("d"), col("cohort_d")).cast("long"))
+          .groupBy("cohort_d", "offset_d")
+          .agg(count(lit(1)).as("n_active"))
+          .join(broadcast(sizes), "cohort_d")
+          .withColumn("retention", expr("round(n_active * 1.0D / cohort_n, 4)"))
+          .select(col("cohort_d").cast("string").as("cohort_d"), col("offset_d"),
+            col("n_active"), col("cohort_n"), col("retention"))
+          .orderBy("cohort_d", "offset_d")
+      },
+      Some("""WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+             |coh AS (SELECT user_id, min(d) AS cohort_d FROM ev GROUP BY 1),
+             |act AS (SELECT DISTINCT user_id, d FROM ev),
+             |sizes AS (SELECT cohort_d, CAST(count(*) AS BIGINT) AS cohort_n FROM coh GROUP BY 1),
+             |a AS (SELECT cohort_d, CAST(d - cohort_d AS BIGINT) AS offset_d,
+             |CAST(count(*) AS BIGINT) AS n_active
+             |FROM act JOIN coh USING (user_id) GROUP BY 1, 2)
+             |SELECT strftime(a.cohort_d, '%Y-%m-%d') AS cohort_d, offset_d, n_active, cohort_n,
+             |round(n_active * 1.0 / cohort_n, 4) AS retention
+             |FROM a JOIN sizes USING (cohort_d)
+             |ORDER BY cohort_d, offset_d""".stripMargin.replace("\n", " ")))
   )
 }
