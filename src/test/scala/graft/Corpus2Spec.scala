@@ -332,6 +332,49 @@ class Corpus2Spec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("q125 z-order buckets bound both dimensions; the curve key matches a local Morton recompute") {
+    val got = SparkEntry.queries("q125_zorder_layout")(spark, sfDir)
+      .select("bucket", "n", "min_x", "max_x", "min_y", "max_y")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    // locality: z >> 8 fixes the top 4 bits of each coordinate, so any
+    // bucket spans ≤ 16 consecutive values of x (scaled ×4 outside) and
+    // of y — far narrower than the global extents
+    got.foreach { case (b, n, minX, maxX, minY, maxY) =>
+      assert(n > 0 && maxX - minX <= 15 && maxY - minY <= 15, s"bucket $b locality")
+    }
+    // exact curve key: recompute z locally from the raw table
+    def morton(x: Long, y: Long): Long =
+      (0 until 8).map(i => (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))).sum
+    val docs = Tables.documents(spark, sfDir)
+      .selectExpr("doc_id", "n_chars", "CAST(substr(source, 4) AS BIGINT) AS y")
+      .as[(Long, Long, Long)].collect()
+    val local = docs
+      .map { case (_, nc, y) => morton(math.min(nc / 4, 255L), y) >> 8 }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got.map(g => g._1 -> g._2).toMap == local, "bucket histogram")
+    // the layout materialized: writeOrdered on z cuts files whose
+    // parquet footers bound BOTH x and y (the pruning evidence)
+    val out = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    val z = Tables.documents(spark, sfDir)
+      .selectExpr("doc_id", "least(n_chars div 4, 255L) AS x",
+        "CAST(substr(source, 4) AS BIGINT) AS y")
+      .withColumn("z", expr(
+        (0 until 8).map(i =>
+          s"shiftleft(shiftright(x, $i) & 1, ${2 * i}) + shiftleft(shiftright(y, $i) & 1, ${2 * i + 1})")
+          .mkString(" + ")).cast("long"))
+    graft.sources.Sinks.writeOrdered(z, Seq(col("z"), col("doc_id")), out, Some(8))
+    val files = new java.io.File(out).listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.length > 1)
+    val globalSpanX = 255L
+    val avgSpanX = files.map { f =>
+      val d = spark.read.parquet(f.getPath).agg(max("x") - min("x")).as[Long].head()
+      d
+    }.sum.toDouble / files.length
+    assert(avgSpanX < globalSpanX / 2.0,
+      s"z-ordered files localize x (avg span $avgSpanX vs global $globalSpanX)")
+  }
+
   private def localToks: Map[Long, Array[String]] =
     Tables.documents(spark, sfDir).select("doc_id", "text")
       .as[(Long, String)].collect()
