@@ -206,6 +206,48 @@ object EventWindows {
              |SELECT strftime(a.cohort_d, '%Y-%m-%d') AS cohort_d, offset_d, n_active, cohort_n,
              |round(n_active * 1.0 / cohort_n, 4) AS retention
              |FROM a JOIN sizes USING (cohort_d)
-             |ORDER BY cohort_d, offset_d""".stripMargin.replace("\n", " ")))
+             |ORDER BY cohort_d, offset_d""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q126_session_paths",
+      // Top session journeys: each session's first ≤3 event types in
+      // time order (ties broken by event_id), counted corpus-wide — the
+      // path-analysis view that q68's single-step transition matrix
+      // cannot express. Session assignment is q62's lag + conditional
+      // cumsum (the oracle-able twin of session_window, same ≥30 min
+      // break rule). Every window is user- or session-keyed; the path
+      // space is bounded by |event_types|³ regardless of corpus size,
+      // so the final aggregate is tiny and the top-20 is TakeOrdered.
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val sid = Tables.events(s, dir)
+          .withColumn("prev", lag("ts", 1).over(w))
+          .withColumn("brk", when(col("prev").isNull ||
+            expr("unix_micros(ts) - unix_micros(prev)") >= 1800000000L, 1L).otherwise(0L))
+          .withColumn("sess", sum("brk").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        sid
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("user_id", "sess").orderBy(col("ts"), col("event_id"))))
+          .filter(col("rn") <= 3)
+          .groupBy("user_id", "sess")
+          .agg(expr("array_join(transform(array_sort(collect_list(struct(rn, event_type))), x -> x.event_type), '>')")
+            .as("path"))
+          .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+          .orderBy(col("n_sessions").desc, col("path")).limit(20)
+      },
+      Some("""WITH o AS (SELECT user_id, ts, event_id, event_type,
+             |lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events),
+             |m AS (SELECT *, CASE WHEN prev IS NULL
+             |OR epoch_us(ts) - epoch_us(prev) >= 1800000000 THEN 1 ELSE 0 END AS brk FROM o),
+             |sid AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess FROM m),
+             |r AS (SELECT user_id, sess, event_type,
+             |row_number() OVER (PARTITION BY user_id, sess ORDER BY ts, event_id) AS rn FROM sid),
+             |p AS (SELECT user_id, sess, array_to_string(list(event_type ORDER BY rn), '>') AS path
+             |FROM r WHERE rn <= 3 GROUP BY 1, 2)
+             |SELECT path, count(*) AS n_sessions FROM p GROUP BY 1
+             |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin.replace("\n", " ")))
   )
 }

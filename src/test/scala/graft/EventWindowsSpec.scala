@@ -40,4 +40,27 @@ class EventWindowsSpec extends AnyFunSuite with SparkSuite {
       .sortBy { case (c, off, _, _, _) => (c, off) }
     assert(got.toSeq == expected, s"got=${got.take(3).toSeq} exp=${expected.take(3)}")
   }
+
+  test("q126 session paths match a local sessionize-and-count recompute") {
+    val got = SparkEntry.queries("q126_session_paths")(spark, sfDir)
+      .select("path", "n_sessions").as[(String, Long)].collect()
+    assert(got.nonEmpty)
+    val ev = Tables.events(spark, sfDir)
+      .selectExpr("user_id", "unix_micros(ts) AS us", "event_id", "event_type")
+      .as[(Long, Long, Long, String)].collect()
+    val paths = ev.groupBy(_._1).values.flatMap { rows =>
+      val ordered = rows.sortBy(r => (r._2, r._3))
+      // q62's break rule: a gap of ≥ 30 min starts a new session
+      val sessions = ordered.foldLeft(Vector.empty[Vector[(Long, String)]]) {
+        case (acc, (_, us, _, t)) =>
+          if (acc.isEmpty || us - acc.last.last._1 >= 1800000000L)
+            acc :+ Vector((us, t))
+          else acc.init :+ (acc.last :+ ((us, t)))
+      }
+      sessions.map(_.take(3).map(_._2).mkString(">"))
+    }
+    val expected = paths.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .sortBy { case (p, n) => (-n, p) }.take(20)
+    assert(got.toSeq == expected, s"got=${got.take(3).toSeq} exp=${expected.take(3)}")
+  }
 }
