@@ -240,6 +240,33 @@ object Corpus2 {
        |FROM g$i WHERE NOT prev_act)""".stripMargin.replace("\n", " ")
   }
 
+  /** Iterative BPE training — the production path for merge counts
+    * beyond q121's 3-round unrolled/oracled form: each round's winner is
+    * a 1-row driver collect (control plane, like KeywordTree's
+    * frontier), and the symbolization is localCheckpoint'ed per round so
+    * the plan stays ONE round deep no matter how many merges are
+    * learned (the unrolled chain doubles its subtree per round). The
+    * checkpointed state is vocab-sized. Returns the final symbolization
+    * rows and the learned merges in order. */
+  def bpeTrainIterative(docs: DataFrame, rounds: Int): (DataFrame, Seq[String]) = {
+    val words = docs.select(explode(expr(toksExpr)).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    var s = words.select(col("word"), col("freq"),
+      posexplode(expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+        .as(Seq("pos", "sym")))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[String]
+    for (_ <- 1 to rounds) {
+      val (s2, b) = bpeRound(s)
+      val best = b.collect()
+      if (best.nonEmpty) {
+        merges += s"${best.head.getString(0)}+${best.head.getString(1)}"
+        s = s2.localCheckpoint()
+      }
+    }
+    (s, merges.result())
+  }
+
   /** q118's body, input-agnostic (needs `doc_id`, `text`): per-document
     * cross-entropy in nats under an add-1-smoothed bigram LM trained on
     * the same corpus. Returns (doc_id, n_bi, ce). The per-doc log-prob

@@ -277,18 +277,14 @@ class Corpus2Spec extends AnyFunSuite with SparkSuite {
         toks(g._1).mkString(" "))), "untouched doc reassembles identically")
   }
 
-  test("q121 matches a reference BPE implementation: merges, symbolizations, coverage") {
-    val got = SparkEntry.queries("q121_bpe_merges")(spark, sfDir)
-      .select("word", "freq", "syms", "merge1", "merge2", "merge3")
-      .as[(String, Long, String, String, String, String)].collect()
-    assert(got.nonEmpty)
-    // reference: textbook greedy BPE over the word-frequency table
-    val words: Map[String, Long] = localToks.values.flatten.toSeq
-      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+  /** Textbook greedy BPE over a word-frequency table — the reference
+    * both the oracled q121 and the iterative trainer are held to. */
+  private def referenceBpe(words: Map[String, Long], rounds: Int)
+      : (Map[String, Vector[String]], Seq[String]) = {
     var syms: Map[String, Vector[String]] =
       words.keys.map(w => w -> w.split("").toVector).toMap
     val merges = scala.collection.mutable.Buffer[String]()
-    for (_ <- 1 to 3) {
+    for (_ <- 1 to rounds) {
       val cnt = scala.collection.mutable.Map[(String, String), Long]().withDefaultValue(0L)
       for ((w, ss) <- syms; p <- ss.sliding(2).filter(_.length == 2))
         cnt((p(0), p(1))) += words(w)
@@ -305,11 +301,43 @@ class Corpus2Spec extends AnyFunSuite with SparkSuite {
         w -> out.result()
       }
     }
+    (syms, merges.toSeq)
+  }
+
+  private def wordFreqs: Map[String, Long] = localToks.values.flatten.toSeq
+    .groupBy(identity).view.mapValues(_.size.toLong).toMap
+
+  test("q121 matches a reference BPE implementation: merges, symbolizations, coverage") {
+    val got = SparkEntry.queries("q121_bpe_merges")(spark, sfDir)
+      .select("word", "freq", "syms", "merge1", "merge2", "merge3")
+      .as[(String, Long, String, String, String, String)].collect()
+    assert(got.nonEmpty)
+    val words = wordFreqs
+    val (syms, merges) = referenceBpe(words, 3)
     assert(got.map(_._1).toSet == words.keySet, "every vocab word symbolized")
     got.foreach { case (w, f, s, m1, m2, m3) =>
       assert(f == words(w), s"word $w freq")
-      assert(Seq(m1, m2, m3) == merges.toSeq, "learned merge sequence")
+      assert(Seq(m1, m2, m3) == merges, "learned merge sequence")
       assert(s == syms(w).mkString(" "), s"word $w symbolization")
+    }
+  }
+
+  test("iterative BPE training (10 checkpointed rounds) matches the reference beyond the oracle depth") {
+    val (symsDf, merges) = operators.Corpus2.bpeTrainIterative(
+      Tables.documents(spark, sfDir), 10)
+    val (refSyms, refMerges) = referenceBpe(wordFreqs, 10)
+    assert(merges == refMerges, s"merges $merges vs $refMerges")
+    // the first three merges are exactly the oracled q121 sequence
+    val q121 = SparkEntry.queries("q121_bpe_merges")(spark, sfDir)
+      .select("merge1", "merge2", "merge3").as[(String, String, String)].head()
+    assert(merges.take(3) == Seq(q121._1, q121._2, q121._3))
+    val got = symsDf.groupBy("word")
+      .agg(expr("array_join(transform(array_sort(collect_list(struct(pos, sym))), x -> x.sym), ' ')")
+        .as("syms"))
+      .as[(String, String)].collect().toMap
+    assert(got.keySet == refSyms.keySet)
+    got.foreach { case (w, s) =>
+      assert(s == refSyms(w).mkString(" "), s"word $w after 10 merges")
     }
   }
 
