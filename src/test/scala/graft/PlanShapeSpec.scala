@@ -110,6 +110,19 @@ class PlanShapeSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("q124/q126 never funnel the event stream through one task") {
+    // cohort sizes broadcast back onto the keyed aggregate; the session
+    // windows are user-keyed; the only global orderings are the final
+    // tiny outputs (TakeOrdered / bounded aggregate sort)
+    val p124 = plan("q124_retention_cohorts")
+    assert(p124.contains("BroadcastHashJoin"), p124.take(500))
+    Seq("q124_retention_cohorts", "q126_session_paths").foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("Exchange SinglePartition, ENSURE"),
+        s"$name funnels the corpus through one task:\n${p.take(800)}")
+    }
+  }
+
   test("q119/q122 keep their vocab-sized artifacts broadcast — scoring stays map-side") {
     // the DSIR weight table (≤256 rows) and the trained BPE tokenizer
     // (vocab-sized) must join the corpus scan as broadcasts, never as a
