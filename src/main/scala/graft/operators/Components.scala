@@ -120,7 +120,7 @@ object Components {
           .select(col("id").as("doc_id"), col("comp"), col("cluster_size"))
           .orderBy("doc_id")
       },
-      Some(s"""WITH RECURSIVE ${Dedup.lshPairsDuckCte},
+      Some(s"""WITH RECURSIVE ${Dedup.lshPairsDuckCte()},
               |edges AS (SELECT da AS a, db AS b FROM pairs UNION SELECT db AS a, da AS b FROM pairs),
               |reach AS (
               |SELECT a AS id, a AS r FROM (SELECT DISTINCT a FROM edges) base
@@ -155,7 +155,7 @@ object Components {
             col("n_toks").as("survivor_toks"), col("cluster_size"))
           .orderBy("comp")
       },
-      Some(s"""WITH RECURSIVE ${Dedup.lshPairsDuckCte},
+      Some(s"""WITH RECURSIVE ${Dedup.lshPairsDuckCte()},
               |edges AS (SELECT da AS a, db AS b FROM pairs UNION SELECT db AS a, da AS b FROM pairs),
               |reach AS (
               |SELECT a AS id, a AS r FROM (SELECT DISTINCT a FROM edges) base
@@ -185,7 +185,7 @@ object Components {
           .select(col("id").as("vec_id"), col("comp"), col("cluster_size"))
           .orderBy("vec_id")
       },
-      Some(s"""WITH RECURSIVE ${Dedup.embPairsDuckCte},
+      Some(s"""WITH RECURSIVE ${Dedup.embPairsDuckCte()},
               |edges AS (SELECT va AS a, vb AS b FROM pairs UNION SELECT vb AS a, va AS b FROM pairs),
               |reach AS (
               |SELECT a AS id, a AS r FROM (SELECT DISTINCT a FROM edges) base

@@ -96,27 +96,29 @@ object Corpus2 {
   }
 
   /** The DuckDB CTE chain matching [[sharedSpanIslands]]; splice after
-    * WITH. Defines `t` (doc tokens) and the final
-    * `spans(doc_a, doc_b, diag, lo_a, hi_a, span)`. Positions are
+    * WITH. Defines `${p}t` (doc tokens) and the final
+    * `${p}spans(doc_a, doc_b, diag, lo_a, hi_a, span)`. Positions are
     * 1-based here vs Spark's 0-based posexplode — diffs (diag, span,
     * interval arithmetic) cancel the shift, so every consumer works in
-    * either base as long as it stays engine-internal. */
-  private def sharedSpansDuckCte: String =
-    s"""t AS (SELECT doc_id, $toksDuck AS w FROM documents),
-       |g0 AS (SELECT doc_id, i AS pos, ${Corpus.ngramAtDuck(8)} AS g
-       |FROM t, LATERAL (SELECT unnest(generate_series(1, len(w)-7)) AS i) s
+    * either base as long as it stays engine-internal. The optional
+    * prefix namespaces the CTEs for multi-relation WITH clauses
+    * (q127's fusion). */
+  private[operators] def sharedSpansDuckCte(p: String = ""): String =
+    s"""${p}t AS (SELECT doc_id, $toksDuck AS w FROM documents),
+       |${p}g0 AS (SELECT doc_id, i AS pos, ${Corpus.ngramAtDuck(8)} AS g
+       |FROM ${p}t, LATERAL (SELECT unnest(generate_series(1, len(w)-7)) AS i) s
        |WHERE len(w) >= 8),
-       |dfok AS (SELECT g FROM
-       |(SELECT g, count(DISTINCT doc_id) AS df FROM g0 GROUP BY 1) z WHERE df <= 8),
-       |g AS (SELECT doc_id, pos, g FROM g0 JOIN dfok USING (g)),
-       |m AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb
-       |FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id),
-       |isl AS (SELECT doc_a, doc_b, pa - pb AS diag, pa,
+       |${p}dfok AS (SELECT g FROM
+       |(SELECT g, count(DISTINCT doc_id) AS df FROM ${p}g0 GROUP BY 1) z WHERE df <= 8),
+       |${p}g AS (SELECT doc_id, pos, g FROM ${p}g0 JOIN ${p}dfok USING (g)),
+       |${p}m AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb
+       |FROM ${p}g a JOIN ${p}g b ON a.g = b.g AND a.doc_id < b.doc_id),
+       |${p}isl AS (SELECT doc_a, doc_b, pa - pb AS diag, pa,
        |pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS isl
-       |FROM m),
-       |spans AS (SELECT doc_a, doc_b, diag, isl, min(pa) AS lo_a, max(pa) AS hi_a,
+       |FROM ${p}m),
+       |${p}spans AS (SELECT doc_a, doc_b, diag, isl, min(pa) AS lo_a, max(pa) AS hi_a,
        |CAST(max(pa) - min(pa) + 8 AS BIGINT) AS span
-       |FROM isl GROUP BY 1, 2, 3, 4)""".stripMargin.replace("\n", " ")
+       |FROM ${p}isl GROUP BY 1, 2, 3, 4)""".stripMargin.replace("\n", " ")
 
   /** q120's body, input-agnostic (needs `doc_id`, `text`): remove every
     * token of the LOWER-priority document (doc_b — keep-first policy)
@@ -812,7 +814,7 @@ object Corpus2 {
           .agg(max("span").as("longest_span"), count(lit(1)).as("n_spans"))
           .filter(col("longest_span") >= 12)
           .orderBy("doc_a", "doc_b"),
-      Some(s"""WITH $sharedSpansDuckCte
+      Some(s"""WITH ${sharedSpansDuckCte()}
               |SELECT doc_a, doc_b, CAST(max(span) AS BIGINT) AS longest_span,
               |count(*) AS n_spans
               |FROM spans GROUP BY 1, 2 HAVING max(span) >= 12
@@ -832,7 +834,7 @@ object Corpus2 {
       // doc_id — and one per-doc regroup.
       (s, dir) =>
         scrubSharedSpans(Tables.documents(s, dir)).orderBy("doc_id"),
-      Some(s"""WITH $sharedSpansDuckCte,
+      Some(s"""WITH ${sharedSpansDuckCte()},
               |iv AS (SELECT doc_b AS doc_id, lo_a - diag AS lo, hi_a - diag + 7 AS hi
               |FROM spans WHERE span >= 12),
               |tok AS (SELECT doc_id, i AS pos, w[i] AS tok

@@ -112,22 +112,24 @@ object Dedup {
       .filter(col("jaccard") >= 0.9)
   }
 
-  /** DuckDB CTE chain ending in `pairs(da, db)` — the oracle twin of
+  /** DuckDB CTE chain ending in `${p}pairs(da, db)` — the oracle twin of
     * [[lshVerifiedPairs]] (q41's oracle recomputes the jaccard column in
-    * its final SELECT from the same `inter`/`sz` CTEs). */
-  private[operators] val lshPairsDuckCte: String =
-    s"""t AS (SELECT doc_id, list_distinct($toksDuck) AS w FROM documents),
-       |sigs AS (SELECT doc_id, list_transform(generate_series(0, 5), i ->
-       |list_min(list_transform(w, u -> md5(CAST(i AS VARCHAR) || ':' || u)))) AS sigs FROM t),
-       |sig AS (SELECT doc_id, b AS band, md5(sigs[2*b+1] || '|' || sigs[2*b+2]) AS h
-       |FROM sigs, LATERAL (SELECT unnest(generate_series(0, 2)) AS b) g),
-       |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db FROM sig a
-       |JOIN sig b ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id),
-       |sh AS (SELECT doc_id, unnest(w) AS s FROM t),
-       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-       |inter AS (SELECT da, db, count(*) AS i FROM cand
-       |JOIN sh sa ON da = sa.doc_id JOIN sh sb ON db = sb.doc_id AND sa.s = sb.s GROUP BY 1, 2),
-       |pairs AS (SELECT da, db FROM inter JOIN sz za ON da = za.doc_id JOIN sz zb ON db = zb.doc_id
+    * its final SELECT from the same `inter`/`sz` CTEs). The optional
+    * prefix namespaces every CTE so multiple pair relations can share
+    * one WITH clause (q127's fusion) without name collisions. */
+  private[operators] def lshPairsDuckCte(p: String = ""): String =
+    s"""${p}t AS (SELECT doc_id, list_distinct($toksDuck) AS w FROM documents),
+       |${p}sigs AS (SELECT doc_id, list_transform(generate_series(0, 5), i ->
+       |list_min(list_transform(w, u -> md5(CAST(i AS VARCHAR) || ':' || u)))) AS sigs FROM ${p}t),
+       |${p}sig AS (SELECT doc_id, b AS band, md5(sigs[2*b+1] || '|' || sigs[2*b+2]) AS h
+       |FROM ${p}sigs, LATERAL (SELECT unnest(generate_series(0, 2)) AS b) g),
+       |${p}cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db FROM ${p}sig a
+       |JOIN ${p}sig b ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id),
+       |${p}sh AS (SELECT doc_id, unnest(w) AS s FROM ${p}t),
+       |${p}sz AS (SELECT doc_id, count(*) AS n FROM ${p}sh GROUP BY 1),
+       |${p}inter AS (SELECT da, db, count(*) AS i FROM ${p}cand
+       |JOIN ${p}sh sa ON da = sa.doc_id JOIN ${p}sh sb ON db = sb.doc_id AND sa.s = sb.s GROUP BY 1, 2),
+       |${p}pairs AS (SELECT da, db FROM ${p}inter JOIN ${p}sz za ON da = za.doc_id JOIN ${p}sz zb ON db = zb.doc_id
        |WHERE round(i * 1.0 / (za.n + zb.n - i), 4) >= 0.9)""".stripMargin.replace("\n", " ")
 
   /** Incremental near-dup dedup — the shape a GROWING 100 TB corpus
@@ -184,7 +186,7 @@ object Dedup {
         dedupIncremental(
           t.filter(col("doc_id") % 5 =!= 0), t.filter(col("doc_id") % 5 === 0))
       },
-      Some(s"""WITH $lshPairsDuckCte,
+      Some(s"""WITH ${lshPairsDuckCte()},
               |partners AS (SELECT da AS d, db AS p FROM pairs UNION ALL SELECT db AS d, da AS p FROM pairs),
               |batch AS (SELECT doc_id FROM documents WHERE doc_id % 5 = 0),
               |q AS (SELECT b.doc_id, min(p.p) AS dup_of FROM batch b
@@ -392,10 +394,56 @@ object Dedup {
       // trades all-pairs recall (q50 brute force remains the ground truth)
       // for a candidate count that survives a 100× corpus.
       (s, dir) => embAnchorPairs(s, dir).orderBy("va", "vb"),
-      Some(s"""WITH $embPairsDuckCte
+      Some(s"""WITH ${embPairsDuckCte()}
              |SELECT va, vb, cos FROM pairs
              |ORDER BY va, vb""".stripMargin.replace("\n", " ")),
-      bench = true)
+      bench = true),
+
+    QueryDef(
+      "q127_signal_fusion",
+      // Dedup SIGNAL FUSION — what a production pipeline actually ships:
+      // the three independent near-dup detectors (q41's Jaccard-verified
+      // token LSH, q44's sketch-anchored embedding cosine, q117's
+      // verbatim spans ≥ 12 tokens) union into ONE consolidated pair
+      // relation with per-signal provenance flags, ranked by how many
+      // signals agree. Each relation is the SAME factored body its own
+      // oracled query declares (lshVerifiedPairs / embAnchorPairs /
+      // sharedSpanIslands), so fusion can never drift from the
+      // per-signal gates; the oracle splices the three prefix-namespaced
+      // CTE chains into one WITH clause. Scale shape: the detectors are
+      // individually scale-safe (banded, anchored, df-capped) and fusion
+      // adds one union + one pair-keyed aggregate.
+      (s, dir) => {
+        val lsh = lshVerifiedPairs(s, dir)
+          .select(col("da"), col("db"),
+            lit(1L).as("lsh"), lit(0L).as("emb"), lit(0L).as("span"))
+        val emb = embAnchorPairs(s, dir)
+          .select(col("va").as("da"), col("vb").as("db"),
+            lit(0L).as("lsh"), lit(1L).as("emb"), lit(0L).as("span"))
+        val sp = Corpus2.sharedSpanIslands(Tables.documents(s, dir))
+          .groupBy(col("doc_a").as("da"), col("doc_b").as("db"))
+          .agg(max("span").as("ms")).filter(col("ms") >= 12)
+          .select(col("da"), col("db"),
+            lit(0L).as("lsh"), lit(0L).as("emb"), lit(1L).as("span"))
+        lsh.unionByName(emb).unionByName(sp)
+          .groupBy("da", "db")
+          .agg(max("lsh").as("lsh"), max("emb").as("emb"), max("span").as("span"))
+          .withColumn("n_signals", col("lsh") + col("emb") + col("span"))
+          .orderBy(col("n_signals").desc, col("da"), col("db"))
+      },
+      Some(s"""WITH ${lshPairsDuckCte("l_")},
+              |${embPairsDuckCte("e_")},
+              |${Corpus2.sharedSpansDuckCte("v_")},
+              |v_p AS (SELECT doc_a AS da, doc_b AS db FROM v_spans
+              |GROUP BY 1, 2 HAVING max(span) >= 12),
+              |u AS (SELECT da, db, 1 AS lsh, 0 AS emb, 0 AS span FROM l_pairs
+              |UNION ALL SELECT va, vb, 0, 1, 0 FROM e_pairs
+              |UNION ALL SELECT da, db, 0, 0, 1 FROM v_p)
+              |SELECT da, db, CAST(max(lsh) AS BIGINT) AS lsh,
+              |CAST(max(emb) AS BIGINT) AS emb, CAST(max(span) AS BIGINT) AS span,
+              |CAST(max(lsh) + max(emb) + max(span) AS BIGINT) AS n_signals
+              |FROM u GROUP BY 1, 2
+              |ORDER BY n_signals DESC, da, db""".stripMargin.replace("\n", " ")))
   )
 
   /** The q44 pipeline up to (but not including) its final ORDER BY:
@@ -422,20 +470,21 @@ object Dedup {
       .filter(col("cos") >= 0.2)
   }
 
-  /** DuckDB CTE chain ending in `pairs(va, vb, cos)` — the oracle twin
-    * of [[embAnchorPairs]]. */
-  private[operators] val embPairsDuckCte: String =
-    s"""e AS (SELECT vec_id, embedding,
+  /** DuckDB CTE chain ending in `${p}pairs(va, vb, cos)` — the oracle
+    * twin of [[embAnchorPairs]]. Prefix-namespaced like
+    * [[lshPairsDuckCte]]. */
+  private[operators] def embPairsDuckCte(p: String = ""): String =
+    s"""${p}e AS (SELECT vec_id, embedding,
        |sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm,
        |${Similarity.sketchDuck} AS sk
        |FROM embeddings),
-       |anchors AS (SELECT sk, min(vec_id) AS anchor FROM e GROUP BY sk),
-       |cand AS (SELECT a.anchor AS va, e.vec_id AS vb FROM e
-       |JOIN anchors a ON e.sk = a.sk AND e.vec_id > a.anchor),
-       |pairs AS (SELECT va, vb,
+       |${p}anchors AS (SELECT sk, min(vec_id) AS anchor FROM ${p}e GROUP BY sk),
+       |${p}cand AS (SELECT a.anchor AS va, e.vec_id AS vb FROM ${p}e e
+       |JOIN ${p}anchors a ON e.sk = a.sk AND e.vec_id > a.anchor),
+       |${p}pairs AS (SELECT va, vb,
        |round(list_sum(list_transform(generate_series(1, len(ea.embedding)), i ->
        |CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE))) / (ea.nrm * eb.nrm), 4) AS cos
-       |FROM cand JOIN e ea ON va = ea.vec_id JOIN e eb ON vb = eb.vec_id
+       |FROM ${p}cand JOIN ${p}e ea ON va = ea.vec_id JOIN ${p}e eb ON vb = eb.vec_id
        |WHERE round(list_sum(list_transform(generate_series(1, len(ea.embedding)), i ->
        |CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE))) / (ea.nrm * eb.nrm), 4) >= 0.2)"""
       .stripMargin.replace("\n", " ")

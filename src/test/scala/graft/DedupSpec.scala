@@ -112,4 +112,28 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     assert(sim(1L) == sim(2L))
     assert(sim(1L) != sim(3L))
   }
+
+  test("q127 fusion is exactly the flagged union of its three factored signal relations") {
+    val got = SparkEntry.queries("q127_signal_fusion")(spark, sfDir)
+      .select("da", "db", "lsh", "emb", "span", "n_signals")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    val lshSet = operators.Dedup.lshVerifiedPairs(spark, sfDir)
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    val embSet = operators.Dedup.embAnchorPairs(spark, sfDir)
+      .select("va", "vb").as[(Long, Long)].collect().toSet
+    val spanSet = operators.Corpus2.sharedSpanIslands(Tables.documents(spark, sfDir))
+      .groupBy("doc_a", "doc_b").agg(max("span").as("ms")).filter($"ms" >= 12)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(got.map(g => (g._1, g._2)).toSet == (lshSet ++ embSet ++ spanSet),
+      "fused pair set is the union")
+    got.foreach { case (da, db, lsh, emb, span, n) =>
+      assert(lsh == (if (lshSet((da, db))) 1L else 0L), s"($da,$db) lsh flag")
+      assert(emb == (if (embSet((da, db))) 1L else 0L), s"($da,$db) emb flag")
+      assert(span == (if (spanSet((da, db))) 1L else 0L), s"($da,$db) span flag")
+      assert(n == lsh + emb + span)
+    }
+    // the corpus's embedded near-dups make multi-signal agreement real
+    assert(got.exists(_._6 >= 2), "some pair is confirmed by ≥2 signals")
+  }
 }
