@@ -83,6 +83,23 @@ object Corpus {
        |(SELECT doc_id, sg, count(*) OVER (PARTITION BY sg) AS df FROM sh0) z
        |WHERE df <= $dfCap)""".stripMargin.replace("\n", " ")
 
+  /** q95's content-hash split rule, ONE definition per engine so the
+    * assignment (q95) and the leakage audit (q128) can never drift:
+    * bucket = first md5 hex digit of the id (0-12 train, 13-14 val,
+    * 15 test ≈ 81/13/6). */
+  private[operators] def splitBucketSpark(id: String): String =
+    s"CAST(locate(substring(md5(CAST($id AS STRING)), 1, 1), '0123456789abcdef') - 1 AS BIGINT)"
+  private[operators] def splitSpark(id: String): String =
+    s"""CASE WHEN ${splitBucketSpark(id)} <= 12 THEN 'train'
+       |WHEN ${splitBucketSpark(id)} <= 14 THEN 'val'
+       |ELSE 'test' END""".stripMargin.replace("\n", " ")
+  private[operators] def splitBucketDuck(id: String): String =
+    s"CAST(strpos('0123456789abcdef', substr(md5(CAST($id AS VARCHAR)), 1, 1)) - 1 AS BIGINT)"
+  private[operators] def splitDuck(id: String): String =
+    s"""CASE WHEN ${splitBucketDuck(id)} <= 12 THEN 'train'
+       |WHEN ${splitBucketDuck(id)} <= 14 THEN 'val'
+       |ELSE 'test' END""".stripMargin.replace("\n", " ")
+
   /** Engine-portable uniform hash bucket: the integer value of the first
     * `n` hex chars of an md5 hex column — the same per-character fold in
     * both engines (q58's trick), uniform on [0, 16^n). `hx` must already
@@ -186,22 +203,19 @@ object Corpus {
       // bucket (first md5 hex digit of the id: 0-c train, d-e val,
       // f test ≈ 81/13/6) — the split a 100 TB pipeline can recompute on
       // any cluster without a stored assignment table. md5 agrees across
-      // engines; rand(seed) would not survive repartitioning.
+      // engines; rand(seed) would not survive repartitioning. The split
+      // rule is ONE definition per engine (splitSpark/splitDuck), shared
+      // with q128's leakage audit.
       (s, dir) =>
         Tables.documents(s, dir)
-          .select(col("doc_id"),
-            expr("CAST(locate(substring(md5(CAST(doc_id AS STRING)), 1, 1), '0123456789abcdef') - 1 AS BIGINT)")
-              .as("bucket"))
+          .select(col("doc_id"), expr(splitBucketSpark("doc_id")).as("bucket"))
           .withColumn("split",
             when(col("bucket") <= 12, "train")
               .when(col("bucket") <= 14, "val")
               .otherwise("test"))
           .orderBy("doc_id"),
-      Some("""SELECT doc_id,
-             |CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS BIGINT) AS bucket,
-             |CASE WHEN strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 <= 12 THEN 'train'
-             |WHEN strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 <= 14 THEN 'val'
-             |ELSE 'test' END AS split
+      Some(s"""SELECT doc_id, ${splitBucketDuck("doc_id")} AS bucket,
+             |${splitDuck("doc_id")} AS split
              |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "))),
 
     QueryDef(

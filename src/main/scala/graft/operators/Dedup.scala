@@ -100,6 +100,26 @@ object Dedup {
 
   private type Column = org.apache.spark.sql.Column
 
+  /** The flagged union of the three independent near-dup signal
+    * relations — one row per (pair, detecting signal), each relation the
+    * SAME factored body its own oracled query declares. q127 aggregates
+    * it into the provenance matrix; q128 projects the distinct pair set
+    * for the split-leakage audit. */
+  private def signalUnion(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val lsh = lshVerifiedPairs(s, dir)
+      .select(col("da"), col("db"),
+        lit(1L).as("lsh"), lit(0L).as("emb"), lit(0L).as("span"))
+    val emb = embAnchorPairs(s, dir)
+      .select(col("va").as("da"), col("vb").as("db"),
+        lit(0L).as("lsh"), lit(1L).as("emb"), lit(0L).as("span"))
+    val sp = Corpus2.sharedSpanIslands(Tables.documents(s, dir))
+      .groupBy(col("doc_a").as("da"), col("doc_b").as("db"))
+      .agg(max("span").as("ms")).filter(col("ms") >= 12)
+      .select(col("da"), col("db"),
+        lit(0L).as("lsh"), lit(0L).as("emb"), lit(1L).as("span"))
+    lsh.unionByName(emb).unionByName(sp)
+  }
+
   /** The q41 pipeline up to (but not including) its final ORDER BY:
     * LSH-candidate pairs verified at true token-set Jaccard ≥ 0.9 —
     * (da, db, jaccard) with da < db. Also the edge set q55's
@@ -400,6 +420,49 @@ object Dedup {
       bench = true),
 
     QueryDef(
+      "q128_split_leakage",
+      // Dedup-aware SPLIT-LEAKAGE audit — the eval-hygiene report that
+      // connects the dedup and split families: every fused near-dup
+      // pair (q127's consolidated relation) whose endpoints land in
+      // DIFFERENT q95 splits leaks information from train into val/test
+      // (the Lee et al. contamination failure mode). Output is the
+      // pair count per unordered split combination with a leak flag —
+      // off-diagonal rows are the pairs a dedup-aware splitter must
+      // co-assign. The split rule and every signal relation are the
+      // same factored bodies their own oracled queries declare. Shape:
+      // the fusion union + two broadcast-sized hash joins onto the
+      // id→split projection + a ≤6-row aggregate.
+      (s, dir) => {
+        val sp = Tables.documents(s, dir)
+          .select(col("doc_id"), expr(Corpus.splitSpark("doc_id")).as("split"))
+        signalUnion(s, dir).select("da", "db").distinct()
+          .join(sp.select(col("doc_id").as("da"), col("split").as("sa")), "da")
+          .join(sp.select(col("doc_id").as("db"), col("split").as("sb")), "db")
+          .select(least(col("sa"), col("sb")).as("split_lo"),
+            greatest(col("sa"), col("sb")).as("split_hi"))
+          .groupBy("split_lo", "split_hi")
+          .agg(count(lit(1)).as("n_pairs"))
+          .withColumn("leak", col("split_lo") =!= col("split_hi"))
+          .orderBy("split_lo", "split_hi")
+      },
+      Some(s"""WITH ${lshPairsDuckCte("l_")},
+              |${embPairsDuckCte("e_")},
+              |${Corpus2.sharedSpansDuckCte("v_")},
+              |v_p AS (SELECT doc_a AS da, doc_b AS db FROM v_spans
+              |GROUP BY 1, 2 HAVING max(span) >= 12),
+              |u AS (SELECT DISTINCT da, db FROM
+              |(SELECT da, db FROM l_pairs
+              |UNION ALL SELECT va, vb FROM e_pairs
+              |UNION ALL SELECT da, db FROM v_p) z),
+              |s AS (SELECT doc_id, ${Corpus.splitDuck("doc_id")} AS split FROM documents)
+              |SELECT least(sa.split, sb.split) AS split_lo,
+              |greatest(sa.split, sb.split) AS split_hi,
+              |count(*) AS n_pairs,
+              |least(sa.split, sb.split) <> greatest(sa.split, sb.split) AS leak
+              |FROM u JOIN s sa ON u.da = sa.doc_id JOIN s sb ON u.db = sb.doc_id
+              |GROUP BY 1, 2 ORDER BY split_lo, split_hi""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
       "q127_signal_fusion",
       // Dedup SIGNAL FUSION — what a production pipeline actually ships:
       // the three independent near-dup detectors (q41's Jaccard-verified
@@ -413,24 +476,12 @@ object Dedup {
       // CTE chains into one WITH clause. Scale shape: the detectors are
       // individually scale-safe (banded, anchored, df-capped) and fusion
       // adds one union + one pair-keyed aggregate.
-      (s, dir) => {
-        val lsh = lshVerifiedPairs(s, dir)
-          .select(col("da"), col("db"),
-            lit(1L).as("lsh"), lit(0L).as("emb"), lit(0L).as("span"))
-        val emb = embAnchorPairs(s, dir)
-          .select(col("va").as("da"), col("vb").as("db"),
-            lit(0L).as("lsh"), lit(1L).as("emb"), lit(0L).as("span"))
-        val sp = Corpus2.sharedSpanIslands(Tables.documents(s, dir))
-          .groupBy(col("doc_a").as("da"), col("doc_b").as("db"))
-          .agg(max("span").as("ms")).filter(col("ms") >= 12)
-          .select(col("da"), col("db"),
-            lit(0L).as("lsh"), lit(0L).as("emb"), lit(1L).as("span"))
-        lsh.unionByName(emb).unionByName(sp)
+      (s, dir) =>
+        signalUnion(s, dir)
           .groupBy("da", "db")
           .agg(max("lsh").as("lsh"), max("emb").as("emb"), max("span").as("span"))
           .withColumn("n_signals", col("lsh") + col("emb") + col("span"))
-          .orderBy(col("n_signals").desc, col("da"), col("db"))
-      },
+          .orderBy(col("n_signals").desc, col("da"), col("db")),
       Some(s"""WITH ${lshPairsDuckCte("l_")},
               |${embPairsDuckCte("e_")},
               |${Corpus2.sharedSpansDuckCte("v_")},

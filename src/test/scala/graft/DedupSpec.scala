@@ -136,4 +136,27 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     // the corpus's embedded near-dups make multi-signal agreement real
     assert(got.exists(_._6 >= 2), "some pair is confirmed by ≥2 signals")
   }
+
+  test("q128 leakage matrix is exactly q127's pairs bucketed by q95's splits") {
+    val got = SparkEntry.queries("q128_split_leakage")(spark, sfDir)
+      .select("split_lo", "split_hi", "n_pairs", "leak")
+      .as[(String, String, Long, Boolean)].collect()
+    val pairs = SparkEntry.queries("q127_signal_fusion")(spark, sfDir)
+      .select("da", "db").as[(Long, Long)].collect()
+    val split = SparkEntry.queries("q95_split_assign")(spark, sfDir)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val expected = pairs
+      .map { case (a, b) =>
+        val (sa, sb) = (split(a), split(b))
+        (if (sa <= sb) sa else sb, if (sa <= sb) sb else sa) }
+      .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .map { case ((lo, hi), n) => (lo, hi, n, lo != hi) }
+      .sortBy { case (lo, hi, _, _) => (lo, hi) }
+    assert(got.toSeq == expected, s"got=${got.toSeq} exp=$expected")
+    // this corpus's embedded dups DO straddle the content-hash split —
+    // the audit is non-vacuous and the train↔test cell is the one that
+    // matters
+    assert(got.exists { case (lo, hi, n, leak) =>
+      leak && lo == "test" && hi == "train" && n > 0 })
+  }
 }
