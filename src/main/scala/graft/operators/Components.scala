@@ -254,6 +254,59 @@ object Components {
               |pr3 AS (SELECT e.dst AS id, 0.15 / (SELECT nn FROM n) + 0.85 * list_sum(list(p2.pr / d.deg ORDER BY e.src)) AS pr
               |FROM e JOIN pr2 p2 ON e.src = p2.id JOIN deg d ON e.src = d.src GROUP BY e.dst)
               |SELECT id AS doc_id, round(pr, 6) AS pr FROM pr3
-              |ORDER BY doc_id""".stripMargin.replace("\n", " ")))
+              |ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q129_split_repair",
+      // Dedup-aware split REPAIR — the action q128's leakage report
+      // demands: every document is re-assigned to the split of its
+      // fused-near-dup-cluster ROOT (connected components over q127's
+      // consolidated pairs; singletons keep their own q95 assignment),
+      // so no near-dup pair can straddle train/eval — post-repair
+      // leakage is exactly zero BY CONSTRUCTION, and the spec asserts
+      // it against the pair relation. Output reports each doc's
+      // cluster, original and final split, and whether it moved.
+      // Oracle: the same recursive min-reachable-id closure as q55 over
+      // the fused edge set — gate-scale only like q55/q65 (DuckDB's
+      // recursion is O(E·cluster)); at larger SFs the zero-leakage
+      // invariant is checked directly on Spark results (DedupSpec ×
+      // ClusterCheck pattern).
+      (s, dir) => {
+        val cc = connectedComponents(
+          Dedup.signalUnion(s, dir).select("da", "db").distinct())
+        val split = graft.Tables.documents(s, dir)
+          .select(col("doc_id"), expr(Corpus.splitSpark("doc_id")).as("own_split"))
+        val withComp = split
+          .join(cc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+          .withColumn("comp", coalesce(col("comp"), col("doc_id")))
+        withComp
+          .join(split.select(col("doc_id").as("comp"), col("own_split").as("final_split")),
+            "comp")
+          .select(col("doc_id"), col("comp"), col("own_split"), col("final_split"),
+            (col("own_split") =!= col("final_split")).as("moved"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE ${Dedup.lshPairsDuckCte("l_")},
+              |${Dedup.embPairsDuckCte("e_")},
+              |${Corpus2.sharedSpansDuckCte("v_")},
+              |v_p AS (SELECT doc_a AS da, doc_b AS db FROM v_spans
+              |GROUP BY 1, 2 HAVING max(span) >= 12),
+              |u AS (SELECT DISTINCT da, db FROM
+              |(SELECT da, db FROM l_pairs
+              |UNION ALL SELECT va, vb FROM e_pairs
+              |UNION ALL SELECT da, db FROM v_p) z),
+              |edges AS (SELECT da AS a, db AS b FROM u UNION SELECT db AS a, da AS b FROM u),
+              |reach AS (
+              |SELECT a AS id, a AS r FROM (SELECT DISTINCT a FROM edges) base
+              |UNION
+              |SELECT e.a AS id, re.r AS r FROM edges e JOIN reach re ON re.id = e.b),
+              |comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+              |sp AS (SELECT doc_id, ${Corpus.splitDuck("doc_id")} AS split FROM documents),
+              |j AS (SELECT sp.doc_id, coalesce(c.comp, sp.doc_id) AS comp, sp.split AS own_split
+              |FROM sp LEFT JOIN comp c ON sp.doc_id = c.id)
+              |SELECT j.doc_id, j.comp, j.own_split, r.split AS final_split,
+              |j.own_split <> r.split AS moved
+              |FROM j JOIN sp r ON j.comp = r.doc_id
+              |ORDER BY j.doc_id""".stripMargin.replace("\n", " ")))
   )
 }

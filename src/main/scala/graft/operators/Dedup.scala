@@ -105,7 +105,7 @@ object Dedup {
     * SAME factored body its own oracled query declares. q127 aggregates
     * it into the provenance matrix; q128 projects the distinct pair set
     * for the split-leakage audit. */
-  private def signalUnion(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+  private[operators] def signalUnion(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     val lsh = lshVerifiedPairs(s, dir)
       .select(col("da"), col("db"),
         lit(1L).as("lsh"), lit(0L).as("emb"), lit(0L).as("span"))

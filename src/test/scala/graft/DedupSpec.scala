@@ -159,4 +159,34 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     assert(got.exists { case (lo, hi, n, leak) =>
       leak && lo == "test" && hi == "train" && n > 0 })
   }
+
+  test("q129 repair assigns whole near-dup clusters to one split — zero residual leakage") {
+    val got = SparkEntry.queries("q129_split_repair")(spark, sfDir)
+      .select("doc_id", "comp", "own_split", "final_split", "moved")
+      .as[(Long, Long, String, String, Boolean)].collect()
+    val byDoc = got.map(r => r._1 -> r).toMap
+    // every document appears exactly once
+    assert(got.length == Tables.documents(spark, sfDir).count())
+    // invariant 1: final split is constant within a component
+    got.groupBy(_._2).foreach { case (comp, rows) =>
+      assert(rows.map(_._4).distinct.length == 1, s"component $comp split-mixed")
+    }
+    // invariant 2: no fused near-dup pair straddles final splits —
+    // the leakage q128 reports is zero after repair BY CONSTRUCTION
+    val pairs = SparkEntry.queries("q127_signal_fusion")(spark, sfDir)
+      .select("da", "db").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(byDoc(a)._4 == byDoc(b)._4, s"pair ($a,$b) still straddles splits")
+    }
+    // invariant 3: moved flag is exact, and the final split is the
+    // component root's own q95 assignment (singletons never move)
+    got.foreach { case (id, comp, own, fin, moved) =>
+      assert(moved == (own != fin), s"doc $id moved flag")
+      assert(fin == byDoc(comp)._3, s"doc $id final != root's own split")
+      if (comp == id) assert(!moved, s"root $id moved")
+    }
+    // the corpus's straddling dups make the repair non-vacuous
+    assert(got.exists(_._5), "repair moved at least one document")
+  }
 }
