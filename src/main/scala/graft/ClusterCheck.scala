@@ -51,11 +51,34 @@ object ClusterCheck {
     val badSurv = surv.count { case (c, s) => comp.get(s) != Some(c) } +
       (surv.map(_._1).distinct.length - surv.length).abs +
       (comp.values.toSet -- surv.map(_._1).toSet).size
+    // q129 (split repair) shares q55's recursion-based oracle limit, so
+    // its defining invariants are checked directly at scale too:
+    //   4. zero residual leakage — no q127 fused pair straddles final
+    //      splits after repair;
+    //   5. split constancy — final_split is constant per component and
+    //      equals the component root's own q95 assignment.
+    val repair = SparkEntry.queries("q129_split_repair")(spark, dir)
+      .select("doc_id", "comp", "own_split", "final_split")
+      .as[(Long, Long, String, String)].collect()
+    val byDoc = repair.map(r => r._1 -> r).toMap
+    val fusedPairs = SparkEntry.queries("q127_signal_fusion")(spark, dir)
+      .select("da", "db").as[(Long, Long)].collect()
+    val leaks = fusedPairs.count { case (a, b) =>
+      (byDoc.get(a), byDoc.get(b)) match {
+        case (Some(ra), Some(rb)) => ra._4 != rb._4
+        case _ => true
+      }
+    }
+    val badSplits = repair.count { case (_, c, _, fin) =>
+      byDoc.get(c).forall(root => root._3 != fin)
+    }
     println(s"CLUSTERCHECK dir=$dir pairs=${pairs.length} docs=${comp.size} " +
       s"components=${comp.values.toSet.size} dupDocs=$dupDocs " +
-      s"badPairs=$badPairs badRoots=$badRoots badSurvivors=$badSurv")
+      s"badPairs=$badPairs badRoots=$badRoots badSurvivors=$badSurv " +
+      s"fusedPairs=${fusedPairs.length} residualLeaks=$leaks badSplits=$badSplits")
     assert(dupDocs == 0 && badPairs == 0 && badRoots == 0 && badSurv == 0,
       "cluster invariants violated")
+    assert(leaks == 0 && badSplits == 0, "split-repair invariants violated")
     println("CLUSTERCHECK ok=true")
     spark.stop()
   }

@@ -146,6 +146,23 @@ object Corpus {
         expr("size(tri) = 0 OR (size(tri) - size(array_distinct(tri))) * 1.0D / size(tri) <= 0.3D").as("rep_ok"))
       .withColumn("keep", col("len_ok") && col("stop_ok") && col("toklen_ok") && col("rep_ok"))
 
+  /** DuckDB CTE chain ending in `${p}r(doc_id, len_ok, stop_ok,
+    * toklen_ok, rep_ok)` — the oracle twin of [[qualityGate]]'s rule
+    * bits. ONE definition: q100's verdict and q130's tiering both
+    * splice this, so the gate rules cannot drift between consumers.
+    * Prefix-namespaced like Dedup.lshPairsDuckCte. */
+  private[operators] def gateDuckCte(p: String = ""): String =
+    s"""${p}t AS (SELECT doc_id, text, $toksDuck AS w FROM documents),
+       |${p}g AS (SELECT doc_id, text, w, CASE WHEN len(w) >= 3
+       |THEN list_transform(generate_series(1, len(w)-2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+       |ELSE []::VARCHAR[] END AS tri FROM ${p}t),
+       |${p}r AS (SELECT doc_id,
+       |length(text) >= 100 AND length(text) <= 5000 AS len_ok,
+       |len(w) > 0 AND len(list_filter(w, x -> x IN ($stopList))) * 1.0 / len(w) BETWEEN 0.05 AND 0.6 AS stop_ok,
+       |len(w) > 0 AND length(replace(text, ' ', '')) * 1.0 / len(w) BETWEEN 2 AND 12 AS toklen_ok,
+       |len(tri) = 0 OR (len(tri) - len(list_distinct(tri))) * 1.0 / len(tri) <= 0.3 AS rep_ok
+       |FROM ${p}g)""".stripMargin.replace("\n", " ")
+
   /** q63's body, input-agnostic: the gate → fingerprint-dedup →
     * decontaminate → chunk composition. ONE definition — the oracled
     * query and `Flows.corpusFlow` both call this, so the user-facing API
@@ -408,16 +425,7 @@ object Corpus {
       // every rule a codegen'd expression, the verdict plus each rule's
       // bit so a 100 TB run can report WHY documents dropped.
       (s, dir) => qualityGate(Tables.documents(s, dir)).orderBy("doc_id"),
-      Some(s"""WITH t AS (SELECT doc_id, text, $toksDuck AS w FROM documents),
-              |g AS (SELECT doc_id, text, w, CASE WHEN len(w) >= 3
-              |THEN list_transform(generate_series(1, len(w)-2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
-              |ELSE []::VARCHAR[] END AS tri FROM t),
-              |r AS (SELECT doc_id,
-              |length(text) >= 100 AND length(text) <= 5000 AS len_ok,
-              |len(w) > 0 AND len(list_filter(w, x -> x IN ($stopList))) * 1.0 / len(w) BETWEEN 0.05 AND 0.6 AS stop_ok,
-              |len(w) > 0 AND length(replace(text, ' ', '')) * 1.0 / len(w) BETWEEN 2 AND 12 AS toklen_ok,
-              |len(tri) = 0 OR (len(tri) - len(list_distinct(tri))) * 1.0 / len(tri) <= 0.3 AS rep_ok
-              |FROM g)
+      Some(s"""WITH ${gateDuckCte()}
               |SELECT doc_id, len_ok, stop_ok, toklen_ok, rep_ok,
               |len_ok AND stop_ok AND toklen_ok AND rep_ok AS keep
               |FROM r ORDER BY doc_id""".stripMargin.replace("\n", " "))),

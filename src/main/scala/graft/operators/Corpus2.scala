@@ -981,6 +981,88 @@ object Corpus2 {
               |SELECT doc_id, count(*) AS n_toks,
               |round(list_sum(list(wgt ORDER BY pos)) / count(*), 4) AS llr
               |FROM tok JOIN wgt USING (b)
-              |GROUP BY doc_id ORDER BY llr DESC, doc_id LIMIT 30""".stripMargin.replace("\n", " ")))
+              |GROUP BY doc_id ORDER BY llr DESC, doc_id LIMIT 30""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q130_epoch_mixing",
+      // Quality-tiered MULTI-EPOCH UPSAMPLING + deterministic training
+      // order — the data-recipe step after gating: docs passing all 4
+      // q100 rules are seen 3×, 3 rules 2×, 2 rules 1×, worse dropped
+      // (the Gopher/LLaMA-style "repeat good data" mix). Each copy gets
+      // a content-hash shuffle key, a contiguous global ordinal, and a
+      // 32-sequence training batch id. The gate bits are the SAME
+      // factored body q100 declares (qualityGate / gateDuckCte), so the
+      // tiering cannot drift from the oracled gate. Scale shape: gate =
+      // scan expressions; the ≤3× explode is map-side; the global
+      // ordinal is Indexing's two-pass range exchange (never a
+      // single-partition window); the hash order makes epoch layout
+      // deterministic under repartitioning and cluster resize.
+      (s, dir) => {
+        val copies = Corpus.qualityGate(Tables.documents(s, dir))
+          .withColumn("nq",
+            col("len_ok").cast("int") + col("stop_ok").cast("int") +
+              col("toklen_ok").cast("int") + col("rep_ok").cast("int"))
+          .withColumn("n_copies",
+            expr("CASE WHEN nq = 4 THEN 3 WHEN nq = 3 THEN 2 WHEN nq = 2 THEN 1 ELSE 0 END"))
+          .filter(col("n_copies") >= 1)
+          .select(col("doc_id"), col("n_copies"),
+            explode(expr("sequence(1, n_copies)")).as("copy_idx"))
+          .select(col("doc_id"), col("n_copies").cast("long").as("n_copies"),
+            col("copy_idx").cast("long").as("copy_idx"))
+          .withColumn("sk", md5(concat_ws(":", col("copy_idx"), col("doc_id"))))
+        Indexing.globalIndex(copies, Seq(col("sk"), col("doc_id"), col("copy_idx")))
+          .select(col("idx"), col("doc_id"), col("copy_idx"), col("n_copies"),
+            expr("idx DIV 32").as("batch_id"))
+          .orderBy("idx")
+      },
+      Some(s"""WITH ${Corpus.gateDuckCte()},
+              |q AS (SELECT doc_id,
+              |(CASE WHEN len_ok THEN 1 ELSE 0 END) + (CASE WHEN stop_ok THEN 1 ELSE 0 END) +
+              |(CASE WHEN toklen_ok THEN 1 ELSE 0 END) + (CASE WHEN rep_ok THEN 1 ELSE 0 END) AS nq FROM r),
+              |c AS (SELECT doc_id,
+              |CASE WHEN nq = 4 THEN 3 WHEN nq = 3 THEN 2 WHEN nq = 2 THEN 1 ELSE 0 END AS n_copies FROM q),
+              |cp AS (SELECT doc_id, n_copies, unnest(generate_series(1, n_copies)) AS copy_idx
+              |FROM c WHERE n_copies >= 1),
+              |k AS (SELECT doc_id, CAST(n_copies AS BIGINT) AS n_copies,
+              |CAST(copy_idx AS BIGINT) AS copy_idx,
+              |md5(CAST(copy_idx AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)) AS sk FROM cp),
+              |x AS (SELECT row_number() OVER (ORDER BY sk, doc_id, copy_idx) - 1 AS idx,
+              |doc_id, copy_idx, n_copies FROM k)
+              |SELECT idx, doc_id, copy_idx, n_copies, idx // 32 AS batch_id
+              |FROM x ORDER BY idx""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q132_source_calibrated_gate",
+      // Per-source CALIBRATED quality gating — q108's global percentile
+      // gate silently biases against sources whose docs run short
+      // (different crawls have different length distributions), so the
+      // production recipe normalizes within source: each doc's
+      // percent_rank AMONG ITS OWN SOURCE, kept at its source's median,
+      // reported next to the global-median verdict so the rows where
+      // the two flags disagree quantify the calibration effect. Scale
+      // shape: one window partitioned by source (per-source sort, no
+      // global ordering), one 1-row global aggregate broadcast back
+      // over the scan — at 100 TB the global median swaps in q92's
+      // approx sketch, same plan.
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        val thr = docs.agg(expr("percentile(n_chars, 0.5D)").as("gthr"))
+        docs
+          .withColumn("pct", round(
+            percent_rank().over(Window.partitionBy("source").orderBy("n_chars")), 4))
+          .crossJoin(broadcast(thr))
+          .select(col("doc_id"), col("source"), col("n_chars"), col("pct"),
+            (col("pct") >= 0.5).as("kept_local"),
+            (col("n_chars") >= col("gthr")).as("kept_global"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH g AS (SELECT quantile_cont(n_chars, 0.5) AS gthr FROM documents),
+             |p AS (SELECT doc_id, source, n_chars,
+             |round(percent_rank() OVER (PARTITION BY source ORDER BY n_chars), 4) AS pct
+             |FROM documents)
+             |SELECT doc_id, source, n_chars, pct,
+             |pct >= 0.5 AS kept_local, n_chars >= gthr AS kept_global
+             |FROM p, g ORDER BY doc_id""".stripMargin.replace("\n", " ")))
   )
 }

@@ -494,7 +494,58 @@ object Dedup {
               |CAST(max(emb) AS BIGINT) AS emb, CAST(max(span) AS BIGINT) AS span,
               |CAST(max(lsh) + max(emb) + max(span) AS BIGINT) AS n_signals
               |FROM u GROUP BY 1, 2
-              |ORDER BY n_signals DESC, da, db""".stripMargin.replace("\n", " ")))
+              |ORDER BY n_signals DESC, da, db""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q131_dedup_impact",
+      // Per-source DEDUP IMPACT REPORT — the operations view of q127:
+      // the consolidated near-dup pairs bucketed by the (source_lo,
+      // source_hi) pair of their endpoints, with pair counts and the
+      // number of distinct documents implicated per cell. Off-diagonal
+      // cells show which feeds duplicate EACH OTHER (crawl overlap /
+      // mirror sites); the diagonal shows within-feed redundancy — the
+      // report that decides which upstream source to dedupe or drop.
+      // The pair relation is the SAME factored signalUnion q127/q128
+      // declare. Scale shape: two broadcast-sized joins of the pair
+      // table against the (doc_id, source) projection, then an agg on
+      // ≤ |sources|² cells.
+      (s, dir) => {
+        val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+        val lab = signalUnion(s, dir).select("da", "db").distinct()
+          .join(src.select(col("doc_id").as("da"), col("source").as("sa")), "da")
+          .join(src.select(col("doc_id").as("db"), col("source").as("sb")), "db")
+          .select(least(col("sa"), col("sb")).as("src_lo"),
+            greatest(col("sa"), col("sb")).as("src_hi"),
+            col("da"), col("db"))
+        val cells = lab.groupBy("src_lo", "src_hi")
+          .agg(count(lit(1)).as("n_pairs"))
+        val docs = lab.select(col("src_lo"), col("src_hi"), col("da").as("d"))
+          .unionByName(lab.select(col("src_lo"), col("src_hi"), col("db").as("d")))
+          .groupBy("src_lo", "src_hi")
+          .agg(countDistinct(col("d")).as("n_docs"))
+        cells.join(docs, Seq("src_lo", "src_hi"))
+          .orderBy("src_lo", "src_hi")
+      },
+      Some(s"""WITH ${lshPairsDuckCte("l_")},
+              |${embPairsDuckCte("e_")},
+              |${Corpus2.sharedSpansDuckCte("v_")},
+              |v_p AS (SELECT doc_a AS da, doc_b AS db FROM v_spans
+              |GROUP BY 1, 2 HAVING max(span) >= 12),
+              |u AS (SELECT DISTINCT da, db FROM
+              |(SELECT da, db FROM l_pairs
+              |UNION ALL SELECT va, vb FROM e_pairs
+              |UNION ALL SELECT da, db FROM v_p) z),
+              |p AS (SELECT u.da, u.db,
+              |least(a.source, b.source) AS src_lo, greatest(a.source, b.source) AS src_hi
+              |FROM u JOIN documents a ON u.da = a.doc_id JOIN documents b ON u.db = b.doc_id),
+              |c AS (SELECT src_lo, src_hi, CAST(count(*) AS BIGINT) AS n_pairs
+              |FROM p GROUP BY 1, 2),
+              |d AS (SELECT src_lo, src_hi, CAST(count(DISTINCT dd) AS BIGINT) AS n_docs FROM
+              |(SELECT src_lo, src_hi, da AS dd FROM p
+              |UNION ALL SELECT src_lo, src_hi, db FROM p) z GROUP BY 1, 2)
+              |SELECT c.src_lo, c.src_hi, n_pairs, n_docs
+              |FROM c JOIN d USING (src_lo, src_hi)
+              |ORDER BY src_lo, src_hi""".stripMargin.replace("\n", " ")))
   )
 
   /** The q44 pipeline up to (but not including) its final ORDER BY:

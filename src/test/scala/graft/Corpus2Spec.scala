@@ -465,4 +465,76 @@ class Corpus2Spec extends AnyFunSuite with SparkSuite {
       assert(ranked.indexOf(d) < 10, s"target doc $d rank ${ranked.indexOf(d)}")
     }
   }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("q130 epoch mix: tier multiplicities from q100's bits, hash-total order, contiguous batches") {
+    val got = SparkEntry.queries("q130_epoch_mixing")(spark, sfDir)
+      .select("idx", "doc_id", "copy_idx", "n_copies", "batch_id")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    // multiplicity per doc = the declared tier rule applied to the
+    // PUBLISHED q100 gate bits (shared body — but recheck the contract)
+    val bits = SparkEntry.queries("q100_quality_gate")(spark, sfDir)
+      .select("doc_id", "len_ok", "stop_ok", "toklen_ok", "rep_ok")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean)].collect()
+    val wantCopies = bits.map { case (d, a, b, c, e) =>
+      val nq = Seq(a, b, c, e).count(identity)
+      d -> (nq match { case 4 => 3L; case 3 => 2L; case 2 => 1L; case _ => 0L })
+    }.toMap
+    val gotCopies = got.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    wantCopies.foreach { case (d, n) =>
+      assert(gotCopies.getOrElse(d, 0L) == n, s"doc $d copies")
+    }
+    // every copy run is 1..n_copies exactly once
+    got.groupBy(_._2).foreach { case (d, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.head._4).toSeq, s"doc $d copy idxs")
+    }
+    // idx is the contiguous ordinal of ascending (md5(copy:doc), doc, copy)
+    val n = got.length
+    assert(got.map(_._1).sorted.toSeq == (0L until n).toSeq, "idx not a permutation")
+    val expectedOrder = got
+      .map { case (_, d, c, _, _) => (md5hex(s"$c:$d"), d, c) }.sorted
+    val gotOrder = got.sortBy(_._1)
+      .map { case (_, d, c, _, _) => (md5hex(s"$c:$d"), d, c) }.toSeq
+    assert(gotOrder == expectedOrder.toSeq, "hash-shuffle order broken")
+    // batch = idx div 32
+    got.foreach { case (i, _, _, _, b) => assert(b == i / 32, s"idx $i batch") }
+    // the mix is non-trivial on this corpus: several tiers are populated
+    // (no doc here fails ≥3 gate rules, so the drop tier stays empty)
+    assert(wantCopies.values.exists(_ >= 2), "no doc upsampled")
+    assert(wantCopies.values.toSet.size >= 2, "single-tier mix — vacuous")
+  }
+
+  test("q132 source-calibrated gate: exact local percent_rank + global median recompute") {
+    val got = SparkEntry.queries("q132_source_calibrated_gate")(spark, sfDir)
+      .select("doc_id", "source", "n_chars", "pct", "kept_local", "kept_global")
+      .as[(Long, String, Long, Double, Boolean, Boolean)].collect()
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "source", "n_chars").as[(Long, String, Long)].collect()
+    assert(got.length == docs.length)
+    // interpolated global median (quantile_cont 0.5)
+    val sorted = docs.map(_._3.toDouble).sorted
+    val h = 0.5 * (sorted.length - 1)
+    val gthr = sorted(h.toInt) +
+      (h - h.toInt) * (sorted(math.min(h.toInt + 1, sorted.length - 1)) - sorted(h.toInt))
+    // percent_rank within source: (rank - 1) / (n - 1), ties share rank
+    val bySource = docs.groupBy(_._2)
+    val localPct = docs.map { case (d, s, c) =>
+      val xs = bySource(s).map(_._3)
+      val rank = xs.count(_ < c) + 1
+      d -> (if (xs.length == 1) 0.0
+            else math.rint((rank - 1).toDouble / (xs.length - 1) * 1e4) / 1e4)
+    }.toMap
+    got.foreach { case (d, _, c, pct, kl, kg) =>
+      assert(pct == localPct(d), s"doc $d pct $pct vs ${localPct(d)}")
+      assert(kl == (pct >= 0.5), s"doc $d kept_local")
+      assert(kg == (c >= gthr), s"doc $d kept_global")
+    }
+    // calibration is non-vacuous: the two verdicts disagree somewhere
+    assert(got.exists { case (_, _, _, _, kl, kg) => kl != kg },
+      "local and global gates never disagree — corpus can't show the effect")
+  }
 }

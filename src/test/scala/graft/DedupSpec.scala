@@ -189,4 +189,29 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     // the corpus's straddling dups make the repair non-vacuous
     assert(got.exists(_._5), "repair moved at least one document")
   }
+
+  test("q131 impact matrix is exactly q127's pairs bucketed by source pair") {
+    val got = SparkEntry.queries("q131_dedup_impact")(spark, sfDir)
+      .select("src_lo", "src_hi", "n_pairs", "n_docs")
+      .as[(String, String, Long, Long)].collect()
+    val src = Tables.documents(spark, sfDir)
+      .select("doc_id", "source").as[(Long, String)].collect().toMap
+    val pairs = SparkEntry.queries("q127_signal_fusion")(spark, sfDir)
+      .select("da", "db").as[(Long, Long)].collect()
+    val expected = pairs
+      .map { case (a, b) =>
+        val (sa, sb) = (src(a), src(b))
+        ((if (sa <= sb) sa else sb, if (sa <= sb) sb else sa), (a, b)) }
+      .groupBy(_._1).view
+      .mapValues(ps => (ps.length.toLong,
+        ps.flatMap { case (_, (a, b)) => Seq(a, b) }.distinct.length.toLong))
+      .toMap
+    assert(got.length == expected.size)
+    got.foreach { case (lo, hi, np, nd) =>
+      assert(expected((lo, hi)) == ((np, nd)), s"cell ($lo,$hi)")
+    }
+    // both redundancy shapes exist on this corpus: within-feed and cross-feed
+    assert(got.exists { case (lo, hi, _, _) => lo == hi }, "no diagonal cell")
+    assert(got.exists { case (lo, hi, _, _) => lo != hi }, "no cross-source cell")
+  }
 }
