@@ -307,6 +307,68 @@ object Components {
               |SELECT j.doc_id, j.comp, j.own_split, r.split AS final_split,
               |j.own_split <> r.split AS moved
               |FROM j JOIN sp r ON j.comp = r.doc_id
-              |ORDER BY j.doc_id""".stripMargin.replace("\n", " ")))
+              |ORDER BY j.doc_id""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q133_doc_audit",
+      // Per-document PIPELINE AUDIT — the one-row-per-doc decision
+      // record a production corpus build publishes alongside the data:
+      // the q100 gate verdict, the first-wins near-dup partner (q64's
+      // admission rule over q127's fused pairs: the minimum SMALLER
+      // partner id, -1 if none — non-recursive, so it stays oracled at
+      // every SF unlike the full component closure), the q95 split, the
+      // q130 epoch tier, and the final kept flag (gate AND not a dup
+      // loser). Every input is the SAME factored body its own oracled
+      // query declares, so the audit cannot drift from any stage it
+      // reports on. Scale shape: scan-expression gate + one pair-keyed
+      // aggregate + two broadcast-ish joins on doc_id — no recursion,
+      // no global window.
+      (s, dir) => {
+        val docs = graft.Tables.documents(s, dir)
+        val gate = Corpus.qualityGate(docs)
+          .withColumn("nq",
+            col("len_ok").cast("int") + col("stop_ok").cast("int") +
+              col("toklen_ok").cast("int") + col("rep_ok").cast("int"))
+          .select(col("doc_id"), col("keep").as("gate_keep"),
+            expr(Corpus2.tierCaseSql).cast("long").as("epoch_tier"))
+        val pairs = Dedup.signalUnion(s, dir).select("da", "db").distinct()
+        val dupOf = pairs.select(col("da").as("d"), col("db").as("p"))
+          .unionByName(pairs.select(col("db").as("d"), col("da").as("p")))
+          .filter(col("p") < col("d"))
+          .groupBy("d").agg(min("p").as("dup_of"))
+          .withColumnRenamed("d", "doc_id")
+        gate
+          .join(dupOf, Seq("doc_id"), "left")
+          .withColumn("dup_of", coalesce(col("dup_of"), lit(-1L)))
+          .withColumn("split", expr(Corpus.splitSpark("doc_id")))
+          .withColumn("kept", col("gate_keep") && col("dup_of") === -1L)
+          .select("doc_id", "gate_keep", "dup_of", "split", "epoch_tier", "kept")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH ${Corpus.gateDuckCte("g_")},
+              |${Dedup.lshPairsDuckCte("l_")},
+              |${Dedup.embPairsDuckCte("e_")},
+              |${Corpus2.sharedSpansDuckCte("v_")},
+              |v_p AS (SELECT doc_a AS da, doc_b AS db FROM v_spans
+              |GROUP BY 1, 2 HAVING max(span) >= 12),
+              |u AS (SELECT DISTINCT da, db FROM
+              |(SELECT da, db FROM l_pairs
+              |UNION ALL SELECT va, vb FROM e_pairs
+              |UNION ALL SELECT da, db FROM v_p) z),
+              |dup AS (SELECT d AS doc_id, min(p) AS dup_of FROM
+              |(SELECT da AS d, db AS p FROM u UNION ALL SELECT db AS d, da AS p FROM u) z
+              |WHERE p < d GROUP BY 1),
+              |q AS (SELECT doc_id,
+              |len_ok AND stop_ok AND toklen_ok AND rep_ok AS gate_keep,
+              |(CASE WHEN len_ok THEN 1 ELSE 0 END) + (CASE WHEN stop_ok THEN 1 ELSE 0 END) +
+              |(CASE WHEN toklen_ok THEN 1 ELSE 0 END) + (CASE WHEN rep_ok THEN 1 ELSE 0 END) AS nq
+              |FROM g_r)
+              |SELECT q.doc_id, q.gate_keep,
+              |coalesce(dup.dup_of, -1) AS dup_of,
+              |${Corpus.splitDuck("q.doc_id")} AS split,
+              |CAST(${Corpus2.tierCaseSql} AS BIGINT) AS epoch_tier,
+              |q.gate_keep AND coalesce(dup.dup_of, -1) = -1 AS kept
+              |FROM q LEFT JOIN dup ON q.doc_id = dup.doc_id
+              |ORDER BY q.doc_id""".stripMargin.replace("\n", " ")))
   )
 }

@@ -29,6 +29,12 @@ object Corpus2 {
   private val toksExpr = TextAnalytics.toksExpr
   private val toksDuck = TextAnalytics.toksDuck
 
+  /** Epoch-tier rule over `nq` (the count of passing q100 gate rules):
+    * identical SQL text in both engines; ONE definition shared by q130
+    * (mixing) and q133 (per-doc audit). */
+  private[operators] val tierCaseSql =
+    "CASE WHEN nq = 4 THEN 3 WHEN nq = 3 THEN 2 WHEN nq = 2 THEN 1 ELSE 0 END"
+
   /** All bigram occurrences of token array `w` in document order —
     * Corpus's shared n-gram template at n=2. */
   private val biSpark = Corpus.ngramSpark(2)
@@ -985,6 +991,7 @@ object Corpus2 {
 
     QueryDef(
       "q130_epoch_mixing",
+      // (tier rule: see [[Corpus2.tierCaseSql]] — shared with q133's audit)
       // Quality-tiered MULTI-EPOCH UPSAMPLING + deterministic training
       // order — the data-recipe step after gating: docs passing all 4
       // q100 rules are seen 3×, 3 rules 2×, 2 rules 1×, worse dropped
@@ -1003,7 +1010,7 @@ object Corpus2 {
             col("len_ok").cast("int") + col("stop_ok").cast("int") +
               col("toklen_ok").cast("int") + col("rep_ok").cast("int"))
           .withColumn("n_copies",
-            expr("CASE WHEN nq = 4 THEN 3 WHEN nq = 3 THEN 2 WHEN nq = 2 THEN 1 ELSE 0 END"))
+            expr(tierCaseSql))
           .filter(col("n_copies") >= 1)
           .select(col("doc_id"), col("n_copies"),
             explode(expr("sequence(1, n_copies)")).as("copy_idx"))
@@ -1020,7 +1027,7 @@ object Corpus2 {
               |(CASE WHEN len_ok THEN 1 ELSE 0 END) + (CASE WHEN stop_ok THEN 1 ELSE 0 END) +
               |(CASE WHEN toklen_ok THEN 1 ELSE 0 END) + (CASE WHEN rep_ok THEN 1 ELSE 0 END) AS nq FROM r),
               |c AS (SELECT doc_id,
-              |CASE WHEN nq = 4 THEN 3 WHEN nq = 3 THEN 2 WHEN nq = 2 THEN 1 ELSE 0 END AS n_copies FROM q),
+              |$tierCaseSql AS n_copies FROM q),
               |cp AS (SELECT doc_id, n_copies, unnest(generate_series(1, n_copies)) AS copy_idx
               |FROM c WHERE n_copies >= 1),
               |k AS (SELECT doc_id, CAST(n_copies AS BIGINT) AS n_copies,

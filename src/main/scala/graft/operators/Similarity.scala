@@ -259,16 +259,7 @@ object Similarity {
       // 100 TB the codebook is broadcast-trivial (32 doubles) and the
       // whole op is a single codegen'd projection — no shuffle at all.
       (s, dir) => {
-        val cbVals = pqCodebook.mkString(", ")
-        Tables.embeddings(s, dir)
-          .withColumn("cb", expr(s"array(${cbVals})"))
-          .withColumn("dmat", expr(
-            """transform(sequence(0, 7), m -> transform(sequence(0, 3), c ->
-              |aggregate(sequence(0, 7), 0D, (a, j) ->
-              |a + pow(CAST(embedding[m*8+j] AS DOUBLE) - cb[c*8+j], 2D))))"""
-              .stripMargin.replace("\n", " ")))
-          .withColumn("codes", expr(
-            "transform(dmat, d -> array_position(d, array_min(d)) - 1)"))
+        pqCodesDf(Tables.embeddings(s, dir))
           .withColumn("mse", expr(
             """aggregate(sequence(0, 7), 0D, (a, m) ->
               |a + aggregate(sequence(0, 7), 0D, (a2, j) ->
@@ -279,14 +270,7 @@ object Similarity {
             round(col("mse") * lit(1e6), 4).as("mse_e6"))
           .orderBy("vec_id")
       },
-      Some(s"""WITH cbv AS (SELECT [${pqCodebook.mkString(", ")}] AS cb),
-              |d AS (SELECT vec_id, embedding, cb,
-              |list_transform(generate_series(0, 7), m -> list_transform(generate_series(0, 3), c ->
-              |list_sum(list_transform(generate_series(1, 8), j ->
-              |pow(CAST(embedding[m*8+j] AS DOUBLE) - cb[c*8+j], 2))))) AS dmat
-              |FROM embeddings, cbv),
-              |k AS (SELECT vec_id, embedding, cb,
-              |list_transform(dmat, dd -> list_position(dd, list_min(dd)) - 1) AS codes FROM d)
+      Some(s"""WITH ${pqCodesDuckCte()}
               |SELECT vec_id,
               |array_to_string(list_transform(codes, c -> CAST(c AS VARCHAR)), '') AS codes_str,
               |round(list_sum(list_transform(generate_series(0, 7), m ->
@@ -348,7 +332,66 @@ object Similarity {
               |round(coalesce(CAST(1 AS DOUBLE) / (60 + t_rank), 0) +
               |coalesce(CAST(1 AS DOUBLE) / (60 + v_rank), 0), 6) AS rrf
               |FROM tr FULL OUTER JOIN vr ON tr.id = vr.id
-              |ORDER BY rrf DESC, id LIMIT 20""".stripMargin.replace("\n", " ")))
+              |ORDER BY rrf DESC, id LIMIT 20""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q134_adc_search",
+      // Asymmetric-distance search over QUANTIZED CODES (the ADC query
+      // pattern of Jégou et al. 2011, in its scalar / 1-dim-subspace
+      // form): each doc is stored as 64 3-bit codes — nearest of 8
+      // pinned levels per coordinate, 10.7× compression — and ranked
+      // for each query by Σ_j (q_j − level[code_j])², the exact query
+      // against the compressed corpus. The levels are DATA-INDEPENDENT:
+      // coordinates of ANY unit-normalized 64-dim embedding are
+      // ≈N(0, 1/√64), so Lloyd-Max-ish levels for that density work for
+      // every such corpus (this one's vectors are unit-norm, checked in
+      // SimilaritySpec). Unlike q57's deliberately coarse 4-centroid
+      // multi-dim PQ demo (whose pinned codebook can't fit 8-dim cells:
+      // recall ≈ 0.07 — measured, which is WHY real PQ trains per-
+      // subspace k-means), this is the honest pinned-codebook operating
+      // point: recall@10 ≈ 0.6-0.9 vs q50's exact ranking, asserted in
+      // SimilaritySpec. 100 TB shape: query time never reads the float
+      // vectors — a codes-only scan (24 B/vec) against a broadcast
+      // query; quantization itself is one codegen'd projection.
+      (s, dir) => {
+        val lv = adcLevels.mkString(", ")
+        val e = Tables.embeddings(s, dir)
+        val codes = e
+          .withColumn("lv", expr(s"array($lv)"))
+          .withColumn("codes", expr(
+            """transform(embedding, x ->
+              |array_position(transform(lv, l -> pow(CAST(x AS DOUBLE) - l, 2D)),
+              |array_min(transform(lv, l -> pow(CAST(x AS DOUBLE) - l, 2D)))) - 1)"""
+              .stripMargin.replace("\n", " ")))
+          .select(col("vec_id"), col("lv"), col("codes"))
+        val q = e.filter(col("vec_id").isInCollection(Seq(0L, 1L, 2L)))
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        val scored = codes.join(broadcast(q), col("vec_id") =!= col("qid"))
+          .withColumn("adist", round(expr(
+            """aggregate(sequence(0, 63), 0D, (a, j) ->
+              |a + pow(CAST(qe[j] AS DOUBLE) - lv[CAST(codes[j] AS INT)], 2D))"""
+              .stripMargin.replace("\n", " ")), 6))
+        val w = Window.partitionBy("qid").orderBy(col("adist"), col("vec_id"))
+        scored.withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 10)
+          .select("qid", "vec_id", "rn", "adist")
+          .orderBy("qid", "rn")
+      },
+      Some(s"""WITH lvv AS (SELECT [${adcLevels.mkString(", ")}] AS lv),
+              |k AS (SELECT vec_id, lv,
+              |list_transform(embedding, x ->
+              |list_position(list_transform(lv, l -> pow(CAST(x AS DOUBLE) - l, 2)),
+              |list_min(list_transform(lv, l -> pow(CAST(x AS DOUBLE) - l, 2)))) - 1) AS codes
+              |FROM embeddings, lvv),
+              |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id IN (0, 1, 2)),
+              |sc AS (SELECT qid, vec_id,
+              |round(list_sum(list_transform(generate_series(1, 64), j ->
+              |pow(CAST(qe[j] AS DOUBLE) - lv[codes[j] + 1], 2))), 6) AS adist
+              |FROM k, q WHERE vec_id <> qid),
+              |r AS (SELECT qid, vec_id, adist,
+              |row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS rn FROM sc)
+              |SELECT qid, vec_id, CAST(rn AS BIGINT) AS rn, adist
+              |FROM r WHERE rn <= 10 ORDER BY qid, rn""".stripMargin.replace("\n", " ")))
   )
 
   /** Pinned shared PQ codebook: K=4 centroids × 8 dims, flattened
@@ -357,4 +400,37 @@ object Similarity {
   private[graft] val pqCodebook: IndexedSeq[Double] =
     for (c <- 0 until 4; j <- 0 until 8)
       yield (((c * 8 + j) * 37 % 19) - 9) / 10.0
+
+  /** Pinned 8-level scalar codebook for q134's ADC search: Lloyd-Max-ish
+    * quantizer levels for the ≈N(0, 1/√64) coordinate density of
+    * unit-normalized 64-dim embeddings. Exact 3-decimal rationals so
+    * both engines materialize bit-identical doubles. */
+  private[graft] val adcLevels: IndexedSeq[Double] =
+    IndexedSeq(-0.26, -0.17, -0.10, -0.033, 0.033, 0.10, 0.17, 0.26)
+
+  /** embeddings → (vec_id, embedding, cb, codes): q57's PQ code
+    * assignment, factored out of the query body. */
+  private def pqCodesDf(e: DataFrame): DataFrame =
+    e.withColumn("cb", expr(s"array(${pqCodebook.mkString(", ")})"))
+      .withColumn("dmat", expr(
+        """transform(sequence(0, 7), m -> transform(sequence(0, 3), c ->
+          |aggregate(sequence(0, 7), 0D, (a, j) ->
+          |a + pow(CAST(embedding[m*8+j] AS DOUBLE) - cb[c*8+j], 2D))))"""
+          .stripMargin.replace("\n", " ")))
+      .withColumn("codes", expr(
+        "transform(dmat, d -> array_position(d, array_min(d)) - 1)"))
+      .drop("dmat")
+
+  /** DuckDB CTE chain ending in `${p}k(vec_id, embedding, cb, codes)` —
+    * the oracle twin of [[pqCodesDf]]. */
+  private def pqCodesDuckCte(p: String = ""): String =
+    s"""${p}cbv AS (SELECT [${pqCodebook.mkString(", ")}] AS cb),
+       |${p}d AS (SELECT vec_id, embedding, cb,
+       |list_transform(generate_series(0, 7), m -> list_transform(generate_series(0, 3), c ->
+       |list_sum(list_transform(generate_series(1, 8), j ->
+       |pow(CAST(embedding[m*8+j] AS DOUBLE) - cb[c*8+j], 2))))) AS dmat
+       |FROM embeddings, ${p}cbv),
+       |${p}k AS (SELECT vec_id, embedding, cb,
+       |list_transform(dmat, dd -> list_position(dd, list_min(dd)) - 1) AS codes FROM ${p}d)"""
+      .stripMargin.replace("\n", " ")
 }

@@ -214,4 +214,34 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     assert(got.exists { case (lo, hi, _, _) => lo == hi }, "no diagonal cell")
     assert(got.exists { case (lo, hi, _, _) => lo != hi }, "no cross-source cell")
   }
+
+  test("q133 audit rows agree with every stage's own published output") {
+    val got = SparkEntry.queries("q133_doc_audit")(spark, sfDir)
+      .select("doc_id", "gate_keep", "dup_of", "split", "epoch_tier", "kept")
+      .as[(Long, Boolean, Long, String, Long, Boolean)].collect()
+    assert(got.length == Tables.documents(spark, sfDir).count())
+    val keep = SparkEntry.queries("q100_quality_gate")(spark, sfDir)
+      .select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
+    val split = SparkEntry.queries("q95_split_assign")(spark, sfDir)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val pairs = SparkEntry.queries("q127_signal_fusion")(spark, sfDir)
+      .select("da", "db").as[(Long, Long)].collect()
+    val minPartner = (pairs ++ pairs.map(_.swap))
+      .filter { case (d, p) => p < d }
+      .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val tier = SparkEntry.queries("q130_epoch_mixing")(spark, sfDir)
+      .select("doc_id", "n_copies").as[(Long, Long)].collect().toMap
+    got.foreach { case (d, gk, dup, sp, et, kept) =>
+      assert(gk == keep(d), s"doc $d gate")
+      assert(dup == minPartner.getOrElse(d, -1L), s"doc $d dup_of")
+      assert(sp == split(d), s"doc $d split")
+      // q130 publishes only tiers >= 1; an absent doc means tier 0
+      assert(et == tier.getOrElse(d, 0L), s"doc $d tier")
+      assert(kept == (gk && dup == -1L), s"doc $d kept")
+    }
+    // the audit separates the failure modes on this corpus
+    assert(got.exists { case (_, gk, dup, _, _, _) => gk && dup != -1L },
+      "no doc dropped solely as a dup loser")
+    assert(got.exists { case (_, _, _, _, _, k) => k }, "nothing kept")
+  }
 }
