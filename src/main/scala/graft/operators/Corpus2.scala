@@ -1070,6 +1070,40 @@ object Corpus2 {
              |FROM documents)
              |SELECT doc_id, source, n_chars, pct,
              |pct >= 0.5 AS kept_local, n_chars >= gthr AS kept_global
-             |FROM p, g ORDER BY doc_id""".stripMargin.replace("\n", " ")))
+             |FROM p, g ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q135_weighted_sample",
+      // WEIGHTED sampling without replacement (Efraimidis & Spirakis,
+      // IPL 2006 — the distributed weighted reservoir): every doc gets
+      // key = ln(u)/w with u a content-hash uniform and w = its token
+      // count; the global top-50 by key IS an exact weighted sample
+      // without replacement. Longer docs are proportionally likelier,
+      // yet no rand() appears: u derives from md5(doc_id) (q104's
+      // hex-fold trick), so the sample is identical under
+      // repartitioning, re-ingestion order, and cluster resize — and
+      // ORACLE-CHECKABLE, which rand(seed) never is cross-engine. Keys
+      // round to 8dp before ranking (engine-portable ln), doc_id
+      // tie-break. 100 TB shape: one scan expression + top-k
+      // (TakeOrderedAndProject) — no shuffle of the corpus, the same
+      // plan family as q112's uniform variant.
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("doc_id"), size(expr(toksExpr)).cast("long").as("n_toks"))
+          .filter(col("n_toks") > 0)
+          .withColumn("hx", expr("substr(md5(CAST(doc_id AS STRING)), 1, 8)"))
+          .withColumn("u",
+            (expr(Corpus.hexFoldSpark("hx", 8)).cast("double") + lit(0.5)) / lit(4294967296.0))
+          .withColumn("skey", round(expr("ln(u) / n_toks"), 8))
+          .select("doc_id", "n_toks", "skey")
+          .orderBy(col("skey").desc, col("doc_id")).limit(50),
+      Some(s"""WITH t AS (SELECT doc_id, CAST(len($toksDuck) AS BIGINT) AS n_toks FROM documents),
+              |h AS (SELECT doc_id, n_toks,
+              |substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS hx FROM t WHERE n_toks > 0),
+              |k AS (SELECT doc_id, n_toks,
+              |round(ln((${Corpus.hexFoldDuck("hx", 8)} + 0.5) / 4294967296.0) / n_toks, 8) AS skey
+              |FROM h)
+              |SELECT doc_id, n_toks, skey FROM k
+              |ORDER BY skey DESC, doc_id LIMIT 50""".stripMargin.replace("\n", " ")))
   )
 }

@@ -537,4 +537,27 @@ class Corpus2Spec extends AnyFunSuite with SparkSuite {
     assert(got.exists { case (_, _, _, _, kl, kg) => kl != kg },
       "local and global gates never disagree — corpus can't show the effect")
   }
+
+  test("q135 weighted sample: exact Efraimidis-Spirakis recompute, and weighting is real") {
+    val got = SparkEntry.queries("q135_weighted_sample")(spark, sfDir)
+      .select("doc_id", "n_toks", "skey").as[(Long, Long, Double)].collect()
+    assert(got.length == 50)
+    val toks = Tables.documents(spark, sfDir)
+      .select($"doc_id", size(expr(operators.TextAnalytics.toksExpr)).cast("long"))
+      .as[(Long, Long)].collect().filter(_._2 > 0)
+    val expected = toks.map { case (d, n) =>
+      val hx = md5hex(d.toString).take(8)
+      val u = (java.lang.Long.parseLong(hx, 16) + 0.5) / 4294967296.0
+      (d, n, math.rint(math.log(u) / n * 1e8) / 1e8)
+    }.sortBy { case (d, _, k) => (-k, d) }.take(50)
+    assert(got.toSeq == expected.toSeq,
+      s"got=${got.take(3).toSeq} expected=${expected.take(3).toSeq}")
+    // without replacement + the weight matters: the sample's mean token
+    // count exceeds the corpus mean (longer docs proportionally likelier)
+    assert(got.map(_._1).distinct.length == 50)
+    val sampleMean = got.map(_._2).sum.toDouble / 50
+    val corpusMean = toks.map(_._2).sum.toDouble / toks.length
+    assert(sampleMean > corpusMean,
+      s"sample mean $sampleMean not above corpus mean $corpusMean")
+  }
 }

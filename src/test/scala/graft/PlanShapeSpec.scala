@@ -23,6 +23,12 @@ class PlanShapeSpec extends AnyFunSuite with SparkSuite {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
+  test("q135 weighted sample is a scan + TakeOrderedAndProject — the corpus never shuffles") {
+    val p = plan("q135_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("Exchange hashpartitioning"), p.take(600))
+  }
+
   test("q02 scan prunes to the projected columns") {
     val p = plan("q02_filter_topk")
     assert(p.contains("ReadSchema"))
