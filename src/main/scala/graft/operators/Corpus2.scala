@@ -1104,6 +1104,38 @@ object Corpus2 {
               |round(ln((${Corpus.hexFoldDuck("hx", 8)} + 0.5) / 4294967296.0) / n_toks, 8) AS skey
               |FROM h)
               |SELECT doc_id, n_toks, skey FROM k
-              |ORDER BY skey DESC, doc_id LIMIT 50""".stripMargin.replace("\n", " ")))
+              |ORDER BY skey DESC, doc_id LIMIT 50""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q136_shard_manifest",
+      // SHARD MANIFEST — the integrity artifact a 100 TB writer publishes
+      // next to the data: per output shard (q109's LPT assignment, the
+      // SAME factored shardOf), the doc count, token total, id range,
+      // and an ORDER-INDEPENDENT content checksum — bit_xor of a 60-bit
+      // hash of each doc's text — so any reader (or a re-run on a
+      // different cluster) can verify a shard without sorting it: XOR
+      // commutes, so partition order, task retries, and merge order
+      // can't change the value, and one flipped/missing/duplicated doc
+      // does. Scale shape: one scan + the q109 range exchange + one
+      // per-shard aggregate; the manifest is ≤ |shards| rows.
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            size(expr(toksExpr)).cast("long").as("n_toks"),
+            expr(Corpus.hexFoldSpark("substr(md5(text), 1, 15)", 15)).as("h"))
+        shardOf(docs, 8)
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("total_toks"),
+            expr("bit_xor(h)").as("checksum"),
+            min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+          .orderBy("shard")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, CAST(len($toksDuck) AS BIGINT) AS n_toks,
+              |${Corpus.hexFoldDuck("substr(md5(text), 1, 15)", 15)} AS h FROM documents),
+              |r AS (SELECT doc_id, n_toks, h,
+              |CAST((row_number() OVER (ORDER BY n_toks DESC, doc_id) - 1) % 8 AS BIGINT) AS shard FROM t)
+              |SELECT shard, count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS total_toks,
+              |bit_xor(h) AS checksum, min(doc_id) AS min_doc, max(doc_id) AS max_doc
+              |FROM r GROUP BY 1 ORDER BY shard""".stripMargin.replace("\n", " ")))
   )
 }

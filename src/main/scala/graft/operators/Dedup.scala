@@ -523,7 +523,8 @@ object Dedup {
           .unionByName(lab.select(col("src_lo"), col("src_hi"), col("db").as("d")))
           .groupBy("src_lo", "src_hi")
           .agg(countDistinct(col("d")).as("n_docs"))
-        cells.join(docs, Seq("src_lo", "src_hi"))
+        // both sides are ≤ |sources|² aggregate rows — broadcast, never SMJ
+        cells.join(broadcast(docs), Seq("src_lo", "src_hi"))
           .orderBy("src_lo", "src_hi")
       },
       Some(s"""WITH ${lshPairsDuckCte("l_")},

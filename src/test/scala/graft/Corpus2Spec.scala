@@ -560,4 +560,30 @@ class Corpus2Spec extends AnyFunSuite with SparkSuite {
     assert(sampleMean > corpusMean,
       s"sample mean $sampleMean not above corpus mean $corpusMean")
   }
+
+  test("q136 manifest: exact local recompute; checksum is order-independent and tamper-evident") {
+    val got = SparkEntry.queries("q136_shard_manifest")(spark, sfDir)
+      .select("shard", "n_docs", "total_toks", "checksum", "min_doc", "max_doc")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.map(_._1).toSeq == (0L until 8L).toSeq)
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", size(expr(operators.TextAnalytics.toksExpr)).cast("long"), $"text")
+      .as[(Long, Long, String)].collect()
+    def h(text: String): Long =
+      java.lang.Long.parseLong(md5hex(text).take(15), 16)
+    // the LPT assignment: rank by (n_toks desc, doc_id), deal % 8
+    val assigned = docs.sortBy { case (d, n, _) => (-n, d) }
+      .zipWithIndex.map { case ((d, n, t), i) => (i % 8, d, n, h(t)) }
+    val expected = assigned.groupBy(_._1).toSeq.sortBy(_._1).map { case (s, rows) =>
+      (s.toLong, rows.length.toLong, rows.map(_._3).sum,
+        rows.map(_._4).reduce(_ ^ _), rows.map(_._2).min, rows.map(_._2).max)
+    }
+    assert(got.toSeq == expected, s"got=${got.head} expected=${expected.head}")
+    // order-independence: XOR over any permutation is the same value
+    val shard0 = assigned.filter(_._1 == 0)
+    assert(shard0.reverse.map(_._4).reduce(_ ^ _) == got(0)._4)
+    // tamper-evidence: flipping one doc's content changes its shard's checksum
+    val tampered = shard0.map(_._4).updated(0, h("tampered")).reduce(_ ^ _)
+    assert(tampered != got(0)._4)
+  }
 }
