@@ -137,20 +137,24 @@ object Dedup {
     * its final SELECT from the same `inter`/`sz` CTEs). The optional
     * prefix namespaces every CTE so multiple pair relations can share
     * one WITH clause (q127's fusion) without name collisions. */
-  private[operators] def lshPairsDuckCte(p: String = ""): String =
+  private[operators] def lshPairsDuckCte(
+      p: String = "",
+      pairCond: String = "a.doc_id < b.doc_id",
+      thr: String = "0.9"): String =
     s"""${p}t AS (SELECT doc_id, list_distinct($toksDuck) AS w FROM documents),
        |${p}sigs AS (SELECT doc_id, list_transform(generate_series(0, 5), i ->
        |list_min(list_transform(w, u -> md5(CAST(i AS VARCHAR) || ':' || u)))) AS sigs FROM ${p}t),
        |${p}sig AS (SELECT doc_id, b AS band, md5(sigs[2*b+1] || '|' || sigs[2*b+2]) AS h
        |FROM ${p}sigs, LATERAL (SELECT unnest(generate_series(0, 2)) AS b) g),
        |${p}cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db FROM ${p}sig a
-       |JOIN ${p}sig b ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id),
+       |JOIN ${p}sig b ON a.band = b.band AND a.h = b.h AND $pairCond),
        |${p}sh AS (SELECT doc_id, unnest(w) AS s FROM ${p}t),
        |${p}sz AS (SELECT doc_id, count(*) AS n FROM ${p}sh GROUP BY 1),
        |${p}inter AS (SELECT da, db, count(*) AS i FROM ${p}cand
        |JOIN ${p}sh sa ON da = sa.doc_id JOIN ${p}sh sb ON db = sb.doc_id AND sa.s = sb.s GROUP BY 1, 2),
-       |${p}pairs AS (SELECT da, db FROM ${p}inter JOIN ${p}sz za ON da = za.doc_id JOIN ${p}sz zb ON db = zb.doc_id
-       |WHERE round(i * 1.0 / (za.n + zb.n - i), 4) >= 0.9)""".stripMargin.replace("\n", " ")
+       |${p}pairs AS (SELECT da, db, round(i * 1.0 / (za.n + zb.n - i), 4) AS jaccard
+       |FROM ${p}inter JOIN ${p}sz za ON da = za.doc_id JOIN ${p}sz zb ON db = zb.doc_id
+       |WHERE round(i * 1.0 / (za.n + zb.n - i), 4) >= $thr)""".stripMargin.replace("\n", " ")
 
   /** Incremental near-dup dedup — the shape a GROWING 100 TB corpus
     * actually runs: the store's band table is a persisted index that is
@@ -546,7 +550,49 @@ object Dedup {
               |UNION ALL SELECT src_lo, src_hi, db FROM p) z GROUP BY 1, 2)
               |SELECT c.src_lo, c.src_hi, n_pairs, n_docs
               |FROM c JOIN d USING (src_lo, src_hi)
-              |ORDER BY src_lo, src_hi""".stripMargin.replace("\n", " ")))
+              |ORDER BY src_lo, src_hi""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q137_neardup_decontaminate",
+      // NEAR-DUP eval decontamination — the third rung of the
+      // contamination ladder (q97 exact fingerprints → q107 n-gram
+      // overlap → this): training docs whose token-set Jaccard with ANY
+      // eval doc reaches 0.8 are paraphrase-level leaks that exact and
+      // n-gram checks miss; they are found with the SAME banded LSH the
+      // dedup family uses (one band table over the whole corpus, the
+      // train×eval pair condition applied INSIDE the bucket join — no
+      // second signature pass, never a cross product) and verified at
+      // true Jaccard. Output: every training doc with its eval-match
+      // count, best Jaccard, and the keep verdict. The 0.8 threshold is
+      // deliberately below dedup's 0.9 — decontamination trades recall
+      // for precision the other way. Eval set = doc_id % 10 = 1 (the
+      // fixture rule; production passes its eval fingerprint table).
+      (s, dir) => {
+        val t = tokenSets(s, dir)
+        val bands = bandHashes(t.withColumn("sigs", sigsCol))
+        val cand = bucketPairs(bands,
+          (da, db) => (da % 10 =!= 1) && (db % 10 === 1))
+        val hits = jaccardOfCandidates(cand, t).filter(col("jaccard") >= 0.8)
+          .groupBy("da")
+          .agg(count(lit(1)).as("n_eval_matches"), max("jaccard").as("mj"))
+          .withColumnRenamed("da", "doc_id")
+        Tables.documents(s, dir).filter(col("doc_id") % 10 =!= 1)
+          .select("doc_id")
+          .join(hits, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_eval_matches"), lit(0L)).as("n_eval_matches"),
+            coalesce(col("mj"), lit(-1.0)).as("max_jaccard"),
+            col("mj").isNull.as("kept"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH ${lshPairsDuckCte("", "a.doc_id % 10 <> 1 AND b.doc_id % 10 = 1", "0.8")},
+              |hits AS (SELECT da, CAST(count(*) AS BIGINT) AS n_eval_matches,
+              |max(jaccard) AS mj FROM pairs GROUP BY 1),
+              |tr AS (SELECT doc_id FROM documents WHERE doc_id % 10 <> 1)
+              |SELECT tr.doc_id, coalesce(n_eval_matches, 0) AS n_eval_matches,
+              |coalesce(mj, -1.0) AS max_jaccard, mj IS NULL AS kept
+              |FROM tr LEFT JOIN hits ON tr.doc_id = hits.da
+              |ORDER BY tr.doc_id""".stripMargin.replace("\n", " ")))
   )
 
   /** The q44 pipeline up to (but not including) its final ORDER BY:

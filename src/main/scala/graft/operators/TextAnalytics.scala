@@ -492,6 +492,61 @@ object TextAnalytics {
              |len(list_filter(string_split(text, ' '), x -> x <> '')) AS ws_tokens,
              |len(list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9]+'), x -> x <> '')) AS re_tokens,
              |CAST(ceil(length(text) / 4.0) AS BIGINT) AS approx_bpe
-             |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " ")))
+             |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q138_retrieval_ndcg",
+      // OFFLINE RETRIEVAL EVAL — nDCG@10 of the q59 BM25 ranking (the
+      // SAME factored bm25Scores body), judged by graded term-presence
+      // relevance (rel = how many of the 3 query terms the doc's token
+      // set contains, 0-3): DCG@10 over the ranking, IDCG@10 over the
+      // ideal rel-desc ordering, their ratio. The metric pipeline every
+      // retrieval stack ships next to its index build — computed
+      // relationally so a 100 TB eval is two top-10s (TakeOrdered) and
+      // two 10-row ordered folds (the repo's float discipline: sums
+      // fold over rank-sorted lists, never an unordered float agg).
+      (s, dir) => {
+        val terms = Seq("scan", "join", "filter")
+        val docs = Tables.documents(s, dir)
+        val rel = docs
+          .select(col("doc_id"), expr(s"array_distinct($toksExpr)").as("w"))
+          .select(col("doc_id"),
+            terms.map(t => expr(s"CASE WHEN array_contains(w, '$t') THEN 1L ELSE 0L END"))
+              .reduce(_ + _).as("rel"))
+        val ranked = bm25Scores(docs, terms)
+          .orderBy(col("bm25").desc, col("doc_id")).limit(10)
+          .withColumn("rank", row_number().over(
+            org.apache.spark.sql.expressions.Window.orderBy(col("bm25").desc, col("doc_id"))).cast("long"))
+          .join(rel, "doc_id")
+          .withColumn("contrib", expr("rel / log2(rank + 1.0D)"))
+        val ideal = rel.orderBy(col("rel").desc, col("doc_id")).limit(10)
+          .withColumn("rank", row_number().over(
+            org.apache.spark.sql.expressions.Window.orderBy(col("rel").desc, col("doc_id"))).cast("long"))
+          .withColumn("contrib", expr("rel / log2(rank + 1.0D)"))
+        val dcg = ranked.agg(expr(
+          "round(aggregate(array_sort(collect_list(struct(rank, contrib))), 0D, (a, x) -> a + x.contrib), 6)")
+          .as("dcg"))
+        val idcg = ideal.agg(expr(
+          "round(aggregate(array_sort(collect_list(struct(rank, contrib))), 0D, (a, x) -> a + x.contrib), 6)")
+          .as("idcg"))
+        dcg.crossJoin(idcg)
+          .select(col("dcg"), col("idcg"),
+            round(col("dcg") / col("idcg"), 6).as("ndcg"))
+      },
+      Some(s"""WITH ${bm25DuckCte(Seq("scan", "join", "filter"))},
+              |rel AS (SELECT doc_id,
+              |(CASE WHEN list_contains(list_distinct($toksDuck), 'scan') THEN 1 ELSE 0 END) +
+              |(CASE WHEN list_contains(list_distinct($toksDuck), 'join') THEN 1 ELSE 0 END) +
+              |(CASE WHEN list_contains(list_distinct($toksDuck), 'filter') THEN 1 ELSE 0 END) AS rel
+              |FROM documents),
+              |ranked AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rank
+              |FROM (SELECT doc_id, bm25 FROM bm ORDER BY bm25 DESC, doc_id LIMIT 10) z),
+              |rc AS (SELECT rank, rel / log2(rank + 1.0) AS contrib FROM ranked JOIN rel USING (doc_id)),
+              |ideal AS (SELECT doc_id, rel, CAST(row_number() OVER (ORDER BY rel DESC, doc_id) AS BIGINT) AS rank
+              |FROM (SELECT doc_id, rel FROM rel ORDER BY rel DESC, doc_id LIMIT 10) z),
+              |ic AS (SELECT rank, rel / log2(rank + 1.0) AS contrib FROM ideal),
+              |d AS (SELECT round(list_sum(list(contrib ORDER BY rank)), 6) AS dcg FROM rc),
+              |i AS (SELECT round(list_sum(list(contrib ORDER BY rank)), 6) AS idcg FROM ic)
+              |SELECT dcg, idcg, round(dcg / idcg, 6) AS ndcg FROM d, i""".stripMargin.replace("\n", " ")))
   )
 }

@@ -244,4 +244,39 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
       "no doc dropped solely as a dup loser")
     assert(got.exists { case (_, _, _, _, _, k) => k }, "nothing kept")
   }
+
+  test("q137 near-dup decon: no false flags, claimed jaccards are real, recall ≥ 0.8 vs brute force") {
+    val got = SparkEntry.queries("q137_neardup_decontaminate")(spark, sfDir)
+      .select("doc_id", "n_eval_matches", "max_jaccard", "kept")
+      .as[(Long, Long, Double, Boolean)].collect()
+    val toks = Tables.documents(spark, sfDir)
+      .select($"doc_id", expr(s"array_distinct(${operators.TextAnalytics.toksExpr})"))
+      .as[(Long, Seq[String])].collect().map { case (d, w) => d -> w.toSet }.toMap
+    val evalIds = toks.keys.filter(_ % 10 == 1).toSeq
+    def jac(a: Set[String], b: Set[String]): Double = {
+      val i = (a & b).size
+      math.rint(i * 1.0 / (a.size + b.size - i) * 1e4) / 1e4
+    }
+    assert(got.length == toks.keys.count(_ % 10 != 1))
+    val bruteFlagged = got.map(_._1).filter { d =>
+      evalIds.exists(e => jac(toks(d), toks(e)) >= 0.8)
+    }.toSet
+    got.foreach { case (d, n, mj, kept) =>
+      assert(kept == (n == 0L) && kept == (mj == -1.0), s"doc $d flag coherence")
+      if (!kept) {
+        // the claimed best jaccard is a REAL verified value for some eval doc
+        val true_ = evalIds.map(e => jac(toks(d), toks(e)))
+        assert(true_.contains(mj) && mj >= 0.8, s"doc $d claimed $mj not real")
+        assert(bruteFlagged(d), s"doc $d flagged but brute force disagrees")
+      }
+    }
+    // non-vacuity + measured LSH recall at j=0.8 (b=3/r=2 predicts 0.953)
+    val flagged = got.filter(!_._4).map(_._1).toSet
+    assert(flagged.nonEmpty, "no contamination found — corpus can't show the op")
+    // (no upper cap: this corpus embeds heavy near-duplication by design —
+    // 286/450 train docs DO have an eval near-dup, each one brute-verified above)
+    assert(flagged.size < got.length, "everything flagged")
+    val recall = flagged.size.toDouble / bruteFlagged.size
+    assert(recall >= 0.8, s"recall $recall vs brute-force ${bruteFlagged.size}")
+  }
 }

@@ -62,4 +62,29 @@ class TextAnalyticsSpec extends AnyFunSuite with SparkSuite {
     val n = Tables.documents(spark, sfDir).count()
     assert(got.forall(_._2 <= 3 * 2.2 * math.log(n + 1.0)))
   }
+
+  test("q138 nDCG@10 matches a local recomputation from q59's own ranking") {
+    val Array((dcg, idcg, ndcg)) = SparkEntry.queries("q138_retrieval_ndcg")(spark, sfDir)
+      .as[(Double, Double, Double)].collect()
+    // Relevance = graded term presence, recomputed locally per doc.
+    val terms = Set("scan", "join", "filter")
+    val rel = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        expr("array_distinct(filter(split(lower(text), ' '), x -> x <> ''))").as("w"))
+      .as[(Long, Seq[String])].collect()
+      .map { case (d, w) => d -> terms.count(w.contains).toLong }.toMap
+    // The ranking under judgment is q59's published BM25 order, top-10.
+    val top10 = SparkEntry.queries("q59_bm25")(spark, sfDir)
+      .select("doc_id", "bm25").as[(Long, Double)].collect()
+      .sortBy { case (d, s) => (-s, d) }.take(10).map(_._1)
+    def fold(rels: Seq[Long]): Double =
+      math.rint(rels.zipWithIndex.map { case (r, i) =>
+        r / (math.log(i + 2.0) / math.log(2.0))
+      }.sum * 1e6) / 1e6
+    val d = fold(top10.toIndexedSeq.map(rel))
+    val i = fold(rel.toSeq.sortBy { case (id, r) => (-r, id) }.take(10).map(_._2))
+    assert(dcg == d, s"dcg $dcg vs local $d")
+    assert(idcg == i, s"idcg $idcg vs local $i")
+    assert(ndcg == math.rint(d / i * 1e6) / 1e6 && ndcg > 0 && ndcg <= 1.0)
+  }
 }
