@@ -1136,6 +1136,44 @@ object Corpus2 {
               |CAST((row_number() OVER (ORDER BY n_toks DESC, doc_id) - 1) % 8 AS BIGINT) AS shard FROM t)
               |SELECT shard, count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS total_toks,
               |bit_xor(h) AS checksum, min(doc_id) AS min_doc, max(doc_id) AS max_doc
-              |FROM r GROUP BY 1 ORDER BY shard""".stripMargin.replace("\n", " ")))
+              |FROM r GROUP BY 1 ORDER BY shard""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q139_sequence_packing",
+      // SEQUENCE PACKING — the step between selection and the training
+      // loop: documents are concatenated in a content-hash-shuffled
+      // deterministic order (q130's layout rule) and cut into fixed
+      // 512-token training sequences (the GPT-style concatenate-and-
+      // split packer — zero padding by construction; a doc crossing a
+      // cut boundary is split across consecutive sequences). Per doc:
+      // its first sequence, the offset where it starts inside it, and
+      // how many cut boundaries fall inside it. The running token total
+      // is Indexing.globalPrefixSum's two-pass range exchange — never a
+      // single-partition window — so the packing layout is identical
+      // under repartitioning, task retries, and cluster resize, and an
+      // incremental run appending docs only ever extends the tail.
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), size(expr(toksExpr)).cast("long").as("n_toks"))
+          .filter(col("n_toks") > 0L)
+          .withColumn("sk", md5(col("doc_id").cast("string")))
+        Indexing.globalPrefixSum(docs, Seq(col("sk"), col("doc_id")), col("n_toks"))
+          .withColumn("start", col("run") - col("n_toks"))
+          .select(col("doc_id"), col("n_toks"),
+            expr("start DIV 512").as("seq_first"),
+            expr("(run - 1) DIV 512").as("seq_last"),
+            (col("start") % 512L).as("seq_offset"))
+          .withColumn("n_cuts", col("seq_last") - col("seq_first"))
+          .orderBy("seq_first", "seq_offset", "doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, CAST(len($toksDuck) AS BIGINT) AS n_toks,
+              |md5(CAST(doc_id AS VARCHAR)) AS sk FROM documents WHERE len($toksDuck) > 0),
+              |r AS (SELECT doc_id, n_toks,
+              |CAST(sum(n_toks) OVER (ORDER BY sk, doc_id
+              |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run FROM t),
+              |p AS (SELECT doc_id, n_toks, run, run - n_toks AS start FROM r)
+              |SELECT doc_id, n_toks, start // 512 AS seq_first, (run - 1) // 512 AS seq_last,
+              |start % 512 AS seq_offset, (run - 1) // 512 - start // 512 AS n_cuts
+              |FROM p ORDER BY seq_first, seq_offset, doc_id""".stripMargin.replace("\n", " ")))
   )
 }

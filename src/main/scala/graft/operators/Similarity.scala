@@ -391,7 +391,61 @@ object Similarity {
               |r AS (SELECT qid, vec_id, adist,
               |row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS rn FROM sc)
               |SELECT qid, vec_id, CAST(rn AS BIGINT) AS rn, adist
-              |FROM r WHERE rn <= 10 ORDER BY qid, rn""".stripMargin.replace("\n", " ")))
+              |FROM r WHERE rn <= 10 ORDER BY qid, rn""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q140_hard_negatives",
+      // HARD-NEGATIVE MINING — the training-data op for contrastive /
+      // reranker fine-tuning: for each query doc, the top-5 most
+      // cosine-similar corpus docs that are NOT near-duplicates of it
+      // under ANY fused dedup signal (q127's consolidated relation —
+      // token LSH ∪ embedding anchor ∪ verbatim spans). Near-dups are
+      // false negatives that poison a contrastive loss; everything
+      // similar-but-distinct below them is exactly the "hard" part of
+      // the batch. The dup partners of a bounded query set are bounded,
+      // so the exclusion is a broadcast anti-join on the scored scan —
+      // the corpus itself never shuffles (q50's shape + one anti-join),
+      // and each signal relation is the same factored body its own
+      // oracled query declares.
+      (s, dir) => {
+        val qids = Seq(0L, 1L, 2L)
+        val e = withNorm(Tables.embeddings(s, dir))
+        val q = e.filter(col("vec_id").isInCollection(qids))
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
+        val dups = Dedup.signalUnion(s, dir).select("da", "db").distinct()
+        val dupsSym = dups
+          .unionByName(dups.select(col("db").as("da"), col("da").as("db")))
+          .select(col("da").as("qid"), col("db").as("vec_id"))
+          .filter(col("qid").isInCollection(qids))
+        val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+          .withColumn("cos",
+            round(vecDot(col("embedding"), col("qe")) / (col("nrm") * col("qn")), 6))
+          .join(broadcast(dupsSym), Seq("qid", "vec_id"), "left_anti")
+        val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+        scored.withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 5)
+          .select("qid", "vec_id", "rn", "cos")
+          .orderBy("qid", "rn")
+      },
+      Some(s"""WITH ${Dedup.lshPairsDuckCte("l_")},
+              |${Dedup.embPairsDuckCte("e_")},
+              |${Corpus2.sharedSpansDuckCte("v_")},
+              |v_p AS (SELECT doc_a AS da, doc_b AS db FROM v_spans
+              |GROUP BY 1, 2 HAVING max(span) >= 12),
+              |u AS (SELECT DISTINCT da, db FROM
+              |(SELECT da, db FROM l_pairs
+              |UNION ALL SELECT va, vb FROM e_pairs
+              |UNION ALL SELECT da, db FROM v_p) z),
+              |dup AS (SELECT da AS qid, db AS vid FROM u UNION SELECT db, da FROM u),
+              |ee AS (SELECT vec_id, embedding, ${duckNorm("embedding")} AS nrm FROM embeddings),
+              |qq AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM ee WHERE vec_id IN (0, 1, 2)),
+              |sc AS (SELECT qid, vec_id, round(${duckDot("ee.embedding", "qe")} / (nrm * qn), 6) AS cos
+              |FROM ee, qq WHERE vec_id <> qid
+              |AND NOT EXISTS (SELECT 1 FROM dup WHERE dup.qid = qq.qid AND dup.vid = ee.vec_id)),
+              |rr AS (SELECT qid, vec_id, cos,
+              |row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn FROM sc)
+              |SELECT qid, vec_id, CAST(rn AS BIGINT) AS rn, cos
+              |FROM rr WHERE rn <= 5 ORDER BY qid, rn""".stripMargin.replace("\n", " ")))
   )
 
   /** Pinned shared PQ codebook: K=4 centroids × 8 dims, flattened

@@ -586,4 +586,44 @@ class Corpus2Spec extends AnyFunSuite with SparkSuite {
     val tampered = shard0.map(_._4).updated(0, h("tampered")).reduce(_ ^ _)
     assert(tampered != got(0)._4)
   }
+
+  test("q139 packing: exact local replay; sequences are full (zero padding) except the tail") {
+    val got = SparkEntry.queries("q139_sequence_packing")(spark, sfDir)
+      .select("doc_id", "n_toks", "seq_first", "seq_last", "seq_offset", "n_cuts")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    val toks = Tables.documents(spark, sfDir)
+      .select($"doc_id", size(expr(operators.TextAnalytics.toksExpr)).cast("long"))
+      .as[(Long, Long)].collect().filter(_._2 > 0)
+    // local replay of the packer: hash-shuffled order, concatenate, cut at 512
+    val ordered = toks.sortBy { case (d, _) => (md5hex(d.toString), d) }
+    var run = 0L
+    val expected = ordered.map { case (d, n) =>
+      val start = run; run += n
+      (d, n, start / 512, (run - 1) / 512, start % 512, (run - 1) / 512 - start / 512)
+    }
+    assert(got.sortBy(_._1).toSeq == expected.sortBy(_._1).toSeq)
+    // the doc intervals partition [0, total): every sequence below the
+    // last holds exactly 512 tokens — zero padding by construction
+    val total = toks.map(_._2).sum
+    assert(run == total)
+    val perSeq = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    var pos = 0L
+    expected.foreach { case (_, n, _, _, _, _) =>
+      var rem = n
+      while (rem > 0) {
+        val s = pos / 512
+        val take = math.min(rem, (s + 1) * 512 - pos)
+        perSeq(s) += take; pos += take; rem -= take
+      }
+    }
+    val last = (total - 1) / 512
+    perSeq.toSeq.sortBy(_._1).foreach { case (s, t) =>
+      if (s < last) assert(t == 512L, s"seq $s holds $t tokens")
+    }
+    assert(perSeq(last) == total - last * 512)
+    // a doc's cut count is exactly the boundaries interior to its span
+    got.foreach { case (_, n, sf, sl, off, cuts) =>
+      assert(cuts == sl - sf && cuts == (off + n - 1) / 512)
+    }
+  }
 }

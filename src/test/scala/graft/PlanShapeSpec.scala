@@ -109,7 +109,8 @@ class PlanShapeSpec extends AnyFunSuite with SparkSuite {
     assert(p.contains("rangepartitioning") || p.contains("RangePartitioning"), p.take(800))
     // same contract for the running-sum primitive (q103) and the shard
     // ranking built on globalIndex (q109)
-    Seq("q103_token_budget", "q109_shard_assign", "q130_epoch_mixing").foreach { name =>
+    Seq("q103_token_budget", "q109_shard_assign", "q130_epoch_mixing",
+        "q139_sequence_packing").foreach { name =>
       val pp = plan(name)
       assert(!pp.contains("SinglePartition"),
         s"$name funnels the corpus through one task:\n${pp.take(800)}")

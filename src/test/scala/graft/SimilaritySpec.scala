@@ -134,4 +134,37 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     recalls.foreach(r => assert(r >= 0.5, s"recall $r below floor; all=$recalls"))
     assert(recalls.sum / recalls.size >= 0.6, s"mean recall ${recalls.sum / recalls.size}")
   }
+
+  test("q140 hard negatives: exact non-dup top-5 per query, and the dup exclusion bites") {
+    val got = SparkEntry.queries("q140_hard_negatives")(spark, sfDir)
+      .select("qid", "vec_id", "rn", "cos").as[(Long, Long, Long, Double)].collect()
+    val emb = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val d = a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x.toDouble * y.toDouble }
+      def n(v: Seq[Float]) = math.sqrt(v.foldLeft(0.0)((s, x) => s + x.toDouble * x.toDouble))
+      r6(d / (n(a) * n(b)))
+    }
+    // the exclusion relation is q127's own published fused pair set
+    val dup = SparkEntry.queries("q127_signal_fusion")(spark, sfDir)
+      .select("da", "db").as[(Long, Long)].collect()
+      .flatMap { case (a, b) => Seq(a -> b, b -> a) }.toSet
+    val qids = Seq(0L, 1L, 2L)
+    val expected = qids.flatMap { q =>
+      emb.keys.toSeq.filter(v => v != q && !dup((q, v)))
+        .map(v => (v, cos(emb(q), emb(v))))
+        .sortBy { case (v, c) => (-c, v) }.take(5)
+        .zipWithIndex.map { case ((v, c), i) => (q, v, i + 1L, c) }
+    }
+    assert(got.toSeq == expected)
+    got.foreach { case (q, v, _, _) => assert(!dup((q, v)), s"($q,$v) is a near-dup") }
+    // non-vacuity: at least one query's UNFILTERED top-5 contains a
+    // near-dup (so excluding dups actually changed the mined batch)
+    val shifted = qids.exists { q =>
+      emb.keys.toSeq.filter(_ != q).map(v => (v, cos(emb(q), emb(v))))
+        .sortBy { case (v, c) => (-c, v) }.take(5).exists { case (v, _) => dup((q, v)) }
+    }
+    assert(shifted, "no dup in any unfiltered top-5 — exclusion vacuous on this corpus")
+  }
 }
