@@ -65,6 +65,38 @@ object StatefulOps {
       }
   }
 
+  final case class DocShard(doc_id: Long, n_toks: Long, h: Long, shard: Long)
+  final case class ShardManifest(shard: Long, n_docs: Long, total_toks: Long,
+      checksum: Long, min_doc: Long, max_doc: Long)
+
+  /** Streaming twin of q136's shard manifest: the per-shard integrity
+    * record maintained INCREMENTALLY as documents stream in. Every field
+    * is a commutative monoid (count, sum, bit-XOR, min, max) — which is
+    * exactly WHY q136 chose bit_xor for its content checksum — so any
+    * micro-batch split and any arrival order settle to the same final
+    * manifest as one batch pass (StatefulStreamingSpec replays the
+    * corpus as single-file micro-batches and proves it). The shard key
+    * must be stream-computable (content/id-derived, e.g. doc_id % n) —
+    * q136's LPT ranking needs the whole corpus and stays batch-side.
+    * State per shard is five longs; emitted once per shard per batch. */
+  def manifestStream(docs: Dataset[DocShard]): Dataset[ShardManifest] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.shard)
+      .flatMapGroupsWithState[ShardManifest, ShardManifest](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (shard: Long, rows: Iterator[DocShard], state: GroupState[ShardManifest]) =>
+          var m = state.getOption.getOrElse(
+            ShardManifest(shard, 0L, 0L, 0L, Long.MaxValue, Long.MinValue))
+          rows.foreach { d =>
+            m = ShardManifest(shard, m.n_docs + 1L, m.total_toks + d.n_toks,
+              m.checksum ^ d.h,
+              math.min(m.min_doc, d.doc_id), math.max(m.max_doc, d.doc_id))
+          }
+          state.update(m)
+          Iterator(m)
+      }
+  }
+
   /** Batch twin for equivalence tests. */
   def runningStatsBatch(spark: SparkSession, dir: String): Dataset[UserStat] = {
     import spark.implicits._

@@ -167,4 +167,38 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     }
     assert(shifted, "no dup in any unfiltered top-5 — exclusion vacuous on this corpus")
   }
+
+  test("q141 cascade: exact replay of both stages; recall vs exact top-10 at the documented point") {
+    val got = SparkEntry.queries("q141_truncated_rerank")(spark, sfDir)
+      .select("qid", "vec_id", "rn", "cos").as[(Long, Long, Long, Double)].collect()
+    val emb = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val d = a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x.toDouble * y.toDouble }
+      def n(v: Seq[Float]) = math.sqrt(v.foldLeft(0.0)((s, x) => s + x.toDouble * x.toDouble))
+      r6(d / (n(a) * n(b)))
+    }
+    val qids = Seq(0L, 1L, 2L)
+    // replay the two stages locally: 32-dim coarse top-100, exact re-rank
+    val expected = qids.flatMap { q =>
+      val coarse = emb.keys.toSeq.filter(_ != q)
+        .map(v => (v, cos(emb(q).take(32), emb(v).take(32))))
+        .sortBy { case (v, c) => (-c, v) }.take(100).map(_._1)
+      coarse.map(v => (v, cos(emb(q), emb(v))))
+        .sortBy { case (v, c) => (-c, v) }.take(10)
+        .zipWithIndex.map { case ((v, c), i) => (q, v, i + 1L, c) }
+    }
+    assert(got.toSeq == expected)
+    // measured operating point: per-query recall vs the exact top-10
+    val recalls = qids.map { q =>
+      val exact = emb.keys.toSeq.filter(_ != q).map(v => (v, cos(emb(q), emb(v))))
+        .sortBy { case (v, c) => (-c, v) }.take(10).map(_._1).toSet
+      val casc = got.filter(_._1 == q).map(_._2).toSet
+      (exact & casc).size / 10.0
+    }
+    // measured 1.0 / 0.8 / 0.7 — floor each at 0.6 and the mean at 0.75
+    recalls.foreach(r => assert(r >= 0.6, s"recall $r below floor; all=$recalls"))
+    assert(recalls.sum / recalls.size >= 0.75, s"mean recall ${recalls.sum / recalls.size}")
+  }
 }

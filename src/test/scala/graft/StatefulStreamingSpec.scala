@@ -72,6 +72,45 @@ class StatefulStreamingSpec extends AnyFunSuite with SparkSuite {
     assert(stream.exceptAll(batch).count() == 0)
   }
 
+  test("incremental shard manifest over multi-batch replay settles to the batch manifest") {
+    // stage the corpus as 4 parquet files, replay 1 file per micro-batch
+    // in whatever order the source picks — the manifest must not care
+    val stage = java.nio.file.Files.createTempDirectory("graft_manifest_stage")
+    val hExpr = "CAST(conv(substr(md5(text), 1, 15), 16, 10) AS BIGINT)"
+    val prepared = Tables.documents(spark, sfDir)
+      .select($"doc_id",
+        expr(s"CAST(size(${operators.TextAnalytics.toksExpr}) AS BIGINT)").as("n_toks"),
+        expr(hExpr).as("h"),
+        ($"doc_id" % 8).as("shard"))
+    prepared.repartition(4).write.mode("overwrite").parquet(stage.toString)
+    val docs = spark.readStream
+      .schema(prepared.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(stage.toString)
+      .as[StatefulOps.DocShard]
+    val q = StatefulOps.manifestStream(docs).writeStream
+      .outputMode("update").format("memory").queryName("manifest_stream")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val updates = spark.table("manifest_stream").collect()
+    // the replay really was incremental: shards were updated more than once
+    assert(updates.length > 8, s"only ${updates.length} updates — not multi-batch")
+    // final state per shard = the update with the largest n_docs (the
+    // count is strictly increasing across a shard's emitted updates)
+    val fin = spark.table("manifest_stream")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("shard")
+          .orderBy($"n_docs".desc)))
+      .filter($"rn" === 1).drop("rn")
+    val batch = prepared.groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("total_toks"),
+        expr("bit_xor(h)").as("checksum"),
+        min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+    assert(fin.count() == 8 && batch.count() == 8)
+    assert(fin.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(fin).count() == 0)
+  }
+
   test("streaming dedup by event_id keeps exactly the distinct ids") {
     val q = StreamingTwin.dedupStream(stagedEventStream()).writeStream
       .outputMode("append").format("memory").queryName("dedup_stream")
