@@ -120,6 +120,22 @@ object Dedup {
     lsh.unionByName(emb).unionByName(sp)
   }
 
+  /** q137's detection body, shared with q143's ladder: per-training-doc
+    * eval-split near-dup evidence — match count and best verified
+    * Jaccard (≥ 0.8) from the banded-LSH bucket join with the
+    * train×eval condition applied inside it. */
+  private def neardupEvalHits(
+      s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val t = tokenSets(s, dir)
+    val bands = bandHashes(t.withColumn("sigs", sigsCol))
+    val cand = bucketPairs(bands,
+      (da, db) => (da % 10 =!= 1) && (db % 10 === 1))
+    jaccardOfCandidates(cand, t).filter(col("jaccard") >= 0.8)
+      .groupBy("da")
+      .agg(count(lit(1)).as("n_eval_matches"), max("jaccard").as("mj"))
+      .withColumnRenamed("da", "doc_id")
+  }
+
   /** The q41 pipeline up to (but not including) its final ORDER BY:
     * LSH-candidate pairs verified at true token-set Jaccard ≥ 0.9 —
     * (da, db, jaccard) with da < db. Also the edge set q55's
@@ -568,14 +584,7 @@ object Dedup {
       // for precision the other way. Eval set = doc_id % 10 = 1 (the
       // fixture rule; production passes its eval fingerprint table).
       (s, dir) => {
-        val t = tokenSets(s, dir)
-        val bands = bandHashes(t.withColumn("sigs", sigsCol))
-        val cand = bucketPairs(bands,
-          (da, db) => (da % 10 =!= 1) && (db % 10 === 1))
-        val hits = jaccardOfCandidates(cand, t).filter(col("jaccard") >= 0.8)
-          .groupBy("da")
-          .agg(count(lit(1)).as("n_eval_matches"), max("jaccard").as("mj"))
-          .withColumnRenamed("da", "doc_id")
+        val hits = neardupEvalHits(s, dir)
         Tables.documents(s, dir).filter(col("doc_id") % 10 =!= 1)
           .select("doc_id")
           .join(hits, Seq("doc_id"), "left")
@@ -592,7 +601,78 @@ object Dedup {
               |SELECT tr.doc_id, coalesce(n_eval_matches, 0) AS n_eval_matches,
               |coalesce(mj, -1.0) AS max_jaccard, mj IS NULL AS kept
               |FROM tr LEFT JOIN hits ON tr.doc_id = hits.da
-              |ORDER BY tr.doc_id""".stripMargin.replace("\n", " ")))
+              |ORDER BY tr.doc_id""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q143_contamination_ladder",
+      // THE CONTAMINATION LADDER, assembled: every training doc judged
+      // by all three decontamination rungs against ONE eval definition
+      // (the % 10 = 1 split) — (1) exact normalized fingerprint in the
+      // eval set (q97's rule), (2) ≥ half of its distinct 5-token
+      // shingles shared with eval docs (q107's graded form), (3)
+      // token-set Jaccard ≥ 0.8 via q137's banded LSH (the paraphrase
+      // rung). Output: each rung's raw evidence, the FIRST rung that
+      // fires (strictest wins — an exact dup is also a near-dup; the
+      // ladder records why it was dropped), and the keep verdict. Each
+      // rung is the same factored body its own oracled query declares
+      // (fpExactCol / shingleSpark / neardupEvalHits). Scale shape: the
+      // eval side of every rung is tiny (fingerprints, shingle set, LSH
+      // partners of the eval split) → three broadcast joins over corpus
+      // scans; nothing quadratic. On this corpus the report itself shows
+      // why the ladder has three rungs: the generator plants PARAPHRASE
+      // near-dups, so rung 3 flags 282 of 450 train docs whose ordered
+      // 5-gram overlap is ≈0 (rung 2 sees 4, rung 1 none — no
+      // byte-identical cross-split pair exists); each rung catches what
+      // the one above it cannot (sf0.001 figures).
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val isEval = col("doc_id") % 10 === 1
+        val evFp = docs.filter(isEval)
+          .select(TextAnalytics.fpExactCol.as("fp")).distinct()
+          .withColumn("ex", lit(true))
+        val ex = docs.filter(!isEval)
+          .select(col("doc_id"), TextAnalytics.fpExactCol.as("fp"))
+          .join(broadcast(evFp), Seq("fp"), "left")
+          .select(col("doc_id"), coalesce(col("ex"), lit(false)).as("exact_hit"))
+        val sh = docs.select(col("doc_id"), expr(TextAnalytics.toksExpr).as("w"))
+          .select(col("doc_id"), explode(expr(Corpus.shingleSpark)).as("shingle"))
+        val evSh = sh.filter(col("doc_id") % 10 === 1)
+          .select("shingle").distinct().withColumn("hit", lit(1))
+        val ng = sh.filter(col("doc_id") % 10 =!= 1)
+          .join(broadcast(evSh), Seq("shingle"), "left")
+          .groupBy("doc_id")
+          .agg(expr("round(sum(coalesce(hit, 0)) * 1.0D / count(1), 4)").as("ngram_frac"))
+        val nd = neardupEvalHits(s, dir).select(col("doc_id"), col("mj"))
+        ex.join(ng, Seq("doc_id"), "left")
+          .join(nd, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("exact_hit"),
+            coalesce(col("ngram_frac"), lit(0.0)).as("ngram_frac"),
+            coalesce(col("mj"), lit(-1.0)).as("neardup_mj"),
+            when(col("exact_hit"), 1L)
+              .when(coalesce(col("ngram_frac"), lit(0.0)) >= 0.5, 2L)
+              .when(col("mj").isNotNull, 3L).otherwise(0L).as("rung"))
+          .withColumn("kept", col("rung") === 0L)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH ${lshPairsDuckCte("", "a.doc_id % 10 <> 1 AND b.doc_id % 10 = 1", "0.8")},
+              |hits AS (SELECT da AS doc_id, max(jaccard) AS mj FROM pairs GROUP BY 1),
+              |docs AS (SELECT doc_id, ${TextAnalytics.fpExactDuck} AS fp FROM documents),
+              |evfp AS (SELECT DISTINCT fp FROM docs WHERE doc_id % 10 = 1),
+              |ex AS (SELECT doc_id, fp IN (SELECT fp FROM evfp) AS exact_hit
+              |FROM docs WHERE doc_id % 10 <> 1),
+              |t2 AS (SELECT doc_id, $toksDuck AS w FROM documents),
+              |sh2 AS (SELECT doc_id, unnest(${Corpus.shingleDuck}) AS shingle FROM t2),
+              |evsh AS (SELECT DISTINCT shingle, 1 AS hit FROM sh2 WHERE doc_id % 10 = 1),
+              |ng AS (SELECT doc_id, round(sum(coalesce(hit, 0)) * 1.0 / count(*), 4) AS ngram_frac
+              |FROM sh2 LEFT JOIN evsh USING (shingle) WHERE doc_id % 10 <> 1 GROUP BY 1),
+              |z AS (SELECT ex.doc_id, exact_hit,
+              |coalesce(ngram_frac, 0.0) AS ngram_frac, coalesce(mj, -1.0) AS neardup_mj,
+              |CASE WHEN exact_hit THEN 1 WHEN coalesce(ngram_frac, 0.0) >= 0.5 THEN 2
+              |WHEN mj IS NOT NULL THEN 3 ELSE 0 END AS rung
+              |FROM ex LEFT JOIN ng ON ex.doc_id = ng.doc_id
+              |LEFT JOIN hits ON ex.doc_id = hits.doc_id)
+              |SELECT doc_id, exact_hit, ngram_frac, neardup_mj, CAST(rung AS BIGINT) AS rung,
+              |rung = 0 AS kept FROM z ORDER BY doc_id""".stripMargin.replace("\n", " ")))
   )
 
   /** The q44 pipeline up to (but not including) its final ORDER BY:

@@ -626,4 +626,26 @@ class Corpus2Spec extends AnyFunSuite with SparkSuite {
       assert(cuts == sl - sf && cuts == (off + n - 1) / 512)
     }
   }
+
+  test("q142 padding stats replay exactly, and length bucketing beats the shuffled layout") {
+    val got = SparkEntry.queries("q142_length_bucketing")(spark, sfDir)
+      .select("strategy", "n_batches", "total_toks", "total_pad", "pad_frac")
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val toks = Tables.documents(spark, sfDir)
+      .select($"doc_id", size(expr(operators.TextAnalytics.toksExpr)).cast("long"))
+      .as[(Long, Long)].collect()
+    def pad(ordered: Seq[Long]): (Long, Long, Long) = {
+      val batches = ordered.grouped(32).toSeq
+      (batches.size.toLong, ordered.sum,
+        batches.map(b => b.size * b.max - b.sum).sum)
+    }
+    val sorted = pad(toks.sortBy { case (d, n) => (-n, d) }.map(_._2).toSeq)
+    val shuffled = pad(toks.sortBy { case (d, _) => (md5hex(d.toString), d) }.map(_._2).toSeq)
+    assert((got("length_sorted")._2, got("length_sorted")._3, got("length_sorted")._4) == sorted)
+    assert((got("hash_shuffled")._2, got("hash_shuffled")._3, got("hash_shuffled")._4) == shuffled)
+    // the optimization is real: sorted padding is at most half the shuffled
+    assert(sorted._3 * 2 < shuffled._3,
+      s"sorted pad ${sorted._3} not well under shuffled ${shuffled._3}")
+  }
 }

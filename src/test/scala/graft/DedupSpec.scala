@@ -279,4 +279,46 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     val recall = flagged.size.toDouble / bruteFlagged.size
     assert(recall >= 0.8, s"recall $recall vs brute-force ${bruteFlagged.size}")
   }
+
+  test("q143 ladder: every rung's evidence replays exactly; precedence and verdicts cohere") {
+    val got = SparkEntry.queries("q143_contamination_ladder")(spark, sfDir)
+      .select("doc_id", "exact_hit", "ngram_frac", "neardup_mj", "rung", "kept")
+      .as[(Long, Boolean, Double, Double, Long, Boolean)].collect()
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text",
+        expr(operators.TextAnalytics.toksExpr).as("w"))
+      .as[(Long, String, Seq[String])].collect()
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // rung 1: the q97 fingerprint rule, recomputed from raw text
+    def fp(t: String): String =
+      md5hex(t.replaceAll("[^a-zA-Z0-9 ]", "").toLowerCase.trim)
+    val evalFps = docs.filter(_._1 % 10 == 1).map(d => fp(d._2)).toSet
+    // rung 2: distinct 5-token shingle overlap with the eval shingle set
+    def shingles(w: Seq[String]): Set[String] =
+      if (w.size < 5) Set.empty else w.sliding(5).map(_.mkString(" ")).toSet
+    val evalSh = docs.filter(_._1 % 10 == 1).flatMap(d => shingles(d._3)).toSet
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // rung 3: the PUBLISHED q137 evidence (same factored body)
+    val mjOf = SparkEntry.queries("q137_neardup_decontaminate")(spark, sfDir)
+      .select("doc_id", "max_jaccard").as[(Long, Double)].collect().toMap
+    val byId = docs.map(d => d._1 -> d).toMap
+    assert(got.length == docs.count(_._1 % 10 != 1))
+    got.foreach { case (d, ex, ngf, mj, rung, kept) =>
+      val (_, text, w) = byId(d)
+      assert(ex == evalFps.contains(fp(text)), s"doc $d exact rung")
+      val sh = shingles(w)
+      val expNgf = if (sh.isEmpty) 0.0 else r4((sh & evalSh).size.toDouble / sh.size)
+      assert(ngf == expNgf, s"doc $d ngram $ngf vs $expNgf")
+      assert(mj == mjOf(d), s"doc $d neardup $mj vs published ${mjOf(d)}")
+      val expRung =
+        if (ex) 1L else if (ngf >= 0.5) 2L else if (mj >= 0.8) 3L else 0L
+      assert(rung == expRung && kept == (rung == 0L), s"doc $d rung $rung vs $expRung")
+    }
+    // the rungs are non-redundant on this corpus: 2 and 3 both fire, and
+    // rung-3 catches paraphrases rung 2 misses (low ordered-shingle overlap)
+    assert(got.exists(_._5 == 2L) && got.exists(_._5 == 3L))
+    assert(got.filter(_._5 == 3L).forall(_._3 < 0.5))
+  }
 }
