@@ -117,6 +117,43 @@ object Flows {
     docs.sparkSession.read.parquet(s"$outDir/encoded")
   }
 
+  /** The PACKING flow (round 4's closers as API): contamination-ladder
+    * decontamination (q143's verdict — exact / shingle / near-dup rungs)
+    * → q139's concatenate-and-cut sequence packing at 512 tokens over
+    * the kept docs → a globally ordered landing (disjoint sorted
+    * (seq_first, seq_offset) ranges per file, so a training reader
+    * streams sequences in layout order with min/max pruning) → a
+    * per-pack-shard integrity manifest (q136's bit_xor checksum rule)
+    * written alongside as `_manifest`. Returns the landed layout. */
+  def packingFlow(spark: SparkSession, dir: String, outDir: String): DataFrame = {
+    import operators.{Indexing, TextAnalytics}
+    val keep = SparkEntry.queries("q143_contamination_ladder")(spark, dir)
+      .filter(col("kept")).select("doc_id")
+    val docs = Tables.documents(spark, dir).join(keep, "doc_id")
+      .select(col("doc_id"), col("text"),
+        size(expr(TextAnalytics.toksExpr)).cast("long").as("n_toks"),
+        expr("CAST(conv(substr(md5(text), 1, 15), 16, 10) AS BIGINT)").as("h"))
+      .filter(col("n_toks") > 0L)
+      .withColumn("sk", md5(col("doc_id").cast("string")))
+    val packed = Indexing.globalPrefixSum(docs,
+        Seq(col("sk"), col("doc_id")), col("n_toks"))
+      .withColumn("seq_first", expr("(run - n_toks) DIV 512"))
+      .withColumn("seq_offset", (col("run") - col("n_toks")) % 512L)
+      .drop("sk", "run")
+    graft.sources.Sinks.writeOrdered(
+      packed, Seq(col("seq_first"), col("seq_offset")), outDir, Some(4))
+    // the manifest describes (and is derived from) the LANDED bytes, not
+    // the lineage — a re-run of the pipeline is not what it certifies;
+    // the `_` prefix keeps it invisible to parquet readers of outDir
+    val landed = spark.read.parquet(outDir)
+    landed.withColumn("pack_shard", col("seq_first") % 4L)
+      .groupBy("pack_shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("total_toks"),
+        expr("bit_xor(h)").as("checksum"))
+      .write.mode("overwrite").parquet(s"$outDir/_manifest")
+    landed
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master("local[4]")
@@ -153,6 +190,10 @@ object Flows {
 
     val enc = tokenizerFlow(docs, rounds = 3, out.resolve("tokenizer").toString)
     println(s"FLOW tokenizer encoded=${enc.count()}")
+
+    val packd = packingFlow(spark, "/root/testdata/sf0.001",
+      out.resolve("packed").toString)
+    println(s"FLOW packing docs=${packd.count()} seqs=${packd.select(max("seq_first")).head.getLong(0) + 1}")
     spark.stop()
   }
 }

@@ -58,6 +58,50 @@ class FlowsSpec extends AnyFunSuite with SparkSuite {
     assert(back.count() == chunks.count())
   }
 
+  test("packing flow: decontaminated, q139-packed, ordered files, manifest certifies the landed bytes") {
+    val out = java.nio.file.Files.createTempDirectory("graft_flows_pack")
+      .resolve("packed").toString
+    val landed = Flows.packingFlow(spark, sfDir, out)
+    // only ladder-kept docs land
+    val verdict = SparkEntry.queries("q143_contamination_ladder")(spark, sfDir)
+      .select("doc_id", "kept").as[(Long, Boolean)].collect().toMap
+    val landedIds = landed.select("doc_id").as[Long].collect()
+    assert(landedIds.nonEmpty && landedIds.forall(verdict(_)))
+    assert(landedIds.length == verdict.count(_._2))
+    // the packing is q139's rule over exactly the kept subset: offsets
+    // tile each sequence with no gaps (zero padding below the tail)
+    val rows = landed.select("seq_first", "seq_offset", "n_toks")
+      .as[(Long, Long, Long)].collect().sortBy { case (s, o, _) => (s, o) }
+    val total = rows.map(_._3).sum
+    rows.foldLeft(0L) { case (pos, (s, o, n)) =>
+      assert(s == pos / 512 && o == pos % 512, s"doc at $pos misplaced")
+      pos + n
+    }
+    // files hold disjoint (seq_first, seq_offset) ranges — a reader
+    // streams the layout in order
+    val files = landed.select(org.apache.spark.sql.functions
+        .input_file_name().as("f"), $"seq_first", $"seq_offset")
+      .as[(String, Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(v => (v.map(r => (r._2, r._3)).min, v.map(r => (r._2, r._3)).max))
+      .values.toSeq.sortBy(_._1)
+    files.sliding(2).foreach {
+      case Seq((_, hi), (lo, _)) => assert(implicitly[Ordering[(Long, Long)]].lt(hi, lo))
+      case _ =>
+    }
+    // the manifest certifies the landed bytes: recompute from the layout
+    val man = spark.read.parquet(s"$out/_manifest")
+      .select("pack_shard", "n_docs", "total_toks", "checksum")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    val expected = landed
+      .select(($"seq_first" % 4L).as("ps"), $"n_toks",
+        org.apache.spark.sql.functions
+          .expr("CAST(conv(substr(md5(text), 1, 15), 16, 10) AS BIGINT)").as("h2"))
+      .as[(Long, Long, Long)].collect().groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (ps, v) => (ps, v.length.toLong, v.map(_._2).sum, v.map(_._3).reduce(_ ^ _)) }
+    assert(man.toSeq == expected)
+    assert(total == man.map(_._3).sum)
+  }
+
   test("selection flow lands the q104→q115→q109 composition, hive-partitioned") {
     val out = java.nio.file.Files.createTempDirectory("graft_flows_sel")
       .resolve("selection").toString
