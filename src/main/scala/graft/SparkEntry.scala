@@ -24,6 +24,7 @@ object SparkEntry {
       operators.Salting.defs ++
       operators.Corpus.defs ++
       operators.Corpus2.defs ++
+      operators.Corpus3.defs ++
       sources.Articles.defs ++
       ml.MlQueries.defs
 

@@ -1,0 +1,232 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-4 closers, part 2 — the mixture/diagnostics tail of the training
+  * recipe: temperature-scaled language mixing (the multilingual-sampling
+  * p^α rule every multi-source pretraining recipe applies), count-min
+  * sketch heavy hitters (the constant-memory mergeable frequency summary,
+  * measured at two widths so the collision/width tradeoff is a readout,
+  * not an assumption), and the vocab coverage curve (the tokenizer-sizing
+  * diagnostic).
+  *
+  * Scale notes (also in SCALE.md):
+  *  - q144's quota table is |langs| rows (broadcast); the per-lang rank
+  *    is a lang-partitioned window — the one shuffle. Quota arithmetic
+  *    is integer-exact (floor(sqrt·1e6) weights) so Spark and DuckDB
+  *    agree bit-for-bit with no float summation-order hazard.
+  *  - q145's sketches are 4×16 + 4×1024 cells REGARDLESS of corpus
+  *    size — the entire point of count-min: partial aggregation does
+  *    the heavy lifting map-side, the reduce moves ≤4160 rows, and
+  *    estimates are a broadcast join of candidates into the tiny
+  *    sketch. Cells are a sum-monoid ⇒ sketches of corpus shards
+  *    union-then-regroup to the exact whole-corpus sketch —
+  *    mergeability is what makes it a distributed/streaming summary.
+  *  - q146 takes top-500 terms via TakeOrderedAndProject BEFORE any
+  *    global window — the cumulative sum runs over ≤500 rows.
+  */
+object Corpus3 {
+
+  private val toksExpr = TextAnalytics.toksExpr
+  private val toksDuck = TextAnalytics.toksDuck
+
+  /** 60-bit content hash of a doc (q136's checksum rule): identical
+    * conv()/hex-fold text on both sides. */
+  private val hSpark = "CAST(conv(substr(md5(text), 1, 15), 16, 10) AS BIGINT)"
+  private def hDuck = Corpus.hexFoldDuck("substr(md5(text), 1, 15)", 15)
+
+  /** Count-min row hash j of a term: fold of md5("j#term") mod width.
+    * Shared by both sketch widths. */
+  private[graft] def cmBucketSpark(j: Int, width: Int): String =
+    s"CAST(conv(substr(md5(concat('$j', '#', term)), 1, 15), 16, 10) AS BIGINT) % $width"
+  private def cmBucketDuck(j: Int, width: Int): String =
+    s"${Corpus.hexFoldDuck(s"substr(md5(concat('$j', '#', term)), 1, 15)", 15)} % $width"
+
+  private[graft] val CM_DEPTH = 4
+  /** Narrow = deliberately under-sized for this corpus (31-term vocab in
+    * 16 buckets ⇒ collisions are MEASURED in the output); wide = the
+    * sized-right regime (est = exact). */
+  private[graft] val CM_NARROW = 16
+  private[graft] val CM_WIDE = 1024
+
+  def defs: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "q144_temperature_mixture",
+      // TEMPERATURE-SCALED LANGUAGE MIXTURE (α = 0.5) — the standard
+      // multilingual sampling rule (pᵢ^α renormalized; XLM-R-style):
+      // raw language shares are flattened so high-resource languages
+      // stop drowning low-resource ones — and on this corpus the
+      // effect is VISIBLE in the oracled output (en 43.6% raw → ~33%
+      // tempered at sf0.01). Weights are floor(sqrt(n_docs)·1e6) as
+      // BIGINT — sqrt is IEEE-correctly-rounded in both engines and
+      // the floor makes every downstream quotient integer arithmetic,
+      // so there is NO float summation-order hazard anywhere. The
+      // target is half the corpus; per-lang quota = nsel·wᵢ div Σw;
+      // the docs themselves are chosen by content-hash rank within
+      // lang (deterministic under repartitioning / re-ingestion, like
+      // q104/q112). Output per lang: raw share vs temperature share
+      // (the flattening, visible), quota, and the selected subset's
+      // token sum + q136-style XOR checksum so the CONTENT of the
+      // selection is oracle-pinned, not just its size.
+      (s, dir) => {
+        val t = Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"),
+            size(expr(toksExpr)).cast("long").as("n_toks"),
+            expr(hSpark).as("h"))
+        val w = t.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+          .withColumn("wt", floor(sqrt(col("n_docs")) * 1e6).cast("long"))
+        val g = w.agg(sum("wt").as("tot"),
+          (sum("n_docs") / lit(2)).cast("long").as("nsel"),
+          sum("n_docs").as("n_total"))
+        val q = w.crossJoin(broadcast(g))
+          .withColumn("quota", expr("CAST(nsel * wt DIV tot AS BIGINT)"))
+        val rk = t.withColumn("rk", row_number().over(
+          Window.partitionBy("lang")
+            .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
+        val sel = rk.join(broadcast(q.select("lang", "quota")), "lang")
+          .filter(col("rk") <= col("quota"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("sel_docs"), sum("n_toks").as("sel_toks"),
+            expr("bit_xor(h)").as("checksum"))
+        q.join(sel, Seq("lang"), "left")
+          .select(col("lang"), col("n_docs"),
+            round(col("n_docs").cast("double") / col("n_total"), 6).as("raw_frac"),
+            round(col("wt").cast("double") / col("tot"), 6).as("temp_frac"),
+            col("quota"), coalesce(col("sel_docs"), lit(0L)).as("sel_docs"),
+            coalesce(col("sel_toks"), lit(0L)).as("sel_toks"),
+            coalesce(col("checksum"), lit(0L)).as("checksum"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, lang, CAST(len($toksDuck) AS BIGINT) AS n_toks,
+              |$hDuck AS h FROM documents),
+              |w AS (SELECT lang, count(*) AS n_docs,
+              |CAST(floor(sqrt(count(*)) * 1e6) AS BIGINT) AS wt FROM t GROUP BY 1),
+              |g AS (SELECT CAST(sum(wt) AS BIGINT) AS tot,
+              |CAST(sum(n_docs) // 2 AS BIGINT) AS nsel,
+              |CAST(sum(n_docs) AS BIGINT) AS n_total FROM w),
+              |q AS (SELECT lang, n_docs, wt, tot, nsel, n_total,
+              |CAST(nsel * wt // tot AS BIGINT) AS quota FROM w, g),
+              |rk AS (SELECT doc_id, lang, n_toks, h, row_number() OVER
+              |(PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk FROM t),
+              |sel AS (SELECT rk.lang, count(*) AS sel_docs,
+              |CAST(sum(n_toks) AS BIGINT) AS sel_toks, bit_xor(h) AS checksum
+              |FROM rk JOIN q ON rk.lang = q.lang AND rk.rk <= q.quota GROUP BY 1)
+              |SELECT q.lang, q.n_docs,
+              |round(q.n_docs * 1.0 / q.n_total, 6) AS raw_frac,
+              |round(q.wt * 1.0 / q.tot, 6) AS temp_frac, q.quota,
+              |COALESCE(sel.sel_docs, 0) AS sel_docs,
+              |COALESCE(sel.sel_toks, 0) AS sel_toks,
+              |COALESCE(sel.checksum, 0) AS checksum
+              |FROM q LEFT JOIN sel ON q.lang = sel.lang
+              |ORDER BY q.lang""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q145_countmin_heavy_hitters",
+      // COUNT-MIN SKETCH HEAVY HITTERS — the constant-memory frequency
+      // summary: d=4 hash rows × w buckets of token counts, estimate =
+      // min over rows of the term's bucket count; est ≥ exact always
+      // (collisions only ADD). Built at TWO widths so the ε = e/w
+      // error/width tradeoff is a measured readout: w=16 is
+      // deliberately under-sized for this corpus (31-term vocab ⇒
+      // collisions guaranteed, over_narrow > 0 rows appear) and
+      // w=1024 is the sized-right regime (over_wide = 0 here). The
+      // top-20 exact terms carry both estimates side by side.
+      (s, dir) => {
+        val tok = Tables.documents(s, dir)
+          .select(explode(expr(toksExpr)).as("term"))
+        def cells(width: Int) = tok.select(posexplode(array(
+            (0 until CM_DEPTH).map(j => expr(cmBucketSpark(j, width))): _*))
+            .as(Seq("row_j", "bucket")))
+          .groupBy("row_j", "bucket").agg(count(lit(1)).as("cnt"))
+        def est(width: Int, alias: String) = {
+          val cand = tok.groupBy("term").agg(count(lit(1)).as("exact_cnt"))
+            .orderBy(col("exact_cnt").desc, col("term")).limit(20)
+            .select(col("term"), col("exact_cnt"),
+              posexplode(array((0 until CM_DEPTH).map(j =>
+                expr(cmBucketSpark(j, width))): _*)).as(Seq("row_j", "bucket")))
+          cand.join(broadcast(cells(width)), Seq("row_j", "bucket"))
+            .groupBy("term", "exact_cnt").agg(min("cnt").as(alias))
+        }
+        est(CM_NARROW, "est_narrow")
+          .join(est(CM_WIDE, "est_wide"), Seq("term", "exact_cnt"))
+          .select(col("term"), col("exact_cnt"),
+            col("est_narrow"), (col("est_narrow") - col("exact_cnt")).as("over_narrow"),
+            col("est_wide"), (col("est_wide") - col("exact_cnt")).as("over_wide"))
+          .orderBy(col("exact_cnt").desc, col("term"))
+      },
+      Some {
+        def side(width: Int, alias: String) = {
+          val rows = (0 until CM_DEPTH).map(j =>
+            s"SELECT $j AS row_j, ${cmBucketDuck(j, width)} AS bucket, term FROM tok")
+            .mkString(" UNION ALL ")
+          s"""hx_$alias AS ($rows),
+             |cells_$alias AS (SELECT row_j, bucket, count(*) AS cnt
+             |FROM hx_$alias GROUP BY 1, 2),
+             |$alias AS (SELECT e.term, e.exact_cnt, min(c.cnt) AS $alias
+             |FROM exact e
+             |JOIN (SELECT DISTINCT row_j, bucket, term FROM hx_$alias) h ON e.term = h.term
+             |JOIN cells_$alias c ON h.row_j = c.row_j AND h.bucket = c.bucket
+             |GROUP BY 1, 2)"""
+        }
+        s"""WITH tok AS (SELECT unnest($toksDuck) AS term FROM documents),
+           |exact AS (SELECT term, count(*) AS exact_cnt FROM tok GROUP BY 1
+           |ORDER BY exact_cnt DESC, term LIMIT 20),
+           |${side(CM_NARROW, "est_narrow")},
+           |${side(CM_WIDE, "est_wide")}
+           |SELECT n.term, CAST(n.exact_cnt AS BIGINT) AS exact_cnt,
+           |CAST(n.est_narrow AS BIGINT) AS est_narrow,
+           |CAST(n.est_narrow - n.exact_cnt AS BIGINT) AS over_narrow,
+           |CAST(w.est_wide AS BIGINT) AS est_wide,
+           |CAST(w.est_wide - w.exact_cnt AS BIGINT) AS over_wide
+           |FROM est_narrow n JOIN est_wide w ON n.term = w.term
+           |ORDER BY exact_cnt DESC, n.term""".stripMargin.replace("\n", " ")
+      }),
+
+    QueryDef(
+      "q146_vocab_coverage",
+      // VOCAB COVERAGE CURVE — the tokenizer/vocab sizing diagnostic:
+      // what fraction of all token OCCURRENCES does a top-k vocabulary
+      // cover (equivalently: the OOV rate a k-entry vocab would pay)?
+      // Reported at k = 5/10/20/50/100/500 (ranks beyond the corpus
+      // vocab — 31 terms here — simply don't appear; the curve's
+      // terminal row covers 64.5% at k=20 on this corpus). The top-500
+      // cut happens via TakeOrderedAndProject BEFORE any global
+      // window, so the cumulative sum ranks ≤500 rows no matter the
+      // corpus; the only corpus-wide work is the term-frequency
+      // aggregate q30 already does. (q102's vocab-build/encode is the
+      // ACTION this curve sizes.)
+      (s, dir) => {
+        val tok = Tables.documents(s, dir)
+          .select(explode(expr(toksExpr)).as("term"))
+        val freq = tok.groupBy("term").agg(count(lit(1)).as("cnt"))
+        val total = freq.agg(sum("cnt").as("n_total"))
+        val top = freq.orderBy(col("cnt").desc, col("term")).limit(500)
+          .withColumn("rk", row_number().over(
+            Window.orderBy(col("cnt").desc, col("term"))))
+          .withColumn("cum", sum("cnt").over(
+            Window.orderBy(col("cnt").desc, col("term"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        top.filter(col("rk").isin(5, 10, 20, 50, 100, 500))
+          .crossJoin(broadcast(total))
+          .select(col("rk").as("k"), col("cum").as("covered_occurrences"),
+            round(col("cum").cast("double") / col("n_total"), 6).as("coverage"),
+            round(lit(1.0) - col("cum").cast("double") / col("n_total"), 6).as("oov_rate"))
+          .orderBy("k")
+      },
+      Some(s"""WITH tok AS (SELECT unnest($toksDuck) AS term FROM documents),
+              |freq AS (SELECT term, count(*) AS cnt FROM tok GROUP BY 1),
+              |total AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM freq),
+              |top AS (SELECT term, cnt, row_number() OVER (ORDER BY cnt DESC, term) AS rk,
+              |CAST(sum(cnt) OVER (ORDER BY cnt DESC, term
+              |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+              |FROM (SELECT * FROM freq ORDER BY cnt DESC, term LIMIT 500))
+              |SELECT rk AS k, cum AS covered_occurrences,
+              |round(cum * 1.0 / n_total, 6) AS coverage,
+              |round(1.0 - cum * 1.0 / n_total, 6) AS oov_rate
+              |FROM top, total WHERE rk IN (5, 10, 20, 50, 100, 500) ORDER BY k""".stripMargin
+        .replace("\n", " ")))
+  )
+}

@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavioral checks for the q144-q146 mixture/diagnostics closers — what
+  * the DuckDB oracle can't see: the temperature-flattening direction, the
+  * count-min invariants (est ≥ exact; narrow-width collisions real; the
+  * sketch a true sum-monoid under sharding), and the coverage curve's
+  * exact local recompute.
+  */
+class Corpus3Spec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  test("q144 temperature mixture: α=0.5 flattens shares toward uniform, quotas honor the budget, selection is hash-deterministic") {
+    val out = SparkEntry.queries("q144_temperature_mixture")(spark, sfDir)
+      .select("lang", "n_docs", "raw_frac", "temp_frac", "quota", "sel_docs", "sel_toks", "checksum")
+      .as[(String, Long, Double, Double, Long, Long, Long, Long)].collect()
+    assert(out.length >= 3)
+    // flattening direction: the dominant language's tempered share drops,
+    // every below-average language's share rises (p^0.5 renormalized
+    // strictly contracts shares toward uniform)
+    val maxRaw = out.maxBy(_._3)
+    assert(maxRaw._4 < maxRaw._3, s"dominant ${maxRaw._1} not flattened down")
+    val mean = 1.0 / out.length
+    out.filter(_._3 < mean).foreach { r =>
+      assert(r._4 > r._3, s"low-resource ${r._1} not flattened up")
+    }
+    // quotas: sum ≤ the declared half-corpus budget, each filled exactly
+    val nTotal = out.map(_._2).sum
+    assert(out.map(_._5).sum <= nTotal / 2)
+    out.foreach(r => assert(r._6 == r._5, s"${r._1} quota not filled"))
+    // integer-exact weight rule replayed locally
+    val wts = out.map(r => r._1 -> math.floor(math.sqrt(r._2.toDouble) * 1e6).toLong).toMap
+    val tot = wts.values.sum
+    out.foreach { r =>
+      assert(r._5 == (nTotal / 2) * wts(r._1) / tot, s"${r._1} quota rule")
+    }
+    // the selected CONTENT is deterministic: replay the per-lang hash rank
+    val docs = Tables.documents(spark, sfDir)
+      .select($"lang", $"doc_id", md5($"doc_id".cast("string")).as("sk"),
+        expr("CAST(conv(substr(md5(text), 1, 15), 16, 10) AS BIGINT)").as("h"))
+      .as[(String, Long, String, Long)].collect()
+    val byLang = docs.groupBy(_._1)
+    out.foreach { r =>
+      val sel = byLang(r._1).sortBy(d => (d._3, d._2)).take(r._5.toInt)
+      assert(r._8 == sel.map(_._4).reduce(_ ^ _), s"${r._1} checksum")
+    }
+  }
+
+  test("q145 count-min: est ≥ exact at both widths, narrow width shows real collisions, wide width is exact here") {
+    val out = SparkEntry.queries("q145_countmin_heavy_hitters")(spark, sfDir)
+      .select("term", "exact_cnt", "est_narrow", "over_narrow", "est_wide", "over_wide")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(out.length == 20)
+    out.foreach { r =>
+      assert(r._4 >= 0 && r._6 >= 0, s"${r._1}: count-min underestimated")
+      assert(r._3 == r._2 + r._4 && r._5 == r._2 + r._6)
+    }
+    // 31-term vocab in 16 buckets ⇒ collisions must be measured
+    assert(out.exists(_._4 > 0), "narrow sketch shows no collisions")
+    // 31-term vocab in 1024 buckets ⇒ sized right, exact on this corpus
+    assert(out.forall(_._6 == 0), "wide sketch collided unexpectedly")
+    // exact counts replayed locally
+    val freq = Tables.documents(spark, sfDir)
+      .select(explode(expr(operators.TextAnalytics.toksExpr)).as("term"))
+      .as[String].collect().groupBy(identity).view.mapValues(_.size.toLong)
+    out.foreach(r => assert(freq(r._1) == r._2, s"${r._1} exact count"))
+  }
+
+  test("q145 sketch is a sum-monoid: per-shard sketches union+regroup to the whole-corpus sketch") {
+    val tok = Tables.documents(spark, sfDir)
+      .select($"doc_id", explode(expr(operators.TextAnalytics.toksExpr)).as("term"))
+    def sketch(df: org.apache.spark.sql.DataFrame) =
+      df.select(posexplode(array((0 until operators.Corpus3.CM_DEPTH).map(j =>
+          expr(operators.Corpus3.cmBucketSpark(j, operators.Corpus3.CM_NARROW))): _*))
+          .as(Seq("row_j", "bucket")))
+        .groupBy("row_j", "bucket").agg(count(lit(1)).as("cnt"))
+    val whole = sketch(tok).as[(Int, Long, Long)].collect().toSet
+    val merged = sketch(tok.filter($"doc_id" % 2 === 0))
+      .unionByName(sketch(tok.filter($"doc_id" % 2 =!= 0)))
+      .groupBy("row_j", "bucket").agg(sum("cnt").as("cnt"))
+      .as[(Int, Long, Long)].collect().toSet
+    assert(merged == whole)
+  }
+
+  test("q146 vocab coverage: curve matches an exact local recompute and is monotone") {
+    val out = SparkEntry.queries("q146_vocab_coverage")(spark, sfDir)
+      .select("k", "covered_occurrences", "coverage", "oov_rate")
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1)
+    assert(out.nonEmpty)
+    val freq = Tables.documents(spark, sfDir)
+      .select(explode(expr(operators.TextAnalytics.toksExpr)).as("term"))
+      .as[String].collect().groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .sortBy { case (t, c) => (-c, t) }
+    val nTotal = freq.map(_._2).sum
+    out.foreach { case (k, cum, cov, oov) =>
+      val expected = freq.take(k.toInt).map(_._2).sum
+      assert(cum == expected, s"k=$k covered occurrences")
+      assert(math.abs(cov - expected.toDouble / nTotal) < 1e-6)
+      assert(math.abs(cov + oov - 1.0) < 1e-6)
+    }
+    assert(out.map(_._2).sameElements(out.map(_._2).sorted), "coverage not monotone")
+    // ranks beyond the vocab don't appear (31-term corpus ⇒ no k=50 row)
+    assert(out.map(_._1).forall(k => k <= freq.size || out.last._3 == 1.0))
+  }
+}
