@@ -227,6 +227,113 @@ object Corpus3 {
               |round(cum * 1.0 / n_total, 6) AS coverage,
               |round(1.0 - cum * 1.0 / n_total, 6) AS oov_rate
               |FROM top, total WHERE rk IN (5, 10, 20, 50, 100, 500) ORDER BY k""".stripMargin
-        .replace("\n", " ")))
+        .replace("\n", " "))),
+
+    QueryDef(
+      "q147_shuffle_skew_audit",
+      // SHUFFLE SKEW AUDIT — the pre-flight check for any shuffle key:
+      // hash the candidate key into 32 simulated reduce partitions (the
+      // same mod-N placement a real exchange does, with our engine-
+      // portable md5-fold in place of Murmur3) and report how the rows
+      // land. Two keys from the same table, opposite verdicts:
+      // `user_id` (150 spread keys) fills all buckets near-uniformly —
+      // skew ratio ~1 — while `event_type` (5 hot values) leaves most
+      // of the 32 partitions EMPTY and overloads the rest ~6.9× — the
+      // exact shape that stalls a stage on one task and why q85 salts
+      // and AQE splits. Per key: distinct keys, buckets used, max
+      // bucket, and max/avg skew ratio.
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        def audit(keyExpr: String, name: String) = {
+          val b = ev.select(
+            expr(s"CAST(conv(substr(md5($keyExpr), 1, 15), 16, 10) AS BIGINT) % 32")
+              .as("bucket"),
+            expr(keyExpr).as("k"))
+          b.groupBy("bucket")
+            .agg(count(lit(1)).as("n"))
+            .agg(count(lit(1)).as("buckets_used"),
+              max("n").as("max_bucket"), sum("n").as("total"))
+            .crossJoin(broadcast(b.agg(countDistinct("k").as("n_keys"))))
+            .select(lit(name).as("key_name"), col("n_keys"), col("buckets_used"),
+              col("max_bucket"),
+              round(col("max_bucket") * lit(32) * lit(1.0) / col("total"), 4).as("skew_ratio"))
+        }
+        audit("CAST(user_id AS STRING)", "user_id")
+          .unionByName(audit("event_type", "event_type"))
+          .orderBy("key_name")
+      },
+      Some {
+        def side(keyDuck: String, name: String) =
+          s"""(SELECT '$name' AS key_name,
+             |(SELECT count(DISTINCT $keyDuck) FROM events) AS n_keys,
+             |count(*) AS buckets_used, CAST(max(n) AS BIGINT) AS max_bucket,
+             |round(max(n) * 32 * 1.0 / sum(n), 4) AS skew_ratio
+             |FROM (SELECT ${Corpus.hexFoldDuck(s"substr(md5($keyDuck), 1, 15)", 15)} % 32
+             |AS bucket, count(*) AS n FROM events GROUP BY 1))"""
+        s"""SELECT * FROM (${side("CAST(user_id AS VARCHAR)", "user_id")}
+           |UNION ALL ${side("event_type", "event_type")})
+           |ORDER BY key_name""".stripMargin.replace("\n", " ")
+      }),
+
+    QueryDef(
+      "q148_linear_counting",
+      // LINEAR (PROBABILISTIC) COUNTING — the oracled twin of q92's
+      // rows-only HLL: approximate distinct counts from a FIXED
+      // m-slot occupancy bitmap, est = -m·ln(empty/m). Unlike
+      // approx_count_distinct, the hash (md5-fold mod m) is engine-
+      // portable, so the estimate itself is exact-matched against
+      // DuckDB — the approximation is oracle-CHECKED, not just
+      // rows-counted. Like q145, run at TWO sizes so the failure mode
+      // is a readout: m=256 SATURATES on sf0.1's 1500 users (every
+      // slot hit ⇒ no estimate; est = -1 sentinel, saturated = true —
+      // the signal to switch to a log-scale sketch) while m=4096
+      // estimates every load here within ~7%. The bitmap is an
+      // OR-monoid of m bits regardless of input size — the same merge
+      // story as q145's sketch, at distinct-count semantics.
+      (s, dir) => {
+        def side(df: org.apache.spark.sql.DataFrame, valExpr: String,
+            name: String, m: Int) = {
+          val occ = df.select(
+              expr(s"CAST(conv(substr(md5($valExpr), 1, 15), 16, 10) AS BIGINT) % $m")
+                .as("slot"),
+              expr(valExpr).as("v"))
+          val estCol = when(col("occupied") === m, lit(-1.0))
+            .otherwise(round(lit(-m.toDouble) *
+              log((lit(m) - col("occupied")).cast("double") / lit(m)), 4))
+          occ.agg(countDistinct("slot").as("occupied"), countDistinct("v").as("n_exact"))
+            .select(lit(name).as("col_name"), col("n_exact"),
+              lit(m.toLong).as("m"), col("occupied"),
+              (col("occupied") === m).as("saturated"), estCol.as("est"),
+              when(col("occupied") === m, lit(null).cast("double"))
+                .otherwise(round((estCol - col("n_exact")) * lit(100) * lit(1.0) /
+                  col("n_exact"), 2)).as("err_pct"))
+        }
+        val terms = Tables.documents(s, dir).select(explode(expr(toksExpr)).as("term"))
+        val ev = Tables.events(s, dir)
+        Seq(256, 4096).map { m =>
+          side(terms, "term", "term", m)
+            .unionByName(side(ev, "CAST(user_id AS STRING)", "user_id", m))
+        }.reduce(_ unionByName _).orderBy("col_name", "m")
+      },
+      Some {
+        def side(from: String, valDuck: String, name: String, m: Int) =
+          s"""(SELECT '$name' AS col_name, count(DISTINCT v) AS n_exact,
+             |CAST($m AS BIGINT) AS m, count(DISTINCT slot) AS occupied,
+             |count(DISTINCT slot) = $m AS saturated,
+             |CASE WHEN count(DISTINCT slot) = $m THEN -1.0
+             |ELSE round(-CAST($m AS DOUBLE) * ln(CAST($m - count(DISTINCT slot) AS DOUBLE) / $m), 4)
+             |END AS est,
+             |CASE WHEN count(DISTINCT slot) = $m THEN CAST(NULL AS DOUBLE)
+             |ELSE round((round(-CAST($m AS DOUBLE) * ln(CAST($m - count(DISTINCT slot) AS DOUBLE) / $m), 4)
+             |- count(DISTINCT v)) * 100 * 1.0 / count(DISTINCT v), 2) END AS err_pct
+             |FROM (SELECT ${Corpus.hexFoldDuck(s"substr(md5(v), 1, 15)", 15)} % $m AS slot, v
+             |FROM (SELECT $valDuck AS v FROM $from) s0))"""
+        val terms = "(SELECT unnest(" + toksDuck + ") AS term FROM documents)"
+        s"""SELECT * FROM (${side(terms, "term", "term", 256)}
+           |UNION ALL ${side("events", "CAST(user_id AS VARCHAR)", "user_id", 256)}
+           |UNION ALL ${side(terms, "term", "term", 4096)}
+           |UNION ALL ${side("events", "CAST(user_id AS VARCHAR)", "user_id", 4096)})
+           |ORDER BY col_name, m""".stripMargin.replace("\n", " ")
+      })
   )
 }

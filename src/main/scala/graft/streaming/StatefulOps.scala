@@ -97,6 +97,32 @@ object StatefulOps {
       }
   }
 
+  final case class CmCell(row_j: Int, bucket: Long)
+  final case class CmCount(row_j: Int, bucket: Long, cnt: Long)
+
+  /** Streaming twin of q145's count-min sketch: the (row, bucket) cell
+    * counts maintained incrementally in keyed state as token cells
+    * stream in. A cell count is a sum-monoid — the same property that
+    * lets q145 merge per-shard sketches — so any micro-batch split and
+    * any arrival order settle to the batch sketch
+    * (StatefulStreamingSpec replays 4 micro-batches and proves it).
+    * State is ONE long per touched cell, hard-capped at depth×width
+    * (4×16 = 64 here) REGARDLESS of stream length — the count-min
+    * trade: a bounded state store forever, at the cost of
+    * overestimates the batch query measures. */
+  def countMinStream(cells: Dataset[CmCell]): Dataset[CmCount] = {
+    import cells.sparkSession.implicits._
+    cells.groupByKey(c => (c.row_j, c.bucket))
+      .flatMapGroupsWithState[CmCount, CmCount](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: (Int, Long), rows: Iterator[CmCell], state: GroupState[CmCount]) =>
+          val prev = state.getOption.getOrElse(CmCount(key._1, key._2, 0L))
+          val next = prev.copy(cnt = prev.cnt + rows.size)
+          state.update(next)
+          Iterator(next)
+      }
+  }
+
   /** Batch twin for equivalence tests. */
   def runningStatsBatch(spark: SparkSession, dir: String): Dataset[UserStat] = {
     import spark.implicits._

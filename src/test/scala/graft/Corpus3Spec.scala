@@ -84,6 +84,61 @@ class Corpus3Spec extends AnyFunSuite with SparkSuite {
     assert(merged == whole)
   }
 
+  test("q147 skew audit: bucket placement replayed exactly; hot-key column flagged, spread column near-uniform") {
+    val out = SparkEntry.queries("q147_shuffle_skew_audit")(spark, sfDir)
+      .select("key_name", "n_keys", "buckets_used", "max_bucket", "skew_ratio")
+      .as[(String, Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    val ev = Tables.events(spark, sfDir)
+      .select($"user_id".cast("string").as("u"), $"event_type".as("t"))
+      .as[(String, String)].collect()
+    def replay(vals: Seq[String]) = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      vals.groupBy { v =>
+        val hex = md.digest(v.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        java.lang.Long.parseLong(hex.take(15), 16) % 32
+      }.view.mapValues(_.size.toLong).toMap
+    }
+    Seq("user_id" -> ev.map(_._1).toSeq, "event_type" -> ev.map(_._2).toSeq)
+      .foreach { case (name, vals) =>
+        val buckets = replay(vals)
+        val r = out(name)
+        assert(r._2 == vals.distinct.size, s"$name n_keys")
+        assert(r._3 == buckets.size, s"$name buckets_used")
+        assert(r._4 == buckets.values.max, s"$name max_bucket")
+        assert(math.abs(r._5 - buckets.values.max * 32.0 / vals.size) < 1e-3)
+      }
+    // the audit's verdicts: event_type concentrates, user_id spreads
+    // (relative, so they hold at every SF's key density)
+    assert(out("event_type")._3 <= 5 && out("event_type")._5 > 4.0)
+    // at sf0.001's 15 users the spread key is itself fairly skewed
+    // (~67 rows per user) — the audit reports it; the ORDERING between
+    // the two keys is what must hold at every SF
+    assert(out("user_id")._3 > out("event_type")._3)
+    assert(out("user_id")._5 < out("event_type")._5)
+  }
+
+  test("q148 linear counting: estimate formula replayed, sized-right bitmap accurate, saturation flagged honestly") {
+    val out = SparkEntry.queries("q148_linear_counting")(spark, sfDir)
+      .select("col_name", "n_exact", "m", "occupied", "saturated", "est")
+      .as[(String, Long, Long, Long, Boolean, Double)].collect()
+    assert(out.length == 4)
+    out.foreach { case (name, n, m, occ, sat, est) =>
+      assert(occ <= math.min(n, m), s"$name occupancy bound")
+      assert(sat == (occ == m), s"$name saturation flag")
+      if (!sat) {
+        val expected = BigDecimal(-m.toDouble * math.log((m - occ).toDouble / m))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(math.abs(est - expected) < 1e-9, s"$name est formula")
+        // linear counting never underestimates below the occupancy
+        assert(est >= occ, s"$name est < occupied")
+      } else assert(est == -1.0, s"$name sentinel")
+    }
+    // the sized-right bitmap is accurate on every column at this SF
+    out.filter(_._3 == 4096L).foreach { case (name, n, _, _, _, est) =>
+      assert(math.abs(est - n) / n < 0.05, s"$name m=4096 error >5%")
+    }
+  }
+
   test("q146 vocab coverage: curve matches an exact local recompute and is monotone") {
     val out = SparkEntry.queries("q146_vocab_coverage")(spark, sfDir)
       .select("k", "covered_occurrences", "coverage", "oov_rate")

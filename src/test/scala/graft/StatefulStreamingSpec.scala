@@ -111,6 +111,39 @@ class StatefulStreamingSpec extends AnyFunSuite with SparkSuite {
     assert(batch.exceptAll(fin).count() == 0)
   }
 
+  test("streaming count-min sketch over multi-batch replay settles to q145's batch sketch") {
+    // stage the token cells as 4 parquet files, replay 1 per micro-batch;
+    // cell counts are sum-monoids so arrival order must not matter
+    val stage = java.nio.file.Files.createTempDirectory("graft_cm_stage")
+    val tok = Tables.documents(spark, sfDir)
+      .select(explode(expr(operators.TextAnalytics.toksExpr)).as("term"))
+    val prepared = tok.select(posexplode(array(
+        (0 until operators.Corpus3.CM_DEPTH).map(j =>
+          expr(operators.Corpus3.cmBucketSpark(j, operators.Corpus3.CM_NARROW))): _*))
+        .as(Seq("row_j", "bucket")))
+      .select($"row_j".cast("int").as("row_j"), $"bucket")
+    prepared.repartition(4).write.mode("overwrite").parquet(stage.toString)
+    val cells = spark.readStream
+      .schema(prepared.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(stage.toString)
+      .as[StatefulOps.CmCell]
+    val q = StatefulOps.countMinStream(cells).writeStream
+      .outputMode("update").format("memory").queryName("cm_stream")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val updates = spark.table("cm_stream").collect()
+    assert(updates.length > 64, s"only ${updates.length} updates — not multi-batch")
+    // final state per cell = the largest emitted count (strictly increasing)
+    val fin = spark.table("cm_stream").groupBy("row_j", "bucket")
+      .agg(max("cnt").as("cnt"))
+    val batch = prepared.groupBy("row_j", "bucket").agg(count(lit(1)).as("cnt"))
+    assert(fin.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(fin).count() == 0)
+    // the state store is hard-capped at depth×width cells
+    assert(fin.count() <= operators.Corpus3.CM_DEPTH * operators.Corpus3.CM_NARROW)
+  }
+
   test("streaming dedup by event_id keeps exactly the distinct ids") {
     val q = StreamingTwin.dedupStream(stagedEventStream()).writeStream
       .outputMode("append").format("memory").queryName("dedup_stream")
