@@ -91,7 +91,7 @@ object Corpus3 {
           .groupBy("lang")
           .agg(count(lit(1)).as("sel_docs"), sum("n_toks").as("sel_toks"),
             expr("bit_xor(h)").as("checksum"))
-        q.join(sel, Seq("lang"), "left")
+        q.join(broadcast(sel), Seq("lang"), "left")
           .select(col("lang"), col("n_docs"),
             round(col("n_docs").cast("double") / col("n_total"), 6).as("raw_frac"),
             round(col("wt").cast("double") / col("tot"), 6).as("temp_frac"),

@@ -139,4 +139,20 @@ class PlanShapeSpec extends AnyFunSuite with SparkSuite {
       assert(p.contains("BroadcastHashJoin"), s"$name: ${p.take(500)}")
     }
   }
+
+  test("q144/q145 keep their tiny artifacts broadcast — the corpus never sort-merge-joins") {
+    // q144's quota table is |langs| rows; q145's sketch is ≤4160 cells
+    // and its candidate set 20 terms — every join of corpus-derived data
+    // against them must be a broadcast
+    Seq("q144_temperature_mixture", "q145_countmin_heavy_hitters").foreach { name =>
+      val p = plan(name)
+      assert(p.contains("BroadcastHashJoin"), s"$name: ${p.take(500)}")
+      assert(!p.contains("SortMergeJoin"), s"$name: ${p.take(500)}")
+    }
+  }
+
+  test("q146 cuts to the top-500 terms via TakeOrderedAndProject before any global window") {
+    val p = plan("q146_vocab_coverage")
+    assert(p.contains("TakeOrderedAndProject"), p.take(500))
+  }
 }
