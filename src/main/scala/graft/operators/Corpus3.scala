@@ -334,6 +334,54 @@ object Corpus3 {
            |UNION ALL ${side(terms, "term", "term", 4096)}
            |UNION ALL ${side("events", "CAST(user_id AS VARCHAR)", "user_id", 4096)})
            |ORDER BY col_name, m""".stripMargin.replace("\n", " ")
-      })
+      }),
+
+    QueryDef(
+      "q149_chisq_independence",
+      // CHI-SQUARE INDEPENDENCE CELLS (source × lang) — the crawl-QA
+      // question behind q110's token drift, at slice granularity: does
+      // the language mix depend on the source, and WHICH cells drive
+      // it? Per contingency cell: observed count, row/col totals, the
+      // EXACT-integer cross-multiplied deviation |o·N − r·c| (q110's
+      // trick — DECIMAL, engine-exact, ranks cells by dependence
+      // without any float), plus the conventional expected count and
+      // (o−e)²/e χ² term for interpretation. No order-dependent float
+      // SUM anywhere: each row is a fixed per-row expression chain, so
+      // the oracle is exact; the χ² TOTAL (a 25-term sum) is the
+      // spec's job, where summation order is controlled. Shape: one
+      // (source,lang) aggregate (the only corpus shuffle) + three
+      // broadcast-joined marginal tables derived from it.
+      (s, dir) => {
+        val o = Tables.documents(s, dir)
+          .groupBy("source", "lang").agg(count(lit(1)).as("o"))
+        val r = o.groupBy("source").agg(sum("o").as("r"))
+        val c = o.groupBy("lang").agg(sum("o").as("c"))
+        val n = o.agg(sum("o").as("n"))
+        o.join(broadcast(r), "source").join(broadcast(c), "lang")
+          .crossJoin(broadcast(n))
+          .withColumn("e", (col("r").cast("decimal(18,0)") * col("c").cast("decimal(18,0)"))
+            .cast("double") / col("n"))
+          .select(col("source"), col("lang"), col("o"), col("r"), col("c"),
+            abs(col("o").cast("decimal(18,0)") * col("n").cast("decimal(18,0)")
+              - col("r").cast("decimal(18,0)") * col("c").cast("decimal(18,0)"))
+              .cast("decimal(38,0)").as("dev"),
+            round(col("e"), 4).as("e"),
+            round((col("o") - col("e")) * (col("o") - col("e")) / col("e"), 4)
+              .as("chisq_term"))
+          .orderBy("source", "lang")
+      },
+      Some("""WITH o AS (SELECT source, lang, count(*) AS o FROM documents GROUP BY 1, 2),
+             |r AS (SELECT source, CAST(sum(o) AS BIGINT) AS r FROM o GROUP BY 1),
+             |c AS (SELECT lang, CAST(sum(o) AS BIGINT) AS c FROM o GROUP BY 1),
+             |n AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM o),
+             |j AS (SELECT o.source, o.lang, o.o, r.r, c.c, n.n,
+             |CAST(CAST(r.r AS DECIMAL(18,0)) * CAST(c.c AS DECIMAL(18,0)) AS DOUBLE) / n.n AS e
+             |FROM o JOIN r ON o.source = r.source JOIN c ON o.lang = c.lang, n)
+             |SELECT source, lang, o, r, c,
+             |CAST(abs(CAST(o AS DECIMAL(18,0)) * CAST(n AS DECIMAL(18,0))
+             |- CAST(r AS DECIMAL(18,0)) * CAST(c AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS dev,
+             |round(e, 4) AS e,
+             |round((o - e) * (o - e) / e, 4) AS chisq_term
+             |FROM j ORDER BY source, lang""".stripMargin.replace("\n", " ")))
   )
 }

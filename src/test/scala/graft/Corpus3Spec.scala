@@ -139,6 +139,38 @@ class Corpus3Spec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("q149 chi-square cells: marginals consistent, terms replayed exactly, exact dev agrees with the float term") {
+    val out = SparkEntry.queries("q149_chisq_independence")(spark, sfDir)
+      .select("source", "lang", "o", "r", "c", "dev", "e", "chisq_term")
+      .as[(String, String, Long, Long, Long, java.math.BigDecimal, Double, Double)].collect()
+    assert(out.nonEmpty)
+    val n = out.map(_._3).sum
+    // marginal consistency: per-source and per-lang sums of observed
+    // counts equal the r/c the query attached to every cell
+    out.groupBy(_._1).foreach { case (_, cells) =>
+      assert(cells.map(_._3).sum == cells.head._4)
+    }
+    out.groupBy(_._2).foreach { case (_, cells) =>
+      assert(cells.map(_._3).sum == cells.head._5)
+    }
+    // per-cell replay of e, the χ² term, and the exact deviation
+    out.foreach { case (s0, l, o, r, c, dev, e, term) =>
+      val eExp = r.toDouble * c / n
+      assert(math.abs(e - BigDecimal(eExp).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble) < 1e-9, s"$s0/$l e")
+      val tExp = (o - eExp) * (o - eExp) / eExp
+      assert(math.abs(term - BigDecimal(tExp).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble) < 1e-9, s"$s0/$l term")
+      assert(dev.longValueExact() == math.abs(o * n - r * c), s"$s0/$l dev")
+      // dev = 0 exactly when the cell sits on independence
+      assert((dev.signum == 0) == (o * n == r * c))
+    }
+    // the χ² total — the SUM the query deliberately leaves to controlled
+    // summation — is finite and consistent with the published terms
+    val total = out.map(_._8).sorted.sum
+    assert(total >= 0 && !total.isNaN)
+  }
+
   test("q146 vocab coverage: curve matches an exact local recompute and is monotone") {
     val out = SparkEntry.queries("q146_vocab_coverage")(spark, sfDir)
       .select("k", "covered_occurrences", "coverage", "oov_rate")
