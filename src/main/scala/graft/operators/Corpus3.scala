@@ -382,6 +382,91 @@ object Corpus3 {
              |- CAST(r AS DECIMAL(18,0)) * CAST(c AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS dev,
              |round(e, 4) AS e,
              |round((o - e) * (o - e) / e, 4) AS chisq_term
-             |FROM j ORDER BY source, lang""".stripMargin.replace("\n", " ")))
+             |FROM j ORDER BY source, lang""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q150_constraint_audit",
+      // CONSTRAINT AUDIT — the Deequ-style declarative data-quality
+      // suite a pipeline runs before trusting an ingest: key
+      // uniqueness (single and composite), referential integrity
+      // (orders→customer as an anti-join count), NOT NULL, value
+      // range, and a functional dependency (n_nationkey → n_regionkey:
+      // LHS values mapping to >1 RHS are violations). One row per
+      // declared constraint with checked/violation counts and the
+      // verdict — the audit TABLE is the artifact a data contract
+      // gates on. Every check is one aggregate or one anti-join on
+      // the constraint's own key — the shapes the engine already
+      // scales; the suite unions six tiny 1-row results.
+      (s, dir) => {
+        def row(name: String, checked: org.apache.spark.sql.Column,
+            viol: org.apache.spark.sql.Column, df: org.apache.spark.sql.DataFrame) =
+          df.agg(checked.cast("long").as("n_checked"), viol.cast("long").as("n_violations"))
+            .select(lit(name).as("constraint_name"), col("n_checked"),
+              col("n_violations"), (col("n_violations") === 0L).as("pass"))
+        val cust = Tables.customer(s, dir)
+        val uniqCust = row("customer.c_custkey unique",
+          count(lit(1)), count(lit(1)) - countDistinct(col("c_custkey")),
+          cust)
+        val uniqLine = row("lineitem (l_orderkey,l_linenumber) unique",
+          count(lit(1)),
+          count(lit(1)) - countDistinct(col("l_orderkey"), col("l_linenumber")),
+          Tables.lineitem(s, dir))
+        val refOrders = row("orders.o_custkey references customer",
+          count(lit(1)), count(lit(1)),
+          Tables.orders(s, dir).join(cust,
+            col("o_custkey") === col("c_custkey"), "left_anti"))
+          // anti-join leaves only violations: n_checked must be the full
+          // orders count, so patch it from a separate 1-row aggregate
+          .drop("n_checked")
+          .crossJoin(broadcast(Tables.orders(s, dir)
+            .agg(count(lit(1)).cast("long").as("n_checked"))))
+          .select(col("constraint_name"), col("n_checked"), col("n_violations"), col("pass"))
+        val notNull = row("events.user_id not null",
+          count(lit(1)), count(lit(1)) - count(col("user_id")),
+          Tables.events(s, dir))
+        val range = row("lineitem.l_quantity in [1,50]",
+          count(lit(1)),
+          sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L).otherwise(0L)),
+          Tables.lineitem(s, dir))
+        val fd = row("nation.n_nationkey -> n_regionkey",
+          count(lit(1)),
+          sum(when(col("nrk") > 1L, 1L).otherwise(0L)),
+          Tables.nation(s, dir).groupBy("n_nationkey")
+            .agg(countDistinct("n_regionkey").as("nrk")))
+        Seq(uniqCust, uniqLine, refOrders, notNull, range, fd)
+          .reduce(_ unionByName _).orderBy("constraint_name")
+      },
+      Some("""SELECT * FROM (
+             |SELECT 'customer.c_custkey unique' AS constraint_name,
+             |CAST(count(*) AS BIGINT) AS n_checked,
+             |CAST(count(*) - count(DISTINCT c_custkey) AS BIGINT) AS n_violations,
+             |count(*) - count(DISTINCT c_custkey) = 0 AS pass FROM customer
+             |UNION ALL
+             |SELECT 'lineitem (l_orderkey,l_linenumber) unique',
+             |CAST(count(*) AS BIGINT),
+             |CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT),
+             |count(*) - count(DISTINCT (l_orderkey, l_linenumber)) = 0 FROM lineitem
+             |UNION ALL
+             |SELECT 'orders.o_custkey references customer',
+             |CAST((SELECT count(*) FROM orders) AS BIGINT),
+             |CAST(count(*) AS BIGINT), count(*) = 0
+             |FROM orders o WHERE NOT EXISTS
+             |(SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+             |UNION ALL
+             |SELECT 'events.user_id not null', CAST(count(*) AS BIGINT),
+             |CAST(count(*) - count(user_id) AS BIGINT),
+             |count(*) - count(user_id) = 0 FROM events
+             |UNION ALL
+             |SELECT 'lineitem.l_quantity in [1,50]', CAST(count(*) AS BIGINT),
+             |CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT),
+             |sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) = 0 FROM lineitem
+             |UNION ALL
+             |SELECT 'nation.n_nationkey -> n_regionkey',
+             |CAST(count(*) AS BIGINT),
+             |CAST(sum(CASE WHEN nrk > 1 THEN 1 ELSE 0 END) AS BIGINT),
+             |sum(CASE WHEN nrk > 1 THEN 1 ELSE 0 END) = 0
+             |FROM (SELECT n_nationkey, count(DISTINCT n_regionkey) AS nrk
+             |FROM nation GROUP BY 1) f)
+             |ORDER BY constraint_name""".stripMargin.replace("\n", " ")))
   )
 }

@@ -171,6 +171,32 @@ class Corpus3Spec extends AnyFunSuite with SparkSuite {
     assert(total >= 0 && !total.isNaN)
   }
 
+  test("q150 constraint audit: every check replayed exactly; the audit catches the real composite-key defect") {
+    val out = SparkEntry.queries("q150_constraint_audit")(spark, sfDir)
+      .select("constraint_name", "n_checked", "n_violations", "pass")
+      .as[(String, Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(out.size == 6)
+    out.values.foreach(r => assert(r._4 == (r._3 == 0L), s"${r._1} verdict"))
+    // composite-key uniqueness replayed exactly (the testdata's lineitem
+    // genuinely repeats (l_orderkey, l_linenumber) — the audit must say so)
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_linenumber").as[(Long, Long)].collect()
+    val uniq = out("lineitem (l_orderkey,l_linenumber) unique")
+    assert(uniq._2 == li.length)
+    assert(uniq._3 == li.length - li.distinct.length)
+    assert(!uniq._4 && uniq._3 > 0, "the known composite-key defect went undetected")
+    // referential integrity replayed via set difference
+    val custKeys = Tables.customer(spark, sfDir)
+      .select("c_custkey").as[Long].collect().toSet
+    val orderCust = Tables.orders(spark, sfDir)
+      .select("o_custkey").as[Long].collect()
+    val ref = out("orders.o_custkey references customer")
+    assert(ref._2 == orderCust.length)
+    assert(ref._3 == orderCust.count(!custKeys.contains(_)))
+    // the FD holds on nation
+    assert(out("nation.n_nationkey -> n_regionkey")._4)
+  }
+
   test("q146 vocab coverage: curve matches an exact local recompute and is monotone") {
     val out = SparkEntry.queries("q146_vocab_coverage")(spark, sfDir)
       .select("k", "covered_occurrences", "coverage", "oov_rate")
