@@ -467,6 +467,56 @@ object Corpus3 {
              |sum(CASE WHEN nrk > 1 THEN 1 ELSE 0 END) = 0
              |FROM (SELECT n_nationkey, count(DISTINCT n_regionkey) AS nrk
              |FROM nation GROUP BY 1) f)
-             |ORDER BY constraint_name""".stripMargin.replace("\n", " ")))
+             |ORDER BY constraint_name""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q151_equidepth_histogram",
+      // ANALYZE-STYLE EQUI-DEPTH HISTOGRAM — the optimizer-statistics
+      // collection step (8 buckets of equal ROW count, each with its
+      // value range, count, and NDV): what a cost-based planner feeds
+      // on for selectivity estimates, and the stats artifact every
+      // warehouse's ANALYZE emits. Bucket = (rank·8) div n over the
+      // value-ordered frame (the same formula on both engines — NOT
+      // ntile, whose remainder rule differs) — rank comes from
+      // Indexing.globalIndex's two-pass range exchange, so no
+      // single-partition sort ever sees the table. Two columns with
+      // opposite shapes: l_quantity (50 discrete values, 12k rows per
+      // value ⇒ buckets land on value boundaries and NDV ~6-7) and
+      // events.value (continuous ⇒ NDV ≈ cnt per bucket).
+      (s, dir) => {
+        def hist(df: org.apache.spark.sql.DataFrame, valCol: String,
+            tieBreak: Seq[org.apache.spark.sql.Column], name: String) = {
+          val v = df.select((col(valCol).as("v") +: tieBreak): _*)
+          val idx = Indexing.globalIndex(v, col("v") +: tieBreak)
+          idx.crossJoin(broadcast(v.agg(count(lit(1)).as("n"))))
+            .withColumn("bucket", expr("(idx * 8) DIV n"))
+            .groupBy("bucket")
+            .agg(min("v").as("lo"), max("v").as("hi"),
+              count(lit(1)).as("cnt"), countDistinct("v").as("ndv"))
+            .select(lit(name).as("col_name"), col("bucket"), col("lo"),
+              col("hi"), col("cnt"), col("ndv"))
+        }
+        hist(Tables.lineitem(s, dir), "l_quantity",
+            Seq(col("l_orderkey"), col("l_linenumber"), col("l_partkey")), "l_quantity")
+          .unionByName(hist(Tables.events(s, dir), "value",
+            Seq(col("event_id")), "events.value"))
+          .orderBy("col_name", "bucket")
+      },
+      Some("""SELECT * FROM (
+             |WITH lq AS (SELECT l_quantity AS v, (row_number() OVER
+             |(ORDER BY l_quantity, l_orderkey, l_linenumber, l_partkey) - 1) AS idx,
+             |(SELECT count(*) FROM lineitem) AS n FROM lineitem),
+             |ev AS (SELECT value AS v, (row_number() OVER
+             |(ORDER BY value, event_id) - 1) AS idx,
+             |(SELECT count(*) FROM events) AS n FROM events)
+             |SELECT 'l_quantity' AS col_name, CAST(idx * 8 // n AS BIGINT) AS bucket,
+             |min(v) AS lo, max(v) AS hi, CAST(count(*) AS BIGINT) AS cnt,
+             |CAST(count(DISTINCT v) AS BIGINT) AS ndv
+             |FROM lq GROUP BY 2
+             |UNION ALL
+             |SELECT 'events.value', CAST(idx * 8 // n AS BIGINT),
+             |min(v), max(v), CAST(count(*) AS BIGINT), CAST(count(DISTINCT v) AS BIGINT)
+             |FROM ev GROUP BY 2)
+             |ORDER BY col_name, bucket""".stripMargin.replace("\n", " ")))
   )
 }

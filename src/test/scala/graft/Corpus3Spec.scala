@@ -197,6 +197,44 @@ class Corpus3Spec extends AnyFunSuite with SparkSuite {
     assert(out("nation.n_nationkey -> n_regionkey")._4)
   }
 
+  test("q151 equi-depth histogram: depths equal to the rank formula, ranges monotone and tiling, stats replayed exactly") {
+    val out = SparkEntry.queries("q151_equidepth_histogram")(spark, sfDir)
+      .select("col_name", "bucket", "lo", "hi", "cnt", "ndv")
+      .as[(String, Long, Double, Double, Long, Long)].collect()
+    val byCol = out.groupBy(_._1)
+    assert(byCol.keySet == Set("l_quantity", "events.value"))
+    byCol.foreach { case (cn, rows0) =>
+      val rows = rows0.sortBy(_._2)
+      assert(rows.map(_._2).sameElements(0L until 8L), s"$cn buckets")
+      val n = rows.map(_._5).sum
+      // depth of bucket b under the (idx·8) div n rule, replayed
+      rows.foreach { r =>
+        val expected = (0L until n).count(i => i * 8 / n == r._2)
+        assert(r._5 == expected, s"$cn bucket ${r._2} depth")
+      }
+      // ranges are monotone and tile the column (ties may touch: a
+      // discrete column's boundary value can close one bucket and open
+      // the next)
+      rows.sliding(2).foreach {
+        case Array(a, b) => assert(a._4 <= b._3, s"$cn range overlap")
+        case _ =>
+      }
+      rows.foreach(r => assert(r._3 <= r._4 && r._6 <= r._5))
+    }
+    // exact replay of the l_quantity histogram from the raw column
+    val vals = Tables.lineitem(spark, sfDir)
+      .select("l_quantity", "l_orderkey", "l_linenumber", "l_partkey")
+      .as[(Double, Long, Long, Long)].collect()
+      .sortBy(v => (v._1, v._2, v._3, v._4)).map(_._1)
+    val n = vals.length
+    val expected = vals.zipWithIndex.groupBy { case (_, i) => i.toLong * 8 / n }
+    byCol("l_quantity").foreach { r =>
+      val b = expected(r._2).map(_._1)
+      assert(r._3 == b.min && r._4 == b.max && r._5 == b.length && r._6 == b.distinct.length,
+        s"l_quantity bucket ${r._2}")
+    }
+  }
+
   test("q146 vocab coverage: curve matches an exact local recompute and is monotone") {
     val out = SparkEntry.queries("q146_vocab_coverage")(spark, sfDir)
       .select("k", "covered_occurrences", "coverage", "oov_rate")

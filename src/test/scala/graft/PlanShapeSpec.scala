@@ -155,4 +155,21 @@ class PlanShapeSpec extends AnyFunSuite with SparkSuite {
     val p = plan("q146_vocab_coverage")
     assert(p.contains("TakeOrderedAndProject"), p.take(500))
   }
+
+  test("q151 histogram never funnels a table through one task — SinglePartition only under scalar aggregates") {
+    // the rank exchange itself is inside globalIndex's localCheckpoint
+    // (plan truncation hides it — q56's test pins that primitive); what
+    // q151 must NOT add is a corpus-wide single-partition funnel. The
+    // two 1-row count(*) scalars ARE SinglePartition exchanges, but
+    // their input is one partial row per partition — assert every such
+    // exchange feeds a scalar HashAggregate and nothing else.
+    val lines = plan("q151_equidepth_histogram").split("\n")
+    val sp = lines.zipWithIndex.filter(_._1.contains("Exchange SinglePartition"))
+    assert(sp.length <= 2, lines.take(30).mkString("\n"))
+    sp.foreach { case (_, i) =>
+      assert(lines(i + 1).contains("HashAggregate") &&
+        lines(i + 1).contains("partial_count"),
+        s"SinglePartition exchange not a scalar count:\n${lines.slice(i, i + 3).mkString("\n")}")
+    }
+  }
 }
