@@ -517,6 +517,85 @@ object Corpus3 {
              |SELECT 'events.value', CAST(idx * 8 // n AS BIGINT),
              |min(v), max(v), CAST(count(*) AS BIGINT), CAST(count(DISTINCT v) AS BIGINT)
              |FROM ev GROUP BY 2)
-             |ORDER BY col_name, bucket""".stripMargin.replace("\n", " ")))
+             |ORDER BY col_name, bucket""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q152_cardinality_estimates",
+      // OPTIMIZER CARDINALITY-ESTIMATION AUDIT — the textbook CBO
+      // formulas q151's statistics exist to feed, scored against
+      // ground truth: equality via uniform-NDV (n/ndv), ranges via
+      // min-max interpolation (n·(c−lo)/(hi−lo)), equi-join via
+      // |A|·|B|/max(ndv_A, ndv_B). Four targets chosen so the audit
+      // TEACHES: the equality and join estimates land near 1×; the
+      // value>100 range estimate overshoots ~5× because events.value
+      // is heavy-tailed and min-max interpolation assumes uniform —
+      // exactly the error q151's equi-depth buckets exist to fix.
+      // Every estimate is single-row arithmetic over table stats
+      // (count/min/max/ndv aggregates — map-side combining scans);
+      // each actual is one filter/join count.
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val ev = Tables.events(s, dir)
+        val liS = li.agg(count(lit(1)).as("n"), countDistinct("l_quantity").as("ndv"),
+          min("l_quantity").as("lo"), max("l_quantity").as("hi"))
+        val evS = ev.agg(count(lit(1)).as("n"),
+          min("value").as("lo"), max("value").as("hi"))
+        def row(name: String, est: org.apache.spark.sql.Column,
+            stats: org.apache.spark.sql.DataFrame,
+            actual: org.apache.spark.sql.DataFrame) =
+          stats.crossJoin(broadcast(actual.agg(count(lit(1)).as("actual_rows"))))
+            .select(lit(name).as("target"),
+              round(est, 1).as("est_rows"), col("actual_rows"),
+              round(round(est, 1) / col("actual_rows"), 4).as("err_ratio"))
+        val eq = row("l_quantity = 5",
+          col("n").cast("double") / col("ndv"), liS,
+          li.filter(col("l_quantity") === 5))
+        val rng1 = row("l_quantity <= 10",
+          col("n") * (lit(10) - col("lo")) / (col("hi") - col("lo")), liS,
+          li.filter(col("l_quantity") <= 10))
+        val rng2 = row("events.value > 100",
+          col("n") * (col("hi") - lit(100)) / (col("hi") - col("lo")), evS,
+          ev.filter(col("value") > 100))
+        val ord = Tables.orders(s, dir)
+        val cust = Tables.customer(s, dir)
+        val joinS = ord.agg(count(lit(1)).as("n_o"), countDistinct("o_custkey").as("ndv_o"))
+          .crossJoin(cust.agg(count(lit(1)).as("n_c"), countDistinct("c_custkey").as("ndv_c")))
+        val jn = row("orders join customer on custkey",
+          col("n_o") * col("n_c") / greatest(col("ndv_o"), col("ndv_c")), joinS,
+          ord.join(cust, col("o_custkey") === col("c_custkey")))
+        Seq(eq, rng1, rng2, jn).reduce(_ unionByName _).orderBy("target")
+      },
+      Some("""SELECT * FROM (
+             |WITH li AS (SELECT count(*) AS n, count(DISTINCT l_quantity) AS ndv,
+             |min(l_quantity) AS lo, max(l_quantity) AS hi FROM lineitem),
+             |ev AS (SELECT count(*) AS n, min(value) AS lo, max(value) AS hi FROM events),
+             |js AS (SELECT (SELECT count(*) FROM orders) AS n_o,
+             |(SELECT count(DISTINCT o_custkey) FROM orders) AS ndv_o,
+             |(SELECT count(*) FROM customer) AS n_c,
+             |(SELECT count(DISTINCT c_custkey) FROM customer) AS ndv_c)
+             |SELECT 'l_quantity = 5' AS target,
+             |round(CAST(n AS DOUBLE) / ndv, 1) AS est_rows,
+             |CAST((SELECT count(*) FROM lineitem WHERE l_quantity = 5) AS BIGINT) AS actual_rows,
+             |round(round(CAST(n AS DOUBLE) / ndv, 1)
+             |/ (SELECT count(*) FROM lineitem WHERE l_quantity = 5), 4) AS err_ratio FROM li
+             |UNION ALL
+             |SELECT 'l_quantity <= 10', round(n * (10 - lo) / (hi - lo), 1),
+             |CAST((SELECT count(*) FROM lineitem WHERE l_quantity <= 10) AS BIGINT),
+             |round(round(n * (10 - lo) / (hi - lo), 1)
+             |/ (SELECT count(*) FROM lineitem WHERE l_quantity <= 10), 4) FROM li
+             |UNION ALL
+             |SELECT 'events.value > 100', round(n * (hi - 100) / (hi - lo), 1),
+             |CAST((SELECT count(*) FROM events WHERE value > 100) AS BIGINT),
+             |round(round(n * (hi - 100) / (hi - lo), 1)
+             |/ (SELECT count(*) FROM events WHERE value > 100), 4) FROM ev
+             |UNION ALL
+             |SELECT 'orders join customer on custkey',
+             |round(n_o * n_c / greatest(ndv_o, ndv_c), 1),
+             |CAST((SELECT count(*) FROM orders o JOIN customer c
+             |ON o.o_custkey = c.c_custkey) AS BIGINT),
+             |round(round(n_o * n_c / greatest(ndv_o, ndv_c), 1)
+             |/ (SELECT count(*) FROM orders o JOIN customer c
+             |ON o.o_custkey = c.c_custkey), 4) FROM js)
+             |ORDER BY target""".stripMargin.replace("\n", " ")))
   )
 }

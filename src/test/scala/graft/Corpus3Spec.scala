@@ -235,6 +235,31 @@ class Corpus3Spec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("q152 cardinality estimates: formulas replayed from raw stats, actuals exact, heavy-tail range is the bad one") {
+    val out = SparkEntry.queries("q152_cardinality_estimates")(spark, sfDir)
+      .select("target", "est_rows", "actual_rows", "err_ratio")
+      .as[(String, Double, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out.size == 4)
+    val lq = Tables.lineitem(spark, sfDir).select("l_quantity").as[Double].collect()
+    def r1(x: Double) = BigDecimal(x).setScale(1, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // uniform-NDV equality estimate
+    assert(out("l_quantity = 5")._2 == r1(lq.length.toDouble / lq.distinct.length))
+    assert(out("l_quantity = 5")._3 == lq.count(_ == 5.0))
+    // min-max interpolation
+    assert(out("l_quantity <= 10")._2 ==
+      r1(lq.length * (10 - lq.min) / (lq.max - lq.min)))
+    assert(out("l_quantity <= 10")._3 == lq.count(_ <= 10.0))
+    // join estimate: FK join onto a unique PK ⇒ est = |orders| exactly
+    val nOrders = Tables.orders(spark, sfDir).count()
+    assert(out("orders join customer on custkey")._2 == nOrders.toDouble)
+    assert(out("orders join customer on custkey")._3 == nOrders)
+    assert(math.abs(out("orders join customer on custkey")._4 - 1.0) < 1e-9)
+    // the audit's lesson: uniformity works on the uniform columns and
+    // fails on the heavy tail
+    assert(out("l_quantity = 5")._4 > 0.8 && out("l_quantity = 5")._4 < 1.2)
+    assert(out("events.value > 100")._4 > 2.0, "heavy-tail overshoot not visible")
+  }
+
   test("q146 vocab coverage: curve matches an exact local recompute and is monotone") {
     val out = SparkEntry.queries("q146_vocab_coverage")(spark, sfDir)
       .select("k", "covered_occurrences", "coverage", "oov_rate")
