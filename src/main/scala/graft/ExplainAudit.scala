@@ -25,7 +25,9 @@ object ExplainAudit {
         "q56_global_index", "q58_bloom_decontaminate", "q59_bm25",
         "q63_training_pipeline", "q64_dedup_incremental", "q66_pmi_collocations",
         "q118_lm_score", "q119_importance", "q120_span_scrub",
-        "q121_bpe_merges", "q122_bpe_encode", "q123_hybrid_rrf")
+        "q121_bpe_merges", "q122_bpe_encode", "q123_hybrid_rrf",
+        "q144_temperature_mixture", "q145_countmin_heavy_hitters",
+        "q150_constraint_audit", "q151_equidepth_histogram")
     targets.foreach { name =>
       println(s"\n===== $name =====")
       SparkEntry.queries(name)(spark, dir).explain("formatted")

@@ -123,6 +123,27 @@ object StatefulOps {
       }
   }
 
+  final case class Slot(slot: Long)
+
+  /** Streaming twin of q148's linear-counting occupancy bitmap: each
+    * hashed slot is keyed state holding one bit; a slot row is emitted
+    * exactly ONCE, when first occupied (Append mode), so the emitted
+    * row count IS the occupancy and the distinct-count estimate
+    * -m·ln((m-occupied)/m) needs no dedup downstream. The bitmap is an
+    * OR-monoid — arrival order and micro-batch splits cannot change the
+    * final occupied set — and state is hard-capped at m bits forever
+    * (the same bounded-state trade as countMinStream). */
+  def occupancyStream(slots: Dataset[Slot]): Dataset[Slot] = {
+    import slots.sparkSession.implicits._
+    slots.groupByKey(_.slot)
+      .flatMapGroupsWithState[Boolean, Slot](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (slot: Long, _: Iterator[Slot], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else { state.update(true); Iterator(Slot(slot)) }
+      }
+  }
+
   /** Batch twin for equivalence tests. */
   def runningStatsBatch(spark: SparkSession, dir: String): Dataset[UserStat] = {
     import spark.implicits._

@@ -144,6 +144,33 @@ class StatefulStreamingSpec extends AnyFunSuite with SparkSuite {
     assert(fin.count() <= operators.Corpus3.CM_DEPTH * operators.Corpus3.CM_NARROW)
   }
 
+  test("streaming occupancy bitmap emits each slot once and settles to q148's m=256 occupancy") {
+    val stage = java.nio.file.Files.createTempDirectory("graft_lc_stage")
+    val prepared = Tables.events(spark, sfDir)
+      .select(expr("CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 15), 16, 10) AS BIGINT) % 256")
+        .as("slot"))
+    prepared.repartition(4).write.mode("overwrite").parquet(stage.toString)
+    val slots = spark.readStream
+      .schema(prepared.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(stage.toString)
+      .as[StatefulOps.Slot]
+    val q = StatefulOps.occupancyStream(slots).writeStream
+      .outputMode("append").format("memory").queryName("occupancy_stream")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val emitted = spark.table("occupancy_stream").as[Long].collect()
+    // each slot exactly once — the emitted count IS the occupancy
+    assert(emitted.length == emitted.distinct.length)
+    val batchOccupied = prepared.distinct().as[Long].collect().toSet
+    assert(emitted.toSet == batchOccupied)
+    // and it matches the occupancy q148 publishes for (user_id, m=256)
+    val q148 = SparkEntry.queries("q148_linear_counting")(spark, sfDir)
+      .filter($"col_name" === "user_id" && $"m" === 256L)
+      .select("occupied").as[Long].head()
+    assert(emitted.length.toLong == q148)
+  }
+
   test("streaming dedup by event_id keeps exactly the distinct ids") {
     val q = StreamingTwin.dedupStream(stagedEventStream()).writeStream
       .outputMode("append").format("memory").queryName("dedup_stream")
