@@ -82,20 +82,45 @@ object Dedup {
       .select(col("da"), col("db"),
         round(col("i") * lit(1.0) / (col("za.n") + col("zb.n") - col("i")), 4).as("jaccard"))
 
+  /** Lossless size-compatibility prefilter: J(A,B) ≥ j forces
+    * min(|A|,|B|) ≥ j·max(|A|,|B|) (because |A∩B| ≤ min and
+    * |A∪B| ≥ max), so a candidate pair whose set sizes violate the
+    * ratio can never verify — drop it BEFORE the token-intersection
+    * join, the expensive half of LSH verify. The two size joins are
+    * broadcast-cheap ((doc_id, n) is corpus-cardinality); a 1e-3 slack
+    * keeps pairs admitted only via the round(·,4) ≥ j boundary, so the
+    * verified pair set is bit-identical to the unfiltered plan. On the
+    * small-vocab testdata corpus the minhash value space is tiny and
+    * buckets fill with size-incompatible false positives — this filter
+    * is what keeps the all-pairs q41 policy affordable there. */
+  private def sizeCompatible(cand: DataFrame, sz: DataFrame, minJ: Double): DataFrame =
+    cand
+      .join(broadcast(sz.select(col("doc_id").as("da"), col("n").as("na"))), "da")
+      .join(broadcast(sz.select(col("doc_id").as("db"), col("n").as("nb"))), "db")
+      .filter(least(col("na"), col("nb")) >=
+        (lit(minJ) - lit(0.001)) * greatest(col("na"), col("nb")))
+      .select(col("da"), col("db"))
+
   /** Verified Jaccard for explicit candidate pairs, reusing an already
     * built inverted index (callers that derived one for candidate
-    * generation must not pay the corpus re-tokenization twice). */
-  private def jaccardOfCandidates(cand: DataFrame, sh: DataFrame, sz: DataFrame): DataFrame = {
-    val inter = cand
+    * generation must not pay the corpus re-tokenization twice). Callers
+    * that keep only jaccard ≥ j pass `minJ = j` to engage the lossless
+    * size prefilter above. */
+  private def jaccardOfCandidates(
+      cand: DataFrame, sh: DataFrame, sz: DataFrame,
+      minJ: Double = 0.0): DataFrame = {
+    val pruned = if (minJ > 0.0) sizeCompatible(cand, sz, minJ) else cand
+    val inter = pruned
       .join(sh.as("sa"), col("da") === col("sa.doc_id"))
       .join(sh.as("sb"), col("db") === col("sb.doc_id") && col("sa.s") === col("sb.s"))
       .groupBy("da", "db").agg(count(lit(1)).as("i"))
     jaccardFromInter(inter, sz)
   }
 
-  private def jaccardOfCandidates(cand: DataFrame, t: DataFrame): DataFrame = {
+  private def jaccardOfCandidates(
+      cand: DataFrame, t: DataFrame, minJ: Double): DataFrame = {
     val (sh, sz) = invertedIndex(t)
-    jaccardOfCandidates(cand, sh, sz)
+    jaccardOfCandidates(cand, sh, sz, minJ)
   }
 
   private type Column = org.apache.spark.sql.Column
@@ -130,7 +155,7 @@ object Dedup {
     val bands = bandHashes(t.withColumn("sigs", sigsCol))
     val cand = bucketPairs(bands,
       (da, db) => (da % 10 =!= 1) && (db % 10 === 1))
-    jaccardOfCandidates(cand, t).filter(col("jaccard") >= 0.8)
+    jaccardOfCandidates(cand, t, minJ = 0.8).filter(col("jaccard") >= 0.8)
       .groupBy("da")
       .agg(count(lit(1)).as("n_eval_matches"), max("jaccard").as("mj"))
       .withColumnRenamed("da", "doc_id")
@@ -144,7 +169,7 @@ object Dedup {
       s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     val t = tokenSets(s, dir)
     val bands = bandHashes(t.withColumn("sigs", sigsCol))
-    jaccardOfCandidates(bucketPairs(bands, _ < _), t)
+    jaccardOfCandidates(bucketPairs(bands, _ < _), t, minJ = 0.9)
       .filter(col("jaccard") >= 0.9)
   }
 
@@ -200,7 +225,7 @@ object Dedup {
     // and the O(|batch|) incremental claim would be false.
     val touched = store.join(
       cand.select(col("db").as("doc_id")).distinct(), Seq("doc_id"), "left_semi")
-    val dup = jaccardOfCandidates(cand, touched.unionByName(batch))
+    val dup = jaccardOfCandidates(cand, touched.unionByName(batch), minJ = 0.9)
       .filter(col("jaccard") >= 0.9)
       .groupBy("da").agg(min("db").as("dup_of"))
     batch.select(col("doc_id"))
@@ -316,7 +341,7 @@ object Dedup {
         // pairs with an anchor, so the prune keeps ~all tokens while
         // adding a fourth recomputation of the reps pipeline. q64 keeps
         // the prune because its store/batch asymmetry makes it pay.)
-        val dropped = jaccardOfCandidates(cand, reps)
+        val dropped = jaccardOfCandidates(cand, reps, minJ = 0.9)
           .filter(col("jaccard") >= 0.9)
           .select(col("da").as("doc_id")).distinct()
         reps.join(dropped, Seq("doc_id"), "left_anti")
@@ -372,7 +397,7 @@ object Dedup {
           .join(sh.as("fb"), col("pa.s") === col("fb.s") && col("pa.doc_id") < col("fb.doc_id"))
           .select(col("pa.doc_id").as("da"), col("fb.doc_id").as("db"))
           .distinct()
-        jaccardOfCandidates(cand, sh, sz)
+        jaccardOfCandidates(cand, sh, sz, minJ = 0.9)
           .filter(col("jaccard") >= 0.9)
           .orderBy("da", "db")
       },
