@@ -25,6 +25,7 @@ object SparkEntry {
       operators.Corpus.defs ++
       operators.Corpus2.defs ++
       operators.Corpus3.defs ++
+      operators.Corpus4.defs ++
       sources.Articles.defs ++
       ml.MlQueries.defs
 

@@ -1,0 +1,279 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-4 closers, part 3 — the remaining distributed-summary and
+  * corpus-lifecycle operators:
+  *
+  *  - q153 KMV (k-minimum-values) distinct sketch: the THETA-sketch
+  *    family's cardinality summary. Keep the k smallest distinct
+  *    normalized hashes of a set; est = (k−1)/u_k. Unlike q148's
+  *    fixed-bitmap linear counting it supports SET ALGEBRA: the k
+  *    smallest of A∪B computed from the two sketches alone IS the
+  *    union sketch (any hash in the union's top-k is in its own set's
+  *    top-k), and Jaccard = |top-k(A∪B) ∩ A ∩ B| / k gives an
+  *    intersection estimate — the readout the query publishes.
+  *  - q154 broadcast-Bloom decontamination prefilter: the m-bit Bloom
+  *    filter over the eval split's token-set fingerprints, shipped as
+  *    ONE ≤m-element set to every executor. The train corpus is probed
+  *    map-side — ZERO shuffle on the big side, the physical shape of
+  *    Spark's runtime bloom-filter semi-join, built here as an explicit
+  *    operator with its false-positive rate MEASURED (exact_hit column)
+  *    at an under-sized and a sized-right width, q145/q148-style.
+  *  - q155 snapshot CDC diff: fingerprint-compare full-outer join of
+  *    corpus v1 vs a deterministically derived v2 → added / removed /
+  *    changed rows — the change-data-capture readout that lets the
+  *    incremental family (q64 dedup, q115 budget, persistMerge) re-run
+  *    on CHANGED DOCS ONLY instead of the whole corpus.
+  *
+  * Scale notes (also in SCALE.md):
+  *  - q153's sketch is k rows per scope REGARDLESS of corpus size: the
+  *    per-scope rank runs over DISTINCT hashes (the distinct is the one
+  *    shuffle; the window input is |ndv| rows, and a TakeOrdered-per-
+  *    scope rewrite bounds it further at extreme ndv). KMV sketches are
+  *    mergeable — k-min of unioned per-shard k-mins ≡ the global
+  *    sketch (Corpus4Spec proves the identity on a 4-shard split).
+  *  - q154's build side aggregates ≤ 3·|eval| positions into one ≤m-int
+  *    set; probing is a broadcast cross-join + three array_contains per
+  *    row, all inside whole-stage codegen. At 100 TB the bloom is a few
+  *    KB on every executor and the corpus never shuffles.
+  *  - q155 shuffles both snapshots on doc_id once; with both snapshots
+  *    bucketed by doc_id (the persistMerge layout) it is a co-located
+  *    zipper merge. Only 16-byte fingerprints are compared — text bytes
+  *    never cross the wire.
+  *
+  * Reference analog: scrappy.py's delta/merge bookkeeping (scrappy.py:
+  * 339-352 existing-wins merge) has no sketch/CDC layer at all — these
+  * are the scale-path additions a 100 TB corpus needs.
+  */
+object Corpus4 {
+
+  /** Sketch size: estimates engage above k distinct values; below it the
+    * sketch IS the value set and the estimate falls back to exact. */
+  private[graft] val KMV_K = 64
+  private val TWO60 = 1152921504606846976L // 2^60, exact in a Double
+
+  /** 60-bit user hash, +1 so u = h/2^60 ∈ (0,1] and the estimator never
+    * divides by zero. Same conv()/hex-fold pair as q136/q144-q152. */
+  private val uhSpark =
+    "CAST(conv(substr(md5(concat('u#', CAST(user_id AS STRING))), 1, 15), 16, 10) AS BIGINT) + 1"
+  private def uhDuck =
+    s"${Corpus.hexFoldDuck("substr(md5(concat('u#', CAST(user_id AS VARCHAR))), 1, 15)", 15)} + 1"
+
+  private[graft] val BLOOM_KH = 3
+  /** Narrow = deliberately under-sized (the measured-collision regime at
+    * this corpus's eval-split size); wide = sized-right. */
+  private[graft] val BLOOM_NARROW = 512
+  private[graft] val BLOOM_WIDE = 8192
+
+  /** Token-SET fingerprint (order-insensitive, multiplicity-insensitive):
+    * md5 of the comma-joined sorted distinct token list. Coarser than
+    * q97's normalized-text fp on purpose — bag-of-words collisions are
+    * what a decontamination PREfilter wants to over-approximate. */
+  private val fpSpark =
+    s"md5(array_join(array_sort(array_distinct(${TextAnalytics.toksExpr})), ','))"
+  private val fpDuck =
+    s"md5(list_aggregate(list_sort(list_distinct(${TextAnalytics.toksDuck})), 'string_agg', ','))"
+
+  /** Bloom bit position j of a fingerprint (q145's row-hash rule). */
+  private def bposSpark(j: Int, m: Int): String =
+    s"CAST(conv(substr(md5(concat('$j', '#', fp)), 1, 15), 16, 10) AS BIGINT) % $m"
+  private def bposDuck(j: Int, m: Int, rel: String): String =
+    s"${Corpus.hexFoldDuck(s"substr(md5(concat('$j', '#', $rel.fp)), 1, 15)", 15)} % $m"
+
+  def defs: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "q153_kmv_distinct_sketch",
+      // KMV / THETA-STYLE DISTINCT SKETCH with set algebra — per-scope
+      // NDV estimates (overall, per event_type, and two predicate-
+      // defined user sets A = ever value>150, B = ever 'error'), plus
+      // the union scope and an INTERSECTION row estimated from the
+      // sketches alone: J = |top-k(A∪B) ∩ A ∩ B| / |top-k(A∪B)|,
+      // |A∩B| ≈ J · est(A∪B). Every estimate is printed against the
+      // exact NDV with an err_ratio, q152-style: sized-right scopes
+      // land within a few percent; the <k scopes fall back to exact
+      // (the sketch IS the set there) and say so with err 1.0.
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        def tag(name: String, d: DataFrame) =
+          d.select(lit(name).as("scope"), col("user_id"))
+        val scoped = tag("all", ev)
+          .unionByName(ev.select(col("event_type").as("scope"), col("user_id")))
+          .unionByName(tag("A_value_gt150", ev.filter(col("value") > 150)))
+          .unionByName(tag("B_error", ev.filter(col("event_type") === "error")))
+          .unionByName(tag("AuB",
+            ev.filter(col("value") > 150 || col("event_type") === "error")))
+          .distinct()
+        val hs = scoped.select(col("scope"), expr(uhSpark).as("h")).distinct()
+        val rk = hs.withColumn("r",
+          row_number().over(Window.partitionBy("scope").orderBy("h")))
+        val es = rk.groupBy("scope")
+          .agg(count(lit(1)).as("n"), max(when(col("r") === KMV_K, col("h"))).as("hk"))
+          .withColumn("est_raw",
+            when(col("n") < KMV_K, col("n").cast("double"))
+              .otherwise(lit((KMV_K - 1).toDouble) * lit(TWO60.toDouble) / col("hk")))
+        val perScope = es.select(col("scope"), round(col("est_raw"), 1).as("est_ndv"),
+          col("n").as("exact_ndv"), round(round(col("est_raw"), 1) / col("n"), 4).as("err_ratio"))
+        // Intersection from the sketches: membership of the union's
+        // top-k hashes in raw A/B equals membership in their SKETCHES
+        // (h ≤ kth-min of A∪B ⇒ h ≤ kth-min of A), so the raw joins
+        // below are exactly the sketch-only computation.
+        val tu = rk.filter(col("scope") === "AuB" && col("r") <= KMV_K).select(col("h"))
+        val ha = hs.filter(col("scope") === "A_value_gt150").select(col("h"), lit(1).as("ia"))
+        val hb = hs.filter(col("scope") === "B_error").select(col("h"), lit(1).as("ib"))
+        val jj = tu.join(broadcast(ha), Seq("h"), "left")
+          .join(broadcast(hb), Seq("h"), "left")
+          .agg(count(lit(1)).as("ku"),
+            count(when(col("ia").isNotNull && col("ib").isNotNull, 1)).as("nb"))
+        val exInt = scoped.filter(col("scope") === "A_value_gt150").select("user_id")
+          .join(scoped.filter(col("scope") === "B_error").select("user_id"),
+            Seq("user_id"), "left_semi")
+          .agg(count(lit(1)).as("exact_int"))
+        val estU = es.filter(col("scope") === "AuB").select(col("est_raw").as("est_u"))
+        val inter = jj.crossJoin(broadcast(estU)).crossJoin(broadcast(exInt))
+          .select(lit("AnB_est").as("scope"),
+            round(col("nb").cast("double") / col("ku") * col("est_u"), 1).as("est_ndv"),
+            col("exact_int").as("exact_ndv"),
+            round(round(col("nb").cast("double") / col("ku") * col("est_u"), 1)
+              / col("exact_int"), 4).as("err_ratio"))
+        perScope.unionByName(inter).orderBy("scope")
+      },
+      Some(s"""WITH scoped AS (SELECT DISTINCT scope, user_id FROM (
+             |SELECT 'all' AS scope, user_id FROM events
+             |UNION ALL SELECT event_type, user_id FROM events
+             |UNION ALL SELECT 'A_value_gt150', user_id FROM events WHERE value > 150
+             |UNION ALL SELECT 'B_error', user_id FROM events WHERE event_type = 'error'
+             |UNION ALL SELECT 'AuB', user_id FROM events
+             |WHERE value > 150 OR event_type = 'error')),
+             |hs AS (SELECT DISTINCT scope, $uhDuck AS h FROM scoped),
+             |rk AS (SELECT scope, h, row_number() OVER (PARTITION BY scope ORDER BY h) AS r FROM hs),
+             |es AS (SELECT scope, count(*) AS n,
+             |CASE WHEN count(*) < $KMV_K THEN CAST(count(*) AS DOUBLE)
+             |ELSE CAST(${KMV_K - 1} AS DOUBLE) * $TWO60 / max(CASE WHEN r = $KMV_K THEN h END)
+             |END AS est_raw FROM rk GROUP BY scope),
+             |tu AS (SELECT h FROM rk WHERE scope = 'AuB' AND r <= $KMV_K),
+             |jj AS (SELECT count(*) AS ku, count(CASE WHEN a.h IS NOT NULL
+             |AND b.h IS NOT NULL THEN 1 END) AS nb FROM tu
+             |LEFT JOIN (SELECT h FROM hs WHERE scope = 'A_value_gt150') a ON tu.h = a.h
+             |LEFT JOIN (SELECT h FROM hs WHERE scope = 'B_error') b ON tu.h = b.h),
+             |ei AS (SELECT count(*) AS exact_int FROM
+             |(SELECT user_id FROM scoped WHERE scope = 'A_value_gt150'
+             |INTERSECT SELECT user_id FROM scoped WHERE scope = 'B_error'))
+             |SELECT * FROM (
+             |SELECT scope, round(est_raw, 1) AS est_ndv, CAST(n AS BIGINT) AS exact_ndv,
+             |round(round(est_raw, 1) / n, 4) AS err_ratio FROM es
+             |UNION ALL
+             |SELECT 'AnB_est', round(CAST(nb AS DOUBLE) / ku
+             |* (SELECT est_raw FROM es WHERE scope = 'AuB'), 1),
+             |CAST((SELECT exact_int FROM ei) AS BIGINT),
+             |round(round(CAST(nb AS DOUBLE) / ku
+             |* (SELECT est_raw FROM es WHERE scope = 'AuB'), 1)
+             |/ (SELECT exact_int FROM ei), 4) FROM jj)
+             |ORDER BY scope""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q154_bloom_decontaminate",
+      // BROADCAST-BLOOM DECONTAMINATION PREFILTER — the m-bit Bloom
+      // filter over the eval split's (doc_id%10=1) token-set
+      // fingerprints, probed by every train doc: flagged iff ALL
+      // BLOOM_KH bit positions are set. Bloom guarantees NO false
+      // negatives (every true fingerprint collision is flagged —
+      // Corpus4Spec asserts it); false positives are visible right in
+      // the output as exact_hit=false rows. Narrow width shows the
+      // under-sized regime, wide the sized-right one. At scale the
+      // flagged subset (tiny) feeds the exact verifier — the same
+      // candidates-then-verify economics as q45/q137, but with an O(m)
+      // broadcast build instead of a bucket join.
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), expr(fpSpark).as("fp"))
+        val evalD = docs.filter(col("doc_id") % 10 === 1)
+        val train = docs.filter(col("doc_id") % 10 =!= 1)
+        val evalFps = evalD.select("fp").distinct().withColumn("exact_hit", lit(true))
+        def flagged(m: Int): DataFrame = {
+          val bits = evalD
+            .select(explode(array((0 until BLOOM_KH).map(j => expr(bposSpark(j, m))): _*)).as("p"))
+            .agg(collect_set("p").as("bits"))
+          train.crossJoin(broadcast(bits))
+            .filter((0 until BLOOM_KH)
+              .map(j => array_contains(col("bits"), expr(bposSpark(j, m))))
+              .reduce(_ && _))
+            .join(broadcast(evalFps), Seq("fp"), "left")
+            .select(lit(m).as("width"), col("doc_id"),
+              coalesce(col("exact_hit"), lit(false)).as("exact_hit"))
+        }
+        flagged(BLOOM_NARROW).unionByName(flagged(BLOOM_WIDE))
+          .orderBy("width", "doc_id")
+      },
+      Some {
+        def widthSql(m: Int): String = {
+          val inBits = (0 until BLOOM_KH)
+            .map(j => s"${bposDuck(j, m, "t")} IN (SELECT p FROM b$m)")
+            .mkString(" AND ")
+          s"""SELECT $m AS width, t.doc_id,
+             |t.fp IN (SELECT fp FROM efp) AS exact_hit
+             |FROM (SELECT * FROM f WHERE doc_id % 10 <> 1) t WHERE $inBits"""
+            .stripMargin
+        }
+        def bitsCte(m: Int): String =
+          s"""b$m AS (SELECT DISTINCT p FROM (${(0 until BLOOM_KH)
+              .map(j => s"SELECT ${bposDuck(j, m, "ev")} AS p FROM ev")
+              .mkString(" UNION ALL ")}))"""
+        s"""WITH f AS (SELECT doc_id, $fpDuck AS fp FROM documents),
+           |ev AS (SELECT doc_id, fp FROM f WHERE doc_id % 10 = 1),
+           |efp AS (SELECT DISTINCT fp FROM ev),
+           |${bitsCte(BLOOM_NARROW)}, ${bitsCte(BLOOM_WIDE)}
+           |SELECT * FROM (${widthSql(BLOOM_NARROW)}
+           |UNION ALL ${widthSql(BLOOM_WIDE)})
+           |ORDER BY width, doc_id""".stripMargin.replace("\n", " ")
+      }),
+
+    QueryDef(
+      "q155_snapshot_diff",
+      // SNAPSHOT CDC DIFF — corpus v2 is derived from v1 by a
+      // deterministic edit script (drop doc_id%7=0, append ' v2' to
+      // text where doc_id%11=0, re-add %13=0 docs under new ids), and
+      // the diff is recovered by a fingerprint-compare full-outer join:
+      // added / removed / changed, one row each, unchanged suppressed.
+      // Only md5 fingerprints are compared — the text column never
+      // reaches the join. This is the change feed that scopes every
+      // downstream incremental recompute (q64's batch, persistMerge's
+      // upsert) to |delta| instead of |corpus|.
+      (s, dir) => {
+        val v1raw = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        val v2raw = v1raw.filter(col("doc_id") % 7 =!= 0)
+          .withColumn("text", when(col("doc_id") % 11 === 0,
+            concat(col("text"), lit(" v2"))).otherwise(col("text")))
+          .unionByName(v1raw.filter(col("doc_id") % 13 === 0)
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        val v1 = v1raw.select(col("doc_id"), md5(col("text")).as("old_fp"))
+        val v2 = v2raw.select(col("doc_id"), md5(col("text")).as("new_fp"))
+        v1.join(v2, Seq("doc_id"), "full_outer")
+          .withColumn("change",
+            when(col("old_fp").isNull, "added")
+              .when(col("new_fp").isNull, "removed")
+              .when(col("old_fp") =!= col("new_fp"), "changed"))
+          .filter(col("change").isNotNull)
+          .select(col("doc_id"), col("change"), col("old_fp"), col("new_fp"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH v1 AS (SELECT doc_id, md5(text) AS old_fp FROM documents),
+             |v2 AS (SELECT doc_id, md5(CASE WHEN doc_id % 11 = 0
+             |THEN text || ' v2' ELSE text END) AS new_fp
+             |FROM documents WHERE doc_id % 7 <> 0
+             |UNION ALL SELECT doc_id + 1000000, md5(text)
+             |FROM documents WHERE doc_id % 13 = 0)
+             |SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+             |CASE WHEN v1.doc_id IS NULL THEN 'added'
+             |WHEN v2.doc_id IS NULL THEN 'removed'
+             |WHEN old_fp <> new_fp THEN 'changed' END AS change,
+             |old_fp, new_fp
+             |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+             |WHERE v1.doc_id IS NULL OR v2.doc_id IS NULL OR old_fp <> new_fp
+             |ORDER BY doc_id""".stripMargin.replace("\n", " ")))
+  )
+}
