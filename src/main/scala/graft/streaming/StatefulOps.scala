@@ -144,6 +144,42 @@ object StatefulOps {
       }
   }
 
+  final case class KmvHash(scope: String, h: Long)
+  final case class KmvSketch(scope: String, n_seen: Long, n_kept: Int, kth: Long, est: Double)
+
+  /** Streaming twin of q153's KMV distinct sketch: the k smallest
+    * distinct hashes per scope held in keyed state, the NDV estimate
+    * re-published every micro-batch (Update mode). The state is a
+    * BOUNDED SORTED-SET MONOID — merge = k smallest of the union — the
+    * same property that lets q153's batch sketches merge across shards,
+    * so any micro-batch split and any arrival order settle to the batch
+    * sketch (StatefulStreamingSpec replays 4 micro-batches and checks
+    * the final estimate against q153's published row). State is ≤ k
+    * longs per scope FOREVER — the sketch trade: a few hundred bytes of
+    * state track the cardinality of an unbounded stream. The n_seen
+    * counter (total rows absorbed, strictly increasing) marks each
+    * scope's LATEST emission so readers of an Update-mode sink can
+    * select the final sketch without relying on sink ordering. */
+  def kmvStream(hashes: Dataset[KmvHash], k: Int): Dataset[KmvSketch] = {
+    import hashes.sparkSession.implicits._
+    hashes.groupByKey(_.scope)
+      .flatMapGroupsWithState[(Seq[Long], Long), KmvSketch](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (scope: String, rows: Iterator[KmvHash],
+            state: GroupState[(Seq[Long], Long)]) =>
+          val (kept, seen) = state.getOption.getOrElse((Seq.empty[Long], 0L))
+          val batch = rows.map(_.h).toSeq
+          val merged = (kept ++ batch).distinct.sorted.take(k)
+          val nSeen = seen + batch.size
+          state.update((merged, nSeen))
+          val est =
+            if (merged.size < k) merged.size.toDouble
+            else (k - 1).toDouble * 1152921504606846976L.toDouble / merged.last
+          Iterator(KmvSketch(scope, nSeen, merged.size,
+            merged.lastOption.getOrElse(0L), est))
+      }
+  }
+
   /** Batch twin for equivalence tests. */
   def runningStatsBatch(spark: SparkSession, dir: String): Dataset[UserStat] = {
     import spark.implicits._

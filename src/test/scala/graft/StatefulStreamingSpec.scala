@@ -171,6 +171,42 @@ class StatefulStreamingSpec extends AnyFunSuite with SparkSuite {
     assert(emitted.length.toLong == q148)
   }
 
+  test("streaming KMV sketch settles to q153's published estimate across micro-batches") {
+    // sf0.01: 150 distinct users > k=64 — the estimator regime
+    val dir = "/root/testdata/sf0.01"
+    val stage = java.nio.file.Files.createTempDirectory("graft_kmv_stage")
+    val prepared = Tables.events(spark, dir)
+      .select(lit("all").as("scope"),
+        expr("CAST(conv(substr(md5(concat('u#', CAST(user_id AS STRING))), 1, 15), 16, 10) AS BIGINT) + 1")
+          .as("h"))
+    prepared.repartition(4).write.mode("overwrite").parquet(stage.toString)
+    val hashes = spark.readStream
+      .schema(prepared.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(stage.toString)
+      .as[StatefulOps.KmvHash]
+    val k = operators.Corpus4.KMV_K
+    val q = StatefulOps.kmvStream(hashes, k).writeStream
+      .outputMode("update").format("memory").queryName("kmv_stream")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val rows = spark.table("kmv_stream")
+      .select("n_seen", "n_kept", "est")
+      .as[(Long, Int, Double)].collect()
+    assert(rows.length > 1, "single micro-batch — merge path untested")
+    // the n_seen high-water row is the final sketch
+    val fin = rows.maxBy(_._1)
+    assert(fin._1 == prepared.count(), "stream did not absorb every row")
+    assert(fin._2 == k, "sketch not full in the estimator regime")
+    // settles to the batch query's published estimate for the same scope
+    val q153 = SparkEntry.queries("q153_kmv_distinct_sketch")(spark, dir)
+      .filter($"scope" === "all").select("est_ndv").as[Double].head()
+    assert(math.abs(math.round(fin._3 * 10) / 10.0 - q153) < 1e-9,
+      s"stream est ${fin._3} vs batch $q153")
+    // state is capped at k longs no matter the stream length
+    assert(rows.forall(_._2 <= k))
+  }
+
   test("streaming dedup by event_id keeps exactly the distinct ids") {
     val q = StreamingTwin.dedupStream(stagedEventStream()).writeStream
       .outputMode("append").format("memory").queryName("dedup_stream")
