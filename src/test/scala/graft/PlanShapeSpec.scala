@@ -172,4 +172,26 @@ class PlanShapeSpec extends AnyFunSuite with SparkSuite {
         s"SinglePartition exchange not a scalar count:\n${lines.slice(i, i + 3).mkString("\n")}")
     }
   }
+
+  test("q154 bloom probe never shuffles or sort-merge-joins the train corpus") {
+    // the bloom is ONE collect_set row (BroadcastNestedLoopJoin of a
+    // 1-row build side — bounded by construction) and the exact_hit
+    // lookup is a broadcast hash join; the train side must meet no
+    // SortMergeJoin, and the only hash exchanges allowed are the
+    // EVAL-side distinct builds (one per width) — never the corpus
+    val lines = plan("q154_bloom_decontaminate").split("\n")
+    assert(!lines.exists(_.contains("SortMergeJoin")))
+    assert(lines.exists(_.contains("BroadcastHashJoin")))
+    val hp = lines.zipWithIndex.filter(_._1.contains("Exchange hashpartitioning"))
+    assert(hp.length <= 2, lines.mkString("\n").take(800))
+    hp.foreach { case (_, i) =>
+      assert(lines(i + 1).contains("HashAggregate(keys=[fp"),
+        s"hash exchange not the eval distinct:\n${lines.slice(i, i + 3).mkString("\n")}")
+    }
+  }
+
+  test("q153 KMV set-algebra joins stay broadcast — sketches never sort-merge") {
+    val p = plan("q153_kmv_distinct_sketch")
+    assert(!p.contains("SortMergeJoin"), p.take(600))
+  }
 }
