@@ -274,6 +274,170 @@ object Corpus4 {
              |old_fp, new_fp
              |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
              |WHERE v1.doc_id IS NULL OR v2.doc_id IS NULL OR old_fp <> new_fp
-             |ORDER BY doc_id""".stripMargin.replace("\n", " ")))
+             |ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q156_column_profile",
+      // PER-COLUMN DATA PROFILE — q150's sibling: q150 verifies declared
+      // constraints, this DISCOVERS the shape (row count, null count,
+      // NDV, min/max, mean string length) for every profiled column of
+      // documents + events, one pass per table: all the per-column
+      // aggregates fuse into a single grouped scan (the multi-distinct
+      // Expand plan) and unpivot via stack(). Numeric min/max round to
+      // 2dp before the string cast so both engines print identically;
+      // avg_len sums integers in doubles (exact ≤ 2^53 — no summation-
+      // order hazard). At 100 TB the exact countDistincts swap for the
+      // q153 KMV / q92 HLL sketch per column — same plan shape, one
+      // pass either way. ts is excluded (raw timestamps never reach an
+      // oracle output by determinism discipline).
+      (s, dir) => {
+        def prof(tbl: String, df: DataFrame,
+            cols: Seq[(String, String)]): DataFrame = {
+          val aggs = cols.flatMap { case (c, kind) =>
+            val minMax = kind match {
+              case "dbl" => Seq(
+                round(min(col(c)), 2).cast("string").as(s"${c}__min"),
+                round(max(col(c)), 2).cast("string").as(s"${c}__max"))
+              case _ => Seq(
+                substring(min(col(c)).cast("string"), 1, 16).as(s"${c}__min"),
+                substring(max(col(c)).cast("string"), 1, 16).as(s"${c}__max"))
+            }
+            Seq(count(col(c)).as(s"${c}__nn"),
+              countDistinct(col(c)).as(s"${c}__ndv")) ++ minMax :+
+              (if (kind == "str") round(avg(length(col(c))), 2).as(s"${c}__al")
+               else max(lit(null).cast("double")).as(s"${c}__al"))
+          }
+          val stacked = cols.map { case (c, _) =>
+            s"'$c', ${c}__nn, ${c}__ndv, ${c}__min, ${c}__max, ${c}__al"
+          }.mkString(", ")
+          val allAggs = count(lit(1)).as("n_rows") +: aggs
+          df.agg(allAggs.head, allAggs.tail: _*)
+            .select(lit(tbl).as("tbl"), col("n_rows"),
+              expr(s"stack(${cols.size}, $stacked) AS (col_name, n_notnull, ndv, min_v, max_v, avg_len)"))
+            .select(col("tbl"), col("col_name"), col("n_rows"),
+              (col("n_rows") - col("n_notnull")).as("n_null"), col("ndv"),
+              col("min_v"), col("max_v"), col("avg_len"))
+        }
+        val docs = prof("documents", Tables.documents(s, dir), Seq(
+          "doc_id" -> "int", "text" -> "str", "lang" -> "str",
+          "source" -> "str", "n_chars" -> "int"))
+        val evs = prof("events", Tables.events(s, dir), Seq(
+          "event_id" -> "int", "user_id" -> "int", "event_type" -> "str",
+          "value" -> "dbl", "props" -> "str"))
+        docs.unionByName(evs).orderBy("tbl", "col_name")
+      },
+      Some {
+        def one(tbl: String, c: String, kind: String): String = {
+          val (mn, mx) = kind match {
+            case "dbl" => (s"CAST(round(min($c), 2) AS VARCHAR)",
+              s"CAST(round(max($c), 2) AS VARCHAR)")
+            case _ => (s"left(CAST(min($c) AS VARCHAR), 16)",
+              s"left(CAST(max($c) AS VARCHAR), 16)")
+          }
+          val al = if (kind == "str") s"round(avg(length($c)), 2)"
+            else "CAST(NULL AS DOUBLE)"
+          s"""SELECT '$tbl' AS tbl, '$c' AS col_name, count(*) AS n_rows,
+             |count(*) - count($c) AS n_null, count(DISTINCT $c) AS ndv,
+             |$mn AS min_v, $mx AS max_v, $al AS avg_len FROM $tbl"""
+            .stripMargin
+        }
+        val parts =
+          Seq("doc_id" -> "int", "text" -> "str", "lang" -> "str",
+            "source" -> "str", "n_chars" -> "int")
+            .map { case (c, k) => one("documents", c, k) } ++
+          Seq("event_id" -> "int", "user_id" -> "int", "event_type" -> "str",
+            "value" -> "dbl", "props" -> "str")
+            .map { case (c, k) => one("events", c, k) }
+        s"""SELECT * FROM (${parts.mkString(" UNION ALL ")})
+           |ORDER BY tbl, col_name""".stripMargin.replace("\n", " ")
+      }),
+
+    QueryDef(
+      "q157_robust_outliers",
+      // ROBUST OUTLIER AUDIT — median/MAD per event_type, flagging by
+      // the modified z-score 0.6745·|x−med|/MAD > 3.5 (Iglewicz-Hoaglin;
+      // mean/stddev would let the outliers poison their own threshold,
+      // which is exactly what heavy-tailed events.value does — q151/q152
+      // measured that tail). Exact interpolated medians via percentile ≡
+      // quantile_cont (cross-engine agreement proven at q132); no
+      // order-dependent float sums anywhere — every derived number is a
+      // max/count/median. Shape: two grouped aggregates + two broadcast
+      // joins of a |event_type|-row table over the scan; at extreme
+      // scale the exact median swaps for approx_percentile, same plan.
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select(col("event_type"), col("value"))
+        val m = ev.groupBy("event_type").agg(count(lit(1)).as("n"),
+          expr("percentile(value, 0.5D)").as("med"))
+        val d = ev.join(broadcast(m), "event_type")
+          .withColumn("dev", abs(col("value") - col("med")))
+        val md = d.groupBy("event_type")
+          .agg(expr("percentile(dev, 0.5D)").as("mad"))
+        d.join(broadcast(md), "event_type")
+          .withColumn("mz", lit(0.6745) * col("dev") / col("mad"))
+          .groupBy("event_type")
+          .agg(max("n").as("n"), round(max("med"), 2).as("med"),
+            round(max("mad"), 2).as("mad"),
+            count(when(col("mz") > 3.5, 1)).as("n_outliers"),
+            round(max("mz"), 2).as("max_mz"))
+          .orderBy("event_type")
+      },
+      Some("""WITH m AS (SELECT event_type, count(*) AS n,
+             |quantile_cont(value, 0.5) AS med FROM events GROUP BY 1),
+             |d AS (SELECT e.event_type, m.n, m.med, abs(e.value - m.med) AS dev
+             |FROM events e JOIN m USING (event_type)),
+             |md AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad
+             |FROM d GROUP BY 1)
+             |SELECT d.event_type, CAST(max(d.n) AS BIGINT) AS n,
+             |round(max(d.med), 2) AS med, round(max(md.mad), 2) AS mad,
+             |CAST(count(CASE WHEN CAST(0.6745 AS DOUBLE) * d.dev / md.mad > 3.5
+             |THEN 1 END) AS BIGINT) AS n_outliers,
+             |round(max(CAST(0.6745 AS DOUBLE) * d.dev / md.mad), 2) AS max_mz
+             |FROM d JOIN md USING (event_type)
+             |GROUP BY d.event_type ORDER BY d.event_type"""
+        .stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q158_pmi_cooccurrence",
+      // PMI TERM CO-OCCURRENCE — top-20 term pairs by pointwise mutual
+      // information ln(N·c_ab / (c_a·c_b)) over per-doc DISTINCT token
+      // sets (document-level co-occurrence, the collocation/topic-pair
+      // diagnostic). Every PMI is ONE ln of a ratio of exact integers —
+      // no float accumulation at all, so the oracle is exact. Shape:
+      // the pair self-join is per-doc (equi-join on doc_id, a < b
+      // halves it), grouped map-side; df and N broadcast back into the
+      // ≥5-support survivors. At 100 TB the join is bounded by pruning
+      // tokens to a top-V document-frequency vocabulary first (V² pair
+      // space, V·avg_df postings) — this corpus's 31-term vocab IS that
+      // pruned set.
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val tok = docs.select(col("doc_id"),
+          explode(array_distinct(expr(TextAnalytics.toksExpr))).as("t"))
+        val nd = docs.agg(count(lit(1)).as("nd"))
+        val dfr = tok.groupBy("t").agg(count(lit(1)).as("c"))
+        tok.as("x").join(tok.as("y"),
+            col("x.doc_id") === col("y.doc_id") && col("x.t") < col("y.t"))
+          .groupBy(col("x.t").as("a"), col("y.t").as("b"))
+          .agg(count(lit(1)).as("cab"))
+          .filter(col("cab") >= 5)
+          .join(broadcast(dfr.select(col("t").as("a"), col("c").as("ca"))), "a")
+          .join(broadcast(dfr.select(col("t").as("b"), col("c").as("cb"))), "b")
+          .crossJoin(broadcast(nd))
+          .select(col("a"), col("b"), col("cab"), col("ca"), col("cb"),
+            round(log((col("cab") * col("nd")).cast("double") / (col("ca") * col("cb"))), 4)
+              .as("pmi"))
+          .orderBy(col("pmi").desc, col("a"), col("b")).limit(20)
+      },
+      Some(s"""WITH tok AS (SELECT DISTINCT doc_id, unnest(${TextAnalytics.toksDuck}) AS t
+             |FROM documents),
+             |nd AS (SELECT count(*) AS nd FROM documents),
+             |df AS (SELECT t, count(*) AS c FROM tok GROUP BY 1),
+             |p AS (SELECT x.t AS a, y.t AS b, count(*) AS cab FROM tok x
+             |JOIN tok y ON x.doc_id = y.doc_id AND x.t < y.t GROUP BY 1, 2)
+             |SELECT a, b, cab, ca.c AS ca, cb.c AS cb,
+             |round(ln(CAST(cab * nd.nd AS DOUBLE) / (ca.c * cb.c)), 4) AS pmi
+             |FROM p JOIN df ca ON p.a = ca.t JOIN df cb ON p.b = cb.t, nd
+             |WHERE cab >= 5
+             |ORDER BY pmi DESC, a, b LIMIT 20""".stripMargin.replace("\n", " ")))
   )
 }

@@ -91,6 +91,78 @@ class Corpus4Spec extends AnyFunSuite with SparkSuite {
       "wide bloom noisier than narrow")
   }
 
+  test("q156 profile: stats replayed locally for representative columns") {
+    val out = SparkEntry.queries("q156_column_profile")(spark, sfDir)
+      .select("tbl", "col_name", "n_rows", "n_null", "ndv", "min_v", "max_v", "avg_len")
+      .as[(String, String, Long, Long, Long, String, String, Option[Double])]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    assert(out.size == 10)
+    val vals = Tables.events(spark, sfDir).select($"value").as[Double].collect()
+    val v = out(("events", "value"))
+    assert(v._3 == vals.length && v._4 == 0)
+    assert(v._5 == vals.distinct.length)
+    assert(v._6 == BigDecimal(vals.min).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble.toString)
+    assert(v._8.isEmpty, "numeric column must not report avg_len")
+    val langs = Tables.documents(spark, sfDir).select($"lang").as[String].collect()
+    val l = out(("documents", "lang"))
+    assert(l._5 == langs.distinct.length && l._6 == langs.min && l._7 == langs.max)
+    val texts = Tables.documents(spark, sfDir).select($"text").as[String].collect()
+    val t = out(("documents", "text"))
+    val meanLen = texts.map(_.length.toLong).sum.toDouble / texts.length
+    assert(math.abs(t._8.get - meanLen) < 0.005 + 1e-9, s"avg_len ${t._8} vs $meanLen")
+  }
+
+  test("q157 robust outliers: median/MAD/modified-z replayed exactly per event_type") {
+    val out = SparkEntry.queries("q157_robust_outliers")(spark, sfDir)
+      .select("event_type", "n", "med", "mad", "n_outliers", "max_mz")
+      .as[(String, Long, Double, Double, Long, Double)].collect()
+    assert(out.length == 5)
+    def medOf(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+    }
+    val byType = Tables.events(spark, sfDir)
+      .select($"event_type", $"value").as[(String, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq)
+    out.foreach { case (et, n, med, mad, nOut, maxMz) =>
+      val xs = byType(et)
+      assert(n == xs.length)
+      val m = medOf(xs)
+      val devs = xs.map(x => math.abs(x - m))
+      val md = medOf(devs)
+      assert(med == math.round(m * 100) / 100.0, s"$et med")
+      assert(mad == math.round(md * 100) / 100.0, s"$et mad")
+      val mzs = devs.map(_ * 0.6745 / md)
+      assert(nOut == mzs.count(_ > 3.5), s"$et outlier count")
+      assert(maxMz == math.round(mzs.max * 100) / 100.0, s"$et max mz")
+    }
+  }
+
+  test("q158 PMI: every published pair's PMI replayed from raw doc-term sets") {
+    val out = SparkEntry.queries("q158_pmi_cooccurrence")(spark, sfDir)
+      .select("a", "b", "cab", "ca", "cb", "pmi")
+      .as[(String, String, Long, Long, Long, Double)].collect()
+    assert(out.length == 20)
+    val docToks = Tables.documents(spark, sfDir)
+      .select($"text").as[String].collect()
+      .map(_.toLowerCase.split(" ").filter(_.nonEmpty).toSet)
+    val n = docToks.length.toLong
+    val dfm = docToks.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    out.foreach { case (a, b, cab, ca, cb, pmi) =>
+      assert(a < b, "pair not canonically ordered")
+      assert(cab == docToks.count(s => s(a) && s(b)), s"($a,$b) cab")
+      assert(ca == dfm(a) && cb == dfm(b), s"($a,$b) df")
+      val want = math.log(cab.toDouble * n / (ca * cb))
+      assert(math.abs(pmi - want) <= 0.00005 + 1e-12, s"($a,$b) pmi $pmi vs $want")
+      assert(cab >= 5, "support floor violated")
+    }
+    // descending PMI with (a,b) tie-break — the declared total order
+    assert(out.sliding(2).forall { case Array(x, y) =>
+      x._6 > y._6 || (x._6 == y._6 && (x._1 < y._1 || (x._1 == y._1 && x._2 < y._2)))
+    })
+  }
+
   test("q155 CDC diff: exact replay of the edit script") {
     val out = SparkEntry.queries("q155_snapshot_diff")(spark, sfDir)
       .select("doc_id", "change", "old_fp", "new_fp")
