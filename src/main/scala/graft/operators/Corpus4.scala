@@ -438,6 +438,51 @@ object Corpus4 {
              |round(ln(CAST(cab * nd.nd AS DOUBLE) / (ca.c * cb.c)), 4) AS pmi
              |FROM p JOIN df ca ON p.a = ca.t JOIN df cb ON p.b = cb.t, nd
              |WHERE cab >= 5
-             |ORDER BY pmi DESC, a, b LIMIT 20""".stripMargin.replace("\n", " ")))
+             |ORDER BY pmi DESC, a, b LIMIT 20""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q159_nfc_normalize",
+      // UNICODE NFC NORMALIZATION — multi-source ingest mixes composed
+      // and decomposed encodings of the same visible text (NFD from
+      // macOS-origin crawls vs NFC web text), which silently breaks
+      // every byte-keyed operator downstream: exact dedup (q40),
+      // fingerprints (q35/q97), token equality. functions.NfcNormalize
+      // is the second native codegen'd Expression (FloatVecDot's
+      // precedent — a full-corpus scan op must stay in whole-stage
+      // codegen; row-level UDFs are banned). The fixture covers the
+      // canonical cases: combining-mark composition, already-composed
+      // passthrough, Hangul jamo composition, the fi-ligature NFC must
+      // PRESERVE (folding it is NFKC's job), and the U+212B ANGSTROM
+      // SIGN singleton. The oracle is DuckDB's utf8proc-backed
+      // nfc_normalize — both engines implement Unicode-standard NFC,
+      // so norm bytes match exactly; the fixture builds raw strings
+      // from codepoints (chr() / escapes) so both sides start from
+      // identical bytes.
+      (s, dir) => {
+        import s.implicits._
+        Seq(
+          (1L, "café"), (2L, "café"), (3L, "éléphant"),
+          (4L, "plain ascii text"), (5L, "각"),
+          (6L, "ﬁle"), (7L, "Å"), (8L, "Å"))
+          .toDF("id", "raw")
+          .withColumn("norm", graft.functions.TextExprs.nfcNorm(col("raw")))
+          .select(col("id"), col("raw"),
+            length(col("raw")).cast("long").as("n_raw"),
+            col("norm"), length(col("norm")).cast("long").as("n_norm"),
+            (col("norm") =!= col("raw")).as("changed"))
+          .orderBy("id")
+      },
+      Some("""WITH fx(id, raw) AS (VALUES
+             |(1, 'cafe' || chr(769)), (2, 'caf' || chr(233)),
+             |(3, 'e' || chr(769) || 'le' || chr(769) || 'phant'),
+             |(4, 'plain ascii text'),
+             |(5, chr(4352) || chr(4449) || chr(4520)),
+             |(6, chr(64257) || 'le'), (7, 'A' || chr(778)), (8, chr(8491)))
+             |SELECT CAST(id AS BIGINT) AS id, raw,
+             |CAST(length(raw) AS BIGINT) AS n_raw,
+             |nfc_normalize(raw) AS norm,
+             |CAST(length(nfc_normalize(raw)) AS BIGINT) AS n_norm,
+             |nfc_normalize(raw) <> raw AS changed
+             |FROM fx ORDER BY id""".stripMargin.replace("\n", " ")))
   )
 }

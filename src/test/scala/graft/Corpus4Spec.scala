@@ -163,6 +163,43 @@ class Corpus4Spec extends AnyFunSuite with SparkSuite {
     })
   }
 
+  test("q159 NFC: codegen and interpreted paths agree with java.text.Normalizer; idempotent; nulls pass through") {
+    val fixture = Seq("café", "café", "éléphant",
+      "plain ascii text", "각", "ﬁle", "Å", "Å")
+    // codegen path (default): run through a DataFrame projection
+    val viaDf = fixture.toDF("raw")
+      .select(functions.TextExprs.nfcNorm($"raw")).as[String].collect()
+    // interpreted path: eval() on the bare expression
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.unsafe.types.UTF8String
+    val viaEval = fixture.map { s =>
+      functions.NfcNormalize(Literal(UTF8String.fromString(s),
+        org.apache.spark.sql.types.StringType)).eval(null)
+        .asInstanceOf[UTF8String].toString
+    }
+    val want = fixture.map(
+      java.text.Normalizer.normalize(_, java.text.Normalizer.Form.NFC))
+    assert(viaDf.toSeq == want && viaEval == want)
+    // idempotence: NFC(NFC(x)) == NFC(x)
+    assert(want.map(java.text.Normalizer.normalize(_,
+      java.text.Normalizer.Form.NFC)) == want)
+    // ligature preserved (NFKC-only fold), angstrom singleton mapped
+    assert(want(5) == "ﬁle" && want(7) == "Å")
+    // null passes through the null-safe unary path
+    val n = Seq[(Long, Option[String])]((1L, None)).toDF("id", "raw")
+      .select(functions.TextExprs.nfcNorm($"raw")).collect()
+    assert(n.head.isNullAt(0))
+  }
+
+  test("ORC round trip preserves the documents table exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    val docs = Tables.documents(spark, sfDir)
+    docs.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.schema == docs.schema)
+    assert(back.exceptAll(docs).count() == 0 && docs.exceptAll(back).count() == 0)
+  }
+
   test("q155 CDC diff: exact replay of the edit script") {
     val out = SparkEntry.queries("q155_snapshot_diff")(spark, sfDir)
       .select("doc_id", "change", "old_fp", "new_fp")
