@@ -84,6 +84,30 @@ object Corpus4 {
   private def bposDuck(j: Int, m: Int, rel: String): String =
     s"${Corpus.hexFoldDuck(s"substr(md5(concat('$j', '#', $rel.fp)), 1, 15)", 15)} % $m"
 
+  /** q161's body, input-agnostic (needs `user_id`, `event_type`, `ts`):
+    * strict-order min-ts stage chaining — a later-stage event counts
+    * only if it happens after the user's PREVIOUS stage time, so
+    * purchase-before-click users do not "convert" (Corpus4Spec pins
+    * that case on a literal fixture the dense corpus can't express). */
+  private[graft] def funnel(ev: DataFrame): DataFrame = {
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("ts") > col("t1"))
+      .groupBy("user_id").agg(min("ts").as("t2"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("ts") > col("t2"))
+      .groupBy("user_id").agg(min("ts").as("t3"))
+    def stage(name: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("users")).select(lit(name).as("stage"), col("users"))
+    stage("1_view", v).unionByName(stage("2_click", c))
+      .unionByName(stage("3_purchase", p))
+      .withColumn("conv_from_prev",
+        round(col("users").cast("double") /
+          lag("users", 1).over(Window.orderBy("stage")), 4))
+      .orderBy("stage")
+  }
+
   def defs: Seq[QueryDef] = Seq(
 
     QueryDef(
@@ -483,6 +507,86 @@ object Corpus4 {
              |nfc_normalize(raw) AS norm,
              |CAST(length(nfc_normalize(raw)) AS BIGINT) AS n_norm,
              |nfc_normalize(raw) <> raw AS changed
-             |FROM fx ORDER BY id""".stripMargin.replace("\n", " ")))
+             |FROM fx ORDER BY id""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q160_cumulative_uniques",
+      // USER-GROWTH CURVE — per day: first-time users, cumulative
+      // uniques to date, and the rolling-7-day distinct actives (WAU).
+      // Cumulative distinct is NOT a windowed count-distinct (which
+      // Spark refuses and which would hold per-frame state): the
+      // first-seen trick reduces it to min-date per user + a running
+      // sum over the |days|-row daily table. The WAU rolling distinct
+      // joins the tiny day list (broadcast) against per-(day, user)
+      // distinct activity with a 7-day band — a bounded-broadcast range
+      // join over ≤ 3650 day rows at any corpus size. All heavy ops
+      // (min per user, daily distinct) are one keyed aggregate each;
+      // the window runs over days, never events.
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), to_date(col("ts")).as("d"))
+        val firstSeen = ev.groupBy("user_id").agg(min(col("d")).as("d0"))
+        val daily = firstSeen.groupBy(col("d0").as("d"))
+          .agg(count(lit(1)).as("new_users"))
+        val du = ev.distinct()
+        val days = du.select(col("d")).distinct()
+        val wau = broadcast(days.select(col("d").as("day")))
+          .join(du, col("d").between(date_sub(col("day"), 6), col("day")))
+          .groupBy("day").agg(countDistinct("user_id").as("wau7"))
+        // drive from the day spine: saturation days still appear, with
+        // new_users = 0 and the WAU window decaying/holding
+        wau.join(daily, col("day") === col("d"), "left")
+          .withColumn("nu", coalesce(col("new_users"), lit(0L)))
+          .withColumn("cum_users",
+            sum("nu").over(Window.orderBy("day")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .select(col("day").cast("string").as("day"), col("nu").as("new_users"),
+            col("cum_users"), col("wau7"))
+          .orderBy("day")
+      },
+      Some("""WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+             |fs AS (SELECT user_id, min(d) AS d0 FROM ev GROUP BY 1),
+             |daily AS (SELECT d0 AS d, count(*) AS new_users FROM fs GROUP BY 1),
+             |du AS (SELECT DISTINCT user_id, d FROM ev),
+             |days AS (SELECT DISTINCT d AS day FROM du),
+             |wau AS (SELECT days.day, count(DISTINCT du.user_id) AS wau7
+             |FROM days JOIN du ON du.d BETWEEN days.day - 6 AND days.day
+             |GROUP BY 1)
+             |SELECT CAST(wau.day AS VARCHAR) AS day,
+             |COALESCE(daily.new_users, 0) AS new_users,
+             |CAST(sum(COALESCE(daily.new_users, 0)) OVER (ORDER BY wau.day)
+             |AS BIGINT) AS cum_users, wau7
+             |FROM wau LEFT JOIN daily ON wau.day = daily.d
+             |ORDER BY day""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q161_funnel",
+      // ORDERED FUNNEL — view → click → purchase conversion where each
+      // stage must happen STRICTLY AFTER the user's previous stage
+      // (min-ts chaining), not merely co-occur: t1 = first view,
+      // t2 = first click after t1, t3 = first purchase after t2. One
+      // row per stage with users-remaining and conversion from the
+      // previous stage. Shape: three user-keyed min aggregates, each
+      // chained by an equi-join on user_id with the band predicate
+      // applied pre-aggregation — the stage tables shrink monotonically
+      // and timestamps never reach the output (determinism discipline).
+      (s, dir) => funnel(Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"))),
+      Some("""WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+             |WHERE event_type = 'view' GROUP BY 1),
+             |c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+             |JOIN v USING (user_id)
+             |WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1),
+             |p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+             |JOIN c USING (user_id)
+             |WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1),
+             |rows_ AS (
+             |SELECT '1_view' AS stage, CAST((SELECT count(*) FROM v) AS BIGINT) AS users
+             |UNION ALL SELECT '2_click', CAST((SELECT count(*) FROM c) AS BIGINT)
+             |UNION ALL SELECT '3_purchase', CAST((SELECT count(*) FROM p) AS BIGINT))
+             |SELECT stage, users,
+             |round(CAST(users AS DOUBLE) / lag(users) OVER (ORDER BY stage), 4)
+             |AS conv_from_prev
+             |FROM rows_ ORDER BY stage""".stripMargin.replace("\n", " ")))
   )
 }

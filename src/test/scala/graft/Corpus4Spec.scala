@@ -200,6 +200,54 @@ class Corpus4Spec extends AnyFunSuite with SparkSuite {
     assert(back.exceptAll(docs).count() == 0 && docs.exceptAll(back).count() == 0)
   }
 
+  test("q160 growth curve: first-seen, cumulative, and rolling-7-day uniques replayed locally") {
+    val out = SparkEntry.queries("q160_cumulative_uniques")(spark, sfDir)
+      .select("day", "new_users", "cum_users", "wau7")
+      .as[(String, Long, Long, Long)].collect()
+    val ev = Tables.events(spark, sfDir)
+      .select($"user_id", to_date($"ts").cast("string")).as[(Long, String)]
+      .collect()
+    val days = ev.map(_._2).distinct.sorted
+    assert(out.map(_._1).toSeq == days.toSeq, "one row per active day")
+    val firstSeen = ev.groupBy(_._1).view.mapValues(_.map(_._2).min)
+    var cum = 0L
+    out.foreach { case (d, nu, cu, wau) =>
+      val expectNew = firstSeen.count(_._2 == d).toLong
+      assert(nu == expectNew, s"$d new_users")
+      cum += expectNew
+      assert(cu == cum, s"$d cum_users")
+      val lo = java.time.LocalDate.parse(d).minusDays(6).toString
+      val expectWau = ev.filter(e => e._2 >= lo && e._2 <= d).map(_._1).distinct.length
+      assert(wau == expectWau, s"$d wau7")
+    }
+    assert(out.last._3 == firstSeen.size, "cumulative must end at total uniques")
+  }
+
+  test("q161 funnel: strict ordering rejects out-of-order conversions") {
+    // the dense corpus converts everyone; this fixture is where the
+    // ordering logic can actually discriminate
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(m: Int) = new java.sql.Timestamp(t0.getTime + m * 60000L)
+    val fixture = Seq(
+      // u1: clean view < click < purchase → counts everywhere
+      (1L, "view", ts(0)), (1L, "click", ts(1)), (1L, "purchase", ts(2)),
+      // u2: purchase BEFORE click → stops at click
+      (2L, "view", ts(0)), (2L, "purchase", ts(1)), (2L, "click", ts(2)),
+      // u3: click before any view → stops at view
+      (3L, "click", ts(0)), (3L, "view", ts(1)),
+      // u4: never viewed → not even stage 1
+      (4L, "click", ts(0)), (4L, "purchase", ts(1)),
+      // u5: second click after view rescues the funnel; purchase after it
+      (5L, "click", ts(0)), (5L, "view", ts(1)), (5L, "click", ts(2)),
+      (5L, "purchase", ts(3)))
+      .toDF("user_id", "event_type", "ts")
+    val out = operators.Corpus4.funnel(fixture)
+      .select("stage", "users").as[(String, Long)].collect().toMap
+    assert(out("1_view") == 4)      // u1 u2 u3 u5
+    assert(out("2_click") == 3)     // u1 u2 u5 (u3 click precedes view)
+    assert(out("3_purchase") == 2)  // u1 u5 (u2 purchase precedes click)
+  }
+
   test("q155 CDC diff: exact replay of the edit script") {
     val out = SparkEntry.queries("q155_snapshot_diff")(spark, sfDir)
       .select("doc_id", "change", "old_fp", "new_fp")
