@@ -26,6 +26,7 @@ object SparkEntry {
       operators.Corpus2.defs ++
       operators.Corpus3.defs ++
       operators.Corpus4.defs ++
+      operators.Corpus5.defs ++
       sources.Articles.defs ++
       ml.MlQueries.defs
 

@@ -21,15 +21,24 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = t(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame    = t(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = t(spark, dir, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects. Read it as raw nanos (legacy long mode) and floor-divide to
-    * microseconds — the exact truncation DuckDB applies when it reads the
-    * same column, so event-time queries hash-match the oracle.
+  /** `events.ts` is parquet TIMESTAMP(NANOS). Depending on the Spark build,
+    * that column surfaces either as raw nanos (legacy long mode, older
+    * readers) or natively as TIMESTAMP_NTZ (current 4.1.2 jars). Both paths
+    * floor-truncate to microseconds — the exact truncation DuckDB applies
+    * when it reads the same column, so event-time queries hash-match the
+    * oracle either way; the NTZ wall time is reinterpreted as a UTC instant
+    * (session timezone is pinned to UTC) to keep one TIMESTAMP type
+    * downstream.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(spark, dir, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = t(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "embeddings")

@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavioral checks for q162-q165 — what the DuckDB oracle can't see:
+  * the segmented sweep-line replayed by a straight-line local simulation,
+  * SCD2 interval tiling invariants, a brute-force triangle recount on
+  * the query's own edge list, the Q21 semi/anti correlation replayed
+  * row-by-row, and the plan shapes (no cartesian product in the wedge
+  * join; supplier broadcast).
+  */
+class Corpus5Spec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  private val GAP = 1800000000L // 30 min in micros
+
+  test("q162 peak concurrency: exact match with a local global-sweep simulation") {
+    val out = SparkEntry.queries("q162_peak_concurrency")(spark, sfDir)
+      .select(col("day").cast("string"), col("sessions_started"),
+        col("sessions_ended"), col("max_concurrency"))
+      .as[(String, Long, Long, Long)].collect()
+
+    // Local sessionization under q62/session_window semantics.
+    val ev = Tables.events(spark, sfDir)
+      .select(expr("unix_micros(ts)").as[Long], $"user_id".as[Long]).collect()
+    val sessions = ev.groupBy(_._2).values.flatMap { rows =>
+      val ts = rows.map(_._1).sorted
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var st = ts.head; var last = ts.head
+      for (t <- ts.tail) {
+        if (t - last >= GAP) { out += ((st, last + GAP)); st = t }
+        last = t
+      }
+      out += ((st, last + GAP))
+      out
+    }.toSeq
+
+    // Straight-line simulation of the sweep the engine computes segmented:
+    // global (ts, delta)-sorted running count, per-day max, UTC days.
+    val deltas = sessions.flatMap { case (st, en) => Seq((st, 1), (en, -1)) }
+      .sortBy { case (t, d) => (t, d) }
+    def dayOf(us: Long): String =
+      java.time.Instant.ofEpochSecond(Math.floorDiv(us, 1000000L))
+        .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
+    var cur = 0L
+    val mx = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    val nst = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    val nen = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    for ((t, d) <- deltas) {
+      cur += d
+      val day = dayOf(t)
+      mx(day) = math.max(mx.getOrElse(day, Long.MinValue), cur)
+      if (d == 1) nst(day) += 1 else nen(day) += 1
+    }
+    val expected = mx.keys.toSeq.sorted.map(d => (d, nst(d), nen(d), mx(d)))
+    assert(out.toSeq == expected)
+    assert(out.map(_._2).sum == sessions.size && out.map(_._3).sum == sessions.size)
+  }
+
+  test("q163 SCD2: histories tile [1,99] with one current row and closed-form attrs") {
+    val out = SparkEntry.queries("q163_scd2_dimension")(spark, sfDir)
+      .as[(Long, String, Int, Int, Int)].collect()
+    val src = Tables.documents(spark, sfDir)
+      .select($"doc_id".as[Long], $"source".as[String]).collect().toMap
+
+    // Independent local SCD2 build from the closed-form snapshots.
+    val expected = src.toSeq.sorted.flatMap { case (id, source) =>
+      val a2 = if (id % 5 == 0) source + "+r2" else source
+      val a3 = if (id % 3 == 0) a2 + "+r3" else a2
+      val vers = Seq((1, source), (2, a2), (3, a3))
+      val kept = vers.zipWithIndex.filter { case ((_, a), i) =>
+        i == 0 || a != vers(i - 1)._2
+      }.map(_._1)
+      kept.zipWithIndex.map { case ((v, a), i) =>
+        val vt = if (i == kept.size - 1) 99 else kept(i + 1)._1 - 1
+        (id, a, v, vt, if (vt == 99) 1 else 0)
+      }
+    }
+    assert(out.toSeq.sortBy(r => (r._1, r._3)) == expected)
+    // Tiling: per doc, intervals start at 1, chain without gaps, end open.
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._3)
+      assert(sorted.head._3 == 1 && sorted.last._4 == 99)
+      assert(sorted.count(_._5 == 1) == 1)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b._3 == a._4 + 1)
+        case _           =>
+      }
+    }
+  }
+
+  test("q164 triangles: brute-force recount on the query's own edge list; no cartesian plan") {
+    val df = SparkEntry.queries("q164_triangle_count")(spark, sfDir)
+    assert(!df.queryExecution.executedPlan.toString.contains("CartesianProduct"))
+    val out = df.as[(Long, Long)].collect()
+    val edges = operators.Corpus5
+      .shingleEdges(Tables.documents(spark, sfDir))
+      .as[(Long, Long)].collect()
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]].withDefaultValue(Set.empty)
+    edges.foreach { case (u, v) => adj(u) += v; adj(v) += u }
+    // Each triangle enumerated once as u < v < w.
+    val triCnt = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    var total = 0L
+    edges.foreach { case (u, v) =>
+      for (w <- (adj(u) & adj(v)) if w > v) {
+        total += 1; triCnt(u) += 1; triCnt(v) += 1; triCnt(w) += 1
+      }
+    }
+    assert(out.find(_._1 == -1L).map(_._2).contains(total))
+    val expTop = triCnt.toSeq.sortBy { case (id, n) => (-n, id) }.take(20)
+    assert(out.filter(_._1 != -1L).sortBy { case (id, n) => (-n, id) }.toSeq == expTop)
+  }
+
+  test("q165 sole-late-supplier: exists/not-exists replayed row-by-row; supplier broadcast") {
+    val df = SparkEntry.queries("q165_sole_late_supplier")(spark, sfDir)
+    assert(df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    val out = df.as[(String, Long)].collect()
+
+    val li = Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey".as[Long], $"l_suppkey".as[Long],
+        expr("unix_micros(cast(l_shipdate as timestamp))").as[Long]).collect()
+    val od = Tables.orders(spark, sfDir)
+      .select($"o_orderkey".as[Long],
+        expr("unix_micros(cast(o_orderdate as timestamp))").as[Long])
+      .collect().toMap
+    val sname = Tables.supplier(spark, sfDir)
+      .select($"s_suppkey".as[Long], $"s_name".as[String]).collect().toMap
+
+    val ninety = 90L * 86400L * 1000000L
+    val late = li.filter { case (o, _, ship) => od.get(o).exists(ship > _ + ninety) }
+    val allSupp = li.groupBy(_._1).map { case (o, rs) => o -> rs.map(_._2).toSet }
+    val lateSupp = late.groupBy(_._1).map { case (o, rs) => o -> rs.map(_._2).toSet }
+    val waiting = late.filter { case (o, s, _) =>
+      allSupp(o).exists(_ != s) && (lateSupp(o) - s).isEmpty
+    }
+    val expected = waiting.groupBy(r => sname(r._2))
+      .map { case (n, rs) => (n, rs.size.toLong) }.toSeq
+      .sortBy { case (n, c) => (-c, n) }.take(20)
+    assert(out.toSeq == expected)
+    assert(out.nonEmpty)
+  }
+}

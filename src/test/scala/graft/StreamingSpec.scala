@@ -34,17 +34,13 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
   test("streaming sliding-window aggregation equals the batch query") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.streaming.Trigger
-    import org.apache.spark.sql.types.{LongType, StructField, StructType}
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val stage = java.nio.file.Files.createTempDirectory("graft_sliding_events")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sfDir/events.parquet"),
       stage.resolve("events.parquet"))
-    val raw = spark.readStream
-      .schema(StructType(StreamingTwin.eventSchema.fields.map(f =>
-        if (f.name == "ts") StructField("ts", LongType) else f)))
-      .parquet(stage.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = StreamingTwin.fixTs(spark.readStream
+      .schema(StreamingTwin.eventReadSchema(spark, sfDir))
+      .parquet(stage.toString))
     val q = EventWindows.slidingAgg(raw.withWatermark("ts", "10 minutes"))
       .writeStream.outputMode("complete").format("memory")
       .queryName("sliding_stream").trigger(Trigger.AvailableNow()).start()
@@ -105,8 +101,6 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
   test("dropDuplicatesWithinWatermark collapses a replayed source to distinct ids") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.streaming.Trigger
-    import org.apache.spark.sql.types.{LongType, StructField, StructType}
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // Stage the events file TWICE — every event arrives as its own exact
     // duplicate (same id, same event time), the replay/at-least-once
     // ingestion shape this operator exists for.
@@ -115,11 +109,9 @@ class StreamingSpec extends AnyFunSuite with SparkSuite {
       java.nio.file.Paths.get(s"$sfDir/events.parquet"), stage.resolve("a.parquet"))
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sfDir/events.parquet"), stage.resolve("b.parquet"))
-    val raw = spark.readStream
-      .schema(StructType(StreamingTwin.eventSchema.fields.map(f =>
-        if (f.name == "ts") StructField("ts", LongType) else f)))
-      .parquet(stage.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = StreamingTwin.fixTs(spark.readStream
+      .schema(StreamingTwin.eventReadSchema(spark, sfDir))
+      .parquet(stage.toString))
     val q = StreamingTwin.dedupWithinWatermarkStream(raw)
       .writeStream.outputMode("append").format("memory")
       .queryName("dedup_wm_stream").trigger(Trigger.AvailableNow()).start()
