@@ -610,8 +610,15 @@ object Corpus2 {
       // DECIMAL(37,0): at 100 TB a common token's count·total product
       // (~1e11 · ~1e13 = 1e24) overflows BIGINT, and under ANSI mode
       // that aborts the query — decimal keeps the exactness claim true
-      // at the design scale. One explode + one vocab-keyed aggregate +
-      // a broadcast 1-row totals join.
+      // at the design scale; the ORDER BY runs on the exact decimal.
+      // The OUTPUT column is narrowed to BIGINT: Spark encodes
+      // DECIMAL(38,0) as parquet FIXED_LEN_BYTE_ARRAY(16) while DuckDB
+      // backs it with HUGEINT, and cross-engine canonicalization of
+      // that type is not hash-stable (COVERAGE.md determinism rules).
+      // At the gate SFs every drift value is ≪ 2^63; at 100 TB the
+      // emit would switch to a decimal-as-string column instead. One
+      // explode + one vocab-keyed aggregate + a broadcast 1-row totals
+      // join.
       (s, dir) => {
         val toks = Tables.documents(s, dir)
           .filter(col("lang").isin("en", "de"))
@@ -624,8 +631,10 @@ object Corpus2 {
           .select(col("tok"), col("c_en"), col("c_de"),
             abs(col("c_en").cast("decimal(18,0)") * col("t_de").cast("decimal(18,0)")
               - col("c_de").cast("decimal(18,0)") * col("t_en").cast("decimal(18,0)"))
-              .cast("decimal(38,0)").as("drift"))
-          .orderBy(col("drift").desc, col("tok")).limit(20)
+              .as("drift_dec"))
+          .orderBy(col("drift_dec").desc, col("tok")).limit(20)
+          .select(col("tok"), col("c_en"), col("c_de"),
+            col("drift_dec").cast("long").as("drift"))
       },
       Some(s"""WITH t AS (SELECT lang, unnest($toksDuck) AS tok FROM documents
               |WHERE lang IN ('en', 'de')),
@@ -634,11 +643,13 @@ object Corpus2 {
               |CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS c_de
               |FROM t GROUP BY 1),
               |tot AS (SELECT CAST(sum(c_en) AS BIGINT) AS t_en,
-              |CAST(sum(c_de) AS BIGINT) AS t_de FROM c)
-              |SELECT tok, c_en, c_de,
-              |CAST(abs(CAST(c_en AS DECIMAL(18,0)) * CAST(t_de AS DECIMAL(18,0))
-              |- CAST(c_de AS DECIMAL(18,0)) * CAST(t_en AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS drift
-              |FROM c, tot ORDER BY drift DESC, tok LIMIT 20""".stripMargin.replace("\n", " "))),
+              |CAST(sum(c_de) AS BIGINT) AS t_de FROM c),
+              |d AS (SELECT tok, c_en, c_de,
+              |abs(CAST(c_en AS DECIMAL(18,0)) * CAST(t_de AS DECIMAL(18,0))
+              |- CAST(c_de AS DECIMAL(18,0)) * CAST(t_en AS DECIMAL(18,0))) AS drift_dec
+              |FROM c, tot ORDER BY drift_dec DESC, tok LIMIT 20)
+              |SELECT tok, c_en, c_de, CAST(drift_dec AS BIGINT) AS drift
+              |FROM d ORDER BY drift DESC, tok""".stripMargin.replace("\n", " "))),
 
     QueryDef(
       "q111_profile",

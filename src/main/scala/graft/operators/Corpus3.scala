@@ -343,8 +343,12 @@ object Corpus3 {
       // the language mix depend on the source, and WHICH cells drive
       // it? Per contingency cell: observed count, row/col totals, the
       // EXACT-integer cross-multiplied deviation |o·N − r·c| (q110's
-      // trick — DECIMAL, engine-exact, ranks cells by dependence
-      // without any float), plus the conventional expected count and
+      // trick — DECIMAL internally, engine-exact, ranks cells by
+      // dependence without any float; the OUTPUT is narrowed to BIGINT
+      // because DECIMAL(38,0) is not hash-stable across Spark parquet
+      // FIXED_LEN_BYTE_ARRAY(16) and DuckDB HUGEINT — COVERAGE.md
+      // determinism rules; gate-SF values ≪ 2^63), plus the
+      // conventional expected count and
       // (o−e)²/e χ² term for interpretation. No order-dependent float
       // SUM anywhere: each row is a fixed per-row expression chain, so
       // the oracle is exact; the χ² TOTAL (a 25-term sum) is the
@@ -364,7 +368,7 @@ object Corpus3 {
           .select(col("source"), col("lang"), col("o"), col("r"), col("c"),
             abs(col("o").cast("decimal(18,0)") * col("n").cast("decimal(18,0)")
               - col("r").cast("decimal(18,0)") * col("c").cast("decimal(18,0)"))
-              .cast("decimal(38,0)").as("dev"),
+              .cast("long").as("dev"),
             round(col("e"), 4).as("e"),
             round((col("o") - col("e")) * (col("o") - col("e")) / col("e"), 4)
               .as("chisq_term"))
@@ -379,7 +383,7 @@ object Corpus3 {
              |FROM o JOIN r ON o.source = r.source JOIN c ON o.lang = c.lang, n)
              |SELECT source, lang, o, r, c,
              |CAST(abs(CAST(o AS DECIMAL(18,0)) * CAST(n AS DECIMAL(18,0))
-             |- CAST(r AS DECIMAL(18,0)) * CAST(c AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS dev,
+             |- CAST(r AS DECIMAL(18,0)) * CAST(c AS DECIMAL(18,0))) AS BIGINT) AS dev,
              |round(e, 4) AS e,
              |round((o - e) * (o - e) / e, 4) AS chisq_term
              |FROM j ORDER BY source, lang""".stripMargin.replace("\n", " "))),
