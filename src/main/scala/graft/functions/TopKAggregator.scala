@@ -17,6 +17,49 @@ import org.apache.spark.sql.expressions.Aggregator
   * Catalyst already optimizes; this Aggregator is the custom-UDAF
   * capability proof, exercised in ScalePatternsSpec.)
   */
+/** One (score, id) candidate in a bounded top-k buffer. A named case
+  * class (not a tuple) so the udaf output surfaces as
+  * `array<struct<score:double, id:bigint>>` with stable field names. */
+case class Scored(score: Double, id: Long)
+
+/** Bounded per-group top-k as a partial-aggregating k-heap — the
+  * scale-correct replacement for `Window.partitionBy(group)` over a
+  * corpus-sized scored relation (which shuffles the ENTIRE corpus into
+  * |groups| reduce partitions and sorts each). As an Aggregator inside
+  * `groupBy(group).agg(...)`, map-side combine (ObjectHashAggregate
+  * Partial mode) trims every partial buffer to ≤2k entries, so the
+  * shuffle carries ≤ 2k·mapTasks·|groups| rows and no corpus-sized sort
+  * exists anywhere in the plan. EXACT (unlike [[TopKTerms]] on raw
+  * occurrences): the global top-k is a subset of the union of
+  * per-partial top-k's, so trimming partials to k never loses a final
+  * answer. Ordering: score DESC (ASC when `asc`), id ASC tie-break —
+  * identical to `row_number() OVER (ORDER BY score [DESC], id)`.
+  */
+class TopKScored(k: Int, asc: Boolean = false)
+    extends Aggregator[(Double, Long), Seq[Scored], Seq[Scored]] {
+
+  private def key(s: Scored): (Double, Long) = (if (asc) s.score else -s.score, s.id)
+
+  // Same hysteresis as TopKTerms: grow to 2k before trimming to k, so a
+  // sort is amortized over ≥k inserts — O(log k) amortized per row.
+  private def trim(b: Seq[Scored]): Seq[Scored] =
+    if (b.size <= 2 * k) b else b.sortBy(key).take(k)
+
+  override def zero: Seq[Scored] = Vector.empty
+
+  override def reduce(b: Seq[Scored], in: (Double, Long)): Seq[Scored] =
+    trim(b :+ Scored(in._1, in._2))
+
+  override def merge(a: Seq[Scored], b: Seq[Scored]): Seq[Scored] =
+    trim(a ++ b)
+
+  override def finish(b: Seq[Scored]): Seq[Scored] = b.sortBy(key).take(k)
+
+  override def bufferEncoder: Encoder[Seq[Scored]] = Encoders.kryo[Seq[Scored]]
+  override def outputEncoder: Encoder[Seq[Scored]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Scored]]()
+}
+
 class TopKTerms(k: Int) extends Aggregator[(String, Long), Map[String, Long], Seq[(String, Long)]] {
 
   // Buffer with HYSTERESIS (r1 advice + r2 review): grow to 2·OverTrim·k

@@ -29,6 +29,26 @@ class PlanShapeSpec extends AnyFunSuite with SparkSuite {
     assert(!p.contains("Exchange hashpartitioning"), p.take(600))
   }
 
+  test("q50/q134/q141 per-query top-k is a bounded k-heap aggregate — no corpus-sized sort in a per-query window") {
+    // r4 verdict #3: Window.partitionBy(qid) over the scored corpus
+    // shuffles the ENTIRE corpus into |queries| reduce partitions and
+    // sorts each. The groupTopK rewrite must leave NO Window node (the
+    // only windows these plans ever had were the per-qid rankers) and
+    // aggregate through ObjectHashAggregate, whose Partial mode trims
+    // map-side buffers to ≤2k entries per (task × query). q140's
+    // dedup-signal subtree keeps its own (bucket-bounded) windows, so
+    // the ban is specifically on a window PARTITIONED BY qid — the
+    // executed-plan line `Window [...], [qid#NNL], [...]`.
+    val perQidWindow = """Window \[[^\n]*\], \[qid#\d+L?\]""".r
+    for (q <- Seq("q50_knn_bruteforce", "q134_adc_search", "q141_truncated_rerank",
+                  "q53_knn_lsh", "q140_hard_negatives")) {
+      val p = plan(q)
+      assert(perQidWindow.findFirstIn(p).isEmpty,
+        s"$q: per-qid window is back:\n${p.take(600)}")
+      assert(p.contains("ObjectHashAggregate"), s"$q:\n${p.take(600)}")
+    }
+  }
+
   test("q02 scan prunes to the projected columns") {
     val p = plan("q02_filter_topk")
     assert(p.contains("ReadSchema"))
