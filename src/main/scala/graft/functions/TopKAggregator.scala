@@ -60,6 +60,35 @@ class TopKScored(k: Int, asc: Boolean = false)
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Scored]]()
 }
 
+/** Bounded k-min sorted-set monoid over hash values — the BATCH twin of
+  * `streaming/StatefulOps.kmvStream`'s keyed state, as an Aggregator so
+  * q153's KMV sketch builds inside `groupBy(scope).agg(...)` with
+  * map-side combine instead of ranking every distinct hash per scope
+  * through one `Window.partitionBy(scope)` reduce partition (r4 verdict
+  * "What's wrong" #4). EXACT for the sketch semantics: the k smallest
+  * of a union equal the k smallest of the per-partial k-smallest, so
+  * partial buffers (trimmed to ≤2k with the usual hysteresis) merge
+  * losslessly. Output is the ascending sketch array (≤k hashes); the
+  * kth-min is `element_at(sk, k)` and the sketch members ARE the top-k
+  * probe set, so both of q153's uses of the old rank column fall out. */
+class KMinHashes(k: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
+
+  private def trim(b: Seq[Long]): Seq[Long] =
+    if (b.size <= 2 * k) b else b.distinct.sorted.take(k)
+
+  override def zero: Seq[Long] = Vector.empty
+
+  override def reduce(b: Seq[Long], h: Long): Seq[Long] = trim(b :+ h)
+
+  override def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] = trim(a ++ b)
+
+  override def finish(b: Seq[Long]): Seq[Long] = b.distinct.sorted.take(k)
+
+  override def bufferEncoder: Encoder[Seq[Long]] = Encoders.kryo[Seq[Long]]
+  override def outputEncoder: Encoder[Seq[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+}
+
 class TopKTerms(k: Int) extends Aggregator[(String, Long), Map[String, Long], Seq[(String, Long)]] {
 
   // Buffer with HYSTERESIS (r1 advice + r2 review): grow to 2·OverTrim·k

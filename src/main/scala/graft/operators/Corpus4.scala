@@ -133,10 +133,14 @@ object Corpus4 {
             ev.filter(col("value") > 150 || col("event_type") === "error")))
           .distinct()
         val hs = scoped.select(col("scope"), expr(uhSpark).as("h")).distinct()
-        val rk = hs.withColumn("r",
-          row_number().over(Window.partitionBy("scope").orderBy("h")))
-        val es = rk.groupBy("scope")
-          .agg(count(lit(1)).as("n"), max(when(col("r") === KMV_K, col("h"))).as("hk"))
+        // Sketch build: bounded k-min monoid (functions.KMinHashes, the
+        // batch twin of kmvStream's keyed state) inside the scope
+        // aggregate — never ranks a scope's full NDV set through one
+        // partition; partial buffers are ≤2·k longs per map task.
+        val kmin = udaf(new graft.functions.KMinHashes(KMV_K))
+        val es = hs.groupBy("scope")
+          .agg(count(lit(1)).as("n"), kmin(col("h")).as("sk"))
+          .withColumn("hk", get(col("sk"), lit(KMV_K - 1)))  // null-safe for <k scopes (ANSI)
           .withColumn("est_raw",
             when(col("n") < KMV_K, col("n").cast("double"))
               .otherwise(lit((KMV_K - 1).toDouble) * lit(TWO60.toDouble) / col("hk")))
@@ -145,8 +149,9 @@ object Corpus4 {
         // Intersection from the sketches: membership of the union's
         // top-k hashes in raw A/B equals membership in their SKETCHES
         // (h ≤ kth-min of A∪B ⇒ h ≤ kth-min of A), so the raw joins
-        // below are exactly the sketch-only computation.
-        val tu = rk.filter(col("scope") === "AuB" && col("r") <= KMV_K).select(col("h"))
+        // below are exactly the sketch-only computation. The union's
+        // top-k probe set IS its sketch array.
+        val tu = es.filter(col("scope") === "AuB").select(explode(col("sk")).as("h"))
         val ha = hs.filter(col("scope") === "A_value_gt150").select(col("h"), lit(1).as("ia"))
         val hb = hs.filter(col("scope") === "B_error").select(col("h"), lit(1).as("ib"))
         val jj = tu.join(broadcast(ha), Seq("h"), "left")

@@ -213,5 +213,10 @@ class PlanShapeSpec extends AnyFunSuite with SparkSuite {
   test("q153 KMV set-algebra joins stay broadcast — sketches never sort-merge") {
     val p = plan("q153_kmv_distinct_sketch")
     assert(!p.contains("SortMergeJoin"), p.take(600))
+    // r4 verdict #4: the sketch build must be the bounded k-min monoid
+    // (ObjectHashAggregate over KMinHashes), not a per-scope rank window
+    // that pulls a scope's entire distinct-hash set into one partition.
+    assert(!p.contains("Window"), s"per-scope rank window is back:\n${p.take(600)}")
+    assert(p.contains("kminhashes"), p.take(600))
   }
 }
