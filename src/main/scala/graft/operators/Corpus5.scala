@@ -51,19 +51,6 @@ import org.apache.spark.sql.functions._
   *  - q165: every join keys on l_orderkey — late×all and late×late are
   *    co-partitioned semi/anti joins (bucketing makes them co-located);
   *    supplier is broadcast-sized by the TPC-H constant ratio.
-  *  - q166: one (type, day)-keyed shuffle carrying two opposite-order
-  *    sorts for the open/close row_numbers; the aggregate is map-side
-  *    partial like any hash agg.
-  *  - q167: the clustered layout's file assignment is globalIndex's
-  *    two-pass range exchange (no single-partition sort); both zone-map
-  *    builds are one groupBy(file_id) over ≤64-byte rows; the verdict
-  *    aggregate is 32 rows per layout. At 100 TB this is exactly the
-  *    parquet row-group min/max skipping economics: the clustered
-  *    layout's scan reads 1/32nd of the files for a one-month slice.
-  *  - q168: the maintained aggregate touches |delta| rows, not |v2| —
-  *    the full recompute column exists only to PROVE the identity. The
-  *    CDC join is q155's fingerprint full-outer (doc-keyed, one
-  *    shuffle); delta and base aggregates are per-source (tiny).
   */
 object Corpus5 {
 
@@ -118,10 +105,16 @@ object Corpus5 {
       // Deltas: +1 at session start, −1 at session end (half-open
       // intervals: at the same instant ends apply before starts, which
       // the ORDER BY ts, delta ascending gives for free since −1 < 1).
-      // max_concurrency(day) = carry_in(day) + max(local running sum),
-      // where carry_in is the cumulative delta total of all PRIOR days
-      // — sessions spanning midnight are thereby counted in every day
-      // they cross without clipping or interval explosion.
+      // max_concurrency(day) = carry_in(day) + greatest(0, max(local
+      // running sum)), where carry_in is the cumulative delta total of
+      // all PRIOR days: the greatest(0, ·) term is the day's MIDNIGHT
+      // level — a day whose first deltas are session ends (all-negative
+      // prefix) peaks at midnight, at exactly carry. Days crossed by
+      // sessions but containing no deltas at all come from a day spine
+      // over [min, max] delta days and report the flat carry level —
+      // so sessions spanning midnight are counted in every day they
+      // cross, including delta-free middle days, without clipping or
+      // interval explosion (r4 advice).
       (s, dir) => {
         val sess = sessionIntervals(Tables.events(s, dir))
         val deltas = sess.select(col("st").as("ts"), lit(1).as("delta"))
@@ -133,13 +126,18 @@ object Corpus5 {
           sum("delta").as("tot"), max("run").as("mx"),
           sum(when(col("delta") === 1, 1).otherwise(0)).as("sessions_started"),
           sum(when(col("delta") === -1, 1).otherwise(0)).as("sessions_ended"))
+        val spine = pd.agg(min("d").as("d0"), max("d").as("d1"))
+          .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("d"))
+        val full = spine.join(pd, Seq("d"), "left")
         // The ONLY unpartitioned window: runs over the ≤-one-row-per-day
         // aggregate, never over events or sessions.
         val carryW = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, -1)
-        pd.withColumn("carry", coalesce(sum("tot").over(carryW), lit(0L)))
-          .select(col("d").as("day"), col("sessions_started"),
-            col("sessions_ended"),
-            (col("carry") + col("mx")).as("max_concurrency"))
+        full.withColumn("carry", coalesce(sum("tot").over(carryW), lit(0L)))
+          .select(col("d").as("day"),
+            coalesce(col("sessions_started"), lit(0L)).as("sessions_started"),
+            coalesce(col("sessions_ended"), lit(0L)).as("sessions_ended"),
+            (col("carry") + greatest(lit(0L), coalesce(col("mx"), lit(0L))))
+              .as("max_concurrency"))
           .orderBy("day")
       },
       Some(s"""WITH $sessDuckCte,
@@ -150,11 +148,15 @@ object Corpus5 {
               |pd AS (SELECT d, sum(delta) AS tot, max(run) AS mx,
               |sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS sessions_started,
               |sum(CASE WHEN delta = -1 THEN 1 ELSE 0 END) AS sessions_ended
-              |FROM loc GROUP BY d)
-              |SELECT d AS day, CAST(sessions_started AS BIGINT) AS sessions_started,
-              |CAST(sessions_ended AS BIGINT) AS sessions_ended,
-              |CAST(coalesce(sum(tot) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + mx AS BIGINT) AS max_concurrency
-              |FROM pd ORDER BY day""".stripMargin.replace("\n", " "))),
+              |FROM loc GROUP BY d),
+              |sp AS (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS d
+              |FROM (SELECT min(d) AS d0, max(d) AS d1 FROM pd)),
+              |f AS (SELECT sp.d, pd.tot, pd.mx, pd.sessions_started, pd.sessions_ended
+              |FROM sp LEFT JOIN pd ON sp.d = pd.d)
+              |SELECT d AS day, CAST(coalesce(sessions_started, 0) AS BIGINT) AS sessions_started,
+              |CAST(coalesce(sessions_ended, 0) AS BIGINT) AS sessions_ended,
+              |CAST(coalesce(sum(tot) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + greatest(0, coalesce(mx, 0)) AS BIGINT) AS max_concurrency
+              |FROM f ORDER BY day""".stripMargin.replace("\n", " "))),
 
     QueryDef(
       "q163_scd2_dimension",

@@ -36,24 +36,42 @@ class Corpus5Spec extends AnyFunSuite with SparkSuite {
       out
     }.toSeq
 
-    // Straight-line simulation of the sweep the engine computes segmented:
-    // global (ts, delta)-sorted running count, per-day max, UTC days.
+    // Straight-line simulation of the sweep the engine computes
+    // segmented. Three deliberate matches with the query's semantics
+    // (r4 advice): (1) deltas are applied in (ts, delta) PEER GROUPS —
+    // the RANGE-frame default — so several ends tied on one timestamp
+    // never expose an intermediate carry−1 value the query can't
+    // produce; (2) each day's max starts at its MIDNIGHT level (the
+    // running count carried in), so an all-negative-prefix day peaks at
+    // the carry; (3) every day from first to last delta day is emitted,
+    // delta-free days at their flat carry level.
     val deltas = sessions.flatMap { case (st, en) => Seq((st, 1), (en, -1)) }
-      .sortBy { case (t, d) => (t, d) }
-    def dayOf(us: Long): String =
+    val groups = deltas.groupBy(identity).toSeq
+      .map { case ((t, d), g) => (t, d, g.size.toLong) }
+      .sortBy { case (t, d, _) => (t, d) }
+    def dayOf(us: Long): java.time.LocalDate =
       java.time.Instant.ofEpochSecond(Math.floorDiv(us, 1000000L))
-        .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
+        .atZone(java.time.ZoneOffset.UTC).toLocalDate
+    val firstDay = dayOf(groups.head._1)
+    val lastDay = dayOf(groups.last._1)
+    val days = Iterator.iterate(firstDay)(_.plusDays(1))
+      .takeWhile(!_.isAfter(lastDay)).toSeq
     var cur = 0L
-    val mx = scala.collection.mutable.LinkedHashMap.empty[String, Long]
-    val nst = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
-    val nen = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
-    for ((t, d) <- deltas) {
-      cur += d
+    val mx = scala.collection.mutable.Map.empty[java.time.LocalDate, Long]
+    val nst = scala.collection.mutable.Map.empty[java.time.LocalDate, Long].withDefaultValue(0L)
+    val nen = scala.collection.mutable.Map.empty[java.time.LocalDate, Long].withDefaultValue(0L)
+    var di = 0
+    for ((t, d, n) <- groups) {
       val day = dayOf(t)
-      mx(day) = math.max(mx.getOrElse(day, Long.MinValue), cur)
-      if (d == 1) nst(day) += 1 else nen(day) += 1
+      while (di < days.size && !days(di).isAfter(day)) {
+        mx(days(di)) = cur // midnight level of every day up to this delta's
+        di += 1
+      }
+      cur += d * n // whole peer group applies at once (RANGE semantics)
+      mx(day) = math.max(mx(day), cur)
+      if (d == 1) nst(day) += n else nen(day) += n
     }
-    val expected = mx.keys.toSeq.sorted.map(d => (d, nst(d), nen(d), mx(d)))
+    val expected = days.map(d => (d.toString, nst(d), nen(d), mx(d)))
     assert(out.toSeq == expected)
     assert(out.map(_._2).sum == sessions.size && out.map(_._3).sum == sessions.size)
   }
