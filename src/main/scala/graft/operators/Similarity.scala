@@ -170,9 +170,9 @@ object Similarity {
     groupTopK(scored, "cos", k)
   }
 
-  private def duckNorm(v: String) =
+  private[graft] def duckNorm(v: String) =
     s"sqrt(list_sum(list_transform($v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
-  private def duckDot(a: String, b: String) =
+  private[graft] def duckDot(a: String, b: String) =
     s"list_sum(list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
 
   def defs: Seq[QueryDef] = Seq(
