@@ -898,7 +898,8 @@ object Corpus2 {
               |(SELECT b_sym || '+' || b_nxt FROM b1) AS merge1,
               |(SELECT b_sym || '+' || b_nxt FROM b2) AS merge2,
               |(SELECT b_sym || '+' || b_nxt FROM b3) AS merge3
-              |FROM s3 GROUP BY word ORDER BY word""".stripMargin.replace("\n", " "))),
+              |FROM s3 GROUP BY word ORDER BY word""".stripMargin.replace("\n", " ")),
+      bench = true),
 
     QueryDef(
       "q122_bpe_encode",

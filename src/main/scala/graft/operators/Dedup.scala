@@ -626,7 +626,8 @@ object Dedup {
               |SELECT tr.doc_id, coalesce(n_eval_matches, 0) AS n_eval_matches,
               |coalesce(mj, -1.0) AS max_jaccard, mj IS NULL AS kept
               |FROM tr LEFT JOIN hits ON tr.doc_id = hits.da
-              |ORDER BY tr.doc_id""".stripMargin.replace("\n", " "))),
+              |ORDER BY tr.doc_id""".stripMargin.replace("\n", " ")),
+      bench = true),
 
     QueryDef(
       "q143_contamination_ladder",
@@ -697,7 +698,8 @@ object Dedup {
               |FROM ex LEFT JOIN ng ON ex.doc_id = ng.doc_id
               |LEFT JOIN hits ON ex.doc_id = hits.doc_id)
               |SELECT doc_id, exact_hit, ngram_frac, neardup_mj, CAST(rung AS BIGINT) AS rung,
-              |rung = 0 AS kept FROM z ORDER BY doc_id""".stripMargin.replace("\n", " ")))
+              |rung = 0 AS kept FROM z ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+      bench = true)
   )
 
   /** The q44 pipeline up to (but not including) its final ORDER BY:
