@@ -71,9 +71,22 @@ object Tables {
     * and atomically rename; a concurrent winner's output is accepted
     * (losers discard their stage), so concurrent JVMs are safe.
     */
-  def preparedDocuments(spark: SparkSession, dir: String): DataFrame = {
+  def preparedDocuments(spark: SparkSession, dir: String): DataFrame =
+    preparedTable(spark, dir, "documents", Seq("text", "source"))
+
+  /** `part` with a persisted `p_name_lc` twin — the same prepared-column
+    * discipline applied to the TPC-H side of the surface (r4 verdict #6):
+    * q02's case-insensitive name filter rides the LowercaseContainsRewrite
+    * rule onto the stored column and into `PushedFilters`. */
+  def preparedPart(spark: SparkSession, dir: String): DataFrame =
+    preparedTable(spark, dir, "part", Seq("p_name"))
+
+  /** Shared materialization: `table` + a declared `<c>_lc` lowercased twin
+    * (column metadata `graft.lc_of = c`) for each requested column. */
+  private def preparedTable(spark: SparkSession, dir: String, table: String,
+                            lcCols: Seq[String]): DataFrame = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
-    val src = Paths.get(s"$dir/documents.parquet")
+    val src = Paths.get(s"$dir/$table.parquet")
     val fingerprint = {
       val parts =
         if (Files.isDirectory(src)) {
@@ -88,7 +101,7 @@ object Tables {
       // to a build that expects different columns. Superseded
       // fingerprints are NOT swept (a sibling may be another sf dir's
       // LIVE cache); orphans rely on OS tmp reaping.
-      val prepV = "v2:text_lc,source_lc,graft.lc_of"
+      val prepV = s"v3:$table:${lcCols.mkString(",")}:graft.lc_of"
       val md = java.security.MessageDigest.getInstance("MD5")
       md.digest(s"$prepV|$dir|$parts".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
     }
@@ -98,14 +111,11 @@ object Tables {
       if (!Files.exists(out.resolve("_SUCCESS"))) {
         // per-attempt stage dir: concurrent JVMs never write the same path
         val stage = base.resolve(s"$fingerprint.stage-${java.util.UUID.randomUUID()}")
-        documents(spark, dir)
-          .withColumn("text_lc", lower(col("text")).as("text_lc",
+        lcCols.foldLeft(t(spark, dir, table)) { (df, c) =>
+          df.withColumn(s"${c}_lc", lower(col(c)).as(s"${c}_lc",
             new org.apache.spark.sql.types.MetadataBuilder()
-              .putString("graft.lc_of", "text").build()))
-          .withColumn("source_lc", lower(col("source")).as("source_lc",
-            new org.apache.spark.sql.types.MetadataBuilder()
-              .putString("graft.lc_of", "source").build()))
-          .write.mode("overwrite").parquet(stage.toString)
+              .putString("graft.lc_of", c).build()))
+        }.write.mode("overwrite").parquet(stage.toString)
         try Files.move(stage, out, StandardCopyOption.ATOMIC_MOVE)
         catch {
           // another JVM won the race: accept its output, drop ours

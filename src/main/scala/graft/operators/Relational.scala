@@ -120,8 +120,16 @@ object Relational {
 
     QueryDef(
       "q02_filter_topk",
+      // Runs on preparedPart: containsCI compiles to the usual
+      // coalesce(contains(lower(p_name)), false), and the
+      // LowercaseContainsRewrite rule (registered by Verify/Bench)
+      // retargets it onto the persisted p_name_lc twin so it reaches the
+      // scan as StringContains — the rule's second declared family
+      // beyond flagship/q89's manual _lc columns (r4 verdict #6;
+      // PlanShapeSpec pins the rewritten shape). Without the rule the
+      // query is identical, just unpushed.
       (s, dir) =>
-        Tables.part(s, dir)
+        Tables.preparedPart(s, dir)
           .filter(containsCI(col("p_name"), "an"))
           .select("p_partkey", "p_name", "p_brand", "p_retailprice")
           .orderBy(col("p_retailprice").desc, col("p_partkey"))

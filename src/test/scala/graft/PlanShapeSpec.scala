@@ -49,6 +49,19 @@ class PlanShapeSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("q02 containsCI rides LowercaseContainsRewrite onto the persisted p_name_lc twin") {
+    // The rule's second declared family (r4 verdict #6): unlike
+    // flagship/q89, q02 never names the _lc column — containsCI builds
+    // coalesce(contains(lower(p_name)), false) and the RULE retargets it.
+    val before = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = before :+ plans.LowercaseContainsRewrite
+    try {
+      val p = plan("q02_filter_topk")
+      assert(p.contains("StringContains(p_name_lc"), p.take(800))
+      assert(!p.contains("lower(p_name"), p.take(800))
+    } finally spark.experimental.extraOptimizations = before
+  }
+
   test("q02 scan prunes to the projected columns") {
     val p = plan("q02_filter_topk")
     assert(p.contains("ReadSchema"))
