@@ -369,6 +369,62 @@ object Components {
               |CAST(${Corpus2.tierCaseSql} AS BIGINT) AS epoch_tier,
               |q.gate_keep AND coalesce(dup.dup_of, -1) = -1 AS kept
               |FROM q LEFT JOIN dup ON q.doc_id = dup.doc_id
-              |ORDER BY q.doc_id""".stripMargin.replace("\n", " ")))
+              |ORDER BY q.doc_id""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q167_label_propagation",
+      // FIXED-ROUND SYNCHRONOUS MIN-LABEL PROPAGATION — the
+      // iteration-bounded community operator used when running a full
+      // transitive closure (q55's large-star/small-star loop iterates
+      // to convergence) is unnecessary or unaffordable: 3 synchronous
+      // rounds of lbl(v) ← min(lbl(v), min over neighbors' labels)
+      // over the q114 df-capped shingle-share graph. After r rounds a
+      // node's label is exactly the min doc_id within its r-hop
+      // neighborhood — on short-diameter near-dup blocks this IS the
+      // component root; on longer chains it shows how far
+      // consolidation has spread (ComponentsSpec pins both the 3-round
+      // replay and the never-crosses-a-q55-component invariant).
+      // INTEGER mins only, so no float discipline is needed and the
+      // oracle is 3 chained CTEs. Scale: each round is one edge⋈label
+      // join + one node-keyed min aggregate (the q114 two-shuffle
+      // round shape), edge list built once and checkpointed; at 100 TB
+      // the same loop runs with edges bucketed by v so the per-round
+      // join co-locates.
+      (s, dir) => {
+        val edges = Corpus5.shingleEdges(graft.Tables.documents(s, dir))
+        val e = edges
+          .unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+          .localCheckpoint()
+        var lbl = e.select(col("u").as("id")).distinct()
+          .withColumn("lbl", col("id"))
+        for (_ <- 1 to 3)
+          lbl = e
+            .join(lbl.select(col("id").as("v"), col("lbl").as("nl")), "v")
+            .select(col("u").as("id"), col("nl"))
+            .unionByName(lbl.select(col("id"), col("lbl").as("nl")))
+            .groupBy("id").agg(min("nl").as("lbl"))
+        lbl.join(lbl.groupBy("lbl").agg(count(lit(1)).as("community_size")), "lbl")
+          .select(col("id").as("doc_id"), col("lbl").as("community"),
+            col("community_size"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH ${Corpus.cappedShinglesDuckCte(8)},
+              |p AS (SELECT a.doc_id AS u, b.doc_id AS v FROM sh a
+              |JOIN sh b ON a.sg = b.sg AND a.doc_id < b.doc_id GROUP BY 1, 2),
+              |e AS (SELECT u, v FROM p UNION ALL SELECT v AS u, u AS v FROM p),
+              |l0 AS (SELECT DISTINCT u AS id, u AS lbl FROM e),
+              |l1 AS (SELECT id, min(l) AS lbl FROM (
+              |SELECT e.u AS id, l0.lbl AS l FROM e JOIN l0 ON l0.id = e.v
+              |UNION ALL SELECT id, lbl AS l FROM l0) z1 GROUP BY id),
+              |l2 AS (SELECT id, min(l) AS lbl FROM (
+              |SELECT e.u AS id, l1.lbl AS l FROM e JOIN l1 ON l1.id = e.v
+              |UNION ALL SELECT id, lbl AS l FROM l1) z2 GROUP BY id),
+              |l3 AS (SELECT id, min(l) AS lbl FROM (
+              |SELECT e.u AS id, l2.lbl AS l FROM e JOIN l2 ON l2.id = e.v
+              |UNION ALL SELECT id, lbl AS l FROM l2) z3 GROUP BY id),
+              |sz AS (SELECT lbl, count(*) AS community_size FROM l3 GROUP BY lbl)
+              |SELECT l3.id AS doc_id, l3.lbl AS community, sz.community_size
+              |FROM l3 JOIN sz ON l3.lbl = sz.lbl
+              |ORDER BY doc_id""".stripMargin.replace("\n", " ")))
   )
 }

@@ -262,10 +262,12 @@ object Similarity {
       // into M=8 subvectors of 8 dims, assign each to the nearest of K=4
       // centroids, store only the 8 codes (2 bits each → 32× compression
       // vs float32, vs q54's 4×). Real deployments train the codebook
-      // with per-subspace k-means (iterative → rows-only, like q52); here
-      // the codebook is PINNED (a shared 4×8 literal grid, exact integer/
-      // 10 rationals so both engines compute identical doubles), which
-      // keeps assignment + reconstruction fully oracle-checkable. At
+      // with per-subspace k-means — q166 does exactly that (deterministic
+      // Lloyd unroll, still oracled; SimilaritySpec shows its MSE is a
+      // fraction of this one's). Here the codebook is PINNED (a shared
+      // 4×8 literal grid, exact integer/10 rationals so both engines
+      // compute identical doubles), the zero-training baseline of the
+      // same contract. At
       // 100 TB the codebook is broadcast-trivial (32 doubles) and the
       // whole op is a single codegen'd projection — no shuffle at all.
       (s, dir) => {
@@ -497,7 +499,94 @@ object Similarity {
               |rr AS (SELECT qid, vec_id, cos,
               |row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn FROM sc)
               |SELECT qid, vec_id, CAST(rn AS BIGINT) AS rn, cos
-              |FROM rr WHERE rn <= 10 ORDER BY qid, rn""".stripMargin.replace("\n", " ")))
+              |FROM rr WHERE rn <= 10 ORDER BY qid, rn""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q166_pq_trained",
+      // TRAINED product quantization — the close of q57's documented
+      // gap ("real PQ trains per-subspace k-means"; its pinned shared
+      // codebook measures recall 0.07 BECAUSE it can't fit 8-dim
+      // cells). Same M=8 × K=4 × 8-dim geometry and the same output
+      // contract as q57 (codes_str, mse_e6) so the two tables compare
+      // row-for-row, but the codebook is LEARNED: per-subspace Lloyd
+      // k-means, all 8 subspaces trained in ONE keyed dataflow — the
+      // LloydKMeans discipline (pinned seeds = subvectors of the 4
+      // lowest vec_ids, 2 fixed rounds, vec_id-sorted centroid-mean
+      // folds, dims-ordered distance folds, first-min tie-break,
+      // ids re-derived per round) keyed by subspace m, which keeps the
+      // whole fit + encode hash-checkable against 3 chained CTE sets.
+      // SimilaritySpec pins the payoff: trained mean MSE ≪ q57's
+      // pinned-codebook MSE. Scale: training touches (corpus × 8)
+      // 8-dim subvectors — one keyed aggregate per round against a
+      // broadcast 256-double codebook row; encode is one projection.
+      (s, dir) => {
+        val sub = Tables.embeddings(s, dir)
+          .select(col("vec_id"), explode(expr(
+            """transform(sequence(0, 7), m -> struct(m AS m,
+              |transform(sequence(0, 7), j -> CAST(embedding[m*8+j] AS DOUBLE)) AS sv))"""
+              .stripMargin.replace("\n", " "))).as("x"))
+          .select(col("vec_id"), col("x.m").as("m"), col("x.sv").as("sv"))
+        def asRow(perM: DataFrame): DataFrame =
+          perM.groupBy().agg(expr(
+            "transform(array_sort(collect_list(struct(m, cents))), s -> s.cents)").as("ccm"))
+        val init = asRow(sub.filter(col("vec_id") < 4).groupBy("m")
+          .agg(expr("transform(array_sort(collect_list(struct(vec_id, sv))), s -> s.sv)").as("cents")))
+        def assignTo(row: DataFrame): DataFrame =
+          sub.crossJoin(broadcast(row))
+            .withColumn("dists", expr(
+              """transform(ccm[m], cx -> aggregate(sequence(0, 7), 0D,
+                |(a, j) -> a + pow(sv[j] - cx[j], 2D)))""".stripMargin.replace("\n", " ")))
+            .select(col("vec_id"), col("m"), col("sv"),
+              (expr("array_position(dists, array_min(dists))") - 1).cast("int").as("c"),
+              expr("array_min(dists)").as("md"))
+        def recompute(assigned: DataFrame): DataFrame = asRow(
+          assigned
+            .select(col("m"), col("c"), col("vec_id"), posexplode(col("sv")))
+            .groupBy("m", "c", "pos")
+            .agg((expr("aggregate(array_sort(collect_list(struct(vec_id, col))), 0D, (a, x) -> a + x.col)")
+              / count(lit(1))).as("cv"))
+            .groupBy("m", "c")
+            .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), s -> s.cv)").as("cent"))
+            .groupBy("m")
+            .agg(expr("transform(array_sort(collect_list(struct(c, cent))), s -> s.cent)").as("cents")))
+        var assigned = assignTo(init)
+        for (_ <- 1 to 2) assigned = assignTo(recompute(assigned))
+        assigned.groupBy("vec_id").agg(
+          expr("array_join(transform(array_sort(collect_list(struct(m, c))), s -> CAST(s.c AS STRING)), '')").as("codes_str"),
+          (expr("aggregate(array_sort(collect_list(struct(m, md))), 0D, (a, x) -> a + x.md)")
+            / lit(64.0)).as("mse"))
+          .select(col("vec_id"), col("codes_str"),
+            round(col("mse") * lit(1e6), 4).as("mse_e6"))
+          .orderBy("vec_id")
+      },
+      Some {
+        def assignCte(name: String, centsCte: String, extra: String = ""): String =
+          s"""$name AS (SELECT vec_id, m, sv, list_position(d, list_min(d)) - 1 AS c$extra FROM (
+             |SELECT vec_id, m, sv, list_transform(ccm[m + 1], cx ->
+             |list_sum(list_transform(generate_series(1, 8), j -> pow(sv[j] - cx[j], 2)))) AS d
+             |FROM sub, $centsCte) z$name)"""
+        def rebuildCtes(r: Int): String =
+          s"""pd$r AS (SELECT m, c, j AS pos,
+             |list_sum(list(sv[j] ORDER BY vec_id)) / count(*) AS cv
+             |FROM pa$r, LATERAL (SELECT unnest(generate_series(1, 8)) AS j) g GROUP BY m, c, j),
+             |pp$r AS (SELECT m, c, list(cv ORDER BY pos) AS cent FROM pd$r GROUP BY m, c),
+             |pq$r AS (SELECT m, list(cent ORDER BY c) AS cents FROM pp$r GROUP BY m),
+             |pc$r AS (SELECT list(cents ORDER BY m) AS ccm FROM pq$r)"""
+        (s"""WITH sub AS (SELECT vec_id, m,
+            |list_transform(generate_series(1, 8), j -> CAST(embedding[m*8+j] AS DOUBLE)) AS sv
+            |FROM embeddings, LATERAL (SELECT unnest(generate_series(0, 7)) AS m) g),
+            |pc0m AS (SELECT m, list(sv ORDER BY vec_id) AS cents FROM sub WHERE vec_id < 4 GROUP BY m),
+            |pc0 AS (SELECT list(cents ORDER BY m) AS ccm FROM pc0m),
+            |${assignCte("pa1", "pc0")},
+            |${rebuildCtes(1)},
+            |${assignCte("pa2", "pc1")},
+            |${rebuildCtes(2)},
+            |${assignCte("pa3", "pc2", ", list_min(d) AS md")}
+            |SELECT vec_id,
+            |string_agg(CAST(c AS VARCHAR), '' ORDER BY m) AS codes_str,
+            |round(list_sum(list(md ORDER BY m)) / 64.0 * 1e6, 4) AS mse_e6
+            |FROM pa3 GROUP BY vec_id ORDER BY vec_id""").stripMargin.replace("\n", " ")
+      })
   )
 
   /** Pinned shared PQ codebook: K=4 centroids × 8 dims, flattened

@@ -28,6 +28,33 @@ class ComponentsSpec extends AnyFunSuite with SparkSuite {
     assert(m.values.toSet == Set(2L) && m.size == 500)
   }
 
+  test("q167 equals a local 3-round sync replay and never crosses a component") {
+    val edges = operators.Corpus5.shingleEdges(Tables.documents(spark, sfDir))
+      .as[(Long, Long)].collect()
+    assume(edges.nonEmpty)
+    val out = SparkEntry.queries("q167_label_propagation")(spark, sfDir)
+      .select("doc_id", "community").as[(Long, Long)].collect().toMap
+
+    // Local synchronous replay: 3 rounds of min over self + neighbors.
+    val adj = (edges ++ edges.map(_.swap)).groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var lbl = adj.keys.map(v => v -> v).toMap
+    for (_ <- 1 to 3)
+      lbl = lbl.map { case (v, l) => v -> (adj(v).map(lbl) :+ l).min }
+    assert(out == lbl)
+
+    // Labels refine INSIDE the converged closure: every 3-round
+    // community sits within one true connected component, bounded
+    // below by its root.
+    val comp = connectedComponents(
+      Tables.documents(spark, sfDir).sparkSession
+        .createDataset(edges.toSeq).toDF("va", "vb"))
+      .select("id", "comp").as[(Long, Long)].collect().toMap
+    out.foreach { case (v, l) =>
+      assert(comp(l) == comp(v), s"label $l of $v crossed components")
+      assert(l >= comp(v), s"label $l below component root ${comp(v)}")
+    }
+  }
+
   test("q55 clusters are consistent with q41 pairs (every pair same comp, comps connect)") {
     val pairs = operators.Dedup.lshVerifiedPairs(spark, sfDir)
       .select("da", "db").as[(Long, Long)].collect()

@@ -201,4 +201,21 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     recalls.foreach(r => assert(r >= 0.6, s"recall $r below floor; all=$recalls"))
     assert(recalls.sum / recalls.size >= 0.75, s"mean recall ${recalls.sum / recalls.size}")
   }
+
+  test("q166 trained PQ beats q57's pinned codebook on reconstruction MSE") {
+    // The point of training: q57's scaladoc documents WHY its pinned
+    // shared codebook is bad (can't fit 8-dim cells); q166 is the fix.
+    def meanMse(name: String): Double = {
+      val v = SparkEntry.queries(name)(spark, sfDir)
+        .select($"mse_e6".as[Double]).collect()
+      v.sum / v.size
+    }
+    val trained = meanMse("q166_pq_trained")
+    val pinned = meanMse("q57_pq_quantize")
+    assert(trained < pinned / 2,
+      s"trained PQ mean MSE $trained should be well below pinned $pinned")
+    // codes stay valid 8-digit base-4 strings like q57's
+    val q166 = SparkEntry.queries("q166_pq_trained")(spark, sfDir)
+    assert(q166.filter(!$"codes_str".rlike("^[0-3]{8}$")).count() == 0)
+  }
 }
