@@ -27,7 +27,10 @@ object ExplainAudit {
         "q118_lm_score", "q119_importance", "q120_span_scrub",
         "q121_bpe_merges", "q122_bpe_encode", "q123_hybrid_rrf",
         "q144_temperature_mixture", "q145_countmin_heavy_hitters",
-        "q150_constraint_audit", "q151_equidepth_histogram")
+        "q150_constraint_audit", "q151_equidepth_histogram",
+        "q50_knn_bruteforce", "q153_kmv_distinct_sketch",
+        "q166_pq_trained", "q167_label_propagation",
+        "q168_hll_distinct", "q169_ivf_delta")
     targets.foreach { name =>
       println(s"\n===== $name =====")
       SparkEntry.queries(name)(spark, dir).explain("formatted")

@@ -44,11 +44,16 @@ object LloydKMeans {
   /** Embedding dimensionality of the `embeddings` table. */
   val Dims = 64
 
-  /** (cl, cent) k rows: pinned seeds = embeddings of the k lowest vec_ids. */
+  /** (cl, cent) k rows: pinned seeds = embeddings of the k LOWEST vec_ids
+    * of the source (orderBy+limit, so a filtered source still yields k
+    * seeds), cl = rank in that order. */
   private def initCents(emb: DataFrame, k: Int): DataFrame =
-    emb.filter(col("vec_id") < k)
-      .select(col("vec_id").cast("int").as("cl"),
-        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("cent"))
+    emb.orderBy("vec_id").limit(k)
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("cent"))
+      .withColumn("cl",
+        (org.apache.spark.sql.functions.row_number()
+          .over(org.apache.spark.sql.expressions.Window.orderBy("vec_id")) - 1).cast("int"))
+      .select("cl", "cent")
 
   /** Collapse (cl, cent) rows into ONE broadcastable row whose `cc` is
     * the centroid list in cl order — assignment indexes into it. */
@@ -80,22 +85,33 @@ object LloydKMeans {
 
   /** doc/vec → cluster id after `lloydIters` full Lloyd rounds (each =
     * centroid rebuild + reassignment) on top of the seed assignment. */
-  def assign(emb: DataFrame, k: Int, lloydIters: Int): DataFrame = {
-    var assigned = assignTo(emb, asRow(initCents(emb, k)))
-    for (_ <- 1 to lloydIters) assigned = assignTo(emb, asRow(recompute(assigned)))
-    assigned.select(col("vec_id"), col("cl"))
+  def assign(emb: DataFrame, k: Int, lloydIters: Int): DataFrame =
+    fit(emb, k, lloydIters)._1
+
+  /** [[assign]] plus the FINAL centroid row that produced it — the
+    * frozen codebook a maintenance pass (q169) assigns new batches to
+    * without retraining. */
+  def fit(emb: DataFrame, k: Int, lloydIters: Int): (DataFrame, DataFrame) = {
+    var row = asRow(initCents(emb, k))
+    var assigned = assignTo(emb, row)
+    for (_ <- 1 to lloydIters) {
+      row = asRow(recompute(assigned))
+      assigned = assignTo(emb, row)
+    }
+    (assigned.select(col("vec_id"), col("cl")), row)
   }
 
-  /** DuckDB CTE chain replaying [[assign]] verbatim; ends in
-    * [[finalAssignCte]]`(vec_id, cl)`. All CTE names are km-prefixed to
-    * compose with other oracle fragments. */
-  def assignDuckCte(k: Int = 8, lloydIters: Int = 2): String = {
-    def assignCte(name: String, centsCte: String): String =
-      s"""$name AS (SELECT vec_id, embedding, list_position(d, list_min(d)) - 1 AS cl FROM (
-         |SELECT vec_id, embedding, list_transform(cc, c ->
-         |list_sum(list_transform(generate_series(1, $Dims), i ->
-         |pow(CAST(embedding[i] AS DOUBLE) - c[i], 2)))) AS d
-         |FROM embeddings, $centsCte) z$name)"""
+  /** Assign a batch to a FROZEN centroid row from [[fit]] — the
+    * index-update-without-retrain path. */
+  def assignFrozen(batch: DataFrame, centsRow: DataFrame): DataFrame =
+    assignTo(batch, centsRow).select(col("vec_id"), col("cl"))
+
+  /** DuckDB CTE chain replaying [[assign]]/[[fit]] verbatim over `src`
+    * (any relation with vec_id + embedding); ends in
+    * [[finalAssignCte]]`(vec_id, cl)`, with the final centroid row in
+    * `kmc<lloydIters>`. All CTE names are km-prefixed to compose with
+    * other oracle fragments. */
+  def assignDuckCte(k: Int = 8, lloydIters: Int = 2, src: String = "embeddings"): String = {
     def rebuildCtes(r: Int): String =
       s"""kmd$r AS (SELECT cl, i AS pos,
          |list_sum(list(CAST(embedding[i] AS DOUBLE) ORDER BY vec_id)) / count(*) AS cv
@@ -105,13 +121,23 @@ object LloydKMeans {
          |kmc$r AS (SELECT list(cent ORDER BY cl) AS cc FROM kmp$r)"""
     val init =
       s"""kmc0 AS (SELECT list(list_transform(embedding, x -> CAST(x AS DOUBLE))
-         |ORDER BY vec_id) AS cc FROM embeddings WHERE vec_id < $k)"""
+         |ORDER BY vec_id) AS cc FROM
+         |(SELECT vec_id, embedding FROM $src ORDER BY vec_id LIMIT $k) kmseeds)"""
     val rounds = (1 to lloydIters).map { r =>
-      rebuildCtes(r) + ",\n" + assignCte(s"kma${r + 1}", s"kmc$r")
+      rebuildCtes(r) + ",\n" + assignFrozenDuckCte(s"kma${r + 1}", src, s"kmc$r")
     }
-    (Seq(init, assignCte("kma1", "kmc0")) ++ rounds)
+    (Seq(init, assignFrozenDuckCte("kma1", src, "kmc0")) ++ rounds)
       .mkString(",\n").stripMargin.replace("\n", " ")
   }
+
+  /** One assignment CTE `name(vec_id, embedding, cl)`: `src` against the
+    * frozen centroid row `centsCte` — the oracle twin of [[assignFrozen]]. */
+  def assignFrozenDuckCte(name: String, src: String, centsCte: String): String =
+    s"""$name AS (SELECT vec_id, embedding, list_position(d, list_min(d)) - 1 AS cl FROM (
+       |SELECT vec_id, embedding, list_transform(cc, c ->
+       |list_sum(list_transform(generate_series(1, $Dims), i ->
+       |pow(CAST(embedding[i] AS DOUBLE) - c[i], 2)))) AS d
+       |FROM $src, $centsCte) z$name)""".stripMargin.replace("\n", " ")
 
   /** Name of the final assignment CTE produced by [[assignDuckCte]]. */
   def finalAssignCte(lloydIters: Int = 2): String = s"kma${lloydIters + 1}"

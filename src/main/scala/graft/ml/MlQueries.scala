@@ -74,6 +74,56 @@ object MlQueries {
               |SELECT qid, vec_id, rn, cos FROM r WHERE rn <= 10 ORDER BY qid, rn""".stripMargin.replace("\n", " "))),
 
     QueryDef(
+      "q169_ivf_delta",
+      // INCREMENTAL INDEX MAINTENANCE — the vector-store operation
+      // between retrains: a delta batch (vec_id % 10 = 0, the "new
+      // ingest") is assigned to the FROZEN coarse quantizer trained on
+      // the base corpus (LloydKMeans.fit on vec_id % 10 <> 0), and the
+      // output is the per-label occupancy ledger — base vs delta counts
+      // and shares — the signal a store watches to decide when drift
+      // warrants a retrain. No retraining happens: the delta pass is
+      // one zero-shuffle projection against the broadcast codebook plus
+      // one label-keyed count, which is why this scales to continuous
+      // ingest (the 100 TB base is never touched). Oracle: the km CTE
+      // chain parametrized over the base relation + one frozen-assign
+      // CTE for the delta.
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val emb = graft.Tables.embeddings(s, dir)
+        val base = emb.filter(col("vec_id") % 10 =!= 0)
+        val delta = emb.filter(col("vec_id") % 10 === 0)
+        val (baseAssign, cents) = LloydKMeans.fit(base, k = 8, lloydIters = 2)
+        val deltaAssign = LloydKMeans.assignFrozen(delta, cents)
+        val nb = baseAssign.groupBy("cl").agg(count(lit(1)).as("n_base"))
+        val nd = deltaAssign.groupBy("cl").agg(count(lit(1)).as("n_delta"))
+        val j = nb.join(nd, Seq("cl"), "full_outer")
+          .select(col("cl"), coalesce(col("n_base"), lit(0L)).as("n_base"),
+            coalesce(col("n_delta"), lit(0L)).as("n_delta"))
+        val tot = j.agg(sum("n_base").as("tb"), sum("n_delta").as("td"))
+        j.crossJoin(broadcast(tot))
+          .select(col("cl").cast("long").as("label"),
+            col("n_base"), col("n_delta"),
+            round(col("n_base") / col("tb"), 4).as("share_base"),
+            round(col("n_delta") / col("td"), 4).as("share_delta"))
+          .orderBy("label")
+      },
+      Some(s"""WITH kbase AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 0),
+              |kdelta AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0),
+              |${LloydKMeans.assignDuckCte(k = 8, lloydIters = 2, src = "kbase")},
+              |${LloydKMeans.assignFrozenDuckCte("kda", "kdelta", "kmc2")},
+              |nb AS (SELECT cl, count(*) AS n_base FROM $kmFinal GROUP BY cl),
+              |nd AS (SELECT cl, count(*) AS n_delta FROM kda GROUP BY cl),
+              |j AS (SELECT coalesce(nb.cl, nd.cl) AS cl,
+              |coalesce(n_base, 0) AS n_base, coalesce(n_delta, 0) AS n_delta
+              |FROM nb FULL OUTER JOIN nd ON nb.cl = nd.cl),
+              |t AS (SELECT sum(n_base) AS tb, sum(n_delta) AS td FROM j)
+              |SELECT CAST(cl AS BIGINT) AS label,
+              |CAST(n_base AS BIGINT) AS n_base, CAST(n_delta AS BIGINT) AS n_delta,
+              |round(CAST(n_base AS DOUBLE) / tb, 4) AS share_base,
+              |round(CAST(n_delta AS DOUBLE) / td, 4) AS share_delta
+              |FROM j, t ORDER BY label""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
       "q74_classifier",
       (s, _) => {
         val model = TextClassifier.train(s)

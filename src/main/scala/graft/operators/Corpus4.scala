@@ -592,6 +592,83 @@ object Corpus4 {
              |SELECT stage, users,
              |round(CAST(users AS DOUBLE) / lag(users) OVER (ORDER BY stage), 4)
              |AS conv_from_prev
-             |FROM rows_ ORDER BY stage""".stripMargin.replace("\n", " ")))
+             |FROM rows_ ORDER BY stage""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q168_hll_distinct",
+      // ORACLED HYPERLOGLOG (Flajolet et al. 2007) — the sketch q92
+      // could only rows-check (engine-native HLLs differ by
+      // construction): built here from first principles on the shared
+      // 60-bit user hash so both engines produce IDENTICAL registers.
+      // Register index = h % 256 (m=256, p=8); rank = leading zeros of
+      // the remaining 52-bit window + 1, computed with INTEGER/string
+      // ops only (53 − length(bin(w)), bin() drops leading zeros on
+      // both engines — no float log). Registers merge by MAX, so the
+      // sketch needs no pre-distinct and shards merge losslessly — the
+      // same monoid argument as q145/q153. The harmonic sum folds the
+      // 256 registers in index order (q114 discipline) and the
+      // small-range linear-counting correction (E ≤ 2.5m with empty
+      // registers) reuses q148's -not- formula ln(m/V) — both engines'
+      // ln agreed there. Output mirrors q153's honesty table: estimate
+      // vs exact NDV with err_ratio per scope. Scale: state is 256
+      // bytes per scope FOREVER; one (scope, idx) max-aggregate, one
+      // 256-row fold — no distinct, no rank, no corpus-sized anything.
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val scoped = ev.select(lit("all").as("scope"), col("user_id"))
+          .unionByName(ev.select(col("event_type").as("scope"), col("user_id")))
+        val rho = scoped.select(col("scope"), expr(uhSpark).as("h"))
+          .withColumn("idx", col("h") % 256)
+          .withColumn("w", expr("h div 256"))
+          .withColumn("rho",
+            when(col("w") === 0, lit(53))
+              .otherwise(lit(53) - length(expr("bin(w)"))))
+        val reg = rho.groupBy("scope", "idx").agg(max("rho").as("mx"))
+        val spine = reg.select("scope").distinct()
+          .select(col("scope"), explode(expr("sequence(0, 255)")).as("idx"))
+        val full = spine.join(reg, Seq("scope", "idx"), "left")
+          .withColumn("mx", coalesce(col("mx"), lit(0)))
+        val alpha = 0.7213 / (1 + 1.079 / 256.0)
+        val est = full.groupBy("scope").agg(
+          expr("aggregate(array_sort(collect_list(struct(idx, mx))), 0D, (a, x) -> a + pow(2D, -x.mx))").as("s"),
+          sum(when(col("mx") === 0, 1).otherwise(0)).as("v"))
+          .withColumn("e_raw", lit(alpha) * lit(65536.0) / col("s"))
+          .withColumn("est_raw",
+            when(col("e_raw") <= 2.5 * 256 && col("v") > 0,
+              lit(256.0) * log(lit(256.0) / col("v")))
+              .otherwise(col("e_raw")))
+        val exact = scoped.groupBy("scope")
+          .agg(countDistinct("user_id").as("exact_ndv"))
+        est.join(exact, "scope")
+          .select(col("scope"), round(col("est_raw"), 1).as("est_ndv"),
+            col("exact_ndv"),
+            round(round(col("est_raw"), 1) / col("exact_ndv"), 4).as("err_ratio"))
+          .orderBy("scope")
+      },
+      Some(s"""WITH scoped AS (
+             |SELECT 'all' AS scope, user_id FROM events
+             |UNION ALL SELECT event_type, user_id FROM events),
+             |rho AS (SELECT scope, h, h % 256 AS idx,
+             |CASE WHEN h // 256 = 0 THEN 53 ELSE 53 - length(bin(h // 256)) END AS rho
+             |FROM (SELECT scope, $uhDuck AS h FROM scoped) z),
+             |reg AS (SELECT scope, idx, max(rho) AS mx FROM rho GROUP BY 1, 2),
+             |spine AS (SELECT scope, i AS idx FROM (SELECT DISTINCT scope FROM reg) s,
+             |LATERAL (SELECT unnest(generate_series(0, 255)) AS i) g),
+             |full_ AS (SELECT spine.scope, spine.idx, coalesce(reg.mx, 0) AS mx
+             |FROM spine LEFT JOIN reg ON spine.scope = reg.scope AND spine.idx = reg.idx),
+             |est AS (SELECT scope,
+             |list_sum(list(pow(2, -mx) ORDER BY idx)) AS s,
+             |sum(CASE WHEN mx = 0 THEN 1 ELSE 0 END) AS v
+             |FROM full_ GROUP BY scope),
+             |er AS (SELECT scope,
+             |CASE WHEN (0.7213 / (1 + 1.079 / 256.0)) * 65536.0 / s <= 2.5 * 256 AND v > 0
+             |THEN 256.0 * ln(256.0 / v)
+             |ELSE (0.7213 / (1 + 1.079 / 256.0)) * 65536.0 / s END AS est_raw
+             |FROM est),
+             |ex AS (SELECT scope, count(DISTINCT user_id) AS exact_ndv FROM scoped GROUP BY 1)
+             |SELECT er.scope AS scope, round(est_raw, 1) AS est_ndv, ex.exact_ndv,
+             |round(round(est_raw, 1) / ex.exact_ndv, 4) AS err_ratio
+             |FROM er JOIN ex ON er.scope = ex.scope
+             |ORDER BY er.scope""".stripMargin.replace("\n", " ")))
   )
 }

@@ -269,4 +269,40 @@ class Corpus4Spec extends AnyFunSuite with SparkSuite {
     // the script really produced all three kinds
     assert(Set("added", "removed", "changed").subsetOf(out.map(_._2)))
   }
+
+  test("q168 HLL: registers and estimate replayed from raw user ids; estimates within 15%") {
+    val out = SparkEntry.queries("q168_hll_distinct")(spark, sfDir)
+      .select($"scope".as[String], $"est_ndv".as[Double], $"exact_ndv".as[Long])
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+
+    def uhash(u: Long): Long =
+      java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s"u#$u".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15), 16) + 1
+
+    val ev = Tables.events(spark, sfDir)
+      .select($"event_type".as[String], $"user_id".as[Long]).collect()
+    val scopes = ev.map { case (_, u) => ("all", u) } ++ ev
+    scopes.groupBy(_._1).foreach { case (scope, rows) =>
+      // local register build + HLL formula replay (m=256, p=8)
+      val reg = Array.fill(256)(0)
+      rows.foreach { case (_, u) =>
+        val h = uhash(u)
+        val idx = (h % 256).toInt
+        val w = h / 256
+        val rho = if (w == 0) 53 else 53 - java.lang.Long.toBinaryString(w).length
+        reg(idx) = math.max(reg(idx), rho)
+      }
+      val s = reg.foldLeft(0.0)((a, m) => a + math.pow(2.0, -m))
+      val v = reg.count(_ == 0)
+      val alpha = 0.7213 / (1 + 1.079 / 256.0)
+      val eRaw = alpha * 65536.0 / s
+      val est = if (eRaw <= 2.5 * 256 && v > 0) 256.0 * math.log(256.0 / v) else eRaw
+      val (gotEst, gotExact) = out(scope)
+      assert(math.abs(gotEst - est) < 0.05 + 1e-9, s"$scope: $gotEst vs replay $est")
+      assert(gotExact == rows.map(_._2).distinct.size)
+      assert(math.abs(gotEst / gotExact - 1.0) <= 0.15,
+        s"$scope estimate off by ${gotEst / gotExact}")
+    }
+  }
 }

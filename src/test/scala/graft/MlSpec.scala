@@ -42,6 +42,33 @@ class MlSpec extends AnyFunSuite with SparkSuite {
       s"learned ($rl) should beat random ($rr)")
   }
 
+  test("q169 frozen-codebook delta assignment: full coverage, partitioning-independent, argmin-optimal") {
+    val out = SparkEntry.queries("q169_ivf_delta")(spark, sfDir)
+      .select($"label".as[Long], $"n_base".as[Long], $"n_delta".as[Long]).collect()
+    val emb = Tables.embeddings(spark, sfDir)
+    val total = emb.count()
+    assert(out.map(r => r._2 + r._3).sum == total, "every vector lands in exactly one label")
+    assert(out.map(_._3).sum == emb.filter($"vec_id" % 10 === 0).count())
+
+    // Frozen assignment is argmin against the published centroids.
+    val (_, centsRow) = ml.LloydKMeans.fit(emb.filter($"vec_id" % 10 =!= 0), 8, 2)
+    val cents = centsRow.select($"cc".as[Seq[Seq[Double]]]).head()
+    val deltas = ml.LloydKMeans.assignFrozen(emb.filter($"vec_id" % 10 === 0), centsRow)
+      .as[(Long, Int)].collect().toMap
+    val vecs = emb.filter($"vec_id" % 10 === 0)
+      .select($"vec_id".as[Long], $"embedding".as[Seq[Float]]).collect()
+    vecs.foreach { case (id, v) =>
+      val d = cents.map(c => v.zip(c).map { case (x, cx) => (x.toDouble - cx) * (x.toDouble - cx) }.sum)
+      assert(deltas(id) == d.indexOf(d.min), s"vec $id not argmin-assigned")
+    }
+
+    // Repartitioning the delta batch changes nothing.
+    val rep = ml.LloydKMeans.assignFrozen(
+      emb.filter($"vec_id" % 10 === 0).repartition(5), centsRow)
+      .as[(Long, Int)].collect().toMap
+    assert(rep == deltas)
+  }
+
   test("MLlib KMeans capability path keeps the M5 contract (doc -> topic over k clusters)") {
     val assigned = ml.Topics.cluster(Tables.embeddings(spark, sfDir), k = 8)
     val n = assigned.count()
