@@ -180,6 +180,50 @@ object StatefulOps {
       }
   }
 
+  final case class HllSketch(scope: String, n_seen: Long, n_occupied: Int, est: Double)
+
+  /** Streaming twin of q168's first-principles HyperLogLog: the m=256
+    * MAX-monoid registers per scope held in keyed state, the estimate
+    * re-published every micro-batch (Update mode). Register merge is
+    * elementwise max — commutative, associative, idempotent — so ANY
+    * micro-batch split, arrival order, or replay settles to exactly the
+    * batch registers (StatefulStreamingSpec checks the final estimate
+    * against q168's published row). Unlike the KMV state there is no
+    * trimming to reason about: state is 256 small ints per scope
+    * FOREVER, and duplicates are absorbed for free (no distinct
+    * anywhere). The rank constant 53 is tied to q168's split of the
+    * shared 60-bit hash (8 index bits, 52-bit rank window) — the two
+    * twins must never drift, so both hardcode it. */
+  def hllStream(hashes: Dataset[KmvHash]): Dataset[HllSketch] = {
+    import hashes.sparkSession.implicits._
+    val m = 256
+    hashes.groupByKey(_.scope)
+      .flatMapGroupsWithState[(Seq[Int], Long), HllSketch](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (scope: String, rows: Iterator[KmvHash],
+            state: GroupState[(Seq[Int], Long)]) =>
+          val (reg0, seen) = state.getOption.getOrElse((Seq.fill(m)(0), 0L))
+          val reg = reg0.toArray
+          var n = seen
+          rows.foreach { r =>
+            val idx = (r.h % m).toInt
+            val w = r.h / m
+            val rho = if (w == 0) 53 else 53 - java.lang.Long.toBinaryString(w).length
+            if (rho > reg(idx)) reg(idx) = rho
+            n += 1
+          }
+          state.update((reg.toSeq, n))
+          val s = reg.foldLeft(0.0)((a, x) => a + math.pow(2.0, -x))
+          val v = reg.count(_ == 0)
+          // operation order mirrors q168's exactly (alpha · m² precomputed,
+          // then / s) so the twins agree to the last bit, not just the round
+          val alpha = 0.7213 / (1 + 1.079 / 256.0)
+          val eRaw = alpha * 65536.0 / s
+          val est = if (eRaw <= 2.5 * m && v > 0) 256.0 * math.log(256.0 / v) else eRaw
+          Iterator(HllSketch(scope, n, m - v, est))
+      }
+  }
+
   /** Batch twin for equivalence tests. */
   def runningStatsBatch(spark: SparkSession, dir: String): Dataset[UserStat] = {
     import spark.implicits._

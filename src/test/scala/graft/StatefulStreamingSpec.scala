@@ -207,6 +207,42 @@ class StatefulStreamingSpec extends AnyFunSuite with SparkSuite {
     assert(rows.forall(_._2 <= k))
   }
 
+  test("streaming HLL registers settle to q168's published estimate across micro-batches") {
+    val dir = "/root/testdata/sf0.01"
+    val stage = java.nio.file.Files.createTempDirectory("graft_hll_stage")
+    val prepared = Tables.events(spark, dir)
+      .select(lit("all").as("scope"),
+        expr("CAST(conv(substr(md5(concat('u#', CAST(user_id AS STRING))), 1, 15), 16, 10) AS BIGINT) + 1")
+          .as("h"))
+    prepared.repartition(4).write.mode("overwrite").parquet(stage.toString)
+    val hashes = spark.readStream
+      .schema(prepared.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(stage.toString)
+      .as[StatefulOps.KmvHash]
+    val q = StatefulOps.hllStream(hashes).writeStream
+      .outputMode("update").format("memory").queryName("hll_stream")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val rows = spark.table("hll_stream")
+      .select("n_seen", "n_occupied", "est")
+      .as[(Long, Int, Double)].collect()
+    assert(rows.length > 1, "single micro-batch — merge path untested")
+    val fin = rows.maxBy(_._1)
+    assert(fin._1 == prepared.count(), "stream did not absorb every row")
+    // MAX-monoid registers ⇒ the final estimate IS the batch estimate
+    val q168 = SparkEntry.queries("q168_hll_distinct")(spark, dir)
+      .filter($"scope" === "all").select("est_ndv").as[Double].head()
+    assert(math.abs(math.round(fin._3 * 10) / 10.0 - q168) < 1e-9,
+      s"stream est ${fin._3} vs batch $q168")
+    // occupancy only grows, never exceeds m
+    assert(rows.sortBy(_._1).map(_._2).toSeq.sliding(2).forall {
+      case Seq(a, b) => a <= b
+      case _         => true
+    })
+    assert(rows.forall(_._2 <= 256))
+  }
+
   test("streaming dedup by event_id keeps exactly the distinct ids") {
     val q = StreamingTwin.dedupStream(stagedEventStream()).writeStream
       .outputMode("append").format("memory").queryName("dedup_stream")
