@@ -124,6 +124,81 @@ object MlQueries {
               |FROM j, t ORDER BY label""".stripMargin.replace("\n", " "))),
 
     QueryDef(
+      "q170_semdedup",
+      // SEMANTIC DEDUPLICATION (SemDeDup, Abbas et al. 2023): cluster
+      // the embedding space, then prune near-duplicates WITHIN each
+      // cluster — the published recipe for web-scale corpora, where
+      // clustering bounds the quadratic verify to cluster-sized blocks
+      // (vs q44's sketch-anchor policy, which bounds it to anchors;
+      // the two are alternative scale disciplines for the same
+      // operator). Deterministic contract: members rank by cosine TO
+      // THE CLUSTER CENTROID (desc, vec_id tie-break — the "keep the
+      // most central exemplar" policy); a member is a dup iff some
+      // better-ranked member of its cluster has cos ≥ 0.3 with it
+      // (τ matched to this corpus's q44 operating point; real corpora
+      // run τ ≈ 0.95+ on tightly-clustered embeddings), and dup_of
+      // names the best-ranked such partner. Clustering is the
+      // LloydKMeans unroll, so the WHOLE pipeline — fit, ranking,
+      // within-cluster verify — is hash-checked. Scale: the only
+      // non-linear step is the within-cluster pair join, the exact
+      // cost SemDeDup's k controls; ranking windows are cluster-
+      // bounded.
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.expressions.Window
+        val emb = graft.Tables.embeddings(s, dir)
+        val (assigned, centsRow) = LloydKMeans.fit(emb, k = 8, lloydIters = 2)
+        val e = emb.join(assigned, "vec_id").crossJoin(broadcast(centsRow))
+          .withColumn("cvec", expr("cc[cl]"))
+          .withColumn("dotc", expr(
+            "aggregate(sequence(0, 63), 0D, (a, i) -> a + CAST(embedding[i] AS DOUBLE) * cvec[i])"))
+          .withColumn("nrm", expr(
+            "sqrt(aggregate(embedding, 0D, (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"))
+          .withColumn("cn", expr("sqrt(aggregate(cvec, 0D, (a, x) -> a + x * x))"))
+          .withColumn("cq", round(col("dotc") / (col("nrm") * col("cn")), 6))
+        val ranked = e.withColumn("crank",
+          row_number().over(Window.partitionBy("cl").orderBy(col("cq").desc, col("vec_id"))))
+          .select("vec_id", "cl", "crank", "embedding", "nrm")
+        val b = ranked.select(col("vec_id").as("bvid"), col("cl").as("bcl"),
+          col("crank").as("brank"), col("embedding").as("bemb"), col("nrm").as("bnrm"))
+        val dup = ranked.join(b, col("cl") === col("bcl") && col("brank") < col("crank"))
+          .withColumn("cos", round(expr(
+            "aggregate(sequence(0, 63), 0D, (a, i) -> a + CAST(embedding[i] AS DOUBLE) * CAST(bemb[i] AS DOUBLE))")
+            / (col("nrm") * col("bnrm")), 6))
+          .filter(col("cos") >= 0.3)
+          .groupBy("vec_id").agg(min(struct(col("brank"), col("bvid"))).as("mk"))
+          .select(col("vec_id"), col("mk.bvid").as("dup_of"))
+        ranked.join(dup, Seq("vec_id"), "left")
+          .select(col("vec_id"), col("cl").cast("long").as("cluster"),
+            col("crank").cast("long").as("crank"),
+            coalesce(col("dup_of"), lit(-1L)).as("dup_of"),
+            col("dup_of").isNull.as("kept"))
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH $km,
+              |sd AS (SELECT a.vec_id, a.cl, a.embedding,
+              |${Similarity.duckNorm("a.embedding")} AS nrm, cc[a.cl + 1] AS cvec
+              |FROM $kmFinal a, kmc2),
+              |sq AS (SELECT vec_id, cl, embedding, nrm,
+              |round(list_sum(list_transform(generate_series(1, 64), i ->
+              |CAST(embedding[i] AS DOUBLE) * cvec[i]))
+              |/ (nrm * sqrt(list_sum(list_transform(cvec, x -> x * x)))), 6) AS cq
+              |FROM sd),
+              |r AS (SELECT vec_id, cl, embedding, nrm, cq,
+              |row_number() OVER (PARTITION BY cl ORDER BY cq DESC, vec_id) AS crank FROM sq),
+              |d0 AS (SELECT a.vec_id AS vid, a.cl AS dcl, min(b.crank) AS mrank
+              |FROM r a JOIN r b ON a.cl = b.cl AND b.crank < a.crank
+              |AND round(${Similarity.duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) >= 0.3
+              |GROUP BY 1, 2),
+              |d AS (SELECT d0.vid AS vec_id, r.vec_id AS dup_of
+              |FROM d0 JOIN r ON r.cl = d0.dcl AND r.crank = d0.mrank)
+              |SELECT r.vec_id, CAST(r.cl AS BIGINT) AS cluster,
+              |CAST(r.crank AS BIGINT) AS crank,
+              |coalesce(d.dup_of, -1) AS dup_of, d.dup_of IS NULL AS kept
+              |FROM r LEFT JOIN d ON r.vec_id = d.vec_id
+              |ORDER BY r.vec_id""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
       "q74_classifier",
       (s, _) => {
         val model = TextClassifier.train(s)

@@ -69,6 +69,33 @@ class MlSpec extends AnyFunSuite with SparkSuite {
     assert(rep == deltas)
   }
 
+  test("q170 SemDeDup: dup edges valid, kept set is an independent set under the cos threshold") {
+    val out = SparkEntry.queries("q170_semdedup")(spark, sfDir)
+      .select($"vec_id".as[Long], $"cluster".as[Long], $"crank".as[Long],
+        $"dup_of".as[Long], $"kept".as[Boolean]).collect()
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select($"vec_id".as[Long], $"embedding".as[Seq[Float]]).collect().toMap
+    def cos(a: Long, b: Long): Double = {
+      val (va, vb) = (vecs(a), vecs(b))
+      val dot = va.zip(vb).foldLeft(0.0) { case (s, (x, y)) => s + x.toDouble * y.toDouble }
+      def n(v: Seq[Float]) = math.sqrt(v.foldLeft(0.0)((s, x) => s + x.toDouble * x.toDouble))
+      BigDecimal(dot / (n(va) * n(vb))).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val byId = out.map(r => r._1 -> r).toMap
+    assert(out.exists(!_._5) && out.exists(_._5), "both verdicts should occur")
+    // every dup edge: same cluster, better-ranked partner, cos >= τ
+    out.filter(!_._5).foreach { case (id, cl, rk, dof, _) =>
+      val p = byId(dof)
+      assert(p._2 == cl && p._3 < rk, s"$id dup_of $dof rank/cluster wrong")
+      assert(cos(id, dof) >= 0.3, s"$id-$dof cos ${cos(id, dof)} below τ")
+    }
+    // the greedy contract makes the kept set τ-independent per cluster
+    out.filter(_._5).groupBy(_._2).foreach { case (_, ms) =>
+      for (Array(a, b) <- ms.map(_._1).combinations(2).map(_.toArray))
+        assert(cos(a, b) < 0.3, s"kept pair $a,$b at cos ${cos(a, b)}")
+    }
+  }
+
   test("MLlib KMeans capability path keeps the M5 contract (doc -> topic over k clusters)") {
     val assigned = ml.Topics.cluster(Tables.embeddings(spark, sfDir), k = 8)
     val n = assigned.count()
