@@ -425,6 +425,60 @@ object Components {
               |sz AS (SELECT lbl, count(*) AS community_size FROM l3 GROUP BY lbl)
               |SELECT l3.id AS doc_id, l3.lbl AS community, sz.community_size
               |FROM l3 JOIN sz ON l3.lbl = sz.lbl
-              |ORDER BY doc_id""".stripMargin.replace("\n", " ")))
+              |ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q171_kcore_peel",
+      // FIXED-ROUND k-CORE PEELING (k=2, 3 rounds) over the
+      // shingle-share graph — the density filter on the near-dup
+      // neighborhood: nodes that SURVIVE iterated removal of low-degree
+      // members sit in cycle-bearing boilerplate/template families,
+      // exactly the docs a corpus build caps hardest. k=2 is the
+      // honest knob for this df-capped graph (max degree 2 at sf0.01 —
+      // the 2-core is its one triangle; 295 survivors at sf0.1; a
+      // 3-core only appears at sf0.1). Each round drops nodes whose
+      // CURRENT degree < k together with their edges and recounts;
+      // 3 rounds bound the cascade the way q167 bounds
+      // propagation (a fixpoint loop is the q55-style driver loop; the
+      // fixed unroll is what stays oracle-able at every SF — all
+      // integer ops). Output: surviving docs with residual degree and
+      // the round-0 degree for contrast. Scale: each round is one
+      // node-keyed count + one semi-join of the edge list against
+      // survivors — same two-shuffle round shape as q114/q167.
+      (s, dir) => {
+        val edges = Corpus5.shingleEdges(graft.Tables.documents(s, dir))
+        var e = edges
+          .unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+          .localCheckpoint()
+        val deg0 = e.groupBy("u").agg(count(lit(1)).as("deg0"))
+        for (_ <- 1 to 3) {
+          val keep = e.groupBy("u").agg(count(lit(1)).as("d"))
+            .filter(col("d") >= 2).select("u")
+          e = e.join(keep, "u")
+            .join(keep.select(col("u").as("v")), "v")
+            .select("u", "v")
+        }
+        e.groupBy("u").agg(count(lit(1)).as("deg"))
+          .join(deg0, "u")
+          .select(col("u").as("doc_id"), col("deg"), col("deg0"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH ${Corpus.cappedShinglesDuckCte(8)},
+              |p AS (SELECT a.doc_id AS u, b.doc_id AS v FROM sh a
+              |JOIN sh b ON a.sg = b.sg AND a.doc_id < b.doc_id GROUP BY 1, 2),
+              |e0 AS (SELECT u, v FROM p UNION ALL SELECT v AS u, u AS v FROM p),
+              |dg0 AS (SELECT u, count(*) AS deg0 FROM e0 GROUP BY u),
+              |k1 AS (SELECT u FROM e0 GROUP BY u HAVING count(*) >= 2),
+              |e1 AS (SELECT e0.u, e0.v FROM e0
+              |JOIN k1 a ON e0.u = a.u JOIN k1 b ON e0.v = b.u),
+              |k2 AS (SELECT u FROM e1 GROUP BY u HAVING count(*) >= 2),
+              |e2 AS (SELECT e1.u, e1.v FROM e1
+              |JOIN k2 a ON e1.u = a.u JOIN k2 b ON e1.v = b.u),
+              |k3 AS (SELECT u FROM e2 GROUP BY u HAVING count(*) >= 2),
+              |e3 AS (SELECT e2.u, e2.v FROM e2
+              |JOIN k3 a ON e2.u = a.u JOIN k3 b ON e2.v = b.u)
+              |SELECT e3.u AS doc_id, count(*) AS deg, any_value(dg0.deg0) AS deg0
+              |FROM e3 JOIN dg0 ON e3.u = dg0.u
+              |GROUP BY e3.u ORDER BY doc_id""".stripMargin.replace("\n", " ")))
   )
 }

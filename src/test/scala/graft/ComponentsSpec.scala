@@ -55,6 +55,28 @@ class ComponentsSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("q171 k-core peel matches a local iterative replay") {
+    val edges = operators.Corpus5.shingleEdges(Tables.documents(spark, sfDir))
+      .as[(Long, Long)].collect()
+    assume(edges.nonEmpty)
+    val out = SparkEntry.queries("q171_kcore_peel")(spark, sfDir)
+      .select("doc_id", "deg", "deg0").as[(Long, Long, Long)].collect()
+
+    val sym = (edges ++ edges.map(_.swap)).distinct
+    val deg0 = sym.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var cur = sym
+    for (_ <- 1 to 3) {
+      val deg = cur.groupBy(_._1).view.mapValues(_.size).toMap
+      val keep = deg.filter(_._2 >= 2).keySet
+      cur = cur.filter { case (u, v) => keep(u) && keep(v) }
+    }
+    val expected = cur.groupBy(_._1).view
+      .mapValues(_.size.toLong).toSeq
+      .map { case (u, d) => (u, d, deg0(u)) }
+      .sortBy(_._1)
+    assert(out.toSeq == expected)
+  }
+
   test("q55 clusters are consistent with q41 pairs (every pair same comp, comps connect)") {
     val pairs = operators.Dedup.lshVerifiedPairs(spark, sfDir)
       .select("da", "db").as[(Long, Long)].collect()
