@@ -669,6 +669,108 @@ object Corpus4 {
              |SELECT er.scope AS scope, round(est_raw, 1) AS est_ndv, ex.exact_ndv,
              |round(round(est_raw, 1) / ex.exact_ndv, 4) AS err_ratio
              |FROM er JOIN ex ON er.scope = ex.scope
-             |ORDER BY er.scope""".stripMargin.replace("\n", " ")))
+             |ORDER BY er.scope""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q172_hll_timeseries",
+      // HLL SKETCH TIME SERIES — the pre-aggregated sketch TABLE every
+      // warehouse keeps (per (event_type, day): 256 registers), with
+      // the rollup that justifies it: users-to-date per type comes from
+      // a RUNNING ELEMENTWISE MAX of the daily registers (the HLL merge
+      // — q168's monoid argument applied across rows), never from
+      // re-scanning history. Per day and type: the day's own estimate,
+      // the to-date estimate from merged registers, and the exact
+      // to-date uniques (q160's first-seen trick) with an err ratio —
+      // the honesty table in time-series form. Scale: registers are
+      // |types|·|days|·256 rows REGARDLESS of corpus size; the running
+      // max windows partition by (type, idx) over days — scale-free;
+      // the corpus is touched exactly twice (register build, first-seen
+      // build), both single hash aggregates.
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val rho = ev.select(col("event_type").as("etype"),
+          to_date(col("ts")).as("d"), expr(uhSpark).as("h"))
+          .withColumn("idx", (col("h") % 256).cast("int"))
+          .withColumn("w", expr("h div 256"))
+          .withColumn("rho",
+            when(col("w") === 0, lit(53))
+              .otherwise(lit(53) - length(expr("bin(w)"))))
+        val reg = rho.groupBy("etype", "d", "idx").agg(max("rho").as("mx"))
+        val days = reg.select("etype", "d").distinct()
+        val spine = days.select(col("etype"), col("d"),
+          explode(expr("sequence(0, 255)")).as("idx"))
+        val full = spine.join(reg, Seq("etype", "d", "idx"), "left")
+          .withColumn("mx", coalesce(col("mx"), lit(0)))
+        val wcum = Window.partitionBy("etype", "idx").orderBy("d")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val cum = full.withColumn("cmx", max("mx").over(wcum))
+        val alpha = 0.7213 / (1 + 1.079 / 256.0)
+        def estExpr(s: String, v: String) =
+          when(lit(alpha) * lit(65536.0) / col(s) <= 2.5 * 256 && col(v) > 0,
+            lit(256.0) * log(lit(256.0) / col(v)))
+            .otherwise(lit(alpha) * lit(65536.0) / col(s))
+        val per = cum.groupBy("etype", "d").agg(
+          expr("aggregate(array_sort(collect_list(struct(idx, mx))), 0D, (a, x) -> a + pow(2D, -x.mx))").as("s_day"),
+          sum(when(col("mx") === 0, 1).otherwise(0)).as("v_day"),
+          expr("aggregate(array_sort(collect_list(struct(idx, cmx))), 0D, (a, x) -> a + pow(2D, -x.cmx))").as("s_cum"),
+          sum(when(col("cmx") === 0, 1).otherwise(0)).as("v_cum"))
+          .withColumn("est_day", round(estExpr("s_day", "v_day"), 1))
+          .withColumn("est_cum", round(estExpr("s_cum", "v_cum"), 1))
+        val fd = ev.select(col("event_type").as("etype"), col("user_id"),
+          to_date(col("ts")).as("d"))
+          .groupBy("etype", "user_id").agg(min("d").as("fd"))
+        val nc = fd.groupBy(col("etype").as("ne"), col("fd"))
+          .agg(count(lit(1)).as("nnew"))
+        val wexact = Window.partitionBy("etype").orderBy("d")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val ec = days
+          .join(nc, col("etype") === col("ne") && col("d") === col("fd"), "left")
+          .select(col("etype"), col("d"), coalesce(col("nnew"), lit(0L)).as("nnew"))
+          .withColumn("exact_cum", sum("nnew").over(wexact))
+        per.join(ec, Seq("etype", "d"))
+          .select(col("etype"), col("d").as("day"), col("est_day"),
+            col("est_cum"), col("exact_cum"),
+            round(col("est_cum") / col("exact_cum"), 4).as("err_cum"))
+          .orderBy("etype", "day")
+      },
+      Some(s"""WITH rho AS (SELECT etype, d, h % 256 AS idx,
+             |CASE WHEN h // 256 = 0 THEN 53 ELSE 53 - length(bin(h // 256)) END AS rho
+             |FROM (SELECT event_type AS etype, CAST(ts AS DATE) AS d, $uhDuck AS h FROM events) z),
+             |reg AS (SELECT etype, d, idx, max(rho) AS mx FROM rho GROUP BY 1, 2, 3),
+             |days AS (SELECT DISTINCT etype, d FROM reg),
+             |spine AS (SELECT etype, d, i AS idx FROM days,
+             |LATERAL (SELECT unnest(generate_series(0, 255)) AS i) g),
+             |full_ AS (SELECT spine.etype, spine.d, spine.idx, coalesce(reg.mx, 0) AS mx
+             |FROM spine LEFT JOIN reg
+             |ON spine.etype = reg.etype AND spine.d = reg.d AND spine.idx = reg.idx),
+             |cum AS (SELECT etype, d, idx, mx,
+             |max(mx) OVER (PARTITION BY etype, idx ORDER BY d
+             |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cmx FROM full_),
+             |per AS (SELECT etype, d,
+             |list_sum(list(pow(2, -mx) ORDER BY idx)) AS s_day,
+             |sum(CASE WHEN mx = 0 THEN 1 ELSE 0 END) AS v_day,
+             |list_sum(list(pow(2, -cmx) ORDER BY idx)) AS s_cum,
+             |sum(CASE WHEN cmx = 0 THEN 1 ELSE 0 END) AS v_cum
+             |FROM cum GROUP BY 1, 2),
+             |est AS (SELECT etype, d,
+             |round(CASE WHEN (0.7213 / (1 + 1.079 / 256.0)) * 65536.0 / s_day <= 2.5 * 256 AND v_day > 0
+             |THEN 256.0 * ln(256.0 / v_day)
+             |ELSE (0.7213 / (1 + 1.079 / 256.0)) * 65536.0 / s_day END, 1) AS est_day,
+             |round(CASE WHEN (0.7213 / (1 + 1.079 / 256.0)) * 65536.0 / s_cum <= 2.5 * 256 AND v_cum > 0
+             |THEN 256.0 * ln(256.0 / v_cum)
+             |ELSE (0.7213 / (1 + 1.079 / 256.0)) * 65536.0 / s_cum END, 1) AS est_cum
+             |FROM per),
+             |fd AS (SELECT event_type AS etype, user_id, min(CAST(ts AS DATE)) AS fd
+             |FROM events GROUP BY 1, 2),
+             |nc AS (SELECT etype AS ne, fd, count(*) AS nnew FROM fd GROUP BY 1, 2),
+             |ec AS (SELECT days.etype, days.d,
+             |sum(coalesce(nc.nnew, 0)) OVER (PARTITION BY days.etype ORDER BY days.d
+             |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS exact_cum
+             |FROM days LEFT JOIN nc ON days.etype = nc.ne AND days.d = nc.fd)
+             |SELECT est.etype, est.d AS day, est.est_day, est.est_cum,
+             |CAST(ec.exact_cum AS BIGINT) AS exact_cum,
+             |round(est.est_cum / ec.exact_cum, 4) AS err_cum
+             |FROM est JOIN ec ON est.etype = ec.etype AND est.d = ec.d
+             |ORDER BY est.etype, day""".stripMargin.replace("\n", " ")))
   )
 }

@@ -305,4 +305,40 @@ class Corpus4Spec extends AnyFunSuite with SparkSuite {
         s"$scope estimate off by ${gotEst / gotExact}")
     }
   }
+
+  test("q172 sketch rollup: the last day's merged registers equal a full-history rebuild") {
+    val out = SparkEntry.queries("q172_hll_timeseries")(spark, sfDir)
+      .select($"etype".as[String], $"day".cast("string").as[String],
+        $"est_cum".as[Double], $"exact_cum".as[Long]).collect()
+
+    def uhash(u: Long): Long =
+      java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s"u#$u".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15), 16) + 1
+
+    val ev = Tables.events(spark, sfDir)
+      .select($"event_type".as[String], $"user_id".as[Long]).collect()
+    ev.groupBy(_._1).foreach { case (etype, rows) =>
+      // full-history register build — what the merge must reproduce
+      val reg = Array.fill(256)(0)
+      rows.foreach { case (_, u) =>
+        val h = uhash(u); val w = h / 256
+        val rho = if (w == 0) 53 else 53 - java.lang.Long.toBinaryString(w).length
+        val i = (h % 256).toInt
+        reg(i) = math.max(reg(i), rho)
+      }
+      val s = reg.foldLeft(0.0)((a, m) => a + math.pow(2.0, -m))
+      val v = reg.count(_ == 0)
+      val alpha = 0.7213 / (1 + 1.079 / 256.0)
+      val eRaw = alpha * 65536.0 / s
+      val est = if (eRaw <= 2.5 * 256 && v > 0) 256.0 * math.log(256.0 / v) else eRaw
+      val last = out.filter(_._1 == etype).maxBy(_._2)
+      assert(math.abs(last._3 - math.round(est * 10) / 10.0) < 1e-9,
+        s"$etype: rollup ${last._3} != full rebuild $est")
+      assert(last._4 == rows.map(_._2).distinct.size)
+      // exact to-date counts never decrease
+      val series = out.filter(_._1 == etype).sortBy(_._2).map(_._4)
+      assert(series.zip(series.tail).forall { case (a, b) => a <= b })
+    }
+  }
 }
