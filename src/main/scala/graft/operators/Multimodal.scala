@@ -5,11 +5,19 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** North-star multimodal columns: media as opaque `binary` payloads with
-  * typed metadata (BASELINE.json). The testdata has no real media, so the
-  * payload is the document text's bytes; the DECODE step is a clearly
-  * marked stub — everything around it (pinned schema, typed Encoders,
-  * partition-batched iteration, metadata struct shape) is the real
-  * plumbing a codec would drop into.
+  * typed metadata (BASELINE.json). Two tiers since r5:
+  *
+  *  - q173 decodes REAL containers: genuine WAV (RIFF chunk walk) and
+  *    BMP (both headers + stride-padded rows) files synthesized from
+  *    the corpus and parsed back by [[MediaCodec]] — actual bytes,
+  *    actual endianness, oracle-checked metadata. Uncompressed formats
+  *    need no codec library, so nothing there is stubbed.
+  *  - q80-q83 keep the original seam where the testdata has no real
+  *    media: payload = text bytes, and the DECODE step is a clearly
+  *    marked stub scoped to LOSSY codecs (JPEG/PNG/H.264 need external
+  *    libs this container lacks) — everything around it (pinned schema,
+  *    typed Encoders, partition-batched iteration, metadata struct
+  *    shape) is the real plumbing such a codec would drop into.
   *
   * Scale: payloads never shuffle — decode is a mapPartitions over the scan
   * (predicate/projection pushdown still applies to the metadata columns);
@@ -192,6 +200,74 @@ object Multimodal {
       Some("""WITH m AS (SELECT doc_id AS media_id, octet_length(encode(text)) % 24 + 1 AS n_frames FROM documents)
              |SELECT media_id, CAST(i AS BIGINT) AS frame_idx
              |FROM m, LATERAL (SELECT unnest(generate_series(0, n_frames - 1)) AS i) g
-             |WHERE i % 4 = 0 ORDER BY media_id, frame_idx""".stripMargin.replace("\n", " ")))
+             |WHERE i % 4 = 0 ORDER BY media_id, frame_idx""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q173_media_decode",
+      // REAL container decode (r2-r4 "decode is a stub" gap, closed for
+      // uncompressed formats): each document becomes a GENUINE media
+      // file — even doc_ids a PCM16 WAV (full RIFF/WAVE + fmt + data,
+      // samples from the text bytes), odd doc_ids a 24bpp BMP (both
+      // fixed headers + 4-byte-aligned pixel rows) — and the decode
+      // side re-extracts the metadata by actually PARSING those bytes
+      // (MediaCodec: magic checks, chunk walk, stride arithmetic).
+      // The oracle recomputes every field closed-form from the doc
+      // (sr = 8000 + (id%3)·4000, ns = n_chars%256+16, BMP size =
+      // 54 + stride·h with the real 4-byte row padding), so a parser
+      // bug — wrong endianness, off-by-one in the stride, misread
+      // chunk length — breaks the hash. MultimodalSpec additionally
+      // rejects corrupted magics and pins a top-down BMP. Scale: both
+      // mapPartitions passes stream row-by-row with no shuffle; codec
+      // state would init once per partition (the Arrow-UDF shape).
+      (s, dir) => {
+        import s.implicits._
+        val media = Tables.documents(s, dir)
+          .select(col("doc_id"), col("n_chars").cast("long"), col("text"))
+          .as[(Long, Long, String)]
+          .mapPartitions { it =>
+            it.map { case (id, nc, text) =>
+              val bytes = Option(text).getOrElse("").getBytes("UTF-8")
+              val safe = if (bytes.isEmpty) Array[Byte](0) else bytes
+              if (id % 2 == 0) {
+                val sr = 8000 + (id % 3).toInt * 4000
+                val ns = (nc % 256).toInt + 16
+                val samples = Array.tabulate(ns)(i => (safe(i % safe.length) * 128).toShort)
+                MediaRecord(id, "wav", MediaCodec.wavBytes(sr, samples))
+              } else {
+                val w = (nc % 64).toInt + 1
+                val h = (id % 48).toInt + 1
+                MediaRecord(id, "bmp", MediaCodec.bmpBytes(w, h, safe))
+              }
+            }
+          }
+        media.mapPartitions { it =>
+          it.map { m =>
+            if (m.kind == "wav") {
+              val meta = MediaCodec.parseWav(m.payload)
+              (m.media_id, "wav", -1L, -1L, meta.sampleRate.toLong,
+                meta.nSamples.toLong, m.payload.length.toLong,
+                meta.nSamples.toLong * 1000L / meta.sampleRate)
+            } else {
+              val meta = MediaCodec.parseBmp(m.payload)
+              (m.media_id, "bmp", meta.width.toLong, meta.height.toLong, -1L,
+                -1L, m.payload.length.toLong, -1L)
+            }
+          }
+        }.toDF("media_id", "container", "width", "height", "sample_rate",
+          "n_samples", "n_bytes", "duration_ms")
+          .orderBy("media_id")
+      },
+      Some("""SELECT doc_id AS media_id,
+             |CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'bmp' END AS container,
+             |CAST(CASE WHEN doc_id % 2 = 0 THEN -1 ELSE n_chars % 64 + 1 END AS BIGINT) AS width,
+             |CAST(CASE WHEN doc_id % 2 = 0 THEN -1 ELSE doc_id % 48 + 1 END AS BIGINT) AS height,
+             |CAST(CASE WHEN doc_id % 2 = 0 THEN 8000 + (doc_id % 3) * 4000 ELSE -1 END AS BIGINT) AS sample_rate,
+             |CAST(CASE WHEN doc_id % 2 = 0 THEN n_chars % 256 + 16 ELSE -1 END AS BIGINT) AS n_samples,
+             |CAST(CASE WHEN doc_id % 2 = 0 THEN 44 + 2 * (n_chars % 256 + 16)
+             |ELSE 54 + ((n_chars % 64 + 1) * 3 + 3) // 4 * 4 * (doc_id % 48 + 1) END AS BIGINT) AS n_bytes,
+             |CAST(CASE WHEN doc_id % 2 = 0
+             |THEN (n_chars % 256 + 16) * 1000 // (8000 + (doc_id % 3) * 4000)
+             |ELSE -1 END AS BIGINT) AS duration_ms
+             |FROM documents ORDER BY media_id""".stripMargin.replace("\n", " ")))
   )
 }

@@ -65,4 +65,62 @@ class MultimodalSpec extends AnyFunSuite with SparkSuite {
     assert(frames.nonEmpty)
     assert(frames.forall(_ % 4 == 0))
   }
+
+  test("q173 WAV codec: round trip, unknown-chunk tolerance, odd-length pad, corrupt magic rejected") {
+    import operators.MediaCodec
+    val samples = Array.tabulate(37)(i => (i * 257).toShort)
+    val wav = MediaCodec.wavBytes(11025, samples)
+    assert(wav.length == 44 + 74)
+    val meta = MediaCodec.parseWav(wav)
+    assert(meta == MediaCodec.WavMeta(11025, 1, 16, 37))
+
+    // splice an unknown ODD-length chunk between WAVE and fmt — a real
+    // RIFF reader must skip it including the pad byte
+    val junk = java.nio.ByteBuffer.allocate(8 + 5 + 1)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    junk.put("LIST".getBytes("US-ASCII")).putInt(5)
+      .put(Array[Byte](1, 2, 3, 4, 5)).put(0: Byte)
+    val spliced = wav.take(12) ++ junk.array() ++ wav.drop(12)
+    assert(MediaCodec.parseWav(spliced) == meta)
+
+    val corrupt = wav.clone(); corrupt(3) = 'X'.toByte // RIFX
+    intercept[IllegalArgumentException](MediaCodec.parseWav(corrupt))
+    intercept[IllegalArgumentException](MediaCodec.parseWav(wav.take(10)))
+  }
+
+  test("q173 BMP codec: round trip with stride padding, top-down height, corrupt magic rejected") {
+    import operators.MediaCodec
+    // w=5 → row 15 bytes → stride 16: the padding case
+    val bmp = MediaCodec.bmpBytes(5, 3, Array[Byte](10, 20, 30))
+    assert(bmp.length == 54 + 16 * 3)
+    val meta = MediaCodec.parseBmp(bmp)
+    assert(meta == MediaCodec.BmpMeta(5, 3, 24, 54 + 48, topDown = false))
+
+    // flip the height sign in the info header (offset 22, little-endian)
+    val td = bmp.clone()
+    val bb = java.nio.ByteBuffer.wrap(td).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(22, -3)
+    val m2 = MediaCodec.parseBmp(td)
+    assert(m2.height == 3 && m2.topDown)
+
+    val corrupt = bmp.clone(); corrupt(0) = 'X'.toByte
+    intercept[IllegalArgumentException](MediaCodec.parseBmp(corrupt))
+    intercept[IllegalArgumentException](MediaCodec.parseBmp(bmp.take(40)))
+  }
+
+  test("q173 every decoded row carries real parsed metadata at gate scale") {
+    val out = SparkEntry.queries("q173_media_decode")(spark, sfDir)
+    val rows = out.as[(Long, String, Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach {
+      case (_, "wav", w, h, sr, ns, nb, dur) =>
+        assert(w == -1 && h == -1 && sr > 0 && ns > 0)
+        assert(nb == 44 + 2 * ns, "WAV size must equal header + PCM data")
+        assert(dur == ns * 1000 / sr)
+      case (_, "bmp", w, h, sr, ns, nb, dur) =>
+        assert(sr == -1 && ns == -1 && dur == -1 && w > 0 && h > 0)
+        assert(nb == 54 + (w * 3 + 3) / 4 * 4 * h, "BMP size must honor row stride")
+      case r => fail(s"unexpected container in $r")
+    }
+  }
 }
