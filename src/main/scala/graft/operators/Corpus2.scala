@@ -1059,17 +1059,30 @@ object Corpus2 {
       // percent_rank AMONG ITS OWN SOURCE, kept at its source's median,
       // reported next to the global-median verdict so the rows where
       // the two flags disagree quantify the calibration effect. Scale
-      // shape: one window partitioned by source (per-source sort, no
-      // global ordering), one 1-row global aggregate broadcast back
-      // over the scan — at 100 TB the global median swaps in q92's
-      // approx sketch, same plan.
+      // shape (r5): percent_rank is computed EXACTLY on the
+      // (source, n_chars) DISTINCT-VALUE table — rank-with-gaps =
+      // 1 + strictly-smaller cumulative count, percent = cum/(n−1) —
+      // and broadcast-joined back, so the only windows run over the
+      // bounded value domain, never a corpus-sized per-source sort in
+      // |sources| partitions (the same family as the q50/q153 r4
+      // fixes); one 1-row global aggregate broadcasts the median — at
+      // 100 TB the exact median swaps in q92's approx sketch.
       (s, dir) => {
         val docs = Tables.documents(s, dir)
           .select(col("doc_id"), col("source"), col("n_chars"))
         val thr = docs.agg(expr("percentile(n_chars, 0.5D)").as("gthr"))
-        docs
-          .withColumn("pct", round(
-            percent_rank().over(Window.partitionBy("source").orderBy("n_chars")), 4))
+        val vc = docs.groupBy("source", "n_chars").agg(count(lit(1)).as("c"))
+        val wv = Window.partitionBy("source").orderBy("n_chars")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wn = Window.partitionBy("source")
+        val ranks = vc
+          .withColumn("cum", coalesce(sum("c").over(wv), lit(0L)))
+          .withColumn("n", sum("c").over(wn))
+          .select(col("source").as("rsource"), col("n_chars").as("rchars"),
+            when(col("n") === 1, lit(0.0))
+              .otherwise(round(col("cum").cast("double") / (col("n") - 1), 4)).as("pct"))
+        docs.join(broadcast(ranks),
+            col("source") === col("rsource") && col("n_chars") === col("rchars"))
           .crossJoin(broadcast(thr))
           .select(col("doc_id"), col("source"), col("n_chars"), col("pct"),
             (col("pct") >= 0.5).as("kept_local"),
