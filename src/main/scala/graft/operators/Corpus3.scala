@@ -67,10 +67,20 @@ object Corpus3 {
       // target is half the corpus; per-lang quota = nsel·wᵢ div Σw;
       // the docs themselves are chosen by content-hash rank within
       // lang (deterministic under repartitioning / re-ingestion, like
-      // q104/q112). Output per lang: raw share vs temperature share
-      // (the flattening, visible), quota, and the selected subset's
-      // token sum + q136-style XOR checksum so the CONTENT of the
-      // selection is oracle-pinned, not just its size.
+      // q104/q112) — computed since r5 by the TWO-PASS BUCKET-BOUNDARY
+      // selection instead of a per-lang rank window over the corpus:
+      // the md5 sort key is bucketed by its first 2 hex chars (prefix
+      // buckets are contiguous under the string ordering), per-(lang,
+      // bucket) counts + a cumulative window over that TINY table
+      // locate each lang's boundary bucket, whole buckets below it are
+      // taken wholesale, and ONLY the boundary bucket's rows (≈1/256
+      // of a lang) are ranked within the bucket — identical selection,
+      // no corpus-sized sort in |langs| partitions (the q50/q153/q132
+      // fix family; bucket width scales with the corpus). Output per
+      // lang: raw share vs temperature share (the flattening,
+      // visible), quota, and the selected subset's token sum +
+      // q136-style XOR checksum so the CONTENT of the selection is
+      // oracle-pinned, not just its size.
       (s, dir) => {
         val t = Tables.documents(s, dir)
           .select(col("doc_id"), col("lang"),
@@ -83,11 +93,27 @@ object Corpus3 {
           sum("n_docs").as("n_total"))
         val q = w.crossJoin(broadcast(g))
           .withColumn("quota", expr("CAST(nsel * wt DIV tot AS BIGINT)"))
-        val rk = t.withColumn("rk", row_number().over(
-          Window.partitionBy("lang")
-            .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
-        val sel = rk.join(broadcast(q.select("lang", "quota")), "lang")
-          .filter(col("rk") <= col("quota"))
+        val keyed = t.withColumn("sk", md5(col("doc_id").cast("string")))
+          .withColumn("bkt", expr("substring(sk, 1, 2)"))
+        val bc = keyed.groupBy("lang", "bkt").agg(count(lit(1)).as("bc"))
+        val wb = Window.partitionBy("lang").orderBy("bkt")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val bstat = bc.withColumn("cumb", coalesce(sum("bc").over(wb), lit(0L)))
+          .join(broadcast(q.select(col("lang"), col("quota"))), "lang")
+          .select(col("lang").as("blang"), col("bkt").as("bbkt"), col("cumb"),
+            col("quota").as("bquota"),
+            (col("cumb") + col("bc") <= col("quota")).as("isfull"),
+            (col("cumb") < col("quota") && col("cumb") + col("bc") > col("quota"))
+              .as("isboundary"))
+        val joined = keyed.join(broadcast(bstat),
+          col("lang") === col("blang") && col("bkt") === col("bbkt"))
+        val fullSel = joined.filter(col("isfull")).select("lang", "n_toks", "h")
+        val wIn = Window.partitionBy("lang", "bkt").orderBy(col("sk"), col("doc_id"))
+        val boundarySel = joined.filter(col("isboundary"))
+          .withColumn("irk", row_number().over(wIn))
+          .filter(col("irk") <= col("bquota") - col("cumb"))
+          .select("lang", "n_toks", "h")
+        val sel = fullSel.unionByName(boundarySel)
           .groupBy("lang")
           .agg(count(lit(1)).as("sel_docs"), sum("n_toks").as("sel_toks"),
             expr("bit_xor(h)").as("checksum"))
