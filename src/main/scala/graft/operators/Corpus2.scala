@@ -54,15 +54,33 @@ object Corpus2 {
       .drop("hx", "frac_num")
 
   /** q115's body, input-agnostic (needs `doc_id`, `source`, `n_chars`,
-    * `text`): per-source token-budget prefix in priority order. */
+    * `text`): per-source token-budget prefix in priority order.
+    * r5: the running sum is SEGMENTED (the globalPrefixSum
+    * decomposition applied per source) — n_chars div 16 buckets are
+    * contiguous under the (n_chars desc, doc_id) priority order, so
+    * src_run = carry-in from the tiny per-(source, bucket) totals
+    * table + an in-bucket prefix sum whose window partitions by
+    * (source, bucket). Values are identical to the single per-source
+    * window; no source's full doc set ever sorts in one partition. */
   def groupBudget(docs: DataFrame, budget: Long): DataFrame = {
-    val w = Window.partitionBy("source")
+    val base = docs
+      .withColumn("n_toks", size(expr(toksExpr)).cast("long"))
+      .withColumn("bkt", (col("n_chars") / lit(16)).cast("int"))
+    val bc = base.groupBy(col("source").as("bsource"), col("bkt").as("bbkt"))
+      .agg(sum("n_toks").as("btoks"))
+    val wb = Window.partitionBy("bsource").orderBy(col("bbkt").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = bc.withColumn("cumb", coalesce(sum("btoks").over(wb), lit(0L)))
+      .select("bsource", "bbkt", "cumb")
+    val wIn = Window.partitionBy("source", "bkt")
       .orderBy(col("n_chars").desc, col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs
-      .withColumn("n_toks", size(expr(toksExpr)).cast("long"))
-      .withColumn("src_run", sum("n_toks").over(w))
+    base
+      .join(broadcast(carry),
+        col("source") === col("bsource") && col("bkt") === col("bbkt"))
+      .withColumn("src_run", col("cumb") + sum("n_toks").over(wIn))
       .filter(col("src_run") <= budget)
+      .drop("bkt", "bsource", "bbkt", "cumb")
   }
 
   /** q109's ranking body, input-agnostic (needs `doc_id` and a
