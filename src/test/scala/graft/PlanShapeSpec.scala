@@ -223,6 +223,22 @@ class PlanShapeSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("q144/q115 group prefixes are bucket-segmented — no corpus-sized single-group sort") {
+    // r5 rewrites: the only window allowed to see corpus rows must
+    // partition by (group, bucket); the tiny carry tables use distinct
+    // attribute names (bsource/bbkt) or bucket-ordered specs, so the
+    // regression signature — a corpus window partitioned by the bare
+    // group and ordered by the priority key — is textually precise.
+    val p144 = plan("q144_temperature_mixture")
+    assert("""\[lang#\d+L?\], \[md5""".r.findFirstIn(p144).isEmpty,
+      s"per-lang hash-rank window is back:\n${p144.take(600)}")
+    assert("""Window \[[^\n]*\], \[lang#\d+, bkt#\d+\]""".r.findFirstIn(p144).isDefined, p144.take(600))
+    val p115 = plan("q115_group_budget")
+    assert("""\[source#\d+L?\], \[n_chars""".r.findFirstIn(p115).isEmpty,
+      s"per-source running-sum window is back:\n${p115.take(600)}")
+    assert("""Window \[[^\n]*\], \[source#\d+, bkt#\d+\]""".r.findFirstIn(p115).isDefined, p115.take(600))
+  }
+
   test("q153 KMV set-algebra joins stay broadcast — sketches never sort-merge") {
     val p = plan("q153_kmv_distinct_sketch")
     assert(!p.contains("SortMergeJoin"), p.take(600))
