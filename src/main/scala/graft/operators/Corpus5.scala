@@ -283,6 +283,95 @@ object Corpus5 {
              |WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
              |AND NOT EXISTS (SELECT 1 FROM late l3
              |WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey)
-             |GROUP BY s.s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin.replace("\n", " ")))
+             |GROUP BY s.s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q174_cuped_experiment",
+      // CUPED EXPERIMENT READOUT (Deng et al., WSDM 2013) — the
+      // variance-reduction analysis every large experimentation
+      // platform runs: users deterministically hash-bucketed into two
+      // arms, per-user pre-period (days 1-15) and post-period metric
+      // sums, pooled θ = cov(pre, post)/var(pre), and per-arm adjusted
+      // means post − θ·(pre − pre_grand_mean). DETERMINISM: the metric
+      // is 0.01-granular, so per-user sums are EXACT INTEGER CENTS
+      // (round(value·100) — order-free BIGINT aggregation, no float
+      // summation hazard); θ/ρ² then derive from the five pooled
+      // integer moments in a FIXED scalar expression (same IEEE ops
+      // both engines — at 100 TB the moment products outgrow BIGINT,
+      // so they're computed in DOUBLE from the exact integer sums,
+      // which is also what keeps them portable). Assignment by md5
+      // hash — reproducible under repartitioning, like q95/q104.
+      // Output: per-arm n, raw means, adjusted mean, pooled θ and the
+      // variance-reduction ρ² (identical on both rows by design —
+      // CUPED pools the covariate fit). Scale: one user-keyed
+      // aggregate (the only corpus shuffle) + a 1-row moment broadcast.
+      (s, dir) => {
+        val cents = "CAST(round(value * 100) AS BIGINT)"
+        val arm = "CASE WHEN CAST(conv(substr(md5(concat('x#', CAST(user_id AS STRING))), 1, 15), 16, 10) AS BIGINT) % 2 = 0 THEN 'A' ELSE 'B' END"
+        val u = Tables.events(s, dir)
+          .select(col("user_id"), expr(arm).as("arm"),
+            to_date(col("ts")).as("d"), expr(cents).as("c"))
+          .groupBy("user_id", "arm").agg(
+            sum(when(col("d") < lit("2024-01-16").cast("date"), col("c")).otherwise(0L)).as("pre_c"),
+            sum(when(col("d") >= lit("2024-01-16").cast("date"), col("c")).otherwise(0L)).as("post_c"))
+        val m = u.agg(count(lit(1)).as("n"),
+          sum("pre_c").as("sx"), sum("post_c").as("sy"),
+          sum(col("pre_c") * col("pre_c")).as("sxx"),
+          sum(col("pre_c") * col("post_c")).as("sxy"),
+          sum(col("post_c") * col("post_c")).as("syy"))
+          .select(col("n").cast("double").as("n"),
+            col("sx").cast("double").as("sx"), col("sy").cast("double").as("sy"),
+            col("sxx").cast("double").as("sxx"), col("sxy").cast("double").as("sxy"),
+            col("syy").cast("double").as("syy"))
+          .withColumn("vx", col("n") * col("sxx") - col("sx") * col("sx"))
+          .withColumn("vy", col("n") * col("syy") - col("sy") * col("sy"))
+          .withColumn("cxy", col("n") * col("sxy") - col("sx") * col("sy"))
+          .withColumn("theta", when(col("vx") === 0, 0.0).otherwise(col("cxy") / col("vx")))
+          .withColumn("rho2", when(col("vx") === 0 || col("vy") === 0, 0.0)
+            .otherwise(col("cxy") * col("cxy") / (col("vx") * col("vy"))))
+          .withColumn("gmean_pre", col("sx") / col("n") / 100.0)
+        u.groupBy("arm").agg(count(lit(1)).as("n_users"),
+          sum("pre_c").as("apre"), sum("post_c").as("apost"))
+          .crossJoin(broadcast(m.select("theta", "rho2", "gmean_pre")))
+          .select(col("arm"), col("n_users"),
+            round(col("apre") / col("n_users") / 100.0, 4).as("mean_pre"),
+            round(col("apost") / col("n_users") / 100.0, 4).as("mean_post"),
+            round(col("apost") / col("n_users") / 100.0
+              - col("theta") * (col("apre") / col("n_users") / 100.0 - col("gmean_pre")), 4)
+              .as("mean_adj"),
+            round(col("theta"), 6).as("theta"),
+            round(col("rho2") * 100.0, 2).as("var_reduction_pct"))
+          .orderBy("arm")
+      },
+      Some("""WITH u AS (SELECT user_id,
+             |CASE WHEN %ARMH% %% 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+             |CAST(sum(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+             |THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS pre_c,
+             |CAST(sum(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+             |THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS post_c
+             |FROM events GROUP BY 1, 2),
+             |m AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+             |CAST(sum(pre_c) AS DOUBLE) AS sx, CAST(sum(post_c) AS DOUBLE) AS sy,
+             |CAST(sum(pre_c * pre_c) AS DOUBLE) AS sxx,
+             |CAST(sum(pre_c * post_c) AS DOUBLE) AS sxy,
+             |CAST(sum(post_c * post_c) AS DOUBLE) AS syy FROM u),
+             |t AS (SELECT n, sx, sy,
+             |n * sxx - sx * sx AS vx, n * syy - sy * sy AS vy,
+             |n * sxy - sx * sy AS cxy FROM m),
+             |p AS (SELECT
+             |CASE WHEN vx = 0 THEN 0.0 ELSE cxy / vx END AS theta,
+             |CASE WHEN vx = 0 OR vy = 0 THEN 0.0 ELSE cxy * cxy / (vx * vy) END AS rho2,
+             |sx / n / 100.0 AS gmean_pre FROM t)
+             |SELECT arm, count(*) AS n_users,
+             |round(CAST(sum(pre_c) AS DOUBLE) / count(*) / 100.0, 4) AS mean_pre,
+             |round(CAST(sum(post_c) AS DOUBLE) / count(*) / 100.0, 4) AS mean_post,
+             |round(CAST(sum(post_c) AS DOUBLE) / count(*) / 100.0
+             |- any_value(theta) * (CAST(sum(pre_c) AS DOUBLE) / count(*) / 100.0 - any_value(gmean_pre)), 4) AS mean_adj,
+             |round(any_value(theta), 6) AS theta,
+             |round(any_value(rho2) * 100.0, 2) AS var_reduction_pct
+             |FROM u, p GROUP BY arm ORDER BY arm""".stripMargin.replace("\n", " ")
+        .replace("%ARMH%", graft.operators.Corpus.hexFoldDuck(
+          "substr(md5(concat('x#', CAST(user_id AS VARCHAR))), 1, 15)", 15))
+        .replace("%%", "%")))
   )
 }

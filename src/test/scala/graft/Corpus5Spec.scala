@@ -158,4 +158,41 @@ class Corpus5Spec extends AnyFunSuite with SparkSuite {
     assert(out.toSeq == expected)
     assert(out.nonEmpty)
   }
+
+  test("q174 CUPED: arms partition the users, theta replayed from integer cents, adjustment is mean-preserving") {
+    val out = SparkEntry.queries("q174_cuped_experiment")(spark, sfDir)
+      .as[(String, Long, Double, Double, Double, Double, Double)].collect()
+    assert(out.map(_._1).toSeq == Seq("A", "B"))
+    // pooled fit: identical theta / rho2 on both rows
+    assert(out.map(_._6).distinct.length == 1 && out.map(_._7).distinct.length == 1)
+
+    // local replay in exact integer cents
+    def arm(u: Long): String = {
+      val h = java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s"x#$u".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15), 16)
+      if (h % 2 == 0) "A" else "B"
+    }
+    val ev = Tables.events(spark, sfDir)
+      .select($"user_id".as[Long], expr("CAST(ts AS DATE) < DATE '2024-01-16'").as[Boolean],
+        expr("CAST(round(value * 100) AS BIGINT)").as[Long]).collect()
+    val perUser = ev.groupBy(_._1).map { case (u, rows) =>
+      (u, arm(u), rows.filter(_._2).map(_._3).sum, rows.filter(!_._2).map(_._3).sum)
+    }.toSeq
+    assert(perUser.map(r => r._1 -> r._2).toMap.values.toSet == Set("A", "B"))
+    assert(out.map(_._2).sum == perUser.size)
+    val n = perUser.size.toDouble
+    val sx = perUser.map(_._3).sum.toDouble; val sy = perUser.map(_._4).sum.toDouble
+    val sxx = perUser.map(r => r._3 * r._3).sum.toDouble
+    val sxy = perUser.map(r => r._3 * r._4).sum.toDouble
+    val theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(math.abs(out.head._6 - math.rint(theta * 1e6) / 1e6) < 1e-9,
+      s"theta ${out.head._6} vs replay $theta")
+    // CUPED is mean-preserving over the pooled population:
+    // Σ n_arm·mean_adj == Σ n_arm·mean_post (the adjustment only moves
+    // variance between arms), up to the published rounding
+    val tot = out.map(r => r._2 * r._5).sum
+    val totPost = out.map(r => r._2 * r._4).sum
+    assert(math.abs(tot - totPost) < 1.0, s"adjusted total $tot vs post $totPost")
+  }
 }
