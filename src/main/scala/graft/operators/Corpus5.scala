@@ -372,6 +372,52 @@ object Corpus5 {
              |FROM u, p GROUP BY arm ORDER BY arm""".stripMargin.replace("\n", " ")
         .replace("%ARMH%", graft.operators.Corpus.hexFoldDuck(
           "substr(md5(concat('x#', CAST(user_id AS VARCHAR))), 1, 15)", 15))
-        .replace("%%", "%")))
+        .replace("%%", "%"))),
+
+    QueryDef(
+      "q175_decayed_volume",
+      // EXPONENTIALLY DECAYED VOLUME (half-life ≈ 6.6 days, λ = 0.9/day)
+      // — the trending-metric counter a monitoring plane keeps per
+      // series: decayed(etype) = Σ_days 0.9^age · volume(day), plus the
+      // undecayed total and the "freshness" ratio between them (1.0 =
+      // all volume today, → small for stale series). DETERMINISM:
+      // per-(etype, day) volumes are exact integer cents (order-free
+      // BIGINT), and the decay fold runs over the ≤|days| per-series
+      // rows in DAY ORDER (q114's sorted-fold discipline) with
+      // pow(0.9, age) — same IEEE pow both engines. At 100 TB the
+      // per-day pre-aggregate is the only corpus pass; the fold touches
+      // |series|·|days| tiny rows. The streaming twin is a keyed state
+      // that multiplies by 0.9 per day boundary — same monoid shape as
+      // the HLL/KMV twins.
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("event_type").as("etype"), to_date(col("ts")).as("d"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+        val daily = ev.groupBy("etype", "d").agg(sum("c").as("vol_c"))
+        val mx = daily.agg(max("d").as("dmax"))
+        daily.crossJoin(broadcast(mx))
+          .withColumn("age", datediff(col("dmax"), col("d")))
+          .groupBy("etype").agg(
+            expr("""round(aggregate(array_sort(collect_list(struct(d, age, vol_c))), 0D,
+              |(a, x) -> a + pow(0.9D, x.age) * x.vol_c) / 100.0, 4)"""
+              .stripMargin.replace("\n", " ")).as("decayed"),
+            round(sum("vol_c") / lit(100.0), 4).as("total"),
+            count(lit(1)).as("n_days"))
+          .withColumn("freshness", round(col("decayed") / col("total"), 6))
+          .select("etype", "n_days", "total", "decayed", "freshness")
+          .orderBy("etype")
+      },
+      Some("""WITH daily AS (SELECT event_type AS etype, CAST(ts AS DATE) AS d,
+             |CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS vol_c
+             |FROM events GROUP BY 1, 2),
+             |mx AS (SELECT max(d) AS dmax FROM daily),
+             |ages AS (SELECT etype, d, vol_c, datediff('day', d, dmax) AS age FROM daily, mx),
+             |f AS (SELECT etype,
+             |round(list_sum(list(pow(0.9, age) * vol_c ORDER BY d)) / 100.0, 4) AS decayed,
+             |round(CAST(sum(vol_c) AS DOUBLE) / 100.0, 4) AS total,
+             |count(*) AS n_days FROM ages GROUP BY 1)
+             |SELECT etype, n_days, total, decayed,
+             |round(decayed / total, 6) AS freshness
+             |FROM f ORDER BY etype""".stripMargin.replace("\n", " ")))
   )
 }
