@@ -30,7 +30,8 @@ object ExplainAudit {
         "q150_constraint_audit", "q151_equidepth_histogram",
         "q50_knn_bruteforce", "q153_kmv_distinct_sketch",
         "q166_pq_trained", "q167_label_propagation",
-        "q168_hll_distinct", "q169_ivf_delta")
+        "q168_hll_distinct", "q169_ivf_delta",
+        "q170_semdedup", "q172_hll_timeseries", "q174_cuped_experiment")
     targets.foreach { name =>
       println(s"\n===== $name =====")
       SparkEntry.queries(name)(spark, dir).explain("formatted")

@@ -224,6 +224,43 @@ object StatefulOps {
       }
   }
 
+  final case class DayVol(etype: String, d: java.sql.Date, vol_c: Long)
+  final case class DecayState(etype: String, dmax: java.sql.Date, decayed_c: Double, total_c: Long)
+
+  /** Streaming twin of q175's decayed volume: keyed state
+    * (latest day, decayed cents, total cents) maintained so the result
+    * is ARRIVAL-ORDER-INDEPENDENT up to float ulps — a row for day d
+    * either ages the accumulator forward (acc·0.9^(d−dmax) + vol) or
+    * back-weights itself in (acc + 0.9^(dmax−d)·vol), which reproduces
+    * Σ 0.9^(dmax−d_i)·vol_i for ANY interleaving; late data needs no
+    * special path. StatefulStreamingSpec replays shuffled multi-batch
+    * input and matches q175's published (round-4) numbers. */
+  def decayedStream(daily: Dataset[DayVol]): Dataset[DecayState] = {
+    import daily.sparkSession.implicits._
+    daily.groupByKey(_.etype)
+      .flatMapGroupsWithState[DecayState, DecayState](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (etype: String, rows: Iterator[DayVol], state: GroupState[DecayState]) =>
+          var st = state.getOption.getOrElse(
+            DecayState(etype, java.sql.Date.valueOf("1970-01-01"), 0.0, 0L))
+          rows.foreach { r =>
+            val gap = java.time.temporal.ChronoUnit.DAYS.between(
+              st.dmax.toLocalDate, r.d.toLocalDate)
+            st =
+              if (gap > 0)
+                DecayState(etype, r.d,
+                  st.decayed_c * math.pow(0.9, gap.toDouble) + r.vol_c,
+                  st.total_c + r.vol_c)
+              else
+                DecayState(etype, st.dmax,
+                  st.decayed_c + math.pow(0.9, -gap.toDouble) * r.vol_c,
+                  st.total_c + r.vol_c)
+          }
+          state.update(st)
+          Iterator(st)
+      }
+  }
+
   /** Batch twin for equivalence tests. */
   def runningStatsBatch(spark: SparkSession, dir: String): Dataset[UserStat] = {
     import spark.implicits._

@@ -29,6 +29,52 @@ class ScalePatternsSpec extends AnyFunSuite with SparkSuite {
     assert(topViaAgg == topViaSql)
   }
 
+  test("TopKScored k-heap equals the window ranking on random grouped data, any partitioning") {
+    val rnd = new scala.util.Random(7)
+    // deliberately collision-heavy scores so tie-breaks are exercised
+    val rows = Seq.tabulate(4000)(i =>
+      (rnd.nextInt(5).toLong, math.floor(rnd.nextDouble() * 50) / 50.0, i.toLong))
+    for (parts <- Seq(1, 7)) {
+      val df = rows.toDF("qid", "score", "id").repartition(parts)
+      val top = udaf(new functions.TopKScored(10))
+      val got = df.groupBy("qid").agg(top($"score", $"id").as("t"))
+        .select($"qid", posexplode($"t"))
+        .select($"qid", $"col.score".as("score"), $"col.id".as("id"),
+          ($"pos" + 1).as("rn"))
+        .as[(Long, Double, Long, Long)].collect().toSet
+      val expected = rows.groupBy(_._1).flatMap { case (q, rs) =>
+        rs.sortBy(r => (-r._2, r._3)).take(10).zipWithIndex
+          .map { case ((_, s, id), i) => (q, s, id, i + 1L) }
+      }.toSet
+      assert(got == expected, s"parts=$parts")
+    }
+    // ascending variant (q134's distance ordering)
+    val asc = udaf(new functions.TopKScored(5, asc = true))
+    val gotAsc = rows.toDF("qid", "score", "id").groupBy("qid")
+      .agg(asc($"score", $"id").as("t"))
+      .select($"qid", explode($"t.id").as("id"))
+      .as[(Long, Long)].collect().toSet
+    val expAsc = rows.groupBy(_._1).toSeq.flatMap { case (q, rs) =>
+      rs.sortBy(r => (r._2, r._3)).take(5).map(r => (q, r._3))
+    }.toSet
+    assert(gotAsc == expAsc)
+  }
+
+  test("KMinHashes monoid equals sort-take on random hashes, any partitioning") {
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.tabulate(3000)(_ =>
+      (rnd.nextInt(4).toLong, rnd.nextLong().abs))
+    for (parts <- Seq(1, 5)) {
+      val kmin = udaf(new functions.KMinHashes(16))
+      val got = rows.toDF("g", "h").repartition(parts)
+        .groupBy("g").agg(kmin($"h").as("sk"))
+        .as[(Long, Seq[Long])].collect().toMap
+      val expected = rows.groupBy(_._1).view
+        .mapValues(_.map(_._2).distinct.sorted.take(16)).toMap
+      assert(got == expected, s"parts=$parts")
+    }
+  }
+
   test("bucketized range join equals naive range join") {
     // the q28 Spark form vs a direct theta-join on a small slice
     val e = Tables.events(spark, sfDir).limit(200)

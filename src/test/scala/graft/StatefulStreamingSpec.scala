@@ -243,6 +243,40 @@ class StatefulStreamingSpec extends AnyFunSuite with SparkSuite {
     assert(rows.forall(_._2 <= 256))
   }
 
+  test("streaming decayed-volume state settles to q175's published numbers under shuffled arrival") {
+    val dir = "/root/testdata/sf0.01"
+    val stage = java.nio.file.Files.createTempDirectory("graft_decay_stage")
+    val daily = Tables.events(spark, dir)
+      .select($"event_type".as("etype"), expr("CAST(ts AS DATE)").as("d"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+      .groupBy("etype", "d").agg(sum("c").as("vol_c"))
+    // shuffled day order across 4 files — the order-independence claim
+    daily.orderBy(md5(concat($"etype", $"d".cast("string")))).repartition(4)
+      .write.mode("overwrite").parquet(stage.toString)
+    val stream = spark.readStream.schema(daily.schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage.toString)
+      .as[StatefulOps.DayVol]
+    val q = StatefulOps.decayedStream(stream).writeStream
+      .outputMode("update").format("memory").queryName("decay_stream")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val fin = spark.table("decay_stream")
+      .select("etype", "total_c", "decayed_c")
+      .as[(String, Long, Double)].collect()
+      .groupBy(_._1).map { case (k, rs) => k -> rs.maxBy(_._2) } // total_c is the high-water mark
+    val batch = SparkEntry.queries("q175_decayed_volume")(spark, dir)
+      .select($"etype".as[String], $"total".as[Double], $"decayed".as[Double]).collect()
+    assert(batch.nonEmpty)
+    batch.foreach { case (etype, total, decayed) =>
+      val (_, tc, dc) = fin(etype)
+      assert(math.rint(tc / 100.0 * 1e4) / 1e4 == total, s"$etype total")
+      // batch publishes round(·, 4): allow the rounding half-width plus
+      // the arrival-order float ulps the scaladoc scopes
+      assert(math.abs(dc / 100.0 - decayed) < 6e-5,
+        s"$etype decayed stream ${dc / 100.0} vs batch $decayed")
+    }
+  }
+
   test("streaming dedup by event_id keeps exactly the distinct ids") {
     val q = StreamingTwin.dedupStream(stagedEventStream()).writeStream
       .outputMode("append").format("memory").queryName("dedup_stream")
