@@ -418,6 +418,80 @@ object Corpus5 {
              |count(*) AS n_days FROM ages GROUP BY 1)
              |SELECT etype, n_days, total, decayed,
              |round(decayed / total, 6) AS freshness
-             |FROM f ORDER BY etype""".stripMargin.replace("\n", " ")))
+             |FROM f ORDER BY etype""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q176_bootstrap_ci",
+      // DETERMINISTIC POISSON BOOTSTRAP (Chamandy et al., Google 2012)
+      // for q174's experiment metric — the at-scale bootstrap: instead
+      // of resampling users (a global shuffle per replicate), each
+      // (user, replicate) gets an independent Poisson(1) weight and a
+      // replicate's mean is Σw·x / Σw. Weights are DERIVED, not drawn:
+      // u = md5(rep#user) hash → inverse Poisson CDF via literal
+      // cumulative thresholds, so the whole 32-replicate bootstrap is
+      // reproducible and hash-checkable. Per (arm, replicate) the sums
+      // are exact integers (weights × integer cents); the only floats
+      // are 32 replicate means per arm, combined by ORDER STATISTICS
+      // (sorted positions 2 and 31 ≈ a 90% CI for 32 replicates) and a
+      // rep-ordered mean fold. Scale: ONE corpus-sized aggregate of
+      // (users × 32) rows — no resampled copies of the data exist
+      // anywhere; this is exactly why Poisson bootstrap is the
+      // production choice.
+      (s, dir) => {
+        val arm = "CASE WHEN CAST(conv(substr(md5(concat('x#', CAST(user_id AS STRING))), 1, 15), 16, 10) AS BIGINT) % 2 = 0 THEN 'A' ELSE 'B' END"
+        val cents = "CAST(round(value * 100) AS BIGINT)"
+        val pois = """CASE WHEN u < 0.3678794411714423D THEN 0L
+          |WHEN u < 0.7357588823428846D THEN 1L
+          |WHEN u < 0.9196986029286058D THEN 2L
+          |WHEN u < 0.9810118431238462D THEN 3L
+          |WHEN u < 0.9963401531726563D THEN 4L
+          |WHEN u < 0.9994058151824183D THEN 5L
+          |ELSE 6L END""".stripMargin.replace("\n", " ")
+        val u = Tables.events(s, dir)
+          .select(col("user_id"), expr(arm).as("arm"), expr(cents).as("c"))
+          .groupBy("user_id", "arm").agg(sum("c").as("post_c"))
+        val rep = u.select(col("user_id"), col("arm"), col("post_c"),
+          explode(expr("sequence(0, 31)")).as("r"))
+          .withColumn("u", expr(
+            "CAST(conv(substr(md5(concat('b', CAST(r AS STRING), '#', CAST(user_id AS STRING))), 1, 8), 16, 10) AS BIGINT) / 4294967296.0D"))
+          .withColumn("w", expr(pois))
+        val rm = rep.groupBy("arm", "r").agg(
+          sum(col("w") * col("post_c")).as("wx"), sum("w").as("wsum"))
+          .withColumn("rmean", col("wx") / col("wsum") / 100.0)
+        rm.groupBy("arm").agg(
+          expr("array_sort(transform(array_sort(collect_list(struct(r, rmean))), s -> s.rmean))").as("ms"))
+          .select(col("arm"),
+            round(expr("aggregate(ms, 0D, (a, x) -> a + x) / 32.0D"), 4).as("boot_mean"),
+            round(expr("ms[1]"), 4).as("ci_lo"),
+            round(expr("ms[30]"), 4).as("ci_hi"))
+          .orderBy("arm")
+      },
+      Some(("""WITH u AS (SELECT user_id,
+             |CASE WHEN %ARMH% %% 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+             |CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS post_c
+             |FROM events GROUP BY 1, 2),
+             |rep AS (SELECT user_id, arm, post_c, r,
+             |%REPH% / 4294967296.0 AS uu
+             |FROM u, LATERAL (SELECT unnest(generate_series(0, 31)) AS r) g),
+             |w AS (SELECT arm, r, post_c,
+             |CASE WHEN uu < 0.3678794411714423 THEN 0
+             |WHEN uu < 0.7357588823428846 THEN 1
+             |WHEN uu < 0.9196986029286058 THEN 2
+             |WHEN uu < 0.9810118431238462 THEN 3
+             |WHEN uu < 0.9963401531726563 THEN 4
+             |WHEN uu < 0.9994058151824183 THEN 5 ELSE 6 END AS w FROM rep),
+             |rm AS (SELECT arm, r,
+             |CAST(sum(w * post_c) AS DOUBLE) / CAST(sum(w) AS DOUBLE) / 100.0 AS rmean
+             |FROM w GROUP BY 1, 2),
+             |agg_ AS (SELECT arm, list_sort(list(rmean ORDER BY r)) AS ms FROM rm GROUP BY arm)
+             |SELECT arm,
+             |round(list_sum(ms) / 32.0, 4) AS boot_mean,
+             |round(ms[2], 4) AS ci_lo, round(ms[31], 4) AS ci_hi
+             |FROM agg_ ORDER BY arm""".stripMargin.replace("\n", " ")
+        .replace("%ARMH%", graft.operators.Corpus.hexFoldDuck(
+          "substr(md5(concat('x#', CAST(user_id AS VARCHAR))), 1, 15)", 15))
+        .replace("%REPH%", graft.operators.Corpus.hexFoldDuck(
+          "substr(md5(concat('b', CAST(r AS VARCHAR), '#', CAST(user_id AS VARCHAR))), 1, 8)", 8))
+        .replace("%%", "%"))))
   )
 }

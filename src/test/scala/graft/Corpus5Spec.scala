@@ -195,4 +195,41 @@ class Corpus5Spec extends AnyFunSuite with SparkSuite {
     val totPost = out.map(r => r._2 * r._4).sum
     assert(math.abs(tot - totPost) < 1.0, s"adjusted total $tot vs post $totPost")
   }
+
+  test("q176 Poisson bootstrap replayed end-to-end from raw hashes") {
+    val out = SparkEntry.queries("q176_bootstrap_ci")(spark, sfDir)
+      .as[(String, Double, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    out.values.foreach { case (m, lo, hi) => assert(lo <= m && m <= hi) }
+
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def arm(u: Long) =
+      if (java.lang.Long.parseLong(md5hex(s"x#$u").take(15), 16) % 2 == 0) "A" else "B"
+    val thresholds = Seq(0.3678794411714423, 0.7357588823428846, 0.9196986029286058,
+      0.9810118431238462, 0.9963401531726563, 0.9994058151824183)
+    def pois(u: Double): Long = thresholds.indexWhere(u < _) match {
+      case -1 => 6L; case k => k.toLong
+    }
+    val users = Tables.events(spark, sfDir)
+      .select($"user_id".as[Long], expr("CAST(round(value * 100) AS BIGINT)").as[Long])
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    Seq("A", "B").foreach { a =>
+      val us = users.keys.filter(arm(_) == a).toSeq
+      val means = (0 until 32).map { r =>
+        var wx = 0L; var ws = 0L
+        us.foreach { u =>
+          val uu = java.lang.Long.parseLong(md5hex(s"b$r#$u").take(8), 16) / 4294967296.0
+          val w = pois(uu)
+          wx += w * users(u); ws += w
+        }
+        wx.toDouble / ws.toDouble / 100.0
+      }.sorted
+      val (gm, glo, ghi) = out(a)
+      assert(math.rint(means(1) * 1e4) / 1e4 == glo, s"$a lo")
+      assert(math.rint(means(30) * 1e4) / 1e4 == ghi, s"$a hi")
+      assert(math.abs(means.foldLeft(0.0)(_ + _) / 32.0 - gm) < 1e-4, s"$a mean")
+    }
+  }
 }
