@@ -547,6 +547,63 @@ object TextAnalytics {
               |ic AS (SELECT rank, rel / log2(rank + 1.0) AS contrib FROM ideal),
               |d AS (SELECT round(list_sum(list(contrib ORDER BY rank)), 6) AS dcg FROM rc),
               |i AS (SELECT round(list_sum(list(contrib ORDER BY rank)), 6) AS idcg FROM ic)
-              |SELECT dcg, idcg, round(dcg / idcg, 6) AS ndcg FROM d, i""".stripMargin.replace("\n", " ")))
+              |SELECT dcg, idcg, round(dcg / idcg, 6) AS ndcg FROM d, i""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q177_phrase_search",
+      // EXACT PHRASE SEARCH over POSITIONAL POSTINGS — the token-level
+      // operator `contains` can't express (substring match ignores
+      // token boundaries; BM25 ignores adjacency): postings (term,
+      // doc_id, pos) joined against a broadcast (phrase, slot, term)
+      // table; a row contributes candidate start = pos − slot, and a
+      // start position with ALL |phrase| distinct slots present is an
+      // exact occurrence. This is the classic inverted-index phrase
+      // algorithm (and the contamination-check primitive for exact
+      // n-gram probes with positions). Scale: the broadcast join keeps
+      // only postings of the phrases' terms (the join IS the filter),
+      // then one (phrase, doc, start)-keyed count — no corpus
+      // self-join, no window.
+      (s, dir) => {
+        import s.implicits._
+        // Phrases have DISTINCT terms, so per (start) each slot matches
+        // at most once and count(*) == plen certifies the occurrence
+        // (a repeated-term phrase would count DISTINCT slot instead).
+        val phrases = Seq("slow hash batch", "customer part join", "window fast query")
+        val pdf = phrases.flatMap { p =>
+          val ts = p.split(' ')
+          ts.zipWithIndex.map { case (t, sl) => (p, sl.toLong, t, ts.length.toLong) }
+        }.toDF("phrase", "slot", "term", "plen")
+        val postings = Tables.documents(s, dir)
+          .select(col("doc_id"), posexplode(expr(toksExpr)))
+          .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("term"))
+        postings.join(broadcast(pdf), "term")
+          .select(col("phrase"), col("plen"), col("doc_id"),
+            (col("pos") - col("slot")).as("start"))
+          .filter(col("start") >= 0)
+          .groupBy("phrase", "plen", "doc_id", "start")
+          .agg(count(lit(1)).as("nslots"))
+          .filter(col("nslots") === col("plen"))
+          .groupBy("phrase", "doc_id")
+          .agg(count(lit(1)).as("n_matches"), min("start").as("first_pos"))
+          .orderBy("phrase", "doc_id")
+      },
+      Some(s"""WITH ph AS (
+             |SELECT 'slow hash batch' AS phrase UNION ALL
+             |SELECT 'customer part join' UNION ALL SELECT 'window fast query'),
+             |pt AS (SELECT phrase, CAST(i - 1 AS BIGINT) AS slot,
+             |string_split(phrase, ' ')[i] AS term,
+             |CAST(len(string_split(phrase, ' ')) AS BIGINT) AS plen
+             |FROM ph, LATERAL (SELECT unnest(generate_series(1, len(string_split(phrase, ' ')))) AS i) g),
+             |postings AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, w[i] AS term
+             |FROM (SELECT doc_id, $toksDuck AS w FROM documents) t,
+             |LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) g),
+             |cand AS (SELECT pt.phrase, pt.plen, p.doc_id, p.pos - pt.slot AS start
+             |FROM postings p JOIN pt ON p.term = pt.term WHERE p.pos - pt.slot >= 0),
+             |hits AS (SELECT phrase, plen, doc_id, start, count(*) AS nslots
+             |FROM cand GROUP BY 1, 2, 3, 4)
+             |SELECT phrase, doc_id, count(*) AS n_matches,
+             |CAST(min(start) AS BIGINT) AS first_pos
+             |FROM hits WHERE nslots = plen
+             |GROUP BY phrase, doc_id ORDER BY phrase, doc_id""".stripMargin.replace("\n", " ")))
   )
 }

@@ -87,4 +87,23 @@ class TextAnalyticsSpec extends AnyFunSuite with SparkSuite {
     assert(idcg == i, s"idcg $idcg vs local $i")
     assert(ndcg == math.rint(d / i * 1e6) / 1e6 && ndcg > 0 && ndcg <= 1.0)
   }
+
+  test("q177 phrase occurrences equal a local sliding-window scan") {
+    val out = SparkEntry.queries("q177_phrase_search")(spark, sfDir)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id".as[Long], $"text".as[String]).collect()
+    val phrases = Seq("slow hash batch", "customer part join", "window fast query")
+    val expected = (for {
+      p <- phrases
+      pt = p.split(' ').toSeq
+      (id, text) <- docs
+      w = text.toLowerCase.split(' ').filter(_.nonEmpty).toSeq
+      starts = w.indices.dropRight(pt.length - 1).filter(i => w.slice(i, i + pt.length) == pt)
+      if starts.nonEmpty
+    } yield (p, id) -> (starts.size.toLong, starts.min.toLong)).toMap
+    assert(out == expected)
+    assert(expected.nonEmpty, "phrases should occur in the corpus")
+  }
 }
