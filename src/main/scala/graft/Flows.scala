@@ -154,6 +154,28 @@ object Flows {
     landed
   }
 
+  /** The SEMANTIC-DEDUP flow (round 5's capability as API): q170's
+    * SemDeDup verdicts (cluster-then-prune over the learned LloydKMeans
+    * space) pick one exemplar per semantic-dup group → the kept docs
+    * land ordered by doc_id with a per-cluster survivor ledger
+    * (`_clusters`: kept/dropped counts + the exemplar policy's rank-1
+    * doc) written alongside — the artifact a curation pipeline reviews
+    * before committing a prune. Returns the kept-doc frame. */
+  def semanticDedupFlow(spark: SparkSession, dir: String, outDir: String): DataFrame = {
+    val verdicts = SparkEntry.queries("q170_semdedup")(spark, dir)
+    val kept = Tables.documents(spark, dir)
+      .join(verdicts.filter(col("kept")).select("vec_id", "cluster"),
+        col("doc_id") === col("vec_id"))
+      .drop("vec_id")
+    graft.sources.Sinks.writeOrdered(kept, Seq(col("doc_id")), outDir, Some(4))
+    verdicts.groupBy("cluster").agg(
+      sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+      sum(when(!col("kept"), 1L).otherwise(0L)).as("n_dropped"),
+      min(when(col("crank") === 1, col("vec_id"))).as("exemplar"))
+      .write.mode("overwrite").parquet(s"$outDir/_clusters")
+    spark.read.parquet(outDir)
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master("local[4]")
@@ -194,6 +216,10 @@ object Flows {
     val packd = packingFlow(spark, "/root/testdata/sf0.001",
       out.resolve("packed").toString)
     println(s"FLOW packing docs=${packd.count()} seqs=${packd.select(max("seq_first")).head.getLong(0) + 1}")
+
+    val sem = semanticDedupFlow(spark, "/root/testdata/sf0.001",
+      out.resolve("semdedup").toString)
+    println(s"FLOW semdedup kept=${sem.count()}")
     spark.stop()
   }
 }

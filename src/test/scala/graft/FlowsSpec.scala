@@ -151,4 +151,23 @@ class FlowsSpec extends AnyFunSuite with SparkSuite {
     assert(java.nio.file.Files.readString(out.resolve("tree.json")) == json)
     assert(json.startsWith("{\n  \"join\": {"))
   }
+
+  test("semantic-dedup flow lands exactly q170's kept docs plus a consistent cluster ledger") {
+    val out = java.nio.file.Files.createTempDirectory("graft_semdedup_flow")
+    val landed = Flows.semanticDedupFlow(spark, sfDir, out.resolve("kept").toString)
+    val verdicts = SparkEntry.queries("q170_semdedup")(spark, sfDir)
+      .select($"vec_id".as[Long], $"cluster".as[Long], $"crank".as[Long], $"kept".as[Boolean])
+      .collect()
+    val keptIds = verdicts.filter(_._4).map(_._1).toSet
+    assert(landed.select($"doc_id".as[Long]).collect().toSet == keptIds)
+    // ledger: per-cluster counts add up and the exemplar is the rank-1 member
+    val ledger = spark.read.parquet(out.resolve("kept").toString + "/_clusters")
+      .select($"cluster".as[Long], $"n_kept".as[Long], $"n_dropped".as[Long], $"exemplar".as[Long])
+      .collect().map(r => r._1 -> r).toMap
+    verdicts.groupBy(_._2).foreach { case (cl, ms) =>
+      val (_, nk, nd, ex) = ledger(cl)
+      assert(nk == ms.count(_._4) && nd == ms.count(!_._4))
+      assert(ex == ms.find(_._3 == 1).get._1, s"cluster $cl exemplar")
+    }
+  }
 }
