@@ -27,6 +27,7 @@ object SparkEntry {
       operators.Corpus3.defs ++
       operators.Corpus4.defs ++
       operators.Corpus5.defs ++
+      operators.Corpus6.defs ++
       sources.Articles.defs ++
       ml.MlQueries.defs
 

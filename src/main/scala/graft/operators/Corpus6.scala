@@ -1,0 +1,359 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-5 closers, part 2 — lakehouse/ops surface the reference's
+  * pandas store (scrappy.py:339-352 existing-wins merge) gestures at but
+  * cannot express, plus two corpus-curation operators from the
+  * training-data literature:
+  *
+  *  - q178 CDC changelog apply: the Delta/Iceberg MERGE shape — a base
+  *    snapshot plus an ordered I/U/D changelog collapsed to the current
+  *    table by keep-LAST-per-key (the dual of D1's keep-first), with
+  *    upsert semantics (an UPDATE after a DELETE resurrects the key).
+  *  - q179 zone-map pruning audit: per-shard min/max statistics under
+  *    two physical layouts (range-partitioned by the predicate column
+  *    vs hash-scattered), then the shard-skipping each layout yields
+  *    for a fixed predicate set — the data-layout half of q125's
+  *    z-order story, quantified as skip% and read amplification.
+  *  - q180 margin-based mutual nearest neighbors: the bitext-mining /
+  *    alignment primitive (Artetxe & Schwenk 2019's margin scoring,
+  *    simplified to best-minus-second): a pair survives only if each
+  *    side is the other's top-1 within the hyperplane-sketch bucket.
+  *  - q181 seasonal anomaly: day-of-week baseline per day + robust
+  *    modified z-score (q157's Iglewicz-Hoaglin discipline) over the
+  *    residuals — the volume-monitoring alarm for an ingest pipeline.
+  *  - q182 weak-supervision vote: three deterministic labeling
+  *    functions (length gate, stopword-ratio gate, digit-density gate)
+  *    with abstention, combined by signed majority vote — the
+  *    Snorkel-style label-model shape reduced to its exact-integer
+  *    core.
+  *
+  * Scale notes (also in SCALE.md):
+  *  - q178: ONE hash-partitioned window keyed by the merge key; the
+  *    changelog unions are map-side. This is exactly the MERGE INTO
+  *    compaction plan a table format runs — at 100 TB the key space is
+  *    bucketed and each bucket compacts independently; no global state.
+  *  - q179: shard ids come from range-partition boundaries (a 15-double
+  *    percentile broadcast — how Spark's RangePartitioner actually
+  *    works) and from a hash — NO global-order window anywhere. Zone
+  *    maps are one grouped agg (per-file metadata at real scale: footer
+  *    stats); the audit joins a 32-row zone table against a 4-row
+  *    literal predicate table — driver-scale.
+  *  - q180: candidates are bounded by the sketch-bucket equi-join
+  *    (q44's blocking discipline — never all-pairs); the per-vector
+  *    top-2 window partitions by vec_id over bucket-bounded candidate
+  *    lists, thousands of partitions, no corpus-wide sort. Plane count
+  *    scales with log(corpus) to keep buckets bounded (SCALE.md).
+  *  - q181: one corpus pass to per-day counts; everything downstream
+  *    (baselines, median/MAD, flags) runs on |days| rows. At extreme
+  *    scale exact percentile swaps for approx_percentile, same plan.
+  *  - q182: embarrassingly parallel per-doc integer arithmetic — one
+  *    projection, no shuffle at all until the final sort.
+  */
+object Corpus6 {
+
+  /** Deterministic derived changelog over the documents table: base
+    * snapshot is seq 0; seq 1 updates every 7th key, seq 2 deletes every
+    * 13th, seq 3 inserts fresh keys for every 11th, seq 4 resurrects the
+    * even multiples of 13 (UPDATE-after-DELETE ⇒ upsert re-creates). */
+  private def cdcLog(docs: DataFrame): DataFrame = {
+    val d = docs.select(col("doc_id"), col("source"))
+    val base = d.select(col("doc_id").as("k"), col("source").as("attr"),
+      lit(0L).as("seq"), lit("I").as("op"))
+    val u1 = d.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id").as("k"), concat(col("source"), lit("+u1")).as("attr"),
+        lit(1L).as("seq"), lit("U").as("op"))
+    val del = d.filter(col("doc_id") % 13 === 0)
+      .select(col("doc_id").as("k"), lit(null).cast("string").as("attr"),
+        lit(2L).as("seq"), lit("D").as("op"))
+    val ins = d.filter(col("doc_id") % 11 === 0)
+      .select((col("doc_id") + 100000L).as("k"), concat(lit("ins:"), col("source")).as("attr"),
+        lit(3L).as("seq"), lit("I").as("op"))
+    val u2 = d.filter(col("doc_id") % 26 === 0)
+      .select(col("doc_id").as("k"), lit("resurrected").as("attr"),
+        lit(4L).as("seq"), lit("U").as("op"))
+    base.unionByName(u1).unionByName(del).unionByName(ins).unionByName(u2)
+  }
+
+  /** Shared CDC changelog as DuckDB SQL (same five arms). */
+  private val cdcDuck =
+    """SELECT doc_id AS k, source AS attr, 0 AS seq, 'I' AS op FROM documents
+      |UNION ALL SELECT doc_id, source || '+u1', 1, 'U' FROM documents WHERE doc_id % 7 = 0
+      |UNION ALL SELECT doc_id, NULL, 2, 'D' FROM documents WHERE doc_id % 13 = 0
+      |UNION ALL SELECT doc_id + 100000, 'ins:' || source, 3, 'I' FROM documents WHERE doc_id % 11 = 0
+      |UNION ALL SELECT doc_id, 'resurrected', 4, 'U' FROM documents WHERE doc_id % 26 = 0"""
+      .stripMargin.replace("\n", " ")
+
+  /** 15 interior sixteenth-quantile fractions (range-partition boundaries). */
+  private val sixteenths: Seq[Double] = (1 to 15).map(_ / 16.0)
+
+  /** Fixed predicate set for the zone-map audit: [lo, hi) ranges on n_chars. */
+  private val preds = Seq((1, 0L, 800L), (2, 800L, 1600L), (3, 1600L, 3200L),
+    (4, 3200L, 100000000L))
+
+  def defs: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "q178_cdc_apply",
+      // CDC CHANGELOG APPLY (MERGE INTO) — keep-LAST per key by the
+      // changelog's total sequence order, then drop keys whose final
+      // op is a DELETE. Upsert semantics: key 26k is deleted at seq 2
+      // and updated at seq 4, so it re-appears ("resurrected"); key
+      // 13k (odd multiples) stays gone. Everything is integer/string
+      // arithmetic — the oracle is exact. The dual of q08's D1
+      // keep-first: same hash-partitioned window, opposite order.
+      (s, dir) => {
+        val w = Window.partitionBy("k").orderBy(col("seq").desc)
+        cdcLog(Tables.documents(s, dir))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1 && col("op") =!= "D")
+          .select(col("k").as("doc_id"), col("attr"),
+            col("seq").as("last_seq"), col("op").as("last_op"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH log_ AS ($cdcDuck),
+              |r AS (SELECT k, attr, seq, op,
+              |row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn FROM log_)
+              |SELECT k AS doc_id, attr, CAST(seq AS BIGINT) AS last_seq, op AS last_op
+              |FROM r WHERE rn = 1 AND op <> 'D' ORDER BY doc_id"""
+        .stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q179_zonemap_pruning",
+      // ZONE-MAP PRUNING AUDIT — the file-skipping arithmetic a
+      // lakehouse scan planner runs against footer min/max stats,
+      // under two layouts of the same rows: 'sorted' (range-partitioned
+      // on n_chars via 15 percentile boundaries — the RangePartitioner
+      // mechanism) and 'hash' (scattered). For each predicate range a
+      // shard is scanned iff its [min,max] overlaps; the sorted layout
+      // skips most shards, the hash layout almost none — that gap IS
+      // the motivation for sort-ordered ingestion (and q125's
+      // Z-ordering for multi-column predicates). read_amp = rows the
+      // pruned scan still reads per truly-matching row.
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
+        val bnd = docs.agg(expr(
+          s"percentile(n_chars, array(${sixteenths.map(f => f + "D").mkString(",")}))").as("bs"))
+        val sharded = docs.crossJoin(broadcast(bnd))
+          .withColumn("shard_sorted", expr(
+            "aggregate(bs, 0, (a, b) -> a + CASE WHEN CAST(n_chars AS DOUBLE) > b THEN 1 ELSE 0 END)"))
+          .withColumn("shard_hash", expr(
+            "CAST(conv(substr(md5(concat('s#', CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT) % 16"))
+        val layouts = sharded.select(lit("sorted").as("layout"), col("shard_sorted").as("shard"), col("n_chars"))
+          .unionByName(sharded.select(lit("hash").as("layout"), col("shard_hash").cast("int").as("shard"), col("n_chars")))
+        val zones = layouts.groupBy("layout", "shard")
+          .agg(min("n_chars").as("zmin"), max("n_chars").as("zmax"), count(lit(1)).as("cnt"))
+        val pt = preds.map { case (p, lo, hi) => s"struct(${p}, ${lo}L, ${hi}L)" }
+        val pred = s.range(1)
+          .select(explode(expr(s"array(${pt.mkString(",")})")).as("p"))
+          .select(col("p.col1").as("pid"), col("p.col2").as("lo"), col("p.col3").as("hi"))
+        val audit = zones.crossJoin(broadcast(pred))
+          .withColumn("scanned", when(!(col("zmax") < col("lo") || col("zmin") >= col("hi")), 1).otherwise(0))
+        val matched = layouts.filter(col("layout") === "sorted")
+          .crossJoin(broadcast(pred))
+          .filter(col("n_chars") >= col("lo") && col("n_chars") < col("hi"))
+          .groupBy("pid").agg(count(lit(1)).as("rows_matched"))
+        audit.groupBy("layout", "pid", "lo", "hi")
+          .agg(sum("scanned").cast("bigint").as("shards_scanned"),
+            sum(when(col("scanned") === 1, col("cnt")).otherwise(0L)).as("rows_scanned"))
+          .join(broadcast(matched), Seq("pid"), "left")
+          .withColumn("rows_matched", coalesce(col("rows_matched"), lit(0L)))
+          .withColumn("skip_pct", round(lit(1.0) - col("shards_scanned") / lit(16.0), 4))
+          .withColumn("read_amp", round(col("rows_scanned").cast("double") /
+            greatest(col("rows_matched"), lit(1L)), 2))
+          .select("layout", "pid", "lo", "hi", "shards_scanned", "rows_scanned",
+            "rows_matched", "skip_pct", "read_amp")
+          .orderBy("layout", "pid")
+      },
+      Some({
+        val hash16 = Corpus.hexFoldDuck(
+          "substr(md5(concat('s#', CAST(doc_id AS VARCHAR))), 1, 15)", 15)
+        s"""WITH bnd AS (SELECT quantile_cont(n_chars, [${sixteenths.mkString(",")}]) AS bs FROM documents),
+           |sh AS (SELECT doc_id, n_chars,
+           |CAST(list_sum(list_transform(bs, b -> CASE WHEN CAST(n_chars AS DOUBLE) > b THEN 1 ELSE 0 END)) AS INT) AS shard_sorted,
+           |CAST($hash16 % 16 AS INT) AS shard_hash FROM documents, bnd),
+           |layouts AS (SELECT 'sorted' AS layout, shard_sorted AS shard, n_chars FROM sh
+           |UNION ALL SELECT 'hash', shard_hash, n_chars FROM sh),
+           |zones AS (SELECT layout, shard, min(n_chars) AS zmin, max(n_chars) AS zmax,
+           |count(*) AS cnt FROM layouts GROUP BY 1, 2),
+           |pred AS (${preds.map { case (p, lo, hi) => s"SELECT $p AS pid, $lo AS lo, $hi AS hi" }.mkString(" UNION ALL ")}),
+           |audit AS (SELECT layout, pid, lo, hi,
+           |CASE WHEN NOT (zmax < lo OR zmin >= hi) THEN 1 ELSE 0 END AS scanned, cnt
+           |FROM zones CROSS JOIN pred),
+           |matched AS (SELECT pid, count(*) AS rows_matched FROM
+           |(SELECT n_chars FROM layouts WHERE layout = 'sorted') l CROSS JOIN pred
+           |WHERE n_chars >= lo AND n_chars < hi GROUP BY 1)
+           |SELECT a.layout, a.pid, CAST(a.lo AS BIGINT) AS lo, CAST(a.hi AS BIGINT) AS hi,
+           |CAST(sum(a.scanned) AS BIGINT) AS shards_scanned,
+           |CAST(sum(CASE WHEN a.scanned = 1 THEN a.cnt ELSE 0 END) AS BIGINT) AS rows_scanned,
+           |CAST(coalesce(max(m.rows_matched), 0) AS BIGINT) AS rows_matched,
+           |round(1.0 - sum(a.scanned) / 16.0, 4) AS skip_pct,
+           |round(CAST(sum(CASE WHEN a.scanned = 1 THEN a.cnt ELSE 0 END) AS DOUBLE) /
+           |greatest(CAST(coalesce(max(m.rows_matched), 0) AS BIGINT), 1), 2) AS read_amp
+           |FROM audit a LEFT JOIN matched m USING (pid)
+           |GROUP BY a.layout, a.pid, a.lo, a.hi ORDER BY layout, pid"""
+          .stripMargin.replace("\n", " ")
+      })),
+
+    QueryDef(
+      "q180_mutual_knn",
+      // MARGIN-BASED MUTUAL NEAREST NEIGHBORS (the bitext-mining /
+      // alignment primitive; Artetxe & Schwenk 2019 simplified to
+      // best-minus-second margin). A pair (a, b) survives iff each is
+      // the other's top-1 cosine neighbor WITHIN its hyperplane-sketch
+      // bucket — mutuality plus a margin score kills the hub vectors
+      // that plain top-1 matching mis-pairs. Candidates come from the
+      // q44/q53 sketch-bucket equi-join (never all-pairs); cosines are
+      // rounded to 6dp BEFORE ranking so both engines rank identical
+      // values; ties break by neighbor id.
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+          .withColumn("nrm", expr(
+            "sqrt(aggregate(embedding, 0D, (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"))
+          .withColumn("sk", Similarity.sketchCol(col("embedding")))
+          .select("vec_id", "embedding", "nrm", "sk")
+        val pairs = e.join(
+          e.select(col("vec_id").as("bid"), col("embedding").as("be"),
+            col("nrm").as("bn"), col("sk").as("bsk")),
+          col("sk") === col("bsk") && col("vec_id") =!= col("bid"))
+          .withColumn("cos", round(
+            graft.functions.VectorExprs.vecDot(col("embedding"), col("be")) /
+              (col("nrm") * col("bn")), 6))
+          .select("vec_id", "bid", "cos")
+        val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("bid"))
+        val best = pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+          .groupBy("vec_id").agg(
+            max(when(col("rn") === 1, col("bid"))).as("nn"),
+            max(when(col("rn") === 1, col("cos"))).as("cos1"),
+            coalesce(max(when(col("rn") === 2, col("cos"))), lit(0.0)).as("cos2"))
+          .withColumn("margin", round(col("cos1") - col("cos2"), 6))
+        best.join(
+          best.select(col("vec_id").as("yid"), col("nn").as("ynn"), col("margin").as("ym")),
+          col("nn") === col("yid") && col("ynn") === col("vec_id") && col("vec_id") < col("yid"))
+          .select(col("vec_id").as("a"), col("yid").as("b"), col("cos1").as("cos"),
+            round(col("margin") + col("ym"), 6).as("margin2"))
+          .orderBy("a")
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding, ${Similarity.duckNorm("embedding")} AS nrm,
+              |${Similarity.sketchDuck} AS sk FROM embeddings),
+              |p AS (SELECT a.vec_id AS aid, b.vec_id AS bid,
+              |round(${Similarity.duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) AS cos
+              |FROM e a JOIN e b ON a.sk = b.sk AND a.vec_id <> b.vec_id),
+              |r AS (SELECT aid, bid, cos,
+              |row_number() OVER (PARTITION BY aid ORDER BY cos DESC, bid) AS rn FROM p),
+              |best AS (SELECT aid, max(CASE WHEN rn = 1 THEN bid END) AS nn,
+              |max(CASE WHEN rn = 1 THEN cos END) AS cos1,
+              |coalesce(max(CASE WHEN rn = 2 THEN cos END), 0) AS cos2
+              |FROM r WHERE rn <= 2 GROUP BY aid),
+              |bm AS (SELECT aid, nn, cos1, round(cos1 - cos2, 6) AS margin FROM best)
+              |SELECT x.aid AS a, y.aid AS b, x.cos1 AS cos,
+              |round(x.margin + y.margin, 6) AS margin2
+              |FROM bm x JOIN bm y ON x.nn = y.aid AND y.nn = x.aid AND x.aid < y.aid
+              |ORDER BY a""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q181_seasonal_anomaly",
+      // SEASONAL VOLUME ANOMALY — per-day event counts vs a day-of-week
+      // baseline (weekly seasonality is the dominant cycle in ingest
+      // volume), residuals scored by the modified z-score 0.6745·|r−med|
+      // /MAD (q157's Iglewicz-Hoaglin discipline — a real volume spike
+      // must not poison its own threshold, which mean/stddev would
+      // allow). Counts are exact integers; baseline is one division;
+      // median/MAD interpolation agreement is proven at q132/q157.
+      (s, dir) => {
+        val daily = Tables.events(s, dir).select(to_date(col("ts")).as("d"))
+          .groupBy("d").agg(count(lit(1)).as("cnt"))
+          .withColumn("dow", dayofweek(col("d")) - 1)
+        val bl = daily.groupBy("dow").agg(sum("cnt").as("sc"), count(lit(1)).as("nd"))
+          .withColumn("baseline", col("sc").cast("double") / col("nd"))
+          .select("dow", "baseline")
+        val r = daily.join(broadcast(bl), "dow")
+          .withColumn("resid", col("cnt").cast("double") - col("baseline"))
+        val med = r.agg(expr("percentile(resid, 0.5D)").as("med"))
+        val dv = r.crossJoin(broadcast(med))
+          .withColumn("dev", abs(col("resid") - col("med")))
+        val mad = dv.agg(expr("percentile(dev, 0.5D)").as("mad"))
+        dv.crossJoin(broadcast(mad))
+          .withColumn("mz", when(col("mad") === 0, lit(null))
+            .otherwise(lit(0.6745) * col("dev") / col("mad")))
+          .select(col("d"), col("dow"), col("cnt"),
+            round(col("baseline"), 2).as("baseline"),
+            round(col("resid"), 2).as("resid"),
+            round(col("mz"), 2).as("mz"),
+            when(col("mz") > 3.5, 1).otherwise(0).as("anomaly"))
+          .orderBy("d")
+      },
+      Some("""WITH daily AS (SELECT CAST(ts AS DATE) AS d, count(*) AS cnt,
+             |date_part('dow', CAST(ts AS DATE)) AS dow FROM events GROUP BY 1, 3),
+             |bl AS (SELECT dow, CAST(sum(cnt) AS DOUBLE) / count(*) AS baseline
+             |FROM daily GROUP BY 1),
+             |r AS (SELECT d, daily.dow, cnt, baseline,
+             |CAST(cnt AS DOUBLE) - baseline AS resid FROM daily JOIN bl USING (dow)),
+             |med AS (SELECT quantile_cont(resid, 0.5) AS med FROM r),
+             |dv AS (SELECT r.*, abs(resid - med) AS dev FROM r, med),
+             |mad AS (SELECT quantile_cont(dev, 0.5) AS mad FROM dv)
+             |SELECT d, CAST(dow AS INT) AS dow, CAST(cnt AS BIGINT) AS cnt,
+             |round(baseline, 2) AS baseline, round(resid, 2) AS resid,
+             |round(CASE WHEN mad = 0 THEN NULL
+             |ELSE 0.6745 * dev / mad END, 2) AS mz,
+             |CASE WHEN (CASE WHEN mad = 0 THEN NULL ELSE 0.6745 * dev / mad END) > 3.5
+             |THEN 1 ELSE 0 END AS anomaly
+             |FROM dv, mad ORDER BY d""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q182_weak_label_vote",
+      // WEAK-SUPERVISION LABEL VOTE — three deterministic labeling
+      // functions with abstention (Snorkel's label-model input shape,
+      // reduced to its exact-integer majority-vote core): a length
+      // gate (+1 long / −1 tiny), a stopword-ratio gate (+1 fluent /
+      // −1 no-stopword garble), and a one-sided digit-density veto.
+      // label = sign(Σ votes); all arithmetic is integer or a single
+      // ratio compare of identical integers — the oracle is exact.
+      // At 100 TB this is a pure projection: no shuffle until the sort.
+      (s, dir) => {
+        val stops = Seq("the", "and", "of", "to", "a", "in", "is", "that", "it", "for")
+        val stopArr = stops.map("'" + _ + "'").mkString(",")
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("n_chars"), col("text"))
+          .withColumn("toks", expr(TextAnalytics.toksExpr))
+          .withColumn("ntoks", size(col("toks")))
+          .withColumn("nstop", expr(
+            s"size(filter(toks, x -> array_contains(array($stopArr), x)))"))
+          .withColumn("ndig", length(col("text")) -
+            length(regexp_replace(col("text"), "[0-9]", "")))
+          .withColumn("lf_len", when(col("n_chars") >= 300, 1)
+            .when(col("n_chars") < 80, -1).otherwise(0))
+          .withColumn("lf_stop", when(col("ntoks") === 0, 0)
+            .when(col("nstop").cast("double") / col("ntoks") >= 0.15, 1)
+            .when(col("nstop") === 0, -1).otherwise(0))
+          .withColumn("lf_digit", when(length(col("text")) > 0 &&
+            col("ndig").cast("double") / length(col("text")) > 0.1, -1).otherwise(0))
+          .withColumn("score", col("lf_len") + col("lf_stop") + col("lf_digit"))
+          .withColumn("label", when(col("score") > 0, 1)
+            .when(col("score") < 0, -1).otherwise(0))
+          .select("doc_id", "lf_len", "lf_stop", "lf_digit", "score", "label")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, n_chars, text,
+              |${TextAnalytics.toksDuck} AS toks,
+              |length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS ndig
+              |FROM documents),
+              |lf AS (SELECT doc_id,
+              |CASE WHEN n_chars >= 300 THEN 1 WHEN n_chars < 80 THEN -1 ELSE 0 END AS lf_len,
+              |CASE WHEN len(toks) = 0 THEN 0
+              |WHEN CAST(len(list_filter(toks, x -> list_contains(['the','and','of','to','a','in','is','that','it','for'], x))) AS DOUBLE) / len(toks) >= 0.15 THEN 1
+              |WHEN len(list_filter(toks, x -> list_contains(['the','and','of','to','a','in','is','that','it','for'], x))) = 0 THEN -1
+              |ELSE 0 END AS lf_stop,
+              |CASE WHEN length(text) > 0 AND CAST(ndig AS DOUBLE) / length(text) > 0.1
+              |THEN -1 ELSE 0 END AS lf_digit FROM t)
+              |SELECT doc_id, lf_len, lf_stop, lf_digit,
+              |lf_len + lf_stop + lf_digit AS score,
+              |CASE WHEN lf_len + lf_stop + lf_digit > 0 THEN 1
+              |WHEN lf_len + lf_stop + lf_digit < 0 THEN -1 ELSE 0 END AS label
+              |FROM lf ORDER BY doc_id""".stripMargin.replace("\n", " ")))
+  )
+}
