@@ -53,6 +53,32 @@ import org.apache.spark.sql.functions._
   *    scale exact percentile swaps for approx_percentile, same plan.
   *  - q182: embarrassingly parallel per-doc integer arithmetic — one
   *    projection, no shuffle at all until the final sort.
+  *
+  * Second tranche (q183-q186):
+  *
+  *  - q183 common-neighbor link prediction: Jaccard-of-neighborhoods
+  *    over the q164 df-capped shingle-share graph for NON-adjacent
+  *    pairs at distance 2 — the classic similarity-graph densification
+  *    step (find near-dup families one hop before LSH connects them).
+  *  - q184 higher-moment profile: per-event-type skewness and excess
+  *    kurtosis from EXACT integer power sums (cents¹..cents⁴ —
+  *    DECIMAL(38,0)/HUGEINT internally, never in the output schema per
+  *    the q110/q149 rule), combined by one pinned double formula.
+  *  - q185 binned two-sample Kolmogorov-Smirnov drift: first half of
+  *    the date range vs second half, per event type; D = max gap of
+  *    the binned ECDFs, flagged against the 95% critical value.
+  *  - q186 Gini concentration of doc length per source — the corpus
+  *    balance diagnostic (0 = uniform lengths, →1 = few giants hold
+  *    all the mass), from the rank formula over integer sums.
+  *
+  * Scale notes: q183 adjacency is bounded by the df-cap (≤8 docs per
+  * shingle ⇒ ≤7·|shingles| directed edges) and the wedge join is keyed
+  * on the shared neighbor — at 100 TB the cap does for this exactly
+  * what it does for q164's triangles. q184 is ONE grouped aggregate;
+  * the moment algebra runs on |event_type| rows. q185 is a grouped
+  * aggregate into (type, bin≤32) cells, then windows over ≤32-row
+  * partitions. q186's rank window partitions by source — per-source
+  * state only; none of the four has a global-order window.
   */
 object Corpus6 {
 
@@ -354,6 +380,234 @@ object Corpus6 {
               |lf_len + lf_stop + lf_digit AS score,
               |CASE WHEN lf_len + lf_stop + lf_digit > 0 THEN 1
               |WHEN lf_len + lf_stop + lf_digit < 0 THEN -1 ELSE 0 END AS label
-              |FROM lf ORDER BY doc_id""".stripMargin.replace("\n", " ")))
+              |FROM lf ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q183_link_prediction",
+      // COMMON-NEIGHBOR LINK PREDICTION — for every NON-adjacent doc
+      // pair at distance 2 in a df-capped 4-gram-share graph,
+      // jaccard = |N(a)∩N(b)| / |N(a)∪N(b)|; top-20 predicted links.
+      // The near-dup-family densifier: pairs two docs one hop before
+      // the LSH pair relation would. 4-grams (vs q164's 5-shingles)
+      // keep the graph dense enough that distance-2 candidates exist
+      // even at the smallest gate corpus; the df-cap bound is the same
+      // (a gram shared by > 8 docs is dropped BEFORE any join, so no
+      // hub explosion). Counts are exact integers, the score is one
+      // division.
+      (s, dir) => {
+        val sh = Tables.documents(s, dir)
+          .select(col("doc_id"), expr(TextAnalytics.toksExpr).as("w"))
+          .select(col("doc_id"),
+            explode(expr(s"array_distinct(${Corpus.ngramSpark(4)})")).as("sg"))
+          .withColumn("df", count(lit(1)).over(Window.partitionBy("sg")))
+          .filter(col("df") <= 8).select("doc_id", "sg")
+        val e0 = sh.as("a").join(sh.as("b"),
+            col("a.sg") === col("b.sg") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("u"), col("b.doc_id").as("v")).distinct()
+        val adj = e0.select(col("u").as("a"), col("v").as("n"))
+          .unionByName(e0.select(col("v").as("a"), col("u").as("n")))
+        val deg = adj.groupBy("a").agg(count(lit(1)).as("dg"))
+        val cn = adj.select(col("a").as("x"), col("n"))
+          .join(adj.select(col("a").as("y"), col("n")), Seq("n"))
+          .filter(col("x") < col("y"))
+          .groupBy("x", "y").agg(count(lit(1)).as("cn"))
+        val nonEdge = cn.join(e0,
+          cn("x") === e0("u") && cn("y") === e0("v"), "left_anti")
+        nonEdge
+          .join(deg.select(col("a").as("x"), col("dg").as("degx")), "x")
+          .join(deg.select(col("a").as("y"), col("dg").as("degy")), "y")
+          .withColumn("jaccard", round(col("cn").cast("double") /
+            (col("degx") + col("degy") - col("cn")), 6))
+          .select(col("x").as("a"), col("y").as("b"), col("cn"),
+            col("degx"), col("degy"), col("jaccard"))
+          .orderBy(col("jaccard").desc, col("a"), col("b")).limit(20)
+      },
+      Some(s"""WITH t AS (SELECT doc_id, ${TextAnalytics.toksDuck} AS w FROM documents),
+              |sh0 AS (SELECT doc_id, unnest(list_distinct(${Corpus.ngramDuck(4)})) AS sg FROM t),
+              |sh AS (SELECT doc_id, sg FROM
+              |(SELECT doc_id, sg, count(*) OVER (PARTITION BY sg) AS df FROM sh0) z
+              |WHERE df <= 8),
+              |e0 AS (SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+              |FROM sh a JOIN sh b ON a.sg = b.sg AND a.doc_id < b.doc_id),
+              |adj AS (SELECT u AS a, v AS n FROM e0 UNION ALL SELECT v, u FROM e0),
+              |deg AS (SELECT a, count(*) AS dg FROM adj GROUP BY a),
+              |cn AS (SELECT x.a AS x, y.a AS y, count(*) AS cn
+              |FROM adj x JOIN adj y ON x.n = y.n AND x.a < y.a GROUP BY 1, 2),
+              |ne AS (SELECT * FROM cn WHERE NOT EXISTS
+              |(SELECT 1 FROM e0 WHERE e0.u = cn.x AND e0.v = cn.y))
+              |SELECT ne.x AS a, ne.y AS b, CAST(ne.cn AS BIGINT) AS cn,
+              |CAST(dx.dg AS BIGINT) AS degx, CAST(dy.dg AS BIGINT) AS degy,
+              |round(CAST(ne.cn AS DOUBLE) / (dx.dg + dy.dg - ne.cn), 6) AS jaccard
+              |FROM ne JOIN deg dx ON ne.x = dx.a JOIN deg dy ON ne.y = dy.a
+              |ORDER BY jaccard DESC, a, b LIMIT 20""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q184_moments_profile",
+      // HIGHER-MOMENT PROFILE — per-event-type skewness and excess
+      // kurtosis. Power sums Σc..Σc⁴ over exact integer cents are
+      // order-free (c⁴ tops 9.8e18, past BIGINT — DECIMAL(38,0) on the
+      // Spark side, HUGEINT in DuckDB, both strictly INTERNAL per the
+      // q110/q149 no-wide-decimal-output rule); each statistic is then
+      // ONE pinned double formula over the five aggregate values, so
+      // the engines execute identical IEEE operation trees. The
+      // raw-moment identities (m₂ = s₂/n − μ², etc.) are what make a
+      // single distributed pass sufficient — no second centered pass.
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select(col("event_type"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+        ev.groupBy("event_type").agg(
+          count(lit(1)).as("n"),
+          sum("c").as("s1i"),
+          sum(expr("c * c")).as("s2i"),
+          sum(expr("CAST(c AS DECIMAL(38,0)) * c * c")).as("s3i"),
+          sum(expr("CAST(c AS DECIMAL(38,0)) * c * c * c")).as("s4i"))
+          .withColumn("nn", col("n").cast("double"))
+          .withColumn("s1", col("s1i").cast("double"))
+          .withColumn("s2", col("s2i").cast("double"))
+          .withColumn("s3", col("s3i").cast("double"))
+          .withColumn("s4", col("s4i").cast("double"))
+          .withColumn("mean", expr("s1 / nn"))
+          .withColumn("m2", expr("s2 / nn - mean * mean"))
+          .withColumn("m3", expr(
+            "s3 / nn - 3 * mean * (s2 / nn) + 2 * mean * mean * mean"))
+          .withColumn("m4", expr(
+            "s4 / nn - 4 * mean * (s3 / nn) + 6 * mean * mean * (s2 / nn) - 3 * mean * mean * mean * mean"))
+          .select(col("event_type"), col("n"),
+            round(expr("mean / 100"), 4).as("mean_val"),
+            round(expr("sqrt(m2) / 100"), 4).as("sd_val"),
+            round(expr("CASE WHEN m2 <= 0 THEN NULL ELSE m3 / pow(m2, 1.5) END"), 4).as("skewness"),
+            round(expr("CASE WHEN m2 <= 0 THEN NULL ELSE m4 / (m2 * m2) - 3 END"), 4).as("ex_kurtosis"))
+          .orderBy("event_type")
+      },
+      Some("""WITH a AS (SELECT event_type, count(*) AS n,
+             |CAST(sum(c) AS DOUBLE) AS s1, CAST(sum(c * c) AS DOUBLE) AS s2,
+             |CAST(sum(CAST(c AS HUGEINT) * c * c) AS DOUBLE) AS s3,
+             |CAST(sum(CAST(c AS HUGEINT) * c * c * c) AS DOUBLE) AS s4,
+             |CAST(count(*) AS DOUBLE) AS nn
+             |FROM (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+             |FROM events) e GROUP BY 1),
+             |m AS (SELECT event_type, n, s1 / nn AS mean,
+             |s2 / nn - (s1 / nn) * (s1 / nn) AS m2,
+             |s3 / nn - 3 * (s1 / nn) * (s2 / nn) + 2 * (s1 / nn) * (s1 / nn) * (s1 / nn) AS m3,
+             |s4 / nn - 4 * (s1 / nn) * (s3 / nn) + 6 * (s1 / nn) * (s1 / nn) * (s2 / nn) - 3 * (s1 / nn) * (s1 / nn) * (s1 / nn) * (s1 / nn) AS m4
+             |FROM a)
+             |SELECT event_type, CAST(n AS BIGINT) AS n,
+             |round(mean / 100, 4) AS mean_val,
+             |round(sqrt(m2) / 100, 4) AS sd_val,
+             |round(CASE WHEN m2 <= 0 THEN NULL ELSE m3 / pow(m2, 1.5) END, 4) AS skewness,
+             |round(CASE WHEN m2 <= 0 THEN NULL ELSE m4 / (m2 * m2) - 3 END, 4) AS ex_kurtosis
+             |FROM m ORDER BY event_type""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q185_ks_drift",
+      // BINNED TWO-SAMPLE KOLMOGOROV-SMIRNOV DRIFT — first half of the
+      // corpus's date range vs second half, per event type. Values are
+      // bucketed into 32 equi-width bins over the type's own [min,max]
+      // (at real scale the bin table IS the drift monitor's state —
+      // never the raw values); D = max |ECDF_a − ECDF_b| evaluated at
+      // bin edges, which for binned data is exact. Flagged against the
+      // 95% critical value 1.358·√((n_a+n_b)/(n_a·n_b)). Counts are
+      // exact integers; ECDF gaps are single divisions.
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select(col("event_type"),
+          to_date(col("ts")).as("d"), col("value"))
+        val span = ev.agg(min("d").as("dmin"), max("d").as("dmax"))
+        val tagged = ev.crossJoin(broadcast(span))
+          .withColumn("sample", when(
+            datediff(col("d"), col("dmin")) * 2 <= datediff(col("dmax"), col("dmin")),
+            lit("a")).otherwise(lit("b")))
+        val rng = tagged.groupBy("event_type")
+          .agg(min("value").as("vmin"), max("value").as("vmax"))
+        val binned = tagged.join(broadcast(rng), "event_type")
+          .withColumn("bin", when(col("vmax") === col("vmin"), lit(0))
+            .otherwise(least(lit(31), floor(
+              (col("value") - col("vmin")) / ((col("vmax") - col("vmin")) / 32.0)).cast("int"))))
+          .groupBy("event_type", "bin").agg(
+            count(when(col("sample") === "a", 1)).as("ca"),
+            count(when(col("sample") === "b", 1)).as("cb"))
+        val tot = binned.groupBy("event_type")
+          .agg(sum("ca").as("na"), sum("cb").as("nb"))
+        val w = Window.partitionBy("event_type").orderBy("bin")
+        binned
+          .withColumn("cuma", sum("ca").over(w))
+          .withColumn("cumb", sum("cb").over(w))
+          .join(broadcast(tot), "event_type")
+          .filter(col("na") > 0 && col("nb") > 0)
+          .withColumn("gap", abs(
+            col("cuma").cast("double") / col("na") - col("cumb").cast("double") / col("nb")))
+          .groupBy("event_type").agg(
+            max("na").as("n_a"), max("nb").as("n_b"),
+            round(max("gap"), 6).as("ks_d"))
+          .withColumn("crit", round(lit(1.358) * sqrt(
+            (col("n_a") + col("n_b")).cast("double") /
+              (col("n_a").cast("double") * col("n_b").cast("double"))), 6))
+          .withColumn("drift", when(col("ks_d") > col("crit"), 1).otherwise(0))
+          .select("event_type", "n_a", "n_b", "ks_d", "crit", "drift")
+          .orderBy("event_type")
+      },
+      Some("""WITH ev AS (SELECT event_type, CAST(ts AS DATE) AS d, value FROM events),
+             |span AS (SELECT min(d) AS dmin, max(d) AS dmax FROM ev),
+             |tagged AS (SELECT event_type, value,
+             |CASE WHEN datediff('day', dmin, d) * 2 <= datediff('day', dmin, dmax)
+             |THEN 'a' ELSE 'b' END AS sample FROM ev, span),
+             |rng AS (SELECT event_type, min(value) AS vmin, max(value) AS vmax
+             |FROM tagged GROUP BY 1),
+             |binned AS (SELECT t.event_type,
+             |CASE WHEN vmax = vmin THEN 0
+             |ELSE least(31, CAST(floor((value - vmin) / ((vmax - vmin) / 32.0)) AS INT)) END AS bin,
+             |count(CASE WHEN sample = 'a' THEN 1 END) AS ca,
+             |count(CASE WHEN sample = 'b' THEN 1 END) AS cb
+             |FROM tagged t JOIN rng USING (event_type) GROUP BY 1, 2),
+             |tot AS (SELECT event_type, sum(ca) AS na, sum(cb) AS nb
+             |FROM binned GROUP BY 1),
+             |cum AS (SELECT b.event_type, na, nb,
+             |sum(ca) OVER (PARTITION BY b.event_type ORDER BY bin) AS cuma,
+             |sum(cb) OVER (PARTITION BY b.event_type ORDER BY bin) AS cumb
+             |FROM binned b JOIN tot USING (event_type) WHERE na > 0 AND nb > 0),
+             |agg_ AS (SELECT event_type, CAST(max(na) AS BIGINT) AS n_a,
+             |CAST(max(nb) AS BIGINT) AS n_b,
+             |round(max(abs(CAST(cuma AS DOUBLE) / na - CAST(cumb AS DOUBLE) / nb)), 6) AS ks_d
+             |FROM cum GROUP BY 1)
+             |SELECT event_type, n_a, n_b, ks_d,
+             |round(1.358 * sqrt(CAST(n_a + n_b AS DOUBLE) /
+             |(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))), 6) AS crit,
+             |CASE WHEN ks_d > round(1.358 * sqrt(CAST(n_a + n_b AS DOUBLE) /
+             |(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))), 6) THEN 1 ELSE 0 END AS drift
+             |FROM agg_ ORDER BY event_type""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q186_gini_concentration",
+      // GINI CONCENTRATION of doc length per source — the corpus
+      // balance diagnostic (0 = all docs equal, →1 = a few giants hold
+      // the mass), via the rank formula G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n
+      // over ascending-sorted lengths. Both Σ terms are exact integer
+      // sums (rank·n_chars fits BIGINT with room); the score is one
+      // pinned double expression. The rank window partitions by source
+      // — per-source state only, never a global sort.
+      (s, dir) => {
+        val w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+        Tables.documents(s, dir).select(col("source"), col("n_chars"), col("doc_id"))
+          .withColumn("i", row_number().over(w))
+          .groupBy("source").agg(
+            count(lit(1)).as("n_docs"),
+            sum("n_chars").as("total_chars"),
+            sum(expr("i * n_chars")).as("iw"))
+          .withColumn("gini", round(expr(
+            """2.0D * CAST(iw AS DOUBLE) / (CAST(n_docs AS DOUBLE) * CAST(total_chars AS DOUBLE))
+              | - (CAST(n_docs AS DOUBLE) + 1.0D) / CAST(n_docs AS DOUBLE)"""
+              .stripMargin.replace("\n", " ")), 6))
+          .select("source", "n_docs", "total_chars", "gini")
+          .orderBy("source")
+      },
+      Some("""WITH r AS (SELECT source, n_chars,
+             |row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS i
+             |FROM documents),
+             |a AS (SELECT source, count(*) AS n_docs,
+             |CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             |CAST(sum(i * n_chars) AS BIGINT) AS iw FROM r GROUP BY 1)
+             |SELECT source, CAST(n_docs AS BIGINT) AS n_docs, total_chars,
+             |round(2.0 * CAST(iw AS DOUBLE) / (CAST(n_docs AS DOUBLE) * CAST(total_chars AS DOUBLE))
+             | - (CAST(n_docs AS DOUBLE) + 1.0) / CAST(n_docs AS DOUBLE), 6) AS gini
+             |FROM a ORDER BY source""".stripMargin.replace("\n", " ")))
   )
 }

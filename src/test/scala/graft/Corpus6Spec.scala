@@ -203,4 +203,123 @@ class Corpus6Spec extends AnyFunSuite with SparkSuite {
     assert(out.exists(_._3 == 1))
     assert(out.exists(r => r._5 != 0))
   }
+
+  private def r4(x: Double): Double =
+    BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("q183 link prediction: top-20 matches a local 4-gram-graph recompute") {
+    val out = SparkEntry.queries("q183_link_prediction")(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id".as[Long], $"text".as[String]).collect()
+
+    val grams = docs.map { case (id, text) =>
+      val w = text.toLowerCase.split(' ').filter(_.nonEmpty)
+      id -> (if (w.length >= 4) w.sliding(4).map(_.mkString(" ")).toSet
+             else Set.empty[String])
+    }
+    val df = grams.flatMap(_._2).groupBy(identity).view.mapValues(_.length).toMap
+    val kept = grams.map { case (id, g) => id -> g.filter(df(_) <= 8) }
+    val byGram = kept.flatMap { case (id, g) => g.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val edges = byGram.values.flatMap { ids =>
+      val s = ids.toSeq.sorted
+      for (i <- s.indices; j <- (i + 1) until s.size) yield (s(i), s(j))
+    }.toSet
+    val nbrs = edges.toSeq.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val cands = nbrs.toSeq.flatMap { case (_, ns) =>
+      val s = ns.toSeq.sorted
+      for (i <- s.indices; j <- (i + 1) until s.size) yield (s(i), s(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expected = cands.toSeq.collect {
+      case ((a, b), cn) if !edges((a, b)) =>
+        val (da, db) = (nbrs(a).size.toLong, nbrs(b).size.toLong)
+        (a, b, cn, da, db, round6(cn.toDouble / (da + db - cn)))
+    }.sortBy { case (a, b, _, _, _, j) => (-j, a, b) }.take(20)
+    assert(out.toSeq == expected)
+    assert(out.nonEmpty, "gate-scale corpus must yield distance-2 candidates")
+  }
+
+  test("q184 moments: skew/kurtosis match an exact-integer-sum local recompute") {
+    val out = SparkEntry.queries("q184_moments_profile")(spark, sfDir)
+      .as[(String, Long, Double, Double, Double, Double)].collect()
+    val ev = Tables.events(spark, sfDir)
+      .select($"event_type".as[String],
+        expr("CAST(round(value * 100) AS BIGINT)").as[Long]).collect()
+    val expected = ev.groupBy(_._1).toSeq.sortBy(_._1).map { case (et, rows) =>
+      val cs = rows.map(r => BigInt(r._2))
+      val n = cs.length.toLong; val nn = n.toDouble
+      val s1 = cs.sum.toDouble
+      val s2 = cs.map(c => c * c).sum.toDouble
+      val s3 = cs.map(c => c * c * c).sum.toDouble
+      val s4 = cs.map(c => c * c * c * c).sum.toDouble
+      val mean = s1 / nn
+      val m2 = s2 / nn - mean * mean
+      val m3 = s3 / nn - 3 * mean * (s2 / nn) + 2 * mean * mean * mean
+      val m4 = s4 / nn - 4 * mean * (s3 / nn) + 6 * mean * mean * (s2 / nn) -
+        3 * mean * mean * mean * mean
+      (et, n, r4(mean / 100), r4(math.sqrt(m2) / 100),
+        r4(m3 / math.pow(m2, 1.5)), r4(m4 / (m2 * m2) - 3))
+    }
+    assert(out.toSeq == expected)
+    // events.value is exponential-ish: every type should be right-skewed
+    // with positive excess kurtosis.
+    assert(out.forall(r => r._5 > 0 && r._6 > 0))
+  }
+
+  test("q185 KS drift: D statistics match a local binned-ECDF recompute") {
+    val out = SparkEntry.queries("q185_ks_drift")(spark, sfDir)
+      .as[(String, Long, Long, Double, Double, Int)].collect()
+    val ev = Tables.events(spark, sfDir)
+      .select($"event_type".as[String], expr("unix_micros(ts)").as[Long],
+        $"value".as[Double]).collect()
+    def dayOf(us: Long): java.time.LocalDate =
+      java.time.Instant.ofEpochSecond(Math.floorDiv(us, 1000000L))
+        .atZone(java.time.ZoneOffset.UTC).toLocalDate
+    val days = ev.map(e => dayOf(e._2))
+    val (dmin, dmax) = (days.min, days.max)
+    val span = java.time.temporal.ChronoUnit.DAYS.between(dmin, dmax)
+    val expected = ev.groupBy(_._1).toSeq.sortBy(_._1).map { case (et, rows) =>
+      val tagged = rows.map { case (_, us, v) =>
+        val off = java.time.temporal.ChronoUnit.DAYS.between(dmin, dayOf(us))
+        (if (off * 2 <= span) "a" else "b", v)
+      }
+      val vmin = rows.map(_._3).min; val vmax = rows.map(_._3).max
+      def bin(v: Double): Int =
+        if (vmax == vmin) 0
+        else math.min(31, math.floor((v - vmin) / ((vmax - vmin) / 32.0)).toInt)
+      val cells = tagged.groupBy { case (sm, v) => bin(v) }.toSeq.sortBy(_._1)
+        .map { case (b, g) =>
+          (b, g.count(_._1 == "a").toLong, g.count(_._1 == "b").toLong) }
+      val na = cells.map(_._2).sum; val nb = cells.map(_._3).sum
+      var (ca, cb) = (0L, 0L); var d = 0.0
+      for ((_, a, b) <- cells) {
+        ca += a; cb += b
+        d = math.max(d, math.abs(ca.toDouble / na - cb.toDouble / nb))
+      }
+      val ksd = round6(d)
+      val crit = round6(1.358 * math.sqrt((na + nb).toDouble / (na.toDouble * nb.toDouble)))
+      (et, na, nb, ksd, crit, if (ksd > crit) 1 else 0)
+    }
+    assert(out.toSeq == expected)
+  }
+
+  test("q186 Gini: scores match a local rank-formula recompute and stay in [0,1)") {
+    val out = SparkEntry.queries("q186_gini_concentration")(spark, sfDir)
+      .as[(String, Long, Long, Double)].collect()
+    val docs = Tables.documents(spark, sfDir)
+      .select($"source".as[String], $"n_chars".as[Long], $"doc_id".as[Long]).collect()
+    val expected = docs.groupBy(_._1).toSeq.sortBy(_._1).map { case (src, rows) =>
+      val sorted = rows.sortBy(r => (r._2, r._3))
+      val n = sorted.length.toLong
+      val tot = sorted.map(_._2).sum
+      val iw = sorted.zipWithIndex.map { case ((_, x, _), i) => (i + 1) * x }.sum
+      val gini = round6(2.0 * iw.toDouble / (n.toDouble * tot.toDouble) -
+        (n.toDouble + 1.0) / n.toDouble)
+      (src, n, tot, gini)
+    }
+    assert(out.toSeq == expected)
+    assert(out.forall(r => r._4 >= 0.0 && r._4 < 1.0))
+  }
 }
