@@ -239,6 +239,35 @@ class PlanShapeSpec extends AnyFunSuite with SparkSuite {
     assert("""Window \[[^\n]*\], \[source#\d+, bkt#\d+\]""".r.findFirstIn(p115).isDefined, p115.take(600))
   }
 
+  test("q178-q186 closers: single-partition exchanges only under scalar aggregates") {
+    // q178's merge window partitions by the key, q180's top-2 by
+    // vec_id, q185's ECDF by event_type, q186's rank by source, and
+    // q179 derives shard ids from broadcast percentile boundaries with
+    // no window at all — so the ONLY legitimate SinglePartition
+    // exchanges in this family are tiny scalar-aggregate merges
+    // (percentile boundaries, date/value spans, global medians), each
+    // one partial row per upstream partition. Pin exactly that.
+    val fam = Seq("q178_cdc_apply", "q179_zonemap_pruning", "q180_mutual_knn",
+      "q181_seasonal_anomaly", "q184_moments_profile", "q185_ks_drift",
+      "q186_gini_concentration")
+    for (q <- fam) {
+      val lines = plan(q).split("\n")
+      lines.zipWithIndex.filter(_._1.contains("Exchange SinglePartition")).foreach {
+        case (_, i) =>
+          val next = lines.slice(i + 1, i + 3).mkString("\n")
+          // `keys=[], functions=[]` is the degenerate scalar agg Spark
+          // plans under a literal-only derivation — same one-row-per-
+          // partition input as a partial_ merge.
+          assert(next.contains("Aggregate") &&
+            (next.contains("partial_") || next.contains("keys=[], functions=[]")),
+            s"$q: SinglePartition exchange not a scalar-agg merge:\n" +
+              lines.slice(i, i + 3).mkString("\n"))
+      }
+    }
+    assert(!plan("q179_zonemap_pruning").contains("Window"),
+      "q179 must not re-grow a global ntile/rank window")
+  }
+
   test("q153 KMV set-algebra joins stay broadcast — sketches never sort-merge") {
     val p = plan("q153_kmv_distinct_sketch")
     assert(!p.contains("SortMergeJoin"), p.take(600))
