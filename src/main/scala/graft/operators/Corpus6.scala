@@ -79,6 +79,24 @@ import org.apache.spark.sql.functions._
   * aggregate into (type, bin≤32) cells, then windows over ≤32-row
   * partitions. q186's rank window partitions by source — per-source
   * state only; none of the four has a global-order window.
+  *
+  * Third tranche (q187-q189) — the customer-analytics closers:
+  *
+  *  - q187 RFM segmentation: per-user recency/frequency/monetary
+  *    quartile scores against BROADCAST percentile boundaries (the
+  *    q179 range-boundary mechanism, reused deliberately — never a
+  *    global ntile window over users), rolled into named segments.
+  *  - q188 Holt double-exponential forecast: per-type level+trend
+  *    smoothing over the daily-count series (α=0.5, β=0.3), 1-3 day
+  *    forecasts and mean squared one-step error. The recurrence runs
+  *    as a day-ordered fold per series (q114/q175's sorted-fold
+  *    discipline) on ≤|days| rows; the DuckDB oracle executes the
+  *    identical recurrence as a recursive CTE.
+  *  - q189 marketing attribution: each purchase's revenue attributed
+  *    to the last non-purchase touch before it AND to the user's
+  *    first touch (both IGNORE-NULLS windows per user, q29's as-of
+  *    discipline; no prior touch → 'direct'), reported per channel.
+  *    The event-order tie-break is the q126 (ts, event_id) rule.
   */
 object Corpus6 {
 
@@ -608,6 +626,186 @@ object Corpus6 {
              |SELECT source, CAST(n_docs AS BIGINT) AS n_docs, total_chars,
              |round(2.0 * CAST(iw AS DOUBLE) / (CAST(n_docs AS DOUBLE) * CAST(total_chars AS DOUBLE))
              | - (CAST(n_docs AS DOUBLE) + 1.0) / CAST(n_docs AS DOUBLE), 6) AS gini
-             |FROM a ORDER BY source""".stripMargin.replace("\n", " ")))
+             |FROM a ORDER BY source""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q187_rfm_segments",
+      // RFM SEGMENTATION — recency (days since last event), frequency
+      // (event count), monetary (purchase cents) per user, each scored
+      // 1-4 against the population's broadcast quartile boundaries
+      // (count-of-boundaries-below — the q179 range-boundary fold, NOT
+      // a global ntile window over users), then named segments from
+      // the score combination. R/F/M are exact integers; boundaries
+      // are interpolated percentiles (cross-engine agreement proven at
+      // q132); segment means are single divisions of integer sums.
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select(col("user_id"),
+          to_date(col("ts")).as("d"), col("event_type"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+        val mx = ev.agg(max("d").as("dmax"))
+        val peru = ev.crossJoin(broadcast(mx)).groupBy("user_id").agg(
+          min(datediff(col("dmax"), col("d"))).as("r"),
+          count(lit(1)).as("f"),
+          sum(when(col("event_type") === "purchase", col("c")).otherwise(0L)).as("m"))
+        val b = peru.agg(
+          expr("percentile(r, array(0.25D, 0.5D, 0.75D))").as("rb"),
+          expr("percentile(f, array(0.25D, 0.5D, 0.75D))").as("fb"),
+          expr("percentile(m, array(0.25D, 0.5D, 0.75D))").as("mb"))
+        def score(v: String, bs: String) =
+          s"1 + aggregate($bs, 0, (a, x) -> a + CASE WHEN CAST($v AS DOUBLE) > x THEN 1 ELSE 0 END)"
+        peru.crossJoin(broadcast(b))
+          .withColumn("rq", expr(score("r", "rb")))
+          .withColumn("fq", expr(score("f", "fb")))
+          .withColumn("mq", expr(score("m", "mb")))
+          .withColumn("segment", expr(
+            """CASE WHEN rq <= 2 AND fq >= 3 AND mq >= 3 THEN 'champion'
+              |WHEN rq >= 3 AND fq <= 2 THEN 'at_risk'
+              |WHEN rq <= 2 AND fq <= 2 THEN 'casual'
+              |ELSE 'regular' END""".stripMargin.replace("\n", " ")))
+          .groupBy("segment").agg(
+            count(lit(1)).as("n_users"),
+            round(expr("CAST(sum(r) AS DOUBLE) / count(1)"), 2).as("avg_recency"),
+            round(expr("CAST(sum(f) AS DOUBLE) / count(1)"), 2).as("avg_freq"),
+            round(expr("CAST(sum(m) AS DOUBLE) / count(1) / 100"), 2).as("avg_monetary"))
+          .orderBy("segment")
+      },
+      Some("""WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d, event_type,
+             |CAST(round(value * 100) AS BIGINT) AS c FROM events),
+             |mx AS (SELECT max(d) AS dmax FROM ev),
+             |peru AS (SELECT user_id, min(datediff('day', d, dmax)) AS r,
+             |count(*) AS f,
+             |CAST(sum(CASE WHEN event_type = 'purchase' THEN c ELSE 0 END) AS BIGINT) AS m
+             |FROM ev, mx GROUP BY 1),
+             |b AS (SELECT quantile_cont(r, [0.25, 0.5, 0.75]) AS rb,
+             |quantile_cont(f, [0.25, 0.5, 0.75]) AS fb,
+             |quantile_cont(m, [0.25, 0.5, 0.75]) AS mb FROM peru),
+             |sc AS (SELECT user_id, r, f, m,
+             |1 + CAST(list_sum(list_transform(rb, x -> CASE WHEN CAST(r AS DOUBLE) > x THEN 1 ELSE 0 END)) AS INT) AS rq,
+             |1 + CAST(list_sum(list_transform(fb, x -> CASE WHEN CAST(f AS DOUBLE) > x THEN 1 ELSE 0 END)) AS INT) AS fq,
+             |1 + CAST(list_sum(list_transform(mb, x -> CASE WHEN CAST(m AS DOUBLE) > x THEN 1 ELSE 0 END)) AS INT) AS mq
+             |FROM peru, b),
+             |seg AS (SELECT *,
+             |CASE WHEN rq <= 2 AND fq >= 3 AND mq >= 3 THEN 'champion'
+             |WHEN rq >= 3 AND fq <= 2 THEN 'at_risk'
+             |WHEN rq <= 2 AND fq <= 2 THEN 'casual'
+             |ELSE 'regular' END AS segment FROM sc)
+             |SELECT segment, CAST(count(*) AS BIGINT) AS n_users,
+             |round(CAST(sum(r) AS DOUBLE) / count(*), 2) AS avg_recency,
+             |round(CAST(sum(f) AS DOUBLE) / count(*), 2) AS avg_freq,
+             |round(CAST(sum(m) AS DOUBLE) / count(*) / 100, 2) AS avg_monetary
+             |FROM seg GROUP BY 1 ORDER BY segment""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q188_holt_forecast",
+      // HOLT DOUBLE-EXPONENTIAL FORECAST — per event type over the
+      // daily-count series: l₁=y₁, b₁=0, then
+      //   lₜ = α·yₜ + (1−α)·(l+b),  bₜ = β·(lₜ−l) + (1−β)·b,
+      // α=0.5, β=0.3, with the one-step squared error accumulated
+      // BEFORE each update (pred = l+b). Forecasts l+h·b for h=1..3.
+      // The Spark side is a day-ordered sequential fold (q114/q175
+      // discipline — identical IEEE op order everywhere); the oracle
+      // executes the IDENTICAL recurrence as a recursive CTE, one row
+      // per (type, step). Squares are written as products, not pow().
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .select(col("event_type"), to_date(col("ts")).as("d"))
+          .groupBy("event_type", "d").agg(count(lit(1)).cast("double").as("y"))
+        val fold = """aggregate(array_sort(collect_list(struct(d, y))),
+          |named_struct('l', 0D, 'b', 0D, 'sse', 0D, 'k', 0),
+          |(acc, x) -> CASE WHEN acc.k = 0
+          |THEN named_struct('l', x.y, 'b', 0D, 'sse', 0D, 'k', 1)
+          |ELSE named_struct(
+          |'l', 0.5D * x.y + 0.5D * (acc.l + acc.b),
+          |'b', 0.3D * ((0.5D * x.y + 0.5D * (acc.l + acc.b)) - acc.l) + 0.7D * acc.b,
+          |'sse', acc.sse + (x.y - (acc.l + acc.b)) * (x.y - (acc.l + acc.b)),
+          |'k', acc.k + 1) END)""".stripMargin.replace("\n", " ")
+        daily.groupBy("event_type").agg(expr(fold).as("st"))
+          .selectExpr("event_type", "CAST(st.k AS BIGINT) AS n_days",
+            "round(st.l, 4) AS level", "round(st.b, 4) AS trend",
+            "round(st.l + st.b, 4) AS f1",
+            "round(st.l + 2 * st.b, 4) AS f2",
+            "round(st.l + 3 * st.b, 4) AS f3",
+            "round(st.sse / (st.k - 1), 4) AS msse")
+          .orderBy("event_type")
+      },
+      Some("""WITH RECURSIVE daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+             |CAST(count(*) AS DOUBLE) AS y FROM events GROUP BY 1, 2),
+             |idx AS (SELECT event_type, y,
+             |row_number() OVER (PARTITION BY event_type ORDER BY d) AS i FROM daily),
+             |n AS (SELECT event_type, max(i) AS nmax FROM idx GROUP BY 1),
+             |rec AS (
+             |SELECT event_type, 1 AS k, y AS l, CAST(0 AS DOUBLE) AS b,
+             |CAST(0 AS DOUBLE) AS sse FROM idx WHERE i = 1
+             |UNION ALL
+             |SELECT r.event_type, r.k + 1,
+             |0.5 * x.y + 0.5 * (r.l + r.b),
+             |0.3 * ((0.5 * x.y + 0.5 * (r.l + r.b)) - r.l) + 0.7 * r.b,
+             |r.sse + (x.y - (r.l + r.b)) * (x.y - (r.l + r.b))
+             |FROM rec r JOIN idx x ON x.event_type = r.event_type AND x.i = r.k + 1),
+             |fin AS (SELECT rec.* FROM rec JOIN n USING (event_type) WHERE k = nmax)
+             |SELECT event_type, CAST(k AS BIGINT) AS n_days,
+             |round(l, 4) AS level, round(b, 4) AS trend,
+             |round(l + b, 4) AS f1, round(l + 2 * b, 4) AS f2, round(l + 3 * b, 4) AS f3,
+             |round(sse / (k - 1), 4) AS msse
+             |FROM fin ORDER BY event_type""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q189_attribution",
+      // MARKETING ATTRIBUTION — each purchase's revenue credited to
+      // (a) the LAST non-purchase touch before it and (b) the user's
+      // FIRST non-purchase touch before it, both via IGNORE-NULLS
+      // windows per user ordered by the q126 (ts, event_id) rule;
+      // purchases with no prior touch land in 'direct'. Revenue stays
+      // in exact integer cents until the final /100. The windows are
+      // user-keyed — per-user state only, the as-of discipline of q29.
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select(col("user_id"), col("ts"),
+          col("event_id"), col("event_type"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+        val wPrev = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val touch = when(col("event_type") =!= "purchase", col("event_type"))
+        val pur = ev
+          .withColumn("last_ch", last(touch, ignoreNulls = true).over(wPrev))
+          .withColumn("first_ch", first(touch, ignoreNulls = true).over(wPrev))
+          .filter(col("event_type") === "purchase")
+          .select(coalesce(col("last_ch"), lit("direct")).as("last_ch"),
+            coalesce(col("first_ch"), lit("direct")).as("first_ch"), col("c"))
+        val lastAgg = pur.groupBy(col("last_ch").as("channel"))
+          .agg(count(lit(1)).as("n_last"), sum("c").as("lc"))
+        val firstAgg = pur.groupBy(col("first_ch").as("channel"))
+          .agg(count(lit(1)).as("n_first"), sum("c").as("fc"))
+        lastAgg.join(firstAgg, Seq("channel"), "full_outer")
+          .select(col("channel"),
+            coalesce(col("n_last"), lit(0L)).as("n_last"),
+            round(coalesce(col("lc"), lit(0L)) / lit(100.0), 2).as("last_touch_rev"),
+            coalesce(col("n_first"), lit(0L)).as("n_first"),
+            round(coalesce(col("fc"), lit(0L)) / lit(100.0), 2).as("first_touch_rev"))
+          .orderBy("channel")
+      },
+      Some("""WITH ev AS (SELECT user_id, ts, event_id, event_type,
+             |CAST(round(value * 100) AS BIGINT) AS c FROM events),
+             |t AS (SELECT *,
+             |last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+             |OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_ch,
+             |first_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+             |OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS first_ch
+             |FROM ev),
+             |pur AS (SELECT coalesce(last_ch, 'direct') AS last_ch,
+             |coalesce(first_ch, 'direct') AS first_ch, c FROM t
+             |WHERE event_type = 'purchase'),
+             |la AS (SELECT last_ch AS channel, count(*) AS n_last,
+             |CAST(sum(c) AS BIGINT) AS lc FROM pur GROUP BY 1),
+             |fa AS (SELECT first_ch AS channel, count(*) AS n_first,
+             |CAST(sum(c) AS BIGINT) AS fc FROM pur GROUP BY 1)
+             |SELECT channel,
+             |CAST(coalesce(n_last, 0) AS BIGINT) AS n_last,
+             |round(coalesce(lc, 0) / 100.0, 2) AS last_touch_rev,
+             |CAST(coalesce(n_first, 0) AS BIGINT) AS n_first,
+             |round(coalesce(fc, 0) / 100.0, 2) AS first_touch_rev
+             |FROM la FULL OUTER JOIN fa USING (channel)
+             |ORDER BY channel""".stripMargin.replace("\n", " ")))
   )
 }

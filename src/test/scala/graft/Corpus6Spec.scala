@@ -322,4 +322,118 @@ class Corpus6Spec extends AnyFunSuite with SparkSuite {
     assert(out.toSeq == expected)
     assert(out.forall(r => r._4 >= 0.0 && r._4 < 1.0))
   }
+
+  private def r2d(x: Double): Double =
+    BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private def quantI(sorted: Seq[Long], f: Double): Double = {
+    val pos = f * (sorted.length - 1)
+    val lo = pos.toInt; val frac = pos - lo
+    if (lo + 1 < sorted.length) sorted(lo) * (1 - frac) + sorted(lo + 1) * frac
+    else sorted(lo).toDouble
+  }
+
+  test("q187 RFM: segment report matches a local quartile-score replay") {
+    val out = SparkEntry.queries("q187_rfm_segments")(spark, sfDir)
+      .as[(String, Long, Double, Double, Double)].collect()
+    val ev = Tables.events(spark, sfDir)
+      .select($"user_id".as[Long], expr("unix_micros(ts)").as[Long],
+        $"event_type".as[String],
+        expr("CAST(round(value * 100) AS BIGINT)").as[Long]).collect()
+    def dayOf(us: Long): java.time.LocalDate =
+      java.time.Instant.ofEpochSecond(Math.floorDiv(us, 1000000L))
+        .atZone(java.time.ZoneOffset.UTC).toLocalDate
+    val dmax = ev.map(e => dayOf(e._2)).max
+    val peru = ev.groupBy(_._1).toSeq.map { case (u, rows) =>
+      val r = rows.map(e =>
+        java.time.temporal.ChronoUnit.DAYS.between(dayOf(e._2), dmax)).min
+      val f = rows.length.toLong
+      val m = rows.filter(_._3 == "purchase").map(_._4).sum
+      (u, r, f, m)
+    }
+    def bounds(xs: Seq[Long]): Seq[Double] = {
+      val s = xs.sorted
+      Seq(0.25, 0.5, 0.75).map(quantI(s, _))
+    }
+    val (rb, fb, mb) = (bounds(peru.map(_._2)), bounds(peru.map(_._3)), bounds(peru.map(_._4)))
+    def sc(v: Long, bs: Seq[Double]) = 1 + bs.count(v.toDouble > _)
+    val segs = peru.map { case (_, r, f, m) =>
+      val (rq, fq, mq) = (sc(r, rb), sc(f, fb), sc(m, mb))
+      val seg =
+        if (rq <= 2 && fq >= 3 && mq >= 3) "champion"
+        else if (rq >= 3 && fq <= 2) "at_risk"
+        else if (rq <= 2 && fq <= 2) "casual"
+        else "regular"
+      (seg, r, f, m)
+    }
+    val expected = segs.groupBy(_._1).toSeq.sortBy(_._1).map { case (seg, g) =>
+      val n = g.length
+      (seg, n.toLong, r2d(g.map(_._2).sum.toDouble / n),
+        r2d(g.map(_._3).sum.toDouble / n),
+        r2d(g.map(_._4).sum.toDouble / n / 100))
+    }
+    assert(out.toSeq == expected)
+    assert(out.map(_._2).sum == peru.size, "segments must partition the users")
+  }
+
+  test("q188 Holt forecast matches a local sequential-recurrence replay") {
+    val out = SparkEntry.queries("q188_holt_forecast")(spark, sfDir)
+      .as[(String, Long, Double, Double, Double, Double, Double, Double)].collect()
+    val ev = Tables.events(spark, sfDir)
+      .select($"event_type".as[String], expr("unix_micros(ts)").as[Long]).collect()
+    def dayOf(us: Long): java.time.LocalDate =
+      java.time.Instant.ofEpochSecond(Math.floorDiv(us, 1000000L))
+        .atZone(java.time.ZoneOffset.UTC).toLocalDate
+    val expected = ev.groupBy(_._1).toSeq.sortBy(_._1).map { case (et, rows) =>
+      val ys = rows.groupBy(e => dayOf(e._2)).toSeq.sortBy(_._1.toString)
+        .map(_._2.length.toDouble)
+      var l = ys.head; var b = 0.0; var sse = 0.0; var k = 1
+      for (y <- ys.tail) {
+        sse = sse + (y - (l + b)) * (y - (l + b))
+        val nl = 0.5 * y + 0.5 * (l + b)
+        b = 0.3 * (nl - l) + 0.7 * b
+        l = nl
+        k += 1
+      }
+      (et, k.toLong, r4(l), r4(b), r4(l + b), r4(l + 2 * b), r4(l + 3 * b),
+        r4(sse / (k - 1)))
+    }
+    assert(out.toSeq == expected)
+    // Forecasts continue the trend line: f2 − f1 equals the trend up to
+    // the two 4dp roundings.
+    assert(out.forall(r => ((r._6 - r._5) - r._4).abs <= 2.1e-4))
+  }
+
+  test("q189 attribution matches a local walk; revenue is conserved") {
+    val out = SparkEntry.queries("q189_attribution")(spark, sfDir)
+      .as[(String, Long, Double, Long, Double)].collect()
+    val ev = Tables.events(spark, sfDir)
+      .select($"user_id".as[Long], expr("unix_micros(ts)").as[Long],
+        $"event_id".as[Long], $"event_type".as[String],
+        expr("CAST(round(value * 100) AS BIGINT)").as[Long]).collect()
+    val attributions = ev.groupBy(_._1).values.flatMap { rows =>
+      val sorted = rows.sortBy(r => (r._2, r._3))
+      var firstTouch: Option[String] = None
+      var lastTouch: Option[String] = None
+      sorted.flatMap { case (_, _, _, et, c) =>
+        if (et == "purchase")
+          Some((lastTouch.getOrElse("direct"), firstTouch.getOrElse("direct"), c))
+        else {
+          if (firstTouch.isEmpty) firstTouch = Some(et)
+          lastTouch = Some(et)
+          None
+        }
+      }
+    }.toSeq
+    val channels = (attributions.map(_._1) ++ attributions.map(_._2)).distinct.sorted
+    val expected = channels.map { ch =>
+      val la = attributions.filter(_._1 == ch)
+      val fa = attributions.filter(_._2 == ch)
+      (ch, la.size.toLong, r2d(la.map(_._3).sum / 100.0),
+        fa.size.toLong, r2d(fa.map(_._3).sum / 100.0))
+    }
+    assert(out.toSeq == expected)
+    val nPur = attributions.size.toLong
+    assert(out.map(_._2).sum == nPur && out.map(_._4).sum == nPur)
+  }
 }
