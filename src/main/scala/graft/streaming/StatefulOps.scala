@@ -261,6 +261,54 @@ object StatefulOps {
       }
   }
 
+  final case class EvCents(etype: String, c: Long)
+  final case class MomentSketch(etype: String, n: Long, mean_val: Double,
+      sd_val: Double, skewness: Double, ex_kurtosis: Double)
+
+  /** Streaming twin of q184's higher-moment profile: the per-type power
+    * sums (n, Σc, Σc², Σc³, Σc⁴) held in keyed state — a PERFECT
+    * commutative monoid, so any micro-batch split and ANY arrival order
+    * settle to exactly the batch statistics (no ulp caveat: the sums are
+    * exact big integers, serialized as decimal strings in state because
+    * Σc⁴ outruns both Long and the default Decimal(38,18) encoder; the
+    * doubles only appear in the published row, computed by the IDENTICAL
+    * formula tree as q184 so the rounded outputs match bit-for-bit).
+    * State is five numbers per event type FOREVER — the same bounded-
+    * state trade as the KMV/HLL twins. */
+  def momentsStream(events: Dataset[EvCents]): Dataset[MomentSketch] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.etype)
+      .flatMapGroupsWithState[(Long, String, String, String, String), MomentSketch](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (etype: String, rows: Iterator[EvCents],
+            state: GroupState[(Long, String, String, String, String)]) =>
+          val (n0, a1, a2, a3, a4) =
+            state.getOption.getOrElse((0L, "0", "0", "0", "0"))
+          var n = n0
+          var s1 = BigInt(a1); var s2 = BigInt(a2)
+          var s3 = BigInt(a3); var s4 = BigInt(a4)
+          rows.foreach { r =>
+            val c = BigInt(r.c); val c2 = c * c
+            n += 1; s1 += c; s2 += c2; s3 += c2 * c; s4 += c2 * c2
+          }
+          state.update((n, s1.toString, s2.toString, s3.toString, s4.toString))
+          // q184's exact formula tree (same left-assoc op order).
+          val nn = n.toDouble
+          val d1 = s1.toDouble; val d2 = s2.toDouble
+          val d3 = s3.toDouble; val d4 = s4.toDouble
+          val mean = d1 / nn
+          val m2 = d2 / nn - mean * mean
+          val m3 = d3 / nn - 3 * mean * (d2 / nn) + 2 * mean * mean * mean
+          val m4 = d4 / nn - 4 * mean * (d3 / nn) + 6 * mean * mean * (d2 / nn) -
+            3 * mean * mean * mean * mean
+          def r4(x: Double): Double =
+            BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+          Iterator(MomentSketch(etype, n, r4(mean / 100), r4(math.sqrt(m2) / 100),
+            if (m2 <= 0) Double.NaN else r4(m3 / math.pow(m2, 1.5)),
+            if (m2 <= 0) Double.NaN else r4(m4 / (m2 * m2) - 3)))
+      }
+  }
+
   /** Batch twin for equivalence tests. */
   def runningStatsBatch(spark: SparkSession, dir: String): Dataset[UserStat] = {
     import spark.implicits._

@@ -277,6 +277,37 @@ class StatefulStreamingSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("streaming moment sketch settles EXACTLY to q184's published statistics") {
+    val dir = "/root/testdata/sf0.01"
+    val stage = java.nio.file.Files.createTempDirectory("graft_mom_stage")
+    val cents = Tables.events(spark, dir)
+      .select($"event_type".as("etype"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+    // shuffled arrival across 4 files — the monoid claim is exact, so
+    // the final rows must match the batch query bit-for-bit.
+    cents.orderBy(md5(concat($"etype", $"c".cast("string")))).repartition(4)
+      .write.mode("overwrite").parquet(stage.toString)
+    val stream = spark.readStream.schema(cents.schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage.toString)
+      .as[StatefulOps.EvCents]
+    val q = StatefulOps.momentsStream(stream).writeStream
+      .outputMode("update").format("memory").queryName("mom_stream")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val fin = spark.table("mom_stream")
+      .select("etype", "n", "mean_val", "sd_val", "skewness", "ex_kurtosis")
+      .as[(String, Long, Double, Double, Double, Double)].collect()
+      .groupBy(_._1).map { case (k, rs) => k -> rs.maxBy(_._2) } // n is the high-water mark
+    val batch = SparkEntry.queries("q184_moments_profile")(spark, dir)
+      .as[(String, Long, Double, Double, Double, Double)].collect()
+    assert(batch.nonEmpty && fin.size == batch.length)
+    assert(spark.table("mom_stream").count() > batch.length,
+      "single micro-batch — the state-merge path was never exercised")
+    batch.foreach { case (et, n, mean, sd, skew, kurt) =>
+      assert(fin(et) == ((et, n, mean, sd, skew, kurt)), s"$et: ${fin(et)}")
+    }
+  }
+
   test("streaming dedup by event_id keeps exactly the distinct ids") {
     val q = StreamingTwin.dedupStream(stagedEventStream()).writeStream
       .outputMode("append").format("memory").queryName("dedup_stream")
