@@ -176,6 +176,33 @@ object Flows {
     spark.read.parquet(outDir)
   }
 
+  /** The SERIES-MONITORING flow (round 5's observability family as one
+    * API): per event type, q185's distribution-drift verdict, q188's
+    * Holt level/trend/forecasts, and q184's higher moments joined into
+    * a single health report, landed ordered by event_type with q181's
+    * flagged anomalous days written alongside (`_anomalies`) — the
+    * artifact an ingest-monitoring plane reviews each day. Returns the
+    * health frame. Every component is its own oracled query; the flow
+    * only joins |event_type|-row outputs, so composition adds no
+    * corpus-scale work. */
+  def monitoringFlow(spark: SparkSession, dir: String, outDir: String): DataFrame = {
+    val drift = SparkEntry.queries("q185_ks_drift")(spark, dir)
+      .select(col("event_type"), col("ks_d"), col("drift"))
+    val forecast = SparkEntry.queries("q188_holt_forecast")(spark, dir)
+      .select(col("event_type"), col("level"), col("trend"),
+        col("f1"), col("f2"), col("f3"), col("msse"))
+    val moments = SparkEntry.queries("q184_moments_profile")(spark, dir)
+      .select(col("event_type"), col("n"), col("mean_val"),
+        col("sd_val"), col("skewness"), col("ex_kurtosis"))
+    val health = moments.join(drift, Seq("event_type"))
+      .join(forecast, Seq("event_type"))
+    graft.sources.Sinks.writeOrdered(health, Seq(col("event_type")), outDir, Some(1))
+    SparkEntry.queries("q181_seasonal_anomaly")(spark, dir)
+      .filter(col("anomaly") === 1)
+      .write.mode("overwrite").parquet(s"$outDir/_anomalies")
+    spark.read.parquet(outDir)
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master("local[4]")
@@ -220,6 +247,10 @@ object Flows {
     val sem = semanticDedupFlow(spark, "/root/testdata/sf0.001",
       out.resolve("semdedup").toString)
     println(s"FLOW semdedup kept=${sem.count()}")
+
+    val mon = monitoringFlow(spark, "/root/testdata/sf0.001",
+      out.resolve("monitoring").toString)
+    println(s"FLOW monitoring series=${mon.count()}")
     spark.stop()
   }
 }

@@ -152,6 +152,28 @@ class FlowsSpec extends AnyFunSuite with SparkSuite {
     assert(json.startsWith("{\n  \"join\": {"))
   }
 
+  test("monitoring flow lands one health row per series, consistent with its component queries") {
+    val out = java.nio.file.Files.createTempDirectory("graft_flows_mon")
+    val health = Flows.monitoringFlow(spark, sfDir, out.resolve("mon").toString)
+    val types = Tables.events(spark, sfDir)
+      .select($"event_type".as[String]).distinct().collect().toSet
+    val rows = health.collect()
+    assert(rows.map(_.getAs[String]("event_type")).toSet == types)
+    // every component's columns landed, none null
+    val cols = Seq("n", "mean_val", "sd_val", "skewness", "ex_kurtosis",
+      "ks_d", "drift", "level", "trend", "f1", "f2", "f3", "msse")
+    for (c <- cols; r <- rows) assert(!r.isNullAt(r.fieldIndex(c)), s"null $c")
+    // health values must equal the standalone oracled queries
+    val drift = SparkEntry.queries("q185_ks_drift")(spark, sfDir)
+      .select($"event_type".as[String], $"ks_d".as[Double]).collect().toMap
+    assert(rows.forall(r => drift(r.getAs[String]("event_type")) == r.getAs[Double]("ks_d")))
+    // the anomalies sidecar is exactly q181's flagged days
+    val anom = spark.read.parquet(out.resolve("mon").toString + "/_anomalies").count()
+    val q181 = SparkEntry.queries("q181_seasonal_anomaly")(spark, sfDir)
+      .filter($"anomaly" === 1).count()
+    assert(anom == q181)
+  }
+
   test("semantic-dedup flow lands exactly q170's kept docs plus a consistent cluster ledger") {
     val out = java.nio.file.Files.createTempDirectory("graft_semdedup_flow")
     val landed = Flows.semanticDedupFlow(spark, sfDir, out.resolve("kept").toString)
