@@ -28,6 +28,7 @@ object SparkEntry {
       operators.Corpus4.defs ++
       operators.Corpus5.defs ++
       operators.Corpus6.defs ++
+      operators.Corpus7.defs ++
       sources.Articles.defs ++
       ml.MlQueries.defs
 

@@ -309,6 +309,56 @@ object StatefulOps {
       }
   }
 
+  final case class UserEvt(user_id: Long, us: Long)
+  final case class BurstStat(user_id: Long, n_events: Long, peak_24h: Long,
+      n_bursty: Long, first_burst_day: String)
+
+  /** Streaming twin of q194's burst-rate audit: per-user keyed state
+    * holding the user's event-time multiset (sorted micros), from which
+    * each trigger recomputes the trailing-24 h sliding counts with one
+    * two-pointer sweep — so the published (peak, n_bursty, first day)
+    * match the batch RANGE-frame query BIT-FOR-BIT under ANY arrival
+    * order or micro-batch split (a late event can retroactively raise
+    * an earlier event's window count; only the full multiset makes that
+    * exact). Production note: under an event-time watermark the
+    * retained multiset is bounded to watermark + 24 h horizon per key
+    * (older timestamps can no longer change any window), which is the
+    * usual bounded-state trade; the fixture replay keeps full history
+    * to prove exact order-independence. */
+  def burstStream(events: Dataset[UserEvt]): Dataset[BurstStat] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Seq[Long], BurstStat](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[UserEvt], state: GroupState[Seq[Long]]) =>
+          val ts = (state.getOption.getOrElse(Seq.empty[Long]) ++
+            rows.map(_.us)).sorted
+          state.update(ts)
+          // Two-pointer sweep: win(i) = #events in [ts(i)−24h, ts(i)]
+          // (RANGE semantics — peers share the post-group value, which
+          // the ≤-scan reproduces since equal micros are adjacent).
+          var lo = 0
+          var peak = 0L; var bursty = 0L; var firstDay: String = null
+          for (i <- ts.indices) {
+            while (ts(lo) < ts(i) - 86400000000L) lo += 1
+            // extend over the peer group of ts(i): count all j ≤ last
+            // index with ts(j) == ts(i)
+            var hi = i
+            while (hi + 1 < ts.length && ts(hi + 1) == ts(i)) hi += 1
+            val win = (hi - lo + 1).toLong
+            if (win > peak) peak = win
+            if (win >= 5L) {
+              bursty += 1
+              val d = java.time.Instant
+                .ofEpochSecond(Math.floorDiv(ts(i), 1000000L))
+                .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
+              if (firstDay == null || d < firstDay) firstDay = d
+            }
+          }
+          Iterator(BurstStat(uid, ts.length.toLong, peak, bursty, firstDay))
+      }
+  }
+
   /** Batch twin for equivalence tests. */
   def runningStatsBatch(spark: SparkSession, dir: String): Dataset[UserStat] = {
     import spark.implicits._

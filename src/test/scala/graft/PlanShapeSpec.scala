@@ -268,6 +268,27 @@ class PlanShapeSpec extends AnyFunSuite with SparkSuite {
       "q179 must not re-grow a global ntile/rank window")
   }
 
+  test("q190/q193-q195: basket pairing stays order-keyed, skyline never goes quadratic, burst/latency stay user-keyed") {
+    // q190: the pair join is keyed by l_orderkey (hash/broadcast on a
+    // key — NEVER a cartesian pairing), item supports broadcast into
+    // the pair aggregate, and the top-20 fuses to TakeOrdered.
+    val p190 = plan("q190_basket_lift")
+    assert(p190.contains("TakeOrderedAndProject"), p190.take(600))
+    assert(!p190.contains("CartesianProduct"), p190.take(600))
+    assert("BroadcastHashJoin".r.findAllIn(p190).size >= 2, p190.take(600))
+    // q193: dominance is the segmented sweep — no NOT-EXISTS style
+    // quadratic join anywhere, and the frontier joins back by broadcast.
+    val p193 = plan("q193_pareto_frontier")
+    assert(!p193.contains("CartesianProduct"), p193.take(600))
+    assert(p193.contains("BroadcastHashJoin"), p193.take(600))
+    // q194/q195: everything is user- or week-keyed — a SinglePartition
+    // exchange would mean the event stream funneled through one task.
+    for (q <- Seq("q194_burst_rate_audit", "q195_conversion_latency")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange SinglePartition"), s"$q:\n${p.take(600)}")
+    }
+  }
+
   test("q153 KMV set-algebra joins stay broadcast — sketches never sort-merge") {
     val p = plan("q153_kmv_distinct_sketch")
     assert(!p.contains("SortMergeJoin"), p.take(600))

@@ -308,6 +308,41 @@ class StatefulStreamingSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("streaming burst state settles BIT-FOR-BIT to q194 under shuffled arrival") {
+    val dir = "/root/testdata/sf0.01"
+    val stage = java.nio.file.Files.createTempDirectory("graft_burst_stage")
+    val evs = Tables.events(spark, dir)
+      .select($"user_id", expr("unix_micros(ts)").as("us"))
+    // shuffled arrival across 4 files: a late event must retroactively
+    // raise earlier events' windows — only the multiset state is exact.
+    evs.orderBy(md5(concat($"user_id", $"us".cast("string")))).repartition(4)
+      .write.mode("overwrite").parquet(stage.toString)
+    val stream = spark.readStream.schema(evs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage.toString)
+      .as[StatefulOps.UserEvt]
+    val q = StatefulOps.burstStream(stream).writeStream
+      .outputMode("update").format("memory").queryName("burst_stream")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val fin = spark.table("burst_stream")
+      .select("user_id", "n_events", "peak_24h", "n_bursty", "first_burst_day")
+      .as[(Long, Long, Long, Long, String)].collect()
+      .groupBy(_._1).map { case (k, rs) => k -> rs.maxBy(_._2) }
+    assert(spark.table("burst_stream").count() > fin.size,
+      "single micro-batch — the state-merge path was never exercised")
+    val batch = SparkEntry.queries("q194_burst_rate_audit")(spark, dir)
+      .select($"user_id".as[Long], $"n_events".as[Long], $"peak_24h".as[Long],
+        $"n_bursty".as[Long], $"first_burst_day".cast("string").as[String]).collect()
+    assert(batch.nonEmpty)
+    batch.foreach { case (u, n, peak, nb, fd) =>
+      assert(fin(u) == ((u, n, peak, nb, fd)), s"user $u: ${fin(u)}")
+    }
+    // users below the batch threshold must be below it in the stream too
+    val flagged = batch.map(_._1).toSet
+    fin.values.filterNot(r => flagged(r._1)).foreach(r =>
+      assert(r._3 < 5L && r._4 == 0L && r._5 == null))
+  }
+
   test("streaming dedup by event_id keeps exactly the distinct ids") {
     val q = StreamingTwin.dedupStream(stagedEventStream()).writeStream
       .outputMode("append").format("memory").queryName("dedup_stream")
