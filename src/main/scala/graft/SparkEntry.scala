@@ -29,6 +29,7 @@ object SparkEntry {
       operators.Corpus5.defs ++
       operators.Corpus6.defs ++
       operators.Corpus7.defs ++
+      operators.Corpus8.defs ++
       sources.Articles.defs ++
       ml.MlQueries.defs
 
