@@ -20,6 +20,19 @@ import org.apache.spark.sql.functions._
   *    volume from exact n-scaled integer deviations — the
   *    periodicity detector that says WHICH seasonal baseline q181
   *    should use.
+  *  - q201 Simpson-reversal audit: does each source's pooled
+  *    long-doc-rate advantage over the rest of the corpus hold inside
+  *    every language stratum, or does conditioning flip it? All signs
+  *    come from integer cross-multiplication — no float rate compare.
+  *  - q202 jackknife influence: leave-one-day-out click/view ratio —
+  *    which single day moves the corpus CTR most (the
+  *    delete-1 complement to q176's Poisson bootstrap; influence is
+  *    published per day, never summed, so no order-dependent float
+  *    accumulation).
+  *  - q203 winsorized mean: per-type mean of value cents clamped at
+  *    the interpolated p5/p95 — computed as (n_lo·p5 + n_hi·p95 +
+  *    Σ interior cents)/n so the only sum that touches the corpus is
+  *    an exact integer sum.
   *
   * Scale notes (also in SCALE.md):
   *  - q198: every digest fold has BOUNDED fan-in (≤64 docs per page;
@@ -32,6 +45,14 @@ import org.apache.spark.sql.functions._
   *  - q200: the day index, deviations, and the lag join all run on
   *    the |days| pre-aggregate (q162/q191 discipline); the lag join
   *    fan-out is exactly 7 per day.
+  *  - q201: one (source, lang) grouped pass over the corpus; every
+  *    join after it runs on |sources|, |langs|, or |sources|·|langs|
+  *    rows, all broadcast.
+  *  - q202: one (day, type-conditional) grouped pass; jackknife rows
+  *    are |days|-level arithmetic against a broadcast scalar.
+  *  - q203: percentiles per type (q132's proven pair) broadcast back
+  *    into one conditional-aggregate pass; the clamped-tail terms are
+  *    counts × boundary, so no per-row float ever accumulates.
   */
 object Corpus8 {
 
@@ -162,5 +183,153 @@ object Corpus8 {
              |num AS (SELECT CAST(lag AS BIGINT) AS lag, CAST(count(*) AS BIGINT) AS np,
              |sum(a.dev * b.dev) AS nm FROM k, z a JOIN z b ON b.i = a.i + lag GROUP BY 1)
              |SELECT lag, np, round(CAST(nm AS DOUBLE) / dd, 6) AS acf
-             |FROM num, den ORDER BY lag""".stripMargin.replace("\n", " "))))
+             |FROM num, den ORDER BY lag""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q201_simpson_audit",
+      // SIMPSON-REVERSAL AUDIT — per source: pooled sign of its
+      // long-doc rate (n_chars ≥ 300) vs the rest of the corpus, and
+      // the same sign inside each language stratum (source vs rest
+      // WITHIN the lang). reversal = the pooled advantage holds in NO
+      // stratum. sign(x_s/n_s − x_o/n_o) is evaluated as
+      // sign(x_s·n_o − x_o·n_s) — exact integers, no float compare.
+      (s, dir) => {
+        val base = Tables.documents(s, dir).select(col("source"), col("lang"),
+          when(col("n_chars") >= 300, 1L).otherwise(0L).as("y"))
+        val cell = base.groupBy("source", "lang")
+          .agg(sum("y").as("x"), count(lit(1)).as("n"))
+        val ps = cell.groupBy("source").agg(sum("x").as("xs"), sum("n").as("ns"))
+        val tot = ps.agg(sum("xs").as("xt"), sum("ns").as("nt"))
+        val pl = cell.groupBy("lang").agg(sum("x").as("xl"), sum("n").as("nl"))
+        def sgn(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+          when(a > b, 1).when(a < b, -1).otherwise(0)
+        val pooled = ps.crossJoin(broadcast(tot))
+          .withColumn("psign", sgn(col("xs") * (col("nt") - col("ns")),
+            (col("xt") - col("xs")) * col("ns")))
+        val strat = cell.join(broadcast(pl), "lang")
+          .withColumn("ssign", sgn(col("x") * (col("nl") - col("n")),
+            (col("xl") - col("x")) * col("n")))
+        val agg = strat.groupBy("source").agg(count(lit(1)).as("n_strata"),
+          sum(when(col("ssign") === 1, 1L).otherwise(0L)).as("n_pos"),
+          sum(when(col("ssign") === -1, 1L).otherwise(0L)).as("n_neg"))
+        pooled.join(broadcast(agg), "source")
+          .select(col("source"), round(col("xs").cast("double") / col("ns"), 4).as("rate"),
+            col("psign"), col("n_strata"), col("n_pos"), col("n_neg"),
+            when((col("psign") === 1 && col("n_pos") === 0 && col("n_neg") > 0) ||
+                 (col("psign") === -1 && col("n_neg") === 0 && col("n_pos") > 0), 1)
+              .otherwise(0).as("reversal"))
+          .orderBy("source")
+      },
+      Some("""WITH base AS (SELECT source, lang, CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS y FROM documents),
+             |cell AS (SELECT source, lang, CAST(sum(y) AS BIGINT) AS x, count(*) AS n FROM base GROUP BY 1, 2),
+             |ps AS (SELECT source, CAST(sum(x) AS BIGINT) AS xs, CAST(sum(n) AS BIGINT) AS ns FROM cell GROUP BY 1),
+             |tot AS (SELECT CAST(sum(xs) AS BIGINT) AS xt, CAST(sum(ns) AS BIGINT) AS nt FROM ps),
+             |pl AS (SELECT lang, CAST(sum(x) AS BIGINT) AS xl, CAST(sum(n) AS BIGINT) AS nl FROM cell GROUP BY 1),
+             |pooled AS (SELECT source, xs, ns,
+             |CASE WHEN xs * (nt - ns) > (xt - xs) * ns THEN 1
+             |WHEN xs * (nt - ns) < (xt - xs) * ns THEN -1 ELSE 0 END AS psign FROM ps, tot),
+             |strat AS (SELECT cell.source,
+             |CASE WHEN x * (nl - n) > (xl - x) * n THEN 1
+             |WHEN x * (nl - n) < (xl - x) * n THEN -1 ELSE 0 END AS ssign
+             |FROM cell JOIN pl USING (lang)),
+             |agg AS (SELECT source, count(*) AS n_strata,
+             |CAST(sum(CASE WHEN ssign = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+             |CAST(sum(CASE WHEN ssign = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
+             |FROM strat GROUP BY 1)
+             |SELECT source, round(CAST(xs AS DOUBLE) / ns, 4) AS rate, psign,
+             |CAST(n_strata AS BIGINT) AS n_strata, n_pos, n_neg,
+             |CASE WHEN (psign = 1 AND n_pos = 0 AND n_neg > 0)
+             |OR (psign = -1 AND n_neg = 0 AND n_pos > 0) THEN 1 ELSE 0 END AS reversal
+             |FROM pooled JOIN agg USING (source) ORDER BY source"""
+        .stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q202_jackknife_influence",
+      // JACKKNIFE INFLUENCE — leave-one-day-out click/view ratio:
+      // theta_i = (C−c_i)/(V−v_i) vs theta = C/V, influence published
+      // PER DAY (a float sum of influences would be engine-order-
+      // dependent; the per-row expressions are identical IEEE trees).
+      // is_top flags the day with the largest |influence| (earliest
+      // wins ties).
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .select(to_date(col("ts")).as("d"), col("event_type"))
+          .groupBy("d").agg(
+            sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("c"),
+            sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("v"))
+        val tot = daily.agg(sum("c").as("ct"), sum("v").as("vt"))
+        val j = daily.crossJoin(broadcast(tot))
+          .withColumn("theta_x", when(col("vt") - col("v") === 0, lit(null))
+            .otherwise((col("ct") - col("c")).cast("double") / (col("vt") - col("v"))))
+          .withColumn("infl_x", col("theta_x") - col("ct").cast("double") / col("vt"))
+        val top = j.agg(max(abs(col("infl_x"))).as("mx"))
+        val topd = j.crossJoin(broadcast(top))
+          .filter(abs(col("infl_x")) === col("mx")).agg(min("d").as("topd"))
+        j.crossJoin(broadcast(topd))
+          .select(col("d"), col("c"), col("v"),
+            round(col("theta_x"), 6).as("theta_i"),
+            round(col("infl_x"), 6).as("influence"),
+            when(col("d") === col("topd"), 1).otherwise(0).as("is_top"))
+          .orderBy("d")
+      },
+      Some("""WITH daily AS (SELECT CAST(ts AS DATE) AS d,
+             |CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS c,
+             |CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS v
+             |FROM events GROUP BY 1),
+             |tot AS (SELECT CAST(sum(c) AS BIGINT) AS ct, CAST(sum(v) AS BIGINT) AS vt FROM daily),
+             |j AS (SELECT d, c, v,
+             |CASE WHEN vt - v = 0 THEN NULL
+             |ELSE CAST(ct - c AS DOUBLE) / (vt - v) END AS theta_x,
+             |CASE WHEN vt - v = 0 THEN NULL
+             |ELSE CAST(ct - c AS DOUBLE) / (vt - v) END - CAST(ct AS DOUBLE) / vt AS infl_x
+             |FROM daily, tot),
+             |top_ AS (SELECT max(abs(infl_x)) AS mx FROM j),
+             |topd AS (SELECT min(d) AS td FROM j, top_ WHERE abs(infl_x) = mx)
+             |SELECT d, c, v, round(theta_x, 6) AS theta_i, round(infl_x, 6) AS influence,
+             |CASE WHEN d = td THEN 1 ELSE 0 END AS is_top
+             |FROM j, topd ORDER BY d""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q203_winsorized_mean",
+      // WINSORIZED MEAN — per-type mean of value cents with both
+      // tails clamped at interpolated p5/p95. Computed as
+      // (n_lo·p5 + n_hi·p95 + Σ interior cents)/n: the corpus-sized
+      // sum is exact integer, the tail terms are count × boundary —
+      // the order-robust alternative to trimming that q157's outlier
+      // flags motivate.
+      (s, dir) => {
+        val c = Tables.events(s, dir).select(col("event_type"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cc"))
+        val q = c.groupBy("event_type").agg(
+          expr("percentile(cc, 0.05D)").as("p5"), expr("percentile(cc, 0.95D)").as("p95"))
+        c.join(broadcast(q), "event_type")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("cc") < col("p5"), 1L).otherwise(0L)).as("n_lo"),
+            sum(when(col("cc") > col("p95"), 1L).otherwise(0L)).as("n_hi"),
+            sum(when(col("cc") >= col("p5") && col("cc") <= col("p95"), col("cc"))
+              .otherwise(0L)).as("s_in"),
+            sum("cc").as("s_all"), max("p5").as("p5"), max("p95").as("p95"))
+          .select(col("event_type"), col("n"), col("n_lo"), col("n_hi"),
+            round(col("p5") / 100, 4).as("p5_v"),
+            round(col("p95") / 100, 4).as("p95_v"),
+            round((col("n_lo") * col("p5") + col("n_hi") * col("p95") + col("s_in"))
+              / col("n") / 100, 4).as("wins_mean"),
+            round(col("s_all").cast("double") / col("n") / 100, 4).as("raw_mean"))
+          .orderBy("event_type")
+      },
+      Some("""WITH c AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cc FROM events),
+             |q AS (SELECT event_type, quantile_cont(cc, 0.05) AS p5, quantile_cont(cc, 0.95) AS p95
+             |FROM c GROUP BY 1),
+             |w AS (SELECT c.event_type, count(*) AS n,
+             |CAST(sum(CASE WHEN cc < p5 THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+             |CAST(sum(CASE WHEN cc > p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+             |CAST(sum(CASE WHEN cc >= p5 AND cc <= p95 THEN cc ELSE 0 END) AS BIGINT) AS s_in,
+             |CAST(sum(cc) AS BIGINT) AS s_all, max(p5) AS p5, max(p95) AS p95
+             |FROM c JOIN q USING (event_type) GROUP BY 1)
+             |SELECT event_type, CAST(n AS BIGINT) AS n, n_lo, n_hi,
+             |round(p5 / 100, 4) AS p5_v, round(p95 / 100, 4) AS p95_v,
+             |round((n_lo * p5 + n_hi * p95 + s_in) / n / 100, 4) AS wins_mean,
+             |round(CAST(s_all AS DOUBLE) / n / 100, 4) AS raw_mean
+             |FROM w ORDER BY event_type""".stripMargin.replace("\n", " "))))
 }

@@ -74,6 +74,98 @@ class Corpus8Spec extends AnyFunSuite with SparkSuite {
     0.124938736608300, 0.096910013008056, 0.079181246047625, 0.066946789630613,
     0.057991946977687, 0.051152522447381, 0.045757490560675)(d - 1)
 
+  test("q201 Simpson audit: integer sign replay; flag fires on a textbook reversal") {
+    val out = SparkEntry.queries("q201_simpson_audit")(spark, sfDir)
+      .as[(String, Double, Int, Long, Long, Long, Int)].collect()
+    val docs = Tables.documents(spark, sfDir)
+      .select($"source".as[String], $"lang".as[String], $"n_chars".as[Long]).collect()
+
+    def sgn(a: Long, b: Long): Int = java.lang.Long.compare(a, b)
+    val cell = docs.groupBy(r => (r._1, r._2)).view.mapValues { rs =>
+      (rs.count(_._3 >= 300).toLong, rs.length.toLong)
+    }.toMap
+    val bySrc = cell.toSeq.groupBy(_._1._1).view.mapValues(cs =>
+      (cs.map(_._2._1).sum, cs.map(_._2._2).sum)).toMap
+    val byLang = cell.toSeq.groupBy(_._1._2).view.mapValues(cs =>
+      (cs.map(_._2._1).sum, cs.map(_._2._2).sum)).toMap
+    val (xt, nt) = (bySrc.values.map(_._1).sum, bySrc.values.map(_._2).sum)
+    val expected = bySrc.keys.toSeq.sorted.map { src =>
+      val (xs, ns) = bySrc(src)
+      val psign = sgn(xs * (nt - ns), (xt - xs) * ns)
+      val ss = cell.collect { case ((s, l), (x, n)) if s == src =>
+        val (xl, nl) = byLang(l); sgn(x * (nl - n), (xl - x) * n)
+      }.toSeq
+      val (np, nn) = (ss.count(_ == 1).toLong, ss.count(_ == -1).toLong)
+      val rev = if ((psign == 1 && np == 0 && nn > 0) ||
+        (psign == -1 && nn == 0 && np > 0)) 1 else 0
+      (src, round(xs.toDouble / ns, 4), psign, ss.size.toLong, np, nn, rev)
+    }
+    assert(out.toSeq == expected.toSeq)
+    // The replayed decision rule must fire on a textbook reversal
+    // (UC-Berkeley-admissions shape): pooled favors A, every stratum
+    // favors B. Run the SAME sign arithmetic on the literal cells.
+    val lit = Map(("A", "x") -> (8L, 10L), ("A", "y") -> (2L, 10L),
+      ("B", "x") -> (18L, 20L), ("B", "y") -> (17L, 80L))
+    val aPool = (10L, 20L); val bPool = (35L, 100L) // (x, n)
+    val psign = sgn(aPool._1 * bPool._2, bPool._1 * aPool._2)
+    val ssigns = Seq("x", "y").map { l =>
+      val (ax, an) = lit(("A", l)); val (bx, bn) = lit(("B", l))
+      sgn(ax * bn, bx * an)
+    }
+    assert(psign == 1 && ssigns.forall(_ == -1),
+      "literal fixture is not a reversal — fix the fixture")
+  }
+
+  test("q202 jackknife influence: per-day replay; unique earliest top flag") {
+    val out = SparkEntry.queries("q202_jackknife_influence")(spark, sfDir)
+      .select($"d".cast("string"), $"c", $"v", $"theta_i", $"influence", $"is_top")
+      .as[(String, Long, Long, Double, Double, Int)].collect()
+    val ev = Tables.events(spark, sfDir)
+      .select(org.apache.spark.sql.functions.to_date($"ts").cast("string").as[String],
+        $"event_type".as[String]).collect()
+    val daily = ev.groupBy(_._1).view.mapValues { rs =>
+      (rs.count(_._2 == "click").toLong, rs.count(_._2 == "view").toLong)
+    }.toSeq.sortBy(_._1)
+    val ct = daily.map(_._2._1).sum; val vt = daily.map(_._2._2).sum
+    val rows = daily.map { case (d, (c, v)) =>
+      val theta = (ct - c).toDouble / (vt - v)
+      (d, c, v, theta, theta - ct.toDouble / vt)
+    }
+    val mx = rows.map(r => math.abs(r._5)).max
+    val td = rows.filter(r => math.abs(r._5) == mx).map(_._1).min
+    val expected = rows.map { case (d, c, v, th, in) =>
+      (d, c, v, round(th, 6), round(in, 6), if (d == td) 1 else 0)
+    }
+    assert(out.toSeq == expected.toSeq)
+    assert(out.count(_._6 == 1) == 1)
+  }
+
+  test("q203 winsorized mean: interpolated-percentile clamp replay") {
+    val out = SparkEntry.queries("q203_winsorized_mean")(spark, sfDir)
+      .as[(String, Long, Long, Long, Double, Double, Double, Double)].collect()
+    val cents = Tables.events(spark, sfDir)
+      .select($"event_type".as[String],
+        org.apache.spark.sql.functions.expr("CAST(round(value * 100) AS BIGINT)").as[Long])
+      .collect()
+    def quant(xs: Seq[Long], f: Double): Double = {
+      val s = xs.sorted; val pos = f * (s.length - 1)
+      val lo = pos.toInt; val frac = pos - lo
+      if (lo + 1 < s.length) s(lo) * (1 - frac) + s(lo + 1) * frac else s(lo).toDouble
+    }
+    val expected = cents.groupBy(_._1).toSeq.sortBy(_._1).map { case (et, rs) =>
+      val xs = rs.map(_._2).toSeq
+      val (p5, p95) = (quant(xs, 0.05), quant(xs, 0.95))
+      val nLo = xs.count(_ < p5).toLong; val nHi = xs.count(_ > p95).toLong
+      val sIn = xs.filter(x => x >= p5 && x <= p95).sum
+      val wins = (nLo * p5 + nHi * p95 + sIn) / xs.size / 100
+      (et, xs.size.toLong, nLo, nHi, round(p5 / 100, 4), round(p95 / 100, 4),
+        round(wins, 4), round(xs.sum.toDouble / xs.size / 100, 4))
+    }
+    assert(out.toSeq == expected.toSeq)
+    // winsorized mean is pulled toward the center whenever tails clip
+    out.foreach(r => assert(r._3 == 0L && r._4 == 0L || r._7 != r._8))
+  }
+
   test("q200 ACF: exact integer replay; |acf| bounded by 1") {
     val out = SparkEntry.queries("q200_volume_acf")(spark, sfDir)
       .as[(Long, Long, Double)].collect()
