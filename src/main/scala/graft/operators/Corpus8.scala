@@ -33,6 +33,14 @@ import org.apache.spark.sql.functions._
   *    the interpolated p5/p95 — computed as (n_lo·p5 + n_hi·p95 +
   *    Σ interior cents)/n so the only sum that touches the corpus is
   *    an exact integer sum.
+  *  - q204 clamped running balance: per-user credit ledger folded
+  *    day-by-day through max(0, min(cap, bal+δ)) — a NONLINEAR
+  *    recurrence (clamps destroy the prefix-sum algebra every other
+  *    running total here exploits), so it runs as a keyed bounded
+  *    fold, the q188 discipline.
+  *  - q205 transition latency: the time dimension q68's transition
+  *    matrix lacks — per (prev, next) event-type pair, count and
+  *    interpolated median/p90 gap seconds.
   *
   * Scale notes (also in SCALE.md):
   *  - q198: every digest fold has BOUNDED fan-in (≤64 docs per page;
@@ -53,6 +61,13 @@ import org.apache.spark.sql.functions._
   *  - q203: percentiles per type (q132's proven pair) broadcast back
   *    into one conditional-aggregate pass; the clamped-tail terms are
   *    counts × boundary, so no per-row float ever accumulates.
+  *  - q204: day-level pre-aggregate per user first, then a per-key
+  *    fold over ≤|days| deltas — state is one long per user; at
+  *    100 TB the horizon (retention window) bounds the array, and
+  *    the streaming form is a keyed accumulator (q175's twin shape).
+  *  - q205: user-keyed lag window (q68's shape) + a (|types|²)-row
+  *    aggregate; gaps are exact integer micros into the proven
+  *    percentile pair.
   */
 object Corpus8 {
 
@@ -331,5 +346,76 @@ object Corpus8 {
              |round(p5 / 100, 4) AS p5_v, round(p95 / 100, 4) AS p95_v,
              |round((n_lo * p5 + n_hi * p95 + s_in) / n / 100, 4) AS wins_mean,
              |round(CAST(s_all AS DOUBLE) / n / 100, 4) AS raw_mean
-             |FROM w ORDER BY event_type""".stripMargin.replace("\n", " "))))
+             |FROM w ORDER BY event_type""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q204_clamped_balance",
+      // CLAMPED RUNNING BALANCE — a per-user credit ledger (signup
+      // +20, purchase −5, error −2, view/click −1, netted per day)
+      // folded in day order through bal' = max(0, min(50, bal+δ)).
+      // The clamp makes the recurrence nonlinear — no prefix-sum or
+      // window can shortcut it — so it runs as a keyed HOF fold over
+      // the day-ordered delta array (identical lambda on both
+      // engines). Published: days active, unclamped net, final
+      // balance.
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .select(col("user_id"), to_date(col("ts")).as("d"),
+            when(col("event_type") === "signup", 20L)
+              .when(col("event_type") === "purchase", -5L)
+              .when(col("event_type") === "error", -2L)
+              .otherwise(-1L).as("w"))
+          .groupBy("user_id", "d").agg(sum("w").as("dv"))
+        daily.groupBy("user_id")
+          .agg(count(lit(1)).as("n_days"), sum("dv").as("delta_sum"),
+            expr("""aggregate(transform(array_sort(collect_list(struct(d, dv))), x -> x.dv),
+                  |0L, (a, b) -> greatest(0L, least(50L, a + b)))"""
+              .stripMargin.replace("\n", " ")).as("final_bal"))
+          .orderBy("user_id")
+      },
+      Some("""WITH delta AS (SELECT user_id, CAST(ts AS DATE) AS d,
+             |CAST(sum(CASE event_type WHEN 'signup' THEN 20 WHEN 'purchase' THEN -5
+             |WHEN 'error' THEN -2 ELSE -1 END) AS BIGINT) AS dv
+             |FROM events GROUP BY 1, 2),
+             |s AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_days,
+             |CAST(sum(dv) AS BIGINT) AS delta_sum, list(dv ORDER BY d) AS ds FROM delta GROUP BY 1)
+             |SELECT user_id, n_days, delta_sum,
+             |list_reduce(list_prepend(CAST(0 AS BIGINT), ds),
+             |(a, b) -> greatest(CAST(0 AS BIGINT), least(CAST(50 AS BIGINT), a + b))) AS final_bal
+             |FROM s ORDER BY user_id""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q205_transition_latency",
+      // TRANSITION LATENCY MATRIX — per (prev, next) event-type pair:
+      // how often and how FAST users make that step (q68 counts the
+      // step; this times it). Gaps are exact integer microseconds
+      // into the proven interpolated-percentile pair; ties on (ts,
+      // event_id) make the lag deterministic.
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val o = Tables.events(s, dir)
+          .withColumn("us", expr("unix_micros(ts)"))
+          .withColumn("pt", lag("event_type", 1).over(w))
+          .withColumn("pu", lag("us", 1).over(w))
+          .filter(col("pt").isNotNull)
+          .withColumn("gap", col("us") - col("pu"))
+        o.groupBy(col("pt").as("prev_type"), col("event_type").as("next_type"))
+          .agg(count(lit(1)).as("n"),
+            expr("percentile(gap, 0.5D)").as("p50"),
+            expr("percentile(gap, 0.9D)").as("p90"))
+          .select(col("prev_type"), col("next_type"), col("n"),
+            round(col("p50") / 1e6, 1).as("median_s"),
+            round(col("p90") / 1e6, 1).as("p90_s"))
+          .orderBy("prev_type", "next_type")
+      },
+      Some("""WITH o AS (SELECT user_id, event_type, epoch_us(ts) AS us,
+             |lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pt,
+             |lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pu
+             |FROM events)
+             |SELECT pt AS prev_type, event_type AS next_type, CAST(count(*) AS BIGINT) AS n,
+             |round(quantile_cont(us - pu, 0.5) / 1e6, 1) AS median_s,
+             |round(quantile_cont(us - pu, 0.9) / 1e6, 1) AS p90_s
+             |FROM o WHERE pt IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2"""
+        .stripMargin.replace("\n", " "))))
 }

@@ -166,6 +166,54 @@ class Corpus8Spec extends AnyFunSuite with SparkSuite {
     out.foreach(r => assert(r._3 == 0L && r._4 == 0L || r._7 != r._8))
   }
 
+  test("q204 clamped balance: sequential fold replay; balances stay inside [0, 50]") {
+    val out = SparkEntry.queries("q204_clamped_balance")(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect()
+    val ev = Tables.events(spark, sfDir)
+      .select($"user_id".as[Long],
+        org.apache.spark.sql.functions.to_date($"ts").cast("string").as[String],
+        $"event_type".as[String]).collect()
+    def wOf(t: String): Long = t match {
+      case "signup" => 20L; case "purchase" => -5L; case "error" => -2L; case _ => -1L
+    }
+    val expected = ev.groupBy(_._1).toSeq.sortBy(_._1).map { case (u, rows) =>
+      val daily = rows.groupBy(_._2).view.mapValues(_.map(r => wOf(r._3)).sum)
+        .toSeq.sortBy(_._1).map(_._2)
+      val fin = daily.foldLeft(0L)((a, b) => math.max(0L, math.min(50L, a + b)))
+      (u, daily.size.toLong, daily.sum, fin)
+    }
+    assert(out.toSeq == expected.toSeq)
+    assert(out.forall(r => r._4 >= 0L && r._4 <= 50L))
+    // the clamp must actually bind somewhere, or the fold degenerates
+    // to a prefix sum and the operator proves nothing
+    assert(out.exists(r => r._4 != math.max(0L, math.min(50L, r._3))))
+  }
+
+  test("q205 transition latency: lag replay; pair counts conserve events minus users") {
+    val out = SparkEntry.queries("q205_transition_latency")(spark, sfDir)
+      .as[(String, String, Long, Double, Double)].collect()
+    val ev = Tables.events(spark, sfDir)
+      .select($"user_id".as[Long], $"event_type".as[String],
+        org.apache.spark.sql.functions.expr("unix_micros(ts)").as[Long],
+        $"event_id".as[Long]).collect()
+    def quant(xs: Seq[Long], f: Double): Double = {
+      val s = xs.sorted; val pos = f * (s.length - 1)
+      val lo = pos.toInt; val frac = pos - lo
+      if (lo + 1 < s.length) s(lo) * (1 - frac) + s(lo + 1) * frac else s(lo).toDouble
+    }
+    val steps = ev.groupBy(_._1).values.flatMap { rows =>
+      val sorted = rows.sortBy(r => (r._3, r._4))
+      sorted.zip(sorted.tail).map { case (a, b) => ((a._2, b._2), b._3 - a._3) }
+    }.toSeq
+    val expected = steps.groupBy(_._1).toSeq.sortBy(_._1).map { case ((p, nx), gs) =>
+      val xs = gs.map(_._2)
+      (p, nx, xs.size.toLong, round(quant(xs, 0.5) / 1e6, 1), round(quant(xs, 0.9) / 1e6, 1))
+    }
+    assert(out.toSeq == expected.toSeq)
+    val users = ev.map(_._1).distinct.length
+    assert(out.map(_._3).sum == ev.length.toLong - users)
+  }
+
   test("q200 ACF: exact integer replay; |acf| bounded by 1") {
     val out = SparkEntry.queries("q200_volume_acf")(spark, sfDir)
       .as[(Long, Long, Double)].collect()
