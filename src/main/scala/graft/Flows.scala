@@ -203,6 +203,47 @@ object Flows {
     spark.read.parquet(outDir)
   }
 
+  /** The INTEGRITY-AUDIT flow (round 5's Merkle family as API): build
+    * the q198 hash tree over snapshot v1 and a second snapshot v2,
+    * compare trees top-down — root mismatch ⇒ divergent shards ⇒
+    * divergent pages — then fingerprint-compare ONLY the docs inside
+    * divergent pages (q155's zipper scoped to the localized subtrees).
+    * Lands the per-node verdict ordered by (level, node) with the
+    * localized changed docs alongside (`_tampered`). Returns the node
+    * verdict frame. Composition cost: three dimension-sized joins plus
+    * one doc-level compare bounded by the divergent pages — the whole
+    * point of the tree. */
+  def integrityAuditFlow(v1: DataFrame, v2: DataFrame, outDir: String): DataFrame = {
+    val spark = v1.sparkSession
+    val t1 = operators.Corpus8.merkle(v1)
+      .withColumnRenamed("digest", "d1").withColumnRenamed("n_docs", "n1")
+    val t2 = operators.Corpus8.merkle(v2)
+      .withColumnRenamed("digest", "d2").withColumnRenamed("n_docs", "n2")
+    val verdict = t1.join(t2, Seq("level", "node"), "full_outer")
+      .withColumn("ok", when(col("d1") === col("d2"), 1).otherwise(0))
+      .select(col("level"), col("node"), col("n1"), col("n2"), col("ok"),
+        col("d1"), col("d2"))
+    val badPages = verdict.filter(col("level") === "page" && col("ok") === 0)
+      .select(col("node").as("page"))
+    val in1 = v1.select(col("doc_id"), md5(col("text")).as("fp1"))
+      .withColumn("page", expr("doc_id div 64"))
+      .join(broadcast(badPages), "page")
+    val in2 = v2.select(col("doc_id"), md5(col("text")).as("fp2"))
+      .withColumn("page", expr("doc_id div 64"))
+      .join(broadcast(badPages), "page")
+    // land the tree verdict FIRST (writeOrdered overwrites outDir),
+    // then the localized doc diff as a sidecar inside it
+    graft.sources.Sinks.writeOrdered(verdict, Seq(col("level"), col("node")), outDir, Some(1))
+    in1.join(in2, Seq("page", "doc_id"), "full_outer")
+      .withColumn("change", when(col("fp1").isNull, "added")
+        .when(col("fp2").isNull, "removed")
+        .when(col("fp1") =!= col("fp2"), "changed"))
+      .filter(col("change").isNotNull)
+      .select("doc_id", "page", "change")
+      .write.mode("overwrite").parquet(s"$outDir/_tampered")
+    spark.read.parquet(outDir)
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master("local[4]")

@@ -79,6 +79,28 @@ object Corpus8 {
     4 -> 0.096910013008056, 5 -> 0.079181246047625, 6 -> 0.066946789630613,
     7 -> 0.057991946977687, 8 -> 0.051152522447381, 9 -> 0.045757490560675)
 
+  /** q198's tree, input-agnostic (needs `doc_id`, `text`) — also the
+    * building block of `Flows.integrityAuditFlow`, which compares two
+    * snapshots' trees to localize tampering. */
+  def merkle(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    def fold(c: String) = s"md5(array_join(transform(array_sort(collect_list(struct($c, hh))), x -> x.hh), ''))"
+    val h = docs
+      .select(col("doc_id"), md5(col("text")).as("hh"),
+        expr("doc_id div 64").as("page"))
+    val pages = h.groupBy("page")
+      .agg(count(lit(1)).as("n_docs"), expr(fold("doc_id")).as("hh"))
+      .withColumn("shard", pmod(col("page"), lit(8L)))
+    val shards = pages.groupBy("shard")
+      .agg(sum("n_docs").as("n_docs"), expr(fold("page")).as("hh"))
+    val root = shards
+      .select(col("shard").as("page"), col("n_docs"), col("hh"))
+      .agg(sum("n_docs").as("n_docs"), expr(fold("page")).as("hh"))
+    pages.select(lit("page").as("level"), col("page").as("node"), col("n_docs"), col("hh").as("digest"))
+      .unionByName(shards.select(lit("shard").as("level"), col("shard").as("node"), col("n_docs"), col("hh").as("digest")))
+      .unionByName(root.select(lit("root").as("level"), lit(-1L).as("node"), col("n_docs"), col("hh").as("digest")))
+      .orderBy("level", "node")
+  }
+
   def defs: Seq[QueryDef] = Seq(
 
     QueryDef(
@@ -90,24 +112,7 @@ object Corpus8 {
       // stay internal. Digest = md5 of the ordered concatenation —
       // deterministic under any partitioning because every fold sorts
       // its bounded child list first.
-      (s, dir) => {
-        def fold(c: String) = s"md5(array_join(transform(array_sort(collect_list(struct($c, hh))), x -> x.hh), ''))"
-        val h = Tables.documents(s, dir)
-          .select(col("doc_id"), md5(col("text")).as("hh"),
-            expr("doc_id div 64").as("page"))
-        val pages = h.groupBy("page")
-          .agg(count(lit(1)).as("n_docs"), expr(fold("doc_id")).as("hh"))
-          .withColumn("shard", pmod(col("page"), lit(8L)))
-        val shards = pages.groupBy("shard")
-          .agg(sum("n_docs").as("n_docs"), expr(fold("page")).as("hh"))
-        val root = shards
-          .select(col("shard").as("page"), col("n_docs"), col("hh"))
-          .agg(sum("n_docs").as("n_docs"), expr(fold("page")).as("hh"))
-        pages.select(lit("page").as("level"), col("page").as("node"), col("n_docs"), col("hh").as("digest"))
-          .unionByName(shards.select(lit("shard").as("level"), col("shard").as("node"), col("n_docs"), col("hh").as("digest")))
-          .unionByName(root.select(lit("root").as("level"), lit(-1L).as("node"), col("n_docs"), col("hh").as("digest")))
-          .orderBy("level", "node")
-      },
+      (s, dir) => merkle(Tables.documents(s, dir)),
       Some("""WITH h AS (SELECT doc_id, md5(text) AS hh, CAST(doc_id // 64 AS BIGINT) AS page FROM documents),
              |pages AS (SELECT page, CAST(count(*) AS BIGINT) AS n_docs,
              |md5(string_agg(hh, '' ORDER BY doc_id)) AS hh, page % 8 AS shard FROM h GROUP BY page),

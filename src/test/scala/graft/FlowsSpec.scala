@@ -174,6 +174,37 @@ class FlowsSpec extends AnyFunSuite with SparkSuite {
     assert(anom == q181)
   }
 
+  test("integrity flow localizes tampering to exactly the divergent subtrees") {
+    val out = java.nio.file.Files.createTempDirectory("graft_integrity_flow")
+    val v1 = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+    // tamper set: edit %97 docs, drop one doc, add one doc
+    val tampered = v1.select($"doc_id".as[Long]).collect()
+      .map(_.longValue).filter(_ % 97 == 0).toSet
+    val dropped = 3L
+    val v2 = v1.filter($"doc_id" =!= dropped)
+      .withColumn("text", org.apache.spark.sql.functions.when($"doc_id" % 97 === 0,
+        org.apache.spark.sql.functions.concat($"text",
+          org.apache.spark.sql.functions.lit(" tampered"))).otherwise($"text"))
+      .unionByName(v1.filter($"doc_id" === 0L)
+        .select(($"doc_id" + 900000L).as("doc_id"), $"text"))
+    val verdict = Flows.integrityAuditFlow(v1, v2, out.resolve("audit").toString)
+
+    val affectedPages = tampered.map(_ / 64) + (dropped / 64) + (900000L / 64)
+    val affectedShards = affectedPages.map(_ % 8)
+    val rows = verdict.collect().map(r => (r.getAs[String]("level"),
+      r.getAs[Long]("node"), r.getAs[Int]("ok"))).toSeq
+    // root must flag; bad pages/shards are exactly the affected sets
+    assert(rows.filter(_._1 == "root").map(_._3) == Seq(0))
+    assert(rows.filter(r => r._1 == "page" && r._3 == 0).map(_._2).toSet == affectedPages)
+    assert(rows.filter(r => r._1 == "shard" && r._3 == 0).map(_._2).toSet == affectedShards)
+    // the localized doc diff is exactly the edit script
+    val tam = spark.read.parquet(out.resolve("audit").toString + "/_tampered")
+      .select($"doc_id".as[Long], $"change".as[String]).collect().toSet
+    val expected = tampered.map(id => (id, "changed")) +
+      ((dropped, "removed")) + ((900000L, "added"))
+    assert(tam == expected)
+  }
+
   test("semantic-dedup flow lands exactly q170's kept docs plus a consistent cluster ledger") {
     val out = java.nio.file.Files.createTempDirectory("graft_semdedup_flow")
     val landed = Flows.semanticDedupFlow(spark, sfDir, out.resolve("kept").toString)
