@@ -359,6 +359,35 @@ object StatefulOps {
       }
   }
 
+  final case class DayDelta(user_id: Long, d: java.sql.Date, dv: Long)
+  final case class BalanceState(user_id: Long, n_days: Long, delta_sum: Long, final_bal: Long)
+
+  /** Streaming twin of q204's clamped balance: the canonical keyed
+    * ACCUMULATOR — state is (days, net, balance), three longs per user
+    * forever; each day's delta folds through bal' = max(0, min(50,
+    * bal+δ)). The clamp is order-SENSITIVE (unlike the monoid twins),
+    * so this twin requires per-key in-order delivery — the partitioned-
+    * log contract a Kafka-keyed topic provides; within one trigger the
+    * rows iterator is sorted by day as a guard against intra-batch
+    * interleaving. StatefulStreamingSpec stages day-ranged files so
+    * cross-batch order holds and asserts the final state matches q204
+    * exactly. */
+  def clampedBalanceStream(deltas: Dataset[DayDelta]): Dataset[BalanceState] = {
+    import deltas.sparkSession.implicits._
+    deltas.groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long, Long), BalanceState](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[DayDelta], state: GroupState[(Long, Long, Long)]) =>
+          var (nd, net, bal) = state.getOption.getOrElse((0L, 0L, 0L))
+          rows.toSeq.sortBy(_.d.toLocalDate.toEpochDay).foreach { r =>
+            nd += 1; net += r.dv
+            bal = math.max(0L, math.min(50L, bal + r.dv))
+          }
+          state.update((nd, net, bal))
+          Iterator(BalanceState(uid, nd, net, bal))
+      }
+  }
+
   /** Batch twin for equivalence tests. */
   def runningStatsBatch(spark: SparkSession, dir: String): Dataset[UserStat] = {
     import spark.implicits._

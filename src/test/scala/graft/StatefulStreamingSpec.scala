@@ -343,6 +343,47 @@ class StatefulStreamingSpec extends AnyFunSuite with SparkSuite {
       assert(r._3 < 5L && r._4 == 0L && r._5 == null))
   }
 
+  test("streaming clamped balance settles to q204 under day-ordered log delivery") {
+    val dir = "/root/testdata/sf0.01"
+    val stage = java.nio.file.Files.createTempDirectory("graft_bal_stage")
+    val deltas = Tables.events(spark, dir)
+      .select($"user_id", to_date($"ts").as("d"),
+        when($"event_type" === "signup", 20L).when($"event_type" === "purchase", -5L)
+          .when($"event_type" === "error", -2L).otherwise(-1L).as("w"))
+      .groupBy("user_id", "d").agg(sum($"w").as("dv"))
+    // day-RANGED appends with distinct modification times: the clamp is
+    // order-sensitive, so the stream must see each key's deltas in day
+    // order across triggers — the partitioned-log contract. The file
+    // source replays oldest-modtime-first, so stage four week chunks
+    // sequentially (sleep makes the modtimes strictly increase).
+    val allDays = deltas.select($"d".cast("string").as[String]).distinct()
+      .collect().sorted
+    allDays.grouped((allDays.length + 3) / 4).zipWithIndex.foreach { case (chunk, i) =>
+      if (i > 0) Thread.sleep(1100)
+      deltas.filter($"d".cast("string").isin(chunk: _*))
+        .coalesce(1).write.mode("append").parquet(stage.toString)
+    }
+    val stream = spark.readStream.schema(deltas.schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage.toString)
+      .as[StatefulOps.DayDelta]
+    val q = StatefulOps.clampedBalanceStream(stream).writeStream
+      .outputMode("update").format("memory").queryName("bal_stream")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val fin = spark.table("bal_stream")
+      .select("user_id", "n_days", "delta_sum", "final_bal")
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1).map { case (k, rs) => k -> rs.maxBy(_._2) }
+    assert(spark.table("bal_stream").count() > fin.size,
+      "single micro-batch — the cross-trigger fold path was never exercised")
+    val batch = SparkEntry.queries("q204_clamped_balance")(spark, dir)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(batch.nonEmpty && fin.size == batch.length)
+    batch.foreach { case (u, nd, net, bal) =>
+      assert(fin(u) == ((u, nd, net, bal)), s"user $u: ${fin(u)}")
+    }
+  }
+
   test("streaming dedup by event_id keeps exactly the distinct ids") {
     val q = StreamingTwin.dedupStream(stagedEventStream()).writeStream
       .outputMode("append").format("memory").queryName("dedup_stream")
