@@ -41,6 +41,11 @@ import org.apache.spark.sql.functions._
   *  - q205 transition latency: the time dimension q68's transition
   *    matrix lacks — per (prev, next) event-type pair, count and
   *    interpolated median/p90 gap seconds.
+  *  - q206 encoding advisor: per string column, plain vs
+  *    dictionary-encoding size estimate (distinct payload + n packed
+  *    indices of ⌈log2 ndv⌉ bits) — the storage-layout readout that
+  *    complements q179's zone maps and q151's histograms; index width
+  *    comes from length(bin(ndv−1)), integer-exact on both engines.
   *
   * Scale notes (also in SCALE.md):
   *  - q198: every digest fold has BOUNDED fan-in (≤64 docs per page;
@@ -68,6 +73,10 @@ import org.apache.spark.sql.functions._
   *  - q205: user-keyed lag window (q68's shape) + a (|types|²)-row
   *    aggregate; gaps are exact integer micros into the proven
   *    percentile pair.
+  *  - q206: one count/sum agg plus one distinct-payload agg per
+  *    column, unioned map-side — the q156 stack discipline; at real
+  *    scale ndv swaps to the q153 sketch with the same advisory
+  *    formula.
   */
 object Corpus8 {
 
@@ -422,5 +431,54 @@ object Corpus8 {
              |round(quantile_cont(us - pu, 0.5) / 1e6, 1) AS median_s,
              |round(quantile_cont(us - pu, 0.9) / 1e6, 1) AS p90_s
              |FROM o WHERE pt IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2"""
-        .stripMargin.replace("\n", " "))))
+        .stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q206_encoding_advisor",
+      // STORAGE ENCODING ADVISOR — per string column: plain size
+      // (Σ len) vs dictionary size (Σ distinct len + n·⌈log2 ndv⌉
+      // bits, byte-rounded). Low-cardinality columns win big (14×
+      // on event_type); the near-unique text column stays plain —
+      // exactly the decision a parquet writer makes per column chunk.
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val ev = Tables.events(s, dir)
+        val cols = docs.select(lit("documents.lang").as("col"), col("lang").as("v"))
+          .unionByName(docs.select(lit("documents.source").as("col"), col("source").as("v")))
+          .unionByName(docs.select(lit("documents.text").as("col"), col("text").as("v")))
+          .unionByName(ev.select(lit("events.event_type").as("col"), col("event_type").as("v")))
+          .unionByName(ev.select(lit("events.props").as("col"), col("props").as("v")))
+        val m = cols.groupBy("col").agg(count(lit(1)).as("n"),
+          countDistinct("v").as("ndv"), sum(length(col("v"))).as("plain_bytes"))
+        val dl = cols.distinct().groupBy("col")
+          .agg(sum(length(col("v"))).as("dict_payload"))
+        m.join(dl, "col")
+          .withColumn("idx_bits", length(expr("bin(ndv - 1)")).cast("long"))
+          .withColumn("dict_bytes",
+            col("dict_payload") + expr("(n * idx_bits + 7) div 8"))
+          .select(col("col"), col("n"), col("ndv"), col("plain_bytes"),
+            col("dict_bytes"), col("idx_bits"),
+            round(col("plain_bytes").cast("double") / col("dict_bytes"), 2).as("ratio"),
+            when(col("dict_bytes") < col("plain_bytes"), "dict").otherwise("plain").as("winner"))
+          .orderBy("col")
+      },
+      Some("""WITH cols AS (SELECT 'documents.lang' AS col, lang AS v FROM documents
+             |UNION ALL SELECT 'documents.source', source FROM documents
+             |UNION ALL SELECT 'documents.text', text FROM documents
+             |UNION ALL SELECT 'events.event_type', event_type FROM events
+             |UNION ALL SELECT 'events.props', props FROM events),
+             |m AS (SELECT col, CAST(count(*) AS BIGINT) AS n,
+             |CAST(count(DISTINCT v) AS BIGINT) AS ndv,
+             |CAST(sum(strlen(v)) AS BIGINT) AS plain_bytes FROM cols GROUP BY 1),
+             |dl AS (SELECT col, CAST(sum(strlen(v)) AS BIGINT) AS dict_payload
+             |FROM (SELECT DISTINCT col, v FROM cols) GROUP BY 1),
+             |x AS (SELECT m.col, n, ndv, plain_bytes,
+             |CAST(length(bin(ndv - 1)) AS BIGINT) AS idx_bits, dict_payload
+             |FROM m JOIN dl USING (col))
+             |SELECT col, n, ndv, plain_bytes,
+             |CAST(dict_payload + (n * idx_bits + 7) // 8 AS BIGINT) AS dict_bytes, idx_bits,
+             |round(CAST(plain_bytes AS DOUBLE) / (dict_payload + (n * idx_bits + 7) // 8), 2) AS ratio,
+             |CASE WHEN dict_payload + (n * idx_bits + 7) // 8 < plain_bytes
+             |THEN 'dict' ELSE 'plain' END AS winner
+             |FROM x ORDER BY col""".stripMargin.replace("\n", " "))))
 }

@@ -214,6 +214,30 @@ class Corpus8Spec extends AnyFunSuite with SparkSuite {
     assert(out.map(_._3).sum == ev.length.toLong - users)
   }
 
+  test("q206 encoding advisor: size model replay; low-cardinality dict wins, near-unique plain wins") {
+    val out = SparkEntry.queries("q206_encoding_advisor")(spark, sfDir)
+      .as[(String, Long, Long, Long, Long, Long, Double, String)].collect()
+    val docs = Tables.documents(spark, sfDir)
+      .select($"lang".as[String], $"source".as[String], $"text".as[String]).collect()
+    val ev = Tables.events(spark, sfDir)
+      .select($"event_type".as[String], $"props".as[String]).collect()
+    val colVals: Map[String, Seq[String]] = Map(
+      "documents.lang" -> docs.map(_._1).toSeq, "documents.source" -> docs.map(_._2).toSeq,
+      "documents.text" -> docs.map(_._3).toSeq, "events.event_type" -> ev.map(_._1).toSeq,
+      "events.props" -> ev.map(_._2).toSeq)
+    val expected = colVals.toSeq.sortBy(_._1).map { case (c, vs) =>
+      val n = vs.size.toLong; val ndv = vs.distinct.size.toLong
+      val plain = vs.map(_.length.toLong).sum
+      val bits = java.lang.Long.toBinaryString(ndv - 1).length.toLong
+      val dict = vs.distinct.map(_.length.toLong).sum + (n * bits + 7) / 8
+      (c, n, ndv, plain, dict, bits, round(plain.toDouble / dict, 2),
+        if (dict < plain) "dict" else "plain")
+    }
+    assert(out.toSeq == expected.toSeq)
+    val byCol = out.map(r => r._1 -> r._8).toMap
+    assert(byCol("events.event_type") == "dict" && byCol("documents.text") == "plain")
+  }
+
   test("q200 ACF: exact integer replay; |acf| bounded by 1") {
     val out = SparkEntry.queries("q200_volume_acf")(spark, sfDir)
       .as[(Long, Long, Double)].collect()
