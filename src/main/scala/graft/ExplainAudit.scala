@@ -31,7 +31,9 @@ object ExplainAudit {
         "q50_knn_bruteforce", "q153_kmv_distinct_sketch",
         "q166_pq_trained", "q167_label_propagation",
         "q168_hll_distinct", "q169_ivf_delta",
-        "q170_semdedup", "q172_hll_timeseries", "q174_cuped_experiment")
+        "q170_semdedup", "q172_hll_timeseries", "q174_cuped_experiment",
+        "q190_basket_lift", "q193_pareto_frontier", "q194_burst_rate_audit",
+        "q198_merkle_manifest", "q204_clamped_balance")
     targets.foreach { name =>
       println(s"\n===== $name =====")
       SparkEntry.queries(name)(spark, dir).explain("formatted")
