@@ -46,6 +46,11 @@ import org.apache.spark.sql.functions._
   *    indices of ⌈log2 ndv⌉ bits) — the storage-layout readout that
   *    complements q179's zone maps and q151's histograms; index width
   *    comes from length(bin(ndv−1)), integer-exact on both engines.
+  *  - q207 mix/rate bridge: the Oaxaca-style decomposition of the
+  *    period-over-period change in average event value into per-group
+  *    mix shift ((w₂−w₁)·r₁), rate change (w₁·(r₂−r₁)), and
+  *    interaction — the "why did the average move" bridge every
+  *    metrics review wants after q185/q110 say THAT it moved.
   *
   * Scale notes (also in SCALE.md):
   *  - q198: every digest fold has BOUNDED fan-in (≤64 docs per page;
@@ -77,6 +82,10 @@ import org.apache.spark.sql.functions._
   *    column, unioned map-side — the q156 stack discipline; at real
   *    scale ndv swaps to the q153 sketch with the same advisory
   *    formula.
+  *  - q207: one (group, period) grouped pass against a broadcast
+  *    2-value date span; the bridge algebra runs on 2·|groups| rows,
+  *    each term one float expression over exact integer (n, Σcents)
+  *    pairs — published per group, never summed.
   */
 object Corpus8 {
 
@@ -480,5 +489,56 @@ object Corpus8 {
              |round(CAST(plain_bytes AS DOUBLE) / (dict_payload + (n * idx_bits + 7) // 8), 2) AS ratio,
              |CASE WHEN dict_payload + (n * idx_bits + 7) // 8 < plain_bytes
              |THEN 'dict' ELSE 'plain' END AS winner
-             |FROM x ORDER BY col""".stripMargin.replace("\n", " "))))
+             |FROM x ORDER BY col""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q207_mix_rate_bridge",
+      // MIX/RATE BRIDGE — split the date span in half (first half =
+      // days whose 0-based index doubles to less than the span), then
+      // decompose the change in overall average value cents into
+      // per-group mix ((w₂−w₁)·r₁), rate (w₁·(r₂−r₁)), and
+      // interaction terms. Weights and rates are single divisions of
+      // exact integers; each bridge term is one IEEE product —
+      // identical trees on both engines, published per group.
+      (s, dir) => {
+        val sp = Tables.events(s, dir)
+          .agg(min(to_date(col("ts"))).as("d0"), max(to_date(col("ts"))).as("d1"))
+        val lab = Tables.events(s, dir)
+          .crossJoin(broadcast(sp))
+          .select(col("event_type").as("g"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("c"),
+            when(datediff(to_date(col("ts")), col("d0")) * 2 <
+              datediff(col("d1"), col("d0")) + 1, 1).otherwise(2).as("p"))
+        val m = lab.groupBy("g", "p").agg(count(lit(1)).as("n"), sum("c").as("s"))
+        val t = m.groupBy("p").agg(sum("n").as("nt"))
+        val w = m.join(broadcast(t), "p").groupBy("g").agg(
+          max(when(col("p") === 1, col("n").cast("double") / col("nt"))).as("w1"),
+          max(when(col("p") === 1, col("s").cast("double") / col("n"))).as("r1"),
+          max(when(col("p") === 2, col("n").cast("double") / col("nt"))).as("w2"),
+          max(when(col("p") === 2, col("s").cast("double") / col("n"))).as("r2"))
+        w.select(col("g"), round(col("w1"), 6).as("w1"), round(col("w2"), 6).as("w2"),
+            round(col("r1") / 100, 4).as("r1_v"), round(col("r2") / 100, 4).as("r2_v"),
+            round((col("w2") - col("w1")) * col("r1") / 100, 4).as("mix_c"),
+            round(col("w1") * (col("r2") - col("r1")) / 100, 4).as("rate_c"),
+            round((col("w2") - col("w1")) * (col("r2") - col("r1")) / 100, 4).as("inter_c"))
+          .orderBy("g")
+      },
+      Some("""WITH sp AS (SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1 FROM events),
+             |lab AS (SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS c,
+             |CASE WHEN datediff('day', d0, CAST(ts AS DATE)) * 2 <
+             |datediff('day', d0, d1) + 1 THEN 1 ELSE 2 END AS p FROM events, sp),
+             |m AS (SELECT g, p, count(*) AS n, CAST(sum(c) AS BIGINT) AS s FROM lab GROUP BY 1, 2),
+             |t AS (SELECT p, CAST(sum(n) AS BIGINT) AS nt FROM m GROUP BY 1),
+             |w AS (SELECT g,
+             |max(CASE WHEN m.p = 1 THEN CAST(n AS DOUBLE) / nt END) AS w1,
+             |max(CASE WHEN m.p = 1 THEN CAST(s AS DOUBLE) / n END) AS r1,
+             |max(CASE WHEN m.p = 2 THEN CAST(n AS DOUBLE) / nt END) AS w2,
+             |max(CASE WHEN m.p = 2 THEN CAST(s AS DOUBLE) / n END) AS r2
+             |FROM m JOIN t USING (p) GROUP BY 1)
+             |SELECT g, round(w1, 6) AS w1, round(w2, 6) AS w2,
+             |round(r1 / 100, 4) AS r1_v, round(r2 / 100, 4) AS r2_v,
+             |round((w2 - w1) * r1 / 100, 4) AS mix_c,
+             |round(w1 * (r2 - r1) / 100, 4) AS rate_c,
+             |round((w2 - w1) * (r2 - r1) / 100, 4) AS inter_c
+             |FROM w ORDER BY g""".stripMargin.replace("\n", " "))))
 }

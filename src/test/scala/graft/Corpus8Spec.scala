@@ -238,6 +238,42 @@ class Corpus8Spec extends AnyFunSuite with SparkSuite {
     assert(byCol("events.event_type") == "dict" && byCol("documents.text") == "plain")
   }
 
+  test("q207 mix/rate bridge: replay; terms reconstruct the overall delta") {
+    val out = SparkEntry.queries("q207_mix_rate_bridge")(spark, sfDir)
+      .as[(String, Double, Double, Double, Double, Double, Double, Double)].collect()
+    val ev = Tables.events(spark, sfDir)
+      .select($"event_type".as[String],
+        org.apache.spark.sql.functions.to_date($"ts").cast("string").as[String],
+        org.apache.spark.sql.functions.expr("CAST(round(value * 100) AS BIGINT)").as[Long])
+      .collect()
+    val d0 = java.time.LocalDate.parse(ev.map(_._2).min)
+    val d1 = java.time.LocalDate.parse(ev.map(_._2).max)
+    val span = java.time.temporal.ChronoUnit.DAYS.between(d0, d1)
+    def period(d: String): Int =
+      if (2 * java.time.temporal.ChronoUnit.DAYS.between(d0, java.time.LocalDate.parse(d)) < span + 1) 1 else 2
+    val m = ev.groupBy(r => (r._1, period(r._2))).view
+      .mapValues(rs => (rs.length.toLong, rs.map(_._3).sum)).toMap
+    val nt = Map(1 -> m.collect { case ((_, 1), (n, _)) => n }.sum,
+      2 -> m.collect { case ((_, 2), (n, _)) => n }.sum)
+    case class B(w1: Double, r1: Double, w2: Double, r2: Double)
+    val bs = ev.map(_._1).distinct.sorted.map { g =>
+      val (n1, s1) = m((g, 1)); val (n2, s2) = m((g, 2))
+      g -> B(n1.toDouble / nt(1), s1.toDouble / n1, n2.toDouble / nt(2), s2.toDouble / n2)
+    }
+    val expected = bs.map { case (g, b) =>
+      (g, round(b.w1, 6), round(b.w2, 6), round(b.r1 / 100, 4), round(b.r2 / 100, 4),
+        round((b.w2 - b.w1) * b.r1 / 100, 4), round(b.w1 * (b.r2 - b.r1) / 100, 4),
+        round((b.w2 - b.w1) * (b.r2 - b.r1) / 100, 4))
+    }
+    assert(out.toSeq == expected.toSeq)
+    // Bridge identity: Σ_g (mix + rate + interaction) = overall₂ − overall₁
+    val overall1 = bs.map { case (_, b) => b.w1 * b.r1 }.sum
+    val overall2 = bs.map { case (_, b) => b.w2 * b.r2 }.sum
+    val bridge = bs.map { case (_, b) =>
+      (b.w2 - b.w1) * b.r1 + b.w1 * (b.r2 - b.r1) + (b.w2 - b.w1) * (b.r2 - b.r1) }.sum
+    assert(math.abs(bridge - (overall2 - overall1)) < 1e-9)
+  }
+
   test("q200 ACF: exact integer replay; |acf| bounded by 1") {
     val out = SparkEntry.queries("q200_volume_acf")(spark, sfDir)
       .as[(Long, Long, Double)].collect()
