@@ -51,6 +51,13 @@ import org.apache.spark.sql.functions._
   *    mix shift ((w₂−w₁)·r₁), rate change (w₁·(r₂−r₁)), and
   *    interaction — the "why did the average move" bridge every
   *    metrics review wants after q185/q110 say THAT it moved.
+  *  - q208 Kaplan-Meier survival: time from a user's first event to
+  *    their first high-value purchase, right-censored at the corpus
+  *    end (~40% censored at every SF) — the product-limit estimator
+  *    (Kaplan & Meier 1958), with censored users leaving the risk set
+  *    without an event. S(t) = exp(Σ ln(1−d/n)): the running ln-sum
+  *    accumulates in t order on both engines (the q188 sequential-
+  *    float discipline), published at 6dp.
   *
   * Scale notes (also in SCALE.md):
   *  - q198: every digest fold has BOUNDED fan-in (≤64 docs per page;
@@ -86,6 +93,10 @@ import org.apache.spark.sql.functions._
   *    2-value date span; the bridge algebra runs on 2·|groups| rows,
   *    each term one float expression over exact integer (n, Σcents)
   *    pairs — published per group, never summed.
+  *  - q208: two user-keyed min-aggregates; the risk-set cumsum and
+  *    the survival fold run on the |distinct durations| pre-aggregate
+  *    (≤ horizon days — q162's discipline). d and n are exact
+  *    integers; the only float chain is the t-ordered ln-sum.
   */
 object Corpus8 {
 
@@ -540,5 +551,57 @@ object Corpus8 {
              |round((w2 - w1) * r1 / 100, 4) AS mix_c,
              |round(w1 * (r2 - r1) / 100, 4) AS rate_c,
              |round((w2 - w1) * (r2 - r1) / 100, 4) AS inter_c
-             |FROM w ORDER BY g""".stripMargin.replace("\n", " "))))
+             |FROM w ORDER BY g""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q208_kaplan_meier",
+      // KAPLAN-MEIER SURVIVAL — duration = days from a user's first
+      // event to their first purchase with value ≥ 130 (the "event"),
+      // right-censored at the corpus end date for users who never
+      // qualify. One output row per duration carrying events: number
+      // at risk, events d, same-day censorings c (at risk through t,
+      // per the standard convention), and the product-limit S(t) as
+      // exp of the t-ordered running Σ ln(1−d/n).
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables.events(s, dir)
+        val u = ev.groupBy("user_id").agg(min(to_date(col("ts"))).as("fd"))
+        val sp = ev.agg(max(to_date(col("ts"))).as("endd"))
+        val hp = ev.filter(col("event_type") === "purchase" && col("value") >= 130)
+          .groupBy("user_id").agg(min(to_date(col("ts"))).as("pd"))
+        val life = u.join(hp, Seq("user_id"), "left").crossJoin(broadcast(sp))
+          .select(
+            datediff(coalesce(col("pd"), col("endd")), col("fd")).cast("long").as("t"),
+            when(col("pd").isNotNull, 1L).otherwise(0L).as("e"))
+        val tot = life.agg(count(lit(1)).as("nu"))
+        val byt = life.groupBy("t")
+          .agg(sum("e").as("d"), (count(lit(1)) - sum("e")).as("c"))
+        val w = Window.orderBy("t")
+        val r = byt.crossJoin(broadcast(tot))
+          .withColumn("n_risk", col("nu") - coalesce(
+            sum(col("d") + col("c")).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .filter(col("d") > 0)
+        r.withColumn("surv", exp(sum(log(lit(1.0) - col("d").cast("double") / col("n_risk")))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))))
+          .select(col("t"), col("n_risk"), col("d"), col("c"), round(col("surv"), 6).as("surv"))
+          .orderBy("t")
+      },
+      Some("""WITH u AS (SELECT user_id, min(CAST(ts AS DATE)) AS fd FROM events GROUP BY 1),
+             |sp AS (SELECT max(CAST(ts AS DATE)) AS endd FROM events),
+             |hp AS (SELECT user_id, min(CAST(ts AS DATE)) AS pd FROM events
+             |WHERE event_type = 'purchase' AND value >= 130 GROUP BY 1),
+             |life AS (SELECT CAST(datediff('day', fd, coalesce(pd, endd)) AS BIGINT) AS t,
+             |CASE WHEN pd IS NOT NULL THEN 1 ELSE 0 END AS e
+             |FROM u LEFT JOIN hp USING (user_id), sp),
+             |tot AS (SELECT CAST(count(*) AS BIGINT) AS nu FROM life),
+             |byt AS (SELECT t, CAST(sum(e) AS BIGINT) AS d,
+             |CAST(count(*) - sum(e) AS BIGINT) AS c FROM life GROUP BY 1),
+             |r AS (SELECT t, d, c, nu - coalesce(sum(d + c) OVER (ORDER BY t
+             |ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+             |FROM byt, tot),
+             |k AS (SELECT t, n_risk, d, c, exp(sum(ln(1.0 - CAST(d AS DOUBLE) / n_risk))
+             |OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS surv
+             |FROM r WHERE d > 0)
+             |SELECT t, CAST(n_risk AS BIGINT) AS n_risk, d, c, round(surv, 6) AS surv
+             |FROM k ORDER BY t""".stripMargin.replace("\n", " "))))
 }

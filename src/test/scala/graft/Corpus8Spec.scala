@@ -274,6 +274,43 @@ class Corpus8Spec extends AnyFunSuite with SparkSuite {
     assert(math.abs(bridge - (overall2 - overall1)) < 1e-9)
   }
 
+  test("q208 Kaplan-Meier: product-limit replay; survival monotone, risk set conserves") {
+    val out = SparkEntry.queries("q208_kaplan_meier")(spark, sfDir)
+      .as[(Long, Long, Long, Long, Double)].collect()
+    val ev = Tables.events(spark, sfDir)
+      .select($"user_id".as[Long],
+        org.apache.spark.sql.functions.to_date($"ts").cast("string").as[String],
+        $"event_type".as[String], $"value".as[Double]).collect()
+    val endd = java.time.LocalDate.parse(ev.map(_._2).max)
+    val lifetimes = ev.groupBy(_._1).values.map { rows =>
+      val fd = java.time.LocalDate.parse(rows.map(_._2).min)
+      val pd = rows.filter(r => r._3 == "purchase" && r._4 >= 130).map(_._2) match {
+        case Array() => None
+        case ps => Some(java.time.LocalDate.parse(ps.min))
+      }
+      val to = pd.getOrElse(endd)
+      (java.time.temporal.ChronoUnit.DAYS.between(fd, to), pd.isDefined)
+    }.toSeq
+    val nu = lifetimes.size.toLong
+    val byt = lifetimes.groupBy(_._1).toSeq.sortBy(_._1).map { case (t, rs) =>
+      (t, rs.count(_._2).toLong, rs.count(!_._2).toLong)
+    }
+    var atRisk = nu; var lnSum = 0.0
+    val expected = byt.flatMap { case (t, d, c) =>
+      val row = if (d > 0) {
+        lnSum += math.log(1.0 - d.toDouble / atRisk)
+        Some((t, atRisk, d, c, round(math.exp(lnSum), 6)))
+      } else None
+      atRisk -= d + c
+      row
+    }
+    assert(out.toSeq == expected)
+    // survival is non-increasing in (0, 1]; risk sets strictly decrease
+    assert(out.map(_._5).toSeq == out.map(_._5).sorted.reverse.toSeq)
+    assert(out.forall(r => r._5 > 0.0 && r._5 <= 1.0))
+    assert(out.map(_._2).toSeq == out.map(_._2).sorted.reverse.toSeq)
+  }
+
   test("q200 ACF: exact integer replay; |acf| bounded by 1") {
     val out = SparkEntry.queries("q200_volume_acf")(spark, sfDir)
       .as[(Long, Long, Double)].collect()
