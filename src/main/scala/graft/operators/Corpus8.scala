@@ -58,6 +58,13 @@ import org.apache.spark.sql.functions._
   *    without an event. S(t) = exp(Σ ln(1−d/n)): the running ln-sum
   *    accumulates in t order on both engines (the q188 sequential-
   *    float discipline), published at 6dp.
+  *  - q209 log-rank contributions: q208's durations split into two
+  *    behavioral cohorts (first event a 'view' vs not) and compared
+  *    by the log-rank decomposition (Mantel 1966) — per event time:
+  *    at-risk and event counts per cohort, the expected-count
+  *    e1 = d·n1/n and the hypergeometric variance term, published
+  *    PER TIME (the test statistic is the reader's fold — a
+  *    distributed float total would be order-dependent).
   *
   * Scale notes (also in SCALE.md):
   *  - q198: every digest fold has BOUNDED fan-in (≤64 docs per page;
@@ -97,6 +104,9 @@ import org.apache.spark.sql.functions._
   *    the survival fold run on the |distinct durations| pre-aggregate
   *    (≤ horizon days — q162's discipline). d and n are exact
   *    integers; the only float chain is the t-ordered ln-sum.
+  *  - q209: q208's plan plus one user-keyed first-event window; all
+  *    log-rank algebra runs on the duration pre-aggregate with
+  *    per-row float expressions over exact integer counts.
   */
 object Corpus8 {
 
@@ -603,5 +613,88 @@ object Corpus8 {
              |OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS surv
              |FROM r WHERE d > 0)
              |SELECT t, CAST(n_risk AS BIGINT) AS n_risk, d, c, round(surv, 6) AS surv
-             |FROM k ORDER BY t""".stripMargin.replace("\n", " "))))
+             |FROM k ORDER BY t""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q209_logrank_contributions",
+      // LOG-RANK COHORT CONTRIBUTIONS — q208's time-to-high-value-
+      // purchase durations split by whether the user's FIRST event
+      // (ties broken by event_id) was a 'view'. Per pooled event
+      // time: per-cohort at-risk/event counts, expected events
+      // e1 = d·n1/n, observed−expected, and the hypergeometric
+      // variance d·(n1/n)·(1−n1/n)·(n−d)/(n−1) — each one float
+      // expression over exact integers, published per time.
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables.events(s, dir)
+        val wFirst = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val fe = ev.withColumn("rn", row_number().over(wFirst))
+          .filter(col("rn") === 1)
+          .select(col("user_id"),
+            when(col("event_type") === "view", 1).otherwise(2).as("coh"))
+        val fd = ev.groupBy("user_id").agg(min(to_date(col("ts"))).as("fd"))
+        val sp = ev.agg(max(to_date(col("ts"))).as("endd"))
+        val hp = ev.filter(col("event_type") === "purchase" && col("value") >= 130)
+          .groupBy("user_id").agg(min(to_date(col("ts"))).as("pd"))
+        val life = fd.join(fe, "user_id").join(hp, Seq("user_id"), "left")
+          .crossJoin(broadcast(sp))
+          .select(col("coh"),
+            datediff(coalesce(col("pd"), col("endd")), col("fd")).cast("long").as("t"),
+            when(col("pd").isNotNull, 1L).otherwise(0L).as("e"))
+        // ONE scalar agg row (a filter-derived scalar frame would be
+        // EMPTY when a cohort has no members, annihilating the cross
+        // join — DuckDB's COUNT(*) always returns a row)
+        val nus = life.agg(
+          sum(when(col("coh") === 1, 1L).otherwise(0L)).as("nu1"),
+          sum(when(col("coh") === 2, 1L).otherwise(0L)).as("nu2"))
+        val byt = life.groupBy("t").agg(
+          sum(when(col("coh") === 1, col("e")).otherwise(0L)).as("d1"),
+          sum(when(col("coh") === 2, col("e")).otherwise(0L)).as("d2"),
+          sum(when(col("coh") === 1, 1L).otherwise(0L)).as("a1"),
+          sum(when(col("coh") === 2, 1L).otherwise(0L)).as("a2"))
+        val w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+        val r = byt.crossJoin(broadcast(nus))
+          .withColumn("n1", col("nu1") - coalesce(sum("a1").over(w), lit(0L)))
+          .withColumn("n2", col("nu2") - coalesce(sum("a2").over(w), lit(0L)))
+          .filter(col("d1") + col("d2") > 0)
+        val n = col("n1") + col("n2"); val d = col("d1") + col("d2")
+        r.select(col("t"), col("n1"), col("n2"), col("d1"), col("d2"),
+            round((d * col("n1")).cast("double") / n, 6).as("e1"),
+            round(col("d1") - (d * col("n1")).cast("double") / n, 6).as("o_minus_e"),
+            round(when(n <= 1, lit(null)).otherwise(
+              d.cast("double") * col("n1") / n * (lit(1.0) - col("n1").cast("double") / n)
+                * (n - d).cast("double") / (n - 1)), 6).as("v"))
+          .orderBy("t")
+      },
+      Some("""WITH fe AS (SELECT user_id, CASE WHEN event_type = 'view' THEN 1 ELSE 2 END AS coh
+             |FROM (SELECT user_id, event_type, row_number() OVER (PARTITION BY user_id
+             |ORDER BY ts, event_id) AS rn FROM events) z WHERE rn = 1),
+             |fd AS (SELECT user_id, min(CAST(ts AS DATE)) AS fd FROM events GROUP BY 1),
+             |sp AS (SELECT max(CAST(ts AS DATE)) AS endd FROM events),
+             |hp AS (SELECT user_id, min(CAST(ts AS DATE)) AS pd FROM events
+             |WHERE event_type = 'purchase' AND value >= 130 GROUP BY 1),
+             |life AS (SELECT coh, CAST(datediff('day', fd.fd, coalesce(pd, endd)) AS BIGINT) AS t,
+             |CASE WHEN pd IS NOT NULL THEN 1 ELSE 0 END AS e
+             |FROM fd JOIN fe USING (user_id) LEFT JOIN hp USING (user_id), sp),
+             |nu1 AS (SELECT CAST(count(*) AS BIGINT) AS nu1 FROM life WHERE coh = 1),
+             |nu2 AS (SELECT CAST(count(*) AS BIGINT) AS nu2 FROM life WHERE coh = 2),
+             |byt AS (SELECT t,
+             |CAST(sum(CASE WHEN coh = 1 THEN e ELSE 0 END) AS BIGINT) AS d1,
+             |CAST(sum(CASE WHEN coh = 2 THEN e ELSE 0 END) AS BIGINT) AS d2,
+             |CAST(sum(CASE WHEN coh = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a1,
+             |CAST(sum(CASE WHEN coh = 2 THEN 1 ELSE 0 END) AS BIGINT) AS a2
+             |FROM life GROUP BY 1),
+             |r AS (SELECT t, d1, d2,
+             |nu1 - coalesce(sum(a1) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+             |AND 1 PRECEDING), 0) AS n1,
+             |nu2 - coalesce(sum(a2) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+             |AND 1 PRECEDING), 0) AS n2
+             |FROM byt, nu1, nu2)
+             |SELECT t, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2, d1, d2,
+             |round(CAST((d1 + d2) * n1 AS DOUBLE) / (n1 + n2), 6) AS e1,
+             |round(d1 - CAST((d1 + d2) * n1 AS DOUBLE) / (n1 + n2), 6) AS o_minus_e,
+             |round(CASE WHEN n1 + n2 <= 1 THEN NULL ELSE
+             |CAST(d1 + d2 AS DOUBLE) * n1 / (n1 + n2) * (1.0 - CAST(n1 AS DOUBLE) / (n1 + n2))
+             |* CAST(n1 + n2 - d1 - d2 AS DOUBLE) / (n1 + n2 - 1) END, 6) AS v
+             |FROM r WHERE d1 + d2 > 0 ORDER BY t""".stripMargin.replace("\n", " "))))
 }

@@ -311,6 +311,54 @@ class Corpus8Spec extends AnyFunSuite with SparkSuite {
     assert(out.map(_._2).toSeq == out.map(_._2).sorted.reverse.toSeq)
   }
 
+  test("q209 log-rank: per-time replay; pooled columns agree with q208's risk table") {
+    val out = SparkEntry.queries("q209_logrank_contributions")(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long, Double, Double, Double)].collect()
+    val ev = Tables.events(spark, sfDir)
+      .select($"user_id",
+        org.apache.spark.sql.functions.to_date($"ts").cast("string").as("d"),
+        $"event_type", $"value",
+        org.apache.spark.sql.functions.expr("unix_micros(ts)").as("us"),
+        $"event_id")
+      .as[(Long, String, String, Double, Long, Long)].collect()
+    val endd = java.time.LocalDate.parse(ev.map(_._2).max)
+    val users = ev.groupBy(_._1).values.map { rows =>
+      val first = rows.minBy(r => (r._5, r._6))
+      val coh = if (first._3 == "view") 1 else 2
+      val fd = java.time.LocalDate.parse(rows.map(_._2).min)
+      val pd = rows.filter(r => r._3 == "purchase" && r._4 >= 130).map(_._2) match {
+        case Array() => None
+        case ps => Some(java.time.LocalDate.parse(ps.min))
+      }
+      (coh, java.time.temporal.ChronoUnit.DAYS.between(fd, pd.getOrElse(endd)), pd.isDefined)
+    }.toSeq
+    var n1 = users.count(_._1 == 1).toLong; var n2 = users.count(_._1 == 2).toLong
+    val byt = users.groupBy(_._2).toSeq.sortBy(_._1)
+    val expected = byt.flatMap { case (t, rs) =>
+      val d1 = rs.count(r => r._1 == 1 && r._3).toLong
+      val d2 = rs.count(r => r._1 == 2 && r._3).toLong
+      val row = if (d1 + d2 > 0) {
+        val n = n1 + n2; val d = d1 + d2
+        val e1 = (d * n1).toDouble / n
+        val v = if (n <= 1) null
+          else d.toDouble * n1 / n * (1.0 - n1.toDouble / n) * (n - d).toDouble / (n - 1)
+        Some((t, n1, n2, d1, d2, round(e1, 6), round(d1 - e1, 6),
+          if (v == null) null else round(v.asInstanceOf[Double], 6)))
+      } else None
+      n1 -= rs.count(_._1 == 1); n2 -= rs.count(_._1 == 2)
+      row
+    }
+    assert(out.toSeq.map(r => (r._1, r._2, r._3, r._4, r._5, r._6, r._7, r._8: Any)) ==
+      expected.map(e => (e._1, e._2, e._3, e._4, e._5, e._6, e._7, e._8)))
+    // cross-query consistency: pooled at-risk and events equal q208's table
+    val km = SparkEntry.queries("q208_kaplan_meier")(spark, sfDir)
+      .as[(Long, Long, Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    out.foreach { r =>
+      val (nRisk, d) = km(r._1)
+      assert(r._2 + r._3 == nRisk && r._4 + r._5 == d, s"t=${r._1}")
+    }
+  }
+
   test("q200 ACF: exact integer replay; |acf| bounded by 1") {
     val out = SparkEntry.queries("q200_volume_acf")(spark, sfDir)
       .as[(Long, Long, Double)].collect()
