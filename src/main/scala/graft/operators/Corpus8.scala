@@ -65,6 +65,12 @@ import org.apache.spark.sql.functions._
   *    e1 = d·n1/n and the hypergeometric variance term, published
   *    PER TIME (the test statistic is the reader's fold — a
   *    distributed float total would be order-dependent).
+  *  - q210 correlation matrix: pairwise Pearson r over the four
+  *    lineitem numerics from exact cent-scaled integer moments in ONE
+  *    corpus pass — per-row products fit int64, the sums live in
+  *    DECIMAL(38,0)/HUGEINT (the q110/q184 wide-integer rule), and r
+  *    divides by sqrt(dx)·sqrt(dy) separately because dx·dy itself
+  *    would overflow even 128 bits.
   *
   * Scale notes (also in SCALE.md):
   *  - q198: every digest fold has BOUNDED fan-in (≤64 docs per page;
@@ -107,6 +113,9 @@ import org.apache.spark.sql.functions._
   *  - q209: q208's plan plus one user-keyed first-event window; all
   *    log-rank algebra runs on the duration pre-aggregate with
   *    per-row float expressions over exact integer counts.
+  *  - q210: ONE grouped-less aggregate (15 sums, all partial/final
+  *    map-side combine) and a 6-row literal projection — the full
+  *    matrix never touches the corpus twice.
   */
 object Corpus8 {
 
@@ -696,5 +705,62 @@ object Corpus8 {
              |round(CASE WHEN n1 + n2 <= 1 THEN NULL ELSE
              |CAST(d1 + d2 AS DOUBLE) * n1 / (n1 + n2) * (1.0 - CAST(n1 AS DOUBLE) / (n1 + n2))
              |* CAST(n1 + n2 - d1 - d2 AS DOUBLE) / (n1 + n2 - 1) END, 6) AS v
-             |FROM r WHERE d1 + d2 > 0 ORDER BY t""".stripMargin.replace("\n", " "))))
+             |FROM r WHERE d1 + d2 > 0 ORDER BY t""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q210_correlation_matrix",
+      // PEARSON CORRELATION MATRIX — all six pairs among quantity /
+      // extendedprice / discount / tax from one 15-sum pass of exact
+      // cent integers. r = (n·Σxy − ΣxΣy) / (√dx·√dy): numerator and
+      // the two deviation sums are exact wide integers converted once
+      // to double (same nearest-double on both engines); sqrt is
+      // IEEE-exact. Never uses the built-in corr() — its streaming
+      // float accumulation is partition-order-dependent.
+      (s, dir) => {
+        val keys = Seq("quantity" -> "l_quantity", "extendedprice" -> "l_extendedprice",
+          "discount" -> "l_discount", "tax" -> "l_tax")
+        val c = Tables.lineitem(s, dir).select(keys.map { case (k, src) =>
+          expr(s"CAST(round($src * 100) AS BIGINT)").as(k)
+        }: _*)
+        val sums = Seq(count(lit(1)).as("n")) ++
+          keys.map { case (k, _) => sum(col(k).cast("decimal(38,0)")).as(s"s_$k") } ++
+          (for (i <- keys.indices; j <- i until keys.size) yield {
+            val (a, b) = (keys(i)._1, keys(j)._1)
+            sum((col(a) * col(b)).cast("decimal(38,0)")).as(s"s_${a}_$b")
+          })
+        val m = c.agg(sums.head, sums.tail: _*)
+        val pairs = for (i <- keys.indices; j <- (i + 1) until keys.size) yield (keys(i)._1, keys(j)._1)
+        // ONE corpus pass: all six r values project off the single
+        // aggregate row via explode (per-pair selects would re-derive
+        // the aggregate — six scans).
+        val pairStructs = pairs.map { case (a, b) =>
+          val num = (col("n") * col(s"s_${a}_$b") - col(s"s_$a") * col(s"s_$b")).cast("double")
+          val dx = (col("n") * col(s"s_${a}_$a") - col(s"s_$a") * col(s"s_$a")).cast("double")
+          val dy = (col("n") * col(s"s_${b}_$b") - col(s"s_$b") * col(s"s_$b")).cast("double")
+          struct(lit(a).as("col_x"), lit(b).as("col_y"), col("n").as("n"),
+            round(num / (sqrt(dx) * sqrt(dy)), 6).as("r"))
+        }
+        m.select(explode(array(pairStructs: _*)).as("p"))
+          .select(col("p.col_x"), col("p.col_y"), col("p.n"), col("p.r"))
+          .orderBy("col_x", "col_y")
+      },
+      Some({
+        val ks = Seq("quantity" -> "l_quantity", "extendedprice" -> "l_extendedprice",
+          "discount" -> "l_discount", "tax" -> "l_tax")
+        val moms = (ks.map { case (k, src) => s"sum($k) AS s_$k" } ++
+          (for (i <- ks.indices; j <- i until ks.size)
+            yield s"sum(${ks(i)._1} * ${ks(j)._1}) AS s_${ks(i)._1}_${ks(j)._1}")).mkString(", ")
+        val cents = ks.map { case (k, src) => s"CAST(round($src * 100) AS BIGINT) AS $k" }.mkString(", ")
+        val rows = (for (i <- ks.indices; j <- (i + 1) until ks.size) yield {
+          val (a, b) = (ks(i)._1, ks(j)._1)
+          s"""SELECT '$a' AS col_x, '$b' AS col_y, CAST(n AS BIGINT) AS n,
+             |round(CAST(n * s_${a}_$b - s_$a * s_$b AS DOUBLE)
+             |/ (sqrt(CAST(n * s_${a}_$a - s_$a * s_$a AS DOUBLE))
+             |* sqrt(CAST(n * s_${b}_$b - s_$b * s_$b AS DOUBLE))), 6) AS r FROM m"""
+            .stripMargin.replace("\n", " ")
+        }).mkString(" UNION ALL ")
+        s"""WITH c AS (SELECT $cents FROM lineitem),
+           |m AS (SELECT count(*) AS n, $moms FROM c)
+           |$rows ORDER BY col_x, col_y""".stripMargin.replace("\n", " ")
+      })))
 }

@@ -359,6 +359,31 @@ class Corpus8Spec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("q210 correlation matrix: BigInt moment replay; r within [-1, 1]") {
+    val out = SparkEntry.queries("q210_correlation_matrix")(spark, sfDir)
+      .as[(String, String, Long, Double)].collect()
+    val li = Tables.lineitem(spark, sfDir)
+      .select(org.apache.spark.sql.functions.expr("CAST(round(l_quantity*100) AS BIGINT)"),
+        org.apache.spark.sql.functions.expr("CAST(round(l_extendedprice*100) AS BIGINT)"),
+        org.apache.spark.sql.functions.expr("CAST(round(l_discount*100) AS BIGINT)"),
+        org.apache.spark.sql.functions.expr("CAST(round(l_tax*100) AS BIGINT)"))
+      .as[(Long, Long, Long, Long)].collect()
+    val cols = Seq("quantity", "extendedprice", "discount", "tax")
+    val data = Seq(li.map(_._1), li.map(_._2), li.map(_._3), li.map(_._4))
+    val n = BigInt(li.length)
+    def s(i: Int) = data(i).map(BigInt(_)).sum
+    def sxy(i: Int, j: Int) = data(i).zip(data(j)).map { case (a, b) => BigInt(a) * b }.sum
+    val expected = (for (i <- 0 until 4; j <- (i + 1) until 4) yield {
+      val num = (n * sxy(i, j) - s(i) * s(j)).toDouble
+      val dx = (n * sxy(i, i) - s(i) * s(i)).toDouble
+      val dy = (n * sxy(j, j) - s(j) * s(j)).toDouble
+      (cols(i), cols(j), li.length.toLong,
+        round(num / (math.sqrt(dx) * math.sqrt(dy)), 6))
+    }).sortBy(r => (r._1, r._2))
+    assert(out.toSeq == expected)
+    assert(out.forall(r => math.abs(r._4) <= 1.0))
+  }
+
   test("q200 ACF: exact integer replay; |acf| bounded by 1") {
     val out = SparkEntry.queries("q200_volume_acf")(spark, sfDir)
       .as[(Long, Long, Double)].collect()
