@@ -30,6 +30,7 @@ object SparkEntry {
       operators.Corpus6.defs ++
       operators.Corpus7.defs ++
       operators.Corpus8.defs ++
+      operators.Corpus9.defs ++
       sources.Articles.defs ++
       ml.MlQueries.defs
 

@@ -1,0 +1,197 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-5 closers, part 5 — the comparative-statistics tranche: the
+  * tests an analyst reaches for AFTER the descriptive queries
+  * (q184 moments, q185 KS, q210 correlations) say "these groups look
+  * different":
+  *
+  *  - q211 one-way ANOVA: does mean document length differ across
+  *    languages? F = (SSB/(k−1))/(SSW/(N−k)) from ONE grouped pass of
+  *    exact integer sums (n, Σx, Σx²) per language; the k-term float
+  *    reduction Σ s_g²/n_g runs as a SORTED sequential fold on both
+  *    engines (the q208 ln-sum discipline) so the last-ulp result is
+  *    order-independent.
+  *  - q212 Mann-Whitney U: the rank-based two-sample test ('en' vs
+  *    the rest on n_chars) that q185's binned KS approximates —
+  *    computed EXACTLY, with tie midranks, without ever ranking the
+  *    corpus: group counts per DISTINCT VALUE, a running opposite-
+  *    group prefix on that value-domain table, and 2·U = Σ a_v·(2·
+  *    b_less + b_v) stays integer (the ½-tie credit never becomes a
+  *    float until the final projection). Tie-corrected normal z and
+  *    the AUC interpretation U/(nA·nB) ride out as one expression
+  *    each.
+  *  - q213 difference-in-differences: the quasi-experimental readout
+  *    — deterministically hash-bucketed pseudo-arms × pre/post
+  *    periods on purchase value; DiD = (T_post−T_pre) − (C_post−
+  *    C_pre) from four exact integer-cent cell sums. The natural
+  *    A/A-shaped companion to q174's CUPED (same arm hash family,
+  *    different salt).
+  *
+  * Scale notes (also in SCALE.md):
+  *  - q211: one hash agg to |langs| rows; everything after is k-row
+  *    arithmetic. Σx² of int64 char counts fits BIGINT through
+  *    ~10^5 SF; beyond that the sums move to DECIMAL(38,0) internally
+  *    (the q184 rule) with the same downstream float expressions.
+  *  - q212: the only corpus shuffle is groupBy(value) — the working
+  *    table is bounded by the metric's VALUE DOMAIN (≤ ~10³ distinct
+  *    lengths), not the corpus, so the unpartitioned prefix window
+  *    sits on a domain-sized table (the q151 "SinglePartition only
+  *    under scalar/domain counts" exemption). Continuous metrics
+  *    would bin first (q185's grid) and inherit the same bound.
+  *  - q213: one (arm, period) grouped aggregate — four cells — and a
+  *    broadcast scalar join; the arm hash is the q174/q95 md5 fold,
+  *    reproducible under any partitioning.
+  */
+object Corpus9 {
+
+  def defs: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "q211_anova_oneway",
+      // ONE-WAY ANOVA — mean n_chars across languages. Per-group
+      // exact integer (n, Σx, Σx²); SSB = Σ s²/n − S²/N via a sorted
+      // sequential double fold over the k per-group terms; SSW by
+      // subtraction from the total sum of squares. Output: per-lang
+      // n / mean / deviation-from-grand plus the shared SSB/SSW/F
+      // columns (identical on every row by design, like q174's θ).
+      (s, dir) => {
+        val g = Tables.documents(s, dir).groupBy("lang").agg(
+          count(lit(1)).as("n"),
+          sum("n_chars").as("sv"),
+          sum(col("n_chars") * col("n_chars")).as("ss"))
+        val tot = g.agg(
+          sum("n").as("nn"), sum("sv").as("st"), sum("ss").as("sst"),
+          count(lit(1)).as("k"),
+          expr("""aggregate(
+                   array_sort(collect_list(named_struct(
+                     'lang', lang,
+                     'term', CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)))),
+                   CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.term)""").as("sgg"))
+          .withColumn("ssb", col("sgg") - col("st").cast("double") * col("st").cast("double") / col("nn").cast("double"))
+          .withColumn("sst_c", col("sst").cast("double") - col("st").cast("double") * col("st").cast("double") / col("nn").cast("double"))
+        g.crossJoin(broadcast(tot.select("nn", "st", "k", "ssb", "sst_c")))
+          .select(col("lang"), col("n"),
+            round(col("sv").cast("double") / col("n"), 4).as("mean_chars"),
+            round(col("sv").cast("double") / col("n") - col("st").cast("double") / col("nn"), 4).as("dev_from_grand"),
+            round(col("ssb"), 4).as("ssb"),
+            round(col("sst_c") - col("ssb"), 4).as("ssw"),
+            round((col("ssb") / (col("k") - 1)) /
+              ((col("sst_c") - col("ssb")) / (col("nn") - col("k"))), 6).as("f_stat"))
+          .orderBy("lang")
+      },
+      Some("""WITH g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n,
+             |CAST(sum(n_chars) AS BIGINT) AS sv,
+             |CAST(sum(n_chars * n_chars) AS BIGINT) AS ss
+             |FROM documents GROUP BY lang),
+             |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(sv) AS BIGINT) AS st,
+             |CAST(sum(ss) AS BIGINT) AS sst, CAST(count(*) AS BIGINT) AS k,
+             |sum(CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / CAST(n AS DOUBLE) ORDER BY lang) AS sgg
+             |FROM g),
+             |f AS (SELECT nn, st, k,
+             |sgg - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / CAST(nn AS DOUBLE) AS ssb,
+             |CAST(sst AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / CAST(nn AS DOUBLE) AS sst_c
+             |FROM tot)
+             |SELECT g.lang, g.n, round(CAST(g.sv AS DOUBLE) / g.n, 4) AS mean_chars,
+             |round(CAST(g.sv AS DOUBLE) / g.n - CAST(f.st AS DOUBLE) / f.nn, 4) AS dev_from_grand,
+             |round(f.ssb, 4) AS ssb, round(f.sst_c - f.ssb, 4) AS ssw,
+             |round((f.ssb / (f.k - 1)) / ((f.sst_c - f.ssb) / (f.nn - f.k)), 6) AS f_stat
+             |FROM g, f ORDER BY lang""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q212_mann_whitney",
+      // MANN-WHITNEY U — 'en' vs all other languages on n_chars.
+      // Exact U with tie midranks from the distinct-value table:
+      // 2·U_A = Σ_v a_v · (2·b_below(v) + b_v) (each tied pair
+      // contributes the ½ credit as an integer 1 in the doubled
+      // scale). Tie-corrected asymptotic z and the AUC reading
+      // U/(nA·nB). No corpus-wide rank is ever materialized.
+      (s, dir) => {
+        val v = Tables.documents(s, dir).groupBy(col("n_chars").as("x")).agg(
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("a"),
+          sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("b"))
+        // domain-sized table (distinct char counts): the unpartitioned
+        // running window is the q151 exemption, never corpus-scale.
+        val w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
+        val c = v.withColumn("b_less", coalesce(sum("b").over(w), lit(0L)))
+          .withColumn("t", col("a") + col("b"))
+        c.agg(
+          sum("a").as("na"), sum("b").as("nb"),
+          sum(col("a") * (lit(2L) * col("b_less") + col("b"))).as("u2"),
+          sum(col("t") * col("t") * col("t") - col("t")).as("ties"))
+          .select(col("na"), col("nb"), col("u2"),
+            round(col("u2").cast("double") / 2, 1).as("u_a"),
+            round((col("u2").cast("double") - col("na").cast("double") * col("nb")) /
+              (lit(2.0) * sqrt(col("na").cast("double") * col("nb") / 12.0 *
+                ((col("na") + col("nb") + 1) - col("ties").cast("double") /
+                  ((col("na") + col("nb")).cast("double") * (col("na") + col("nb") - 1))))), 6).as("z"),
+            round(col("u2").cast("double") / 2 / (col("na").cast("double") * col("nb")), 6).as("auc"))
+      },
+      Some("""WITH v AS (SELECT n_chars AS x,
+             |CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             |CAST(sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS b
+             |FROM documents GROUP BY n_chars),
+             |c AS (SELECT x, a, b,
+             |CAST(coalesce(sum(b) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS b_less,
+             |a + b AS t FROM v),
+             |s AS (SELECT CAST(sum(a) AS BIGINT) AS na, CAST(sum(b) AS BIGINT) AS nb,
+             |CAST(sum(a * (2 * b_less + b)) AS BIGINT) AS u2,
+             |CAST(sum(t * t * t - t) AS BIGINT) AS ties FROM c)
+             |SELECT na, nb, u2,
+             |round(CAST(u2 AS DOUBLE) / 2, 1) AS u_a,
+             |round((CAST(u2 AS DOUBLE) - CAST(na AS DOUBLE) * nb) /
+             |(2 * sqrt(CAST(na AS DOUBLE) * nb / 12.0 *
+             |((na + nb + 1) - CAST(ties AS DOUBLE) / (CAST(na + nb AS DOUBLE) * (na + nb - 1))))), 6) AS z,
+             |round(CAST(u2 AS DOUBLE) / 2 / (CAST(na AS DOUBLE) * nb), 6) AS auc
+             |FROM s""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q213_diff_in_diff",
+      // DIFFERENCE-IN-DIFFERENCES — md5-hashed pseudo-arms (salt
+      // 'd#', distinct from q174's 'x#'), pre/post split at Jan 16 on
+      // purchase value cents. Four exact integer cells; DiD is one
+      // float expression over the four cell means, repeated on every
+      // row (the q174 θ convention).
+      (s, dir) => {
+        val arm = "CASE WHEN CAST(conv(substr(md5(concat('d#', CAST(user_id AS STRING))), 1, 15), 16, 10) AS BIGINT) % 2 = 0 THEN 'treat' ELSE 'control' END"
+        val cell = Tables.events(s, dir)
+          .where(col("event_type") === "purchase")
+          .select(expr(arm).as("arm"),
+            when(to_date(col("ts")) < lit("2024-01-16").cast("date"), "pre").otherwise("post").as("period"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+          .groupBy("arm", "period")
+          .agg(count(lit(1)).as("n"), sum("c").as("sc"))
+        val wide = cell.agg(
+          max(when(col("arm") === "treat" && col("period") === "post", col("sc").cast("double") / col("n"))).as("tp"),
+          max(when(col("arm") === "treat" && col("period") === "pre", col("sc").cast("double") / col("n"))).as("tr"),
+          max(when(col("arm") === "control" && col("period") === "post", col("sc").cast("double") / col("n"))).as("cp"),
+          max(when(col("arm") === "control" && col("period") === "pre", col("sc").cast("double") / col("n"))).as("cr"))
+        cell.crossJoin(broadcast(wide))
+          .select(col("arm"), col("period"), col("n"),
+            round(col("sc").cast("double") / col("n") / 100.0, 4).as("mean_value"),
+            round(((col("tp") - col("tr")) - (col("cp") - col("cr"))) / 100.0, 4).as("did"))
+          .orderBy("arm", "period")
+      },
+      Some("""WITH e AS (SELECT
+             |CASE WHEN %ARMH% %% 2 = 0 THEN 'treat' ELSE 'control' END AS arm,
+             |CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16' THEN 'pre' ELSE 'post' END AS period,
+             |CAST(round(value * 100) AS BIGINT) AS c
+             |FROM events WHERE event_type = 'purchase'),
+             |cell AS (SELECT arm, period, CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS sc
+             |FROM e GROUP BY arm, period),
+             |w AS (SELECT
+             |max(CASE WHEN arm = 'treat' AND period = 'post' THEN CAST(sc AS DOUBLE) / n END) AS tp,
+             |max(CASE WHEN arm = 'treat' AND period = 'pre' THEN CAST(sc AS DOUBLE) / n END) AS tr,
+             |max(CASE WHEN arm = 'control' AND period = 'post' THEN CAST(sc AS DOUBLE) / n END) AS cp,
+             |max(CASE WHEN arm = 'control' AND period = 'pre' THEN CAST(sc AS DOUBLE) / n END) AS cr
+             |FROM cell)
+             |SELECT c.arm, c.period, c.n, round(CAST(c.sc AS DOUBLE) / c.n / 100.0, 4) AS mean_value,
+             |round(((w.tp - w.tr) - (w.cp - w.cr)) / 100.0, 4) AS did
+             |FROM cell c, w ORDER BY arm, period""".stripMargin.replace("\n", " ")
+        .replace("%ARMH%", Corpus.hexFoldDuck(
+          "md5('d#' || CAST(user_id AS VARCHAR))", 15))
+        .replace("%%", "%"))))
+}
