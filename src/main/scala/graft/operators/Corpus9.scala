@@ -4,6 +4,8 @@ import graft.{QueryDef, Tables}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import TextAnalytics.{toksExpr, toksDuck, stopSqlList}
+
 /** Round-5 closers, part 5 — the comparative-statistics tranche: the
   * tests an analyst reaches for AFTER the descriptive queries
   * (q184 moments, q185 KS, q210 correlations) say "these groups look
@@ -193,5 +195,144 @@ object Corpus9 {
              |FROM cell c, w ORDER BY arm, period""".stripMargin.replace("\n", " ")
         .replace("%ARMH%", Corpus.hexFoldDuck(
           "md5('d#' || CAST(user_id AS VARCHAR))", 15))
-        .replace("%%", "%"))))
+        .replace("%%", "%"))),
+
+    QueryDef(
+      "q214_rake_keywords",
+      // RAKE KEYWORD EXTRACTION (Rose et al. 2010) — candidate
+      // phrases are maximal stopword-free token runs (capped at 4
+      // words, the standard max_length parameterization; longer runs
+      // are discarded, which matters on this stopword-sparse
+      // synthetic corpus). Word score = deg/freq over the candidate
+      // set (deg sums phrase lengths, so co-membership in long
+      // phrases raises a word's score); phrase score = the
+      // position-ordered sum of member word scores (a ≤4-term
+      // sequential fold — identical order both engines). Identical
+      // phrase texts collapse with an occurrence count (their scores
+      // are equal by construction, so max() is a safe combiner).
+      (s, dir) => {
+        val tok = Tables.documents(s, dir)
+          .select(col("doc_id"), posexplode(expr(toksExpr)).as(Seq("pos", "w")))
+        val ns = tok.where(!col("w").isin(TextAnalytics.Stopwords: _*))
+          .withColumn("isl",
+            col("pos") - row_number().over(Window.partitionBy("doc_id").orderBy("pos")))
+        val ph = ns.groupBy("doc_id", "isl").agg(
+            expr("array_sort(collect_list(named_struct('pos', pos, 'w', w)))").as("ws"),
+            count(lit(1)).as("plen"))
+          .where(col("plen") <= 4)
+          .withColumn("phrase", expr("array_join(transform(ws, x -> x.w), ' ')"))
+        val wstat = ph.select(col("plen"), explode(expr("transform(ws, x -> x.w)")).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("freq"), sum("plen").as("deg"))
+        val psc = ph
+          .select(col("doc_id"), col("isl"), col("phrase"),
+            posexplode(expr("transform(ws, x -> x.w)")).as(Seq("wpos", "w")))
+          .join(wstat, "w")
+          .groupBy("doc_id", "isl", "phrase").agg(
+            expr("""aggregate(
+                     array_sort(collect_list(named_struct(
+                       'wpos', wpos, 'sc', CAST(deg AS DOUBLE) / freq))),
+                     CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.sc)""").as("score"))
+        psc.groupBy("phrase").agg(
+            count(lit(1)).as("occurrences"), max("score").as("score"))
+          .select(col("phrase"), col("occurrences"), round(col("score"), 6).as("score"))
+          .orderBy(desc("score"), col("phrase")).limit(20)
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, t.w AS w, t.i AS pos
+             |FROM documents, LATERAL (SELECT unnest($toksDuck) AS w,
+             |generate_subscripts($toksDuck, 1) AS i) t),
+             |ns AS (SELECT doc_id, w, pos,
+             |pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+             |FROM tok WHERE w NOT IN ($stopSqlList)),
+             |ph AS (SELECT doc_id, isl, string_agg(w, ' ' ORDER BY pos) AS phrase,
+             |CAST(count(*) AS BIGINT) AS plen, list(w ORDER BY pos) AS ws
+             |FROM ns GROUP BY doc_id, isl HAVING count(*) <= 4),
+             |wstat AS (SELECT u.w AS w, CAST(count(*) AS BIGINT) AS freq,
+             |CAST(sum(p.plen) AS BIGINT) AS deg
+             |FROM ph p, LATERAL (SELECT unnest(p.ws) AS w) u GROUP BY u.w),
+             |pw AS (SELECT p.phrase, p.doc_id, p.isl, u.i AS wpos, ws2.deg, ws2.freq
+             |FROM ph p, LATERAL (SELECT unnest(p.ws) AS w, generate_subscripts(p.ws, 1) AS i) u
+             |JOIN wstat ws2 ON ws2.w = u.w),
+             |psc AS (SELECT phrase, doc_id, isl,
+             |sum(CAST(deg AS DOUBLE) / freq ORDER BY wpos) AS score
+             |FROM pw GROUP BY phrase, doc_id, isl),
+             |agg AS (SELECT phrase, CAST(count(*) AS BIGINT) AS occurrences, max(score) AS score
+             |FROM psc GROUP BY phrase)
+             |SELECT phrase, occurrences, round(score, 6) AS score
+             |FROM agg ORDER BY score DESC, phrase LIMIT 20""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q215_kcenter_coreset",
+      // K-CENTER GREEDY CORESET (Gonzalez 1985; Sener & Savarese 2018
+      // use exactly this for training-data selection) — farthest-point
+      // traversal: seed at the min vec_id, then 3 more rounds each
+      // picking the point FARTHEST from its nearest chosen center
+      // (squared L2; ties to the smaller vec_id). Emits each center
+      // with its selection distance (the 2-approximation coverage
+      // radius guarantee trace — strictly decreasing by construction)
+      // plus the final assignment census and per-center radius.
+      // d² = |a|² + |b|² − 2·a·b from three index-ordered zip_with
+      // folds — bit-identical across engines, so the argmax and every
+      // least() chain agree exactly.
+      (s, dir) => {
+        def dot(a: String, b: String) =
+          s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        def dd2(a: String, b: String) =
+          s"(${dot(a, a)} + ${dot(b, b)} - 2 * ${dot(a, b)})"
+        val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+        val c1 = e.orderBy("vec_id").limit(1)
+        val d1 = e.crossJoin(broadcast(c1.select(col("embedding").as("ce"))))
+          .select(col("vec_id"), col("embedding"),
+            expr(dd2("embedding", "ce")).as("dm"))
+        def nextRound(d: org.apache.spark.sql.DataFrame) = {
+          val c = d.orderBy(desc("dm"), col("vec_id")).limit(1)
+          val dn = d.crossJoin(broadcast(c.select(col("embedding").as("ce"))))
+            .select(col("vec_id"), col("embedding"),
+              least(col("dm"), expr(dd2("embedding", "ce"))).as("dm"))
+          (c, dn)
+        }
+        val (c2, d2t) = nextRound(d1)
+        val (c3, d3t) = nextRound(d2t)
+        val c4 = d3t.orderBy(desc("dm"), col("vec_id")).limit(1)
+        def tag(c: org.apache.spark.sql.DataFrame, r: Int) =
+          c.select(lit(r).as("rnd"), col("vec_id"), col("embedding"),
+            (if (r == 1) lit(null).cast("double") else col("dm")).as("dm"))
+        val cen = tag(c1, 1).unionByName(tag(c2, 2))
+          .unionByName(tag(c3, 3)).unionByName(tag(c4, 4))
+        val pc = e.crossJoin(broadcast(cen.select(col("rnd").as("crnd"), col("embedding").as("ce"))))
+          .select(col("vec_id"), col("crnd"), expr(dd2("embedding", "ce")).as("dd"))
+          .withColumn("rn", row_number().over(Window.partitionBy("vec_id").orderBy("dd", "crnd")))
+          .where(col("rn") === 1)
+        cen.join(pc.groupBy("crnd").agg(
+            count(lit(1)).as("n_assigned"), max("dd").as("radius2")),
+            cen("rnd") === pc("crnd"), "left")
+          .select(col("rnd"), col("vec_id").as("center_id"),
+            round(coalesce(col("dm"), lit(0.0)), 6).as("sel_d2"),
+            col("n_assigned"), round(col("radius2"), 6).as("radius2"))
+          .orderBy("rnd")
+      },
+      Some {
+        def dot(a: String, b: String) =
+          s"list_sum(list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+        def dd2(a: String, b: String) =
+          s"(${dot(a, a)} + ${dot(b, b)} - 2 * ${dot(a, b)})"
+        s"""WITH c1 AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 1),
+           |d1 AS (SELECT e.vec_id, e.embedding, ${dd2("e.embedding", "c1.embedding")} AS dm FROM embeddings e, c1),
+           |c2 AS (SELECT vec_id, embedding, dm FROM d1 ORDER BY dm DESC, vec_id LIMIT 1),
+           |d2t AS (SELECT d1.vec_id, d1.embedding, least(d1.dm, ${dd2("d1.embedding", "c2.embedding")}) AS dm FROM d1, c2),
+           |c3 AS (SELECT vec_id, embedding, dm FROM d2t ORDER BY dm DESC, vec_id LIMIT 1),
+           |d3t AS (SELECT d2t.vec_id, d2t.embedding, least(d2t.dm, ${dd2("d2t.embedding", "c3.embedding")}) AS dm FROM d2t, c3),
+           |c4 AS (SELECT vec_id, embedding, dm FROM d3t ORDER BY dm DESC, vec_id LIMIT 1),
+           |cen AS (SELECT 1 AS rnd, vec_id, embedding, CAST(NULL AS DOUBLE) AS dm FROM c1
+           |UNION ALL SELECT 2, vec_id, embedding, dm FROM c2
+           |UNION ALL SELECT 3, vec_id, embedding, dm FROM c3
+           |UNION ALL SELECT 4, vec_id, embedding, dm FROM c4),
+           |pc AS (SELECT e.vec_id, cen.rnd, ${dd2("e.embedding", "cen.embedding")} AS dd,
+           |row_number() OVER (PARTITION BY e.vec_id ORDER BY ${dd2("e.embedding", "cen.embedding")}, cen.rnd) AS rn
+           |FROM embeddings e, cen),
+           |asg AS (SELECT vec_id, rnd, dd FROM pc WHERE rn = 1)
+           |SELECT cen.rnd, cen.vec_id AS center_id, round(coalesce(cen.dm, 0.0), 6) AS sel_d2,
+           |CAST(count(asg.vec_id) AS BIGINT) AS n_assigned, round(max(asg.dd), 6) AS radius2
+           |FROM cen LEFT JOIN asg ON asg.rnd = cen.rnd
+           |GROUP BY cen.rnd, cen.vec_id, cen.dm ORDER BY cen.rnd""".stripMargin.replace("\n", " ")
+      }))
 }

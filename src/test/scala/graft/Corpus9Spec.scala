@@ -104,4 +104,65 @@ class Corpus9Spec extends AnyFunSuite with SparkSuite {
     assert(out.forall(_._5 == did))
     assert(out.map(_._3).sum == ev.length)
   }
+
+  test("q214 RAKE: full local replay of runs, word stats, and phrase scores") {
+    val out = SparkEntry.queries("q214_rake_keywords")(spark, sfDir)
+      .as[(String, Long, Double)].collect()
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id".as[Long], $"text".as[String]).collect()
+    val stops = operators.TextAnalytics.Stopwords.toSet
+
+    // candidate phrases: maximal non-stopword runs, capped at 4 words
+    val phrases = docs.flatMap { case (_, text) =>
+      val toks = text.toLowerCase.split(" ").filter(_.nonEmpty)
+      val runs = scala.collection.mutable.ArrayBuffer[List[String]]()
+      var cur = List.newBuilder[String]; var any = false
+      for (t <- toks) {
+        if (stops(t)) { val r = cur.result(); if (r.nonEmpty) runs += r; cur = List.newBuilder[String]; any = false }
+        else { cur += t; any = true }
+      }
+      val last = cur.result(); if (last.nonEmpty) runs += last
+      runs.filter(_.length <= 4)
+    }
+    val freq = phrases.flatten.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val deg = phrases.flatMap(p => p.map(w => w -> p.length.toLong))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    def score(p: List[String]): Double =
+      p.foldLeft(0.0)((acc, w) => acc + deg(w).toDouble / freq(w))
+    val expected = phrases.groupBy(_.mkString(" ")).toSeq
+      .map { case (txt, ps) => (txt, ps.length.toLong, round(score(ps.head), 6)) }
+      .sortBy { case (txt, _, sc) => (-sc, txt) }.take(20)
+    assert(out.toSeq == expected)
+  }
+
+  test("q215 k-center: exact greedy replay; selection distances shrink; radii covered") {
+    val out = SparkEntry.queries("q215_kcenter_coreset")(spark, sfDir)
+      .as[(Int, Long, Double, Long, Double)].collect().sortBy(_._1)
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select($"vec_id".as[Long], $"embedding".as[Array[Float]]).collect().sortBy(_._1)
+
+    // the query's exact float recipe: three index-ordered folds
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }; s
+    }
+    def d2(a: Array[Float], b: Array[Float]): Double = dot(a, a) + dot(b, b) - 2 * dot(a, b)
+
+    var chosen = Vector(vecs.minBy(_._1))
+    var dm = vecs.map(v => v._1 -> d2(v._2, chosen.head._2)).toMap
+    var selD = Vector(0.0)
+    for (_ <- 2 to 4) {
+      val next = vecs.map(v => (v._1, dm(v._1))).maxBy { case (id, d) => (d, -id) }
+      val nv = vecs.find(_._1 == next._1).get
+      selD :+= next._2; chosen :+= nv
+      dm = vecs.map(v => v._1 -> math.min(dm(v._1), d2(v._2, nv._2))).toMap
+    }
+    assert(out.map(_._2).toSeq == chosen.map(_._1))
+    assert(out.map(_._3).toSeq == selD.map(round(_, 6)))
+    // farthest-point guarantee: selection distances never increase
+    assert(selD.drop(1) == selD.drop(1).sorted.reverse)
+    // census: every point assigned once; final radii ≤ last selection distance
+    assert(out.map(_._4).sum == vecs.length)
+    assert(out.forall(_._5 <= selD.last + 1e-9))
+  }
 }
