@@ -334,5 +334,188 @@ object Corpus9 {
            |CAST(count(asg.vec_id) AS BIGINT) AS n_assigned, round(max(asg.dd), 6) AS radius2
            |FROM cen LEFT JOIN asg ON asg.rnd = cen.rnd
            |GROUP BY cen.rnd, cen.vec_id, cen.dm ORDER BY cen.rnd""".stripMargin.replace("\n", " ")
-      }))
+      }),
+
+    QueryDef(
+      "q216_bradley_terry",
+      // BRADLEY-TERRY STRENGTHS (Bradley & Terry 1952; Hunter 2004 MM)
+      // — the pairwise-preference ranking model behind reward-model
+      // data curation: per user, type i "beats" type j when the user
+      // fired i more often (ties abstain); w_ij aggregates the
+      // comparisons; two fixed MM iterations p_i ← W_i / Σ_j n_ij /
+      // (p_i + p_j) from p = 1, renormalized to mean 1 after each (the
+      // iteration-bounded discipline of q114/q121 — fixed rounds, an
+      // oracle-checkable prefix of the converging sequence). The Σ_j
+      // and renormalization sums are j-/i-ordered sequential folds.
+      (s, dir) => {
+        val uc = Tables.events(s, dir)
+          .groupBy(col("user_id"), col("event_type").as("t"))
+          .agg(count(lit(1)).as("c"))
+        val a = uc.select(col("user_id"), col("t").as("ti"), col("c").as("ci"))
+        val b = uc.select(col("user_id"), col("t").as("tj"), col("c").as("cj"))
+        val pr = a.join(b, "user_id").where(col("ti") < col("tj"))
+          .groupBy("ti", "tj").agg(
+            sum(when(col("ci") > col("cj"), 1L).otherwise(0L)).as("wij"),
+            sum(when(col("ci") < col("cj"), 1L).otherwise(0L)).as("wji"))
+        val pairs = pr.select(col("ti").as("i"), col("tj").as("j"),
+            (col("wij") + col("wji")).as("nij"), col("wij").as("wi"))
+          .unionByName(pr.select(col("tj").as("i"), col("ti").as("j"),
+            (col("wij") + col("wji")).as("nij"), col("wji").as("wi")))
+        val wins = pairs.groupBy("i").agg(sum("wi").as("w"))
+
+        def mmStep(p: org.apache.spark.sql.DataFrame) = {
+          val it = pairs
+            .join(p.select(col("i"), col("p").as("pi")), "i")
+            .join(broadcast(p.select(col("i").as("j"), col("p").as("pj"))), "j")
+            .join(wins, "i")
+            .groupBy("i", "w").agg(
+              expr("""aggregate(
+                       array_sort(collect_list(named_struct(
+                         'j', j, 't', CAST(nij AS DOUBLE) / (pi + pj)))),
+                       CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.t)""").as("den"))
+            .select(col("i"), (col("w").cast("double") / col("den")).as("p"))
+          val nrm = it.agg(
+            expr("""aggregate(array_sort(collect_list(named_struct('i', i, 'p', p))),
+                     CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.p)""").as("sp"),
+            count(lit(1)).as("k"))
+          it.crossJoin(broadcast(nrm))
+            .select(col("i"), (col("p") / col("sp") * col("k")).as("p"))
+        }
+        val p2 = mmStep(mmStep(wins.select(col("i"), lit(1.0).as("p"))))
+        p2.join(wins, "i")
+          .select(col("i").as("event_type"), col("w").as("wins"),
+            round(col("p"), 6).as("strength"))
+          .withColumn("rnk",
+            row_number().over(Window.orderBy(desc("strength"), col("event_type"))).cast("long"))
+          .orderBy("rnk")
+      },
+      Some("""WITH uc AS (SELECT user_id, event_type AS t, CAST(count(*) AS BIGINT) AS c
+             |FROM events GROUP BY 1, 2),
+             |pr AS (SELECT a.t AS ti, b.t AS tj,
+             |CAST(sum(CASE WHEN a.c > b.c THEN 1 ELSE 0 END) AS BIGINT) AS wij,
+             |CAST(sum(CASE WHEN a.c < b.c THEN 1 ELSE 0 END) AS BIGINT) AS wji
+             |FROM uc a JOIN uc b ON a.user_id = b.user_id AND a.t < b.t GROUP BY a.t, b.t),
+             |pairs AS (SELECT ti AS i, tj AS j, wij + wji AS nij, wij AS wi FROM pr
+             |UNION ALL SELECT tj, ti, wij + wji, wji FROM pr),
+             |wins AS (SELECT i, CAST(sum(wi) AS BIGINT) AS w FROM pairs GROUP BY i),
+             |p0 AS (SELECT i, 1.0 AS p FROM wins),
+             |it1 AS (SELECT pa.i, w.w / sum(CAST(pa.nij AS DOUBLE) / (pi.p + pj.p) ORDER BY pa.j) AS p
+             |FROM pairs pa JOIN p0 pi ON pi.i = pa.i JOIN p0 pj ON pj.i = pa.j
+             |JOIN wins w ON w.i = pa.i GROUP BY pa.i, w.w),
+             |n1 AS (SELECT i, p / (SELECT sum(p ORDER BY i) FROM it1) * (SELECT count(*) FROM it1) AS p FROM it1),
+             |it2 AS (SELECT pa.i, w.w / sum(CAST(pa.nij AS DOUBLE) / (pi.p + pj.p) ORDER BY pa.j) AS p
+             |FROM pairs pa JOIN n1 pi ON pi.i = pa.i JOIN n1 pj ON pj.i = pa.j
+             |JOIN wins w ON w.i = pa.i GROUP BY pa.i, w.w),
+             |n2 AS (SELECT i, p / (SELECT sum(p ORDER BY i) FROM it2) * (SELECT count(*) FROM it2) AS p FROM it2)
+             |SELECT n2.i AS event_type, w.w AS wins, round(n2.p, 6) AS strength,
+             |CAST(row_number() OVER (ORDER BY n2.p DESC, n2.i) AS BIGINT) AS rnk
+             |FROM n2 JOIN wins w ON w.i = n2.i ORDER BY rnk""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q217_power_iteration_pc1",
+      // LEADING PRINCIPAL COMPONENT BY POWER ITERATION — three fixed
+      // v ← R·v / ‖R·v‖ rounds over q210's 4×4 correlation matrix,
+      // from the pinned start (0.5, 0.5, 0.5, 0.5). Everything after
+      // the one 15-sum corpus pass is SCALAR arithmetic on the single
+      // aggregate row: each matrix entry, matrix-vector term, and norm
+      // is the SAME textual left-to-right IEEE expression on both
+      // engines, so the unrounded iterates agree bit-for-bit (no
+      // ordered-fold machinery needed at k=4). Fixed rounds, not
+      // convergence — on a near-isotropic spectrum (this corpus: all
+      // eigenvalues ≈ 1) the 3-round iterate is an oracle-checkable
+      // prefix, same contract as q114/q121/q216; the Rayleigh quotient
+      // v·Rv is published alongside as the eigenvalue estimate.
+      (s, dir) => {
+        val keys = Seq("quantity" -> "l_quantity", "extendedprice" -> "l_extendedprice",
+          "discount" -> "l_discount", "tax" -> "l_tax")
+        val k = keys.size
+        val c = Tables.lineitem(s, dir).select(keys.map { case (kk, src) =>
+          expr(s"CAST(round($src * 100) AS BIGINT)").as(kk)
+        }: _*)
+        val sums = Seq(count(lit(1)).as("n")) ++
+          keys.map { case (kk, _) => sum(col(kk).cast("decimal(38,0)")).as(s"s_$kk") } ++
+          (for (i <- keys.indices; j <- i until k) yield {
+            val (a, b) = (keys(i)._1, keys(j)._1)
+            sum((col(a) * col(b)).cast("decimal(38,0)")).as(s"s_${a}_$b")
+          })
+        val m = c.agg(sums.head, sums.tail: _*)
+        // correlation entries computed once as columns (q210's formula)
+        val rCols = for (i <- 0 until k; j <- 0 until k) yield {
+          if (i == j) lit(1.0).as(s"r_${i}_$j")
+          else {
+            val (a, b) = if (i < j) (keys(i)._1, keys(j)._1) else (keys(j)._1, keys(i)._1)
+            val num = (col("n") * col(s"s_${a}_$b") - col(s"s_$a") * col(s"s_$b")).cast("double")
+            val dx = (col("n") * col(s"s_${a}_$a") - col(s"s_$a") * col(s"s_$a")).cast("double")
+            val dy = (col("n") * col(s"s_${b}_$b") - col(s"s_$b") * col(s"s_$b")).cast("double")
+            (num / (sqrt(dx) * sqrt(dy))).as(s"r_${i}_$j")
+          }
+        }
+        var df = m.select(rCols: _*)
+          .select((0 until k).flatMap(j => Seq(lit(0.5).as(s"v_$j"))) ++
+            (for (i <- 0 until k; j <- 0 until k) yield col(s"r_${i}_$j")): _*)
+        for (it <- 1 to 3) {
+          // mv_i = Σ_j r_ij · v_j, left-to-right
+          df = df.select(
+            (0 until k).map(i => (0 until k).map(j => col(s"r_${i}_$j") * col(s"v_$j"))
+              .reduce(_ + _).as(s"mv_$i")) ++
+            (for (i <- 0 until k; j <- 0 until k) yield col(s"r_${i}_$j")): _*)
+          val nrm = sqrt((0 until k).map(i => col(s"mv_$i") * col(s"mv_$i")).reduce(_ + _))
+          df = df.select(
+            (0 until k).map(i => (col(s"mv_$i") / nrm).as(s"v_$i")) ++
+            (for (i <- 0 until k; j <- 0 until k) yield col(s"r_${i}_$j")): _*)
+        }
+        // Rayleigh quotient: recompute R·v on the final unit v and dot
+        // it — λ = v·(R v), same textual shape both engines.
+        val mvF = (0 until k).map(i => (0 until k).map(j => col(s"r_${i}_$j") * col(s"v_$j"))
+          .reduce(_ + _).as(s"f_$i"))
+        val fin = df.select((0 until k).map(i => col(s"v_$i")) ++ mvF: _*)
+          .withColumn("lam", (0 until k).map(i => col(s"v_$i") * col(s"f_$i")).reduce(_ + _))
+        val names = keys.map(_._2)
+        fin.select(explode(array((0 until k).map(i =>
+            struct(lit(i).as("dim"), lit(names(i)).as("colname"),
+              round(col(s"v_$i"), 6).as("pc1"), round(col("lam"), 6).as("eigenvalue"))): _*)).as("p"))
+          .select(col("p.dim"), col("p.colname"), col("p.pc1"), col("p.eigenvalue"))
+          .orderBy("dim")
+      },
+      Some({
+        val ks = Seq("quantity" -> "l_quantity", "extendedprice" -> "l_extendedprice",
+          "discount" -> "l_discount", "tax" -> "l_tax")
+        val k = ks.size
+        val cents = ks.map { case (kk, src) => s"CAST(round($src * 100) AS BIGINT) AS $kk" }.mkString(", ")
+        val moms = (ks.map { case (kk, _) => s"sum($kk) AS s_$kk" } ++
+          (for (i <- ks.indices; j <- i until k)
+            yield s"sum(${ks(i)._1} * ${ks(j)._1}) AS s_${ks(i)._1}_${ks(j)._1}")).mkString(", ")
+        val rDefs = (for (i <- 0 until k; j <- 0 until k) yield {
+          if (i == j) s"1.0 AS r_${i}_$j"
+          else {
+            val (a, b) = if (i < j) (ks(i)._1, ks(j)._1) else (ks(j)._1, ks(i)._1)
+            s"""CAST(n * s_${a}_$b - s_$a * s_$b AS DOUBLE)
+               |/ (sqrt(CAST(n * s_${a}_$a - s_$a * s_$a AS DOUBLE))
+               |* sqrt(CAST(n * s_${b}_$b - s_$b * s_$b AS DOUBLE))) AS r_${i}_$j"""
+              .stripMargin.replace("\n", " ")
+          }
+        }).mkString(", ")
+        val rPass = (for (i <- 0 until k; j <- 0 until k) yield s"r_${i}_$j").mkString(", ")
+        def mv(v: String) = (0 until k).map(i =>
+          (0 until k).map(j => s"r_${i}_$j * ${v}_$j").mkString(" + ") + s" AS mv_$i").mkString(", ")
+        def nrm = "sqrt(" + (0 until k).map(i => s"mv_$i * mv_$i").mkString(" + ") + ")"
+        val iters = (1 to 3).map { it =>
+          val src = if (it == 1) "r0" else s"n${it - 1}"
+          s"""m$it AS (SELECT ${mv("v")}, $rPass FROM $src),
+             |n$it AS (SELECT ${(0 until k).map(i => s"mv_$i / $nrm AS v_$i").mkString(", ")},
+             |$rPass FROM m$it)""".stripMargin.replace("\n", " ")
+        }.mkString(", ")
+        val fDefs = (0 until k).map(i =>
+          (0 until k).map(j => s"r_${i}_$j * v_$j").mkString(" + ") + s" AS f_$i").mkString(", ")
+        val lam = (0 until k).map(i => s"v_$i * f_$i").mkString(" + ")
+        val rows = (0 until k).map { i =>
+          s"SELECT $i AS dim, '${ks(i)._2}' AS colname, round(v_$i, 6) AS pc1, round($lam, 6) AS eigenvalue FROM fin"
+        }.mkString(" UNION ALL ")
+        s"""WITH c AS (SELECT $cents FROM lineitem),
+           |m AS (SELECT count(*) AS n, $moms FROM c),
+           |r0 AS (SELECT ${(0 until k).map(i => s"0.5 AS v_$i").mkString(", ")}, $rDefs FROM m),
+           |$iters,
+           |fin AS (SELECT ${(0 until k).map(i => s"v_$i").mkString(", ")}, $fDefs FROM n3)
+           |$rows ORDER BY dim""".stripMargin.replace("\n", " ")
+      })))
 }

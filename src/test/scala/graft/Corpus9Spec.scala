@@ -165,4 +165,82 @@ class Corpus9Spec extends AnyFunSuite with SparkSuite {
     assert(out.map(_._4).sum == vecs.length)
     assert(out.forall(_._5 <= selD.last + 1e-9))
   }
+
+  test("q216 Bradley-Terry: exact MM replay; win bookkeeping; mean-1 normalization") {
+    val out = SparkEntry.queries("q216_bradley_terry")(spark, sfDir)
+      .as[(String, Long, Double, Long)].collect()
+    val ev = Tables.events(spark, sfDir)
+      .select($"user_id".as[Long], $"event_type".as[String]).collect()
+
+    val uc = ev.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val types = ev.map(_._2).distinct.sorted
+    val users = ev.map(_._1).distinct
+    // directed win counts and comparison totals
+    val w = scala.collection.mutable.Map[(String, String), Long]().withDefaultValue(0L)
+    for (u <- users; i <- types; j <- types if i < j) {
+      val ci = uc.getOrElse((u, i), 0L); val cj = uc.getOrElse((u, j), 0L)
+      if (ci > cj) w((i, j)) += 1 else if (cj > ci) w((j, i)) += 1
+    }
+    val nij = (for (i <- types; j <- types if i != j)
+      yield (i, j) -> (w((i, j)) + w((j, i)))).toMap
+    val wins = types.map(i => i -> types.filter(_ != i).map(j => w((i, j))).sum).toMap
+
+    def mm(p: Map[String, Double]): Map[String, Double] = {
+      val it = types.map { i =>
+        val den = types.filter(_ != i).sorted // j-ordered fold
+          .foldLeft(0.0)((acc, j) => acc + nij((i, j)).toDouble / (p(i) + p(j)))
+        i -> wins(i).toDouble / den
+      }.toMap
+      val sp = types.foldLeft(0.0)((acc, i) => acc + it(i)) // i-ordered fold
+      types.map(i => i -> it(i) / sp * types.size).toMap
+    }
+    val p2 = mm(mm(types.map(_ -> 1.0).toMap))
+    val expected = types.map(i => (i, wins(i), round(p2(i), 6)))
+      .sortBy { case (i, _, s) => (-s, i) }
+      .zipWithIndex.map { case ((i, ww, s), r) => (i, ww, s, (r + 1).toLong) }
+    assert(out.toSeq == expected.toSeq)
+    // every decided comparison is exactly one win
+    assert(out.map(_._2).sum == w.values.sum)
+  }
+
+  test("q217 power iteration: BigInt-moment R replay, 3 exact rounds; unit norm") {
+    val out = SparkEntry.queries("q217_power_iteration_pc1")(spark, sfDir)
+      .as[(Int, String, Double, Double)].collect().sortBy(_._1)
+    val rows = Tables.lineitem(spark, sfDir)
+      .selectExpr("CAST(round(l_quantity * 100) AS BIGINT)",
+        "CAST(round(l_extendedprice * 100) AS BIGINT)",
+        "CAST(round(l_discount * 100) AS BIGINT)",
+        "CAST(round(l_tax * 100) AS BIGINT)")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(t => Array(t._1, t._2, t._3, t._4))
+
+    val k = 4
+    val n = BigInt(rows.length)
+    val s = (0 until k).map(i => rows.map(r => BigInt(r(i))).sum)
+    val sxy = Array.tabulate(k, k)((i, j) => rows.map(r => BigInt(r(i)) * BigInt(r(j))).sum)
+    val rm = Array.tabulate(k, k) { (i, j) =>
+      if (i == j) 1.0
+      else {
+        val (a, b) = (math.min(i, j), math.max(i, j))
+        val num = (n * sxy(a)(b) - s(a) * s(b)).toDouble
+        val dx = (n * sxy(a)(a) - s(a) * s(a)).toDouble
+        val dy = (n * sxy(b)(b) - s(b) * s(b)).toDouble
+        num / (math.sqrt(dx) * math.sqrt(dy))
+      }
+    }
+    var v = Array.fill(k)(0.5)
+    for (_ <- 1 to 3) {
+      val mv = Array.tabulate(k)(i => (0 until k).foldLeft(0.0)((acc, j) => acc + rm(i)(j) * v(j)))
+      val nrm = math.sqrt((0 until k).foldLeft(0.0)((acc, i) => acc + mv(i) * mv(i)))
+      v = mv.map(_ / nrm)
+    }
+    val f = Array.tabulate(k)(i => (0 until k).foldLeft(0.0)((acc, j) => acc + rm(i)(j) * v(j)))
+    val lam = (0 until k).foldLeft(0.0)((acc, i) => acc + v(i) * f(i))
+
+    assert(out.map(_._3).toSeq == v.map(round(_, 6)).toSeq)
+    assert(out.forall(_._4 == round(lam, 6)))
+    // unit vector, and a correlation matrix's top eigenvalue is ≥ 1
+    assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-12)
+    assert(lam > 0.0 && lam <= k + 1e-9)
+  }
 }
