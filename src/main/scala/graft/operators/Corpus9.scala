@@ -517,5 +517,158 @@ object Corpus9 {
            |$iters,
            |fin AS (SELECT ${(0 until k).map(i => s"v_$i").mkString(", ")}, $fDefs FROM n3)
            |$rows ORDER BY dim""".stripMargin.replace("\n", " ")
-      })))
+      })),
+
+    QueryDef(
+      "q218_theil_sen",
+      // THEIL-SEN ROBUST TREND (Theil 1950; Sen 1968) — the
+      // outlier-resistant alternative to q196's OLS daily-volume
+      // slope: median of all pairwise slopes (c_j−c_i)/(x_j−x_i) over
+      // the |days| pre-aggregate, intercept = median(c − slope·x).
+      // Pair fan-out is |days|² on a horizon-bounded table (q162's
+      // discipline), never the corpus; each slope is ONE IEEE
+      // division of exact integers and the medians interpolate via
+      // the proven percentile ≡ quantile_cont pair (q132/q157).
+      (s, dir) => {
+        val di = Tables.events(s, dir)
+          .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("c"))
+          .select(datediff(col("day"), lit("2024-01-01").cast("date")).cast("long").as("x"), col("c"))
+        val a = di.select(col("x").as("xi"), col("c").as("ci"))
+        val b = di.select(col("x").as("xj"), col("c").as("cj"))
+        val pr = a.crossJoin(b).where(col("xi") < col("xj"))
+          .select(((col("cj") - col("ci")).cast("double") / (col("xj") - col("xi"))).as("slope"))
+        val sl = pr.agg(expr("percentile(slope, 0.5D)").as("slope"),
+          count(lit(1)).as("n_pairs"))
+        val ic = di.crossJoin(broadcast(sl))
+          .agg(expr("percentile(CAST(c AS DOUBLE) - slope * x, 0.5D)").as("intercept"))
+        val nd = di.agg(count(lit(1)).as("n_days"))
+        nd.crossJoin(broadcast(sl)).crossJoin(broadcast(ic))
+          .select(col("n_days"), col("n_pairs"),
+            round(col("slope"), 6).as("slope"), round(col("intercept"), 6).as("intercept"))
+      },
+      Some("""WITH d AS (SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS c
+             |FROM events GROUP BY 1),
+             |di AS (SELECT CAST(day - DATE '2024-01-01' AS BIGINT) AS x, c FROM d),
+             |pr AS (SELECT CAST(b.c - a.c AS DOUBLE) / (b.x - a.x) AS slope
+             |FROM di a JOIN di b ON a.x < b.x),
+             |sl AS (SELECT quantile_cont(slope, 0.5) AS slope, CAST(count(*) AS BIGINT) AS n_pairs FROM pr),
+             |ic AS (SELECT quantile_cont(CAST(di.c AS DOUBLE) - sl.slope * di.x, 0.5) AS intercept FROM di, sl)
+             |SELECT (SELECT CAST(count(*) AS BIGINT) FROM di) AS n_days, sl.n_pairs,
+             |round(sl.slope, 6) AS slope, round(ic.intercept, 6) AS intercept
+             |FROM sl, ic""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q219_hits_ranking",
+      // HITS HUBS & AUTHORITIES (Kleinberg 1999) — on the weighted
+      // user→event-type bipartite graph (w = the user's count of that
+      // type): two full mutual-reinforcement rounds. KEY determinism
+      // property: HITS is scale-invariant, so intermediate
+      // normalization factors out — every iterate is kept as an EXACT
+      // INTEGER numerator (order-free sums; wide products go through
+      // DECIMAL casts, never silent int64 overflow) and the single
+      // final L2 normalization is √(Σ int²) computed from exact
+      // integers. No ordered float folds anywhere, to ANY depth.
+      // Output: top-20 hub users + all authority types, scored/ranked.
+      (s, dir) => {
+        val uc = Tables.events(s, dir)
+          .groupBy(col("user_id").as("u"), col("event_type").as("t"))
+          .agg(count(lit(1)).as("w"))
+        val h1 = uc.groupBy("u").agg(sum("w").as("h"))
+        val a1 = uc.join(h1, "u").groupBy("t").agg(sum(col("w") * col("h")).as("a"))
+        val h2 = uc.join(broadcast(a1), "t").groupBy("u").agg(sum(col("w") * col("a")).as("h"))
+        val a2 = uc.join(h2, "u").groupBy("t")
+          .agg(sum((col("w").cast("decimal(19,0)") * col("h").cast("decimal(19,0)"))
+            .cast("decimal(38,0)")).as("a"))
+        val nh = h2.agg(sqrt(sum((col("h").cast("decimal(19,0)") * col("h").cast("decimal(19,0)"))
+          .cast("decimal(38,0)")).cast("double")).as("nrm"))
+        val na = a2.agg(sqrt(sum((col("a").cast("decimal(19,0)") * col("a").cast("decimal(19,0)"))
+          .cast("decimal(38,0)")).cast("double")).as("nrm"))
+        val hubs = h2.crossJoin(broadcast(nh))
+          .select(lit("hub").as("side"), col("u").cast("string").as("id"),
+            round(col("h").cast("double") / col("nrm"), 6).as("score"))
+          .orderBy(desc("score"), col("id")).limit(20)
+        val auths = a2.crossJoin(broadcast(na))
+          .select(lit("authority").as("side"), col("t").as("id"),
+            round(col("a").cast("double") / col("nrm"), 6).as("score"))
+        hubs.unionByName(auths)
+          .withColumn("rnk", row_number()
+            .over(Window.partitionBy("side").orderBy(desc("score"), col("id"))).cast("long"))
+          .orderBy("side", "rnk")
+      },
+      Some("""WITH uc AS (SELECT user_id AS u, event_type AS t, CAST(count(*) AS BIGINT) AS w
+             |FROM events GROUP BY 1, 2),
+             |h1 AS (SELECT u, CAST(sum(w) AS BIGINT) AS h FROM uc GROUP BY u),
+             |a1 AS (SELECT t, CAST(sum(uc.w * h1.h) AS BIGINT) AS a FROM uc JOIN h1 ON h1.u = uc.u GROUP BY t),
+             |h2 AS (SELECT uc.u, CAST(sum(uc.w * a1.a) AS BIGINT) AS h FROM uc JOIN a1 ON a1.t = uc.t GROUP BY uc.u),
+             |a2 AS (SELECT uc.t, CAST(sum(CAST(uc.w AS HUGEINT) * h2.h) AS DECIMAL(38,0)) AS a
+             |FROM uc JOIN h2 ON h2.u = uc.u GROUP BY uc.t),
+             |nh AS (SELECT sqrt(CAST(sum(CAST(h AS HUGEINT) * h) AS DOUBLE)) AS nrm FROM h2),
+             |na AS (SELECT sqrt(CAST(sum(CAST(a AS HUGEINT) * CAST(a AS HUGEINT)) AS DOUBLE)) AS nrm FROM a2),
+             |hubs AS (SELECT 'hub' AS side, CAST(u AS VARCHAR) AS id,
+             |round(CAST(h AS DOUBLE) / nh.nrm, 6) AS score FROM h2, nh ORDER BY score DESC, id LIMIT 20),
+             |auths AS (SELECT 'authority' AS side, t AS id, round(CAST(a AS DOUBLE) / na.nrm, 6) AS score FROM a2, na)
+             |SELECT side, id, score,
+             |CAST(row_number() OVER (PARTITION BY side ORDER BY score DESC, id) AS BIGINT) AS rnk
+             |FROM (SELECT * FROM hubs UNION ALL SELECT * FROM auths) ORDER BY side, rnk"""
+        .stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q220_neyman_allocation",
+      // NEYMAN-ALLOCATED STRATIFIED SAMPLE (Neyman 1934) — the
+      // variance-optimal sampling design for a 10% corpus budget:
+      // n_h ∝ N_h·S_h, where N_h·S_h = √(N_h·Σx² − (Σx)²) comes
+      // exactly from per-stratum integer moments. The 20-term weight
+      // total is a source-ordered sequential fold; rounding is
+      // floor(x+0.5) (the q54 convention). The allocation is then
+      // REALIZED: each stratum's top-n_h docs by md5 hash (the
+      // q95/q112 deterministic-sample discipline) — realized count
+      // and exact-integer sample mean prove the plan is executable.
+      (s, dir) => {
+        val g = Tables.documents(s, dir).groupBy("source").agg(
+          count(lit(1)).as("nh"), sum("n_chars").as("sv"),
+          sum(col("n_chars") * col("n_chars")).as("ss"))
+        val w = g.withColumn("nsh",
+          sqrt((col("nh") * col("ss") - col("sv") * col("sv")).cast("double")))
+        val tot = w.agg(
+          expr("""aggregate(array_sort(collect_list(named_struct('source', source, 'x', nsh))),
+                   CAST(0.0 AS DOUBLE), (acc, v) -> acc + v.x)""").as("tot_nsh"),
+          sum("nh").as("n"))
+        val alloc = w.crossJoin(broadcast(tot))
+          .select(col("source"), col("nh"),
+            round(col("nsh") / col("nh"), 4).as("sd"),
+            floor(col("n").cast("double") * 0.1 * col("nsh") / col("tot_nsh") + 0.5)
+              .cast("long").as("n_alloc"))
+        val sel = Tables.documents(s, dir)
+          .select(col("source"), col("n_chars"), col("doc_id"),
+            md5(concat(lit("n#"), col("doc_id").cast("string"))).as("hsh"))
+          .withColumn("rn", row_number()
+            .over(Window.partitionBy("source").orderBy("hsh", "doc_id")))
+        val samp = sel.join(broadcast(alloc.select(col("source"), col("n_alloc"))), "source")
+          .where(col("rn") <= col("n_alloc"))
+          .groupBy("source").agg(count(lit(1)).as("n_sel"), sum("n_chars").as("sc"))
+        alloc.join(samp, Seq("source"), "left")
+          .select(col("source"), col("nh"), col("sd"), col("n_alloc"),
+            coalesce(col("n_sel"), lit(0L)).as("n_sel"),
+            round(col("sc").cast("double") / col("n_sel"), 4).as("sample_mean"))
+          .orderBy("source")
+      },
+      Some("""WITH g AS (SELECT source, CAST(count(*) AS BIGINT) AS nh,
+             |CAST(sum(n_chars) AS BIGINT) AS sv, CAST(sum(n_chars * n_chars) AS BIGINT) AS ss
+             |FROM documents GROUP BY source),
+             |w AS (SELECT source, nh, sv, ss, sqrt(CAST(nh * ss - sv * sv AS DOUBLE)) AS nsh FROM g),
+             |tot AS (SELECT sum(nsh ORDER BY source) AS tot_nsh, CAST(sum(nh) AS BIGINT) AS n FROM w),
+             |alloc AS (SELECT w.source, w.nh, round(w.nsh / w.nh, 4) AS sd,
+             |CAST(floor(CAST(tot.n AS DOUBLE) * 0.1 * w.nsh / tot.tot_nsh + 0.5) AS BIGINT) AS n_alloc
+             |FROM w, tot),
+             |sel AS (SELECT d.source, d.n_chars,
+             |row_number() OVER (PARTITION BY d.source ORDER BY md5('n#' || CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rn
+             |FROM documents d),
+             |samp AS (SELECT sel.source, CAST(count(*) AS BIGINT) AS n_sel, CAST(sum(sel.n_chars) AS BIGINT) AS sc
+             |FROM sel JOIN alloc ON alloc.source = sel.source AND sel.rn <= alloc.n_alloc
+             |GROUP BY sel.source)
+             |SELECT a.source, a.nh, a.sd, a.n_alloc,
+             |coalesce(samp.n_sel, 0) AS n_sel,
+             |round(CAST(samp.sc AS DOUBLE) / samp.n_sel, 4) AS sample_mean
+             |FROM alloc a LEFT JOIN samp ON samp.source = a.source ORDER BY a.source"""
+        .stripMargin.replace("\n", " "))))
 }

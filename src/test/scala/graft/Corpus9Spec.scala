@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.{datediff, lit, to_date}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Behavioral checks for the q211-q213 comparative-statistics tranche:
@@ -242,5 +243,92 @@ class Corpus9Spec extends AnyFunSuite with SparkSuite {
     // unit vector, and a correlation matrix's top eigenvalue is ≥ 1
     assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-12)
     assert(lam > 0.0 && lam <= k + 1e-9)
+  }
+
+  test("q218 Theil-Sen: pairwise-slope median replay; slope within slope envelope") {
+    val Array((nDays, nPairs, slope, intercept)) =
+      SparkEntry.queries("q218_theil_sen")(spark, sfDir)
+        .as[(Long, Long, Double, Double)].collect()
+    val days = Tables.events(spark, sfDir)
+      .groupBy(to_date($"ts").as("day")).count()
+      .select(datediff($"day", lit("2024-01-01").cast("date")).cast("long").as[Long].as("x"),
+        $"count".as[Long]).as[(Long, Long)].collect().sortBy(_._1)
+
+    def med(xs: Seq[Double]): Double = {
+      val s = xs.sorted; val n = s.length
+      if (n % 2 == 1) s(n / 2) else {
+        // quantile_cont/percentile interpolation at p=0.5
+        val pos = 0.5 * (n - 1); val lo = s(pos.toInt); val hi = s(pos.toInt + 1)
+        lo + (pos - pos.toInt) * (hi - lo)
+      }
+    }
+    val slopes = for (i <- days.indices; j <- (i + 1) until days.length)
+      yield (days(j)._2 - days(i)._2).toDouble / (days(j)._1 - days(i)._1)
+    assert(nDays == days.length && nPairs == slopes.length)
+    val ms = med(slopes)
+    assert(slope == round(ms, 6))
+    assert(intercept == round(med(days.map(d => d._2.toDouble - ms * d._1)), 6))
+    assert(ms >= slopes.min && ms <= slopes.max)
+  }
+
+  test("q219 HITS: exact integer-numerator replay; authorities unit-norm") {
+    val out = SparkEntry.queries("q219_hits_ranking")(spark, sfDir)
+      .as[(String, String, Double, Long)].collect()
+    val ev = Tables.events(spark, sfDir)
+      .select($"user_id".as[Long], $"event_type".as[String]).collect()
+    val w = ev.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val users = ev.map(_._1).distinct.sorted
+    val types = ev.map(_._2).distinct.sorted
+
+    val h1 = users.map(u => u -> types.map(t => BigInt(w.getOrElse((u, t), 0L))).sum).toMap
+    val a1 = types.map(t => t -> users.map(u => BigInt(w.getOrElse((u, t), 0L)) * h1(u)).sum).toMap
+    val h2 = users.map(u => u -> types.map(t => BigInt(w.getOrElse((u, t), 0L)) * a1(t)).sum).toMap
+    val a2 = types.map(t => t -> users.map(u => BigInt(w.getOrElse((u, t), 0L)) * h2(u)).sum).toMap
+    val nh = math.sqrt(users.map(u => h2(u) * h2(u)).sum.toDouble)
+    val na = math.sqrt(types.map(t => a2(t) * a2(t)).sum.toDouble)
+
+    val expHubs = users.map(u => (u.toString, round(h2(u).toDouble / nh, 6)))
+      .sortBy { case (id, sc) => (-sc, id) }.take(20)
+      .zipWithIndex.map { case ((id, sc), r) => ("hub", id, sc, (r + 1).toLong) }
+    val expAuths = types.map(t => (t, round(a2(t).toDouble / na, 6)))
+      .sortBy { case (id, sc) => (-sc, id) }
+      .zipWithIndex.map { case ((id, sc), r) => ("authority", id, sc, (r + 1).toLong) }
+    assert(out.toSeq == (expAuths ++ expHubs).toSeq)
+    // unit norm over ALL authorities (they are not truncated)
+    val asum = out.filter(_._1 == "authority").map(r => r._3 * r._3).sum
+    assert(math.abs(asum - 1.0) < 1e-4)
+  }
+
+  test("q220 Neyman: allocation formula + hash-selection replay; budget bookkeeping") {
+    val out = SparkEntry.queries("q220_neyman_allocation")(spark, sfDir)
+      .as[(String, Long, Double, Long, Long, Double)].collect()
+    val docs = Tables.documents(spark, sfDir)
+      .select($"source".as[String], $"doc_id".as[Long], $"n_chars".as[Long]).collect()
+
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val bySrc = docs.groupBy(_._1)
+    val nsh = bySrc.view.mapValues { rs =>
+      val n = BigInt(rs.length); val sv = rs.map(r => BigInt(r._3)).sum
+      val ss = rs.map(r => BigInt(r._3) * BigInt(r._3)).sum
+      math.sqrt((n * ss - sv * sv).toDouble)
+    }.toMap
+    val totNsh = nsh.toSeq.sortBy(_._1).foldLeft(0.0)(_ + _._2)
+    val n = docs.length.toDouble
+
+    out.foreach { case (src, nhOut, sd, nAlloc, nSel, mean) =>
+      val rs = bySrc(src)
+      assert(nhOut == rs.length)
+      assert(sd == round(nsh(src) / rs.length, 4))
+      val expAlloc = math.floor(n * 0.1 * nsh(src) / totNsh + 0.5).toLong
+      assert(nAlloc == expAlloc)
+      val sel = rs.sortBy(r => (md5hex(s"n#${r._2}"), r._2)).take(expAlloc.toInt)
+      assert(nSel == sel.length)
+      assert(mean == round(sel.map(_._3).sum.toDouble / sel.length, 4))
+    }
+    // realized budget lands within rounding of the 10% target
+    val total = out.map(_._4).sum
+    assert(math.abs(total - n * 0.1) <= out.length / 2.0 + 1)
   }
 }
