@@ -670,5 +670,250 @@ object Corpus9 {
              |coalesce(samp.n_sel, 0) AS n_sel,
              |round(CAST(samp.sc AS DOUBLE) / samp.n_sel, 4) AS sample_mean
              |FROM alloc a LEFT JOIN samp ON samp.source = a.source ORDER BY a.source"""
-        .stripMargin.replace("\n", " "))))
+        .stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q221_spearman_matrix",
+      // SPEARMAN RANK CORRELATION MATRIX — q210's robust sibling over
+      // the three DOMAIN-BOUNDED lineitem numerics (quantity /
+      // discount / tax). ρ is Pearson on midranks, and midranks come
+      // EXACTLY from the distinct-value count table: 2·rank = 2·
+      // cnt_below + cnt + 1 stays integer, the shared ×2 scale
+      // cancels in ρ. Rank tables are value-domain-sized (broadcast
+      // joins; the prefix window is the q151 exemption); the moment
+      // pass is q210's 9-sum DECIMAL(38,0) aggregate on rank columns.
+      // A continuous column (extendedprice) would rank via q56's
+      // two-pass global index instead — same downstream algebra.
+      (s, dir) => {
+        val ks = Seq("quantity" -> "l_quantity", "discount" -> "l_discount", "tax" -> "l_tax")
+        val k = ks.size
+        val c = Tables.lineitem(s, dir).select(ks.map { case (kk, src) =>
+          expr(s"CAST(round($src * 100) AS BIGINT)").as(kk)
+        }: _*)
+        val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+        val rk = ks.foldLeft(c) { case (df, (kk, _)) =>
+          val rt = c.groupBy(col(kk).as("v")).agg(count(lit(1)).as("cnt"))
+            .withColumn(s"r2_$kk",
+              (lit(2L) * coalesce(sum("cnt").over(w), lit(0L)) + col("cnt") + 1).cast("long"))
+            .select(col("v").as(s"v_$kk"), col(s"r2_$kk"))
+          df.join(broadcast(rt), df(kk) === rt(s"v_$kk")).drop(s"v_$kk")
+        }.select(ks.map { case (kk, _) => col(s"r2_$kk").as(kk) }: _*)
+        val sums = Seq(count(lit(1)).as("n")) ++
+          ks.map { case (kk, _) => sum(col(kk).cast("decimal(38,0)")).as(s"s_$kk") } ++
+          (for (i <- 0 until k; j <- i until k) yield {
+            val (a, b) = (ks(i)._1, ks(j)._1)
+            sum((col(a) * col(b)).cast("decimal(38,0)")).as(s"s_${a}_$b")
+          })
+        val m = rk.agg(sums.head, sums.tail: _*)
+        val pairStructs = for (i <- 0 until k; j <- (i + 1) until k) yield {
+          val (a, b) = (ks(i)._1, ks(j)._1)
+          val num = (col("n") * col(s"s_${a}_$b") - col(s"s_$a") * col(s"s_$b")).cast("double")
+          val dx = (col("n") * col(s"s_${a}_$a") - col(s"s_$a") * col(s"s_$a")).cast("double")
+          val dy = (col("n") * col(s"s_${b}_$b") - col(s"s_$b") * col(s"s_$b")).cast("double")
+          struct(lit(a).as("col_x"), lit(b).as("col_y"), col("n").as("n"),
+            round(num / (sqrt(dx) * sqrt(dy)), 6).as("rho"))
+        }
+        m.select(explode(array(pairStructs: _*)).as("p"))
+          .select(col("p.col_x"), col("p.col_y"), col("p.n"), col("p.rho"))
+          .orderBy("col_x", "col_y")
+      },
+      Some({
+        val ks = Seq("quantity" -> "l_quantity", "discount" -> "l_discount", "tax" -> "l_tax")
+        val cents = ks.map { case (kk, src) => s"CAST(round($src * 100) AS BIGINT) AS $kk" }.mkString(", ")
+        val rtabs = ks.map { case (kk, _) =>
+          s"""r_$kk AS (SELECT $kk AS v,
+             |CAST(2 * coalesce(sum(cnt) OVER (ORDER BY $kk ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + cnt + 1 AS BIGINT) AS r2
+             |FROM (SELECT $kk, CAST(count(*) AS BIGINT) AS cnt FROM c GROUP BY $kk))"""
+            .stripMargin.replace("\n", " ")
+        }.mkString(", ")
+        val joins = ks.map { case (kk, _) => s"JOIN r_$kk ON r_$kk.v = c.$kk" }.mkString(" ")
+        val rsel = ks.map { case (kk, _) => s"r_$kk.r2 AS $kk" }.mkString(", ")
+        val moms = (ks.map { case (kk, _) => s"sum($kk) AS s_$kk" } ++
+          (for (i <- ks.indices; j <- i until ks.size)
+            yield s"sum(${ks(i)._1} * ${ks(j)._1}) AS s_${ks(i)._1}_${ks(j)._1}")).mkString(", ")
+        val rows = (for (i <- ks.indices; j <- (i + 1) until ks.size) yield {
+          val (a, b) = (ks(i)._1, ks(j)._1)
+          s"""SELECT '$a' AS col_x, '$b' AS col_y, CAST(n AS BIGINT) AS n,
+             |round(CAST(n * s_${a}_$b - s_$a * s_$b AS DOUBLE)
+             |/ (sqrt(CAST(n * s_${a}_$a - s_$a * s_$a AS DOUBLE))
+             |* sqrt(CAST(n * s_${b}_$b - s_$b * s_$b AS DOUBLE))), 6) AS rho FROM m"""
+            .stripMargin.replace("\n", " ")
+        }).mkString(" UNION ALL ")
+        s"""WITH c AS (SELECT $cents FROM lineitem), $rtabs,
+           |rk AS (SELECT $rsel FROM c $joins),
+           |m AS (SELECT count(*) AS n, $moms FROM rk)
+           |$rows ORDER BY col_x, col_y""".stripMargin.replace("\n", " ")
+      })),
+
+    QueryDef(
+      "q222_kendall_taub",
+      // KENDALL τ-b (Kendall 1945, tie-corrected) — quantity vs
+      // discount. Normally O(n²) or a specialized merge-sort count;
+      // here BOTH columns are domain-bounded, so concordant and
+      // discordant pair counts come exactly from the |X-domain|×
+      // |Y-domain| CONTINGENCY GRID: each unordered observation pair
+      // lands in one ordered cell pair, so C = Σ n_a·n_b over
+      // strictly-increasing cell pairs (grid² ≈ 550² terms, all
+      // integer). Tie terms per marginal use `div` (exact integer
+      // halving). One float expression at the end.
+      (s, dir) => {
+        val c = Tables.lineitem(s, dir).select(
+          expr("CAST(round(l_quantity * 100) AS BIGINT)").as("x"),
+          expr("CAST(round(l_discount * 100) AS BIGINT)").as("y"))
+        val g = c.groupBy("x", "y").agg(count(lit(1)).as("n"))
+        val a = g.select(col("x").as("xa"), col("y").as("ya"), col("n").as("na"))
+        val b = g.select(col("x").as("xb"), col("y").as("yb"), col("n").as("nb"))
+        val cd = a.crossJoin(b).agg(
+          sum(when(col("xb") > col("xa") && col("yb") > col("ya"),
+            col("na") * col("nb")).otherwise(0L)).as("conc"),
+          sum(when(col("xb") > col("xa") && col("yb") < col("ya"),
+            col("na") * col("nb")).otherwise(0L)).as("disc"))
+        val tx = g.groupBy("x").agg(sum("n").as("t"))
+          .agg(sum(expr("(t * (t - 1)) div 2")).as("n1"))
+        val ty = g.groupBy("y").agg(sum("n").as("t"))
+          .agg(sum(expr("(t * (t - 1)) div 2")).as("n2"))
+        val tot = g.agg(sum("n").as("n"))
+        cd.crossJoin(broadcast(tx)).crossJoin(broadcast(ty)).crossJoin(broadcast(tot))
+          .select(col("n"), col("conc"), col("disc"),
+            col("n1").as("ties_x"), col("n2").as("ties_y"),
+            round((col("conc") - col("disc")).cast("double") /
+              (sqrt(col("n").cast("double") * (col("n") - 1) / 2 - col("n1")) *
+               sqrt(col("n").cast("double") * (col("n") - 1) / 2 - col("n2"))), 6).as("tau_b"))
+      },
+      Some("""WITH c AS (SELECT CAST(round(l_quantity * 100) AS BIGINT) AS x,
+             |CAST(round(l_discount * 100) AS BIGINT) AS y FROM lineitem),
+             |g AS (SELECT x, y, CAST(count(*) AS BIGINT) AS n FROM c GROUP BY x, y),
+             |cd AS (SELECT CAST(coalesce(sum(a.n * b.n) FILTER (WHERE b.x > a.x AND b.y > a.y), 0) AS BIGINT) AS conc,
+             |CAST(coalesce(sum(a.n * b.n) FILTER (WHERE b.x > a.x AND b.y < a.y), 0) AS BIGINT) AS disc
+             |FROM g a, g b),
+             |tx AS (SELECT CAST(sum((t * (t - 1)) // 2) AS BIGINT) AS n1
+             |FROM (SELECT CAST(sum(n) AS BIGINT) AS t FROM g GROUP BY x)),
+             |ty AS (SELECT CAST(sum((t * (t - 1)) // 2) AS BIGINT) AS n2
+             |FROM (SELECT CAST(sum(n) AS BIGINT) AS t FROM g GROUP BY y)),
+             |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n FROM g)
+             |SELECT tot.n, cd.conc, cd.disc, tx.n1 AS ties_x, ty.n2 AS ties_y,
+             |round(CAST(cd.conc - cd.disc AS DOUBLE) /
+             |(sqrt(CAST(tot.n AS DOUBLE) * (tot.n - 1) / 2 - tx.n1)
+             |* sqrt(CAST(tot.n AS DOUBLE) * (tot.n - 1) / 2 - ty.n2)), 6) AS tau_b
+             |FROM cd, tx, ty, tot""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q223_james_stein",
+      // JAMES-STEIN SHRINKAGE (Stein 1956; Efron-Morris 1975) — the
+      // empirical-Bayes estimator of the 20 per-source mean doc
+      // lengths: shrink each raw mean toward the grand mean by
+      // c = max(0, 1 − (k−3)·σ̂_m²/Σ(m_h−m̄)²), with σ̂_m² = pooled
+      // within-variance × mean(1/n_h). Everything reduces over exact
+      // per-source integer moments; the three k-term float sums
+      // (Σ 1/n, Σ s²/n for SSW, Σ (m−m̄)²) run as source-ordered
+      // sequential folds. The low-n stabilizer every per-slice
+      // dashboard metric wants before ranking small strata.
+      (s, dir) => {
+        val g = Tables.documents(s, dir).groupBy("source").agg(
+          count(lit(1)).as("nh"), sum("n_chars").as("sv"),
+          sum(col("n_chars") * col("n_chars")).as("ss"))
+        val tot = g.agg(
+          sum("nh").as("nn"), sum("sv").as("st"), sum("ss").as("sst"),
+          count(lit(1)).as("k"),
+          expr("""aggregate(array_sort(collect_list(named_struct('source', source,
+                   'x', CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / CAST(nh AS DOUBLE)))),
+                   CAST(0.0 AS DOUBLE), (acc, v) -> acc + v.x)""").as("sgg"),
+          expr("""aggregate(array_sort(collect_list(named_struct('source', source,
+                   'x', 1.0D / CAST(nh AS DOUBLE)))),
+                   CAST(0.0 AS DOUBLE), (acc, v) -> acc + v.x)""").as("sinv"))
+          .withColumn("gm", col("st").cast("double") / col("nn"))
+          .withColumn("sw2",
+            (col("sst").cast("double") - col("sgg")) / (col("nn") - col("k")))
+          .withColumn("sig2m", col("sw2") * col("sinv") / col("k"))
+        val devs = g.crossJoin(broadcast(tot.select("gm")))
+          .select(col("source"),
+            (col("sv").cast("double") / col("nh") - col("gm")).as("dev"))
+          .agg(expr("""aggregate(array_sort(collect_list(named_struct('source', source,
+                        'x', dev * dev))),
+                        CAST(0.0 AS DOUBLE), (acc, v) -> acc + v.x)""").as("ssb_m"))
+        g.crossJoin(broadcast(tot.select("gm", "sig2m", "k"))).crossJoin(broadcast(devs))
+          .withColumn("c", greatest(lit(0.0),
+            lit(1.0) - (col("k") - 3).cast("double") * col("sig2m") / col("ssb_m")))
+          .select(col("source"), col("nh"),
+            round(col("sv").cast("double") / col("nh"), 4).as("raw_mean"),
+            round(col("gm") + col("c") *
+              (col("sv").cast("double") / col("nh") - col("gm")), 4).as("shrunk_mean"),
+            round(col("c"), 6).as("shrink_factor"))
+          .orderBy("source")
+      },
+      Some("""WITH g AS (SELECT source, CAST(count(*) AS BIGINT) AS nh,
+             |CAST(sum(n_chars) AS BIGINT) AS sv, CAST(sum(n_chars * n_chars) AS BIGINT) AS ss
+             |FROM documents GROUP BY source),
+             |tot AS (SELECT CAST(sum(nh) AS BIGINT) AS nn, CAST(sum(sv) AS BIGINT) AS st,
+             |CAST(sum(ss) AS BIGINT) AS sst, CAST(count(*) AS BIGINT) AS k,
+             |sum(CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / CAST(nh AS DOUBLE) ORDER BY source) AS sgg,
+             |sum(1.0 / CAST(nh AS DOUBLE) ORDER BY source) AS sinv FROM g),
+             |t2 AS (SELECT nn, k, CAST(st AS DOUBLE) / nn AS gm,
+             |(CAST(sst AS DOUBLE) - sgg) / (nn - k) * sinv / k AS sig2m FROM tot),
+             |devs AS (SELECT sum((CAST(g.sv AS DOUBLE) / g.nh - t2.gm)
+             |* (CAST(g.sv AS DOUBLE) / g.nh - t2.gm) ORDER BY g.source) AS ssb_m FROM g, t2)
+             |SELECT g.source, g.nh,
+             |round(CAST(g.sv AS DOUBLE) / g.nh, 4) AS raw_mean,
+             |round(t2.gm + greatest(0.0, 1.0 - CAST(t2.k - 3 AS DOUBLE) * t2.sig2m / devs.ssb_m)
+             |* (CAST(g.sv AS DOUBLE) / g.nh - t2.gm), 4) AS shrunk_mean,
+             |round(greatest(0.0, 1.0 - CAST(t2.k - 3 AS DOUBLE) * t2.sig2m / devs.ssb_m), 6) AS shrink_factor
+             |FROM g, t2, devs ORDER BY g.source""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q224_cramers_v",
+      // CRAMÉR'S V — association strength between event type and
+      // day-of-week (weekday() ≡ isodow−1, the engine-stable 0=Monday
+      // form). χ² over the 5×7 contingency grid from exact integer
+      // observed / marginal counts, accumulated per type as a
+      // dow-ordered fold and across types as a type-ordered fold (the
+      // q199 discipline); V = √(χ²/(n·min(r−1, c−1))). Published per
+      // type with its own contribution, q199-style.
+      (s, dir) => {
+        val cell = Tables.events(s, dir)
+          .groupBy(col("event_type").as("t"),
+            expr("weekday(CAST(ts AS DATE))").as("dow"))
+          .agg(count(lit(1)).as("o"))
+        val rowt = cell.groupBy("t").agg(sum("o").as("rt"))
+        val colt = cell.groupBy("dow").agg(sum("o").as("ct"))
+        val tot = cell.agg(sum("o").as("n"),
+          countDistinct("t").as("r"), countDistinct("dow").as("c"))
+        val terms = cell.join(rowt, "t").join(broadcast(colt), "dow")
+          .crossJoin(broadcast(tot))
+          .withColumn("e", col("rt").cast("double") * col("ct") / col("n"))
+          .withColumn("term",
+            (col("o").cast("double") - col("e")) * (col("o").cast("double") - col("e")) / col("e"))
+        val perType = terms.groupBy("t").agg(
+          sum("o").as("n_type"),
+          expr("""aggregate(array_sort(collect_list(named_struct('dow', dow, 'x', term))),
+                   CAST(0.0 AS DOUBLE), (acc, v) -> acc + v.x)""").as("chi2_contrib"))
+        val chi2 = perType.agg(
+          expr("""aggregate(array_sort(collect_list(named_struct('t', t, 'x', chi2_contrib))),
+                   CAST(0.0 AS DOUBLE), (acc, v) -> acc + v.x)""").as("chi2"))
+        perType.crossJoin(broadcast(chi2)).crossJoin(broadcast(tot))
+          .select(col("t").as("event_type"), col("n_type"),
+            round(col("chi2_contrib"), 6).as("chi2_contrib"),
+            round(col("chi2"), 6).as("chi2_total"),
+            round(sqrt(col("chi2") /
+              (col("n") * least(col("r") - 1, col("c") - 1))), 6).as("cramers_v"))
+          .orderBy("event_type")
+      },
+      Some("""WITH cell AS (SELECT event_type AS t, isodow(CAST(ts AS DATE)) - 1 AS dow,
+             |CAST(count(*) AS BIGINT) AS o FROM events GROUP BY 1, 2),
+             |rowt AS (SELECT t, CAST(sum(o) AS BIGINT) AS rt FROM cell GROUP BY t),
+             |colt AS (SELECT dow, CAST(sum(o) AS BIGINT) AS ct FROM cell GROUP BY dow),
+             |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+             |CAST(count(DISTINCT t) AS BIGINT) AS r, CAST(count(DISTINCT dow) AS BIGINT) AS c FROM cell),
+             |terms AS (SELECT cell.t, cell.dow, cell.o,
+             |(CAST(cell.o AS DOUBLE) - CAST(rowt.rt AS DOUBLE) * colt.ct / tot.n)
+             |* (CAST(cell.o AS DOUBLE) - CAST(rowt.rt AS DOUBLE) * colt.ct / tot.n)
+             |/ (CAST(rowt.rt AS DOUBLE) * colt.ct / tot.n) AS term
+             |FROM cell JOIN rowt ON rowt.t = cell.t JOIN colt ON colt.dow = cell.dow, tot),
+             |pt AS (SELECT t, CAST(sum(o) AS BIGINT) AS n_type,
+             |sum(term ORDER BY dow) AS chi2_contrib FROM terms GROUP BY t),
+             |x2 AS (SELECT sum(chi2_contrib ORDER BY t) AS chi2 FROM pt)
+             |SELECT pt.t AS event_type, pt.n_type,
+             |round(pt.chi2_contrib, 6) AS chi2_contrib,
+             |round(x2.chi2, 6) AS chi2_total,
+             |round(sqrt(x2.chi2 / (tot.n * least(tot.r - 1, tot.c - 1))), 6) AS cramers_v
+             |FROM pt, x2, tot ORDER BY event_type""".stripMargin.replace("\n", " "))))
 }

@@ -331,4 +331,136 @@ class Corpus9Spec extends AnyFunSuite with SparkSuite {
     val total = out.map(_._4).sum
     assert(math.abs(total - n * 0.1) <= out.length / 2.0 + 1)
   }
+
+  test("q221 Spearman: midrank moment replay equals rank-based Pearson") {
+    val out = SparkEntry.queries("q221_spearman_matrix")(spark, sfDir)
+      .as[(String, String, Long, Double)].collect()
+    val rows = Tables.lineitem(spark, sfDir)
+      .selectExpr("CAST(round(l_quantity * 100) AS BIGINT)",
+        "CAST(round(l_discount * 100) AS BIGINT)",
+        "CAST(round(l_tax * 100) AS BIGINT)")
+      .as[(Long, Long, Long)].collect().map(t => Array(t._1, t._2, t._3))
+
+    // exact doubled midranks: 2·rank = 2·cnt_below + cnt + 1 (integer)
+    def midranks2(xs: Array[Long]): Array[Long] = {
+      val cnt = xs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val sorted = cnt.keys.toSeq.sorted
+      val cumBelow = sorted.zip(sorted.scanLeft(0L)((acc, v) => acc + cnt(v)).dropRight(1)).toMap
+      xs.map(v => 2 * cumBelow(v) + cnt(v) + 1)
+    }
+    def pearsonExact(a: Array[Long], b: Array[Long]): Double = {
+      val n = BigInt(a.length)
+      val sa = a.map(BigInt(_)).sum; val sb = b.map(BigInt(_)).sum
+      val sab = a.indices.map(i => BigInt(a(i)) * BigInt(b(i))).sum
+      val saa = a.map(x => BigInt(x) * BigInt(x)).sum
+      val sbb = b.map(x => BigInt(x) * BigInt(x)).sum
+      (n * sab - sa * sb).toDouble /
+        (math.sqrt((n * saa - sa * sa).toDouble) * math.sqrt((n * sbb - sb * sb).toDouble))
+    }
+    val ranks = (0 until 3).map(c => midranks2(rows.map(_(c))))
+    val names = Seq("quantity", "discount", "tax")
+    val exp = (for (i <- 0 until 3; j <- (i + 1) until 3)
+      yield (names(i), names(j), pearsonExact(ranks(i), ranks(j))))
+      .sortBy(t => (t._1, t._2))
+    assert(out.map(t => (t._1, t._2)).toSeq == exp.map(t => (t._1, t._2)))
+    out.zip(exp).foreach { case ((_, _, n, rho), (_, _, expRho)) =>
+      assert(n == rows.length)
+      assert(rho == round(expRho, 6))
+    }
+  }
+
+  test("q222 Kendall tau-b: brute-force pairwise replay") {
+    val Array((n, conc, disc, tiesX, tiesY, taub)) =
+      SparkEntry.queries("q222_kendall_taub")(spark, sfDir)
+        .as[(Long, Long, Long, Long, Long, Double)].collect()
+    val rows = Tables.lineitem(spark, sfDir)
+      .selectExpr("CAST(round(l_quantity * 100) AS BIGINT)",
+        "CAST(round(l_discount * 100) AS BIGINT)")
+      .as[(Long, Long)].collect()
+    assert(n == rows.length)
+    var c = 0L; var d = 0L; var tx = 0L; var ty = 0L
+    var i = 0
+    while (i < rows.length) {
+      var j = i + 1
+      while (j < rows.length) {
+        val dx = java.lang.Long.compare(rows(j)._1, rows(i)._1)
+        val dy = java.lang.Long.compare(rows(j)._2, rows(i)._2)
+        if (dx != 0 && dy != 0) { if (dx == dy) c += 1 else d += 1 }
+        if (dx == 0) tx += 1
+        if (dy == 0) ty += 1
+        j += 1
+      }
+      i += 1
+    }
+    assert(conc == c && disc == d && tiesX == tx && tiesY == ty)
+    val n0 = n.toDouble * (n - 1) / 2
+    assert(taub == round((c - d).toDouble /
+      (math.sqrt(n0 - tx) * math.sqrt(n0 - ty)), 6))
+    assert(taub >= -1.0 && taub <= 1.0)
+  }
+
+  test("q223 James-Stein: moment replay; shrinkage pulls toward the grand mean") {
+    val out = SparkEntry.queries("q223_james_stein")(spark, sfDir)
+      .as[(String, Long, Double, Double, Double)].collect()
+    val docs = Tables.documents(spark, sfDir)
+      .select($"source".as[String], $"n_chars".as[Long]).collect()
+    val g = docs.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val srcs = g.keys.toSeq.sorted
+    val k = srcs.size
+    val nn = docs.length
+    val gm = docs.map(d => BigInt(d._2)).sum.toDouble / nn
+    val sst = docs.map(d => BigInt(d._2) * BigInt(d._2)).sum
+    val sgg = srcs.foldLeft(0.0) { (acc, src) =>
+      val s = g(src).map(BigInt(_)).sum
+      acc + s.toDouble * s.toDouble / g(src).length
+    }
+    val sinv = srcs.foldLeft(0.0)((acc, src) => acc + 1.0 / g(src).length)
+    val sig2m = (sst.toDouble - sgg) / (nn - k) * sinv / k
+    val ssbM = srcs.foldLeft(0.0) { (acc, src) =>
+      val dev = g(src).map(BigInt(_)).sum.toDouble / g(src).length - gm
+      acc + dev * dev
+    }
+    val c = math.max(0.0, 1.0 - (k - 3).toDouble * sig2m / ssbM)
+    assert(out.map(_._1).toSeq == srcs)
+    out.foreach { case (src, nh, raw, shrunk, sf) =>
+      val xs = g(src)
+      assert(nh == xs.length)
+      assert(raw == round(xs.map(BigInt(_)).sum.toDouble / xs.length, 4))
+      assert(sf == round(c, 6))
+      val rawD = xs.map(BigInt(_)).sum.toDouble / xs.length
+      assert(shrunk == round(gm + c * (rawD - gm), 4))
+      // shrinkage never overshoots: shrunk lies between raw and grand
+      assert(shrunk >= math.min(rawD, gm) - 0.01 && shrunk <= math.max(rawD, gm) + 0.01)
+    }
+    assert(out.head._5 >= 0.0 && out.head._5 <= 1.0)
+  }
+
+  test("q224 Cramér's V: contingency replay; V in [0,1]; contributions sum to total") {
+    val out = SparkEntry.queries("q224_cramers_v")(spark, sfDir)
+      .as[(String, Long, Double, Double, Double)].collect()
+    val ev = Tables.events(spark, sfDir)
+      .selectExpr("event_type", "weekday(CAST(ts AS DATE))")
+      .as[(String, Int)].collect()
+    val cells = ev.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val types = ev.map(_._1).distinct.sorted
+    val dows = ev.map(_._2).distinct.sorted
+    val n = ev.length.toDouble
+    val rt = types.map(t => t -> ev.count(_._1 == t).toLong).toMap
+    val ct = dows.map(d => d -> ev.count(_._2 == d).toLong).toMap
+    def contrib(t: String): Double = dows.foldLeft(0.0) { (acc, d) =>
+      val o = cells.getOrElse((t, d), 0L).toDouble
+      val e = rt(t).toDouble * ct(d) / n
+      if (cells.contains((t, d))) acc + (o - e) * (o - e) / e else acc
+    }
+    val chi2 = types.foldLeft(0.0)((acc, t) => acc + contrib(t))
+    val v = math.sqrt(chi2 / (n * math.min(types.size - 1, dows.size - 1)))
+    assert(out.map(_._1).toSeq == types.toSeq)
+    out.foreach { case (t, nt, cc, c2, vv) =>
+      assert(nt == rt(t))
+      assert(cc == round(contrib(t), 6))
+      assert(c2 == round(chi2, 6))
+      assert(vv == round(v, 6))
+    }
+    assert(out.head._5 >= 0.0 && out.head._5 <= 1.0)
+  }
 }
