@@ -31,6 +31,7 @@ object SparkEntry {
       operators.Corpus7.defs ++
       operators.Corpus8.defs ++
       operators.Corpus9.defs ++
+      operators.Corpus10.defs ++
       sources.Articles.defs ++
       ml.MlQueries.defs
 

@@ -1,0 +1,311 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import TextAnalytics.{toksExpr, toksDuck}
+
+/** Round-5 closers, part 6 — graph cohesion and corpus-statistics
+  * diagnostics for the language-modeling pipeline:
+  *
+  *  - q225 local clustering coefficient + global transitivity over
+  *    the q164 df-capped shingle-share graph: per-node 2·Δ/(d(d−1))
+  *    and the 3·Δ/wedges corpus ratio — the cohesion readout that
+  *    says whether near-dup neighborhoods are cliquish (template
+  *    families) or stringy (chains of partial overlap).
+  *  - q226 Good-Turing frequency-of-frequencies over TRIGRAMS (the
+  *    unigram vocabulary here is ~31 words — every count is huge;
+  *    trigrams give the sparse r-spectrum the estimator exists for):
+  *    N_r, the Turing-smoothed r* = (r+1)·N_{r+1}/N_r, and each
+  *    count-class's probability mass — the smoothing table an n-gram
+  *    LM derives unseen-mass estimates from (P₀ = N₁/N is the r=1
+  *    row's mass).
+  *  - q227 Zipf rank-frequency fit — log-log OLS over the top-100
+  *    unigrams. A NATURAL corpus fits slope ≈ −1 with high R²; this
+  *    deliberately synthetic corpus measures slope ≈ −0.2, R² ≈ 0.06,
+  *    so the query doubles as the "is this corpus natural language?"
+  *    diagnostic gate.
+  *  - q228 Heaps vocabulary growth — cumulative trigram vocabulary vs
+  *    cumulative tokens across doc-id deciles, with the local Heaps
+  *    exponent β between consecutive checkpoints (declines as the
+  *    generator's finite phrase space saturates).
+  *  - q229 skip-gram pair generation with word2vec frequency
+  *    subsampling (Mikolov 2013): keep-probability √(t/f) realized by
+  *    a deterministic per-occurrence md5 threshold, survivors
+  *    re-compacted per doc, (center, context) pairs within ±2
+  *    compacted positions — the training-pair extraction step of an
+  *    embedding pipeline, fully reproducible under repartitioning.
+  *
+  * Scale notes (also in SCALE.md):
+  *  - q225: q164's oriented wedge join (fan-out bounded by out-degree
+  *    ≈ O(√m)); the coefficient algebra runs on the |nodes| degree
+  *    table. Every count is an exact integer; lcc is one division.
+  *  - q226: one trigram hash-agg, one count-of-counts agg (output is
+  *    |distinct r| ≤ max-count rows), a self-join on r+1 over that
+  *    tiny table.
+  *  - q227: the top-100 cut is TakeOrdered; the OLS moments are a
+  *    100-term rank-ordered fold on the driver-sized result — never
+  *    corpus float sums.
+  *  - q228: first-seen = one min-aggregate per trigram; buckets are
+  *    pure key arithmetic; the cumulative/lag windows run on the
+  *    10-row decile table.
+  *  - q229: subsampling decisions are per-occurrence hash compares
+  *    (map-side); the pair join is per-doc positional (doc-keyed
+  *    shuffle, ±2 fan-out) — the same bounded shape as q31 bigrams.
+  */
+object Corpus10 {
+
+  private val trigramSpark =
+    "transform(sequence(1, greatest(size(w) - 2, 0)), i -> concat(element_at(w, i), ' ', element_at(w, i + 1), ' ', element_at(w, i + 2)))"
+
+  def defs: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "q225_clustering_coefficient",
+      // LOCAL CLUSTERING COEFFICIENT + TRANSITIVITY on the q164
+      // graph. Per node: triangles via the degree-oriented wedge join
+      // (each counted once, exploded to all three corners), lcc =
+      // 2·Δ_v/(d_v·(d_v−1)) over deg ≥ 2 nodes; global row (-1) =
+      // wedges, total triangles, transitivity 3·Δ/wedges. The
+      // 'global' section sorts first via the part column.
+      (s, dir) => {
+        val e0 = Corpus5.shingleEdges(Tables.documents(s, dir))
+        val deg = e0.select(col("u").as("n")).unionByName(e0.select(col("v").as("n")))
+          .groupBy("n").agg(count(lit(1)).as("dg"))
+        val fwd = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
+        val ed = e0
+          .join(deg.select(col("n").as("u"), col("dg").as("du")), "u")
+          .join(deg.select(col("n").as("v"), col("dg").as("dv")), "v")
+          .select(when(fwd, col("u")).otherwise(col("v")).as("src"),
+            when(fwd, col("v")).otherwise(col("u")).as("dst"))
+        val tri = ed.as("e1")
+          .join(ed.as("e2"), col("e1.dst") === col("e2.src"))
+          .join(ed.as("e3"),
+            col("e3.src") === col("e1.src") && col("e3.dst") === col("e2.dst"))
+          .select(col("e1.src").as("x"), col("e1.dst").as("y"), col("e2.dst").as("z"))
+        val pern = tri.select(explode(array(col("x"), col("y"), col("z"))).as("n"))
+          .groupBy("n").agg(count(lit(1)).as("n_tri"))
+        val lcc = deg.join(pern, Seq("n"), "left")
+          .where(col("dg") >= 2)
+          .select(lit("node").as("part"), col("n").as("doc_id"), col("dg"),
+            coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+            round(lit(2.0) * coalesce(col("n_tri"), lit(0L)) /
+              (col("dg") * (col("dg") - 1)), 6).as("lcc"))
+          .orderBy(desc("lcc"), col("doc_id")).limit(20)
+        val wedges = deg.agg(sum(expr("(dg * (dg - 1)) div 2")).as("wedges"))
+        val totTri = tri.agg(count(lit(1)).as("t"))
+        val global = wedges.crossJoin(totTri)
+          .select(lit("global").as("part"), lit(-1L).as("doc_id"),
+            col("wedges").as("dg"), (col("t") * 3).as("n_tri"),
+            round(col("t") * 3.0 / col("wedges"), 6).as("lcc"))
+        global.unionByName(lcc).orderBy(col("part"), desc("lcc"), col("doc_id"))
+      },
+      Some(s"""WITH ${Corpus.cappedShinglesDuckCte(8)},
+              |e0 AS (SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+              |FROM sh a JOIN sh b ON a.sg = b.sg AND a.doc_id < b.doc_id),
+              |deg AS (SELECT n, CAST(count(*) AS BIGINT) AS dg FROM
+              |(SELECT u AS n FROM e0 UNION ALL SELECT v AS n FROM e0) z GROUP BY n),
+              |ed AS (SELECT
+              |CASE WHEN du.dg < dv.dg OR (du.dg = dv.dg AND u < v) THEN u ELSE v END AS src,
+              |CASE WHEN du.dg < dv.dg OR (du.dg = dv.dg AND u < v) THEN v ELSE u END AS dst
+              |FROM e0 JOIN deg du ON e0.u = du.n JOIN deg dv ON e0.v = dv.n),
+              |tri AS (SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
+              |FROM ed e1 JOIN ed e2 ON e1.dst = e2.src
+              |JOIN ed e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+              |pern AS (SELECT n, CAST(count(*) AS BIGINT) AS n_tri FROM
+              |(SELECT unnest([x, y, z]) AS n FROM tri) z GROUP BY n),
+              |lcc AS (SELECT 'node' AS part, deg.n AS doc_id, deg.dg,
+              |CAST(coalesce(pern.n_tri, 0) AS BIGINT) AS n_tri,
+              |round(2.0 * coalesce(pern.n_tri, 0) / (deg.dg * (deg.dg - 1)), 6) AS lcc
+              |FROM deg LEFT JOIN pern ON pern.n = deg.n WHERE deg.dg >= 2
+              |ORDER BY lcc DESC, doc_id LIMIT 20),
+              |wg AS (SELECT CAST(sum((dg * (dg - 1)) // 2) AS BIGINT) AS wedges FROM deg),
+              |tt AS (SELECT CAST(count(*) AS BIGINT) AS t FROM tri),
+              |gl AS (SELECT 'global' AS part, CAST(-1 AS BIGINT) AS doc_id,
+              |wg.wedges AS dg, CAST(tt.t * 3 AS BIGINT) AS n_tri,
+              |round(tt.t * 3.0 / wg.wedges, 6) AS lcc FROM wg, tt)
+              |SELECT part, doc_id, dg, n_tri, lcc FROM
+              |(SELECT * FROM gl UNION ALL SELECT * FROM lcc) z
+              |ORDER BY part, lcc DESC, doc_id""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q226_good_turing",
+      // GOOD-TURING FREQUENCY OF FREQUENCIES over trigrams: for each
+      // raw count r ≤ 10, the class size N_r, the smoothed count
+      // r* = (r+1)·N_{r+1}/N_r, and the class's share of total
+      // probability mass r·N_r/N. The r=1 mass IS the classic
+      // unseen-event estimate P₀ = N₁/N.
+      (s, dir) => {
+        val g = Tables.documents(s, dir)
+          .select(expr(toksExpr).as("w"))
+          .select(explode(expr(trigramSpark)).as("tg"))
+        val tf = g.groupBy("tg").agg(count(lit(1)).as("r"))
+        val nr = tf.groupBy("r").agg(count(lit(1)).as("n_r"))
+        val tot = nr.agg(sum(col("r") * col("n_r")).as("n_tokens"),
+          sum("n_r").as("vocab"))
+        val nx = nr.select((col("r") - 1).as("r"), col("n_r").as("n_r_next"))
+        nr.join(broadcast(nx), Seq("r"), "left").crossJoin(broadcast(tot))
+          .where(col("r") <= 10)
+          .select(col("r"), col("n_r"),
+            round((col("r") + 1).cast("double") * coalesce(col("n_r_next"), lit(0L)) / col("n_r"), 6).as("r_star"),
+            round((col("r") * col("n_r")).cast("double") / col("n_tokens"), 6).as("mass"),
+            col("n_tokens"), col("vocab"))
+          .orderBy("r")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $toksDuck AS w FROM documents),
+              |g AS (SELECT w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS tg
+              |FROM t, LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i)),
+              |tf AS (SELECT tg, CAST(count(*) AS BIGINT) AS r FROM g GROUP BY tg),
+              |nr AS (SELECT r, CAST(count(*) AS BIGINT) AS n_r FROM tf GROUP BY r),
+              |tot AS (SELECT CAST(sum(r * n_r) AS BIGINT) AS n_tokens, CAST(sum(n_r) AS BIGINT) AS vocab FROM nr)
+              |SELECT nr.r, nr.n_r,
+              |round(CAST((nr.r + 1) * coalesce(nx.n_r, 0) AS DOUBLE) / nr.n_r, 6) AS r_star,
+              |round(CAST(nr.r * nr.n_r AS DOUBLE) / tot.n_tokens, 6) AS mass,
+              |tot.n_tokens, tot.vocab
+              |FROM nr LEFT JOIN nr nx ON nx.r = nr.r + 1, tot
+              |WHERE nr.r <= 10 ORDER BY nr.r""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q227_zipf_fit",
+      // ZIPF RANK-FREQUENCY FIT — OLS of ln(freq) on ln(rank) over
+      // the top-100 unigrams. The fit runs as a rank-ordered 100-term
+      // fold (TakeOrdered result, never corpus floats). On natural
+      // text slope ≈ −1; this corpus's flat slope / tiny R² is the
+      // synthetic-data smell the query exists to expose.
+      (s, dir) => {
+        val tf = Tables.documents(s, dir)
+          .select(explode(expr(toksExpr)).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("f"))
+        val top = tf.orderBy(desc("f"), col("w")).limit(100)
+          .withColumn("rnk", row_number().over(Window.orderBy(desc("f"), col("w"))))
+        val pts = top.select(col("rnk"),
+          log(col("rnk").cast("double")).as("x"), log(col("f").cast("double")).as("y"))
+        def fold(t: String) =
+          s"""aggregate(array_sort(collect_list(named_struct('rnk', rnk, 't', $t))),
+             |CAST(0.0 AS DOUBLE), (acc, v) -> acc + v.t)""".stripMargin.replace("\n", " ")
+        pts.agg(count(lit(1)).cast("double").as("n"),
+            expr(fold("x")).as("sx"), expr(fold("y")).as("sy"),
+            expr(fold("x * x")).as("sxx"), expr(fold("x * y")).as("sxy"),
+            expr(fold("y * y")).as("syy"))
+          .select(col("n").cast("long").as("n_terms"),
+            round((col("n") * col("sxy") - col("sx") * col("sy")) /
+              (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("slope"),
+            round((col("sy") - (col("n") * col("sxy") - col("sx") * col("sy")) /
+              (col("n") * col("sxx") - col("sx") * col("sx")) * col("sx")) / col("n"), 6).as("intercept"),
+            round((col("n") * col("sxy") - col("sx") * col("sy")) *
+              (col("n") * col("sxy") - col("sx") * col("sy")) /
+              ((col("n") * col("sxx") - col("sx") * col("sx")) *
+               (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("r2"))
+      },
+      Some(s"""WITH tok AS (SELECT unnest($toksDuck) AS w FROM documents),
+              |tf AS (SELECT w, CAST(count(*) AS BIGINT) AS f FROM tok GROUP BY w),
+              |top AS (SELECT w, f, row_number() OVER (ORDER BY f DESC, w) AS rnk FROM tf
+              |ORDER BY f DESC, w LIMIT 100),
+              |pts AS (SELECT rnk, ln(CAST(rnk AS DOUBLE)) AS x, ln(CAST(f AS DOUBLE)) AS y FROM top),
+              |m AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+              |sum(x ORDER BY rnk) AS sx, sum(y ORDER BY rnk) AS sy,
+              |sum(x * x ORDER BY rnk) AS sxx, sum(x * y ORDER BY rnk) AS sxy,
+              |sum(y * y ORDER BY rnk) AS syy FROM pts)
+              |SELECT CAST(n AS BIGINT) AS n_terms,
+              |round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+              |round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6) AS intercept,
+              |round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+              |/ ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+              |FROM m""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q228_heaps_growth",
+      // HEAPS VOCABULARY GROWTH — cumulative trigram vocabulary vs
+      // cumulative token volume at doc-id decile checkpoints, with
+      // the local exponent β = Δln V / Δln N between checkpoints.
+      // First-seen attribution is one min(doc_id) per trigram; all
+      // windows run on the 10-row decile table.
+      (s, dir) => {
+        val t = Tables.documents(s, dir).select(col("doc_id"), expr(toksExpr).as("w"))
+        val g = t.select(col("doc_id"), explode(expr(trigramSpark)).as("tg"))
+        val mx = g.agg((max("doc_id") + 1).as("md"))
+        val gb = g.crossJoin(broadcast(mx))
+          .select(expr("(doc_id * 10) div md").as("b"), col("tg"))
+        val fb = gb.groupBy("tg").agg(min("b").as("b"))
+          .groupBy("b").agg(count(lit(1)).as("nv"))
+        val tb = gb.groupBy("b").agg(count(lit(1)).as("nt"))
+        val w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+        val cum = tb.join(fb, Seq("b"), "left")
+          .withColumn("toks_cum", sum("nt").over(w))
+          .withColumn("vocab_cum", sum(coalesce(col("nv"), lit(0L))).over(w))
+        cum.withColumn("pv", lag("vocab_cum", 1).over(Window.orderBy("b")))
+          .withColumn("pt", lag("toks_cum", 1).over(Window.orderBy("b")))
+          .select(col("b"), col("toks_cum"), col("vocab_cum"),
+            round(log(col("vocab_cum").cast("double") / col("pv")) /
+              log(col("toks_cum").cast("double") / col("pt")), 6).as("heaps_beta"))
+          .orderBy("b")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $toksDuck AS w FROM documents),
+              |mx0 AS (SELECT max(doc_id) + 1 AS md FROM t),
+              |g AS (SELECT CAST((doc_id * 10) // mx0.md AS BIGINT) AS b,
+              |w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS tg
+              |FROM t, mx0, LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i)),
+              |fb AS (SELECT b, CAST(count(*) AS BIGINT) AS nv FROM
+              |(SELECT tg, min(b) AS b FROM g GROUP BY tg) z GROUP BY b),
+              |tb AS (SELECT b, CAST(count(*) AS BIGINT) AS nt FROM g GROUP BY b),
+              |cum AS (SELECT tb.b,
+              |CAST(sum(tb.nt) OVER (ORDER BY tb.b) AS BIGINT) AS toks_cum,
+              |CAST(sum(coalesce(fb.nv, 0)) OVER (ORDER BY tb.b) AS BIGINT) AS vocab_cum
+              |FROM tb LEFT JOIN fb ON fb.b = tb.b)
+              |SELECT b, toks_cum, vocab_cum,
+              |round(ln(CAST(vocab_cum AS DOUBLE) / lag(vocab_cum) OVER (ORDER BY b))
+              |/ ln(CAST(toks_cum AS DOUBLE) / lag(toks_cum) OVER (ORDER BY b)), 6) AS heaps_beta
+              |FROM cum ORDER BY b""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q229_skipgram_pairs",
+      // SKIP-GRAM TRAINING PAIRS with word2vec subsampling — each
+      // token occurrence survives iff md5('sg#'||doc||'#'||pos) mod
+      // 10⁶ < ⌊10⁶·min(1, √(t·N/f))⌋ (t = 10⁻³); survivors compact
+      // per doc and emit (center, context) pairs within ±2 compacted
+      // positions. Top-20 pair counts. Every decision is a pure
+      // function of (doc_id, pos, global counts) — partition-proof.
+      (s, dir) => {
+        val t = Tables.documents(s, dir).select(col("doc_id"), expr(toksExpr).as("w"))
+        val tok = t.select(col("doc_id"), posexplode(col("w")).as(Seq("p0", "w")))
+          .select(col("doc_id"), col("w"), (col("p0") + 1).as("pos"))
+        val tf = tok.groupBy("w").agg(count(lit(1)).as("f"))
+        val tot = tf.agg(sum("f").as("n"))
+        val keepp = tf.crossJoin(broadcast(tot))
+          .select(col("w"), floor(least(lit(1.0),
+            sqrt(lit(0.001) * col("n") / col("f"))) * 1000000).cast("long").as("thr"))
+        val h = "CAST(conv(substr(md5(concat('sg#', CAST(doc_id AS STRING), '#', CAST(pos AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+        val surv = tok.join(broadcast(keepp), "w")
+          .where(expr(s"$h % 1000000") < col("thr"))
+          .withColumn("cpos", row_number().over(Window.partitionBy("doc_id").orderBy("pos")))
+        val a = surv.select(col("doc_id"), col("w").as("center"), col("cpos").as("ca"))
+        val b = surv.select(col("doc_id"), col("w").as("context"), col("cpos").as("cb"))
+        a.join(b, "doc_id")
+          .where(col("ca") =!= col("cb") && abs(col("ca") - col("cb")) <= 2)
+          .groupBy("center", "context").agg(count(lit(1)).as("n_pairs"))
+          .orderBy(desc("n_pairs"), col("center"), col("context")).limit(20)
+      },
+      Some {
+        val h = graft.operators.Corpus.hexFoldDuck(
+          "md5('sg#' || CAST(tok.doc_id AS VARCHAR) || '#' || CAST(tok.pos AS VARCHAR))", 15)
+        s"""WITH t AS (SELECT doc_id, $toksDuck AS w FROM documents),
+           |tok AS (SELECT doc_id, w[i] AS w, i AS pos
+           |FROM t, LATERAL (SELECT unnest(generate_series(1, len(w))) AS i)),
+           |tf AS (SELECT w, CAST(count(*) AS BIGINT) AS f FROM tok GROUP BY w),
+           |tot AS (SELECT CAST(sum(f) AS BIGINT) AS n FROM tf),
+           |keepp AS (SELECT tf.w, CAST(floor(least(1.0, sqrt(0.001 * tot.n / tf.f)) * 1000000) AS BIGINT) AS thr
+           |FROM tf, tot),
+           |surv AS (SELECT tok.doc_id, tok.w,
+           |row_number() OVER (PARTITION BY tok.doc_id ORDER BY tok.pos) AS cpos
+           |FROM tok JOIN keepp ON keepp.w = tok.w
+           |WHERE ($h) %% 1000000 < keepp.thr),
+           |pairs AS (SELECT a.w AS center, b.w AS context
+           |FROM surv a JOIN surv b ON a.doc_id = b.doc_id
+           |AND a.cpos <> b.cpos AND abs(a.cpos - b.cpos) <= 2)
+           |SELECT center, context, CAST(count(*) AS BIGINT) AS n_pairs
+           |FROM pairs GROUP BY center, context
+           |ORDER BY n_pairs DESC, center, context LIMIT 20"""
+          .stripMargin.replace("\n", " ").replace("%%", "%")
+      }))
+}

@@ -1,0 +1,150 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavioral checks for q225-q229 — graph cohesion and corpus-statistics
+  * diagnostics: brute-force graph replays, exact count-table replays, and
+  * the defining identities (transitivity bookkeeping, probability-mass
+  * conservation, pair symmetry under a symmetric window).
+  */
+class Corpus10Spec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  private def round(x: Double, dp: Int): Double =
+    BigDecimal(x).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private def toks(text: String): Array[String] =
+    text.toLowerCase.split(" ").filter(_.nonEmpty)
+
+  private def trigrams(text: String): Seq[String] =
+    toks(text).sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSeq
+
+  test("q225 clustering coefficient: brute-force triangle replay; transitivity bookkeeping") {
+    val out = SparkEntry.queries("q225_clustering_coefficient")(spark, sfDir)
+      .as[(String, Long, Long, Long, Double)].collect()
+    val edges = operators.Corpus5.shingleEdges(Tables.documents(spark, sfDir))
+      .as[(Long, Long)].collect().toSet
+
+    val adj = (edges.toSeq.flatMap { case (u, v) => Seq(u -> v, v -> u) })
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val triPerNode = adj.keys.map { n =>
+      val nb = adj(n).toSeq
+      n -> (for (i <- nb.indices; j <- (i + 1) until nb.length
+                 if adj(nb(i)).contains(nb(j))) yield 1).size.toLong
+    }.toMap
+    val totalTri = triPerNode.values.sum / 3
+    val wedges = adj.values.map(nb => nb.size.toLong * (nb.size - 1) / 2).sum
+
+    val globalRow = out.filter(_._1 == "global")
+    assert(globalRow.length == 1)
+    assert(globalRow.head._3 == wedges)
+    assert(globalRow.head._4 == 3 * totalTri)
+    assert(globalRow.head._5 == round(3.0 * totalTri / wedges, 6))
+    out.filter(_._1 == "node").foreach { case (_, id, dg, ntri, lcc) =>
+      assert(dg == adj(id).size)
+      assert(ntri == triPerNode(id))
+      assert(lcc == round(2.0 * ntri / (dg.toDouble * (dg - 1)), 6))
+      assert(lcc >= 0.0 && lcc <= 1.0)
+    }
+  }
+
+  test("q226 Good-Turing: trigram count-table replay; mass is a probability share") {
+    val out = SparkEntry.queries("q226_good_turing")(spark, sfDir)
+      .as[(Long, Long, Double, Double, Long, Long)].collect()
+    val tgs = Tables.documents(spark, sfDir).select($"text".as[String]).collect()
+      .flatMap(trigrams)
+    val tf = tgs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val nr = tf.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nTokens = tgs.length.toLong
+    val vocab = tf.size.toLong
+
+    assert(out.map(_._1).toSeq == nr.keys.filter(_ <= 10).toSeq.sorted)
+    out.foreach { case (r, nrOut, rStar, mass, nt, vc) =>
+      assert(nrOut == nr(r))
+      assert(rStar == round((r + 1).toDouble * nr.getOrElse(r + 1, 0L) / nr(r), 6))
+      assert(mass == round((r * nr(r)).toDouble / nTokens, 6))
+      assert(nt == nTokens && vc == vocab)
+      assert(mass >= 0.0 && mass <= 1.0)
+    }
+    assert(out.map(_._4).sum <= 1.0 + 1e-6)
+  }
+
+  test("q227 Zipf fit: local top-100 OLS replay") {
+    val Array((nTerms, slope, intercept, r2)) =
+      SparkEntry.queries("q227_zipf_fit")(spark, sfDir)
+        .as[(Long, Double, Double, Double)].collect()
+    val tf = Tables.documents(spark, sfDir).select($"text".as[String]).collect()
+      .flatMap(toks).groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val top = tf.toSeq.sortBy { case (w, f) => (-f, w) }.take(100)
+    val pts = top.zipWithIndex.map { case ((_, f), i) =>
+      (math.log((i + 1).toDouble), math.log(f.toDouble))
+    }
+    val n = pts.length.toDouble
+    val sx = pts.foldLeft(0.0)(_ + _._1); val sy = pts.foldLeft(0.0)(_ + _._2)
+    val sxx = pts.foldLeft(0.0)((a, p) => a + p._1 * p._1)
+    val sxy = pts.foldLeft(0.0)((a, p) => a + p._1 * p._2)
+    val syy = pts.foldLeft(0.0)((a, p) => a + p._2 * p._2)
+    val sl = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(nTerms == pts.length)
+    assert(slope == round(sl, 6))
+    assert(intercept == round((sy - sl * sx) / n, 6))
+    assert(r2 == round((n * sxy - sx * sy) * (n * sxy - sx * sy) /
+      ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6))
+    assert(slope < 0.0 && r2 >= 0.0 && r2 <= 1.0)
+  }
+
+  test("q228 Heaps growth: decile replay; final checkpoint covers the full vocabulary") {
+    val out = SparkEntry.queries("q228_heaps_growth")(spark, sfDir)
+      .as[(Long, Long, Long, Option[Double])].collect().sortBy(_._1)
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id".as[Long], $"text".as[String]).collect()
+    val md = docs.map(_._1).max + 1
+    val occ = docs.flatMap { case (id, t) => trigrams(t).map(tg => (id * 10 / md, tg)) }
+    val firstSeen = occ.groupBy(_._2).view.mapValues(_.map(_._1).min).toMap
+    val buckets = occ.map(_._1).distinct.sorted
+
+    var toksCum = 0L; var vocabCum = 0L
+    val exp = buckets.map { b =>
+      toksCum += occ.count(_._1 == b)
+      vocabCum += firstSeen.values.count(_ == b)
+      (b, toksCum, vocabCum)
+    }
+    assert(out.map(t => (t._1, t._2, t._3)).toSeq == exp.toSeq)
+    assert(out.last._3 == firstSeen.size)
+    // β in (0, 1): sublinear growth once any trigram repeats
+    out.flatMap(_._4).foreach(b => assert(b > 0.0 && b <= 1.0))
+  }
+
+  test("q229 skip-gram pairs: hash-subsample replay; symmetric window ⇒ symmetric counts") {
+    val out = SparkEntry.queries("q229_skipgram_pairs")(spark, sfDir)
+      .as[(String, String, Long)].collect()
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id".as[Long], $"text".as[String]).collect()
+
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val occ = docs.flatMap { case (id, t) =>
+      toks(t).zipWithIndex.map { case (w, i) => (id, w, i + 1L) } }
+    val tf = occ.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val n = occ.length.toLong
+    val thr = tf.map { case (w, f) =>
+      w -> math.floor(math.min(1.0, math.sqrt(0.001 * n / f)) * 1000000).toLong }
+    val surv = occ.filter { case (id, w, pos) =>
+      java.lang.Long.parseLong(md5hex(s"sg#$id#$pos").take(15), 16) % 1000000 < thr(w) }
+    val pairs = surv.groupBy(_._1).values.toSeq.flatMap { ws =>
+      val sorted = ws.sortBy(_._3).toIndexedSeq
+      for {
+        ia <- sorted.indices
+        ib <- sorted.indices
+        if ia != ib && math.abs(ia - ib) <= 2
+      } yield (sorted(ia)._2, sorted(ib)._2)
+    }
+    val cnt = pairs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expected = cnt.toSeq.map { case ((c, x), m) => (c, x, m) }
+      .sortBy { case (c, x, m) => (-m, c, x) }.take(20)
+    assert(out.toSeq == expected.toSeq)
+    // the ±2 window is symmetric, so every pair count has its mirror
+    out.foreach { case (c, x, m) => assert(cnt.getOrElse((x, c), 0L) == m) }
+  }
+}
