@@ -213,6 +213,30 @@ object Flows {
     * verdict frame. Composition cost: three dimension-sized joins plus
     * one doc-level compare bounded by the divergent pages — the whole
     * point of the tree. */
+  /** The CORPUS-DIAGNOSTICS flow (round 5's corpus-statistics family
+    * as API): q228's Heaps vocabulary-growth curve landed as the main
+    * artifact, q226's Good-Turing smoothing table and q227's Zipf fit
+    * as sidecars (`_good_turing`, `_zipf`), and a ONE-ROW summary
+    * returned to the caller: token/vocab totals, the unseen-mass
+    * estimate P₀ (Good-Turing's r=1 mass), the Zipf slope/R²
+    * naturalness gate, and the terminal Heaps exponent. Every
+    * component is its own oracled query; the flow joins one 1-row,
+    * one ≤10-row, and one 10-row output — no corpus-scale work. */
+  def corpusDiagnosticsFlow(spark: SparkSession, dir: String, outDir: String): DataFrame = {
+    val heaps = SparkEntry.queries("q228_heaps_growth")(spark, dir)
+    val gt = SparkEntry.queries("q226_good_turing")(spark, dir)
+    val zipf = SparkEntry.queries("q227_zipf_fit")(spark, dir)
+    graft.sources.Sinks.writeOrdered(heaps, Seq(col("b")), outDir, Some(1))
+    gt.write.mode("overwrite").parquet(s"$outDir/_good_turing")
+    zipf.write.mode("overwrite").parquet(s"$outDir/_zipf")
+    val p0 = gt.filter(col("r") === 1)
+      .select(col("n_tokens"), col("vocab"), col("mass").as("p0_unseen"))
+    val beta = heaps.orderBy(desc("b")).limit(1)
+      .select(col("vocab_cum"), col("heaps_beta").as("final_heaps_beta"))
+    p0.crossJoin(beta)
+      .crossJoin(zipf.select(col("slope").as("zipf_slope"), col("r2").as("zipf_r2")))
+  }
+
   def integrityAuditFlow(v1: DataFrame, v2: DataFrame, outDir: String): DataFrame = {
     val spark = v1.sparkSession
     val t1 = operators.Corpus8.merkle(v1)

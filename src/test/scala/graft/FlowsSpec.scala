@@ -205,6 +205,31 @@ class FlowsSpec extends AnyFunSuite with SparkSuite {
     assert(tam == expected)
   }
 
+  test("corpus-diagnostics flow summarizes its three component queries consistently") {
+    val out = java.nio.file.Files.createTempDirectory("graft_diag_flow")
+    val summary = Flows.corpusDiagnosticsFlow(spark, sfDir, out.resolve("diag").toString)
+      .as[(Long, Long, Double, Long, Double, Double, Double)].collect()
+    assert(summary.length == 1)
+    val (nTokens, vocab, p0, vocabCum, beta, slope, r2) = summary.head
+
+    val gt = SparkEntry.queries("q226_good_turing")(spark, sfDir)
+      .select($"r".as[Long], $"mass".as[Double], $"n_tokens".as[Long], $"vocab".as[Long])
+      .collect()
+    assert(nTokens == gt.head._3 && vocab == gt.head._4)
+    assert(p0 == gt.find(_._1 == 1).get._2)
+    val heaps = SparkEntry.queries("q228_heaps_growth")(spark, sfDir)
+      .select($"b".as[Long], $"vocab_cum".as[Long], $"heaps_beta".as[Option[Double]])
+      .collect().maxBy(_._1)
+    assert(vocabCum == heaps._2 && beta == heaps._3.get)
+    val Array((_, zslope, _, zr2)) = SparkEntry.queries("q227_zipf_fit")(spark, sfDir)
+      .as[(Long, Double, Double, Double)].collect()
+    assert(slope == zslope && r2 == zr2)
+    // artifacts landed: growth curve (main), smoothing table, fit sidecars
+    assert(spark.read.parquet(out.resolve("diag").toString).count() == 10)
+    assert(spark.read.parquet(out.resolve("diag").toString + "/_good_turing").count() == gt.length)
+    assert(spark.read.parquet(out.resolve("diag").toString + "/_zipf").count() == 1)
+  }
+
   test("semantic-dedup flow lands exactly q170's kept docs plus a consistent cluster ledger") {
     val out = java.nio.file.Files.createTempDirectory("graft_semdedup_flow")
     val landed = Flows.semanticDedupFlow(spark, sfDir, out.resolve("kept").toString)
