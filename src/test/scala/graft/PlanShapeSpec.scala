@@ -298,4 +298,38 @@ class PlanShapeSpec extends AnyFunSuite with SparkSuite {
     assert(!p.contains("Window"), s"per-scope rank window is back:\n${p.take(600)}")
     assert(p.contains("kminhashes"), p.take(600))
   }
+
+  test("q211-q229 statistics tranche: broadcast/keyed joins, bounded windows, fused argmaxes") {
+    // q215 k-center: every greedy argmax is TakeOrderedAndProject(1)
+    // with the chosen set broadcast (1-row BNLJ build sides); the final
+    // per-point assignment rank pre-trims through WindowGroupLimit. A
+    // SortMergeJoin or CartesianProduct would mean a corpus-sized
+    // pairing replaced the broadcast passes.
+    val p215 = plan("q215_kcenter_coreset")
+    assert(!p215.contains("SortMergeJoin") && !p215.contains("CartesianProduct"), p215.take(600))
+    assert(p215.contains("TakeOrderedAndProject") && p215.contains("WindowGroupLimit"), p215.take(600))
+    // q219 HITS: both mutual-reinforcement rounds join the (tiny)
+    // previous iterate broadcast — the corpus never sort-merges.
+    val p219 = plan("q219_hits_ranking")
+    assert(!p219.contains("SortMergeJoin") && !p219.contains("CartesianProduct"), p219.take(600))
+    // q221 Spearman: all three value-domain rank tables broadcast back
+    // onto the corpus row; their prefix windows run on aggregated
+    // domain tables, never a raw scan.
+    val p221 = plan("q221_spearman_matrix")
+    assert("BroadcastHashJoin".r.findAllIn(p221).size >= 3, p221.take(600))
+    assert(!p221.contains("SortMergeJoin"), p221.take(600))
+    // q212 Mann-Whitney: the unpartitioned prefix window's input is the
+    // groupBy(value) domain table (HashAggregate keyed on x), which is
+    // what makes the SinglePartition exchange the q151 exemption.
+    val p212 = plan("q212_mann_whitney")
+    assert(p212.contains("HashAggregate(keys=[n_chars#"), p212.take(800))
+    // q222 Kendall: all counting happens in aggregates over the
+    // contingency grid — no window node anywhere.
+    assert(!plan("q222_kendall_taub").contains("Window"))
+    // q229 skip-gram: the pair join stays doc-keyed and the final
+    // top-20 fuses; no cross pairing of the corpus.
+    val p229 = plan("q229_skipgram_pairs")
+    assert(p229.contains("TakeOrderedAndProject"), p229.take(600))
+    assert(!p229.contains("CartesianProduct"), p229.take(600))
+  }
 }
