@@ -33,7 +33,9 @@ object ExplainAudit {
         "q168_hll_distinct", "q169_ivf_delta",
         "q170_semdedup", "q172_hll_timeseries", "q174_cuped_experiment",
         "q190_basket_lift", "q193_pareto_frontier", "q194_burst_rate_audit",
-        "q198_merkle_manifest", "q204_clamped_balance")
+        "q198_merkle_manifest", "q204_clamped_balance",
+        "q215_kcenter_coreset", "q219_hits_ranking", "q221_spearman_matrix",
+        "q222_kendall_taub", "q225_clustering_coefficient", "q229_skipgram_pairs")
     targets.foreach { name =>
       println(s"\n===== $name =====")
       SparkEntry.queries(name)(spark, dir).explain("formatted")

@@ -307,5 +307,176 @@ object Corpus10 {
            |FROM pairs GROUP BY center, context
            |ORDER BY n_pairs DESC, center, context LIMIT 20"""
           .stripMargin.replace("\n", " ").replace("%%", "%")
-      }))
+      }),
+
+    QueryDef(
+      "q230_kl_divergence",
+      // PER-SOURCE KL DIVERGENCE from the corpus unigram distribution
+      // — D(source ‖ corpus) = Σ_w p_s(w)·ln(p_s(w)/p(w)) over the
+      // source's support (0·ln 0 = 0 by the sum's construction; the
+      // support is always ⊆ the corpus support, so no division by
+      // zero). The domain-shift detector: a source whose language
+      // drifts from the mixture shows up as a KL spike. Each term is
+      // one float expression over exact integer counts; the per-source
+      // reduction is a w-ordered fold over vocabulary-sized lists.
+      (s, dir) => {
+        val sw = Tables.documents(s, dir)
+          .select(col("source"), explode(expr(toksExpr)).as("w"))
+          .groupBy("source", "w").agg(count(lit(1)).as("c"))
+        val st = sw.groupBy("source").agg(sum("c").as("ns"))
+        val gw = sw.groupBy("w").agg(sum("c").as("g"))
+        val gt = gw.agg(sum("g").as("n"))
+        sw.join(st, "source").join(broadcast(gw), "w").crossJoin(broadcast(gt))
+          .select(col("source"), col("w"),
+            ((col("c").cast("double") / col("ns")) *
+              log((col("c").cast("double") / col("ns")) /
+                (col("g").cast("double") / col("n")))).as("t"))
+          .groupBy("source").agg(
+            round(expr("""aggregate(array_sort(collect_list(named_struct('w', w, 't', t))),
+                           CAST(0.0 AS DOUBLE), (acc, v) -> acc + v.t)"""), 6).as("kl_nat"),
+            count(lit(1)).as("n_terms"))
+          .orderBy("source")
+      },
+      Some(s"""WITH tok AS (SELECT source, unnest($toksDuck) AS w FROM documents),
+              |sw AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2),
+              |st AS (SELECT source, CAST(sum(c) AS BIGINT) AS ns FROM sw GROUP BY source),
+              |gw AS (SELECT w, CAST(sum(c) AS BIGINT) AS g FROM sw GROUP BY w),
+              |gt AS (SELECT CAST(sum(g) AS BIGINT) AS n FROM gw),
+              |terms AS (SELECT sw.source, sw.w,
+              |(CAST(sw.c AS DOUBLE) / st.ns) * ln((CAST(sw.c AS DOUBLE) / st.ns) / (CAST(gw.g AS DOUBLE) / gt.n)) AS t
+              |FROM sw JOIN st ON st.source = sw.source JOIN gw ON gw.w = sw.w, gt)
+              |SELECT source, round(sum(t ORDER BY w), 6) AS kl_nat,
+              |CAST(count(*) AS BIGINT) AS n_terms
+              |FROM terms GROUP BY source ORDER BY source""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q231_silhouette",
+      // SIMPLIFIED SILHOUETTE of q170's SemDeDup clustering — per
+      // point: cosine distance to the OWN centroid vs the nearest
+      // OTHER centroid, s = (d_other − d_own)/max(·,·) ∈ [−1, 1]
+      // (the centroid-based silhouette used at scale precisely
+      // because it needs k distances per point, not n). Clustering is
+      // the same LloydKMeans unroll as q170, so fit + scoring are
+      // hash-checked end-to-end. Per-cluster summary via the proven
+      // percentile ≡ quantile_cont pair (median/p10/p90) — order-free
+      // float reductions only. s rounds to 6dp per point first (the
+      // q170 cq discipline) so both engines feed identical values.
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val (assigned, centsRow) = graft.ml.LloydKMeans.fit(emb, k = 8, lloydIters = 2)
+        val e = emb.join(assigned, "vec_id").crossJoin(broadcast(centsRow))
+          .withColumn("nrm", expr(
+            "sqrt(aggregate(embedding, 0D, (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"))
+          .withColumn("ds", expr(
+            """transform(sequence(0, 7), j ->
+               1.0D - aggregate(sequence(0, 63), 0D, (a, i) -> a + CAST(embedding[i] AS DOUBLE) * cc[j][i])
+               / (nrm * sqrt(aggregate(cc[j], 0D, (a, x) -> a + x * x))))"""))
+          .withColumn("d_own", expr("ds[cl]"))
+          .withColumn("d_other", expr(
+            "array_min(transform(filter(sequence(0, 7), j -> j != cl), j -> ds[j]))"))
+          .withColumn("sil", round(
+            (col("d_other") - col("d_own")) / greatest(col("d_own"), col("d_other")), 6))
+        e.groupBy(col("cl").cast("long").as("cluster")).agg(
+            count(lit(1)).as("n"),
+            round(expr("percentile(sil, 0.5D)"), 6).as("s_med"),
+            round(expr("percentile(sil, 0.1D)"), 6).as("s_p10"),
+            round(expr("percentile(sil, 0.9D)"), 6).as("s_p90"))
+          .orderBy("cluster")
+      },
+      Some {
+        val km = graft.ml.LloydKMeans.assignDuckCte(k = 8, lloydIters = 2)
+        val kmFinal = graft.ml.LloydKMeans.finalAssignCte(2)
+        s"""WITH $km,
+           |sd AS (SELECT a.vec_id, a.cl, a.embedding,
+           |${Similarity.duckNorm("a.embedding")} AS nrm, kmc2.cc AS cc
+           |FROM $kmFinal a, kmc2),
+           |ds AS (SELECT vec_id, cl,
+           |list_transform(generate_series(1, 8), j ->
+           |1.0 - list_sum(list_transform(generate_series(1, 64), i ->
+           |CAST(embedding[i] AS DOUBLE) * cc[j][i]))
+           |/ (nrm * sqrt(list_sum(list_transform(cc[j], x -> x * x))))) AS dl
+           |FROM sd),
+           |sil AS (SELECT vec_id, cl, dl[cl + 1] AS d_own,
+           |list_min(list_transform(list_filter(generate_series(1, 8), j -> j != cl + 1), j -> dl[j])) AS d_other
+           |FROM ds),
+           |sv AS (SELECT cl, round((d_other - d_own) / greatest(d_own, d_other), 6) AS s FROM sil)
+           |SELECT CAST(cl AS BIGINT) AS cluster, CAST(count(*) AS BIGINT) AS n,
+           |round(quantile_cont(s, 0.5), 6) AS s_med,
+           |round(quantile_cont(s, 0.1), 6) AS s_p10,
+           |round(quantile_cont(s, 0.9), 6) AS s_p90
+           |FROM sv GROUP BY cl ORDER BY cluster""".stripMargin.replace("\n", " ")
+      }),
+
+    QueryDef(
+      "q232_confusion_metrics",
+      // ONE-VS-REST CONFUSION METRICS for q34's lang-id heuristic
+      // against the gold lang column — per class (en/es/de): exact
+      // integer tp/fp/fn/tn and precision / recall / F1 / MCC, each
+      // one float expression (MCC's four marginal products stay in
+      // DOUBLE from exact ints). The eval-metrics operator every
+      // labeling pipeline (q182's weak labels, q74's classifier)
+      // reads out through; q34's heuristic on this RANDOM-labeled
+      // corpus scores near chance, which is the honest reading.
+      (s, dir) => {
+        val pred = Tables.documents(s, dir)
+          .select(col("lang"), expr(toksExpr).as("w"))
+          .select(col("lang"),
+            expr("size(filter(w, x -> x IN ('the','a','an','and','or','of','is','to')))").as("n_en"),
+            expr("size(filter(w, x -> x IN ('el','la','de','que','y','en','los','se')))").as("n_es"),
+            expr("size(filter(w, x -> x IN ('der','die','das','und','ist','von','mit','den')))").as("n_de"))
+          .withColumn("predicted",
+            when(col("n_en") >= col("n_es") && col("n_en") >= col("n_de"), "en")
+              .when(col("n_es") >= col("n_de"), "es")
+              .otherwise("de"))
+        val classes = Seq("en", "es", "de")
+        val perClass = classes.map { c =>
+          pred.agg(
+            sum(when(col("predicted") === c && col("lang") === c, 1L).otherwise(0L)).as("tp"),
+            sum(when(col("predicted") === c && col("lang") =!= c, 1L).otherwise(0L)).as("fp"),
+            sum(when(col("predicted") =!= c && col("lang") === c, 1L).otherwise(0L)).as("fn"),
+            sum(when(col("predicted") =!= c && col("lang") =!= c, 1L).otherwise(0L)).as("tn"))
+            .select(lit(c).as("class"), col("tp"), col("fp"), col("fn"), col("tn"))
+        }.reduce(_ unionByName _)
+        perClass
+          .withColumn("precision", when(col("tp") + col("fp") === 0, lit(null).cast("double"))
+            .otherwise(round(col("tp").cast("double") / (col("tp") + col("fp")), 6)))
+          .withColumn("recall", when(col("tp") + col("fn") === 0, lit(null).cast("double"))
+            .otherwise(round(col("tp").cast("double") / (col("tp") + col("fn")), 6)))
+          .withColumn("f1", when(lit(2L) * col("tp") + col("fp") + col("fn") === 0, lit(null).cast("double"))
+            .otherwise(round(lit(2.0) * col("tp") /
+              (lit(2.0) * col("tp") + col("fp") + col("fn")), 6)))
+          .withColumn("mcc", when(
+            (col("tp") + col("fp")) * (col("tp") + col("fn")) *
+              (col("tn") + col("fp")) * (col("tn") + col("fn")) === 0, lit(null).cast("double"))
+            .otherwise(round(
+              (col("tp").cast("double") * col("tn") - col("fp").cast("double") * col("fn")) /
+                sqrt((col("tp") + col("fp")).cast("double") * (col("tp") + col("fn")).cast("double") *
+                  (col("tn") + col("fp")).cast("double") * (col("tn") + col("fn")).cast("double")), 6)))
+          .orderBy("class")
+      },
+      Some(s"""WITH t AS (SELECT lang, $toksDuck AS w FROM documents),
+              |c AS (SELECT lang,
+              |len(list_filter(w, x -> x IN ('the','a','an','and','or','of','is','to'))) AS n_en,
+              |len(list_filter(w, x -> x IN ('el','la','de','que','y','en','los','se'))) AS n_es,
+              |len(list_filter(w, x -> x IN ('der','die','das','und','ist','von','mit','den'))) AS n_de
+              |FROM t),
+              |p AS (SELECT lang, CASE WHEN n_en >= n_es AND n_en >= n_de THEN 'en'
+              |WHEN n_es >= n_de THEN 'es' ELSE 'de' END AS predicted FROM c),
+              |cm AS (${Seq("en", "es", "de").map { cl =>
+                s"""SELECT '$cl' AS class,
+                   |CAST(sum(CASE WHEN predicted = '$cl' AND lang = '$cl' THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                   |CAST(sum(CASE WHEN predicted = '$cl' AND lang <> '$cl' THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                   |CAST(sum(CASE WHEN predicted <> '$cl' AND lang = '$cl' THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+                   |CAST(sum(CASE WHEN predicted <> '$cl' AND lang <> '$cl' THEN 1 ELSE 0 END) AS BIGINT) AS tn
+                   |FROM p""".stripMargin.replace("\n", " ")
+              }.mkString(" UNION ALL ")})
+              |SELECT class, tp, fp, fn, tn,
+              |CASE WHEN tp + fp = 0 THEN NULL ELSE round(CAST(tp AS DOUBLE) / (tp + fp), 6) END AS precision,
+              |CASE WHEN tp + fn = 0 THEN NULL ELSE round(CAST(tp AS DOUBLE) / (tp + fn), 6) END AS recall,
+              |CASE WHEN 2 * tp + fp + fn = 0 THEN NULL ELSE round(2.0 * tp / (2.0 * tp + fp + fn), 6) END AS f1,
+              |CASE WHEN (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn) = 0 THEN NULL
+              |ELSE round((CAST(tp AS DOUBLE) * tn - CAST(fp AS DOUBLE) * fn) /
+              |sqrt(CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE)
+              |* CAST(tn + fp AS DOUBLE) * CAST(tn + fn AS DOUBLE)), 6) END AS mcc
+              |FROM cm ORDER BY class""".stripMargin.replace("\n", " "))))
 }

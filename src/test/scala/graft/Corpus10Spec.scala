@@ -147,4 +147,73 @@ class Corpus10Spec extends AnyFunSuite with SparkSuite {
     // the ±2 window is symmetric, so every pair count has its mirror
     out.foreach { case (c, x, m) => assert(cnt.getOrElse((x, c), 0L) == m) }
   }
+
+  test("q230 KL divergence: local distribution replay; Gibbs non-negativity") {
+    val out = SparkEntry.queries("q230_kl_divergence")(spark, sfDir)
+      .as[(String, Double, Long)].collect()
+    val occ = Tables.documents(spark, sfDir)
+      .select($"source".as[String], $"text".as[String]).collect()
+      .flatMap { case (src, t) => toks(t).map(src -> _) }
+    val g = occ.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val n = occ.length.toDouble
+    val bySrc = occ.groupBy(_._1)
+    assert(out.map(_._1).toSeq == bySrc.keys.toSeq.sorted)
+    out.foreach { case (src, kl, nTerms) =>
+      val sw = bySrc(src).groupBy(_._2).view.mapValues(_.length.toLong).toMap
+      val ns = bySrc(src).length.toDouble
+      assert(nTerms == sw.size)
+      val expected = sw.toSeq.sortBy(_._1).foldLeft(0.0) { case (acc, (w, c)) =>
+        acc + (c / ns) * math.log((c / ns) / (g(w) / n))
+      }
+      assert(kl == round(expected, 6))
+      assert(kl >= -1e-9) // D(p‖q) ≥ 0
+    }
+  }
+
+  test("q231 silhouette: cluster census matches q170's fit; scores bounded and ordered") {
+    val out = SparkEntry.queries("q231_silhouette")(spark, sfDir)
+      .as[(Long, Long, Double, Double, Double)].collect()
+    val q170Sizes = SparkEntry.queries("q170_semdedup")(spark, sfDir)
+      .groupBy($"cluster").count()
+      .as[(Long, Long)].collect().toMap
+    // identical LloydKMeans fit ⇒ identical census
+    assert(out.map(r => (r._1, r._2)).toMap == q170Sizes)
+    assert(out.map(_._2).sum == q170Sizes.values.sum)
+    out.foreach { case (_, _, med, p10, p90) =>
+      assert(p10 <= med && med <= p90)
+      Seq(med, p10, p90).foreach(v => assert(v >= -1.0 && v <= 1.0))
+    }
+  }
+
+  test("q232 confusion metrics: heuristic replay; marginal bookkeeping identities") {
+    val out = SparkEntry.queries("q232_confusion_metrics")(spark, sfDir)
+      .as[(String, Long, Long, Long, Long, Option[Double], Option[Double], Option[Double], Option[Double])]
+      .collect()
+    val docs = Tables.documents(spark, sfDir)
+      .select($"lang".as[String], $"text".as[String]).collect()
+    val en = Set("the", "a", "an", "and", "or", "of", "is", "to")
+    val es = Set("el", "la", "de", "que", "y", "en", "los", "se")
+    val de = Set("der", "die", "das", "und", "ist", "von", "mit", "den")
+    val pred = docs.map { case (lang, t) =>
+      val ws = toks(t)
+      val (ne, ns, nd) = (ws.count(en), ws.count(es), ws.count(de))
+      val p = if (ne >= ns && ne >= nd) "en" else if (ns >= nd) "es" else "de"
+      (lang, p)
+    }
+    val n = pred.length.toLong
+    assert(out.map(_._1).toSeq == Seq("de", "en", "es"))
+    out.foreach { case (c, tp, fp, fn, tn, prec, rec, f1, mcc) =>
+      val etp = pred.count(p => p._2 == c && p._1 == c).toLong
+      val efp = pred.count(p => p._2 == c && p._1 != c).toLong
+      val efn = pred.count(p => p._2 != c && p._1 == c).toLong
+      assert(tp == etp && fp == efp && fn == efn && tn == n - etp - efp - efn)
+      // marginals: predicted count and gold count reconstruct
+      assert(tp + fp == pred.count(_._2 == c))
+      assert(tp + fn == pred.count(_._1 == c))
+      if (tp + fp > 0) assert(prec.get == round(tp.toDouble / (tp + fp), 6))
+      if (tp + fn > 0) assert(rec.get == round(tp.toDouble / (tp + fn), 6))
+      f1.foreach(v => assert(v >= 0.0 && v <= 1.0))
+      mcc.foreach(v => assert(v >= -1.0 && v <= 1.0))
+    }
+  }
 }
