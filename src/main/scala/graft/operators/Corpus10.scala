@@ -478,5 +478,97 @@ object Corpus10 {
               |ELSE round((CAST(tp AS DOUBLE) * tn - CAST(fp AS DOUBLE) * fn) /
               |sqrt(CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE)
               |* CAST(tn + fp AS DOUBLE) * CAST(tn + fn AS DOUBLE)), 6) END AS mcc
-              |FROM cm ORDER BY class""".stripMargin.replace("\n", " "))))
+              |FROM cm ORDER BY class""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q233_stl_decompose",
+      // STL-LITE SEASONAL DECOMPOSITION of daily volume: trend = the
+      // centered 7-day window mean (exact integer sum / window count),
+      // seasonal = the per-weekday mean of the detrended series (a
+      // day-ordered fold over ≤⌈|days|/7⌉ terms), residual = v −
+      // trend − seasonal. The decomposition q181's anomaly scorer and
+      // q200's ACF both implicitly assume — published explicitly, per
+      // day, on the |days| pre-aggregate.
+      (s, dir) => {
+        val d = Tables.events(s, dir)
+          .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("v"))
+        val w = Window.orderBy("day").rowsBetween(-3, 3)
+        val tr = d.withColumn("dow", expr("weekday(day)"))
+          .withColumn("trend", sum("v").over(w).cast("double") / count(lit(1)).over(w))
+        val se = tr.groupBy("dow").agg(
+          expr("""aggregate(array_sort(collect_list(named_struct('day', day,
+                   't', CAST(v AS DOUBLE) - trend))),
+                   CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.t)""")
+            ./(count(lit(1))).as("seasonal"))
+        tr.join(broadcast(se), "dow")
+          .select(col("day").cast("string").as("day"), col("v"),
+            round(col("trend"), 4).as("trend"),
+            round(col("seasonal"), 4).as("seasonal"),
+            round(col("v").cast("double") - col("trend") - col("seasonal"), 4).as("residual"))
+          .orderBy("day")
+      },
+      Some("""WITH d AS (SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS v
+             |FROM events GROUP BY 1),
+             |tr AS (SELECT day, v, isodow(day) - 1 AS dow,
+             |CAST(sum(v) OVER w AS DOUBLE) / count(*) OVER w AS trend
+             |FROM d WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+             |se AS (SELECT dow, sum(CAST(v AS DOUBLE) - trend ORDER BY day) / count(*) AS seasonal
+             |FROM tr GROUP BY dow)
+             |SELECT CAST(tr.day AS VARCHAR) AS day, tr.v, round(tr.trend, 4) AS trend,
+             |round(se.seasonal, 4) AS seasonal,
+             |round(CAST(tr.v AS DOUBLE) - tr.trend - se.seasonal, 4) AS residual
+             |FROM tr JOIN se ON se.dow = tr.dow ORDER BY day""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q234_ushape_attribution",
+      // U-SHAPED (POSITION-BASED) ATTRIBUTION — q189's multi-touch
+      // sibling: each purchase's cents split 40% to the first prior
+      // view/click touch, 40% to the last, 20% spread over the
+      // middles — ALL in exact integer cents with deterministic
+      // remainder policy (first touch absorbs c − 2c÷5 − c÷5; middle
+      // remainders go to the earliest middles), so the allocation
+      // CONSERVES the attributable revenue to the cent. Touch windows
+      // partition per purchase (user-history-bounded, q189's shape).
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val p = ev.where(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("pts"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("c"), col("event_id").as("pid"))
+        val touch = ev.where(col("event_type").isin("view", "click"))
+          .select(col("user_id"), col("event_type").as("ch"), col("ts"), col("event_id"))
+        val t = p.join(touch, "user_id").where(col("ts") < col("pts"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("pid").orderBy("ts", "event_id")))
+          .withColumn("nt", count(lit(1)).over(Window.partitionBy("pid")))
+        val alloc = t.withColumn("cents",
+          when(col("nt") === 1, col("c"))
+            .when(col("nt") === 2,
+              when(col("rn") === 1, col("c") - expr("c div 2")).otherwise(expr("c div 2")))
+            .otherwise(
+              when(col("rn") === 1,
+                col("c") - expr("(c * 2) div 5") - expr("c div 5"))
+                .when(col("rn") === col("nt"), expr("(c * 2) div 5"))
+                .otherwise(expr("(c div 5) div (nt - 2)") +
+                  when(col("rn") - 1 <= expr("(c div 5) % (nt - 2)"), 1L).otherwise(0L))))
+        alloc.groupBy(col("ch").as("channel")).agg(
+            count(lit(1)).as("touches"), sum("cents").as("cents_attributed"))
+          .orderBy("channel")
+      },
+      Some("""WITH p AS (SELECT user_id, ts AS pts, CAST(round(value * 100) AS BIGINT) AS c,
+             |event_id AS pid FROM events WHERE event_type = 'purchase'),
+             |t AS (SELECT p.pid, p.c, e.event_type AS ch,
+             |row_number() OVER (PARTITION BY p.pid ORDER BY e.ts, e.event_id) AS rn,
+             |count(*) OVER (PARTITION BY p.pid) AS nt
+             |FROM p JOIN events e ON e.user_id = p.user_id AND e.ts < p.pts
+             |AND e.event_type IN ('view', 'click')),
+             |alloc AS (SELECT pid, ch, c, rn, nt,
+             |CASE WHEN nt = 1 THEN c
+             |WHEN nt = 2 THEN CASE WHEN rn = 1 THEN c - c // 2 ELSE c // 2 END
+             |ELSE CASE WHEN rn = 1 THEN c - (c * 2) // 5 - c // 5
+             |WHEN rn = nt THEN (c * 2) // 5
+             |ELSE (c // 5) // (nt - 2) + CASE WHEN rn - 1 <= (c // 5) %% (nt - 2) THEN 1 ELSE 0 END END
+             |END AS cents FROM t)
+             |SELECT ch AS channel, CAST(count(*) AS BIGINT) AS touches,
+             |CAST(sum(cents) AS BIGINT) AS cents_attributed
+             |FROM alloc GROUP BY ch ORDER BY ch""".stripMargin.replace("\n", " ").replace("%%", "%"))))
 }

@@ -216,4 +216,67 @@ class Corpus10Spec extends AnyFunSuite with SparkSuite {
       mcc.foreach(v => assert(v >= -1.0 && v <= 1.0))
     }
   }
+
+  test("q233 STL-lite: window replay; v = trend + seasonal + residual identity") {
+    val out = SparkEntry.queries("q233_stl_decompose")(spark, sfDir)
+      .as[(String, Long, Double, Double, Double)].collect().sortBy(_._1)
+    val days = Tables.events(spark, sfDir)
+      .groupBy(org.apache.spark.sql.functions.to_date($"ts").cast("string").as("day"))
+      .count().as[(String, Long)].collect().sortBy(_._1)
+
+    val v = days.map(_._2)
+    val trend = v.indices.map { i =>
+      val lo = math.max(0, i - 3); val hi = math.min(v.length - 1, i + 3)
+      (lo to hi).map(v(_)).sum.toDouble / (hi - lo + 1)
+    }
+    val dow = days.map(d => (java.time.LocalDate.parse(d._1).getDayOfWeek.getValue - 1))
+    val seasonal = dow.distinct.map { dw =>
+      val idx = v.indices.filter(dow(_) == dw)
+      // day-ordered fold, as both engines do
+      dw -> idx.foldLeft(0.0)((acc, i) => acc + (v(i).toDouble - trend(i))) / idx.size
+    }.toMap
+    out.zipWithIndex.foreach { case ((day, vo, to, so, ro), i) =>
+      assert(day == days(i)._1 && vo == v(i))
+      assert(to == round(trend(i), 4))
+      assert(so == round(seasonal(dow(i)), 4))
+      assert(ro == round(v(i).toDouble - trend(i) - seasonal(dow(i)), 4))
+      // decomposition identity within the 4dp rounding of each part
+      assert(math.abs(vo - (to + so + ro)) < 3e-4)
+    }
+  }
+
+  test("q234 U-shape attribution: allocation replay conserves revenue to the cent") {
+    val out = SparkEntry.queries("q234_ushape_attribution")(spark, sfDir)
+      .as[(String, Long, Long)].collect()
+    val ev = Tables.events(spark, sfDir)
+      .selectExpr("user_id", "event_id", "event_type",
+        "unix_micros(CAST(ts AS TIMESTAMP))", "value")
+      .as[(Long, Long, String, Long, Double)].collect()
+
+    val purchases = ev.filter(_._3 == "purchase")
+    val byChannel = scala.collection.mutable.Map[String, (Long, Long)]().withDefaultValue((0L, 0L))
+    var attributable = 0L
+    for (p <- purchases) {
+      val touches = ev.filter(e => e._1 == p._1 && (e._3 == "view" || e._3 == "click")
+        && e._4 < p._4).sortBy(e => (e._4, e._2))
+      if (touches.nonEmpty) {
+        val c = math.round(p._5 * 100)
+        attributable += c
+        val nt = touches.length
+        val cents = touches.zipWithIndex.map { case (_, i) =>
+          if (nt == 1) c
+          else if (nt == 2) { if (i == 0) c - c / 2 else c / 2 }
+          else if (i == 0) c - (c * 2) / 5 - c / 5
+          else if (i == nt - 1) (c * 2) / 5
+          else (c / 5) / (nt - 2) + (if (i <= (c / 5) % (nt - 2)) 1L else 0L)
+        }
+        assert(cents.sum == c) // conservation per purchase
+        touches.zip(cents).foreach { case (t, cc) =>
+          val (n0, c0) = byChannel(t._3); byChannel(t._3) = (n0 + 1, c0 + cc)
+        }
+      }
+    }
+    assert(out.map(r => r._1 -> (r._2, r._3)).toMap == byChannel.toMap)
+    assert(out.map(_._3).sum == attributable)
+  }
 }
