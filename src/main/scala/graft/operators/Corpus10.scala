@@ -570,5 +570,136 @@ object Corpus10 {
              |END AS cents FROM t)
              |SELECT ch AS channel, CAST(count(*) AS BIGINT) AS touches,
              |CAST(sum(cents) AS BIGINT) AS cents_attributed
-             |FROM alloc GROUP BY ch ORDER BY ch""".stripMargin.replace("\n", " ").replace("%%", "%"))))
+             |FROM alloc GROUP BY ch ORDER BY ch""".stripMargin.replace("\n", " ").replace("%%", "%"))),
+
+    QueryDef(
+      "q235_markov_attribution",
+      // MARKOV REMOVAL-EFFECT ATTRIBUTION (Anderl et al. 2016) — the
+      // data-driven alternative to q189/q234's positional rules: per
+      // user, the journey (truncated at the first purchase) becomes a
+      // first-order chain start → … → conv/null; P(s,t) from exact
+      // transition counts; conversion probability from 'start' by 8
+      // fixed value-iteration rounds (iteration-bounded, the
+      // q114/q216 contract — the chain's p^(K) is an oracle-checkable
+      // prefix of the absorbing-chain solve); removal effect of
+      // channel c = 1 − P_c-removed(conv)/P(conv), where removing c
+      // redirects its inbound edges to 'null'; shares normalize the
+      // effects. The tiny transition table is localCheckpoint-pinned
+      // once (Components' iteration discipline), so the five chains'
+      // 8-round folds never re-derive the corpus.
+      (s, dir) => {
+        import s.implicits._
+        val K = 8
+        val channels = Seq("click", "error", "signup", "view")
+        val ev = Tables.events(s, dir)
+        val uw = Window.partitionBy("user_id")
+        val ow = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val j = ev.withColumn("firstp",
+            min(when(col("event_type") === "purchase", col("ts"))).over(uw))
+          .where(col("firstp").isNull || col("ts") <= col("firstp"))
+        val seq0 = j.select(col("user_id"), col("event_type").as("t"),
+          lag("event_type", 1).over(ow).as("prev"),
+          row_number().over(ow).as("rn"),
+          count(lit(1)).over(uw).as("ntot"))
+        val tr0 = seq0.select(
+            when(col("rn") === 1, "start").otherwise(col("prev")).as("s"),
+            when(col("t") === "purchase", "conv").otherwise(col("t")).as("t"))
+          .unionByName(seq0.where(col("rn") === col("ntot") && col("t") =!= "purchase")
+            .select(col("t").as("s"), lit("null").as("t")))
+        val trc = tr0.groupBy("s", "t").agg(count(lit(1)).as("n"))
+        val trs = trc.groupBy("s").agg(sum("n").as("ns"))
+        val tr = trc.join(trs, "s")
+          .select(col("s"), col("t"), (col("n").cast("double") / col("ns")).as("p"))
+          .localCheckpoint()
+
+        def converge(trC: org.apache.spark.sql.DataFrame) = {
+          var p = Seq(("conv", 1.0)).toDF("st", "pv")
+          for (_ <- 1 to K) {
+            p = trC.join(p, trC("t") === p("st"), "left")
+              .groupBy("s").agg(
+                expr("""aggregate(array_sort(collect_list(named_struct('t', t,
+                         'x', p * coalesce(pv, CAST(0.0 AS DOUBLE))))),
+                         CAST(0.0 AS DOUBLE), (acc, v) -> acc + v.x)""").as("pv"))
+              .select(col("s").as("st"), col("pv"))
+              .unionByName(Seq(("conv", 1.0)).toDF("st", "pv"))
+          }
+          p
+        }
+        def removedChain(c: String) = tr.where(col("s") =!= c)
+          .select(col("s"), col("t").as("t0"),
+            when(col("t") === c, "null").otherwise(col("t")).as("t"), col("p"))
+          .groupBy("s", "t").agg(
+            expr("""aggregate(array_sort(collect_list(named_struct('t0', t0, 'x', p))),
+                     CAST(0.0 AS DOUBLE), (acc, v) -> acc + v.x)""").as("p"))
+          .localCheckpoint()
+        val pc = converge(tr).where(col("st") === "start").select(col("pv").as("pcf"))
+        val rows = channels.map { c =>
+          converge(removedChain(c)).where(col("st") === "start")
+            .select(lit(c).as("channel"), col("pv").as("p_without"))
+        }.reduce(_ unionByName _)
+        val r2 = rows.crossJoin(broadcast(pc))
+          .withColumn("removal",
+            greatest(lit(0.0), lit(1.0) - col("p_without") / col("pcf")))
+        val tot = r2.agg(
+          expr("""aggregate(array_sort(collect_list(named_struct('channel', channel, 'x', removal))),
+                   CAST(0.0 AS DOUBLE), (acc, v) -> acc + v.x)""").as("trr"))
+        r2.crossJoin(broadcast(tot))
+          .select(col("channel"), round(col("pcf"), 6).as("p_conv_full"),
+            round(col("p_without"), 6).as("p_conv_without"),
+            round(col("removal"), 6).as("removal_effect"),
+            round(col("removal") / col("trr"), 6).as("share"))
+          .orderBy("channel")
+      },
+      Some {
+        val K = 8
+        val channels = Seq("click", "error", "signup", "view")
+        val base = """j0 AS (SELECT user_id, ts, event_id, event_type,
+          |min(CASE WHEN event_type = 'purchase' THEN ts END) OVER (PARTITION BY user_id) AS firstp
+          |FROM events),
+          |j AS (SELECT user_id, ts, event_id, event_type FROM j0 WHERE firstp IS NULL OR ts <= firstp),
+          |seq AS (SELECT user_id, event_type AS t,
+          |lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+          |row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+          |count(*) OVER (PARTITION BY user_id) AS ntot FROM j),
+          |tr0 AS (SELECT CASE WHEN rn = 1 THEN 'start' ELSE prev END AS s,
+          |CASE WHEN t = 'purchase' THEN 'conv' ELSE t END AS t FROM seq
+          |UNION ALL SELECT t AS s, 'null' AS t FROM seq WHERE rn = ntot AND t <> 'purchase'),
+          |trc AS (SELECT s, t, CAST(count(*) AS BIGINT) AS n FROM tr0 GROUP BY s, t),
+          |trs AS (SELECT s, CAST(sum(n) AS BIGINT) AS ns FROM trc GROUP BY s),
+          |tr AS (SELECT trc.s, trc.t, CAST(trc.n AS DOUBLE) / trs.ns AS p
+          |FROM trc JOIN trs ON trs.s = trc.s)""".stripMargin.replace("\n", " ")
+        def chain(tag: String, remove: Option[String]): (String, String) = {
+          val trdef = remove match {
+            case None => s"tr_$tag AS (SELECT s, t, p FROM tr)"
+            case Some(c) =>
+              s"""tr_$tag AS (SELECT s, CASE WHEN t = '$c' THEN 'null' ELSE t END AS t,
+                 |sum(p ORDER BY t) AS p FROM tr WHERE s <> '$c'
+                 |GROUP BY s, CASE WHEN t = '$c' THEN 'null' ELSE t END)""".stripMargin.replace("\n", " ")
+          }
+          val steps = (1 to K).map { k =>
+            s"""p_${tag}_$k AS (SELECT tr_$tag.s AS st,
+               |sum(tr_$tag.p * coalesce(pp.pv, 0.0) ORDER BY tr_$tag.t) AS pv
+               |FROM tr_$tag LEFT JOIN p_${tag}_${k - 1} pp ON pp.st = tr_$tag.t
+               |GROUP BY tr_$tag.s UNION ALL SELECT 'conv', 1.0)""".stripMargin.replace("\n", " ")
+          }
+          ((Seq(trdef, s"p_${tag}_0 AS (SELECT 'conv' AS st, 1.0 AS pv)") ++ steps)
+            .mkString(", "), s"p_${tag}_$K")
+        }
+        val (fullC, fullFin) = chain("f", None)
+        val remChains = channels.map(c => c -> chain(s"r$c", Some(c)))
+        val sels = remChains.map { case (c, (_, fin)) =>
+          s"SELECT '$c' AS channel, (SELECT pv FROM $fin WHERE st = 'start') AS p_without"
+        }.mkString(" UNION ALL ")
+        s"""WITH $base, $fullC, ${remChains.map(_._2._1).mkString(", ")},
+           |pc AS (SELECT pv FROM $fullFin WHERE st = 'start'),
+           |re AS ($sels),
+           |r2 AS (SELECT channel, p_without,
+           |greatest(0.0, 1.0 - p_without / pc.pv) AS removal FROM re, pc),
+           |tot AS (SELECT sum(removal ORDER BY channel) AS trr FROM r2)
+           |SELECT r2.channel, round(pc.pv, 6) AS p_conv_full,
+           |round(r2.p_without, 6) AS p_conv_without,
+           |round(r2.removal, 6) AS removal_effect,
+           |round(r2.removal / tot.trr, 6) AS share
+           |FROM r2, pc, tot ORDER BY channel""".stripMargin.replace("\n", " ")
+      }))
 }

@@ -279,4 +279,58 @@ class Corpus10Spec extends AnyFunSuite with SparkSuite {
     assert(out.map(r => r._1 -> (r._2, r._3)).toMap == byChannel.toMap)
     assert(out.map(_._3).sum == attributable)
   }
+
+  test("q235 Markov attribution: full chain replay — journeys, P, 8-round values, removal effects") {
+    val out = SparkEntry.queries("q235_markov_attribution")(spark, sfDir)
+      .as[(String, Double, Double, Double, Double)].collect()
+    val ev = Tables.events(spark, sfDir)
+      .selectExpr("user_id", "event_id", "event_type", "unix_micros(CAST(ts AS TIMESTAMP))")
+      .as[(Long, Long, String, Long)].collect()
+
+    // journeys truncated at first purchase
+    val byUser = ev.groupBy(_._1).view.mapValues(_.sortBy(e => (e._4, e._2))).toMap
+    val transitions = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    for ((_, es) <- byUser) {
+      val firstP = es.indexWhere(_._3 == "purchase")
+      val run = if (firstP >= 0) es.take(firstP + 1) else es
+      var prev = "start"
+      for (e <- run) {
+        val t = if (e._3 == "purchase") "conv" else e._3
+        transitions += ((prev, t)); prev = t
+      }
+      if (firstP < 0) transitions += ((prev, "null"))
+    }
+    val cnt = transitions.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val rowTot = transitions.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    def prob(tr: Map[(String, String), Double]): Map[String, Double] = {
+      var p = Map("conv" -> 1.0)
+      for (_ <- 1 to 8) {
+        val states = tr.keys.map(_._1).toSeq.distinct
+        p = states.map { s =>
+          val terms = tr.filter(_._1._1 == s).toSeq.sortBy(_._1._2)
+          s -> terms.foldLeft(0.0)((acc, kv) => acc + kv._2 * p.getOrElse(kv._1._2, 0.0))
+        }.toMap + ("conv" -> 1.0)
+      }
+      p
+    }
+    val pFullMap = cnt.map { case ((s, t), n) => (s, t) -> n.toDouble / rowTot(s) }
+    val pcf = prob(pFullMap)("start")
+    def removed(c: String): Map[(String, String), Double] =
+      pFullMap.filter(_._1._1 != c).toSeq
+        .map { case ((s, t), p) => ((s, if (t == c) "null" else t), (t, p)) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._1).map(_._2).sum).toMap
+    val channels = Seq("click", "error", "signup", "view")
+    val removal = channels.map(c => c -> math.max(0.0, 1.0 - prob(removed(c))("start") / pcf)).toMap
+    val tot = channels.foldLeft(0.0)((acc, c) => acc + removal(c))
+
+    assert(out.map(_._1).toSeq == channels)
+    out.foreach { case (c, pf, pw, re, sh) =>
+      assert(pf == round(pcf, 6))
+      assert(pw == round(prob(removed(c))("start"), 6))
+      assert(re == round(removal(c), 6))
+      assert(sh == round(removal(c) / tot, 6))
+      assert(pf >= 0.0 && pf <= 1.0 && re >= 0.0 && re <= 1.0)
+    }
+    assert(math.abs(out.map(_._5).sum - 1.0) < 1e-4)
+  }
 }
