@@ -701,5 +701,179 @@ object Corpus10 {
            |round(r2.removal, 6) AS removal_effect,
            |round(r2.removal / tot.trr, 6) AS share
            |FROM r2, pc, tot ORDER BY channel""".stripMargin.replace("\n", " ")
+      }),
+
+    QueryDef(
+      "q236_runs_test",
+      // WALD-WOLFOWITZ RUNS TEST on the doc_id ordering (binarized:
+      // lang = 'en' vs rest) — the shuffle-quality audit: a training
+      // order whose labels clump (runs ≪ expected) leaks curriculum
+      // bias. Runs count WITHOUT a corpus-wide window: per-bucket lag
+      // transitions (doc_id-div buckets, partitioned windows) plus
+      // bucket-boundary transitions from the |buckets|-row edge
+      // table. E[R] and Var[R] from exact integer (n, n1) in one
+      // float expression each.
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            when(col("lang") === "en", 1L).otherwise(0L).as("x"),
+            expr("doc_id div 50").as("b"))
+        val w = d.withColumn("px", lag("x", 1).over(
+          Window.partitionBy("b").orderBy("doc_id")))
+        val intra = w.agg(sum(when(col("px").isNotNull && col("x") =!= col("px"), 1L)
+          .otherwise(0L)).as("chg"))
+        val edges = d.groupBy("b").agg(min("doc_id").as("fid"), max("doc_id").as("lid"))
+        val eb = edges
+          .join(d.select(col("doc_id").as("fid"), col("x").as("firstx")), "fid")
+          .join(d.select(col("doc_id").as("lid"), col("x").as("lastx")), "lid")
+          .select(col("b"), col("firstx"), col("lastx"))
+        val crossChg = eb.as("a")
+          .join(eb.select((col("b") - 1).as("b"), col("firstx").as("nfx")), "b")
+          .agg(sum(when(col("lastx") =!= col("nfx"), 1L).otherwise(0L)).as("chg"))
+        val nn = d.agg(count(lit(1)).as("n"), sum("x").as("n1"))
+        nn.crossJoin(broadcast(intra.select(col("chg").as("ic"))))
+          .crossJoin(broadcast(crossChg.select(col("chg").as("cc2"))))
+          .select(col("n"), col("n1"), (col("n") - col("n1")).as("n0"),
+            (lit(1L) + col("ic") + col("cc2")).as("runs"),
+            round(lit(1.0) + lit(2.0) * col("n1") * (col("n") - col("n1")) / col("n"), 4).as("e_runs"),
+            round((lit(1L) + col("ic") + col("cc2") -
+              (lit(1.0) + lit(2.0) * col("n1") * (col("n") - col("n1")) / col("n"))) /
+              sqrt(lit(2.0) * col("n1") * (col("n") - col("n1")) *
+                (lit(2.0) * col("n1") * (col("n") - col("n1")) - col("n")) /
+                (col("n").cast("double") * col("n") * (col("n") - 1))), 4).as("z"))
+      },
+      Some("""WITH d AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS x,
+             |CAST(doc_id // 50 AS BIGINT) AS b FROM documents),
+             |w AS (SELECT doc_id, x, b, lag(x) OVER (PARTITION BY b ORDER BY doc_id) AS px FROM d),
+             |intra AS (SELECT CAST(sum(CASE WHEN px IS NOT NULL AND x <> px THEN 1 ELSE 0 END) AS BIGINT) AS chg FROM w),
+             |edges AS (SELECT b, min(doc_id) AS fid, max(doc_id) AS lid FROM d GROUP BY b),
+             |eb AS (SELECT e.b, df.x AS firstx, dl.x AS lastx
+             |FROM edges e JOIN d df ON df.doc_id = e.fid JOIN d dl ON dl.doc_id = e.lid),
+             |cc AS (SELECT CAST(sum(CASE WHEN a.lastx <> c.firstx THEN 1 ELSE 0 END) AS BIGINT) AS chg
+             |FROM eb a JOIN eb c ON c.b = a.b + 1),
+             |nn AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS n1 FROM d)
+             |SELECT nn.n, nn.n1, nn.n - nn.n1 AS n0,
+             |1 + intra.chg + cc.chg AS runs,
+             |round(1.0 + 2.0 * nn.n1 * (nn.n - nn.n1) / nn.n, 4) AS e_runs,
+             |round((1 + intra.chg + cc.chg - (1.0 + 2.0 * nn.n1 * (nn.n - nn.n1) / nn.n)) /
+             |sqrt(2.0 * nn.n1 * (nn.n - nn.n1) * (2.0 * nn.n1 * (nn.n - nn.n1) - nn.n) /
+             |(CAST(nn.n AS DOUBLE) * nn.n * (nn.n - 1))), 4) AS z
+             |FROM nn, intra, cc""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q237_mann_kendall",
+      // MANN-KENDALL TREND TEST on daily volume — q218 Theil-Sen's
+      // significance companion: S = Σ sign(c_j − c_i) over the
+      // |days|² pre-aggregate pairs (exact integer), tie-corrected
+      // variance, continuity-corrected z. One float expression at
+      // the end.
+      (s, dir) => {
+        val d = Tables.events(s, dir)
+          .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("c"))
+        val a = d.select(col("day").as("da"), col("c").as("ca"))
+        val b = d.select(col("day").as("db"), col("c").as("cb"))
+        val pr = a.crossJoin(b).where(col("db") > col("da"))
+          .agg(sum(when(col("cb") > col("ca"), 1L)
+            .when(col("cb") < col("ca"), -1L).otherwise(0L)).as("s"))
+        val ti = d.groupBy("c").agg(count(lit(1)).as("t")).where(col("t") > 1)
+          .agg(coalesce(sum(col("t") * (col("t") - 1) * (lit(2L) * col("t") + 5)), lit(0L)).as("tie"))
+        val nn = d.agg(count(lit(1)).as("n"))
+        nn.crossJoin(broadcast(pr)).crossJoin(broadcast(ti))
+          .select(col("n"), col("s"), col("tie"),
+            round((col("n").cast("double") * (col("n") - 1) * (lit(2L) * col("n") + 5) - col("tie")) / 18.0, 4).as("var_s"),
+            round(when(col("s") > 0, col("s") - 1).when(col("s") < 0, col("s") + 1).otherwise(0L) /
+              sqrt((col("n").cast("double") * (col("n") - 1) * (lit(2L) * col("n") + 5) - col("tie")) / 18.0), 4).as("z"))
+      },
+      Some("""WITH d AS (SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS c
+             |FROM events GROUP BY 1),
+             |pr AS (SELECT CAST(sum(CASE WHEN b.c > a.c THEN 1 WHEN b.c < a.c THEN -1 ELSE 0 END) AS BIGINT) AS s
+             |FROM d a JOIN d b ON b.day > a.day),
+             |ti AS (SELECT CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT) AS tie
+             |FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM d GROUP BY c HAVING count(*) > 1)),
+             |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d)
+             |SELECT nn.n, pr.s, ti.tie,
+             |round((CAST(nn.n AS DOUBLE) * (nn.n - 1) * (2 * nn.n + 5) - ti.tie) / 18.0, 4) AS var_s,
+             |round((CASE WHEN pr.s > 0 THEN pr.s - 1 WHEN pr.s < 0 THEN pr.s + 1 ELSE 0 END)
+             |/ sqrt((CAST(nn.n AS DOUBLE) * (nn.n - 1) * (2 * nn.n + 5) - ti.tie) / 18.0), 4) AS z
+             |FROM nn, pr, ti""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q238_pacf",
+      // PARTIAL AUTOCORRELATION (lags 1-5) via the Durbin-Levinson
+      // recursion over q200's EXACT integer-deviation ACF — the AR
+      // order-selection readout q200's raw ACF can't give. The five
+      // r_k are one IEEE division each; the whole DL unroll is the
+      // SAME textual scalar expression chain on both engines (the
+      // q217 discipline), generated from one shared loop.
+      (s, dir) => {
+        val daily = Tables.events(s, dir).select(to_date(col("ts")).as("d"))
+          .groupBy("d").agg(count(lit(1)).as("c"))
+        val tot = daily.agg(count(lit(1)).as("n"), sum("c").as("t"))
+        val z = daily.crossJoin(broadcast(tot))
+          .withColumn("i", row_number().over(Window.orderBy("d")).cast("long"))
+          .select(col("i"), (col("n") * col("c") - col("t")).as("dev"))
+        val den = z.agg(sum(col("dev") * col("dev")).as("dd"))
+        val lags = z.sparkSession.range(1, 6).select(col("id").as("lg"))
+        val acfRow = broadcast(lags).join(z.as("a"), lit(true))
+          .join(z.as("b"), col("b.i") === col("a.i") + col("lg"))
+          .groupBy("lg").agg(sum(col("a.dev") * col("b.dev")).as("nm"))
+          .crossJoin(broadcast(den))
+          .select(col("lg"), (col("nm").cast("double") / col("dd")).as("r"))
+          .groupBy().pivot("lg", Seq(1, 2, 3, 4, 5)).agg(first("r"))
+          .toDF("r1", "r2", "r3", "r4", "r5")
+        var df = acfRow
+        for ((name, ex) <- Corpus10.dlStages) df = df.withColumn(name, expr(ex))
+        df.select(explode(array((1 to 5).map(k =>
+            struct(lit(k.toLong).as("lag"),
+              round(col(s"r$k"), 6).as("acf"),
+              round(col(s"p_${k}_$k"), 6).as("pacf"))): _*)).as("s"))
+          .select(col("s.lag"), col("s.acf"), col("s.pacf"))
+          .orderBy("lag")
+      },
+      Some {
+        val stages = Corpus10.dlStages
+        // one CTE per stage, each carrying all prior columns forward
+        val base = """daily AS (SELECT CAST(ts AS DATE) AS d, count(*) AS c FROM events GROUP BY 1),
+          |t AS (SELECT count(*) AS n, sum(c) AS tt FROM daily),
+          |z AS (SELECT CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i, n * c - tt AS dev FROM daily, t),
+          |den AS (SELECT sum(dev * dev) AS dd FROM z),
+          |k AS (SELECT unnest(generate_series(1, 5)) AS lg),
+          |num AS (SELECT CAST(lg AS BIGINT) AS lg, sum(a.dev * b.dev) AS nm
+          |FROM k, z a JOIN z b ON b.i = a.i + lg GROUP BY 1),
+          |acf AS (SELECT
+          |max(CASE WHEN lg = 1 THEN CAST(nm AS DOUBLE) / dd END) AS r1,
+          |max(CASE WHEN lg = 2 THEN CAST(nm AS DOUBLE) / dd END) AS r2,
+          |max(CASE WHEN lg = 3 THEN CAST(nm AS DOUBLE) / dd END) AS r3,
+          |max(CASE WHEN lg = 4 THEN CAST(nm AS DOUBLE) / dd END) AS r4,
+          |max(CASE WHEN lg = 5 THEN CAST(nm AS DOUBLE) / dd END) AS r5
+          |FROM num, den)""".stripMargin.replace("\n", " ")
+        val (ctes, _) = stages.foldLeft((Seq.empty[String], "acf" -> Seq("r1", "r2", "r3", "r4", "r5"))) {
+          case ((acc, (prev, cols)), (name, ex)) =>
+            val cte = s"s_$name AS (SELECT ${cols.mkString(", ")}, $ex AS $name FROM $prev)"
+            (acc :+ cte, s"s_$name" -> (cols :+ name))
+        }
+        val last = s"s_${stages.last._1}"
+        val rows = (1 to 5).map(k =>
+          s"SELECT CAST($k AS BIGINT) AS lag, round(r$k, 6) AS acf, round(p_${k}_$k, 6) AS pacf FROM $last")
+          .mkString(" UNION ALL ")
+        s"WITH $base, ${ctes.mkString(", ")} $rows ORDER BY lag"
       }))
+
+  /** Durbin-Levinson unroll for lags 1-5 as (column, expression)
+    * stages — the SAME strings feed Spark `expr` and the DuckDB CTE
+    * chain, so the scalar arithmetic is textually identical. */
+  private[operators] val dlStages: Seq[(String, String)] = {
+    val out = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    out += ("p_1_1" -> "r1")
+    for (k <- 2 to 5) {
+      val num = (1 until k).map(j => s"p_${k - 1}_$j * r${k - j}").mkString(" + ")
+      val dnm = (1 until k).map(j => s"p_${k - 1}_$j * r$j").mkString(" + ")
+      out += (s"num_$k" -> s"r$k - ($num)")
+      out += (s"den_$k" -> s"1.0 - ($dnm)")
+      out += (s"p_${k}_$k" -> s"num_$k / den_$k")
+      for (j <- 1 until k)
+        out += (s"p_${k}_$j" -> s"p_${k - 1}_$j - p_${k}_$k * p_${k - 1}_${k - j}")
+    }
+    out.toSeq
+  }
 }

@@ -333,4 +333,73 @@ class Corpus10Spec extends AnyFunSuite with SparkSuite {
     }
     assert(math.abs(out.map(_._5).sum - 1.0) < 1e-4)
   }
+
+  test("q236 runs test: brute-force sequential runs count; moments replay") {
+    val Array((n, n1, n0, runs, eRuns, z)) =
+      SparkEntry.queries("q236_runs_test")(spark, sfDir)
+        .as[(Long, Long, Long, Long, Double, Double)].collect()
+    val xs = Tables.documents(spark, sfDir)
+      .select($"doc_id".as[Long], $"lang".as[String]).collect()
+      .sortBy(_._1).map(d => if (d._2 == "en") 1 else 0)
+    assert(n == xs.length && n1 == xs.sum && n0 == xs.length - xs.sum)
+    val bruteRuns = 1 + xs.sliding(2).count(p => p(0) != p(1))
+    assert(runs == bruteRuns)
+    val e = 1.0 + 2.0 * n1 * n0 / n
+    assert(eRuns == round(e, 4))
+    val v = 2.0 * n1 * n0 * (2.0 * n1 * n0 - n) / (n.toDouble * n * (n - 1))
+    assert(z == round((bruteRuns - e) / math.sqrt(v), 4))
+  }
+
+  test("q237 Mann-Kendall: brute-force S and tie-corrected variance") {
+    val Array((n, s, tie, varS, z)) =
+      SparkEntry.queries("q237_mann_kendall")(spark, sfDir)
+        .as[(Long, Long, Long, Double, Double)].collect()
+    val days = Tables.events(spark, sfDir)
+      .groupBy(org.apache.spark.sql.functions.to_date($"ts").as("day")).count()
+      .select($"day".cast("string").as[String], $"count".as[Long]).collect().sortBy(_._1)
+    assert(n == days.length)
+    var bs = 0L
+    for (i <- days.indices; j <- (i + 1) until days.length)
+      bs += java.lang.Long.compare(days(j)._2, days(i)._2).sign
+    assert(s == bs)
+    val bt = days.map(_._2).groupBy(identity).values.filter(_.length > 1)
+      .map(g => { val t = g.length.toLong; t * (t - 1) * (2 * t + 5) }).sum
+    assert(tie == bt)
+    val v = (n.toDouble * (n - 1) * (2 * n + 5) - bt) / 18.0
+    assert(varS == round(v, 4))
+    val cc = if (bs > 0) bs - 1 else if (bs < 0) bs + 1 else 0L
+    assert(z == round(cc / math.sqrt(v), 4))
+  }
+
+  test("q238 PACF: Durbin-Levinson replay from exact-deviation ACF; lag-1 identity") {
+    val out = SparkEntry.queries("q238_pacf")(spark, sfDir)
+      .as[(Long, Double, Double)].collect().sortBy(_._1)
+    val days = Tables.events(spark, sfDir)
+      .groupBy(org.apache.spark.sql.functions.to_date($"ts").as("day")).count()
+      .select($"day".cast("string").as[String], $"count".as[Long]).collect().sortBy(_._1)
+    val n = BigInt(days.length)
+    val t = days.map(d => BigInt(d._2)).sum
+    val dev = days.map(d => n * d._2 - t)
+    val dd = dev.map(x => x * x).sum
+    val r = (1 to 5).map { k =>
+      k -> (0 until days.length - k).map(i => dev(i) * dev(i + k)).sum.toDouble / dd.toDouble
+    }.toMap
+
+    // Durbin-Levinson, same fold order as the shared expression chain
+    var prev = Map(1 -> r(1))
+    val pacf = scala.collection.mutable.Map(1 -> r(1))
+    for (k <- 2 to 5) {
+      val num = r(k) - (1 until k).map(j => prev(j) * r(k - j)).sum
+      val den = 1.0 - (1 until k).map(j => prev(j) * r(j)).sum
+      val pk = num / den
+      prev = (1 until k).map(j => j -> (prev(j) - pk * prev(k - j))).toMap + (k -> pk)
+      pacf(k) = pk
+    }
+    out.foreach { case (lag, acf, p) =>
+      assert(acf == round(r(lag.toInt), 6))
+      assert(math.abs(p - pacf(lag.toInt)) < 1e-5)
+    }
+    // φ11 = ρ1 by definition
+    assert(out.head._2 == out.head._3)
+  }
 }
