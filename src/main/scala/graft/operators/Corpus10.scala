@@ -857,7 +857,142 @@ object Corpus10 {
           s"SELECT CAST($k AS BIGINT) AS lag, round(r$k, 6) AS acf, round(p_${k}_$k, 6) AS pacf FROM $last")
           .mkString(" UNION ALL ")
         s"WITH $base, ${ctes.mkString(", ")} $rows ORDER BY lag"
-      }))
+      })) ++ Seq(vopt, srm)
+
+  private val vopt: QueryDef = {
+    val B = 4
+    QueryDef(
+      "q239_voptimal_histogram",
+      // V-OPTIMAL HISTOGRAM (Jagadish et al., VLDB 1998) — the
+      // error-optimal partner to q151's equi-depth buckets: exact DP
+      // over the VALUE DOMAIN of l_quantity (≤50 points with weights)
+      // for B=4 buckets minimizing total within-bucket SSE. Layer k's
+      // candidates are domain² pairs (never corpus-sized); SSE comes
+      // from exact integer prefix sums ((Σcv², Σcv, Σc) differences,
+      // one float expression per candidate); argmin ties break on the
+      // earliest cut, so the plan is unique on both engines. The
+      // backtrack re-joins the layer tables, and each bucket row
+      // publishes its value range, row count, and SSE.
+      (s, dir) => {
+        def sseP(a: String, b: String) =
+          (col(s"$b.pss") - col(s"$a.pss")).cast("double") -
+            (col(s"$b.ps") - col(s"$a.ps")).cast("double") * (col(s"$b.ps") - col(s"$a.ps")) /
+            (col(s"$b.pc") - col(s"$a.pc"))
+        val w = Window.orderBy("i").rowsBetween(Window.unboundedPreceding, 0)
+        val pre = Tables.lineitem(s, dir)
+          .groupBy(expr("CAST(round(l_quantity) AS BIGINT)").as("v"))
+          .agg(count(lit(1)).as("c"))
+          .withColumn("i", row_number().over(Window.orderBy("v")).cast("long"))
+          .select(col("i"), col("v"), col("c"),
+            sum("c").over(w).as("pc"),
+            sum(col("c") * col("v")).over(w).as("ps"),
+            sum(col("c") * col("v") * col("v")).over(w).as("pss"))
+          .localCheckpoint()
+        val layers = new Array[org.apache.spark.sql.DataFrame](B + 1)
+        layers(1) = pre.select(col("i").as("j"),
+          (col("pss").cast("double") - col("ps").cast("double") * col("ps") / col("pc")).as("cost"),
+          lit(0L).as("cut"))
+        for (k <- 2 to B) {
+          layers(k) = pre.as("b")
+            .join(layers(k - 1).as("a"), col("a.j") >= (k - 1) && col("a.j") < col("b.i"))
+            .join(pre.as("p"), col("p.i") === col("a.j"))
+            .select(col("b.i").as("j"), (col("a.cost") + sseP("p", "b")).as("cost"),
+              col("a.j").as("cut"))
+            .withColumn("rn", row_number().over(
+              Window.partitionBy("j").orderBy("cost", "cut")))
+            .where(col("rn") === 1).drop("rn")
+        }
+        val nmax = pre.agg(max("i").as("n"))
+        val cuts = new Array[org.apache.spark.sql.DataFrame](B + 1)
+        cuts(B) = layers(B).join(broadcast(nmax), col("j") === col("n"))
+          .select(col("j").as("hi"), col("cut").as("lo"))
+        for (k <- (B - 1) to 1 by -1)
+          cuts(k) = layers(k).join(cuts(k + 1).select(col("lo").as("nlo")),
+              col("j") === col("nlo"))
+            .select(col("j").as("hi"), col("cut").as("lo"))
+        val bk = (1 to B).map(k => cuts(k).select(lit(k.toLong).as("bucket"),
+          (col("lo") + 1).as("ilo"), col("hi").as("ihi"))).reduce(_ unionByName _)
+        bk.join(pre.select(col("i").as("ilo"), col("v").as("lo_value")), "ilo")
+          .join(pre.select(col("i").as("ihi"), col("v").as("hi_value"),
+            col("pc").as("hpc"), col("ps").as("hps"), col("pss").as("hpss")), "ihi")
+          .join(pre.select((col("i") + 1).as("ilo"), col("pc").as("lpc"),
+            col("ps").as("lps"), col("pss").as("lpss")), Seq("ilo"), "left")
+          .select(col("bucket"), col("lo_value"), col("hi_value"),
+            (col("hpc") - coalesce(col("lpc"), lit(0L))).as("n_rows"),
+            round((col("hpss") - coalesce(col("lpss"), lit(0L))).cast("double") -
+              (col("hps") - coalesce(col("lps"), lit(0L))).cast("double") *
+              (col("hps") - coalesce(col("lps"), lit(0L))) /
+              (col("hpc") - coalesce(col("lpc"), lit(0L))), 4).as("sse"))
+          .orderBy("bucket")
+      },
+      Some {
+        def sse(a: String, b: String) =
+          s"(CAST($b.pss - $a.pss AS DOUBLE) - CAST($b.ps - $a.ps AS DOUBLE) * ($b.ps - $a.ps) / ($b.pc - $a.pc))"
+        val base = """pts AS (SELECT CAST(round(l_quantity) AS BIGINT) AS v, CAST(count(*) AS BIGINT) AS c
+          |FROM lineitem GROUP BY 1),
+          |ix AS (SELECT v, c, CAST(row_number() OVER (ORDER BY v) AS BIGINT) AS i FROM pts),
+          |pre AS (SELECT i, v, c,
+          |CAST(sum(c) OVER (ORDER BY i) AS BIGINT) AS pc,
+          |CAST(sum(c * v) OVER (ORDER BY i) AS BIGINT) AS ps,
+          |CAST(sum(c * v * v) OVER (ORDER BY i) AS BIGINT) AS pss
+          |FROM ix)""".stripMargin.replace("\n", " ")
+        val l1 = "l1 AS (SELECT i AS j, (CAST(pss AS DOUBLE) - CAST(ps AS DOUBLE) * ps / pc) AS cost, CAST(0 AS BIGINT) AS cut FROM pre)"
+        val lks = (2 to B).map { k =>
+          s"""l$k AS (SELECT j, cost, cut FROM (SELECT b.i AS j,
+             |a.cost + ${sse("p", "b")} AS cost, a.j AS cut,
+             |row_number() OVER (PARTITION BY b.i ORDER BY a.cost + ${sse("p", "b")}, a.j) AS rn
+             |FROM pre b JOIN l${k - 1} a ON a.j >= ${k - 1} AND a.j < b.i
+             |JOIN pre p ON p.i = a.j) z WHERE rn = 1)""".stripMargin.replace("\n", " ")
+        }
+        val back = Seq(
+          "nmax AS (SELECT max(i) AS n FROM pre)",
+          s"c$B AS (SELECT l$B.j AS hi, l$B.cut AS lo FROM l$B, nmax WHERE l$B.j = nmax.n)") ++
+          ((B - 1) to 1 by -1).map(k =>
+            s"c$k AS (SELECT l$k.j AS hi, l$k.cut AS lo FROM l$k JOIN c${k + 1} ON l$k.j = c${k + 1}.lo)")
+        val bk = (1 to B).map(k =>
+          s"SELECT CAST($k AS BIGINT) AS bucket, lo + 1 AS ilo, hi AS ihi FROM c$k").mkString(" UNION ALL ")
+        s"""WITH $base, $l1, ${lks.mkString(", ")}, ${back.mkString(", ")},
+           |bk AS ($bk)
+           |SELECT bk.bucket, plo.v AS lo_value, phi.v AS hi_value,
+           |CAST(phi.pc - coalesce(pl0.pc, 0) AS BIGINT) AS n_rows,
+           |round(CAST(phi.pss - coalesce(pl0.pss, 0) AS DOUBLE)
+           |- CAST(phi.ps - coalesce(pl0.ps, 0) AS DOUBLE) * (phi.ps - coalesce(pl0.ps, 0)) / (phi.pc - coalesce(pl0.pc, 0)), 4) AS sse
+           |FROM bk JOIN pre plo ON plo.i = bk.ilo JOIN pre phi ON phi.i = bk.ihi
+           |LEFT JOIN pre pl0 ON pl0.i = bk.ilo - 1
+           |ORDER BY bk.bucket""".stripMargin.replace("\n", " ")
+      })
+  }
+
+  private val srm: QueryDef = QueryDef(
+    "q240_srm_guard",
+    // SAMPLE-RATIO-MISMATCH GUARD — the first thing an experiment
+    // platform checks before reading q174's CUPED numbers: are the
+    // md5 arms actually 50/50? One-dof χ² = (n_A − n_B)²/(n_A + n_B)
+    // over exact per-user arm counts, flagged at the 95% critical
+    // value 3.841 (pinned literal, q199's discipline).
+    (s, dir) => {
+      val arm = "CASE WHEN CAST(conv(substr(md5(concat('x#', CAST(user_id AS STRING))), 1, 15), 16, 10) AS BIGINT) % 2 = 0 THEN 'A' ELSE 'B' END"
+      Tables.events(s, dir).select(col("user_id")).distinct()
+        .select(expr(arm).as("arm"))
+        .agg(sum(when(col("arm") === "A", 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("arm") === "B", 1L).otherwise(0L)).as("n_b"))
+        .select(col("n_a"), col("n_b"),
+          round((col("n_a") - col("n_b")).cast("double") * (col("n_a") - col("n_b")) /
+            (col("n_a") + col("n_b")), 6).as("chi2"),
+          ((col("n_a") - col("n_b")).cast("double") * (col("n_a") - col("n_b")) /
+            (col("n_a") + col("n_b")) > 3.841).as("srm_flag"))
+    },
+    Some(("""WITH u AS (SELECT DISTINCT user_id FROM events),
+           |a AS (SELECT CASE WHEN %ARMH% %% 2 = 0 THEN 'A' ELSE 'B' END AS arm FROM u),
+           |c AS (SELECT CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+           |CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b FROM a)
+           |SELECT n_a, n_b,
+           |round(CAST(n_a - n_b AS DOUBLE) * (n_a - n_b) / (n_a + n_b), 6) AS chi2,
+           |CAST(n_a - n_b AS DOUBLE) * (n_a - n_b) / (n_a + n_b) > 3.841 AS srm_flag
+           |FROM c""".stripMargin.replace("\n", " ")
+      .replace("%ARMH%", Corpus.hexFoldDuck(
+        "substr(md5('x#' || CAST(user_id AS VARCHAR)), 1, 15)", 15))
+      .replace("%%", "%"))))
 
   /** Durbin-Levinson unroll for lags 1-5 as (column, expression)
     * stages — the SAME strings feed Spark `expr` and the DuckDB CTE

@@ -402,4 +402,59 @@ class Corpus10Spec extends AnyFunSuite with SparkSuite {
     // φ11 = ρ1 by definition
     assert(out.head._2 == out.head._3)
   }
+
+  test("q239 V-optimal histogram: DP optimality vs brute force; partition bookkeeping") {
+    val out = SparkEntry.queries("q239_voptimal_histogram")(spark, sfDir)
+      .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1)
+    val pts = Tables.lineitem(spark, sfDir)
+      .selectExpr("CAST(round(l_quantity) AS BIGINT)").as[Long].collect()
+      .groupBy(identity).view.mapValues(_.length.toLong).toSeq.sortBy(_._1)
+
+    val n = pts.length
+    val v = pts.map(_._1.toDouble); val c = pts.map(_._2.toDouble)
+    val pc = c.scanLeft(0.0)(_ + _); val ps = v.zip(c).map(t => t._1 * t._2).scanLeft(0.0)(_ + _)
+    val pss = v.zip(c).map(t => t._1 * t._1 * t._2).scanLeft(0.0)(_ + _)
+    def sse(a: Int, b: Int): Double =
+      (pss(b) - pss(a)) - (ps(b) - ps(a)) * (ps(b) - ps(a)) / (pc(b) - pc(a))
+    val B = 4
+    val best = Array.fill(B + 1, n + 1)(Double.MaxValue)
+    best(0)(0) = 0.0
+    for (k <- 1 to B; j <- k to n)
+      best(k)(j) = ((k - 1) until j).map(i => best(k - 1)(i) + sse(i, j)).min
+
+    // buckets partition the value domain contiguously and conserve rows
+    assert(out.length == B)
+    assert(out.head._2 == pts.head._1 && out.last._3 == pts.last._1)
+    out.sliding(2).foreach { w =>
+      val hiIdx = pts.indexWhere(_._1 == w(0)._3)
+      assert(pts(hiIdx + 1)._1 == w(1)._2) // next bucket starts at next value
+    }
+    assert(out.map(_._4).sum == pts.map(_._2).sum)
+    // total SSE equals the DP optimum (each bucket SSE rounded at 4dp)
+    assert(math.abs(out.map(_._5).sum - best(B)(n)) < 1e-2)
+    // per-bucket SSE replays from the prefix sums
+    out.foreach { case (_, lo, hi, nr, s) =>
+      val a = pts.indexWhere(_._1 == lo); val b = pts.indexWhere(_._1 == hi) + 1
+      assert(nr == pts.slice(a, b).map(_._2).sum)
+      assert(s == round(sse(a, b), 4))
+    }
+  }
+
+  test("q240 SRM guard: arm-hash census replay; χ² formula") {
+    val Array((na, nb, chi2, flag)) =
+      SparkEntry.queries("q240_srm_guard")(spark, sfDir)
+        .as[(Long, Long, Double, Boolean)].collect()
+    val users = Tables.events(spark, sfDir)
+      .select($"user_id".as[Long]).distinct().collect()
+    def arm(u: Long): String = {
+      val hx = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"x#$u".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      if (java.lang.Long.parseLong(hx, 16) % 2 == 0) "A" else "B"
+    }
+    val ea = users.count(arm(_) == "A").toLong
+    assert(na == ea && nb == users.length - ea)
+    val x2 = (na - nb).toDouble * (na - nb) / (na + nb)
+    assert(chi2 == round(x2, 6))
+    assert(flag == (x2 > 3.841))
+  }
 }
