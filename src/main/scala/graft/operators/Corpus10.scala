@@ -857,7 +857,7 @@ object Corpus10 {
           s"SELECT CAST($k AS BIGINT) AS lag, round(r$k, 6) AS acf, round(p_${k}_$k, 6) AS pacf FROM $last")
           .mkString(" UNION ALL ")
         s"WITH $base, ${ctes.mkString(", ")} $rows ORDER BY lag"
-      })) ++ Seq(vopt, srm)
+      })) ++ Seq(vopt, srm, haar)
 
   private val vopt: QueryDef = {
     val B = 4
@@ -993,6 +993,90 @@ object Corpus10 {
       .replace("%ARMH%", Corpus.hexFoldDuck(
         "substr(md5('x#' || CAST(user_id AS VARCHAR)), 1, 15)", 15))
       .replace("%%", "%"))))
+
+  private val haar: QueryDef = QueryDef(
+    "q241_haar_synopsis",
+    // HAAR WAVELET SYNOPSIS (Matias-Vitter-Wang, SIGMOD 1998) — the
+    // daily-volume series padded to 32, decomposed by the unnormalized
+    // Haar pyramid (a = (l+r)/2, d = (l−r)/2 — every coefficient is a
+    // dyadic rational of integer counts, EXACT in double on both
+    // engines), keep the 6 largest-|coef| details (tie-break lvl,
+    // pos), and publish each kept coefficient with the reconstruction
+    // SSE of the 6-term synopsis — the wavelet sibling of q151/q239's
+    // histograms. Reconstruction per day sums its ≤6 covering kept
+    // coefficients in (lvl, pos) order; the SSE is an i-ordered
+    // 32-term fold. Horizon ≤ 32 days at every gate SF; a longer
+    // horizon pads to the next power of two, same plan.
+    (s, dir) => {
+      val d0 = Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("c"))
+      val ix = d0.select((row_number().over(Window.orderBy("day")) - 1).cast("long").as("i"),
+        col("c").cast("double").as("v"))
+      val pad = s.range(0, 32).select(col("id").as("i"))
+        .join(ix, Seq("i"), "left")
+        .select(col("i"), coalesce(col("v"), lit(0.0)).as("v"))
+        .localCheckpoint()
+      var a = pad
+      var dts = Seq.empty[org.apache.spark.sql.DataFrame]
+      for (l <- 4 to 0 by -1) {
+        val lv = a.groupBy(expr("i div 2").as("i2")).agg(
+            max(when(col("i") % 2 === 0, col("v"))).as("lft"),
+            max(when(col("i") % 2 === 1, col("v"))).as("rgt"))
+        dts = dts :+ lv.select(lit(l.toLong).as("lvl"), col("i2").as("pos"),
+          ((col("lft") - col("rgt")) / 2).as("coef"))
+        a = lv.select(col("i2").as("i"), ((col("lft") + col("rgt")) / 2).as("v"))
+      }
+      val a0 = a.select(col("v").as("base"))
+      val topk = dts.reduce(_ unionByName _)
+        .orderBy(abs(col("coef")).desc, col("lvl"), col("pos")).limit(6)
+      val cov = pad.crossJoin(broadcast(topk))
+        .where(expr("i div shiftleft(CAST(1 AS BIGINT), CAST(5 - lvl AS INT))") === col("pos"))
+        .select(col("i"),
+          when(expr("(i div shiftleft(CAST(1 AS BIGINT), CAST(4 - lvl AS INT))) % 2") === 0,
+            col("coef")).otherwise(-col("coef")).as("t"),
+          col("lvl"), col("pos"))
+        .groupBy("i").agg(
+          expr("""aggregate(array_sort(collect_list(named_struct('lvl', lvl, 'pos', pos, 'x', t))),
+                   CAST(0.0 AS DOUBLE), (acc, v) -> acc + v.x)""").as("sgn"))
+      val rec = pad.join(cov, Seq("i"), "left").crossJoin(broadcast(a0))
+        .select(col("i"), col("v"), (col("base") + coalesce(col("sgn"), lit(0.0))).as("vh"))
+      val err = rec.agg(
+        expr("""aggregate(array_sort(collect_list(named_struct('i', i, 'x', (v - vh) * (v - vh)))),
+                 CAST(0.0 AS DOUBLE), (acc, v) -> acc + v.x)""").as("l2"))
+      topk.crossJoin(broadcast(err))
+        .select(col("lvl"), col("pos"), round(col("coef"), 4).as("coef"),
+          round(col("l2"), 4).as("recon_sse"))
+        .orderBy(abs(col("coef")).desc, col("lvl"), col("pos"))
+    },
+    Some {
+      val base = """d0 AS (SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS c
+        |FROM events GROUP BY 1),
+        |ix AS (SELECT CAST(row_number() OVER (ORDER BY day) - 1 AS BIGINT) AS i, CAST(c AS DOUBLE) AS v FROM d0),
+        |pad AS (SELECT g.i, coalesce(ix.v, 0.0) AS v
+        |FROM (SELECT unnest(generate_series(0, 31)) AS i) g LEFT JOIN ix ON ix.i = g.i),
+        |a5 AS (SELECT CAST(i AS BIGINT) AS i, v FROM pad)""".stripMargin.replace("\n", " ")
+      val lvls = (5 to 1 by -1).map { l =>
+        s"""a${l - 1} AS (SELECT CAST(i // 2 AS BIGINT) AS i,
+           |(max(CASE WHEN i %% 2 = 0 THEN v END) + max(CASE WHEN i %% 2 = 1 THEN v END)) / 2 AS v
+           |FROM a$l GROUP BY i // 2),
+           |dt${l - 1} AS (SELECT CAST(${l - 1} AS BIGINT) AS lvl, CAST(i // 2 AS BIGINT) AS pos,
+           |(max(CASE WHEN i %% 2 = 0 THEN v END) - max(CASE WHEN i %% 2 = 1 THEN v END)) / 2 AS coef
+           |FROM a$l GROUP BY i // 2)""".stripMargin.replace("\n", " ")
+      }.mkString(", ")
+      val all = (0 to 4).map(l => s"SELECT lvl, pos, coef FROM dt$l").mkString(" UNION ALL ")
+      s"""WITH $base, $lvls,
+         |allc AS ($all),
+         |topk AS (SELECT lvl, pos, coef FROM allc ORDER BY abs(coef) DESC, lvl, pos LIMIT 6),
+         |rec AS (SELECT p.i, p.v, (SELECT v FROM a0) +
+         |coalesce((SELECT sum(CASE WHEN (p.i // (CAST(1 AS BIGINT) << CAST(4 - t.lvl AS INT))) %% 2 = 0
+         |THEN t.coef ELSE -t.coef END ORDER BY t.lvl, t.pos)
+         |FROM topk t WHERE p.i // (CAST(1 AS BIGINT) << CAST(5 - t.lvl AS INT)) = t.pos), 0.0) AS vh
+         |FROM pad p),
+         |err AS (SELECT sum((rec.v - rec.vh) * (rec.v - rec.vh) ORDER BY rec.i) AS l2 FROM rec)
+         |SELECT t.lvl, t.pos, round(t.coef, 4) AS coef, round(err.l2, 4) AS recon_sse
+         |FROM topk t, err ORDER BY abs(t.coef) DESC, t.lvl, t.pos"""
+        .stripMargin.replace("\n", " ").replace("%%", "%")
+    })
 
   /** Durbin-Levinson unroll for lags 1-5 as (column, expression)
     * stages — the SAME strings feed Spark `expr` and the DuckDB CTE

@@ -388,6 +388,35 @@ object StatefulOps {
       }
   }
 
+  final case class DocBit(b: Long, doc_id: Long, x: Int)
+  final case class RunSeg(b: Long, n: Long, firstx: Int, lastx: Int, chg: Long)
+
+  /** Streaming twin of q236's runs count: per-bucket keyed state holds
+    * the bucket's (doc_id, x) multiset; each trigger recomputes the
+    * bucket's internal transition count from the doc_id-sorted
+    * sequence, so the published segment is arrival-order independent
+    * (a doc landing between two previously-adjacent docs retroactively
+    * rewrites the transition it sat on — only the multiset makes that
+    * exact, the q194 argument). The segment is the classic parallel
+    * runs MONOID: combine(a, b) = (a.n + b.n, a.firstx, b.lastx,
+    * a.chg + b.chg + [a.lastx ≠ b.firstx]) — exactly how q236's batch
+    * plan (and the spec's assembly) stitches buckets without a global
+    * window. */
+  def runsStream(docs: Dataset[DocBit]): Dataset[RunSeg] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.b)
+      .flatMapGroupsWithState[Seq[(Long, Int)], RunSeg](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (b: Long, rows: Iterator[DocBit], state: GroupState[Seq[(Long, Int)]]) =>
+          val xs = (state.getOption.getOrElse(Seq.empty[(Long, Int)]) ++
+            rows.map(r => (r.doc_id, r.x))).sortBy(_._1)
+          state.update(xs)
+          val chg = xs.iterator.sliding(2).withPartial(false)
+            .count(p => p.head._2 != p(1)._2).toLong
+          Iterator(RunSeg(b, xs.length.toLong, xs.head._2, xs.last._2, chg))
+      }
+  }
+
   /** Batch twin for equivalence tests. */
   def runningStatsBatch(spark: SparkSession, dir: String): Dataset[UserStat] = {
     import spark.implicits._

@@ -457,4 +457,47 @@ class Corpus10Spec extends AnyFunSuite with SparkSuite {
     assert(chi2 == round(x2, 6))
     assert(flag == (x2 > 3.841))
   }
+
+  test("q241 Haar synopsis: pyramid replay; keeping every coefficient reconstructs exactly") {
+    val out = SparkEntry.queries("q241_haar_synopsis")(spark, sfDir)
+      .as[(Long, Long, Double, Double)].collect()
+    val days = Tables.events(spark, sfDir)
+      .groupBy(org.apache.spark.sql.functions.to_date($"ts").as("day")).count()
+      .select($"day".cast("string").as[String], $"count".as[Long]).collect().sortBy(_._1)
+    val v = Array.fill(32)(0.0)
+    days.map(_._2.toDouble).copyToArray(v)
+
+    var a = v.clone()
+    val coefs = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+    for (l <- 4 to 0 by -1) {
+      val next = new Array[Double](a.length / 2)
+      for (p <- next.indices) {
+        coefs += ((l.toLong, p.toLong, (a(2 * p) - a(2 * p + 1)) / 2))
+        next(p) = (a(2 * p) + a(2 * p + 1)) / 2
+      }
+      a = next
+    }
+    val base = a(0)
+    def recon(kept: Seq[(Long, Long, Double)]): Array[Double] = {
+      val vh = Array.fill(32)(base)
+      for ((lvl, pos, c) <- kept.sortBy(t => (t._1, t._2)); i <- 0 until 32) {
+        val size = 1L << (5 - lvl)
+        if (i / size == pos) vh(i) += (if ((i / (size / 2)) % 2 == 0) c else -c)
+      }
+      vh
+    }
+    val sorted = coefs.sortBy(t => (-math.abs(t._3), t._1, t._2))
+    val kept = sorted.take(6).toSeq
+    assert(out.map(t => (t._1, t._2, t._3)).toSeq ==
+      kept.map(t => (t._1, t._2, round(t._3, 4))))
+    val vh = recon(kept)
+    val sse = v.indices.foldLeft(0.0)((acc, i) => acc + (v(i) - vh(i)) * (v(i) - vh(i)))
+    assert(out.forall(_._4 == round(sse, 4)))
+    // more coefficients never hurt; the full set reconstructs exactly
+    val vh10 = recon(sorted.take(10).toSeq)
+    val sse10 = v.indices.foldLeft(0.0)((acc, i) => acc + (v(i) - vh10(i)) * (v(i) - vh10(i)))
+    assert(sse10 <= sse + 1e-9)
+    val vhAll = recon(sorted.toSeq)
+    assert(v.indices.forall(i => math.abs(v(i) - vhAll(i)) < 1e-9))
+  }
 }

@@ -384,6 +384,39 @@ class StatefulStreamingSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("streaming runs segments assemble to q236's runs count under shuffled arrival") {
+    val dir = "/root/testdata/sf0.01"
+    val stage = java.nio.file.Files.createTempDirectory("graft_runs_stage")
+    val docs = Tables.documents(spark, dir)
+      .selectExpr("doc_id div 50 AS b", "doc_id",
+        "CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS INT) AS x")
+    // shuffled arrival across 4 files: a doc landing between two
+    // previously-adjacent docs rewrites the transition it sat on.
+    docs.orderBy(md5($"doc_id".cast("string"))).repartition(4)
+      .write.mode("overwrite").parquet(stage.toString)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage.toString)
+      .as[StatefulOps.DocBit]
+    val q = StatefulOps.runsStream(stream).writeStream
+      .outputMode("update").format("memory").queryName("runs_stream")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val segs = spark.table("runs_stream")
+      .as[(Long, Long, Int, Int, Long)].collect()
+      .groupBy(_._1).map { case (b, rs) => rs.maxBy(_._2) }
+      .toSeq.sortBy(_._1)
+    assert(spark.table("runs_stream").count() > segs.size,
+      "single micro-batch — the state-merge path was never exercised")
+    // monoid assembly across buckets in order
+    val runs = 1 + segs.map(_._5).sum +
+      segs.sliding(2).count(p => p.length == 2 && p(0)._4 != p(1)._3)
+    val Array((n, n1, _, batchRuns, _, _)) =
+      SparkEntry.queries("q236_runs_test")(spark, dir)
+        .as[(Long, Long, Long, Long, Double, Double)].collect()
+    assert(runs == batchRuns)
+    assert(segs.map(_._2).sum == n)
+  }
+
   test("streaming dedup by event_id keeps exactly the distinct ids") {
     val q = StreamingTwin.dedupStream(stagedEventStream()).writeStream
       .outputMode("append").format("memory").queryName("dedup_stream")
