@@ -857,7 +857,7 @@ object Corpus10 {
           s"SELECT CAST($k AS BIGINT) AS lag, round(r$k, 6) AS acf, round(p_${k}_$k, 6) AS pacf FROM $last")
           .mkString(" UNION ALL ")
         s"WITH $base, ${ctes.mkString(", ")} $rows ORDER BY lag"
-      })) ++ Seq(vopt, srm, haar)
+      })) ++ Seq(vopt, srm, haar, lfAnalysis)
 
   private val vopt: QueryDef = {
     val B = 4
@@ -993,6 +993,89 @@ object Corpus10 {
       .replace("%ARMH%", Corpus.hexFoldDuck(
         "substr(md5('x#' || CAST(user_id AS VARCHAR)), 1, 15)", 15))
       .replace("%%", "%"))))
+
+  private val lfAnalysis: QueryDef = QueryDef(
+    "q242_lf_analysis",
+    // LABELING-FUNCTION ANALYSIS (Snorkel's LFAnalysis readout) over
+    // q182's three weak labelers: per LF — coverage, overlap (another
+    // LF fired on the same doc), conflict (another LF fired the
+    // OPPOSITE sign), and leave-one-out agreement (vs the sign of the
+    // OTHER LFs' vote sum — the self-vote-free reliability proxy; the
+    // plain majority is dominated by the LF's own vote and reads a
+    // vacuous 1.0). Everything is exact integer counts off one
+    // projection; rates are one division each with zero-denominator
+    // NULL guards. lf_digit's 0 coverage is the honest readout of a
+    // veto LF on clean data.
+    (s, dir) => {
+      val stops = Seq("the", "and", "of", "to", "a", "in", "is", "that", "it", "for")
+      val stopArr = stops.map("'" + _ + "'").mkString(",")
+      val lf = Tables.documents(s, dir)
+        .withColumn("toks", expr(toksExpr))
+        .withColumn("ndig", length(col("text")) -
+          length(regexp_replace(col("text"), "[0-9]", "")))
+        .select(col("doc_id"),
+          when(col("n_chars") >= 300, 1).when(col("n_chars") < 80, -1).otherwise(0).as("lf_len"),
+          when(size(col("toks")) === 0, 0)
+            .when(expr(s"size(filter(toks, x -> array_contains(array($stopArr), x)))").cast("double")
+              / size(col("toks")) >= 0.15, 1)
+            .when(expr(s"size(filter(toks, x -> array_contains(array($stopArr), x)))") === 0, -1)
+            .otherwise(0).as("lf_stop"),
+          when(length(col("text")) > 0 &&
+            col("ndig").cast("double") / length(col("text")) > 0.1, -1).otherwise(0).as("lf_digit"))
+      val cols = Seq("lf_len", "lf_stop", "lf_digit")
+      val long = cols.map { c =>
+        val others = cols.filterNot(_ == c)
+        lf.select(lit(c).as("lf"), col(c).as("v"),
+          (col(others.head) + col(others(1))).as("rest"),
+          greatest(col(others.head), col(others(1))).as("rpos"),
+          least(col(others.head), col(others(1))).as("rneg"))
+      }.reduce(_ unionByName _)
+      val st = long.groupBy("lf").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("v") =!= 0, 1L).otherwise(0L)).as("n_fired"),
+        sum(when(col("v") =!= 0 && (col("rpos") =!= 0 || col("rneg") =!= 0), 1L).otherwise(0L)).as("n_overlap"),
+        sum(when(col("v") =!= 0 &&
+          ((col("v") === 1 && col("rneg") === -1) || (col("v") === -1 && col("rpos") === 1)),
+          1L).otherwise(0L)).as("n_conflict"),
+        sum(when(col("v") =!= 0 && col("rest") =!= 0, 1L).otherwise(0L)).as("n_comp"),
+        sum(when(col("v") =!= 0 && col("rest") =!= 0 &&
+          ((col("v") > 0 && col("rest") > 0) || (col("v") < 0 && col("rest") < 0)),
+          1L).otherwise(0L)).as("n_agree"))
+      st.select(col("lf"), col("n_fired"),
+          round(col("n_fired").cast("double") / col("n_docs"), 4).as("coverage"),
+          col("n_overlap"), col("n_conflict"), col("n_comp"),
+          when(col("n_comp") === 0, lit(null).cast("double"))
+            .otherwise(round(col("n_agree").cast("double") / col("n_comp"), 4)).as("loo_agree_rate"))
+        .orderBy("lf")
+    },
+    Some(s"""WITH t AS (SELECT doc_id, n_chars, text, $toksDuck AS toks,
+            |length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS ndig FROM documents),
+            |lf AS (SELECT doc_id,
+            |CASE WHEN n_chars >= 300 THEN 1 WHEN n_chars < 80 THEN -1 ELSE 0 END AS lf_len,
+            |CASE WHEN len(toks) = 0 THEN 0
+            |WHEN CAST(len(list_filter(toks, x -> list_contains(['the','and','of','to','a','in','is','that','it','for'], x))) AS DOUBLE) / len(toks) >= 0.15 THEN 1
+            |WHEN len(list_filter(toks, x -> list_contains(['the','and','of','to','a','in','is','that','it','for'], x))) = 0 THEN -1
+            |ELSE 0 END AS lf_stop,
+            |CASE WHEN length(text) > 0 AND CAST(ndig AS DOUBLE) / length(text) > 0.1 THEN -1 ELSE 0 END AS lf_digit
+            |FROM t),
+            |long AS (
+            |SELECT 'lf_len' AS lf, lf_len AS v, lf_stop + lf_digit AS rest,
+            |greatest(lf_stop, lf_digit) AS rpos, least(lf_stop, lf_digit) AS rneg FROM lf
+            |UNION ALL SELECT 'lf_stop', lf_stop, lf_len + lf_digit,
+            |greatest(lf_len, lf_digit), least(lf_len, lf_digit) FROM lf
+            |UNION ALL SELECT 'lf_digit', lf_digit, lf_len + lf_stop,
+            |greatest(lf_len, lf_stop), least(lf_len, lf_stop) FROM lf),
+            |st AS (SELECT lf, CAST(count(*) AS BIGINT) AS n_docs,
+            |CAST(sum(CASE WHEN v <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_fired,
+            |CAST(sum(CASE WHEN v <> 0 AND (rpos <> 0 OR rneg <> 0) THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+            |CAST(sum(CASE WHEN v <> 0 AND ((v = 1 AND rneg = -1) OR (v = -1 AND rpos = 1)) THEN 1 ELSE 0 END) AS BIGINT) AS n_conflict,
+            |CAST(sum(CASE WHEN v <> 0 AND rest <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_comp,
+            |CAST(sum(CASE WHEN v <> 0 AND rest <> 0 AND ((v > 0 AND rest > 0) OR (v < 0 AND rest < 0)) THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+            |FROM long GROUP BY lf)
+            |SELECT lf, n_fired, round(CAST(n_fired AS DOUBLE) / n_docs, 4) AS coverage,
+            |n_overlap, n_conflict, n_comp,
+            |CASE WHEN n_comp = 0 THEN NULL ELSE round(CAST(n_agree AS DOUBLE) / n_comp, 4) END AS loo_agree_rate
+            |FROM st ORDER BY lf""".stripMargin.replace("\n", " ")))
 
   private val haar: QueryDef = QueryDef(
     "q241_haar_synopsis",

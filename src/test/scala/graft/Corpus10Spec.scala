@@ -500,4 +500,32 @@ class Corpus10Spec extends AnyFunSuite with SparkSuite {
     val vhAll = recon(sorted.toSeq)
     assert(v.indices.forall(i => math.abs(v(i) - vhAll(i)) < 1e-9))
   }
+
+  test("q242 LF analysis: vote replay against q182; conflict ⊆ overlap; bookkeeping") {
+    val out = SparkEntry.queries("q242_lf_analysis")(spark, sfDir)
+      .as[(String, Long, Double, Long, Long, Long, Option[Double])].collect()
+    val votes = SparkEntry.queries("q182_weak_label_vote")(spark, sfDir)
+      .select($"lf_len".as[Int], $"lf_stop".as[Int], $"lf_digit".as[Int])
+      .collect()
+    val n = votes.length.toDouble
+    val byName = Map[String, Array[(Int, Int, Int)]](
+      "lf_len" -> votes.map(v => (v._1, v._2, v._3)),
+      "lf_stop" -> votes.map(v => (v._2, v._1, v._3)),
+      "lf_digit" -> votes.map(v => (v._3, v._1, v._2)))
+    assert(out.map(_._1).toSeq == Seq("lf_digit", "lf_len", "lf_stop"))
+    out.foreach { case (lf, fired, cov, ov, cf, comp, agree) =>
+      val vs = byName(lf)
+      assert(fired == vs.count(_._1 != 0))
+      assert(cov == round(fired / n, 4))
+      assert(ov == vs.count(v => v._1 != 0 && (v._2 != 0 || v._3 != 0)))
+      assert(cf == vs.count(v => v._1 != 0 && (v._2 == -v._1 || v._3 == -v._1)))
+      val loo = vs.filter(v => v._1 != 0 && v._2 + v._3 != 0)
+      assert(comp == loo.length)
+      if (loo.nonEmpty)
+        assert(agree.get == round(
+          loo.count(v => v._1.sign == (v._2 + v._3).sign).toDouble / loo.length, 4))
+      else assert(agree.isEmpty)
+      assert(cf <= ov && ov <= fired)
+    }
+  }
 }
