@@ -857,7 +857,7 @@ object Corpus10 {
           s"SELECT CAST($k AS BIGINT) AS lag, round(r$k, 6) AS acf, round(p_${k}_$k, 6) AS pacf FROM $last")
           .mkString(" UNION ALL ")
         s"WITH $base, ${ctes.mkString(", ")} $rows ORDER BY lag"
-      })) ++ Seq(vopt, srm, haar, lfAnalysis)
+      })) ++ Seq(vopt, srm, haar, lfAnalysis, lshAudit)
 
   private val vopt: QueryDef = {
     val B = 4
@@ -993,6 +993,55 @@ object Corpus10 {
       .replace("%ARMH%", Corpus.hexFoldDuck(
         "substr(md5('x#' || CAST(user_id AS VARCHAR)), 1, 15)", 15))
       .replace("%%", "%"))))
+
+  private val lshAudit: QueryDef = QueryDef(
+    "q243_lsh_operating_point",
+    // LSH OPERATING-POINT AUDIT — candidate precision/recall of q41's
+    // banded MinHash against q42's exact-Jaccard ≥ 0.9 ground truth:
+    // the self-measuring gauge for the (k=6, b=3, r=2) s-curve choice
+    // (DedupSpec pins recall ≈ 1.0 by construction; THIS publishes
+    // the numbers as a query so a parameter change shows up in the
+    // oracle gate, not just a spec). tp/|cand|/|truth| are exact
+    // integer counts from one join of the two pair relations; the
+    // rates are one division each.
+    (s, dir) => {
+      val cand = Dedup.lshCandidatePairs(s, dir)
+      val truth = graft.SparkEntry.queries("q42_dedup_jaccard")(s, dir)
+        .select(col("da"), col("db"))
+      val tp = cand.join(truth, Seq("da", "db")).agg(count(lit(1)).as("tp"))
+      val nc = cand.agg(count(lit(1)).as("n_cand"))
+      val nt = truth.agg(count(lit(1)).as("n_truth"))
+      nc.crossJoin(broadcast(nt)).crossJoin(broadcast(tp))
+        .select(col("n_cand"), col("n_truth"), col("tp"),
+          when(col("n_cand") === 0, lit(null).cast("double"))
+            .otherwise(round(col("tp").cast("double") / col("n_cand"), 4)).as("precision"),
+          when(col("n_truth") === 0, lit(null).cast("double"))
+            .otherwise(round(col("tp").cast("double") / col("n_truth"), 4)).as("recall"),
+          when(col("n_cand") + col("n_truth") === 0, lit(null).cast("double"))
+            .otherwise(round(lit(2.0) * col("tp") / (col("n_cand") + col("n_truth")), 4)).as("f1"))
+    },
+    Some {
+      val lsh = Dedup.lshPairsDuckCte("L")
+      s"""WITH $lsh,
+         |Gt AS (SELECT doc_id, list_distinct($toksDuck) AS w FROM documents),
+         |Gpr AS (SELECT doc_id, unnest(list_sort(w)[1:CAST(ceil(len(w) * 0.1) AS INT) + 1]) AS s FROM Gt),
+         |Gsh AS (SELECT doc_id, unnest(w) AS s FROM Gt),
+         |Gsz AS (SELECT doc_id, count(*) AS n FROM Gsh GROUP BY 1),
+         |Gcand AS (SELECT DISTINCT pa.doc_id AS da, fb.doc_id AS db FROM Gpr pa
+         |JOIN Gsh fb ON pa.s = fb.s AND pa.doc_id < fb.doc_id),
+         |Ginter AS (SELECT da, db, count(*) AS i FROM Gcand
+         |JOIN Gsh sa ON da = sa.doc_id JOIN Gsh sb ON db = sb.doc_id AND sa.s = sb.s GROUP BY 1, 2),
+         |truth AS (SELECT da, db FROM Ginter JOIN Gsz za ON da = za.doc_id JOIN Gsz zb ON db = zb.doc_id
+         |WHERE round(i * 1.0 / (za.n + zb.n - i), 4) >= 0.9),
+         |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cand FROM Lcand),
+         |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
+         |tp AS (SELECT CAST(count(*) AS BIGINT) AS tp FROM Lcand c JOIN truth t ON c.da = t.da AND c.db = t.db)
+         |SELECT nc.n_cand, nt.n_truth, tp.tp,
+         |CASE WHEN nc.n_cand = 0 THEN NULL ELSE round(CAST(tp.tp AS DOUBLE) / nc.n_cand, 4) END AS precision,
+         |CASE WHEN nt.n_truth = 0 THEN NULL ELSE round(CAST(tp.tp AS DOUBLE) / nt.n_truth, 4) END AS recall,
+         |CASE WHEN nc.n_cand + nt.n_truth = 0 THEN NULL ELSE round(2.0 * tp.tp / (nc.n_cand + nt.n_truth), 4) END AS f1
+         |FROM nc, nt, tp""".stripMargin.replace("\n", " ")
+    })
 
   private val lfAnalysis: QueryDef = QueryDef(
     "q242_lf_analysis",

@@ -173,6 +173,15 @@ object Dedup {
       .filter(col("jaccard") >= 0.9)
   }
 
+  /** The RAW bucket-collision candidates (pre-verify) — q243's
+    * operating-point audit needs them to measure candidate precision;
+    * q41 only ever publishes the verified subset. */
+  private[graft] def lshCandidatePairs(
+      s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val t = tokenSets(s, dir)
+    bucketPairs(bandHashes(t.withColumn("sigs", sigsCol)), _ < _)
+  }
+
   /** DuckDB CTE chain ending in `${p}pairs(da, db)` — the oracle twin of
     * [[lshVerifiedPairs]] (q41's oracle recomputes the jaccard column in
     * its final SELECT from the same `inter`/`sz` CTEs). The optional

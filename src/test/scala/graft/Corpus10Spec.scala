@@ -528,4 +528,19 @@ class Corpus10Spec extends AnyFunSuite with SparkSuite {
       assert(cf <= ov && ov <= fired)
     }
   }
+
+  test("q243 LSH audit: tp is exactly q41's verified set; counts cross-check q41/q42") {
+    val Array((nCand, nTruth, tp, prec, rec, f1)) =
+      SparkEntry.queries("q243_lsh_operating_point")(spark, sfDir)
+        .as[(Long, Long, Long, Option[Double], Option[Double], Option[Double])].collect()
+    // verified = candidates ∩ truth, so tp must equal q41's row count
+    val q41 = SparkEntry.queries("q41_dedup_minhash_lsh")(spark, sfDir).count()
+    val q42 = SparkEntry.queries("q42_dedup_jaccard")(spark, sfDir).count()
+    assert(tp == q41)
+    assert(nTruth == q42)
+    assert(tp <= math.min(nCand, nTruth))
+    prec.foreach(p => assert(p == round(tp.toDouble / nCand, 4)))
+    rec.foreach(r => assert(r == round(tp.toDouble / nTruth, 4)))
+    f1.foreach(f => assert(f == round(2.0 * tp / (nCand + nTruth), 4)))
+  }
 }
