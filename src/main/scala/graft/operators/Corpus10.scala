@@ -857,7 +857,7 @@ object Corpus10 {
           s"SELECT CAST($k AS BIGINT) AS lag, round(r$k, 6) AS acf, round(p_${k}_$k, 6) AS pacf FROM $last")
           .mkString(" UNION ALL ")
         s"WITH $base, ${ctes.mkString(", ")} $rows ORDER BY lag"
-      })) ++ Seq(vopt, srm, haar, lfAnalysis, lshAudit)
+      })) ++ Seq(vopt, srm, haar, lfAnalysis, lshAudit, friedman)
 
   private val vopt: QueryDef = {
     val B = 4
@@ -993,6 +993,59 @@ object Corpus10 {
       .replace("%ARMH%", Corpus.hexFoldDuck(
         "substr(md5('x#' || CAST(user_id AS VARCHAR)), 1, 15)", 15))
       .replace("%%", "%"))))
+
+  private val friedman: QueryDef = QueryDef(
+    "q244_friedman_test",
+    // FRIEDMAN TEST (Friedman 1937, tie-corrected) — the
+    // nonparametric two-way companion to q211/q212: do the five event
+    // types differ in daily volume once each DAY acts as its own
+    // block? Within-block midranks stay integer in the doubled scale
+    // (2r = 2·#smaller + #tied + 1, q212's trick, over k=5 rows per
+    // block); rank sums and Σr² are exact integers; χ² is one float
+    // expression with the 5-term deviation sum folded in type order.
+    // Flagged at the pinned χ²₄ 95% critical value 9.488.
+    (s, dir) => {
+      val c = Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"), col("event_type").as("t"))
+        .agg(count(lit(1)).as("v"))
+      val b = c.select(col("day").as("bday"), col("v").as("bv"))
+      val r = c.join(b, col("day") === col("bday"))
+        .groupBy("day", "t", "v")
+        .agg((lit(2L) * sum(when(col("bv") < col("v"), 1L).otherwise(0L)) +
+          sum(when(col("bv") === col("v"), 1L).otherwise(0L)) + 1).as("q"))
+      val rs = r.groupBy("t").agg(sum("q").as("r2j"), count(lit(1)).as("n"))
+      val qq = r.agg(sum(col("q") * col("q")).as("sq2"))
+      val kk = rs.agg(count(lit(1)).as("k"), max("n").as("nb"))
+      val stat = rs.crossJoin(broadcast(kk)).crossJoin(broadcast(qq))
+        .groupBy("k", "nb", "sq2").agg(
+          expr("""aggregate(array_sort(collect_list(named_struct('t', t,
+                   'x', (r2j / 2.0D - nb * (k + 1) / 2.0D) * (r2j / 2.0D - nb * (k + 1) / 2.0D)))),
+                   CAST(0.0 AS DOUBLE), (acc, v) -> acc + v.x)""").as("devsum"))
+        .select(((col("k") - 1) * col("devsum") /
+          (col("sq2") / 4.0 - col("nb") * col("k") * (col("k") + 1) * (col("k") + 1) / 4.0)).as("chi2"))
+      rs.crossJoin(broadcast(stat))
+        .select(col("t").as("event_type"), col("n").as("n_blocks"),
+          round(col("r2j") / 2.0, 1).as("rank_sum"),
+          round(col("chi2"), 4).as("friedman_chi2"),
+          (col("chi2") > 9.488).as("significant_95"))
+        .orderBy("event_type")
+    },
+    Some("""WITH c AS (SELECT CAST(ts AS DATE) AS day, event_type AS t, CAST(count(*) AS BIGINT) AS v
+           |FROM events GROUP BY 1, 2),
+           |r AS (SELECT a.day, a.t,
+           |CAST(2 * sum(CASE WHEN b.v < a.v THEN 1 ELSE 0 END) + sum(CASE WHEN b.v = a.v THEN 1 ELSE 0 END) + 1 AS BIGINT) AS q
+           |FROM c a JOIN c b ON a.day = b.day GROUP BY a.day, a.t, a.v),
+           |rs AS (SELECT t, CAST(sum(q) AS BIGINT) AS r2j, CAST(count(*) AS BIGINT) AS n FROM r GROUP BY t),
+           |qq AS (SELECT CAST(sum(q * q) AS BIGINT) AS sq2 FROM r),
+           |k AS (SELECT CAST(count(*) AS BIGINT) AS k, max(n) AS n FROM rs),
+           |stat AS (SELECT k.k, k.n,
+           |(k.k - 1) * sum((r2j / 2.0 - k.n * (k.k + 1) / 2.0) * (r2j / 2.0 - k.n * (k.k + 1) / 2.0) ORDER BY rs.t) /
+           |(qq.sq2 / 4.0 - k.n * k.k * (k.k + 1) * (k.k + 1) / 4.0) AS chi2
+           |FROM rs, k, qq GROUP BY k.k, k.n, qq.sq2)
+           |SELECT rs.t AS event_type, rs.n AS n_blocks, round(rs.r2j / 2.0, 1) AS rank_sum,
+           |round(stat.chi2, 4) AS friedman_chi2,
+           |stat.chi2 > 9.488 AS significant_95
+           |FROM rs, stat ORDER BY rs.t""".stripMargin.replace("\n", " ")))
 
   private val lshAudit: QueryDef = QueryDef(
     "q243_lsh_operating_point",

@@ -543,4 +543,43 @@ class Corpus10Spec extends AnyFunSuite with SparkSuite {
     rec.foreach(r => assert(r == round(tp.toDouble / nTruth, 4)))
     f1.foreach(f => assert(f == round(2.0 * tp / (nCand + nTruth), 4)))
   }
+
+  test("q244 Friedman: within-block midrank replay; rank-sum conservation") {
+    val out = SparkEntry.queries("q244_friedman_test")(spark, sfDir)
+      .as[(String, Long, Double, Double, Boolean)].collect()
+    val cells = Tables.events(spark, sfDir)
+      .groupBy(org.apache.spark.sql.functions.to_date($"ts").cast("string").as("day"),
+        $"event_type").count()
+      .as[(String, String, Long)].collect()
+    val days = cells.map(_._1).distinct
+    val types = cells.map(_._2).distinct.sorted
+    val k = types.length
+
+    // doubled midranks within each day
+    val q2 = scala.collection.mutable.Map[(String, String), Long]()
+    for (d <- days) {
+      val row = types.map(t => t -> cells.find(c => c._1 == d && c._2 == t).map(_._3).getOrElse(0L))
+      for ((t, v) <- row) {
+        val sm = row.count(_._2 < v); val tied = row.count(_._2 == v)
+        q2((d, t)) = 2L * sm + tied + 1
+      }
+    }
+    val r2j = types.map(t => t -> days.map(d => q2((d, t))).sum).toMap
+    val n = days.length
+    val sq2 = q2.values.map(q => q * q).sum
+    val dev = types.foldLeft(0.0) { (acc, t) =>
+      val d = r2j(t) / 2.0 - n * (k + 1) / 2.0; acc + d * d
+    }
+    val chi2 = (k - 1) * dev / (sq2 / 4.0 - n.toDouble * k * (k + 1) * (k + 1) / 4.0)
+
+    assert(out.map(_._1).toSeq == types.toSeq)
+    out.foreach { case (t, nb, rsum, c2, sig) =>
+      assert(nb == n)
+      assert(rsum == round(r2j(t) / 2.0, 1))
+      assert(c2 == round(chi2, 4))
+      assert(sig == (chi2 > 9.488))
+    }
+    // rank sums over all treatments total n·k(k+1)/2
+    assert(out.map(_._3).sum == n.toDouble * k * (k + 1) / 2)
+  }
 }
