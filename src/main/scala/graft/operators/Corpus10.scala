@@ -857,7 +857,7 @@ object Corpus10 {
           s"SELECT CAST($k AS BIGINT) AS lag, round(r$k, 6) AS acf, round(p_${k}_$k, 6) AS pacf FROM $last")
           .mkString(" UNION ALL ")
         s"WITH $base, ${ctes.mkString(", ")} $rows ORDER BY lag"
-      })) ++ Seq(vopt, srm, haar, lfAnalysis, lshAudit, friedman)
+      })) ++ Seq(vopt, srm, haar, lfAnalysis, lshAudit, friedman, kruskal)
 
   private val vopt: QueryDef = {
     val B = 4
@@ -993,6 +993,61 @@ object Corpus10 {
       .replace("%ARMH%", Corpus.hexFoldDuck(
         "substr(md5('x#' || CAST(user_id AS VARCHAR)), 1, 15)", 15))
       .replace("%%", "%"))))
+
+  private val kruskal: QueryDef = QueryDef(
+    "q245_kruskal_wallis",
+    // KRUSKAL-WALLIS H (1952, tie-corrected) — the k-group
+    // nonparametric one-way completing the rank-test family (q212
+    // two-group, q244 blocked): doc length across all five languages.
+    // Global midranks come exactly from the value-domain count table
+    // (2r = 2·below + t + 1, q212's prefix), group rank sums are
+    // exact integers (Σ c·2r), and H with the tie divisor is one
+    // float expression whose k-term reduction folds in lang order.
+    // Flagged at the pinned χ²₄ 95% critical value.
+    (s, dir) => {
+      val v = Tables.documents(s, dir)
+        .groupBy(col("n_chars").as("x"), col("lang")).agg(count(lit(1)).as("c"))
+      val tot = v.groupBy("x").agg(sum("c").as("t"))
+      val w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
+      val cum = tot.withColumn("below", coalesce(sum("t").over(w), lit(0L)))
+      val r = v.join(broadcast(cum), "x")
+        .select(col("lang"), col("c"), (lit(2L) * col("below") + col("t") + 1).as("q2"))
+      val g = r.groupBy("lang").agg(sum("c").as("nj"), sum(col("c") * col("q2")).as("r2j"))
+      val nn = g.agg(sum("nj").as("n"))
+      val ti = tot.agg(sum(col("t") * col("t") * col("t") - col("t")).as("ties"))
+      val h = g.crossJoin(broadcast(nn)).crossJoin(broadcast(ti))
+        .groupBy("n", "ties").agg(
+          expr("""aggregate(array_sort(collect_list(named_struct('lang', lang,
+                   'x', (r2j / 2.0D) * (r2j / 2.0D) / nj))),
+                   CAST(0.0 AS DOUBLE), (acc, v) -> acc + v.x)""").as("sr"))
+        .select(((lit(12.0) / (col("n").cast("double") * (col("n") + 1)) * col("sr") -
+          lit(3.0) * (col("n") + 1)) /
+          (lit(1.0) - col("ties").cast("double") /
+            (col("n").cast("double") * col("n") * col("n") - col("n")))).as("hstat"))
+      g.crossJoin(broadcast(h))
+        .select(col("lang"), col("nj"),
+          round(col("r2j") / 2.0 / col("nj"), 4).as("mean_rank"),
+          round(col("hstat"), 4).as("kw_h"),
+          (col("hstat") > 9.488).as("significant_95"))
+        .orderBy("lang")
+    },
+    Some("""WITH v AS (SELECT n_chars AS x, lang, CAST(count(*) AS BIGINT) AS c
+           |FROM documents GROUP BY 1, 2),
+           |tot AS (SELECT x, CAST(sum(c) AS BIGINT) AS t FROM v GROUP BY x),
+           |cum AS (SELECT x, t,
+           |CAST(coalesce(sum(t) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS below
+           |FROM tot),
+           |r AS (SELECT v.lang, v.c, cum.t, 2 * cum.below + cum.t + 1 AS q2 FROM v JOIN cum ON cum.x = v.x),
+           |g AS (SELECT lang, CAST(sum(c) AS BIGINT) AS nj, CAST(sum(c * q2) AS BIGINT) AS r2j FROM r GROUP BY lang),
+           |nn AS (SELECT CAST(sum(nj) AS BIGINT) AS n FROM g),
+           |ti AS (SELECT CAST(sum(t * t * t - t) AS BIGINT) AS ties FROM tot),
+           |h AS (SELECT nn.n,
+           |(12.0 / (CAST(nn.n AS DOUBLE) * (nn.n + 1)) * sum((r2j / 2.0) * (r2j / 2.0) / nj ORDER BY g.lang) - 3.0 * (nn.n + 1))
+           |/ (1.0 - CAST(ti.ties AS DOUBLE) / (CAST(nn.n AS DOUBLE) * nn.n * nn.n - nn.n)) AS hstat
+           |FROM g, nn, ti GROUP BY nn.n, ti.ties)
+           |SELECT g.lang, g.nj, round(g.r2j / 2.0 / g.nj, 4) AS mean_rank,
+           |round(h.hstat, 4) AS kw_h, h.hstat > 9.488 AS significant_95
+           |FROM g, h ORDER BY g.lang""".stripMargin.replace("\n", " ")))
 
   private val friedman: QueryDef = QueryDef(
     "q244_friedman_test",

@@ -582,4 +582,37 @@ class Corpus10Spec extends AnyFunSuite with SparkSuite {
     // rank sums over all treatments total n·k(k+1)/2
     assert(out.map(_._3).sum == n.toDouble * k * (k + 1) / 2)
   }
+
+  test("q245 Kruskal-Wallis: global midrank replay; mean ranks average to (N+1)/2") {
+    val out = SparkEntry.queries("q245_kruskal_wallis")(spark, sfDir)
+      .as[(String, Long, Double, Double, Boolean)].collect()
+    val docs = Tables.documents(spark, sfDir)
+      .select($"lang".as[String], $"n_chars".as[Long]).collect()
+    val n = docs.length
+    val cnt = docs.map(_._2).groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val sorted = cnt.keys.toSeq.sorted
+    val below = sorted.zip(sorted.scanLeft(0L)((a, v) => a + cnt(v)).dropRight(1)).toMap
+    def q2(v: Long): Long = 2 * below(v) + cnt(v) + 1
+
+    val groups = docs.groupBy(_._1)
+    val langs = groups.keys.toSeq.sorted
+    val r2j = langs.map(l => l -> groups(l).map(d => q2(d._2)).sum).toMap
+    val ties = cnt.values.map(t => t * t * t - t).sum
+    val sr = langs.foldLeft(0.0) { (acc, l) =>
+      acc + (r2j(l) / 2.0) * (r2j(l) / 2.0) / groups(l).length
+    }
+    val hh = (12.0 / (n.toDouble * (n + 1)) * sr - 3.0 * (n + 1)) /
+      (1.0 - ties.toDouble / (n.toDouble * n * n - n))
+    assert(out.map(_._1).toSeq == langs)
+    out.foreach { case (l, nj, mr, h, sig) =>
+      assert(nj == groups(l).length)
+      assert(mr == round(r2j(l) / 2.0 / nj, 4))
+      assert(h == round(hh, 4))
+      assert(sig == (hh > 9.488))
+    }
+    // weighted mean of the (4dp-rounded) mean ranks is the global
+    // average rank (N+1)/2, up to the publication rounding
+    val wm = out.map(r => r._3 * r._2).sum / n
+    assert(math.abs(wm - (n + 1) / 2.0) < 1e-3)
+  }
 }
