@@ -857,7 +857,7 @@ object Corpus10 {
           s"SELECT CAST($k AS BIGINT) AS lag, round(r$k, 6) AS acf, round(p_${k}_$k, 6) AS pacf FROM $last")
           .mkString(" UNION ALL ")
         s"WITH $base, ${ctes.mkString(", ")} $rows ORDER BY lag"
-      })) ++ Seq(vopt, srm, haar, lfAnalysis, lshAudit, friedman, kruskal)
+      })) ++ Seq(vopt, srm, haar, lfAnalysis, lshAudit, friedman, kruskal, rbo, kappa)
 
   private val vopt: QueryDef = {
     val B = 4
@@ -993,6 +993,131 @@ object Corpus10 {
       .replace("%ARMH%", Corpus.hexFoldDuck(
         "substr(md5('x#' || CAST(user_id AS VARCHAR)), 1, 15)", 15))
       .replace("%%", "%"))))
+
+  private val rbo: QueryDef = {
+    // p^(d−1) weights and (1−p) as PINNED literals (the q199 Benford
+    // discipline — runtime pow() could differ in the last ulp between
+    // the JVM and DuckDB libm; Double.toString round-trips exactly in
+    // both parsers).
+    val depths = (1 to 20).map(d => (d.toLong, math.pow(0.9, d - 1)))
+    val oneMinusP = (1.0 - 0.9).toString
+    QueryDef(
+      "q246_rank_biased_overlap",
+      // RANK-BIASED OVERLAP (Webber et al., TOIS 2010) between the
+      // first-half and second-half top-20 token rankings — the
+      // top-weighted list-similarity metric for "did the vocabulary's
+      // head drift between epochs?" (q185/q230 measure distribution
+      // drift; RBO measures RANKING drift, which a search or
+      // tokenizer cache cares about). Truncated-at-20 form:
+      // RBO = (1−p)·Σ p^(d−1)·|S₁..d ∩ T₁..d|/d; the depth-overlap
+      // table comes from one join on max(rank_a, rank_b), the 20-term
+      // reduction folds in depth order.
+      (s, dir) => {
+        val mx = Tables.documents(s, dir).agg(((max("doc_id") + 1) / 2).cast("long").as("mid"))
+        val tok = Tables.documents(s, dir).crossJoin(broadcast(mx))
+          .select(when(col("doc_id") < col("mid"), "a").otherwise("b").as("half"),
+            explode(expr(toksExpr)).as("w"))
+        val tf = tok.groupBy("half", "w").agg(count(lit(1)).as("f"))
+        def top(h: String) = tf.where(col("half") === h)
+          .orderBy(desc("f"), col("w")).limit(20)
+          .withColumn("r", row_number().over(Window.orderBy(desc("f"), col("w"))))
+          .select(col("w"), col("r"))
+        val j = top("a").withColumnRenamed("r", "ra")
+          .join(top("b").withColumnRenamed("r", "rb"), "w")
+          .select(greatest(col("ra"), col("rb")).as("m"))
+        import s.implicits._
+        val dTab = depths.toDF("d", "wt")
+        val ag = dTab.join(j, col("m") <= col("d"), "left")
+          .groupBy("d", "wt").agg(count(col("m")).as("ov"))
+        val nShared = j.agg(count(lit(1)).as("n_shared"))
+        val ov20 = j.agg((count(lit(1)) / 20.0).as("overlap_at_20"))
+        ag.agg(expr(s"""round($oneMinusP * aggregate(
+                 array_sort(collect_list(named_struct('d', d, 'x', wt * ov / d))),
+                 CAST(0.0 AS DOUBLE), (acc, v) -> acc + v.x), 6)""").as("rbo"))
+          .select(lit(20L).as("depth"), col("rbo"))
+          .crossJoin(broadcast(nShared)).crossJoin(broadcast(ov20))
+          .select(col("depth"), col("rbo"), col("n_shared"),
+            round(col("overlap_at_20"), 4).as("overlap_at_20"))
+      },
+      Some {
+        val vals = depths.map { case (d, w) => s"($d, $w)" }.mkString(", ")
+        s"""WITH mx AS (SELECT (max(doc_id) + 1) // 2 AS mid FROM documents),
+           |tok AS (SELECT CASE WHEN doc_id < mx.mid THEN 'a' ELSE 'b' END AS half, unnest($toksDuck) AS w
+           |FROM documents, mx),
+           |tf AS (SELECT half, w, CAST(count(*) AS BIGINT) AS f FROM tok GROUP BY 1, 2),
+           |ra AS (SELECT w, row_number() OVER (ORDER BY f DESC, w) AS r FROM tf WHERE half = 'a'
+           |ORDER BY f DESC, w LIMIT 20),
+           |rb AS (SELECT w, row_number() OVER (ORDER BY f DESC, w) AS r FROM tf WHERE half = 'b'
+           |ORDER BY f DESC, w LIMIT 20),
+           |j AS (SELECT greatest(ra.r, rb.r) AS m FROM ra JOIN rb ON ra.w = rb.w),
+           |d AS (SELECT * FROM (VALUES $vals) AS t(d, wt)),
+           |ag AS (SELECT d.d, d.wt, CAST((SELECT count(*) FROM j WHERE j.m <= d.d) AS BIGINT) AS ov FROM d)
+           |SELECT CAST(20 AS BIGINT) AS depth,
+           |round($oneMinusP * sum(wt * ov / d ORDER BY d), 6) AS rbo,
+           |CAST((SELECT count(*) FROM j) AS BIGINT) AS n_shared,
+           |round((SELECT count(*) FROM j WHERE m <= 20) / 20.0, 4) AS overlap_at_20
+           |FROM ag""".stripMargin.replace("\n", " ")
+      })
+  }
+
+  private val kappa: QueryDef = QueryDef(
+    "q247_cohens_kappa",
+    // COHEN'S κ between q182's length and stopword labeling
+    // functions over the 3-category vote space {−1, 0, +1} — the
+    // chance-corrected inter-rater agreement that q242's raw
+    // agreement rate overstates when marginals are skewed (here
+    // lf_stop abstains on most docs, so expected agreement is high
+    // and κ is the honest number). p_o and p_e come from exact
+    // integer cell and marginal counts; κ is one float expression.
+    (s, dir) => {
+      val stops = Seq("the", "and", "of", "to", "a", "in", "is", "that", "it", "for")
+      val stopArr = stops.map("'" + _ + "'").mkString(",")
+      val lf = Tables.documents(s, dir)
+        .withColumn("toks", expr(toksExpr))
+        .select(
+          when(col("n_chars") >= 300, 1).when(col("n_chars") < 80, -1).otherwise(0).as("a"),
+          when(size(col("toks")) === 0, 0)
+            .when(expr(s"size(filter(toks, x -> array_contains(array($stopArr), x)))").cast("double")
+              / size(col("toks")) >= 0.15, 1)
+            .when(expr(s"size(filter(toks, x -> array_contains(array($stopArr), x)))") === 0, -1)
+            .otherwise(0).as("b"))
+      val cell = lf.groupBy("a", "b").agg(count(lit(1)).as("n"))
+      val tot = cell.agg(sum("n").as("nn"),
+        sum(when(col("a") === col("b"), col("n")).otherwise(0L)).as("agree"))
+      val ma = cell.groupBy("a").agg(sum("n").as("na"))
+      val mb = cell.groupBy(col("b").as("a")).agg(sum("n").as("nb"))
+      val pe = ma.join(mb, Seq("a"), "full_outer")
+        .select((coalesce(col("na"), lit(0L)) * coalesce(col("nb"), lit(0L))).as("prod"),
+          col("a"))
+        .agg(expr("""aggregate(array_sort(collect_list(named_struct('a', a, 'x', CAST(prod AS DOUBLE)))),
+                     CAST(0.0 AS DOUBLE), (acc, v) -> acc + v.x)""").as("pesum"))
+      tot.crossJoin(broadcast(pe))
+        .select(col("nn").as("n"), col("agree"),
+          round(col("agree").cast("double") / col("nn"), 4).as("p_o"),
+          round(col("pesum") / (col("nn").cast("double") * col("nn")), 4).as("p_e"),
+          round((col("agree").cast("double") / col("nn") - col("pesum") / (col("nn").cast("double") * col("nn"))) /
+            (lit(1.0) - col("pesum") / (col("nn").cast("double") * col("nn"))), 6).as("kappa"))
+    },
+    Some(s"""WITH t AS (SELECT n_chars, $toksDuck AS toks FROM documents),
+            |lf AS (SELECT
+            |CASE WHEN n_chars >= 300 THEN 1 WHEN n_chars < 80 THEN -1 ELSE 0 END AS a,
+            |CASE WHEN len(toks) = 0 THEN 0
+            |WHEN CAST(len(list_filter(toks, x -> list_contains(['the','and','of','to','a','in','is','that','it','for'], x))) AS DOUBLE) / len(toks) >= 0.15 THEN 1
+            |WHEN len(list_filter(toks, x -> list_contains(['the','and','of','to','a','in','is','that','it','for'], x))) = 0 THEN -1
+            |ELSE 0 END AS b FROM t),
+            |cell AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n FROM lf GROUP BY a, b),
+            |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+            |CAST(sum(CASE WHEN a = b THEN n ELSE 0 END) AS BIGINT) AS agree FROM cell),
+            |ma AS (SELECT a, CAST(sum(n) AS BIGINT) AS na FROM cell GROUP BY a),
+            |mb AS (SELECT b AS a, CAST(sum(n) AS BIGINT) AS nb FROM cell GROUP BY b),
+            |pe AS (SELECT sum(CAST(coalesce(ma.na, 0) * coalesce(mb.nb, 0) AS DOUBLE) ORDER BY coalesce(ma.a, mb.a)) AS pesum
+            |FROM ma FULL OUTER JOIN mb ON mb.a = ma.a)
+            |SELECT tot.nn AS n, tot.agree,
+            |round(CAST(tot.agree AS DOUBLE) / tot.nn, 4) AS p_o,
+            |round(pe.pesum / (CAST(tot.nn AS DOUBLE) * tot.nn), 4) AS p_e,
+            |round((CAST(tot.agree AS DOUBLE) / tot.nn - pe.pesum / (CAST(tot.nn AS DOUBLE) * tot.nn)) /
+            |(1.0 - pe.pesum / (CAST(tot.nn AS DOUBLE) * tot.nn)), 6) AS kappa
+            |FROM tot, pe""".stripMargin.replace("\n", " ")))
 
   private val kruskal: QueryDef = QueryDef(
     "q245_kruskal_wallis",

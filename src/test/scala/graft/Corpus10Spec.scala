@@ -615,4 +615,56 @@ class Corpus10Spec extends AnyFunSuite with SparkSuite {
     val wm = out.map(r => r._3 * r._2).sum / n
     assert(math.abs(wm - (n + 1) / 2.0) < 1e-3)
   }
+
+  test("q246 RBO: top-list replay; identical lists would score the truncated maximum") {
+    val Array((depth, rboV, nShared, ov20)) =
+      SparkEntry.queries("q246_rank_biased_overlap")(spark, sfDir)
+        .as[(Long, Double, Long, Double)].collect()
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id".as[Long], $"text".as[String]).collect()
+    val mid = (docs.map(_._1).max + 1) / 2
+    def top20(half: Array[(Long, String)]): Seq[String] =
+      half.flatMap(d => toks(d._2)).groupBy(identity).view.mapValues(_.length.toLong)
+        .toSeq.sortBy { case (w, f) => (-f, w) }.take(20).map(_._1)
+    val la = top20(docs.filter(_._1 < mid)); val lb = top20(docs.filter(_._1 >= mid))
+    val ra = la.zipWithIndex.toMap; val rb = lb.zipWithIndex.toMap
+    val ms = la.filter(rb.contains).map(w => math.max(ra(w) + 1, rb(w) + 1))
+    assert(nShared == ms.length)
+    assert(ov20 == round(ms.length / 20.0, 4))
+    val expRbo = (1.0 - 0.9) * (1 to 20).foldLeft(0.0) { (acc, d) =>
+      acc + math.pow(0.9, d - 1) * ms.count(_ <= d).toDouble / d
+    }
+    assert(depth == 20 && math.abs(rboV - expRbo) < 1e-5)
+    // sanity: a list compared with itself scores the truncated maximum
+    val maxRbo = (1.0 - 0.9) * (1 to 20).foldLeft(0.0)((acc, d) => acc + math.pow(0.9, d - 1))
+    assert(rboV <= maxRbo + 1e-9)
+  }
+
+  test("q247 Cohen's kappa: cell/marginal replay; κ ≤ p_o bound") {
+    val Array((n, agree, po, pe, kap)) =
+      SparkEntry.queries("q247_cohens_kappa")(spark, sfDir)
+        .as[(Long, Long, Double, Double, Double)].collect()
+    val docs = Tables.documents(spark, sfDir)
+      .select($"n_chars".as[Long], $"text".as[String]).collect()
+    val stops = Set("the", "and", "of", "to", "a", "in", "is", "that", "it", "for")
+    val votes = docs.map { case (nc, t) =>
+      val ws = toks(t)
+      val a = if (nc >= 300) 1 else if (nc < 80) -1 else 0
+      val b = if (ws.isEmpty) 0
+        else if (ws.count(stops).toDouble / ws.length >= 0.15) 1
+        else if (ws.count(stops) == 0) -1 else 0
+      (a, b)
+    }
+    assert(n == votes.length)
+    assert(agree == votes.count(v => v._1 == v._2))
+    val cats = Seq(-1, 0, 1)
+    val peSum = cats.foldLeft(0.0) { (acc, c) =>
+      acc + votes.count(_._1 == c).toDouble * votes.count(_._2 == c)
+    }
+    val poE = agree.toDouble / n
+    val peE = peSum / (n.toDouble * n)
+    assert(po == round(poE, 4) && pe == round(peE, 4))
+    assert(kap == round((poE - peE) / (1.0 - peE), 6))
+    assert(kap <= poE + 1e-9)
+  }
 }
