@@ -857,7 +857,8 @@ object Corpus10 {
           s"SELECT CAST($k AS BIGINT) AS lag, round(r$k, 6) AS acf, round(p_${k}_$k, 6) AS pacf FROM $last")
           .mkString(" UNION ALL ")
         s"WITH $base, ${ctes.mkString(", ")} $rows ORDER BY lag"
-      })) ++ Seq(vopt, srm, haar, lfAnalysis, lshAudit, friedman, kruskal, rbo, kappa)
+      })) ++ Seq(vopt, srm, haar, lfAnalysis, lshAudit, friedman, kruskal, rbo, kappa,
+        lorenz, atkinson)
 
   private val vopt: QueryDef = {
     val B = 4
@@ -993,6 +994,86 @@ object Corpus10 {
       .replace("%ARMH%", Corpus.hexFoldDuck(
         "substr(md5('x#' || CAST(user_id AS VARCHAR)), 1, 15)", 15))
       .replace("%%", "%"))))
+
+  private val lorenz: QueryDef = QueryDef(
+    "q248_lorenz_curve",
+    // LORENZ CURVE of order value at decile points — the curve whose
+    // area q186's Gini summarizes: cum_share(d) = value held by the
+    // poorest ⌈d·n/10⌉ orders, from exact integer prefix sums on the
+    // value-count table, interpolating inside the boundary value's
+    // tied block with integer arithmetic (one float division per
+    // point). Monotone convex by construction; the d=10 point is
+    // exactly 1.
+    (s, dir) => {
+      val g = Tables.orders(s, dir)
+        .groupBy(expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("v"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+      val p = g.select(col("v"), col("n"),
+        sum("n").over(w).as("cn"), sum(col("n") * col("v")).over(w).as("cs"))
+        .localCheckpoint()
+      val tot = g.agg(sum("n").as("nn"), sum(col("n") * col("v")).as("ss"))
+      val d = s.range(1, 11).select(col("id").as("d"))
+      val bnd = d.crossJoin(broadcast(tot))
+        .select(col("d"), expr("(d * nn + 9) div 10").as("kk"), col("ss"))
+      val below = bnd.join(p, p("cn") <= bnd("kk"), "left")
+        .groupBy("d", "kk", "ss")
+        .agg(max("cs").as("cs_below"), max("cn").as("cn_below"))
+      val nxt = bnd.select(col("d").as("d2"), col("kk").as("k2"))
+        .join(p, p("cn") > col("k2"))
+        .groupBy("d2").agg(min("v").as("vnext"))
+      below.join(nxt, col("d") === col("d2"), "left")
+        .select(col("d"), col("kk").as("k_units"),
+          round((coalesce(col("cs_below"), lit(0L)) +
+            (col("kk") - coalesce(col("cn_below"), lit(0L))) * coalesce(col("vnext"), lit(0L)))
+            .cast("double") / col("ss"), 6).as("cum_share"))
+        .orderBy("d")
+    },
+    Some("""WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders),
+           |g AS (SELECT v, CAST(count(*) AS BIGINT) AS n FROM c GROUP BY v),
+           |p AS (SELECT v, n, CAST(sum(n) OVER (ORDER BY v) AS BIGINT) AS cn,
+           |CAST(sum(n * v) OVER (ORDER BY v) AS BIGINT) AS cs FROM g),
+           |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(n * v) AS BIGINT) AS ss FROM g),
+           |d AS (SELECT unnest(generate_series(1, 10)) AS d),
+           |bnd AS (SELECT CAST(d.d AS BIGINT) AS d, (d.d * tot.nn + 9) // 10 AS kk, tot.ss FROM d, tot),
+           |lo AS (SELECT bnd.d, bnd.kk, bnd.ss,
+           |(SELECT max(cs) FROM p WHERE p.cn <= bnd.kk) AS cs_below,
+           |(SELECT max(cn) FROM p WHERE p.cn <= bnd.kk) AS cn_below,
+           |(SELECT min(v) FROM p WHERE p.cn > bnd.kk) AS vnext FROM bnd)
+           |SELECT d, CAST(kk AS BIGINT) AS k_units,
+           |round((coalesce(cs_below, 0) + (kk - coalesce(cn_below, 0)) * coalesce(vnext, 0)) * 1.0 / ss, 6) AS cum_share
+           |FROM lo ORDER BY d""".stripMargin.replace("\n", " ")))
+
+  private val atkinson: QueryDef = QueryDef(
+    "q249_atkinson_index",
+    // ATKINSON INEQUALITY INDEX (ε = 1) of doc length per the whole
+    // corpus: A = 1 − geomean/mean, with the geometric mean's ln-sum
+    // folded over the VALUE-DOMAIN count table in value order
+    // (Σ c·ln v — ≤|domain| float terms, q212's bound) and the
+    // arithmetic mean exact. The welfare-weighted complement to
+    // q186's Gini — A ∈ [0, 1), 0 iff perfectly equal.
+    (s, dir) => {
+      val g = Tables.documents(s, dir)
+        .groupBy(col("n_chars").as("v")).agg(count(lit(1)).as("n"))
+      val m = g.agg(sum("n").as("nn"), sum(col("n") * col("v")).as("ss"),
+        expr("""aggregate(array_sort(collect_list(named_struct('v', v,
+                 'x', n * ln(CAST(v AS DOUBLE))))),
+                 CAST(0.0 AS DOUBLE), (acc, t) -> acc + t.x)""").as("slog"))
+      m.select(col("nn").as("n"),
+        round(col("ss").cast("double") / col("nn"), 4).as("mean_chars"),
+        round(exp(col("slog") / col("nn")), 4).as("geomean_chars"),
+        round(lit(1.0) - exp(col("slog") / col("nn")) /
+          (col("ss").cast("double") / col("nn")), 6).as("atkinson_eps1"))
+    },
+    Some("""WITH g AS (SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS n
+           |FROM documents GROUP BY n_chars),
+           |m AS (SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(n * v) AS BIGINT) AS ss,
+           |sum(n * ln(CAST(v AS DOUBLE)) ORDER BY v) AS slog FROM g)
+           |SELECT nn AS n,
+           |round(CAST(ss AS DOUBLE) / nn, 4) AS mean_chars,
+           |round(exp(slog / nn), 4) AS geomean_chars,
+           |round(1.0 - exp(slog / nn) / (CAST(ss AS DOUBLE) / nn), 6) AS atkinson_eps1
+           |FROM m""".stripMargin.replace("\n", " ")))
 
   private val rbo: QueryDef = {
     // p^(d−1) weights and (1−p) as PINNED literals (the q199 Benford

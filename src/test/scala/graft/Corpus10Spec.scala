@@ -667,4 +667,38 @@ class Corpus10Spec extends AnyFunSuite with SparkSuite {
     assert(kap == round((poE - peE) / (1.0 - peE), 6))
     assert(kap <= poE + 1e-9)
   }
+
+  test("q248 Lorenz: sorted-prefix replay; monotone convex; terminal share is 1") {
+    val out = SparkEntry.queries("q248_lorenz_curve")(spark, sfDir)
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    val v = Tables.orders(spark, sfDir)
+      .selectExpr("CAST(round(o_totalprice * 100) AS BIGINT)").as[Long].collect().sorted
+    val cs = v.scanLeft(0L)(_ + _).drop(1)
+    val tot = cs.last
+    out.foreach { case (d, k, share) =>
+      assert(k == (d * v.length + 9) / 10)
+      assert(share == round(cs(k.toInt - 1).toDouble / tot, 6))
+    }
+    assert(out.last._3 == 1.0)
+    // convexity: increments are non-decreasing (poorest deciles hold least)
+    val inc = out.map(_._3).zip(0.0 +: out.map(_._3).dropRight(1)).map(t => t._1 - t._2)
+    assert(inc.zip(inc.drop(1)).forall { case (a, b) => b >= a - 1e-9 })
+  }
+
+  test("q249 Atkinson: domain-fold replay; AM-GM bound makes A ∈ [0, 1)") {
+    val Array((n, mean, geo, a)) =
+      SparkEntry.queries("q249_atkinson_index")(spark, sfDir)
+        .as[(Long, Double, Double, Double)].collect()
+    val xs = Tables.documents(spark, sfDir).select($"n_chars".as[Long]).collect()
+    assert(n == xs.length)
+    val cnt = xs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val meanE = xs.map(BigInt(_)).sum.toDouble / n
+    val slog = cnt.toSeq.sortBy(_._1).foldLeft(0.0) { case (acc, (v, c)) =>
+      acc + c * math.log(v.toDouble)
+    }
+    val geoE = math.exp(slog / n)
+    assert(mean == round(meanE, 4) && geo == round(geoE, 4))
+    assert(a == round(1.0 - geoE / meanE, 6))
+    assert(a >= 0.0 && a < 1.0) // AM ≥ GM
+  }
 }
