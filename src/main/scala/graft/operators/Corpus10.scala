@@ -858,7 +858,7 @@ object Corpus10 {
           .mkString(" UNION ALL ")
         s"WITH $base, ${ctes.mkString(", ")} $rows ORDER BY lag"
       })) ++ Seq(vopt, srm, haar, lfAnalysis, lshAudit, friedman, kruskal, rbo, kappa,
-        lorenz, atkinson)
+        lorenz, atkinson, gumbel, cvar)
 
   private val vopt: QueryDef = {
     val B = 4
@@ -994,6 +994,87 @@ object Corpus10 {
       .replace("%ARMH%", Corpus.hexFoldDuck(
         "substr(md5('x#' || CAST(user_id AS VARCHAR)), 1, 15)", 15))
       .replace("%%", "%"))))
+
+  private val gumbel: QueryDef = {
+    // Euler-Mascheroni γ and √6/π as pinned literals (q199 discipline).
+    val g = "0.5772156649015329"
+    val s6pi = "0.7796968012336293"
+    QueryDef(
+      "q250_gumbel_return_level",
+      // GUMBEL BLOCK-MAXIMA FIT (Gumbel 1958, method of moments) on
+      // daily maximum purchase cents: β = √6/π·s, μ = m − γβ from the
+      // exact integer block-maxima moments (sample sd via n−1), and
+      // the 100-day return level μ − β·ln(−ln(1 − 1/100)) — the
+      // capacity-planning tail readout ("what daily max should we
+      // provision for?"). Constants are pinned literals; everything
+      // else is one float expression over exact integers.
+      (s, dir) => {
+        val bm = Tables.events(s, dir)
+          .where(col("event_type") === "purchase")
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(max(expr("CAST(round(value * 100) AS BIGINT)")).as("mx"))
+        bm.agg(count(lit(1)).as("n"), sum("mx").as("s1"),
+            sum(col("mx") * col("mx")).as("s2"))
+          .withColumn("mean", col("s1").cast("double") / col("n"))
+          .withColumn("sd", sqrt((col("s2").cast("double") -
+            col("s1").cast("double") * col("s1") / col("n")) / (col("n") - 1)))
+          .withColumn("beta", expr(s"$s6pi * sd"))
+          .withColumn("mu", expr(s"mean - $g * ($s6pi * sd)"))
+          .select(col("n").as("n_blocks"),
+            round(col("mean") / 100.0, 4).as("mean_daily_max"),
+            round(col("mu") / 100.0, 4).as("gumbel_mu"),
+            round(col("beta") / 100.0, 4).as("gumbel_beta"),
+            round((col("mu") - col("beta") * log(-log(lit(1.0) - lit(1.0) / 100))) / 100.0, 4)
+              .as("return_level_100d"))
+      },
+      Some(s"""WITH bm AS (SELECT CAST(ts AS DATE) AS day,
+              |CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS mx
+              |FROM events WHERE event_type = 'purchase' GROUP BY 1),
+              |m AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(mx) AS BIGINT) AS s1,
+              |CAST(sum(mx * mx) AS BIGINT) AS s2 FROM bm),
+              |p AS (SELECT n, CAST(s1 AS DOUBLE) / n AS mean,
+              |sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1)) AS sd FROM m),
+              |fit AS (SELECT n, mean, sd, $s6pi * sd AS beta, mean - $g * ($s6pi * sd) AS mu FROM p)
+              |SELECT n AS n_blocks, round(mean / 100.0, 4) AS mean_daily_max,
+              |round(mu / 100.0, 4) AS gumbel_mu, round(beta / 100.0, 4) AS gumbel_beta,
+              |round((mu - beta * ln(-ln(1.0 - 1.0 / 100))) / 100.0, 4) AS return_level_100d
+              |FROM fit""".stripMargin.replace("\n", " ")))
+  }
+
+  private val cvar: QueryDef = QueryDef(
+    "q251_cvar",
+    // VALUE AT RISK + CONDITIONAL VaR (Rockafellar-Uryasev 2000) of
+    // purchase value at 95%: VaR from the proven percentile ≡
+    // quantile_cont pair; CVaR by the exact atom-splitting formula
+    // CVaR = (Σ_{v>VaR} v + (n·0.05 − n_tail)·VaR)/(n·0.05) — the
+    // strictly-above tail sum is an exact integer (q203's
+    // count×boundary + interior-sum discipline), so the boundary
+    // atom's partial mass never turns into an order-dependent float
+    // accumulation.
+    (s, dir) => {
+      val c = Tables.events(s, dir).where(col("event_type") === "purchase")
+        .select(expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+      val pv = c.agg(expr("percentile(CAST(v AS DOUBLE), 0.95D)").as("var95"))
+      val t = c.crossJoin(broadcast(pv)).where(col("v") > col("var95"))
+        .agg(count(lit(1)).as("nt"), sum("v").as("st"))
+      val nn = c.agg(count(lit(1)).as("n"))
+      nn.crossJoin(broadcast(pv)).crossJoin(broadcast(t))
+        .select(col("n"),
+          round(col("var95") / 100.0, 4).as("var_95"),
+          col("nt").as("n_tail"),
+          round((col("st").cast("double") + (col("n").cast("double") * 0.05 - col("nt")) * col("var95"))
+            / (col("n").cast("double") * 0.05) / 100.0, 4).as("cvar_95"))
+    },
+    Some("""WITH c AS (SELECT CAST(round(value * 100) AS BIGINT) AS v
+           |FROM events WHERE event_type = 'purchase'),
+           |pv AS (SELECT quantile_cont(CAST(v AS DOUBLE), 0.95) AS var95 FROM c),
+           |t AS (SELECT CAST(count(*) AS BIGINT) AS nt, CAST(sum(c.v) AS BIGINT) AS st
+           |FROM c, pv WHERE c.v > pv.var95),
+           |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c)
+           |SELECT nn.n, round(pv.var95 / 100.0, 4) AS var_95, t.nt AS n_tail,
+           |round((CAST(t.st AS DOUBLE) + (CAST(nn.n AS DOUBLE) * 0.05 - t.nt) * pv.var95)
+           |/ (CAST(nn.n AS DOUBLE) * 0.05) / 100.0, 4) AS cvar_95
+           |FROM nn, pv, t""".stripMargin.replace("\n", " ")))
 
   private val lorenz: QueryDef = QueryDef(
     "q248_lorenz_curve",

@@ -701,4 +701,45 @@ class Corpus10Spec extends AnyFunSuite with SparkSuite {
     assert(a == round(1.0 - geoE / meanE, 6))
     assert(a >= 0.0 && a < 1.0) // AM ≥ GM
   }
+
+  test("q250 Gumbel: block-maxima moment replay; return level dominates the fit location") {
+    val Array((n, meanMax, mu, beta, rl)) =
+      SparkEntry.queries("q250_gumbel_return_level")(spark, sfDir)
+        .as[(Long, Double, Double, Double, Double)].collect()
+    val mx = Tables.events(spark, sfDir)
+      .where($"event_type" === "purchase")
+      .groupBy(org.apache.spark.sql.functions.to_date($"ts"))
+      .agg(org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.expr("CAST(round(value * 100) AS BIGINT)")).as("mx"))
+      .select($"mx".as[Long]).collect()
+    assert(n == mx.length)
+    val m = mx.map(BigInt(_)).sum.toDouble / mx.length
+    val sd = math.sqrt((mx.map(x => BigInt(x) * BigInt(x)).sum.toDouble -
+      mx.map(BigInt(_)).sum.toDouble * mx.map(BigInt(_)).sum.toDouble / mx.length) / (mx.length - 1))
+    val b = 0.7796968012336293 * sd
+    val u = m - 0.5772156649015329 * b
+    assert(meanMax == round(m / 100.0, 4))
+    assert(mu == round(u / 100.0, 4) && beta == round(b / 100.0, 4))
+    assert(rl == round((u - b * math.log(-math.log(1.0 - 1.0 / 100))) / 100.0, 4))
+    // the 100-day return level exceeds both the location and the mean max
+    assert(rl > mu && rl > meanMax)
+  }
+
+  test("q251 CVaR: exact tail replay; CVaR ≥ VaR and ≤ max") {
+    val Array((n, var95, nTail, cvar95)) =
+      SparkEntry.queries("q251_cvar")(spark, sfDir)
+        .as[(Long, Double, Long, Double)].collect()
+    val v = Tables.events(spark, sfDir).where($"event_type" === "purchase")
+      .selectExpr("CAST(round(value * 100) AS BIGINT)").as[Long].collect().sorted
+    assert(n == v.length)
+    // percentile interpolation at p=0.95
+    val pos = 0.95 * (v.length - 1)
+    val varE = v(pos.toInt) + (pos - pos.toInt) * (v(math.min(pos.toInt + 1, v.length - 1)) - v(pos.toInt))
+    assert(var95 == round(varE / 100.0, 4))
+    val tail = v.filter(_ > varE)
+    assert(nTail == tail.length)
+    val cvarE = (tail.map(BigInt(_)).sum.toDouble + (n * 0.05 - tail.length) * varE) / (n * 0.05)
+    assert(cvar95 == round(cvarE / 100.0, 4))
+    assert(cvar95 >= var95 - 1e-9 && cvar95 <= v.last / 100.0 + 1e-9)
+  }
 }
