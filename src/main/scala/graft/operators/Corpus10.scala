@@ -858,7 +858,7 @@ object Corpus10 {
           .mkString(" UNION ALL ")
         s"WITH $base, ${ctes.mkString(", ")} $rows ORDER BY lag"
       })) ++ Seq(vopt, srm, haar, lfAnalysis, lshAudit, friedman, kruskal, rbo, kappa,
-        lorenz, atkinson, gumbel, cvar)
+        lorenz, atkinson, gumbel, cvar, partialCorr, icc)
 
   private val vopt: QueryDef = {
     val B = 4
@@ -994,6 +994,124 @@ object Corpus10 {
       .replace("%ARMH%", Corpus.hexFoldDuck(
         "substr(md5('x#' || CAST(user_id AS VARCHAR)), 1, 15)", 15))
       .replace("%%", "%"))))
+
+  private val partialCorr: QueryDef = QueryDef(
+    "q252_partial_correlation",
+    // PARTIAL CORRELATION — every pair among (quantity, discount,
+    // tax) CONTROLLING for extendedprice: r_xy·z = (r_xy − r_xz·r_yz)
+    // / √((1−r_xz²)(1−r_yz²)), all r's from q210's one 15-sum
+    // DECIMAL(38,0) moment pass (the q217 scalar-chain discipline:
+    // every engine-side expression is the same text). The "is the
+    // raw correlation just a shared driver?" readout.
+    (s, dir) => {
+      val keys = Seq("quantity" -> "l_quantity", "extendedprice" -> "l_extendedprice",
+        "discount" -> "l_discount", "tax" -> "l_tax")
+      val k = keys.size
+      val c = Tables.lineitem(s, dir).select(keys.map { case (kk, src) =>
+        expr(s"CAST(round($src * 100) AS BIGINT)").as(kk)
+      }: _*)
+      val sums = Seq(count(lit(1)).as("n")) ++
+        keys.map { case (kk, _) => sum(col(kk).cast("decimal(38,0)")).as(s"s_$kk") } ++
+        (for (i <- 0 until k; j <- i until k) yield {
+          val (a, b) = (keys(i)._1, keys(j)._1)
+          sum((col(a) * col(b)).cast("decimal(38,0)")).as(s"s_${a}_$b")
+        })
+      val m = c.agg(sums.head, sums.tail: _*)
+      def rr(x: String, y: String) = {
+        val (a, b) = if (keys.indexWhere(_._1 == x) <= keys.indexWhere(_._1 == y)) (x, y) else (y, x)
+        val num = (col("n") * col(s"s_${a}_$b") - col(s"s_$a") * col(s"s_$b")).cast("double")
+        val dx = (col("n") * col(s"s_${a}_$a") - col(s"s_$a") * col(s"s_$a")).cast("double")
+        val dy = (col("n") * col(s"s_${b}_$b") - col(s"s_$b") * col(s"s_$b")).cast("double")
+        num / (sqrt(dx) * sqrt(dy))
+      }
+      val z = "extendedprice"
+      val ps = Seq("quantity", "discount", "tax")
+      val rows = (for (i <- ps.indices; j <- (i + 1) until ps.size) yield {
+        val (x, y) = (ps(i), ps(j))
+        val rxy = rr(x, y); val rxz = rr(x, z); val ryz = rr(y, z)
+        struct(lit(x).as("col_x"), lit(y).as("col_y"),
+          round(rxy, 6).as("r_raw"),
+          round((rxy - rxz * ryz) /
+            (sqrt(lit(1.0) - rxz * rxz) * sqrt(lit(1.0) - ryz * ryz)), 6).as("r_partial"))
+      })
+      m.select(explode(array(rows: _*)).as("p"))
+        .select(col("p.col_x"), col("p.col_y"), col("p.r_raw"), col("p.r_partial"))
+        .orderBy("col_x", "col_y")
+    },
+    Some({
+      val ks = Seq("quantity" -> "l_quantity", "extendedprice" -> "l_extendedprice",
+        "discount" -> "l_discount", "tax" -> "l_tax")
+      val cents = ks.map { case (kk, src) => s"CAST(round($src * 100) AS BIGINT) AS $kk" }.mkString(", ")
+      val moms = (ks.map { case (kk, _) => s"sum($kk) AS s_$kk" } ++
+        (for (i <- ks.indices; j <- i until ks.size)
+          yield s"sum(${ks(i)._1} * ${ks(j)._1}) AS s_${ks(i)._1}_${ks(j)._1}")).mkString(", ")
+      def rr(x: String, y: String) = {
+        val (a, b) = if (ks.indexWhere(_._1 == x) <= ks.indexWhere(_._1 == y)) (x, y) else (y, x)
+        s"""(CAST(n * s_${a}_$b - s_$a * s_$b AS DOUBLE)
+           |/ (sqrt(CAST(n * s_${a}_$a - s_$a * s_$a AS DOUBLE))
+           |* sqrt(CAST(n * s_${b}_$b - s_$b * s_$b AS DOUBLE))))""".stripMargin.replace("\n", " ")
+      }
+      val z = "extendedprice"
+      val ps = Seq("quantity", "discount", "tax")
+      val rows = (for (i <- ps.indices; j <- (i + 1) until ps.size) yield {
+        val (x, y) = (ps(i), ps(j))
+        s"""SELECT '$x' AS col_x, '$y' AS col_y,
+           |round(${rr(x, y)}, 6) AS r_raw,
+           |round((${rr(x, y)} - ${rr(x, z)} * ${rr(y, z)}) /
+           |(sqrt(1.0 - ${rr(x, z)} * ${rr(x, z)}) * sqrt(1.0 - ${rr(y, z)} * ${rr(y, z)})), 6) AS r_partial
+           |FROM m""".stripMargin.replace("\n", " ")
+      }).mkString(" UNION ALL ")
+      s"""WITH c AS (SELECT $cents FROM lineitem),
+         |m AS (SELECT count(*) AS n, $moms FROM c)
+         |$rows ORDER BY col_x, col_y""".stripMargin.replace("\n", " ")
+    }))
+
+  private val icc: QueryDef = QueryDef(
+    "q253_intraclass_correlation",
+    // INTRACLASS CORRELATION ICC(1) (one-way random effects; Shrout-
+    // Fleiss 1979) of doc length within sources: from q211's exact
+    // mean squares, ICC = (MSB − MSW)/(MSB + (n₀−1)·MSW) with the
+    // unequal-group-size n₀ = (N − Σn²/N)/(k−1) correction — "how
+    // much of length variance is the SOURCE?" (the design-effect
+    // input for q220's allocations). All reductions are source-
+    // ordered k-term folds over exact integer moments.
+    (s, dir) => {
+      val g = Tables.documents(s, dir).groupBy("source").agg(
+        count(lit(1)).as("nh"), sum("n_chars").as("sv"),
+        sum(col("n_chars") * col("n_chars")).as("ss"))
+      g.agg(
+          sum("nh").as("nn"), sum("sv").as("st"), sum("ss").as("sst"),
+          count(lit(1)).as("k"),
+          sum(col("nh") * col("nh")).as("sn2"),
+          expr("""aggregate(array_sort(collect_list(named_struct('source', source,
+                   'x', CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / CAST(nh AS DOUBLE)))),
+                   CAST(0.0 AS DOUBLE), (acc, v) -> acc + v.x)""").as("sgg"))
+        .withColumn("ssb", col("sgg") - col("st").cast("double") * col("st") / col("nn"))
+        .withColumn("ssw", col("sst").cast("double") - col("sgg"))
+        .withColumn("msb", col("ssb") / (col("k") - 1))
+        .withColumn("msw", col("ssw") / (col("nn") - col("k")))
+        .withColumn("n0", (col("nn").cast("double") - col("sn2").cast("double") / col("nn")) / (col("k") - 1))
+        .select(col("k").as("n_groups"), col("nn").as("n"),
+          round(col("msb"), 4).as("ms_between"),
+          round(col("msw"), 4).as("ms_within"),
+          round(col("n0"), 4).as("n0"),
+          round((col("msb") - col("msw")) / (col("msb") + (col("n0") - 1) * col("msw")), 6).as("icc1"))
+    },
+    Some("""WITH g AS (SELECT source, CAST(count(*) AS BIGINT) AS nh,
+           |CAST(sum(n_chars) AS BIGINT) AS sv, CAST(sum(n_chars * n_chars) AS BIGINT) AS ss
+           |FROM documents GROUP BY source),
+           |t AS (SELECT CAST(sum(nh) AS BIGINT) AS nn, CAST(sum(sv) AS BIGINT) AS st,
+           |CAST(sum(ss) AS BIGINT) AS sst, CAST(count(*) AS BIGINT) AS k,
+           |CAST(sum(nh * nh) AS BIGINT) AS sn2,
+           |sum(CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / CAST(nh AS DOUBLE) ORDER BY source) AS sgg FROM g),
+           |s AS (SELECT k, nn, sn2,
+           |(sgg - CAST(st AS DOUBLE) * st / nn) / (k - 1) AS msb,
+           |(CAST(sst AS DOUBLE) - sgg) / (nn - k) AS msw,
+           |(CAST(nn AS DOUBLE) - CAST(sn2 AS DOUBLE) / nn) / (k - 1) AS n0 FROM t)
+           |SELECT k AS n_groups, nn AS n,
+           |round(msb, 4) AS ms_between, round(msw, 4) AS ms_within, round(n0, 4) AS n0,
+           |round((msb - msw) / (msb + (n0 - 1) * msw), 6) AS icc1
+           |FROM s""".stripMargin.replace("\n", " ")))
 
   private val gumbel: QueryDef = {
     // Euler-Mascheroni γ and √6/π as pinned literals (q199 discipline).

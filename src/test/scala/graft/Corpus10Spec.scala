@@ -742,4 +742,59 @@ class Corpus10Spec extends AnyFunSuite with SparkSuite {
     assert(cvar95 == round(cvarE / 100.0, 4))
     assert(cvar95 >= var95 - 1e-9 && cvar95 <= v.last / 100.0 + 1e-9)
   }
+
+  test("q252 partial correlation: BigInt-moment replay; |r_partial| ≤ 1") {
+    val out = SparkEntry.queries("q252_partial_correlation")(spark, sfDir)
+      .as[(String, String, Double, Double)].collect()
+    val rows = Tables.lineitem(spark, sfDir)
+      .selectExpr("CAST(round(l_quantity * 100) AS BIGINT)",
+        "CAST(round(l_extendedprice * 100) AS BIGINT)",
+        "CAST(round(l_discount * 100) AS BIGINT)",
+        "CAST(round(l_tax * 100) AS BIGINT)")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(t => Array(t._1, t._2, t._3, t._4))
+    val n = BigInt(rows.length)
+    def r(i: Int, j: Int): Double = {
+      val si = rows.map(x => BigInt(x(i))).sum; val sj = rows.map(x => BigInt(x(j))).sum
+      val sij = rows.map(x => BigInt(x(i)) * BigInt(x(j))).sum
+      val sii = rows.map(x => BigInt(x(i)) * BigInt(x(i))).sum
+      val sjj = rows.map(x => BigInt(x(j)) * BigInt(x(j))).sum
+      (n * sij - si * sj).toDouble /
+        (math.sqrt((n * sii - si * si).toDouble) * math.sqrt((n * sjj - sj * sj).toDouble))
+    }
+    // columns: 0=quantity, 1=extendedprice(z), 2=discount, 3=tax
+    val idx = Map("quantity" -> 0, "discount" -> 2, "tax" -> 3)
+    out.foreach { case (x, y, rRaw, rPart) =>
+      val (i, j) = (idx(x), idx(y))
+      val rxy = r(math.min(i, j), math.max(i, j))
+      val rxz = r(math.min(i, 1), math.max(i, 1)); val ryz = r(math.min(j, 1), math.max(j, 1))
+      assert(rRaw == round(rxy, 6))
+      assert(rPart == round((rxy - rxz * ryz) /
+        (math.sqrt(1.0 - rxz * rxz) * math.sqrt(1.0 - ryz * ryz)), 6))
+      assert(math.abs(rPart) <= 1.0)
+    }
+  }
+
+  test("q253 ICC(1): mean-square replay; ICC bounded by (-1/(n0-1), 1]") {
+    val Array((k, n, msb, msw, n0, icc1)) =
+      SparkEntry.queries("q253_intraclass_correlation")(spark, sfDir)
+        .as[(Long, Long, Double, Double, Double, Double)].collect()
+    val docs = Tables.documents(spark, sfDir)
+      .select($"source".as[String], $"n_chars".as[Long]).collect()
+    val g = docs.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    assert(k == g.size && n == docs.length)
+    val st = docs.map(d => BigInt(d._2)).sum
+    val sst = docs.map(d => BigInt(d._2) * BigInt(d._2)).sum
+    val sgg = g.keys.toSeq.sorted.foldLeft(0.0) { (acc, src) =>
+      val s = g(src).map(BigInt(_)).sum
+      acc + s.toDouble * s.toDouble / g(src).length
+    }
+    val msbE = (sgg - st.toDouble * st.toDouble / n) / (k - 1)
+    val mswE = (sst.toDouble - sgg) / (n - k)
+    val sn2 = g.values.map(v => v.length.toLong * v.length).sum
+    val n0E = (n.toDouble - sn2.toDouble / n) / (k - 1)
+    assert(msb == round(msbE, 4) && msw == round(mswE, 4) && n0 == round(n0E, 4))
+    assert(icc1 == round((msbE - mswE) / (msbE + (n0E - 1) * mswE), 6))
+    assert(icc1 > -1.0 / (n0E - 1) - 1e-9 && icc1 <= 1.0)
+  }
 }
