@@ -203,16 +203,6 @@ object Flows {
     spark.read.parquet(outDir)
   }
 
-  /** The INTEGRITY-AUDIT flow (round 5's Merkle family as API): build
-    * the q198 hash tree over snapshot v1 and a second snapshot v2,
-    * compare trees top-down — root mismatch ⇒ divergent shards ⇒
-    * divergent pages — then fingerprint-compare ONLY the docs inside
-    * divergent pages (q155's zipper scoped to the localized subtrees).
-    * Lands the per-node verdict ordered by (level, node) with the
-    * localized changed docs alongside (`_tampered`). Returns the node
-    * verdict frame. Composition cost: three dimension-sized joins plus
-    * one doc-level compare bounded by the divergent pages — the whole
-    * point of the tree. */
   /** The CORPUS-DIAGNOSTICS flow (round 5's corpus-statistics family
     * as API): q228's Heaps vocabulary-growth curve landed as the main
     * artifact, q226's Good-Turing smoothing table and q227's Zipf fit
@@ -237,6 +227,16 @@ object Flows {
       .crossJoin(zipf.select(col("slope").as("zipf_slope"), col("r2").as("zipf_r2")))
   }
 
+  /** The INTEGRITY-AUDIT flow (round 5's Merkle family as API): build
+    * the q198 hash tree over snapshot v1 and a second snapshot v2,
+    * compare trees top-down — root mismatch ⇒ divergent shards ⇒
+    * divergent pages — then fingerprint-compare ONLY the docs inside
+    * divergent pages (q155's zipper scoped to the localized subtrees).
+    * Lands the per-node verdict ordered by (level, node) with the
+    * localized changed docs alongside (`_tampered`). Returns the node
+    * verdict frame. Composition cost: three dimension-sized joins plus
+    * one doc-level compare bounded by the divergent pages — the whole
+    * point of the tree. */
   def integrityAuditFlow(v1: DataFrame, v2: DataFrame, outDir: String): DataFrame = {
     val spark = v1.sparkSession
     val t1 = operators.Corpus8.merkle(v1)

@@ -56,8 +56,11 @@ import TextAnalytics.{toksExpr, toksDuck}
   */
 object Corpus10 {
 
-  private val trigramSpark =
-    "transform(sequence(1, greatest(size(w) - 2, 0)), i -> concat(element_at(w, i), ' ', element_at(w, i + 1), ' ', element_at(w, i + 2)))"
+  /** Shared trigram template (Corpus.ngramSpark) — its CASE guard
+    * yields an empty array for size(w) < 3, matching the DuckDB
+    * oracle's empty generate_series; a bare sequence(1, size-2) would
+    * descend to [1, 0] on short docs and throw in element_at. */
+  private val trigramSpark = Corpus.triSpark
 
   def defs: Seq[QueryDef] = Seq(
 

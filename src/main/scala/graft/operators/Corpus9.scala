@@ -307,7 +307,11 @@ object Corpus9 {
             cen("rnd") === pc("crnd"), "left")
           .select(col("rnd"), col("vec_id").as("center_id"),
             round(coalesce(col("dm"), lit(0.0)), 6).as("sel_d2"),
-            col("n_assigned"), round(col("radius2"), 6).as("radius2"))
+            // coalesce: a center with zero assigned points (duplicate
+            // embedding losing every (dd, crnd) tie) must read 0 to
+            // match the oracle's COUNT over the left join, not NULL.
+            coalesce(col("n_assigned"), lit(0L)).as("n_assigned"),
+            round(col("radius2"), 6).as("radius2"))
           .orderBy("rnd")
       },
       Some {

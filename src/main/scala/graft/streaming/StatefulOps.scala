@@ -327,6 +327,11 @@ object StatefulOps {
     * to prove exact order-independence. */
   def burstStream(events: Dataset[UserEvt]): Dataset[BurstStat] = {
     import events.sparkSession.implicits._
+    // Day derivation must follow the SESSION timezone — the q194 batch
+    // twin's to_date(ts) does — so capture it driver-side; a hardcoded
+    // UTC would silently break the bit-for-bit claim off-UTC sessions.
+    val zone = java.time.ZoneId.of(
+      events.sparkSession.sessionState.conf.sessionLocalTimeZone)
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[Seq[Long], BurstStat](
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
@@ -351,7 +356,7 @@ object StatefulOps {
               bursty += 1
               val d = java.time.Instant
                 .ofEpochSecond(Math.floorDiv(ts(i), 1000000L))
-                .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
+                .atZone(zone).toLocalDate.toString
               if (firstDay == null || d < firstDay) firstDay = d
             }
           }
@@ -363,27 +368,44 @@ object StatefulOps {
   final case class BalanceState(user_id: Long, n_days: Long, delta_sum: Long, final_bal: Long)
 
   /** Streaming twin of q204's clamped balance: the canonical keyed
-    * ACCUMULATOR — state is (days, net, balance), three longs per user
-    * forever; each day's delta folds through bal' = max(0, min(50,
-    * bal+δ)). The clamp is order-SENSITIVE (unlike the monoid twins),
-    * so this twin requires per-key in-order delivery — the partitioned-
-    * log contract a Kafka-keyed topic provides; within one trigger the
-    * rows iterator is sorted by day as a guard against intra-batch
-    * interleaving. StatefulStreamingSpec stages day-ranged files so
-    * cross-batch order holds and asserts the final state matches q204
-    * exactly. */
+    * ACCUMULATOR — state is (days, net, balance, last-folded epoch
+    * day), four longs per user forever; each day's NETTED delta folds
+    * through bal' = max(0, min(50, bal+δ)). The clamp is
+    * order-SENSITIVE (unlike the monoid twins), so this twin requires
+    * per-key in-order day delivery — the partitioned-log contract a
+    * Kafka-keyed topic provides. Within one trigger, same-day rows are
+    * netted (sum) BEFORE the single per-day clamp fold, matching
+    * q204's day-level pre-aggregate; a day that arrives again after it
+    * was folded, or out of order across batches, FAILS FAST
+    * (IllegalStateException) rather than silently double-folding.
+    * StatefulStreamingSpec stages day-ranged files so cross-batch
+    * order holds and asserts the final state matches q204 exactly. */
   def clampedBalanceStream(deltas: Dataset[DayDelta]): Dataset[BalanceState] = {
     import deltas.sparkSession.implicits._
     deltas.groupByKey(_.user_id)
-      .flatMapGroupsWithState[(Long, Long, Long), BalanceState](
+      .flatMapGroupsWithState[(Long, Long, Long, Long), BalanceState](
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
-        (uid: Long, rows: Iterator[DayDelta], state: GroupState[(Long, Long, Long)]) =>
-          var (nd, net, bal) = state.getOption.getOrElse((0L, 0L, 0L))
-          rows.toSeq.sortBy(_.d.toLocalDate.toEpochDay).foreach { r =>
-            nd += 1; net += r.dv
-            bal = math.max(0L, math.min(50L, bal + r.dv))
+        (uid: Long, rows: Iterator[DayDelta],
+         state: GroupState[(Long, Long, Long, Long)]) =>
+          var (nd, net, bal, lastDay) =
+            state.getOption.getOrElse((0L, 0L, 0L, Long.MinValue))
+          // Net same-day rows first (q204's per-day pre-aggregate),
+          // then fold exactly one clamp per day in day order.
+          val byDay = rows.toSeq.groupBy(_.d.toLocalDate.toEpochDay)
+            .toSeq.map { case (ed, rs) => (ed, rs.map(_.dv).sum) }
+            .sortBy(_._1)
+          byDay.foreach { case (ed, dv) =>
+            if (ed <= lastDay)
+              throw new IllegalStateException(
+                s"clampedBalanceStream: user $uid day epoch=$ed arrived " +
+                  s"twice or out of order (last folded epoch=$lastDay); " +
+                  "the clamp fold is order-sensitive — deliver per-key " +
+                  "in day order (keyed-log contract)")
+            lastDay = ed
+            nd += 1; net += dv
+            bal = math.max(0L, math.min(50L, bal + dv))
           }
-          state.update((nd, net, bal))
+          state.update((nd, net, bal, lastDay))
           Iterator(BalanceState(uid, nd, net, bal))
       }
   }

@@ -115,6 +115,28 @@ class Corpus10Spec extends AnyFunSuite with SparkSuite {
     out.flatMap(_._4).foreach(b => assert(b > 0.0 && b <= 1.0))
   }
 
+  test("q226/q228 survive documents shorter than 3 tokens (trigram guard regression)") {
+    // A bare sequence(1, size-2) descends to [1, 0] on short docs and
+    // throws INVALID_ARRAY_INDEX_IN_ELEMENT_AT; the shared guarded
+    // template must yield an empty trigram list instead, matching the
+    // oracle's empty generate_series.
+    val dir = java.nio.file.Files.createTempDirectory("graft_shortdocs").toString
+    val docs = Seq(
+      (1L, "", "en", "web", 0L),
+      (2L, "one", "en", "web", 3L),
+      (3L, "two words", "en", "web", 9L),
+      (4L, "three word doc", "en", "web", 14L),
+      (5L, "a slightly longer document with several words", "en", "web", 45L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val gt = SparkEntry.queries("q226_good_turing")(spark, dir).collect()
+    // one trigram each from docs 4-5's sliding windows: doc4 has 1,
+    // doc5 has 5 — all frequency-1, so N_1 = 6 at r = 1.
+    assert(gt.length == 1 && gt.head.getLong(0) == 1L && gt.head.getLong(1) == 6L)
+    val heaps = SparkEntry.queries("q228_heaps_growth")(spark, dir).collect()
+    assert(heaps.nonEmpty && heaps.map(_.getLong(2)).max == 6L)
+  }
+
   test("q229 skip-gram pairs: hash-subsample replay; symmetric window ⇒ symmetric counts") {
     val out = SparkEntry.queries("q229_skipgram_pairs")(spark, sfDir)
       .as[(String, String, Long)].collect()
