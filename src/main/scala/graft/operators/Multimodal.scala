@@ -5,19 +5,24 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** North-star multimodal columns: media as opaque `binary` payloads with
-  * typed metadata (BASELINE.json). Two tiers since r5:
+  * typed metadata (BASELINE.json). Since r6 the whole raster family is
+  * REAL — nothing byte-derived remains:
   *
-  *  - q173 decodes REAL containers: genuine WAV (RIFF chunk walk) and
-  *    BMP (both headers + stride-padded rows) files synthesized from
-  *    the corpus and parsed back by [[MediaCodec]] — actual bytes,
-  *    actual endianness, oracle-checked metadata. Uncompressed formats
-  *    need no codec library, so nothing there is stubbed.
-  *  - q80-q83 keep the original seam where the testdata has no real
-  *    media: payload = text bytes, and the DECODE step is a clearly
-  *    marked stub scoped to LOSSY codecs (JPEG/PNG/H.264 need external
-  *    libs this container lacks) — everything around it (pinned schema,
-  *    typed Encoders, partition-batched iteration, metadata struct
-  *    shape) is the real plumbing such a codec would drop into.
+  *  - q80/q82/q83/q254 run on GENUINE compressed images: each document
+  *    synthesizes a real PNG (even doc_id, lossless) or JPEG (odd,
+  *    lossy) via the JDK's headless `javax.imageio`, and the decode
+  *    side parses those actual containers back — the reader registry
+  *    identifies the format from the magic bytes, the full pixel
+  *    raster is decoded, and the oracle recomputes dimensions and
+  *    (for lossless PNG) the exact luma sum closed-form from the
+  *    synthesis formula, so an encoder/decoder defect breaks the hash.
+  *  - q173 decodes REAL uncompressed containers: genuine WAV (RIFF
+  *    chunk walk) and BMP (both headers + stride-padded rows) parsed
+  *    by the hand-rolled [[MediaCodec]] walkers.
+  *  - The one remaining scoped stub is VIDEO (frameSample): H.264
+  *    genuinely needs codec libraries this container lacks, so frame
+  *    sampling runs on a derived frame count with the real Catalyst
+  *    plumbing (sequence + explode) a demuxer would feed.
   *
   * Scale: payloads never shuffle — decode is a mapPartitions over the scan
   * (predicate/projection pushdown still applies to the metadata columns);
@@ -28,39 +33,61 @@ object Multimodal {
 
   final case class MediaRecord(media_id: Long, kind: String, payload: Array[Byte])
   final case class DecodedMedia(media_id: Long, kind: String, n_bytes: Long,
-      width: Int, height: Int, format: String)
+      width: Int, height: Int, format: String, gray_sum: Long)
 
-  /** Wrap documents as a media table: binary payload + kind. */
+  /** Wrap documents as a media table: binary payload + kind (text bytes —
+    * the input for the q81 video-style stub and the text-feature seam). */
   def toMediaTable(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id").as("media_id"),
       lit("image").as("kind"),
       col("text").cast("binary").as("payload"))
 
-  /** STUB decode, deterministic from the payload bytes. A real deployment
-    * replaces `decodeOne` with an actual codec (e.g. JPEG dims from the
-    * header); the mapPartitions shape — one codec instance per partition,
-    * streaming iterator, no per-row setup — is what carries to 100 TB. */
+  /** Deterministic synthesis pixel: row-major index `i` of doc `id` is
+    * `(id·31 + i²) mod 256` — quadratic so histograms are non-flat, and
+    * closed-form so every oracle recomputes it without decoding. */
+  private[operators] def grayAt(id: Long, i: Long): Int =
+    ((id * 31 + i * i) % 256).toInt
+  /** Synthesis dims: width from the text length, height from the id —
+    * both small enough that the per-row raster stays cache-resident. */
+  private[operators] def imgDims(id: Long, nChars: Long): (Int, Int) =
+    ((nChars % 64).toInt + 1, (id % 48).toInt + 1)
+
+  /** Documents as a REAL image table: each row carries an actual PNG
+    * (even doc_id) or JPEG (odd) container encoded by `javax.imageio`
+    * from the deterministic grayscale raster above. Encode happens in
+    * mapPartitions on the executors — payloads are born distributed
+    * and never shuffle. */
+  def toImageTable(docs: DataFrame): Dataset[MediaRecord] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("n_chars").cast("long"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        it.map { case (id, nc) =>
+          val (w, h) = imgDims(id, nc)
+          val fmt = if (id % 2 == 0) "png" else "jpeg"
+          MediaRecord(id, fmt, MediaCodec.grayImageBytes(fmt, w, h, i => grayAt(id, i)))
+        }
+      }
+  }
+
+  /** REAL decode: `javax.imageio` parses the actual container bytes —
+    * format from the magic, dims and luma sum from the decoded raster.
+    * One streaming pass per partition, codec state per-partition, no
+    * per-row setup — the shape that carries to 100 TB. */
   def decodeBatch(media: Dataset[MediaRecord]): Dataset[DecodedMedia] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      // codec init would happen here, once per partition
+      // reader registry lookups are cached per-JVM; per-partition init
+      // would hold heavier codec state (the Arrow-batch UDF shape)
       it.map(decodeOne)
     }
   }
 
   private def decodeOne(m: MediaRecord): DecodedMedia = {
-    // ??? real codec goes here; stub derives dims from byte content.
-    val n = m.payload.length.toLong
-    // First Unicode CODEPOINT of the UTF-8-decoded payload — the same
-    // value the q80 expression twin's ascii(cast(payload AS STRING))
-    // computes, so the two paths agree on non-ASCII payloads too
-    // (MultimodalSpec pins a non-ASCII row).
-    val s = new String(m.payload, java.nio.charset.StandardCharsets.UTF_8)
-    val first = if (s.nonEmpty) s.codePointAt(0) else 0
-    DecodedMedia(m.media_id, m.kind, n,
-      width = (n % 640).toInt, height = first,
-      format = if (n % 3 == 0) "png" else if (n % 3 == 1) "jpeg" else "webp")
+    val meta = MediaCodec.parseImage(m.payload)
+    DecodedMedia(m.media_id, m.kind, m.payload.length.toLong,
+      meta.width, meta.height, meta.format, meta.graySum)
   }
 
   final case class MediaFeatures(media_id: Long, features: Array[Double])
