@@ -140,6 +140,7 @@ object MediaCodec {
   def parseImage(b: Array[Byte]): ImgMeta = {
     val iis = javax.imageio.ImageIO.createImageInputStream(
       new java.io.ByteArrayInputStream(b))
+    require(iis != null, "no image input stream SPI") // registry can return null
     try {
       val readers = javax.imageio.ImageIO.getImageReaders(iis)
       require(readers.hasNext, "not a decodable image")

@@ -5,20 +5,26 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** North-star multimodal columns: media as opaque `binary` payloads with
-  * typed metadata (BASELINE.json). Since r6 the whole raster family is
-  * REAL — nothing byte-derived remains:
+  * typed metadata (BASELINE.json). The family has two tiers:
   *
-  *  - q80/q82/q83/q254 run on GENUINE compressed images: each document
-  *    synthesizes a real PNG (even doc_id, lossless) or JPEG (odd,
-  *    lossy) via the JDK's headless `javax.imageio`, and the decode
-  *    side parses those actual containers back — the reader registry
-  *    identifies the format from the magic bytes, the full pixel
-  *    raster is decoded, and the oracle recomputes dimensions and
+  *  - q254 runs on GENUINE compressed images: each document synthesizes
+  *    a real PNG (even doc_id, lossless) or JPEG (odd, lossy) via the
+  *    JDK's headless `javax.imageio` ([[toImageTable]]), and
+  *    [[decodeBatch]] parses those actual containers back — the reader
+  *    registry identifies the format from the magic bytes, the full
+  *    pixel raster is decoded, and the oracle recomputes dimensions and
   *    (for lossless PNG) the exact luma sum closed-form from the
   *    synthesis formula, so an encoder/decoder defect breaks the hash.
+  *    JPEG luma is lossy, so the oracle pins dims+format only and
+  *    MultimodalSpec bounds the per-pixel luma error.
   *  - q173 decodes REAL uncompressed containers: genuine WAV (RIFF
   *    chunk walk) and BMP (both headers + stride-padded rows) parsed
   *    by the hand-rolled [[MediaCodec]] walkers.
+  *  - q80/q82/q83 remain EXPRESSION byte-twin queries over text-byte
+  *    payloads ([[toMediaTable]]): they oracle the metadata/feature/
+  *    resize PLUMBING (schema, explode shape, fit-into-box arithmetic)
+  *    with deterministic byte formulas, not a raster decode — the real
+  *    decode path is q254/q173 above.
   *  - The one remaining scoped stub is VIDEO (frameSample): H.264
   *    genuinely needs codec libraries this container lacks, so frame
   *    sampling runs on a derived frame count with the real Catalyst
@@ -46,11 +52,11 @@ object Multimodal {
   /** Deterministic synthesis pixel: row-major index `i` of doc `id` is
     * `(id·31 + i²) mod 256` — quadratic so histograms are non-flat, and
     * closed-form so every oracle recomputes it without decoding. */
-  private[operators] def grayAt(id: Long, i: Long): Int =
+  private[graft] def grayAt(id: Long, i: Long): Int =
     ((id * 31 + i * i) % 256).toInt
   /** Synthesis dims: width from the text length, height from the id —
     * both small enough that the per-row raster stays cache-resident. */
-  private[operators] def imgDims(id: Long, nChars: Long): (Int, Int) =
+  private[graft] def imgDims(id: Long, nChars: Long): (Int, Int) =
     ((nChars % 64).toInt + 1, (id % 48).toInt + 1)
 
   /** Documents as a REAL image table: each row carries an actual PNG
@@ -154,9 +160,9 @@ object Multimodal {
 
     QueryDef(
       "q80_multimodal_meta",
-      // Expression-only twin of the stub decode (the mapPartitions path is
-      // asserted equal to this in MultimodalSpec) so metadata extraction is
-      // oracle-checkable.
+      // Expression-only byte-twin over text payloads: oracles the metadata
+      // extraction PLUMBING with deterministic byte formulas. The REAL
+      // container decode is q254 (images) / q173 (WAV/BMP).
       (s, dir) =>
         toMediaTable(Tables.documents(s, dir))
           .select(
@@ -295,6 +301,40 @@ object Multimodal {
              |CAST(CASE WHEN doc_id % 2 = 0
              |THEN (n_chars % 256 + 16) * 1000 // (8000 + (doc_id % 3) * 4000)
              |ELSE -1 END AS BIGINT) AS duration_ms
+             |FROM documents ORDER BY media_id""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q254_image_decode",
+      // REAL compressed-raster decode (closes the r5/r6 "image decode"
+      // gap for good): every document becomes a GENUINE PNG (even
+      // doc_id, lossless DEFLATE) or JPEG (odd, lossy DCT) container
+      // written by `javax.imageio`, and decodeBatch PARSES those bytes
+      // back — format from the magic via the reader registry, dims and
+      // luma from the decoded raster. The oracle recomputes everything
+      // closed-form from the synthesis formula: dims = imgDims(id,
+      // n_chars), PNG luma = Σᵢ (id·31 + i²) mod 256 exactly (lossless
+      // round trip); JPEG rows emit NULL luma here (DCT loss makes the
+      // sum codec-defined) and MultimodalSpec bounds their per-pixel
+      // error instead. Scale: encode and decode are both mapPartitions
+      // over the scan — payloads are born distributed and never
+      // shuffle; only (id, format, dims, luma) metadata survives.
+      (s, dir) => {
+        val media = toImageTable(Tables.documents(s, dir))
+        decodeBatch(media)
+          .select(col("media_id"), col("format"),
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"),
+            when(col("format") === "png", col("gray_sum")).as("gray_sum"))
+          .orderBy("media_id")
+      },
+      Some("""SELECT doc_id AS media_id,
+             |CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+             |CAST(n_chars % 64 + 1 AS BIGINT) AS width,
+             |CAST(doc_id % 48 + 1 AS BIGINT) AS height,
+             |CASE WHEN doc_id % 2 = 0 THEN CAST(list_sum(list_transform(
+             |generate_series(0, (n_chars % 64 + 1) * (doc_id % 48 + 1) - 1),
+             |i -> (doc_id * 31 + i * i) % 256)) AS BIGINT)
+             |ELSE NULL END AS gray_sum
              |FROM documents ORDER BY media_id""".stripMargin.replace("\n", " ")))
   )
 }

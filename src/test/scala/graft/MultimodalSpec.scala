@@ -6,30 +6,40 @@ import org.scalatest.funsuite.AnyFunSuite
 class MultimodalSpec extends AnyFunSuite with SparkSuite {
   import spark.implicits._
 
-  test("mapPartitions decode equals the expression-based twin (q80)") {
-    val media = Multimodal.toMediaTable(Tables.documents(spark, sfDir))
-    val decoded = Multimodal.decodeBatch(media.as[Multimodal.MediaRecord])
-      .select("media_id", "n_bytes", "width", "height", "format")
-    val twin = SparkEntry.queries("q80_multimodal_meta")(spark, sfDir)
-      .select("media_id", "n_bytes", "width", "height", "format")
-    assert(decoded.exceptAll(twin).count() == 0)
-    assert(twin.exceptAll(decoded).count() == 0)
+  test("decodeBatch parses GENUINE PNG/JPEG containers against the closed-form synthesis (q254)") {
+    import Multimodal.{grayAt, imgDims}
+    val media = Multimodal.toImageTable(Tables.documents(spark, sfDir))
+    val rows = Multimodal.decodeBatch(media).collect()
+    assert(rows.nonEmpty)
+    val nChars = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"n_chars".cast("long")).as[(Long, Long)].collect().toMap
+    rows.foreach { d =>
+      val (w, h) = imgDims(d.media_id, nChars(d.media_id))
+      assert(d.width == w && d.height == h, s"dims must round-trip for ${d.media_id}")
+      val expected = (0L until w.toLong * h).map(i => grayAt(d.media_id, i).toLong).sum
+      if (d.media_id % 2 == 0) {
+        assert(d.format == "png")
+        assert(d.gray_sum == expected, s"PNG luma must round-trip EXACTLY for ${d.media_id}")
+      } else {
+        assert(d.format == "jpeg")
+        // lossy DCT: the luma sum drifts, but boundedly — pin the mean
+        // per-pixel error well inside the 0..255 range
+        val perPixel = math.abs(d.gray_sum - expected).toDouble / (w.toLong * h)
+        assert(perPixel < 48.0, s"JPEG per-pixel luma drift $perPixel too large for ${d.media_id}")
+      }
+    }
   }
 
-  test("decode and expression twin agree on NON-ASCII payloads") {
-    // r1 advice: the twin uses ascii(first char of UTF-8 decode); decodeOne
-    // must match on payloads whose text starts with a non-ASCII character.
-    val docs = Seq(
-      (1L, "héllo world"), (2L, "日本語のテキスト"), (3L, "ascii start"), (4L, ""))
-      .toDF("doc_id", "text")
-    val media = Multimodal.toMediaTable(docs)
-    val decoded = Multimodal.decodeBatch(media.as[Multimodal.MediaRecord])
-      .select($"media_id", $"height").as[(Long, Int)].collect().toMap
-    val twin = media.selectExpr("media_id",
-      "CASE WHEN length(payload) > 0 THEN ascii(substring(cast(payload AS STRING), 1, 1)) ELSE 0 END AS h")
-      .as[(Long, Int)].collect().toMap
-    assert(decoded == twin)
-    assert(decoded(2L) == "日".codePointAt(0)) // genuinely non-ASCII, not byte 0xE6
+  test("decodeBatch REJECTS non-image payloads (quarantine contract)") {
+    // toMediaTable carries raw text bytes — ImageIO must refuse them with
+    // the documented IllegalArgumentException, not decode garbage.
+    val docs = Seq((1L, "not an image at all")).toDF("doc_id", "text")
+    val media = Multimodal.toMediaTable(docs).as[Multimodal.MediaRecord]
+    val e = intercept[Exception](Multimodal.decodeBatch(media).collect())
+    def rootMsg(t: Throwable): String =
+      if (t.getCause == null || t.getCause == t) String.valueOf(t.getMessage)
+      else rootMsg(t.getCause)
+    assert(rootMsg(e).contains("not a decodable image"))
   }
 
   test("mapPartitions feature extraction equals the expression twin (q82)") {
