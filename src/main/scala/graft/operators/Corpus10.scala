@@ -1210,9 +1210,13 @@ object Corpus10 {
       val g = Tables.orders(s, dir)
         .groupBy(expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("v"))
         .agg(count(lit(1)).as("n"))
-      val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-      val p = g.select(col("v"), col("n"),
-        sum("n").over(w).as("cn"), sum(col("n") * col("v")).over(w).as("cs"))
+      // 100 TB path: the value-count table is near-continuous at scale,
+      // so `sum OVER (ORDER BY v)` would funnel it through ONE task.
+      // Both prefix sums route through Indexing.globalPrefixSums — one
+      // range exchange + #partitions-row offsets, every window
+      // partitioned (PlanShapeSpec pins it).
+      val p = Indexing.globalPrefixSums(g, Seq(col("v")),
+        Seq((col("n"), "cn"), (col("n") * col("v"), "cs")))
         .localCheckpoint()
       val tot = g.agg(sum("n").as("nn"), sum(col("n") * col("v")).as("ss"))
       val d = s.range(1, 11).select(col("id").as("d"))

@@ -1,9 +1,10 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
 
 /** Scalable global row indexing — assign every row a contiguous 0..n-1
   * index in a total key order WITHOUT the naive scale-killer:
@@ -41,35 +42,59 @@ object Indexing {
     * whose sum were NULL would otherwise NPE the driver-side offset
     * collect). */
   private def runningTotal(
-      df: DataFrame, order: Seq[Column], value: Column, outCol: String): DataFrame = {
+      df: DataFrame, order: Seq[Column], value: Column, outCol: String): DataFrame =
+    runningTotals(df, order, Seq(value -> outCol))
+
+  /** Multi-value core: ONE range exchange + ONE #partitions-row offset
+    * collect serves every (value, outCol) pair — a caller needing k
+    * running sums in the same order (q248's cn+cs) pays one pass, not k. */
+  private def runningTotals(
+      df: DataFrame, order: Seq[Column], values: Seq[(Column, String)]): DataFrame = {
     def taken(n: String): Boolean = df.columns.exists(_.equalsIgnoreCase(n))
-    require(!taken(outCol), s"adds a `$outCol` column; input already has one")
+    values.foreach { case (_, outCol) =>
+      require(!taken(outCol), s"adds a `$outCol` column; input already has one") }
     def fresh(base: String): String = {
       var n = base
       while (taken(n)) n += "_"
       n
     }
     val pidCol = fresh("_pid")
-    val offCol = fresh("_off")
-    val valCol = fresh("_val")
-    val parted = df.withColumn(valCol, coalesce(value.cast("long"), lit(0L)))
+    val valCols = values.indices.map(i => fresh(s"_val$i"))
+    val offCols = values.indices.map(i => fresh(s"_off$i"))
+    val parted = values.zip(valCols)
+      .foldLeft(df) { case (d, ((v, _), vc)) =>
+        d.withColumn(vc, coalesce(v.cast("long"), lit(0L))) }
       .repartitionByRange(order: _*).localCheckpoint()
     val withPid = parted.withColumn(pidCol, spark_partition_id())
-    val sums = withPid.groupBy(pidCol).agg(sum(col(valCol)).as("s"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    val offsets = sums.scanLeft((-1, 0L)) { case ((_, acc), (p, c)) => (p, acc + c) }
-      .sliding(2).collect { case Array((_, off), (p, _)) => (p, off) }.toSeq
+    val sums = withPid.groupBy(pidCol)
+      .agg(valCols.map(vc => sum(col(vc)).as(vc)).head, valCols.map(vc => sum(col(vc)).as(vc)).tail: _*)
+      .collect()
+      .map(r => (r.getInt(0), valCols.indices.map(i => r.getLong(i + 1))))
+      .sortBy(_._1)
+    val offsets = sums.scanLeft((-1, valCols.indices.map(_ => 0L))) {
+      case ((_, acc), (p, cs)) => (p, acc.zip(cs).map { case (a, c) => a + c })
+    }.sliding(2).collect { case Array((_, off), (p, _)) => Row.fromSeq(p +: off) }.toSeq
     val spark = df.sparkSession
-    import spark.implicits._
-    val offDf = offsets.toDF(pidCol, offCol)
-    withPid
-      .join(broadcast(offDf), pidCol)
-      .withColumn(outCol,
-        col(offCol) + sum(col(valCol))
-          .over(Window.partitionBy(pidCol).orderBy(order: _*)
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .drop(pidCol, offCol, valCol)
+    val offSchema = StructType(
+      StructField(pidCol, IntegerType, nullable = false) +:
+        offCols.map(oc => StructField(oc, LongType, nullable = false)))
+    val offDf = spark.createDataFrame(spark.sparkContext.parallelize(offsets, 1), offSchema)
+    val w = Window.partitionBy(pidCol).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    values.indices
+      .foldLeft(withPid.join(broadcast(offDf), pidCol)) { (d, i) =>
+        d.withColumn(values(i)._2, col(offCols(i)) + sum(col(valCols(i))).over(w))
+      }
+      .drop(pidCol +: (valCols ++ offCols): _*)
   }
+
+  /** (df, total key order, (value, outCol)*) → df + one INCLUSIVE global
+    * running sum per pair, all in the same order, sharing a single range
+    * exchange and offset pass. The scalable replacement for
+    * `sum(x) OVER (ORDER BY k)` windows (q248's Lorenz prefix sums). */
+  def globalPrefixSums(
+      df: DataFrame, order: Seq[Column], values: Seq[(Column, String)]): DataFrame =
+    runningTotals(df, order, values)
 
   /** (df, total key order) → df + contiguous `idx` 0..n-1 in that order:
     * the running count minus one. The order must be total (tie-free) for

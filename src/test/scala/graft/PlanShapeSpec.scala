@@ -332,4 +332,30 @@ class PlanShapeSpec extends AnyFunSuite with SparkSuite {
     assert(p229.contains("TakeOrderedAndProject"), p229.take(600))
     assert(!p229.contains("CartesianProduct"), p229.take(600))
   }
+
+  test("q248 Lorenz prefix sums ride globalPrefixSums — no data-sized SinglePartition window") {
+    import org.apache.spark.sql.functions._
+    // r5/r6 verdicts' named scale-killer: `sum OVER (ORDER BY v)` on the
+    // value-count table (near-continuous at scale) funnels it through one
+    // task. The primitive the query now routes through must show a
+    // parallel range exchange and NO SinglePartition — and agree with
+    // the naive window value-for-value.
+    val g = Tables.orders(spark, sfDir)
+      .groupBy(expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("v"))
+      .agg(count(lit(1)).as("n"))
+    val scalable = operators.Indexing.globalPrefixSums(g, Seq(col("v")),
+      Seq((col("n"), "cn"), ((col("n") * col("v")), "cs")))
+    val p = scalable.queryExecution.executedPlan.toString
+    assert(!p.contains("SinglePartition"), p.take(800))
+    // the range exchange itself lives inside the primitive's eager
+    // localCheckpoint (plan truncation hides it — q56's test pins that);
+    // what must be visible here is that EVERY window is _pid-partitioned
+    assert("""Window \[[^\n]*\], \[_pid""".r.findFirstIn(p).isDefined, p.take(800))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("v")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val naive = g.select(col("v"), col("n"),
+      sum("n").over(w).as("cn"), sum(col("n") * col("v")).over(w).as("cs"))
+    assert(scalable.select("v", "n", "cn", "cs").exceptAll(naive).count() == 0)
+    assert(naive.exceptAll(scalable.select("v", "n", "cn", "cs")).count() == 0)
+  }
 }
