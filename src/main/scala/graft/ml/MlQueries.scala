@@ -5,9 +5,10 @@ import graft.operators.{Similarity, TextAnalytics}
 
 /** ML surface entries (M1/M2/M5). Since r5, q72 and q52 cluster with the
   * deterministic [[LloydKMeans]] unroll and carry full DuckDB oracles
-  * (r4 verdict item #5) — only q74 (an iterative logistic-regression
-  * fit, genuinely not SQL-expressible) stays rows-only with its exact
-  * semantics unit-tested (SURVEY.md §5.1).
+  * (r4 verdict item #5); since r7, q74's logistic-regression fit is the
+  * deterministic [[GdClassifier]] GD unroll with its own oracle — the
+  * only remaining rows-only query is q92 (engine-native sketches, whose
+  * oracled twins are q148/q153/q168).
   */
 object MlQueries {
 
@@ -200,15 +201,22 @@ object MlQueries {
 
     QueryDef(
       "q74_classifier",
+      // Since r7 the fit is the DETERMINISTIC GdClassifier unroll
+      // (pinned init, 3 full-batch GD steps) so the whole fit+predict
+      // chain has a DuckDB oracle — closing the last non-sketch
+      // rows-only gap. MlSpec asserts the spark.ml pipeline
+      // (TextClassifier, the API-parity artifact) agrees on these
+      // queries and that both models hit ≥0.9 train accuracy.
       (s, _) => {
-        val model = TextClassifier.train(s)
-        TextClassifier.predict(s, model, Seq(
-          "ransomware outbreak response",
-          "phishing credential attack",
-          "hospital network design",
-          "medical record system upgrade"))
-          .orderBy("term")
+        val model = GdClassifier.fit()
+        GdClassifier.predictDf(s, model, Q74Queries).orderBy("term")
       },
-      None)
+      Some(GdClassifier.oracleSql(Q74Queries)))
   )
+
+  private[graft] val Q74Queries = Seq(
+    "ransomware outbreak response",
+    "phishing credential attack",
+    "hospital network design",
+    "medical record system upgrade")
 }

@@ -96,6 +96,32 @@ class MlSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("q74 GD unroll: ≥0.9 train accuracy, margins off the threshold, agrees with spark.ml") {
+    val model = ml.GdClassifier.fit()
+    val acc = ml.TextClassifier.trainingData.count { case (text, label) =>
+      (ml.GdClassifier.margin(model, text) > 0) == (label == "threat")
+    }.toDouble / ml.TextClassifier.trainingData.size
+    assert(acc >= 0.9, s"GD train accuracy $acc below the M1 bar")
+    // hash robustness: no q74 query margin sits at the decision threshold,
+    // so engine-level float summation order cannot flip a label
+    ml.MlQueries.Q74Queries.foreach { q =>
+      assert(math.abs(ml.GdClassifier.margin(model, q)) > 0.05,
+        s"margin for '$q' too close to 0: ${ml.GdClassifier.margin(model, q)}")
+    }
+    // the distributed predict equals the driver-side margins
+    val got = ml.GdClassifier.predictDf(spark, model, ml.MlQueries.Q74Queries)
+      .as[(String, String)].collect().toMap
+    ml.MlQueries.Q74Queries.foreach { q =>
+      val want = if (ml.GdClassifier.margin(model, q) > 0) "threat" else "infrastructure"
+      assert(got(q) == want, s"predictDf disagrees with margin for '$q'")
+    }
+    // and the spark.ml pipeline (the API-parity artifact) agrees
+    val lr = ml.TextClassifier.train(spark)
+    val mlPred = ml.TextClassifier.predict(spark, lr, ml.MlQueries.Q74Queries)
+      .as[(String, String)].collect().toMap
+    assert(mlPred == got, s"spark.ml $mlPred vs GD $got")
+  }
+
   test("MLlib KMeans capability path keeps the M5 contract (doc -> topic over k clusters)") {
     val assigned = ml.Topics.cluster(Tables.embeddings(spark, sfDir), k = 8)
     val n = assigned.count()
