@@ -333,6 +333,19 @@ class PlanShapeSpec extends AnyFunSuite with SparkSuite {
     assert(!p229.contains("CartesianProduct"), p229.take(600))
   }
 
+  test("q255 batch ANN: candidate join is a cell-keyed shuffle hash join, top-k stays a bounded heap") {
+    // r5 task #5: the query side is a TABLE (|Q| grows with the corpus),
+    // so the corpus↔query candidate join must NOT broadcast either vector
+    // side — the pinned shape is a shuffle hash join on the cell id, with
+    // only the k×d centroid artifacts broadcast and the per-query top-k
+    // still the bounded TopKScored heap (never a corpus sort).
+    val p = plan("q255_knn_batch")
+    assert("""ShuffledHashJoin \[label""".r.findFirstIn(p).isDefined,
+      s"candidate join lost the two-sided shuffle-hash shape:\n${p.take(800)}")
+    assert(p.contains("ObjectHashAggregate"), p.take(600))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(600))
+  }
+
   test("q248 Lorenz prefix sums ride globalPrefixSums — no data-sized SinglePartition window") {
     import org.apache.spark.sql.functions._
     // r5/r6 verdicts' named scale-killer: `sum OVER (ORDER BY v)` on the
