@@ -1,0 +1,147 @@
+package graft
+
+import graft.streaming.StatefulOps
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Checkpoint RECOVERY for the keyed-state twins (r5/r6 verdict task):
+  * kill the query between micro-batches, restart from the checkpoint,
+  * and prove the state store carried over — the property that makes the
+  * streaming surface operable at 100 TB (a 1000-executor job WILL be
+  * preempted mid-stream).
+  *
+  * Harness: phase 1 processes a staged prefix of the input with a
+  * checkpointLocation and stops (AvailableNow drains what exists — a
+  * deterministic "killed between micro-batches" boundary); more files
+  * are then staged and a NEW query object restarts from the SAME
+  * checkpoint. Recovery is proven two ways:
+  *  - the monotone absorbed-row counters (n_seen/n_days) end at the
+  *    FULL input size even though phase 2's source only read the new
+  *    files — state restored; and they end EXACTLY there — offsets
+  *    restored (a from-scratch replay against restored state would
+  *    double-count);
+  *  - clampedBalanceStream's out-of-order fail-fast would THROW if the
+  *    restart replayed already-folded days against the recovered
+  *    lastDay watermark, so a green run is itself offset-recovery
+  *    evidence.
+  * Final state must equal the batch twin (q153 / q204) exactly.
+  *
+  * foreachBatch is the sink (the memory sink rejects checkpoint
+  * recovery by design); outputs accumulate in a driver buffer.
+  */
+class StreamingRecoverySpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  test("KMV stream killed between micro-batches resumes from the checkpoint and settles to q153") {
+    val dir = "/root/testdata/sf0.01"
+    val stage = java.nio.file.Files.createTempDirectory("graft_kmvrec_stage")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_kmvrec_ckpt")
+    val prepared = Tables.events(spark, dir)
+      .select(lit("all").as("scope"),
+        expr("CAST(conv(substr(md5(concat('u#', CAST(user_id AS STRING))), 1, 15), 16, 10) AS BIGINT) + 1")
+          .as("h"))
+    val total = prepared.count()
+    val halfA = prepared.filter($"h" % 2 === 0)
+    val halfB = prepared.filter($"h" % 2 =!= 0)
+    val k = operators.Corpus4.KMV_K
+
+    val buf = collection.mutable.ArrayBuffer.empty[StatefulOps.KmvSketch]
+    def runPhase(): Unit = {
+      val hashes = spark.readStream.schema(prepared.schema)
+        .option("maxFilesPerTrigger", 1).parquet(stage.toString)
+        .as[StatefulOps.KmvHash]
+      val q = StatefulOps.kmvStream(hashes, k).writeStream
+        .outputMode("update")
+        .option("checkpointLocation", ckpt.toString)
+        .foreachBatch { (ds: Dataset[StatefulOps.KmvSketch], _: Long) =>
+          val rows = ds.collect()
+          buf.synchronized { buf ++= rows }
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+
+    halfA.repartition(2).write.mode("append").parquet(stage.toString)
+    runPhase() // "killed" here: the query object is gone, checkpoint remains
+    assert(buf.nonEmpty && buf.map(_.n_seen).max == halfA.count(),
+      "phase 1 must absorb exactly the staged prefix")
+    val phase1Rows = buf.size
+
+    halfB.repartition(2).write.mode("append").parquet(stage.toString)
+    runPhase() // NEW query, SAME checkpoint
+    assert(buf.size > phase1Rows, "phase 2 emitted nothing — restart did not run")
+    val fin = buf.maxBy(_.n_seen)
+    // state AND offsets both recovered: full count, not half, not 1.5x
+    assert(fin.n_seen == total,
+      s"absorbed ${fin.n_seen} of $total rows across the restart")
+    assert(fin.n_kept == k)
+    val q153 = SparkEntry.queries("q153_kmv_distinct_sketch")(spark, dir)
+      .filter($"scope" === "all").select("est_ndv").as[Double].head()
+    assert(math.abs(math.round(fin.est * 10) / 10.0 - q153) < 1e-9,
+      s"recovered stream est ${fin.est} vs batch $q153")
+  }
+
+  test("clamped-balance stream killed between micro-batches resumes and settles to q204") {
+    val dir = "/root/testdata/sf0.01"
+    val stage = java.nio.file.Files.createTempDirectory("graft_balrec_stage")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_balrec_ckpt")
+    val deltas = Tables.events(spark, dir)
+      .select($"user_id", to_date($"ts").as("d"),
+        when($"event_type" === "signup", 20L).when($"event_type" === "purchase", -5L)
+          .when($"event_type" === "error", -2L).otherwise(-1L).as("w"))
+      .groupBy("user_id", "d").agg(sum($"w").as("dv"))
+    // day-RANGED chunks, staged oldest-first (the keyed-log contract the
+    // clamp fold requires); the restart must pick up AFTER the folded
+    // days — replaying them would trip the fail-fast and redden this test
+    val allDays = deltas.select($"d".cast("string").as[String]).distinct()
+      .collect().sorted
+    val chunks = allDays.grouped((allDays.length + 3) / 4).toSeq
+    def stageChunks(cs: Seq[Array[String]]): Unit = cs.zipWithIndex.foreach {
+      case (chunk, i) =>
+        if (i > 0) Thread.sleep(1100)
+        deltas.filter($"d".cast("string").isin(chunk.toSeq: _*))
+          .coalesce(1).write.mode("append").parquet(stage.toString)
+    }
+
+    val buf = collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    def runPhase(): Unit = {
+      val stream = spark.readStream.schema(deltas.schema)
+        .option("maxFilesPerTrigger", 1).parquet(stage.toString)
+        .as[StatefulOps.DayDelta]
+      val q = StatefulOps.clampedBalanceStream(stream).writeStream
+        .outputMode("update")
+        .option("checkpointLocation", ckpt.toString)
+        .foreachBatch { (ds: Dataset[StatefulOps.BalanceState], _: Long) =>
+          val rows = ds.select("user_id", "n_days", "delta_sum", "final_bal")
+            .as[(Long, Long, Long, Long)].collect()
+          buf.synchronized { buf ++= rows }
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+
+    stageChunks(chunks.take(2))
+    runPhase() // stop between micro-batches; folded-day watermarks persist
+    val phase1Rows = buf.size
+    assert(phase1Rows > 0)
+
+    Thread.sleep(1100) // keep modtime order across the restart boundary
+    stageChunks(chunks.drop(2))
+    runPhase() // NEW query, SAME checkpoint — no fail-fast means no replay
+    assert(buf.size > phase1Rows, "phase 2 emitted nothing — restart did not run")
+
+    // latest emission per user across BOTH phases (users with no
+    // phase-2 deltas keep their recovered phase-1 state)
+    val fin = buf.groupBy(_._1).map { case (u, rs) => u -> rs.maxBy(_._2) }
+    val batch = SparkEntry.queries("q204_clamped_balance")(spark, dir)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(batch.nonEmpty && fin.size == batch.length)
+    batch.foreach { case (u, nd, net, bal) =>
+      assert(fin(u) == ((u, nd, net, bal)), s"user $u diverged after recovery: ${fin(u)}")
+    }
+  }
+}
