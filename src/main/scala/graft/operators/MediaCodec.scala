@@ -77,6 +77,35 @@ object MediaCodec {
     WavMeta(sr, ch, bits, dataLen / (ch * bits / 8))
   }
 
+  /** Decode the PCM16LE payload for real: walk the chunks exactly like
+    * [[parseWav]], then materialize the data chunk's little-endian
+    * 16-bit samples. The q256 feature extractor runs on THESE decoded
+    * samples, not on the synthesis inputs — an endianness or offset bug
+    * here breaks its oracle hash. */
+  def wavSamples(b: Array[Byte]): Array[Short] = {
+    val bb = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+    def tag4(): String = {
+      val a = new Array[Byte](4); bb.get(a)
+      new String(a, java.nio.charset.StandardCharsets.US_ASCII)
+    }
+    require(b.length >= 12, "truncated RIFF")
+    require(tag4() == "RIFF", "not a RIFF file")
+    bb.getInt
+    require(tag4() == "WAVE", "not a WAVE form")
+    while (bb.remaining() >= 8) {
+      val tag = tag4(); val len = bb.getInt
+      require(len >= 0 && len <= bb.remaining(), s"bad chunk length $len for $tag")
+      if (tag == "data") {
+        val out = new Array[Short](len / 2)
+        var i = 0
+        while (i < out.length) { out(i) = bb.getShort(); i += 1 }
+        return out
+      }
+      bb.position(math.min(bb.position() + len + (len & 1), bb.limit()))
+    }
+    throw new IllegalArgumentException("missing data chunk")
+  }
+
   /** Real 24bpp bottom-up BMP writer: BITMAPFILEHEADER (14 bytes) +
     * BITMAPINFOHEADER (40) + 4-byte-aligned pixel rows (grayscale
     * replicated to BGR). */
@@ -138,6 +167,42 @@ object MediaCodec {
     * undecodable input throws IllegalArgumentException (same
     * quarantine contract as [[parseWav]]/[[parseBmp]]). */
   def parseImage(b: Array[Byte]): ImgMeta = {
+    val (fmt, img) = readImage(b)
+    val raster = img.getRaster
+    var sum = 0L
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) { sum += raster.getSample(x, y, 0); x += 1 }
+      y += 1
+    }
+    ImgMeta(fmt, img.getWidth, img.getHeight, sum)
+  }
+
+  /** Full decoded raster, row-major band-0 samples — the input to real
+    * pixel operations (q257's box downsample). Same quarantine contract
+    * as [[parseImage]]. */
+  def imagePixels(b: Array[Byte]): (ImgMeta, Array[Int]) = {
+    val (fmt, img) = readImage(b)
+    val raster = img.getRaster
+    val (w, h) = (img.getWidth, img.getHeight)
+    val px = new Array[Int](w * h)
+    var sum = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = raster.getSample(x, y, 0)
+        px(y * w + x) = v
+        sum += v
+        x += 1
+      }
+      y += 1
+    }
+    (ImgMeta(fmt, w, h, sum), px)
+  }
+
+  private def readImage(b: Array[Byte]): (String, java.awt.image.BufferedImage) = {
     val iis = javax.imageio.ImageIO.createImageInputStream(
       new java.io.ByteArrayInputStream(b))
     require(iis != null, "no image input stream SPI") // registry can return null
@@ -151,15 +216,7 @@ object MediaCodec {
           try r.read(0)
           catch { case e: java.io.IOException =>
             throw new IllegalArgumentException(s"corrupt image stream: ${e.getMessage}") }
-        val raster = img.getRaster
-        var sum = 0L
-        var y = 0
-        while (y < img.getHeight) {
-          var x = 0
-          while (x < img.getWidth) { sum += raster.getSample(x, y, 0); x += 1 }
-          y += 1
-        }
-        ImgMeta(r.getFormatName.toLowerCase, img.getWidth, img.getHeight, sum)
+        (r.getFormatName.toLowerCase, img)
       } finally r.dispose()
     } finally iis.close()
   }

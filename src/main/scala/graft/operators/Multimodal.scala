@@ -20,6 +20,10 @@ import org.apache.spark.sql.functions._
   *  - q173 decodes REAL uncompressed containers: genuine WAV (RIFF
   *    chunk walk) and BMP (both headers + stride-padded rows) parsed
   *    by the hand-rolled [[MediaCodec]] walkers.
+  *  - q256 extracts audio FEATURES from the decoded PCM waveform
+  *    (MediaCodec.wavSamples: real little-endian 16-bit sample decode),
+  *    and q257 runs a real 2× box downsample over the decoded pixel
+  *    grid (MediaCodec.imagePixels) — both oracled closed-form.
   *  - q80/q82/q83 remain EXPRESSION byte-twin queries over text-byte
   *    payloads ([[toMediaTable]]): they oracle the metadata/feature/
   *    resize PLUMBING (schema, explode shape, fit-into-box arithmetic)
@@ -335,6 +339,120 @@ object Multimodal {
              |generate_series(0, (n_chars % 64 + 1) * (doc_id % 48 + 1) - 1),
              |i -> (doc_id * 31 + i * i) % 256)) AS BIGINT)
              |ELSE NULL END AS gray_sum
-             |FROM documents ORDER BY media_id""".stripMargin.replace("\n", " ")))
+             |FROM documents ORDER BY media_id""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q256_audio_features",
+      // REAL audio feature extraction: even doc_ids become genuine PCM16
+      // WAVs whose samples are (byte − 64)·128 over the ASCII text bytes
+      // (bipolar, so zero crossings are meaningful), and the features —
+      // Σ|s|, peak, sign-change count — are computed from the DECODED
+      // waveform (MediaCodec.wavSamples walks the chunks and reads the
+      // little-endian PCM for real; an endianness or offset bug breaks
+      // this hash). The oracle recomputes every sample closed-form from
+      // the text. Scale: synth and decode are both mapPartitions over
+      // the scan; payloads never shuffle, only the 6-column feature row
+      // survives. The shape generalizes: swap the closed-form synth for
+      // object-store bytes and the fold for any per-sample DSP kernel.
+      (s, dir) => {
+        import s.implicits._
+        val media = Tables.documents(s, dir)
+          .filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id"), col("n_chars").cast("long"), col("text"))
+          .as[(Long, Long, String)]
+          .mapPartitions { it =>
+            it.map { case (id, nc, text) =>
+              val b = text.getBytes("UTF-8")
+              val sr = 8000 + (id % 3).toInt * 4000
+              val ns = (nc % 256).toInt + 16
+              val samples = Array.tabulate(ns)(i => ((b(i % b.length) - 64) * 128).toShort)
+              MediaRecord(id, "wav", MediaCodec.wavBytes(sr, samples))
+            }
+          }
+        media.mapPartitions { it =>
+          it.map { m =>
+            val meta = MediaCodec.parseWav(m.payload)
+            val smp = MediaCodec.wavSamples(m.payload)
+            var sumAbs = 0L; var peak = 0L; var zc = 0L
+            var i = 0
+            while (i < smp.length) {
+              val v = math.abs(smp(i).toLong)
+              sumAbs += v
+              if (v > peak) peak = v
+              if (i > 0 && smp(i - 1).toInt * smp(i).toInt < 0) zc += 1
+              i += 1
+            }
+            (m.media_id, meta.sampleRate.toLong, smp.length.toLong, sumAbs, peak, zc)
+          }
+        }.toDF("media_id", "sample_rate", "n_samples", "sum_abs", "peak", "zero_crossings")
+          .orderBy("media_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, n_chars, text FROM documents WHERE doc_id % 2 = 0),
+             |s AS (SELECT doc_id,
+             |list_transform(generate_series(0, n_chars % 256 + 16 - 1),
+             |i -> (ascii(substr(text, CAST(i % n_chars AS INTEGER) + 1, 1)) - 64) * 128) AS smp
+             |FROM d)
+             |SELECT doc_id AS media_id,
+             |CAST(8000 + (doc_id % 3) * 4000 AS BIGINT) AS sample_rate,
+             |CAST(len(smp) AS BIGINT) AS n_samples,
+             |CAST(list_sum(list_transform(smp, x -> abs(x))) AS BIGINT) AS sum_abs,
+             |CAST(list_max(list_transform(smp, x -> abs(x))) AS BIGINT) AS peak,
+             |CAST(list_sum(list_transform(generate_series(1, len(smp) - 1),
+             |i -> CASE WHEN smp[i] * smp[i + 1] < 0 THEN 1 ELSE 0 END)) AS BIGINT) AS zero_crossings
+             |FROM s ORDER BY media_id""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q257_image_resize",
+      // REAL pixel resample (q83 was resize ARITHMETIC; this is the
+      // raster op): decode each genuine container's full pixel grid
+      // (MediaCodec.imagePixels) and 2× box-downsample it — out(x,y) =
+      // integer mean of the 2×2 source block. PNG rows oracle the
+      // downsampled luma sum EXACTLY closed-form from the synthesis
+      // formula (a wrong stride, flipped axis, or off-by-one block
+      // breaks the hash); JPEG rows pin decoded dims (= synthesis dims)
+      // and emit NULL luma (lossy). Degenerate 1-pixel-wide/tall images
+      // downsample to zero pixels → NULL. Same mapPartitions scale
+      // contract as q254.
+      (s, dir) => {
+        val media = toImageTable(Tables.documents(s, dir))
+        import media.sparkSession.implicits._
+        media.mapPartitions { it =>
+          it.map { m =>
+            val (meta, px) = MediaCodec.imagePixels(m.payload)
+            val (w, h) = (meta.width, meta.height)
+            val (w2, h2) = (w / 2, h / 2)
+            var sum = 0L
+            var y = 0
+            while (y < h2) {
+              var x = 0
+              while (x < w2) {
+                sum += (px(2 * y * w + 2 * x) + px(2 * y * w + 2 * x + 1) +
+                  px((2 * y + 1) * w + 2 * x) + px((2 * y + 1) * w + 2 * x + 1)) / 4
+                x += 1
+              }
+              y += 1
+            }
+            val gs = if (meta.format == "png" && w2 > 0 && h2 > 0) Some(sum) else None
+            (m.media_id, meta.format, w2.toLong, h2.toLong, gs)
+          }
+        }.toDF("media_id", "format", "out_w", "out_h", "out_gray_sum")
+          .orderBy("media_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, n_chars % 64 + 1 AS w,
+             |(n_chars % 64 + 1) // 2 AS w2, (doc_id % 48 + 1) // 2 AS h2 FROM documents),
+             |r AS (SELECT doc_id, w2, h2,
+             |CASE WHEN doc_id % 2 = 0 AND w2 > 0 AND h2 > 0 THEN
+             |list_sum(list_transform(generate_series(0, w2 * h2 - 1), p ->
+             |((doc_id * 31 + ((p // w2) * 2 * w + (p % w2) * 2) * ((p // w2) * 2 * w + (p % w2) * 2)) % 256
+             |+ (doc_id * 31 + ((p // w2) * 2 * w + (p % w2) * 2 + 1) * ((p // w2) * 2 * w + (p % w2) * 2 + 1)) % 256
+             |+ (doc_id * 31 + (((p // w2) * 2 + 1) * w + (p % w2) * 2) * (((p // w2) * 2 + 1) * w + (p % w2) * 2)) % 256
+             |+ (doc_id * 31 + (((p // w2) * 2 + 1) * w + (p % w2) * 2 + 1) * (((p // w2) * 2 + 1) * w + (p % w2) * 2 + 1)) % 256
+             |) // 4))
+             |ELSE NULL END AS gs FROM d)
+             |SELECT doc_id AS media_id,
+             |CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+             |CAST(w2 AS BIGINT) AS out_w, CAST(h2 AS BIGINT) AS out_h,
+             |CAST(gs AS BIGINT) AS out_gray_sum
+             |FROM r ORDER BY media_id""".stripMargin.replace("\n", " ")))
   )
 }

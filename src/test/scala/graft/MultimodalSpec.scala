@@ -118,6 +118,26 @@ class MultimodalSpec extends AnyFunSuite with SparkSuite {
     intercept[IllegalArgumentException](MediaCodec.parseBmp(bmp.take(40)))
   }
 
+  test("wavSamples decodes the exact PCM16 waveform; imagePixels the exact PNG raster") {
+    import operators.{MediaCodec, Multimodal => M}
+    // PCM round trip is sample-exact, including negative amplitudes
+    val samples = Array.tabulate(41)(i => ((i - 20) * 797).toShort)
+    val wav = MediaCodec.wavBytes(8000, samples)
+    assert(MediaCodec.wavSamples(wav).toSeq == samples.toSeq)
+    // chunk-walk reuse: an unknown chunk before data must be skipped
+    val junk = java.nio.ByteBuffer.allocate(8 + 6).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    junk.put("LIST".getBytes("US-ASCII")).putInt(6).put(Array[Byte](9, 8, 7, 6, 5, 4))
+    val spliced = wav.take(12) ++ junk.array() ++ wav.drop(12)
+    assert(MediaCodec.wavSamples(spliced).toSeq == samples.toSeq)
+    intercept[IllegalArgumentException](MediaCodec.wavSamples(wav.take(10)))
+    // PNG raster round trip is pixel-exact against the synthesis formula
+    val (w, h, id) = (13, 7, 42L)
+    val png = MediaCodec.grayImageBytes("png", w, h, i => M.grayAt(id, i))
+    val (meta, px) = MediaCodec.imagePixels(png)
+    assert(meta.width == w && meta.height == h && meta.format == "png")
+    (0 until w * h).foreach(i => assert(px(i) == M.grayAt(id, i), s"pixel $i"))
+  }
+
   test("q173 every decoded row carries real parsed metadata at gate scale") {
     val out = SparkEntry.queries("q173_media_decode")(spark, sfDir)
     val rows = out.as[(Long, String, Long, Long, Long, Long, Long, Long)].collect()
