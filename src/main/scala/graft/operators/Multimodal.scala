@@ -339,7 +339,8 @@ object Multimodal {
              |generate_series(0, (n_chars % 64 + 1) * (doc_id % 48 + 1) - 1),
              |i -> (doc_id * 31 + i * i) % 256)) AS BIGINT)
              |ELSE NULL END AS gray_sum
-             |FROM documents ORDER BY media_id""".stripMargin.replace("\n", " "))),
+             |FROM documents ORDER BY media_id""".stripMargin.replace("\n", " ")),
+      bench = true),
 
     QueryDef(
       "q256_audio_features",

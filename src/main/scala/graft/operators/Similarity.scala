@@ -333,7 +333,8 @@ object Similarity {
               |WHERE e.vec_id <> q.qid),
               |r AS (SELECT qid, vec_id, cos,
               |row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn FROM sc)
-              |SELECT qid, vec_id, rn, cos FROM r WHERE rn <= 10 ORDER BY qid, rn""".stripMargin.replace("\n", " "))),
+              |SELECT qid, vec_id, rn, cos FROM r WHERE rn <= 10 ORDER BY qid, rn""".stripMargin.replace("\n", " ")),
+      bench = true),
 
     QueryDef(
       "q57_pq_quantize",

@@ -10,7 +10,19 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *
   * State is keyed by user_id → partitioned across executors; at 100 TB of
   * stream history the state store holds one small record per active key,
-  * checkpointed incrementally.
+  * checkpointed incrementally. StreamingRecoverySpec proves restart from
+  * a checkpoint resumes both state and offsets for the KMV and
+  * clamped-balance twins.
+  *
+  * STATE-SCHEMA COMPATIBILITY: each operator's state encoding (the
+  * GroupState type parameter) is part of its checkpoint contract — a
+  * widened tuple (e.g. r6 grew clampedBalanceStream's state from 3 to 4
+  * longs for the out-of-order watermark) makes EXISTING checkpoints
+  * unreadable, and the restarted query fails rather than corrupting
+  * state. Operationally: discard checkpoints when upgrading across a
+  * state-shape change, or version the encoding explicitly (wrap the
+  * tuple in a case class with defaulted new fields and a custom
+  * Encoder) if checkpoints must survive.
   */
 object StatefulOps {
 
