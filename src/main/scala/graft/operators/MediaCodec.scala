@@ -221,6 +221,111 @@ object MediaCodec {
     } finally iis.close()
   }
 
+  // ---- AVI (RIFF video container, MPNG frames) ---------------------------
+
+  /** Minimal but REAL AVI writer: RIFF('AVI ') with a correct hdrl list
+    * (avih main header + one 'vids' stream whose FourCC is 'MPNG' —
+    * PNG-compressed frames, a real registered codec id) and a movi list
+    * of '00dc' frame chunks, each payload an actual PNG container.
+    * Every RIFF size field is exact and odd-length chunks carry the pad
+    * byte, so any conformant RIFF walker can navigate the file. */
+  def aviBytes(w: Int, h: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
+    require(w > 0 && h > 0 && frames.nonEmpty)
+    def padded(n: Int) = n + (n & 1)
+    val moviBody = 4 + frames.map(f => 8 + padded(f.length)).sum
+    val strlBody = 4 + 8 + 56 + 8 + 40          // 'strl' + strh + strf
+    val hdrlBody = 4 + 8 + 56 + 8 + strlBody    // 'hdrl' + avih + LIST strl
+    val riffBody = 4 + 8 + hdrlBody + 8 + moviBody
+    val bb = ByteBuffer.allocate(8 + riffBody).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put(ascii("RIFF")).putInt(riffBody).put(ascii("AVI "))
+    bb.put(ascii("LIST")).putInt(hdrlBody).put(ascii("hdrl"))
+    bb.put(ascii("avih")).putInt(56)
+    bb.putInt(40000)                            // µs per frame (25 fps)
+    bb.putInt(0).putInt(0).putInt(0)            // maxBytesPerSec, padding, flags
+    bb.putInt(frames.length)                    // dwTotalFrames
+    bb.putInt(0).putInt(1).putInt(0)            // initialFrames, streams, bufSize
+    bb.putInt(w).putInt(h)
+    bb.putInt(0).putInt(0).putInt(0).putInt(0)  // reserved
+    bb.put(ascii("LIST")).putInt(strlBody).put(ascii("strl"))
+    bb.put(ascii("strh")).putInt(56)
+    bb.put(ascii("vids")).put(ascii("MPNG"))
+    bb.putInt(0).putShort(0).putShort(0)        // flags, priority, language
+    bb.putInt(0)                                // initial frames
+    bb.putInt(1).putInt(25)                     // scale, rate → 25 fps
+    bb.putInt(0).putInt(frames.length)          // start, length (frames)
+    bb.putInt(0).putInt(-1).putInt(0)           // bufSize, quality, sampleSize
+    bb.putShort(0).putShort(0)
+      .putShort(w.toShort).putShort(h.toShort)  // rcFrame
+    bb.put(ascii("strf")).putInt(40)
+    bb.putInt(40).putInt(w).putInt(h)           // BITMAPINFOHEADER
+    bb.putShort(1).putShort(24)
+    bb.put(ascii("MPNG")).putInt(0)             // biCompression, sizeImage
+    bb.putInt(0).putInt(0).putInt(0).putInt(0)
+    bb.put(ascii("LIST")).putInt(moviBody).put(ascii("movi"))
+    frames.foreach { f =>
+      bb.put(ascii("00dc")).putInt(f.length).put(f)
+      if ((f.length & 1) == 1) bb.put(0: Byte)
+    }
+    bb.array()
+  }
+
+  final case class AviMeta(width: Int, height: Int, nFrames: Int)
+
+  /** REAL AVI demux: a recursive RIFF walk — validates the RIFF/'AVI '
+    * magics, reads dwTotalFrames and dims from the avih main header
+    * inside the hdrl LIST, then walks the movi LIST collecting every
+    * '00dc' frame payload (honoring chunk lengths and the odd-length
+    * pad rule; unknown chunks/lists are skipped). The header frame
+    * count must match the chunks actually present — a truncated movi
+    * is rejected, not silently shortened. Frame payloads come back
+    * EXACTLY as stored; decoding them is the caller's next real step
+    * ([[parseImage]] for MPNG). */
+  def parseAvi(b: Array[Byte]): (AviMeta, Seq[Array[Byte]]) = {
+    val bb = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+    def tag4(): String = {
+      val a = new Array[Byte](4); bb.get(a)
+      new String(a, java.nio.charset.StandardCharsets.US_ASCII)
+    }
+    require(b.length >= 12, "truncated RIFF")
+    require(tag4() == "RIFF", "not a RIFF file")
+    bb.getInt
+    require(tag4() == "AVI ", "not an AVI form")
+    var meta: AviMeta = null
+    val frames = Seq.newBuilder[Array[Byte]]
+    def walk(limit: Int): Unit = {
+      while (bb.position() + 8 <= limit) {
+        val tag = tag4(); val len = bb.getInt
+        require(len >= 0 && bb.position() + len <= limit, s"bad chunk length $len for $tag")
+        val next = bb.position() + len + (len & 1)
+        tag match {
+          case "LIST" =>
+            val listType = tag4()
+            if (listType == "hdrl" || listType == "movi" || listType == "strl")
+              walk(bb.position() + len - 4)
+          case "avih" =>
+            require(len >= 40, "short avih header")
+            val p = bb.position()
+            val nf = bb.getInt(p + 16)
+            val w = bb.getInt(p + 32)
+            val hh = bb.getInt(p + 36)
+            require(nf > 0 && w > 0 && hh > 0, "degenerate avih fields")
+            meta = AviMeta(w, hh, nf)
+          case "00dc" =>
+            val f = new Array[Byte](len); bb.get(f)
+            frames += f
+          case _ => // strh/strf/idx1/junk — skipped
+        }
+        bb.position(math.min(next, bb.limit()))
+      }
+    }
+    walk(bb.limit())
+    require(meta != null, "missing avih header")
+    val fs = frames.result()
+    require(fs.length == meta.nFrames,
+      s"avih declares ${meta.nFrames} frames but movi carries ${fs.length}")
+    (meta, fs)
+  }
+
   final case class BmpMeta(width: Int, height: Int, bpp: Int, fileSize: Int, topDown: Boolean)
 
   def parseBmp(b: Array[Byte]): BmpMeta = {

@@ -24,15 +24,21 @@ import org.apache.spark.sql.functions._
   *    (MediaCodec.wavSamples: real little-endian 16-bit sample decode),
   *    and q257 runs a real 2× box downsample over the decoded pixel
   *    grid (MediaCodec.imagePixels) — both oracled closed-form.
+  *  - q258 demuxes REAL VIDEO: a genuine AVI container (RIFF 'AVI ',
+  *    correct hdrl/avih headers, movi '00dc' chunks) carrying MPNG
+  *    frames — actual PNGs — walked by MediaCodec.parseAvi and frame-
+  *    decoded by parseImage. The header frame count is cross-checked
+  *    against the chunks present. What stays out of scope is only
+  *    INTER-FRAME codecs (H.264 etc., which need external libs); the
+  *    container demux + per-frame raster decode pipeline is real.
   *  - q80/q82/q83 remain EXPRESSION byte-twin queries over text-byte
   *    payloads ([[toMediaTable]]): they oracle the metadata/feature/
   *    resize PLUMBING (schema, explode shape, fit-into-box arithmetic)
   *    with deterministic byte formulas, not a raster decode — the real
   *    decode path is q254/q173 above.
-  *  - The one remaining scoped stub is VIDEO (frameSample): H.264
-  *    genuinely needs codec libraries this container lacks, so frame
-  *    sampling runs on a derived frame count with the real Catalyst
-  *    plumbing (sequence + explode) a demuxer would feed.
+  *  - q81's frameSample remains the pure-Catalyst plumbing twin
+  *    (sequence + explode over a derived frame count) — q258 above is
+  *    the real demuxer feeding the same shape.
   *
   * Scale: payloads never shuffle — decode is a mapPartitions over the scan
   * (predicate/projection pushdown still applies to the metadata columns);
@@ -454,6 +460,62 @@ object Multimodal {
              |CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
              |CAST(w2 AS BIGINT) AS out_w, CAST(h2 AS BIGINT) AS out_h,
              |CAST(gs AS BIGINT) AS out_gray_sum
-             |FROM r ORDER BY media_id""".stripMargin.replace("\n", " ")))
+             |FROM r ORDER BY media_id""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q258_video_frames",
+      // REAL VIDEO DEMUX + per-frame decode (closes the last multimodal
+      // stub): every document becomes a GENUINE AVI container — correct
+      // RIFF/'AVI ' structure, avih main header carrying the frame
+      // count and dims, one '00dc' movi chunk per frame — whose frames
+      // are real PNGs ('MPNG', a registered intra-frame AVI codec).
+      // The read side actually DEMUXES the container (MediaCodec
+      // .parseAvi: recursive RIFF walk, header-vs-chunks frame-count
+      // cross-check), samples every 3rd frame, and decodes each sampled
+      // frame's raster with the real ImageIO path. Frame f's pixel i is
+      // (id·31 + f·97 + i²) mod 256, so the oracle recomputes n_frames,
+      // sampled indices, dims AND the exact per-frame luma closed-form;
+      // a demux offset bug, header drift, or raster defect breaks the
+      // hash. Only INTER-FRAME codecs (H.264) remain out of scope.
+      // Scale: synth and demux+decode are both mapPartitions over the
+      // scan — containers never shuffle; one metadata row per sampled
+      // frame survives (q81's explode shape, fed by a real demuxer).
+      (s, dir) => {
+        import s.implicits._
+        val media = Tables.documents(s, dir)
+          .select(col("doc_id"), col("n_chars").cast("long"))
+          .as[(Long, Long)]
+          .mapPartitions { it =>
+            it.map { case (id, nc) =>
+              val (w, h) = imgDims(id, nc)
+              val nf = (id % 9).toInt + 2
+              val frames = (0 until nf).map(f =>
+                MediaCodec.grayImageBytes("png", w, h,
+                  i => ((id * 31 + f * 97 + i * i) % 256).toInt))
+              MediaRecord(id, "avi", MediaCodec.aviBytes(w, h, frames))
+            }
+          }
+        media.mapPartitions { it =>
+          it.flatMap { m =>
+            val (meta, frames) = MediaCodec.parseAvi(m.payload)
+            frames.zipWithIndex.collect { case (f, idx) if idx % 3 == 0 =>
+              val im = MediaCodec.parseImage(f)
+              (m.media_id, meta.nFrames.toLong, idx.toLong,
+                im.width.toLong, im.height.toLong, im.graySum)
+            }
+          }
+        }.toDF("media_id", "n_frames", "frame_idx", "width", "height", "gray_sum")
+          .orderBy("media_id", "frame_idx")
+      },
+      Some("""WITH d AS (SELECT doc_id, n_chars % 64 + 1 AS w, doc_id % 48 + 1 AS h,
+             |doc_id % 9 + 2 AS nf FROM documents),
+             |f AS (SELECT doc_id, nf, w, h,
+             |unnest(list_filter(generate_series(0, nf - 1), x -> x % 3 = 0)) AS fi FROM d)
+             |SELECT doc_id AS media_id, CAST(nf AS BIGINT) AS n_frames,
+             |CAST(fi AS BIGINT) AS frame_idx,
+             |CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+             |CAST(list_sum(list_transform(generate_series(0, w * h - 1),
+             |i -> (doc_id * 31 + fi * 97 + i * i) % 256)) AS BIGINT) AS gray_sum
+             |FROM f ORDER BY media_id, frame_idx""".stripMargin.replace("\n", " ")))
   )
 }

@@ -138,6 +138,33 @@ class MultimodalSpec extends AnyFunSuite with SparkSuite {
     (0 until w * h).foreach(i => assert(px(i) == M.grayAt(id, i), s"pixel $i"))
   }
 
+  test("q258 AVI codec: demux round trip, header cross-check, corrupt magic rejected") {
+    import operators.MediaCodec
+    // three real PNG frames with distinct content, one odd-length
+    val frames = (0 until 3).map(f =>
+      MediaCodec.grayImageBytes("png", 9, 5, i => (f * 50 + i) % 256))
+    val avi = MediaCodec.aviBytes(9, 5, frames)
+    val (meta, got) = MediaCodec.parseAvi(avi)
+    assert(meta == MediaCodec.AviMeta(9, 5, 3))
+    assert(got.length == 3)
+    got.zip(frames).foreach { case (a, b) => assert(a.toSeq == b.toSeq, "frame bytes must round-trip") }
+    // each demuxed frame decodes as the original raster
+    got.zipWithIndex.foreach { case (f, i) =>
+      val im = MediaCodec.parseImage(f)
+      assert(im.format == "png" && im.width == 9 && im.height == 5)
+      assert(im.graySum == (0 until 45).map(p => (i * 50 + p) % 256).sum)
+    }
+    // header/chunk mismatch: declare 4 frames but carry 3 → rejected
+    val lying = avi.clone()
+    val bb = java.nio.ByteBuffer.wrap(lying).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    // avih dwTotalFrames lives at RIFF(12) + LIST hdr(12) + 'avih'+len(8) + 16
+    bb.putInt(12 + 12 + 8 + 16, 4)
+    intercept[IllegalArgumentException](MediaCodec.parseAvi(lying))
+    val corrupt = avi.clone(); corrupt(8) = 'X'.toByte // form type 'AVI ' → 'XVI '
+    intercept[IllegalArgumentException](MediaCodec.parseAvi(corrupt))
+    intercept[IllegalArgumentException](MediaCodec.parseAvi(avi.take(10)))
+  }
+
   test("q173 every decoded row carries real parsed metadata at gate scale") {
     val out = SparkEntry.queries("q173_media_decode")(spark, sfDir)
     val rows = out.as[(Long, String, Long, Long, Long, Long, Long, Long)].collect()
