@@ -26,6 +26,37 @@ object Sinks {
     parted.sortWithinPartitions(order: _*).write.mode("overwrite").parquet(out)
   }
 
+  /** K3 PNG sink (SURVEY §2.1, scrappy.py:519-526 — the wordcloud
+    * `savefig`): render the A5 weighted-word aggregate (q77's bounded
+    * output) into a REAL PNG artifact through the same headless
+    * ImageIO encoder the multimodal family decodes with. The rendering
+    * contract is deterministic and documented (ours, not a wordcloud
+    * clone): input rows in (weight desc, word asc) order, one 8-px
+    * horizontal band per word, filled to round(256·w/max) pixels at
+    * intensity 224 − (band·13 mod 160) on a 16-gray background — so a
+    * spec can re-parse the artifact (MediaCodec.parseImage) and check
+    * dims AND the exact luma sum closed-form. Driver-side by design:
+    * the input is a bounded top-K aggregate, exactly like the
+    * reference's matplotlib figure; the DISTRIBUTED work is the A5
+    * aggregation that feeds it. */
+  def weightStripPng(rows: Seq[(String, Long)]): Array[Byte] = {
+    require(rows.nonEmpty, "empty weight table")
+    val w = 256; val bandH = 8
+    val maxW = rows.map(_._2).max.toDouble
+    require(maxW > 0, "all-zero weights")
+    graft.operators.MediaCodec.grayImageBytes("png", w, rows.length * bandH, { i =>
+      val x = i % w
+      val band = (i / w) / bandH
+      val fill = math.round(w * rows(band)._2 / maxW).toInt
+      if (x < fill) 224 - (band * 13) % 160 else 16
+    })
+  }
+
+  def writeWeightStripPng(rows: Seq[(String, Long)], out: String): Unit = {
+    java.nio.file.Files.write(java.nio.file.Paths.get(out), weightStripPng(rows))
+    ()
+  }
+
   /** Hive-style partitioned layout (partition column → directory), with a
     * per-file row cap so one giant partition value cannot produce one
     * giant file. Readers filtering on the partition column scan only its

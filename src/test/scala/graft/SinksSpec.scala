@@ -7,6 +7,26 @@ import org.scalatest.funsuite.AnyFunSuite
 class SinksSpec extends AnyFunSuite with SparkSuite {
   import spark.implicits._
 
+  test("K3 PNG sink: q77's weight table renders to a real PNG that round-trips dims and exact luma") {
+    import graft.operators.MediaCodec
+    val rows = SparkEntry.queries("q77_wordcloud_weights")(spark, sfDir)
+      .as[(String, Long)].collect().toSeq
+    assert(rows.nonEmpty)
+    val out = java.nio.file.Files.createTempDirectory("graft_png_sink")
+      .resolve("wordcloud.png").toString
+    Sinks.writeWeightStripPng(rows, out)
+    val meta = MediaCodec.parseImage(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(out)))
+    assert(meta.format == "png" && meta.width == 256 && meta.height == rows.length * 8)
+    // the documented rendering contract, recomputed closed-form
+    val maxW = rows.map(_._2).max.toDouble
+    val expected = rows.zipWithIndex.map { case ((_, wt), i) =>
+      val fill = math.round(256 * wt / maxW).toInt
+      8L * (fill.toLong * (224 - (i * 13) % 160) + (256L - fill) * 16L)
+    }.sum
+    assert(meta.graySum == expected, "PNG luma must equal the rendering contract exactly")
+  }
+
   test("writeOrdered: disjoint sorted key ranges across files, no single-writer funnel") {
     val out = java.nio.file.Files.createTempDirectory("graft_ordered").toString
     val df = Tables.documents(spark, sfDir).select("doc_id", "n_chars")
