@@ -74,14 +74,6 @@ object Dedup {
     (sh, sh.groupBy("doc_id").agg(count(lit(1)).as("n")))
   }
 
-  /** Attach rounded Jaccard to (da, db, i) intersection counts. */
-  private def jaccardFromInter(inter: DataFrame, sz: DataFrame): DataFrame =
-    inter
-      .join(sz.as("za"), col("da") === col("za.doc_id"))
-      .join(sz.as("zb"), col("db") === col("zb.doc_id"))
-      .select(col("da"), col("db"),
-        round(col("i") * lit(1.0) / (col("za.n") + col("zb.n") - col("i")), 4).as("jaccard"))
-
   /** Lossless size-compatibility prefilter: J(A,B) ≥ j forces
     * min(|A|,|B|) ≥ j·max(|A|,|B|) (because |A∩B| ≤ min and
     * |A∪B| ≥ max), so a candidate pair whose set sizes violate the
@@ -100,22 +92,6 @@ object Dedup {
       .filter(least(col("na"), col("nb")) >=
         (lit(minJ) - lit(0.001)) * greatest(col("na"), col("nb")))
       .select(col("da"), col("db"))
-
-  /** Verified Jaccard for explicit candidate pairs, reusing an already
-    * built inverted index (callers that derived one for candidate
-    * generation must not pay the corpus re-tokenization twice). Callers
-    * that keep only jaccard ≥ j pass `minJ = j` to engage the lossless
-    * size prefilter above. */
-  private def jaccardOfCandidates(
-      cand: DataFrame, sh: DataFrame, sz: DataFrame,
-      minJ: Double = 0.0): DataFrame = {
-    val pruned = if (minJ > 0.0) sizeCompatible(cand, sz, minJ) else cand
-    val inter = pruned
-      .join(sh.as("sa"), col("da") === col("sa.doc_id"))
-      .join(sh.as("sb"), col("db") === col("sb.doc_id") && col("sa.s") === col("sb.s"))
-      .groupBy("da", "db").agg(count(lit(1)).as("i"))
-    jaccardFromInter(inter, sz)
-  }
 
   /** Array-form verify (r7): join the candidate pairs against the
     * (doc_id, w) SET table once per side and compute the intersection
@@ -421,12 +397,12 @@ object Dedup {
         val pref = t
           .withColumn("p", (ceil(size(col("w")) * lit(0.1)) + lit(1)).cast("int"))
           .select(col("doc_id"), explode(expr("slice(array_sort(w), 1, p)")).as("s"))
-        val (sh, sz) = invertedIndex(t)
+        val (sh, _) = invertedIndex(t)
         val cand = pref.as("pa")
           .join(sh.as("fb"), col("pa.s") === col("fb.s") && col("pa.doc_id") < col("fb.doc_id"))
           .select(col("pa.doc_id").as("da"), col("fb.doc_id").as("db"))
           .distinct()
-        jaccardOfCandidates(cand, sh, sz, minJ = 0.9)
+        jaccardOfCandidates(cand, t, minJ = 0.9)
           .filter(col("jaccard") >= 0.9)
           .orderBy("da", "db")
       },
