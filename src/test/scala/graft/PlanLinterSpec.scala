@@ -44,8 +44,8 @@ class PlanLinterSpec extends AnyFunSuite with SparkSuite {
   private val globalWindowOk: Map[String, String] = Map(
     "q52_knn_ivf_kmeans"        -> "centroid tables: k=8 rows (Lloyd unroll ranking)",
     "q72_topic_summary"         -> "topic/centroid tables: k=8 rows",
-    "q102_vocab_encode"         -> "vocab table capped at 256 merges/tokens",
-    "q123_hybrid_rrf"           -> "two top-20 rank lists (k-bounded fusion)",
+    "q102_vocab_encode"         -> "token value-DOMAIN count table (top-50 id cut after rank; q151 exemption class)",
+    "q123_hybrid_rrf"           -> "two limit(100) candidate lists (k-bounded fusion)",
     "q138_retrieval_ndcg"       -> "top-10 ranked list + ideal ordering (k-bounded)",
     "q146_vocab_coverage"       -> "top-500 terms via TakeOrderedAndProject (pinned in PlanShapeSpec)",
     "q160_cumulative_uniques"   -> "per-day first-seen counts: <=30 day rows",
@@ -66,7 +66,7 @@ class PlanLinterSpec extends AnyFunSuite with SparkSuite {
     "q228_heaps_growth"         -> "10 decile checkpoints",
     "q231_silhouette"           -> "8 cluster aggregate rows",
     "q233_stl_decompose"        -> "30-day series",
-    "q238_pacf"                 -> "5 ACF lags (Durbin-Levinson)",
+    "q238_pacf"                 -> "daily aggregate (<=30 day rows) feeding the 5-lag Durbin-Levinson",
     "q245_kruskal_wallis"       -> "value-DOMAIN midrank table",
     "q246_rank_biased_overlap"  -> "two top-20 rank lists"
   )
