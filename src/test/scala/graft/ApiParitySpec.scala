@@ -57,6 +57,35 @@ class ApiParitySpec extends AnyFunSuite with SparkSuite {
     assert(parsed.filter(!(col("k_struct") <=> col("k_path"))).count() == 0)
   }
 
+  test("spark.sql over registered temp views equals the DataFrame formulations (q01/q15)") {
+    // SQL-string API parity: a SQL user gets the same engine — register
+    // the tables as views and run ANSI formulations of two oracled
+    // queries; results must match the declared DataFrame bodies exactly.
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("lineitem_v")
+    Tables.orders(spark, sfDir).createOrReplaceTempView("orders_v")
+    val sql01 = spark.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |round(sum(l_quantity), 2) AS sum_qty,
+        |round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price
+        |FROM lineitem_v
+        |WHERE l_shipdate <= to_timestamp('2000-12-01 00:00:00')
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+    val df01 = SparkEntry.queries("q01_pricing_summary")(spark, sfDir)
+      .select("l_returnflag", "l_linestatus", "sum_qty", "sum_disc_price")
+    assert(sql01.exceptAll(df01).count() == 0)
+    assert(df01.exceptAll(sql01).count() == 0)
+
+    val sql15 = spark.sql(
+      """SELECT o_custkey, count(*) AS n_orders,
+        |round(sum(o_totalprice), 2) AS total
+        |FROM orders_v GROUP BY o_custkey HAVING count(*) >= 12
+        |ORDER BY o_custkey""".stripMargin)
+    val df15 = SparkEntry.queries("q15_having")(spark, sfDir)
+    assert(sql15.exceptAll(df15).count() == 0)
+    assert(df15.exceptAll(sql15).count() == 0)
+  }
+
   test("seeded sample is reproducible and in bounds") {
     val li = Tables.lineitem(spark, sfDir)
     val a = li.sample(0.1, seed = 7).count()
