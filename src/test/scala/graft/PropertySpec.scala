@@ -107,4 +107,36 @@ class PropertySpec extends AnyFunSuite with SparkSuite {
       }
     }
   }
+
+  test("media codecs: WAV/BMP/PNG/JPEG/AVI round-trip over 30 seeded random inputs") {
+    import graft.operators.MediaCodec
+    (1 to 30).foreach { trial =>
+      // WAV: arbitrary PCM16 samples round-trip sample-exact
+      val sr = rnd.nextInt(48000) + 1
+      val samples = Array.fill(rnd.nextInt(300) + 1)(rnd.nextInt(65536).toShort)
+      val wav = MediaCodec.wavBytes(sr, samples)
+      assert(MediaCodec.parseWav(wav) == MediaCodec.WavMeta(sr, 1, 16, samples.length), s"trial $trial")
+      assert(MediaCodec.wavSamples(wav).toSeq == samples.toSeq, s"trial $trial")
+      // BMP: any dims/gray parse back with the real stride-padded size
+      val (bw, bh) = (rnd.nextInt(40) + 1, rnd.nextInt(30) + 1)
+      val bmp = MediaCodec.bmpBytes(bw, bh, Array.fill(rnd.nextInt(64) + 1)(rnd.nextInt(256).toByte))
+      val bm = MediaCodec.parseBmp(bmp)
+      assert(bm.width == bw && bm.height == bh && bm.fileSize == bmp.length, s"trial $trial")
+      // PNG: pixel-exact raster round trip; JPEG: dims/format survive the DCT
+      val (pw, ph) = (rnd.nextInt(32) + 1, rnd.nextInt(24) + 1)
+      val px = Array.fill(pw * ph)(rnd.nextInt(256))
+      val (im, got) = MediaCodec.imagePixels(MediaCodec.grayImageBytes("png", pw, ph, px(_)))
+      assert(im.format == "png" && im.width == pw && im.height == ph, s"trial $trial")
+      assert(got.toSeq == px.toSeq, s"trial $trial: PNG raster must be lossless")
+      val jm = MediaCodec.parseImage(MediaCodec.grayImageBytes("jpeg", pw, ph, px(_)))
+      assert(jm.format == "jpeg" && jm.width == pw && jm.height == ph, s"trial $trial")
+      // AVI: arbitrary frame payloads (odd lengths included) round-trip
+      // byte-exact in order through the container walk
+      val frames = Seq.fill(rnd.nextInt(6) + 1)(
+        Array.fill(rnd.nextInt(50) + 1)(rnd.nextInt(256).toByte))
+      val (am, fr) = MediaCodec.parseAvi(MediaCodec.aviBytes(pw, ph, frames))
+      assert(am == MediaCodec.AviMeta(pw, ph, frames.length), s"trial $trial")
+      assert(fr.map(_.toSeq) == frames.map(_.toSeq), s"trial $trial")
+    }
+  }
 }
