@@ -54,19 +54,36 @@ object Dedup {
   private val bandsExpr =
     "transform(sequence(0, 2), b -> md5(concat(sigs[2*b], '|', sigs[2*b+1])))"
 
-  /** (doc_id, sigs, ...) → exploded (doc_id, band, h) band table. */
+  /** (doc_id, w, sigs, ...) → exploded (doc_id, n, band, h) band table.
+    * `n` (the token-set size) rides along so [[bucketPairs]] can apply
+    * the size-compatibility prune INSIDE the bucket join. */
   private def bandHashes(withSigs: DataFrame): DataFrame =
-    withSigs.select(col("doc_id"), posexplode(expr(bandsExpr)))
+    withSigs.select(col("doc_id"), size(col("w")).cast("long").as("n"),
+        posexplode(expr(bandsExpr)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "h")
 
-  /** Distinct candidate pairs from bucket collisions (da <op> db). */
-  private def bucketPairs(bands: DataFrame, pairCond: (Column, Column) => Column): DataFrame =
+  /** Distinct candidate pairs from bucket collisions (da <op> db).
+    * With minJ > 0 the [[sizeCompatible]] ratio test (same constant,
+    * same 1e-3 slack — see its proof of losslessness) is applied as a
+    * join-side predicate, BEFORE the pair distinct: collision rows that
+    * can never verify are dropped in the map stage instead of surviving
+    * the (da, db) shuffle and two more broadcast joins. Values are
+    * bit-identical to pruning after the distinct (the predicate only
+    * reads the pair's two set sizes). */
+  private def bucketPairs(bands: DataFrame, pairCond: (Column, Column) => Column,
+      minJ: Double = 0.0): DataFrame = {
+    val sizeOk =
+      if (minJ > 0.0)
+        least(col("a.n"), col("b.n")) >=
+          (lit(minJ) - lit(0.001)) * greatest(col("a.n"), col("b.n"))
+      else lit(true)
     bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
-          pairCond(col("a.doc_id"), col("b.doc_id")))
+          pairCond(col("a.doc_id"), col("b.doc_id")) && sizeOk)
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
+  }
 
   /** Inverted token index: (sh = (doc_id, s), sz = (doc_id, n)). */
   private def invertedIndex(t: DataFrame): (DataFrame, DataFrame) = {
@@ -149,9 +166,11 @@ object Dedup {
       s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     val t = tokenSets(s, dir)
     val bands = bandHashes(t.withColumn("sigs", sigsCol))
+    // size prune fused into the bucket join (minJ) — jaccardOfCandidates
+    // must not re-apply it, so it is called with minJ = 0.
     val cand = bucketPairs(bands,
-      (da, db) => (da % 10 =!= 1) && (db % 10 === 1))
-    jaccardOfCandidates(cand, t, minJ = 0.8).filter(col("jaccard") >= 0.8)
+      (da, db) => (da % 10 =!= 1) && (db % 10 === 1), minJ = 0.8)
+    jaccardOfCandidates(cand, t, minJ = 0.0).filter(col("jaccard") >= 0.8)
       .groupBy("da")
       .agg(count(lit(1)).as("n_eval_matches"), max("jaccard").as("mj"))
       .withColumnRenamed("da", "doc_id")
@@ -165,7 +184,7 @@ object Dedup {
       s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     val t = tokenSets(s, dir)
     val bands = bandHashes(t.withColumn("sigs", sigsCol))
-    jaccardOfCandidates(bucketPairs(bands, _ < _), t, minJ = 0.9)
+    jaccardOfCandidates(bucketPairs(bands, _ < _, minJ = 0.9), t, minJ = 0.0)
       .filter(col("jaccard") >= 0.9)
   }
 
