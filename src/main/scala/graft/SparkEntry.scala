@@ -32,6 +32,7 @@ object SparkEntry {
       operators.Corpus8.defs ++
       operators.Corpus9.defs ++
       operators.Corpus10.defs ++
+      operators.Corpus11.defs ++
       sources.Articles.defs ++
       ml.MlQueries.defs
 
