@@ -201,7 +201,9 @@ object Dedup {
   }
 
   /** The q41 pipeline up to (but not including) its final ORDER BY:
-    * LSH-candidate pairs verified at true token-set Jaccard ≥ 0.9 —
+    * LSH-candidate pairs verified at token-set Jaccard ≥ 0.9 (computed
+    * over [[internExpr]] fingerprints — exact on any collision-free
+    * corpus, which q260 audits and the string-form oracle certifies) —
     * (da, db, jaccard) with da < db. Also the edge set q55's
     * connected-components clustering runs on. */
   private[graft] def lshVerifiedPairs(
@@ -340,7 +342,8 @@ object Dedup {
       "q41_dedup_minhash_lsh",
       // MinHash + LSH (k=6 permutations, b=3 bands of r=2 — see sigsHofExpr/
       // bandsExpr above for the recall math) → candidate pairs from bucket
-      // collisions → verified with true token-set Jaccard ≥ 0.9.
+      // collisions → verified at token-set Jaccard ≥ 0.9 over interned
+      // fingerprints (the string-form oracle certifies exactness; q260).
       (s, dir) => lshVerifiedPairs(s, dir).orderBy("da", "db"),
       Some(s"""WITH t AS (SELECT doc_id, list_distinct($toksDuck) AS w FROM documents),
               |sigs AS (SELECT doc_id, list_transform(generate_series(0, 5), i ->
@@ -651,7 +654,9 @@ object Dedup {
       // dedup family uses (one band table over the whole corpus, the
       // train×eval pair condition applied INSIDE the bucket join — no
       // second signature pass, never a cross product) and verified at
-      // true Jaccard. Output: every training doc with its eval-match
+      // token-set Jaccard (interned fingerprints, q260-audited; the
+      // string-form oracle certifies exactness on this corpus).
+      // Output: every training doc with its eval-match
       // count, best Jaccard, and the keep verdict. The 0.8 threshold is
       // deliberately below dedup's 0.9 — decontamination trades recall
       // for precision the other way. Eval set = doc_id % 10 = 1 (the
