@@ -74,7 +74,7 @@ object Corpus11 {
       // a within-doc collision that would perturb a Jaccard value) and
       // corpus-wide vocabulary (distinct tokens vs distinct
       // fingerprints). Expected collisions at 60 bits are |V|²/2⁶¹ —
-      // ≈0.2 pairs even at a 10⁹-token web vocabulary — and on this
+      // ≈0.4 pairs even at a 10⁹-token web vocabulary — and on this
       // corpus the audit certifies exactly zero. Scale shape: the
       // per-doc half is pure map-side arithmetic (no explode); the
       // vocab half is one distinct + one hash aggregate over the

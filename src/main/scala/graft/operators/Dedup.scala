@@ -117,7 +117,8 @@ object Dedup {
     * shuffle/broadcast carries 8-byte ids instead of full tokens. A
     * fingerprint collision (two distinct tokens, equal 60-bit prefix)
     * could perturb a Jaccard value; expected colliding VOCABULARY pairs
-    * are |V|²/2⁶¹ ≈ 0.2 even at a 10⁹-token web vocabulary, and q260
+    * are C(|V|,2)/2⁶⁰ = |V|²/2⁶¹ ≈ 0.4 even at a 10⁹-token web
+    * vocabulary, and q260
     * audits the actual corpus (zero collisions at every gate SF). The
     * DuckDB oracles stay in EXACT string form — every hash-green gate
     * run therefore re-certifies that the fingerprint Jaccard equals the
