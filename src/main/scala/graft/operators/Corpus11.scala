@@ -1,7 +1,6 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Round-8 corpus operators: chunk-granularity deduplication — the
@@ -28,25 +27,35 @@ object Corpus11 {
       // q40's keep-first contract. Output: per document, how much
       // survived (chunk and token counts + retained token fraction).
       // Scale shape: stateless map-side chunking (no shuffle), then ONE
-      // hash shuffle keyed on the 128-bit chunk fingerprint; the
-      // keep-first window runs inside fingerprint groups (duplicate
-      // count per fingerprint, never corpus-sized), and the per-doc
-      // rollup is a doc-keyed hash aggregate. Nothing quadratic, no
-      // data-sized window — the same plan runs at 100 TB with the
+      // hash shuffle keyed on the 128-bit chunk fingerprint into a
+      // PARTIAL-AGGREGABLE min(struct(doc_id, chunk_idx, n_tokens)) —
+      // a boilerplate chunk with billions of occurrences collapses to
+      // one row per map partition BEFORE the exchange (r9; the previous
+      // per-fingerprint keep-first window had no partial aggregation,
+      // so a web-scale heavy-hitter fingerprint landed whole in one
+      // task). The winner rows roll straight up to per-doc kept
+      // counts — no join back on the skewed fingerprint key — and meet
+      // the doc-keyed totals in a doc_id-keyed join. Nothing quadratic,
+      // no window at all — the same plan runs at 100 TB with the
       // fingerprint shuffle as the only corpus-sized exchange.
       (s, dir) => {
         val ch = Corpus.chunkTokens(Tables.documents(s, dir))
-        val kept = ch.withColumn("kept",
-          row_number().over(
-            Window.partitionBy(md5(col("chunk")))
-              .orderBy("doc_id", "chunk_idx")) === 1)
-        kept.groupBy("doc_id").agg(
-          count(lit(1)).as("n_chunks"),
-          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
-          sum("n_tokens").as("total_tokens"),
-          sum(when(col("kept"), col("n_tokens")).otherwise(0L)).as("kept_tokens"),
-          round(sum(when(col("kept"), col("n_tokens")).otherwise(0L)) * lit(1.0) /
-            sum("n_tokens"), 4).as("retained_frac"))
+        // min over the struct orders by (doc_id, chunk_idx) — unique per
+        // row, so n_tokens merely rides along with the winning chunk.
+        val keptPerDoc = ch
+          .groupBy(md5(col("chunk")).as("fp"))
+          .agg(min(struct(col("doc_id"), col("chunk_idx"), col("n_tokens"))).as("w"))
+          .groupBy(col("w.doc_id").as("doc_id"))
+          .agg(count(lit(1)).as("n_kept"), sum("w.n_tokens").as("kept_tokens"))
+        ch.groupBy("doc_id")
+          .agg(count(lit(1)).as("n_chunks"), sum("n_tokens").as("total_tokens"))
+          .join(keptPerDoc, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_chunks"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+            col("total_tokens"),
+            coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+            round(coalesce(col("kept_tokens"), lit(0L)) * lit(1.0) /
+              col("total_tokens"), 4).as("retained_frac"))
           .orderBy("doc_id")
       },
       Some("""WITH t AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w FROM documents),
