@@ -15,6 +15,32 @@ import org.apache.spark.sql.functions._
   */
 object Corpus11 {
 
+  /** q260's audit body, input-agnostic (docs needs `doc_id`, `text`).
+    * `hexWidth` sets the fingerprint width in md5 hex digits (the
+    * production interning uses 15 = 60 bits, Dedup.internExpr);
+    * Corpus11Spec instantiates it at width 1 (4 bits) on a synthetic
+    * corpus to prove the audit actually fires when fingerprints
+    * collide — a real 60-bit md5-prefix collision is not constructible
+    * in a test. */
+  private[graft] def fingerprintAudit(
+      docs: org.apache.spark.sql.DataFrame,
+      hexWidth: Int = 15): org.apache.spark.sql.DataFrame = {
+    val toks = "filter(split(lower(text), ' '), x -> x <> '')"
+    val fold = Corpus.hexFoldSpark(s"substring(md5(u), 1, $hexWidth)", hexWidth)
+    val perDoc = docs.select(
+        size(expr(s"array_distinct($toks)")).cast("long").as("ns"),
+        size(expr(s"array_distinct(transform($toks, u -> $fold))")).cast("long").as("nf"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("ns") =!= col("nf"), 1L).otherwise(0L)).as("n_docs_affected"))
+    val vocab = docs.select(explode(expr(toks)).as("u")).distinct()
+      .agg(count(lit(1)).as("n_vocab_tokens"),
+        countDistinct(expr(fold)).as("n_vocab_fps"))
+    perDoc.crossJoin(broadcast(vocab))
+      .select(col("n_docs"), col("n_docs_affected"),
+        col("n_vocab_tokens"), col("n_vocab_fps"),
+        (col("n_vocab_tokens") - col("n_vocab_fps")).as("n_vocab_collisions"))
+  }
+
   def defs: Seq[QueryDef] = Seq(
 
     QueryDef(
@@ -89,23 +115,7 @@ object Corpus11 {
       // vocab half is one distinct + one hash aggregate over the
       // exploded token stream; the two 1-row aggregates meet in a
       // scalar broadcast attach.
-      (s, dir) => {
-        val toks = "filter(split(lower(text), ' '), x -> x <> '')"
-        val fold = Corpus.hexFoldSpark("substring(md5(u), 1, 15)", 15)
-        val docs = Tables.documents(s, dir)
-        val perDoc = docs.select(
-            size(expr(s"array_distinct($toks)")).cast("long").as("ns"),
-            size(expr(s"array_distinct(transform($toks, u -> $fold))")).cast("long").as("nf"))
-          .agg(count(lit(1)).as("n_docs"),
-            sum(when(col("ns") =!= col("nf"), 1L).otherwise(0L)).as("n_docs_affected"))
-        val vocab = docs.select(explode(expr(toks)).as("u")).distinct()
-          .agg(count(lit(1)).as("n_vocab_tokens"),
-            countDistinct(expr(fold)).as("n_vocab_fps"))
-        perDoc.crossJoin(broadcast(vocab))
-          .select(col("n_docs"), col("n_docs_affected"),
-            col("n_vocab_tokens"), col("n_vocab_fps"),
-            (col("n_vocab_tokens") - col("n_vocab_fps")).as("n_vocab_collisions"))
-      },
+      (s, dir) => fingerprintAudit(Tables.documents(s, dir)),
       Some(s"""WITH t AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks FROM documents),
               |d AS (SELECT len(list_distinct(toks)) AS ns,
               |len(list_distinct(list_transform(toks, u -> ${Corpus.hexFoldDuck("substr(md5(u), 1, 15)", 15)}))) AS nf FROM t),

@@ -4,7 +4,10 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Behavioral checks for q259 — chunk-granularity dedup: a local
   * brute-force replay of the corpus-wide keep-first rule over q93's
-  * chunking, plus the defining conservation identities.
+  * chunking, plus the defining conservation identities — and for q260 —
+  * the token-interning collision audit: a local replay of the per-doc
+  * and vocabulary fingerprint arithmetic, plus a narrow-width synthetic
+  * fixture proving the audit fires when fingerprints do collide.
   */
 class Corpus11Spec extends AnyFunSuite with SparkSuite {
   import spark.implicits._
@@ -51,5 +54,52 @@ class Corpus11Spec extends AnyFunSuite with SparkSuite {
     assert(out.forall { case (_, nc, nk, tt, kt, rf) =>
       nk >= 0 && nk <= nc && kt <= tt && rf >= 0.0 && rf <= 1.0
     })
+  }
+
+  /** First 15 md5 hex digits of `u` as a 60-bit long — the local twin of
+    * Dedup.internExpr / q260's fold. */
+  private def fp60(u: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(u.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(8).map("%02x".format(_)).mkString.take(15), 16)
+  }
+
+  test("q260 fingerprint audit: local replay of the collision arithmetic") {
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val tokSets = docs.map { case (_, text) => toks(text).toSeq }
+    val affected = tokSets.count { w =>
+      w.distinct.size != w.map(fp60).distinct.size
+    }
+    val vocab = tokSets.flatten.distinct
+    val expected = (docs.length.toLong, affected.toLong,
+      vocab.size.toLong, vocab.map(fp60).distinct.size.toLong)
+
+    val Array(out) = SparkEntry.queries("q260_fingerprint_audit")(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert((out._1, out._2, out._3, out._4) == expected)
+    assert(out._5 == expected._3 - expected._4)
+    // the interning contract on the gate corpus: zero collisions — this
+    // is the premise that makes Dedup's interned Jaccard verify exact
+    assert(out._5 == 0L && out._2 == 0L)
+  }
+
+  test("q260 audit fires on forced collisions (4-bit fingerprint fixture)") {
+    // 40 distinct tokens through a 1-hex-digit (16-bucket) fingerprint:
+    // pigeonhole guarantees vocabulary collisions, and doc 1 (all 40
+    // tokens) must see ns > nf. Proves the arithmetic DETECTS collisions
+    // — a genuine 60-bit md5-prefix collision is not constructible.
+    val vocabToks = (0 until 40).map(i => s"tok$i")
+    val fixture = Seq(
+      (1L, vocabToks.mkString(" ")),
+      (2L, "tok0 tok1"),
+      (3L, "solo")).toDF("doc_id", "text")
+    val Array(r) = operators.Corpus11.fingerprintAudit(fixture, hexWidth = 1)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(r._1 == 3L)
+    assert(r._2 >= 1L)           // doc 1 is affected
+    assert(r._3 == 41L)          // 40 toks + "solo"
+    assert(r._4 <= 16L)          // 4-bit space
+    assert(r._5 == r._3 - r._4 && r._5 >= 25L)
   }
 }
