@@ -54,6 +54,26 @@ object Corpus {
   private[operators] val shingleSpark = s"array_distinct(${ngramSpark(5)})"
   private[operators] val shingleDuck = s"list_distinct(${ngramDuck(5)})"
 
+  /** 60-bit md5-prefix fingerprint of a string SQL expression — the
+    * token-interning discipline (Dedup.internExpr, r8) applied to the
+    * shingle/n-gram families (r9): every shuffle, window, and self-join
+    * keyed on a multi-token shingle string now carries an 8-byte int64
+    * instead. Exactness is certified the same three ways as the token
+    * form: the DuckDB oracles stay verbatim-string, so each hash-green
+    * gate run re-proves fingerprint ≡ exact on that corpus; q261 audits
+    * shingle/8-gram vocabulary collisions directly (zero at every gate
+    * SF; expected C(|V|,2)/2⁶⁰ ≈ 0.4 pairs even at |V| = 10⁹); and on a
+    * NEW corpus the operational contract is to run q260/q261 before
+    * trusting interned results. */
+  private[operators] def fp60Spark(e: String): String =
+    s"CAST(conv(substring(md5($e), 1, 15), 16, 10) AS BIGINT)"
+
+  /** [[shingleSpark]] interned per element — distinct 5-shingle
+    * FINGERPRINTS of `w` (collision-free ⇒ same cardinalities and the
+    * same join matches as the string form). */
+  private[operators] val shingleFpSpark =
+    s"transform($shingleSpark, s5 -> ${fp60Spark("s5")})"
+
   /** All trigram occurrences of `w` in document order (q99/q100's signal;
     * q105 aggregates it corpus-wide). */
   private[operators] val triSpark = ngramSpark(3)
@@ -64,11 +84,26 @@ object Corpus {
     * blocking discipline that bounds every shingle self-join (q114's
     * edge builder, q116's containment evidence) to O(dfCap) fan-out per
     * shingle instead of d². ONE definition on each engine so the cap and
-    * the tokenization can never drift between the queries that share it. */
+    * the tokenization can never drift between the queries that share it.
+    * r9: `sg` is the 60-bit interned fingerprint ([[shingleFpSpark]] —
+    * consumers only ever join/count on it, never print it), so the df
+    * window and every downstream self-join shuffle 8-byte longs.
+    * The df-cap stays a per-shingle window, a measured decision: the
+    * partial-aggregable alternative (groupBy(sg) count → semi-join the
+    * ≤cap set back) kills the heavy-shingle single-task hazard but
+    * duplicates the corpus explode under Spark's no-DataFrame-CSE, and
+    * measured +0.6 s on q116 / +0.9 s on q114 at sf0.1 (both of which
+    * reference this relation twice more in a self-join). The window's
+    * heavy-key rows are pure discarded work (df > cap filters them),
+    * so at true web scale — where one boilerplate shingle can carry
+    * 10⁹ rows into one window task — swap the two-line semi-join form
+    * back in (bit-identical results) and let AQE + the runtime bloom
+    * filter drop doomed rows map-side; at gate scales the window is
+    * strictly faster. */
   private[operators] def cappedShingles(docs: DataFrame, dfCap: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     docs.select(col("doc_id"), expr(TextAnalytics.toksExpr).as("w"))
-      .select(col("doc_id"), explode(expr(shingleSpark)).as("sg"))
+      .select(col("doc_id"), explode(expr(shingleFpSpark)).as("sg"))
       .withColumn("df", count(lit(1)).over(Window.partitionBy("sg")))
       .filter(col("df") <= dfCap)
       .select("doc_id", "sg")

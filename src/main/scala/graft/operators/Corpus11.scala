@@ -9,9 +9,10 @@ import org.apache.spark.sql.functions._
   * back to per-document retention so downstream mixing can reason about
   * what survived — and the token-interning collision audit that backs
   * the LSH family's fingerprint-based Jaccard verify (Dedup.scala r8).
-  * The reference's own dedup is whole-record keep-first
-  * (scrappy.py:316,334-335); both queries here are "beyond the
-  * reference" training-pipeline extensions of that contract.
+  * q261 (r9) extends the audit to the shingle/8-gram families once
+  * those were interned too. The reference's own dedup is whole-record
+  * keep-first (scrappy.py:316,334-335); all queries here are "beyond
+  * the reference" training-pipeline extensions of that contract.
   */
 object Corpus11 {
 
@@ -39,6 +40,42 @@ object Corpus11 {
       .select(col("n_docs"), col("n_docs_affected"),
         col("n_vocab_tokens"), col("n_vocab_fps"),
         (col("n_vocab_tokens") - col("n_vocab_fps")).as("n_vocab_collisions"))
+  }
+
+  /** q261's audit body, input-agnostic (docs needs `doc_id`, `text`) and
+    * width-parameterized like [[fingerprintAudit]]: production interning
+    * uses 15 hex digits (60 bits); Corpus11Spec instantiates width 1
+    * (4 bits) on a synthetic corpus to prove the n-gram audit fires on a
+    * real fingerprint collision. */
+  private[graft] def ngramFingerprintAudit(
+      docs: org.apache.spark.sql.DataFrame,
+      hexWidth: Int = 15): org.apache.spark.sql.DataFrame = {
+    def fp(e: String) =
+      Corpus.hexFoldSpark(s"substring(md5($e), 1, $hexWidth)", hexWidth)
+    val t = docs.select(col("doc_id"), expr(TextAnalytics.toksExpr).as("w"))
+    val sh5Fp = s"transform(${Corpus.shingleSpark}, s5 -> ${fp("s5")})"
+    val g8 = s"array_distinct(${Corpus.ngramSpark(8)})"
+    val g8Fp = s"transform($g8, g8 -> ${fp("g8")})"
+    val perDoc = t.select(
+        size(expr(Corpus.shingleSpark)).cast("long").as("ns5"),
+        size(expr(s"array_distinct($sh5Fp)")).cast("long").as("nf5"),
+        size(expr(g8)).cast("long").as("ns8"),
+        size(expr(s"array_distinct($g8Fp)")).cast("long").as("nf8"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("ns5") =!= col("nf5"), 1L).otherwise(0L)).as("n_docs_affected_sh5"),
+        sum(when(col("ns8") =!= col("nf8"), 1L).otherwise(0L)).as("n_docs_affected_g8"))
+    def vocab(arr: String, n: String, nFps: String) =
+      t.select(explode(expr(arr)).as("g")).distinct()
+        .agg(count(lit(1)).as(n),
+          countDistinct(expr(fp("g"))).as(nFps))
+    perDoc
+      .crossJoin(broadcast(vocab(Corpus.shingleSpark, "n_sh5", "n_sh5_fps")))
+      .crossJoin(broadcast(vocab(g8, "n_g8", "n_g8_fps")))
+      .select(col("n_docs"), col("n_docs_affected_sh5"), col("n_docs_affected_g8"),
+        col("n_sh5"), col("n_sh5_fps"),
+        (col("n_sh5") - col("n_sh5_fps")).as("n_sh5_collisions"),
+        col("n_g8"), col("n_g8_fps"),
+        (col("n_g8") - col("n_g8_fps")).as("n_g8_collisions"))
   }
 
   def defs: Seq[QueryDef] = Seq(
@@ -116,6 +153,53 @@ object Corpus11 {
       // exploded token stream; the two 1-row aggregates meet in a
       // scalar broadcast attach.
       (s, dir) => fingerprintAudit(Tables.documents(s, dir)),
+      qFpAuditOracle),
+
+    QueryDef(
+      "q261_ngram_fp_audit",
+      // 60-BIT SHINGLE / 8-GRAM INTERNING COLLISION AUDIT — q260's
+      // discipline extended to the n-gram families interned in r9: the
+      // df-capped 5-shingle joins (q107/q114/q116/q143 rung 2) and the
+      // positional-8-gram span pipeline (q117/q120/q127) now key on
+      // md5-prefix int64 fingerprints, which is exact iff no two
+      // distinct n-grams share a fingerprint. Measured directly, per
+      // n-gram width: per-document (distinct n-grams vs distinct
+      // fingerprints — a difference means a within-doc collision that
+      // would perturb a contamination fraction, containment ratio, or
+      // span match) and corpus-wide vocabulary. Expected collisions at
+      // 60 bits are C(|V|,2)/2⁶⁰ ≈ 0.4 even at a 10⁹-gram vocabulary;
+      // on this corpus the audit certifies exactly zero. Scale shape:
+      // the per-doc halves are map-side array arithmetic; each vocab
+      // half is one distinct + one hash aggregate; the 1-row aggregates
+      // meet in scalar broadcast attaches.
+      (s, dir) => ngramFingerprintAudit(Tables.documents(s, dir)),
+      {
+        val fold15 = Corpus.hexFoldDuck("h", 15)
+        def foldList(lst: String) =
+          s"list_distinct(list_transform(list_transform($lst, x -> substr(md5(x), 1, 15)), h -> $fold15))"
+        val g8Duck = s"list_distinct(${Corpus.ngramDuck(8)})"
+        Some(s"""WITH t AS (SELECT doc_id, ${TextAnalytics.toksDuck} AS w FROM documents),
+                |d AS (SELECT len(${Corpus.shingleDuck}) AS ns5,
+                |len(${foldList(Corpus.shingleDuck)}) AS nf5,
+                |len($g8Duck) AS ns8,
+                |len(${foldList(g8Duck)}) AS nf8 FROM t),
+                |pd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                |CAST(sum(CASE WHEN ns5 <> nf5 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_affected_sh5,
+                |CAST(sum(CASE WHEN ns8 <> nf8 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_affected_g8 FROM d),
+                |v5a AS (SELECT DISTINCT unnest(${Corpus.shingleDuck}) AS g FROM t),
+                |v5 AS (SELECT CAST(count(*) AS BIGINT) AS n_sh5,
+                |CAST(count(DISTINCT ${Corpus.hexFoldDuck("substr(md5(g), 1, 15)", 15)}) AS BIGINT) AS n_sh5_fps FROM v5a),
+                |v8a AS (SELECT DISTINCT unnest($g8Duck) AS g FROM t),
+                |v8 AS (SELECT CAST(count(*) AS BIGINT) AS n_g8,
+                |CAST(count(DISTINCT ${Corpus.hexFoldDuck("substr(md5(g), 1, 15)", 15)}) AS BIGINT) AS n_g8_fps FROM v8a)
+                |SELECT n_docs, n_docs_affected_sh5, n_docs_affected_g8,
+                |n_sh5, n_sh5_fps, n_sh5 - n_sh5_fps AS n_sh5_collisions,
+                |n_g8, n_g8_fps, n_g8 - n_g8_fps AS n_g8_collisions
+                |FROM pd, v5, v8""".stripMargin.replace("\n", " "))
+      })
+  )
+
+  private val qFpAuditOracle =
       Some(s"""WITH t AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks FROM documents),
               |d AS (SELECT len(list_distinct(toks)) AS ns,
               |len(list_distinct(list_transform(toks, u -> ${Corpus.hexFoldDuck("substr(md5(u), 1, 15)", 15)}))) AS nf FROM t),
@@ -125,6 +209,5 @@ object Corpus11 {
               |v AS (SELECT CAST(count(*) AS BIGINT) AS n_vocab_tokens,
               |CAST(count(DISTINCT ${Corpus.hexFoldDuck("substr(md5(u), 1, 15)", 15)}) AS BIGINT) AS n_vocab_fps FROM v0)
               |SELECT n_docs, n_docs_affected, n_vocab_tokens, n_vocab_fps,
-              |n_vocab_tokens - n_vocab_fps AS n_vocab_collisions FROM pd, v""".stripMargin.replace("\n", " ")))
-  )
+              |n_vocab_tokens - n_vocab_fps AS n_vocab_collisions FROM pd, v""".stripMargin.replace("\n", " "))
 }

@@ -101,8 +101,15 @@ object Corpus2 {
     * q117 aggregates it into per-pair evidence; q120 turns it into the
     * scrub action. */
   def sharedSpanIslands(docs: DataFrame): DataFrame = {
+    // positional 8-grams ride as 60-bit interned fingerprints (r9): the
+    // df-cap aggregate and the pair equi-join key 8-byte longs instead
+    // of 8-token strings; positions (the actual output) are untouched.
+    // Exactness: string-form oracles re-certify per gate run; q261
+    // audits the 8-gram vocabulary for fingerprint collisions.
     val g = docs.select(col("doc_id"), expr(toksExpr).as("w"))
-      .select(col("doc_id"), posexplode(expr(Corpus.ngramSpark(8))).as(Seq("pos", "g")))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(${Corpus.ngramSpark(8)}, g8 -> ${Corpus.fp60Spark("g8")})"))
+        .as(Seq("pos", "g")))
     val dfOk = g.groupBy("g").agg(countDistinct("doc_id").as("df"))
       .filter(col("df") <= 8).select("g")
     val capped = g.join(dfOk, "g")
@@ -549,11 +556,14 @@ object Corpus2 {
       // the eval docs (3, 7). The eval shingle set is tiny at any
       // scale → broadcast; the corpus side is one explode + one
       // per-doc aggregate. Eval docs themselves score 1.0 (the spec
-      // pins this).
+      // pins this). Shingles ride as 60-bit interned fingerprints
+      // (Corpus.shingleFpSpark, r9) — the broadcast set and the probe
+      // column are 8-byte longs; the string-form oracle re-certifies
+      // exactness every gate run and q261 audits collisions.
       (s, dir) => {
         val sh = Tables.documents(s, dir)
           .select(col("doc_id"), expr(toksExpr).as("w"))
-          .select(col("doc_id"), explode(expr(Corpus.shingleSpark)).as("shingle"))
+          .select(col("doc_id"), explode(expr(Corpus.shingleFpSpark)).as("shingle"))
         val ev = sh.filter(col("doc_id").isInCollection(Seq(3L, 7L)))
           .select("shingle").distinct().withColumn("hit", lit(1))
         sh.join(broadcast(ev), Seq("shingle"), "left")

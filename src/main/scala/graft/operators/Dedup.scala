@@ -122,7 +122,14 @@ object Dedup {
     * audits the actual corpus (zero collisions at every gate SF). The
     * DuckDB oracles stay in EXACT string form — every hash-green gate
     * run therefore re-certifies that the fingerprint Jaccard equals the
-    * exact one on that data. */
+    * exact one on that data.
+    *
+    * OPERATIONAL CONTRACT: the gate/audit safety net only covers
+    * corpora it has run on. On any NEW corpus, run q260 (tokens; q261
+    * for the shingle/8-gram families) once before trusting interned
+    * results — one cheap distinct-vs-distinct aggregate — and a nonzero
+    * `n_vocab_collisions` means the verify must fall back to the exact
+    * string form (`exact = true`). */
   private val internExpr =
     "array_distinct(transform(w, u -> CAST(conv(substring(md5(u), 1, 15), 16, 10) AS BIGINT)))"
 
@@ -714,8 +721,11 @@ object Dedup {
           .select(col("doc_id"), TextAnalytics.fpExactCol.as("fp"))
           .join(broadcast(evFp), Seq("fp"), "left")
           .select(col("doc_id"), coalesce(col("ex"), lit(false)).as("exact_hit"))
+        // rung 2's shingles ride as 60-bit interned fingerprints
+        // (Corpus.shingleFpSpark, r9) — broadcast set + probe are longs;
+        // the string-form oracle re-certifies exactness, q261 audits.
         val sh = docs.select(col("doc_id"), expr(TextAnalytics.toksExpr).as("w"))
-          .select(col("doc_id"), explode(expr(Corpus.shingleSpark)).as("shingle"))
+          .select(col("doc_id"), explode(expr(Corpus.shingleFpSpark)).as("shingle"))
         val evSh = sh.filter(col("doc_id") % 10 === 1)
           .select("shingle").distinct().withColumn("hit", lit(1))
         val ng = sh.filter(col("doc_id") % 10 =!= 1)
