@@ -422,6 +422,45 @@ object StatefulOps {
       }
   }
 
+  final case class ChunkIn(doc_id: Long, chunk_idx: Long, n_tokens: Long, fp: String)
+  final case class ChunkDecision(doc_id: Long, chunk_idx: Long, n_tokens: Long,
+      kept: Boolean)
+
+  /** Streaming twin of q259's chunk-granularity keep-first dedup — the
+    * incremental production form of CCNet/RefinedWeb paragraph dedup: as
+    * chunked documents stream in, keyed state on the chunk fingerprint
+    * records the chunk's FIRST OWNER (doc_id, chunk_idx); the owner's
+    * row is emitted kept=true, every later duplicate kept=false. The
+    * q204 arrival-order discipline applies: WITHIN a micro-batch, rows
+    * sharing a fingerprint are resolved in q259's batch order
+    * (doc_id, chunk_idx); ACROSS batches, first arrival owns — so a
+    * corpus replayed in doc order (one AvailableNow batch, or doc-ranged
+    * files in order) reproduces q259's min(struct) winner exactly
+    * (StatefulStreamingSpec proves both), while an out-of-order replay
+    * is the documented arrival-order policy every incremental dedup
+    * service actually runs. State per distinct chunk is two longs — at
+    * web scale the store holds one entry per UNIQUE chunk (that is the
+    * irreducible memory of incremental exact dedup; use the RocksDB
+    * state store provider and the fingerprint-partitioned key space
+    * spreads it across executors). Input rows arrive pre-chunked
+    * (Corpus.chunkTokens is stateless, so it runs on the stream) with
+    * fp = md5(chunk), matching q259's keying. */
+  def chunkDedupStream(chunks: Dataset[ChunkIn]): Dataset[ChunkDecision] = {
+    import chunks.sparkSession.implicits._
+    chunks.groupByKey(_.fp)
+      .flatMapGroupsWithState[(Long, Long), ChunkDecision](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[ChunkIn], state: GroupState[(Long, Long)]) =>
+          val sorted = rows.toArray.sortBy(c => (c.doc_id, c.chunk_idx))
+          val newOwner = state.getOption.isEmpty
+          if (newOwner)
+            state.update((sorted.head.doc_id, sorted.head.chunk_idx))
+          sorted.iterator.zipWithIndex.map { case (c, i) =>
+            ChunkDecision(c.doc_id, c.chunk_idx, c.n_tokens, newOwner && i == 0)
+          }
+      }
+  }
+
   final case class DocBit(b: Long, doc_id: Long, x: Int)
   final case class RunSeg(b: Long, n: Long, firstx: Int, lastx: Int, chg: Long)
 

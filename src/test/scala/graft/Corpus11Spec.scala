@@ -7,7 +7,8 @@ import org.scalatest.funsuite.AnyFunSuite
   * chunking, plus the defining conservation identities — and for q260 —
   * the token-interning collision audit: a local replay of the per-doc
   * and vocabulary fingerprint arithmetic, plus a narrow-width synthetic
-  * fixture proving the audit fires when fingerprints do collide.
+  * fixture proving the audit fires when fingerprints do collide — and
+  * for q261, the same two checks for the shingle/8-gram widths.
   */
 class Corpus11Spec extends AnyFunSuite with SparkSuite {
   import spark.implicits._
@@ -82,6 +83,54 @@ class Corpus11Spec extends AnyFunSuite with SparkSuite {
     // the interning contract on the gate corpus: zero collisions — this
     // is the premise that makes Dedup's interned Jaccard verify exact
     assert(out._5 == 0L && out._2 == 0L)
+  }
+
+  private def ngrams(w: Seq[String], n: Int): Seq[String] =
+    if (w.length < n) Seq.empty
+    else w.sliding(n).filter(_.length == n).map(_.mkString(" ")).toSeq
+
+  test("q261 n-gram fingerprint audit: local replay of the collision arithmetic") {
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val tokSeqs = docs.map { case (_, text) => toks(text).toSeq }
+    def half(n: Int): (Long, Long, Long) = {
+      val per = tokSeqs.map(w => ngrams(w, n).distinct)
+      val affected = per.count(g => g.size != g.map(fp60).distinct.size)
+      val vocab = per.flatten.distinct
+      (affected.toLong, vocab.size.toLong, vocab.map(fp60).distinct.size.toLong)
+    }
+    val (aff5, v5, f5) = half(5)
+    val (aff8, v8, f8) = half(8)
+
+    val Array(out) = SparkEntry.queries("q261_ngram_fp_audit")(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(out == ((docs.length.toLong, aff5, aff8,
+      v5, f5, v5 - f5, v8, f8, v8 - f8)))
+    // the premise that makes the r9 shingle/8-gram interning exact on
+    // the gate corpus: zero collisions at either width
+    assert(out._6 == 0L && out._9 == 0L && out._2 == 0L && out._3 == 0L)
+  }
+
+  test("q261 audit fires on forced collisions (4-bit fingerprint fixture)") {
+    // 40 six-token docs → 2 distinct 5-shingles each (80 distinct
+    // shingle strings through a 16-bucket fingerprint: vocabulary
+    // collisions by pigeonhole) and ZERO 8-grams (too short — the
+    // per-doc arithmetic must pass through empties, not fail); plus one
+    // 22-token doc whose 18 distinct shingles can't fit 16 buckets, so
+    // a WITHIN-doc collision (n_docs_affected_sh5 ≥ 1) is guaranteed,
+    // and whose 15 8-grams populate the g8 half.
+    val fixture = ((0 until 40).map { i =>
+      (i.toLong, s"a$i b$i c$i d$i e$i f$i")
+    } :+ (100L, (0 until 22).map(j => s"g$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val Array(r) = operators.Corpus11.ngramFingerprintAudit(fixture, hexWidth = 1)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(r._1 == 41L)
+    assert(r._2 >= 1L)                  // doc 100: 18 shingles, 16 buckets
+    assert(r._4 == 98L)                 // 40 × 2 + 18 distinct shingles
+    assert(r._5 <= 16L && r._6 == r._4 - r._5 && r._6 >= 82L)
+    assert(r._7 == 15L && r._8 <= 15L && r._9 == r._7 - r._8)
+    assert(r._3 <= 1L)                  // only doc 100 even has 8-grams
   }
 
   test("q260 audit fires on forced collisions (4-bit fingerprint fixture)") {

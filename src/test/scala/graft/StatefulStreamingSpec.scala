@@ -417,6 +417,80 @@ class StatefulStreamingSpec extends AnyFunSuite with SparkSuite {
     assert(segs.map(_._2).sum == n)
   }
 
+  private def chunkDecisionRetention(table: String) =
+    spark.table(table)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when($"kept", 1L).otherwise(0L)).as("n_kept"),
+        sum("n_tokens").as("total_tokens"),
+        sum(when($"kept", $"n_tokens").otherwise(0L)).as("kept_tokens"))
+      .withColumn("retained_frac",
+        round($"kept_tokens" * lit(1.0) / $"total_tokens", 4))
+      .select("doc_id", "n_chunks", "n_kept", "total_tokens",
+        "kept_tokens", "retained_frac")
+
+  private def stagedChunks(dir: String, stage: java.nio.file.Path,
+      nFiles: Int): (org.apache.spark.sql.DataFrame, Long => Int) = {
+    // doc-ranged files staged in doc_id order (modtime-ordered replay),
+    // so cross-batch first-arrival matches q259's (doc_id, chunk_idx) min
+    val prepared = operators.Corpus.chunkTokens(Tables.documents(spark, dir))
+      .withColumn("fp", md5($"chunk"))
+      .select("doc_id", "chunk_idx", "n_tokens", "fp")
+    val ids = prepared.select($"doc_id").distinct()
+      .as[Long].collect().sorted
+    val groups = ids.grouped((ids.length + nFiles - 1) / nFiles).toSeq
+    groups.zipWithIndex.foreach { case (chunk, i) =>
+      if (i > 0) Thread.sleep(1100)
+      prepared.filter($"doc_id".isin(chunk: _*))
+        .coalesce(1).write.mode("append").parquet(stage.toString)
+    }
+    val fileOf = groups.zipWithIndex
+      .flatMap { case (g, i) => g.map(_ -> i) }.toMap
+    (prepared, fileOf)
+  }
+
+  test("streaming chunk dedup over one replay batch equals q259's retention table") {
+    val dir = "/root/testdata/sf0.01"
+    val stage = java.nio.file.Files.createTempDirectory("graft_chunk_stage1")
+    val (prepared, _) = stagedChunks(dir, stage, 1)
+    val q = StatefulOps.chunkDedupStream(
+        spark.readStream.schema(prepared.schema).parquet(stage.toString)
+          .as[StatefulOps.ChunkIn]).writeStream
+      .outputMode("append").format("memory").queryName("chunk_dedup1")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val fin = chunkDecisionRetention("chunk_dedup1")
+    val batch = SparkEntry.queries("q259_chunk_dedup")(spark, dir)
+    assert(fin.count() > 0)
+    assert(batch.exceptAll(fin).count() == 0)
+    assert(fin.exceptAll(batch).count() == 0)
+  }
+
+  test("streaming chunk dedup carries first-owner state across micro-batches") {
+    val dir = "/root/testdata/sf0.01"
+    val stage = java.nio.file.Files.createTempDirectory("graft_chunk_stage3")
+    val (prepared, fileOf) = stagedChunks(dir, stage, 3)
+    val q = StatefulOps.chunkDedupStream(
+        spark.readStream.schema(prepared.schema)
+          .option("maxFilesPerTrigger", 1).parquet(stage.toString)
+          .as[StatefulOps.ChunkIn]).writeStream
+      .outputMode("append").format("memory").queryName("chunk_dedup3")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // a cross-batch duplicate really exercised state: some chunk whose
+    // owner arrived in an earlier file was rejected in a later one
+    val crossFile = prepared.groupBy("fp")
+      .agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
+      .as[(String, Long, Long)].collect()
+      .count { case (_, lo, hi) => fileOf(lo) != fileOf(hi) }
+    assert(crossFile > 0,
+      "fixture has no cross-file duplicate chunks — multi-batch path untested")
+    val fin = chunkDecisionRetention("chunk_dedup3")
+    val batch = SparkEntry.queries("q259_chunk_dedup")(spark, dir)
+    assert(batch.exceptAll(fin).count() == 0)
+    assert(fin.exceptAll(batch).count() == 0)
+  }
+
   test("streaming dedup by event_id keeps exactly the distinct ids") {
     val q = StreamingTwin.dedupStream(stagedEventStream()).writeStream
       .outputMode("append").format("memory").queryName("dedup_stream")
