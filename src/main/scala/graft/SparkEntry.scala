@@ -33,6 +33,7 @@ object SparkEntry {
       operators.Corpus9.defs ++
       operators.Corpus10.defs ++
       operators.Corpus11.defs ++
+      operators.Corpus12.defs ++
       sources.Articles.defs ++
       ml.MlQueries.defs
 

@@ -1,0 +1,213 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Round-9 corpus operators: the two production text-pipeline gates the
+  * board did not yet carry — PII redaction (every web-corpus pipeline
+  * scrubs emails/phones/IPs before training) and the Gopher-style
+  * within-document repetition battery (Rae et al. 2021, "Scaling
+  * Language Models: ... Gopher", table A1 — top-n-gram character
+  * fraction and duplicate-n-gram character coverage). Both are "beyond
+  * the reference" training-pipeline extensions; the reference has no
+  * text hygiene at all (scrappy.py stores abstracts verbatim).
+  */
+object Corpus12 {
+
+  import TextAnalytics.toksExpr
+
+  // The three redaction patterns, identical bytes on both engines (Java
+  // regex on the Spark side, RE2 in the DuckDB oracle — these constructs
+  // — classes, \b, \d, {m,n} — behave identically in both).
+  private val emailPat = """[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"""
+  private val phonePat = """\b\d{3}-\d{3}-\d{4}\b"""
+  private val ipPat = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
+
+  /** q262's deterministic PII injection: the synthetic corpus contains
+    * no natural PII, so the query derives a "dirty" twin of each
+    * document from doc_id (the fixture-transport idiom of the S1-S5
+    * sources) and the scrub then has real, oracle-checkable work. Both
+    * engines build the identical string. */
+  private def dirtyCol = concat(col("text"),
+    when(col("doc_id") % 3 === 0,
+      concat(lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.com now"))).otherwise(lit("")),
+    when(col("doc_id") % 4 === 1,
+      concat(lit(" call 415-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" today"))).otherwise(lit("")),
+    when(col("doc_id") % 5 === 2,
+      concat(lit(" from 10."), (col("doc_id") % 256).cast("string"),
+        lit(".0.1 addr"))).otherwise(lit("")))
+
+  private val dirtyDuck =
+    """text
+      | || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com now' ELSE '' END
+      | || CASE WHEN doc_id % 4 = 1 THEN ' call 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today' ELSE '' END
+      | || CASE WHEN doc_id % 5 = 2 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1 addr' ELSE '' END"""
+      .stripMargin.replace("\n", "")
+
+  /** q262's body, input-agnostic (docs needs `doc_id`, `text`): per-doc
+    * PII counts by category, the redacted text, and the residual-free
+    * invariant. Pure stateless map — no shuffle at any corpus size. */
+  private[graft] def piiScrub(docs: DataFrame): DataFrame = {
+    def n(c: org.apache.spark.sql.Column, pat: String) =
+      size(regexp_extract_all(c, lit(pat), lit(0))).cast("long")
+    docs.select(col("doc_id"), dirtyCol.as("t"))
+      .select(col("doc_id"),
+        n(col("t"), emailPat).as("n_emails"),
+        n(col("t"), phonePat).as("n_phones"),
+        n(col("t"), ipPat).as("n_ips"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("t"), emailPat, "[EMAIL]"),
+            phonePat, "[PHONE]"),
+          ipPat, "[IP]").as("scrubbed"))
+      .select(col("doc_id"), col("n_emails"), col("n_phones"), col("n_ips"),
+        (col("n_emails") + col("n_phones") + col("n_ips")).as("pii_total"),
+        col("scrubbed"),
+        (n(col("scrubbed"), emailPat) + n(col("scrubbed"), phonePat) +
+          n(col("scrubbed"), ipPat) === 0).as("clean"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-doc character fraction of the single most frequent n-gram
+    * (Gopher's "top n-gram character fraction"; the NeMo-Curator/Dolma
+    * counting convention: occurrences × n-gram characters, spaces
+    * excluded, over total non-space characters). Tie-break: max freq,
+    * then max char length, then lexicographically largest gram — total
+    * and identical on both engines. */
+  private[graft] def topGramChars(t: DataFrame, n: Int, alias: String): DataFrame =
+    t.select(col("doc_id"), explode(expr(Corpus.ngramSpark(n))).as("gram"))
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("cnt"))
+      .withColumn("chars", (length(col("gram")) - lit(n - 1)).cast("long"))
+      .groupBy("doc_id")
+      .agg(max(struct(col("cnt"), col("chars"), col("gram"))).as("wr"))
+      .select(col("doc_id"), (col("wr.cnt") * col("wr.chars")).as(alias))
+
+  /** Per-doc characters covered by ANY occurrence of a within-doc
+    * duplicated n-gram (Gopher's "duplicate n-gram character fraction";
+    * overlapping occurrences counted once via the position-set union —
+    * the interval-union convention NeMo-Curator implements). */
+  private[graft] def dupCoverageChars(t: DataFrame, n: Int, alias: String): DataFrame = {
+    val o = t.select(col("doc_id"),
+      posexplode(expr(Corpus.ngramSpark(n))).as(Seq("pos", "gram")))
+    val d = o.groupBy("doc_id", "gram").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2).select("doc_id", "gram")
+    val cov = o.join(d, Seq("doc_id", "gram"))
+      .select(col("doc_id"),
+        explode(expr(s"sequence(pos, pos + ${n - 1})")).as("p"))
+      .distinct()
+    val tok = t.select(col("doc_id"), posexplode(col("w")).as(Seq("p", "tok")))
+      .select(col("doc_id"), col("p"), length(col("tok")).cast("long").as("len"))
+    cov.join(tok, Seq("doc_id", "p")).groupBy("doc_id").agg(sum("len").as(alias))
+  }
+
+  /** q263's body: the five-signal repetition battery + keep gate.
+    * PRODUCTION NOTE: Gopher's published battery runs top-{2,3,4} and
+    * duplicate-{5..10}; this instantiation keeps Gopher's top-{2,3,4}
+    * thresholds (0.20/0.18/0.16) but runs coverage at n = {2,3}
+    * (thresholds 0.20/0.10) because the synthetic corpus contains zero
+    * duplicate 5-grams — the plan shape is n-independent, so the
+    * production widths are the same query with different constants
+    * (Corpus12Spec proves the coverage logic at n = 5 on a fixture). */
+  private[graft] def repetitionBattery(docs: DataFrame): DataFrame = {
+    val t = docs.select(col("doc_id"), expr(toksExpr).as("w"),
+      expr("CAST(length(replace(text, ' ', '')) AS BIGINT)").as("tc"))
+    def frac(c: String) =
+      round(coalesce(col(c), lit(0L)) * lit(1.0) / col("tc"), 4)
+    t.join(topGramChars(t, 2, "c2"), Seq("doc_id"), "left")
+      .join(topGramChars(t, 3, "c3"), Seq("doc_id"), "left")
+      .join(topGramChars(t, 4, "c4"), Seq("doc_id"), "left")
+      .join(dupCoverageChars(t, 2, "v2"), Seq("doc_id"), "left")
+      .join(dupCoverageChars(t, 3, "v3"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        frac("c2").as("top2_frac"), frac("c3").as("top3_frac"),
+        frac("c4").as("top4_frac"),
+        frac("v2").as("dup2_frac"), frac("v3").as("dup3_frac"))
+      .withColumn("keep",
+        col("top2_frac") <= 0.20 && col("top3_frac") <= 0.18 &&
+          col("top4_frac") <= 0.16 &&
+          col("dup2_frac") <= 0.20 && col("dup3_frac") <= 0.10)
+      .orderBy("doc_id")
+  }
+
+  private def topGramDuckCte(n: Int): String =
+    s"""g$n AS (SELECT doc_id, unnest(${Corpus.ngramDuck(n)}) AS gram FROM t),
+       |c$n AS (SELECT doc_id, gram, count(*) AS cnt,
+       |CAST(length(gram) - ${n - 1} AS BIGINT) AS chars FROM g$n GROUP BY 1, 2),
+       |t$n AS (SELECT doc_id, max({'cnt': cnt, 'chars': chars, 'gram': gram}) AS wr FROM c$n GROUP BY 1),
+       |f$n AS (SELECT doc_id, wr.cnt * wr.chars AS topc FROM t$n)""".stripMargin
+
+  private def dupCovDuckCte(n: Int): String =
+    s"""o$n AS (SELECT doc_id, i AS pos, ${Corpus.ngramAtDuck(n)} AS gram
+       |FROM t, LATERAL (SELECT unnest(generate_series(1, len(w)-${n - 1})) AS i) s$n WHERE len(w) >= $n),
+       |d$n AS (SELECT doc_id, gram FROM o$n GROUP BY 1, 2 HAVING count(*) >= 2),
+       |v$n AS (SELECT DISTINCT o.doc_id, o.pos + k AS p FROM o$n o JOIN d$n USING (doc_id, gram),
+       |LATERAL (SELECT unnest(generate_series(0, ${n - 1})) AS k) k$n),
+       |l$n AS (SELECT v.doc_id, CAST(sum(length(t.w[v.p])) AS BIGINT) AS covc
+       |FROM v$n v JOIN t ON t.doc_id = v.doc_id GROUP BY 1)""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "q262_pii_scrub",
+      // PII REDACTION GATE: per-document email/phone/IPv4 detection
+      // counts, category-tagged redaction ([EMAIL]/[PHONE]/[IP]), and
+      // the residual-free invariant, over a deterministic doc_id-derived
+      // dirty twin of the corpus (the synthetic fixture has no natural
+      // PII; injection is the fixture-transport idiom). Scale shape:
+      // completely stateless map-side regex work inside one projection —
+      // zero shuffles at any corpus size, embarrassingly parallel at
+      // 100 TB; the only exchange in the plan is the presentation sort.
+      (s, dir) => piiScrub(Tables.documents(s, dir)),
+      Some(s"""WITH dirty AS (SELECT doc_id, $dirtyDuck AS t FROM documents),
+              |s AS (SELECT doc_id, t,
+              |CAST(len(regexp_extract_all(t, '$emailPat')) AS BIGINT) AS n_emails,
+              |CAST(len(regexp_extract_all(t, '$phonePat')) AS BIGINT) AS n_phones,
+              |CAST(len(regexp_extract_all(t, '$ipPat')) AS BIGINT) AS n_ips,
+              |regexp_replace(regexp_replace(regexp_replace(t,
+              |'$emailPat', '[EMAIL]', 'g'), '$phonePat', '[PHONE]', 'g'),
+              |'$ipPat', '[IP]', 'g') AS scrubbed FROM dirty)
+              |SELECT doc_id, n_emails, n_phones, n_ips,
+              |n_emails + n_phones + n_ips AS pii_total, scrubbed,
+              |(len(regexp_extract_all(scrubbed, '$emailPat'))
+              | + len(regexp_extract_all(scrubbed, '$phonePat'))
+              | + len(regexp_extract_all(scrubbed, '$ipPat'))) = 0 AS clean
+              |FROM s ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q263_repetition_battery",
+      // GOPHER REPETITION BATTERY (Rae et al. 2021 A1): per-doc top
+      // n-gram character fraction (n=2,3,4) + duplicate n-gram character
+      // coverage (position-set union, n=2,3 on this corpus — see
+      // repetitionBattery scaladoc) + the AND-of-thresholds keep gate.
+      // Scale shape: each signal is one (doc_id, gram)-keyed hash
+      // aggregate (partial-aggregable, high-cardinality keys — no skew
+      // hazard beyond a boilerplate gram, which AQE splits); the
+      // coverage union is a (doc_id, p)-keyed distinct bounded by n x
+      // positions; everything meets in doc_id-keyed joins. No windows,
+      // no corpus-sized sort except the presentation ORDER BY.
+      (s, dir) => repetitionBattery(Tables.documents(s, dir)),
+      Some(s"""WITH t AS (SELECT doc_id, ${TextAnalytics.toksDuck} AS w,
+              |CAST(length(replace(text, ' ', '')) AS BIGINT) AS tc FROM documents),
+              |${topGramDuckCte(2)}, ${topGramDuckCte(3)}, ${topGramDuckCte(4)},
+              |${dupCovDuckCte(2)}, ${dupCovDuckCte(3)}
+              |SELECT t.doc_id,
+              |round(coalesce(f2.topc, 0) * 1.0 / tc, 4) AS top2_frac,
+              |round(coalesce(f3.topc, 0) * 1.0 / tc, 4) AS top3_frac,
+              |round(coalesce(f4.topc, 0) * 1.0 / tc, 4) AS top4_frac,
+              |round(coalesce(l2.covc, 0) * 1.0 / tc, 4) AS dup2_frac,
+              |round(coalesce(l3.covc, 0) * 1.0 / tc, 4) AS dup3_frac,
+              |(round(coalesce(f2.topc, 0) * 1.0 / tc, 4) <= 0.20
+              | AND round(coalesce(f3.topc, 0) * 1.0 / tc, 4) <= 0.18
+              | AND round(coalesce(f4.topc, 0) * 1.0 / tc, 4) <= 0.16
+              | AND round(coalesce(l2.covc, 0) * 1.0 / tc, 4) <= 0.20
+              | AND round(coalesce(l3.covc, 0) * 1.0 / tc, 4) <= 0.10) AS keep
+              |FROM t LEFT JOIN f2 USING (doc_id) LEFT JOIN f3 USING (doc_id)
+              |LEFT JOIN f4 USING (doc_id) LEFT JOIN l2 USING (doc_id)
+              |LEFT JOIN l3 USING (doc_id)
+              |ORDER BY t.doc_id""".stripMargin.replace("\n", " ")))
+  )
+}

@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavioral checks for q262 (PII scrub) and q263 (Gopher repetition
+  * battery): local regex/brute-force replays of both queries' published
+  * tables, the scrub round-trip invariants, and an n=5 coverage fixture
+  * proving the duplicate-n-gram position-union logic at Gopher's
+  * production width (the corpus itself has no duplicate 5-grams).
+  */
+class Corpus12Spec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  private val email = """[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}""".r
+  private val phone = """\b\d{3}-\d{3}-\d{4}\b""".r
+  private val ip = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b""".r
+
+  private def dirty(id: Long, text: String): String =
+    text +
+      (if (id % 3 == 0) s" contact user$id@mail.example.com now" else "") +
+      (if (id % 4 == 1) f" call 415-555-${id % 10000}%04d today" else "") +
+      (if (id % 5 == 2) s" from 10.${id % 256}.0.1 addr" else "")
+
+  test("q262 PII scrub: local regex replay, residual-free, untouched docs pass through") {
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val out = SparkEntry.queries("q262_pii_scrub")(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long, String, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out.size == docs.length)
+    docs.foreach { case (id, text) =>
+      val d = dirty(id, text)
+      val (ne, np, ni) = (email.findAllIn(d).size.toLong,
+        phone.findAllIn(d).size.toLong, ip.findAllIn(d).size.toLong)
+      val scrubbed = ip.replaceAllIn(
+        phone.replaceAllIn(email.replaceAllIn(d, "[EMAIL]"), "[PHONE]"), "[IP]")
+      assert(out(id) == ((id, ne, np, ni, ne + np + ni, scrubbed, true)), s"doc $id")
+      // untouched docs (no injection lane) come through verbatim
+      if (id % 3 != 0 && id % 4 != 1 && id % 5 != 2)
+        assert(out(id)._6 == text && out(id)._5 == 0L, s"doc $id not verbatim")
+    }
+    // the injection lanes really fire on this corpus
+    assert(out.values.map(_._2).sum > 0 &&
+      out.values.map(_._3).sum > 0 && out.values.map(_._4).sum > 0)
+  }
+
+  private def ngrams(w: Seq[String], n: Int): Seq[String] =
+    if (w.length < n) Seq.empty
+    else w.sliding(n).filter(_.length == n).map(_.mkString(" ")).toSeq
+
+  test("q263 repetition battery: brute-force replay of all five signals and the gate") {
+    def round4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val out = SparkEntry.queries("q263_repetition_battery")(spark, sfDir)
+      .as[(Long, Double, Double, Double, Double, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out.size == docs.length)
+    var nRejected = 0
+    docs.foreach { case (id, text) =>
+      val w = text.toLowerCase.split(" ").filter(_.nonEmpty).toSeq
+      val tc = w.map(_.length).sum.toDouble
+      def topFrac(n: Int): Double = {
+        val gs = ngrams(w, n)
+        if (gs.isEmpty) 0.0
+        else {
+          val byG = gs.groupBy(identity).map { case (g, o) =>
+            (o.size.toLong, (g.length - (n - 1)).toLong, g)
+          }
+          val (cnt, chars, _) = byG.max
+          round4(cnt * chars / tc)
+        }
+      }
+      def dupFrac(n: Int): Double = {
+        val gs = ngrams(w, n)
+        val dup = gs.groupBy(identity).filter(_._2.size >= 2).keySet
+        val covered = gs.zipWithIndex.collect {
+          case (g, i) if dup(g) => (i until i + n)
+        }.flatten.toSet
+        round4(covered.toSeq.map(p => w(p).length.toLong).sum / tc)
+      }
+      val exp = (id, topFrac(2), topFrac(3), topFrac(4), dupFrac(2), dupFrac(3),
+        topFrac(2) <= 0.20 && topFrac(3) <= 0.18 && topFrac(4) <= 0.16 &&
+          dupFrac(2) <= 0.20 && dupFrac(3) <= 0.10)
+      assert(out(id) == exp, s"doc $id")
+      if (!exp._7) nRejected += 1
+    }
+    // the gate discriminates on this corpus: both outcomes occur
+    assert(nRejected > 0 && nRejected < docs.length, s"rejected=$nRejected")
+  }
+
+  test("duplicate-n-gram coverage union is exact at Gopher's n=5 width") {
+    // "a b c d e" occurs at positions 0 and 5 (overlapping with nothing
+    // else); union covers positions 0-9 but NOT the trailing x/y/z. The
+    // doubled token "q q q q q q" exercises overlapping occurrences of a
+    // self-similar gram: positions 0 and 1 both duplicate, union = all 6.
+    val t = Seq(
+      (1L, Seq("a", "b", "c", "d", "e", "a", "b", "c", "d", "e", "x", "y", "z")),
+      (2L, Seq("q", "q", "q", "q", "q", "q")),
+      (3L, Seq("u", "v", "w"))).toDF("doc_id", "w")
+    val got = operators.Corpus12.dupCoverageChars(t, 5, "covc")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 10L, 2L -> 6L)) // doc 3: no 5-grams → absent
+  }
+}
