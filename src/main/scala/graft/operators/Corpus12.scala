@@ -111,7 +111,22 @@ object Corpus12 {
     * (thresholds 0.20/0.10) because the synthetic corpus contains zero
     * duplicate 5-grams — the plan shape is n-independent, so the
     * production widths are the same query with different constants
-    * (Corpus12Spec proves the coverage logic at n = 5 on a fixture). */
+    * (Corpus12Spec proves the coverage logic at n = 5 on a fixture).
+    *
+    * SCALE SHAPE — a measured decision (r9): a fused alternative that
+    * rode all widths on ONE width-tagged explode relation
+    * E(doc_id, n, pos, gram) was built and benched at sf0.1 —
+    * 4.73 s vs 3.00 s for this form (min-of-2, same session). Spark
+    * has no DataFrame-level CSE, so E's three consumers (the
+    * (doc,n,gram) count, the dup filter, the position union) each
+    * recompute the full 3×-width explode, erasing the scan savings and
+    * adding a wider shuffle; pinning E with localCheckpoint would
+    * materialize a 3×-corpus-token intermediate — a non-starter at
+    * 100 TB. This composition keeps five NARROW explode→partial-agg
+    * pipelines: each is scan-bound, map-side-combinable, and skew-free
+    * (all keys are (doc_id, …)-prefixed, so no corpus-wide hot key),
+    * which is the shape that survives scale-up. Same verdict as the
+    * cappedShingles df-cap measurement (see its scaladoc). */
   private[graft] def repetitionBattery(docs: DataFrame): DataFrame = {
     val t = docs.select(col("doc_id"), expr(toksExpr).as("w"),
       expr("CAST(length(replace(text, ' ', '')) AS BIGINT)").as("tc"))
