@@ -36,7 +36,8 @@ object ExplainAudit {
         "q190_basket_lift", "q193_pareto_frontier", "q194_burst_rate_audit",
         "q198_merkle_manifest", "q204_clamped_balance",
         "q215_kcenter_coreset", "q219_hits_ranking", "q221_spearman_matrix",
-        "q222_kendall_taub", "q225_clustering_coefficient", "q229_skipgram_pairs")
+        "q222_kendall_taub", "q225_clustering_coefficient", "q229_skipgram_pairs",
+        "q259_chunk_dedup", "q262_pii_scrub", "q263_repetition_battery")
     targets.foreach { name =>
       println(s"\n===== $name =====")
       SparkEntry.queries(name)(spark, dir).explain("formatted")

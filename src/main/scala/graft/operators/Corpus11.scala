@@ -133,7 +133,10 @@ object Corpus11 {
              |CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
              |CAST(sum(CASE WHEN kept THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens,
              |round(sum(CASE WHEN kept THEN n_tokens ELSE 0 END) * 1.0 / sum(n_tokens), 4) AS retained_frac
-             |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+             |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", " ")),
+      // headline-benched (r9): the most production-representative dedup
+      // query on the board — perf-tracked round over round.
+      bench = true),
 
     QueryDef(
       "q260_fingerprint_audit",
