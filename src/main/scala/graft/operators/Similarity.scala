@@ -68,7 +68,12 @@ object Similarity {
 
   /** IVF top-k: rank label-centroids per query, probe the top `nprobe`
     * labels, brute-force only inside them. */
-  def ivfTopK(corpus: DataFrame, queryIds: Seq[Long], k: Int, nprobe: Int): DataFrame = {
+  def ivfTopK(corpus: DataFrame, queryIds: Seq[Long], k: Int, nprobe: Int): DataFrame =
+    groupTopK(ivfScored(corpus, queryIds, nprobe), "cos", k)
+
+  /** The IVF candidate relation (probed-cell (qid, vec_id) pairs with
+    * exact cosine attached) — q51 ranks it; the q264 audit counts it. */
+  private[operators] def ivfScored(corpus: DataFrame, queryIds: Seq[Long], nprobe: Int): DataFrame = {
     val e = withNorm(corpus)
     // Coarse quantizer: per-label mean vector, built from exploded dims
     // (groupBy(label, pos) — a single hash-agg shuffle, corpus-size bound).
@@ -90,10 +95,9 @@ object Similarity {
       .filter(col("pr") <= nprobe)
       .select(col("qid").as("pqid"), col("label"))
     // Candidate scan: only vectors whose label was probed for that query.
-    val scored = e.join(broadcast(probed), Seq("label"))
+    e.join(broadcast(probed), Seq("label"))
       .join(broadcast(q), col("qid") === col("pqid") && col("vec_id") =!= col("qid"))
       .withColumn("cos", round(vecDot(col("embedding"), col("qe")) / (col("nrm") * col("qn")), 6))
-    groupTopK(scored, "cos", k)
   }
 
   /** BATCH ANN (r5/r6 verdict task: "parameterize the query side to a
@@ -208,52 +212,127 @@ object Similarity {
        |($mDuck)[p + 1][d] * CAST(embedding[d] AS DOUBLE))) > 0
        |THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)) AS BIGINT)""".stripMargin.replace("\n", " ")
 
-  /** Hyperplane-LSH top-k: candidates share the query's sketch bucket or
-    * any Hamming-1 neighbor bucket (planes + 1 probes); exact cosine re-ranks. */
-  def lshTopK(corpus: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+  /** The LSH candidate relation (bucket-matched (qid, vec_id) pairs with
+    * exact cosine attached) — q53 ranks it; the q264 audit counts it. */
+  private[operators] def lshScored(corpus: DataFrame, queryIds: Seq[Long]): DataFrame = {
     val e = withNorm(corpus).withColumn("sk", sketchCol(col("embedding")))
     val q = e.filter(col("vec_id").isInCollection(queryIds))
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"),
         explode(expr(s"concat(array(sk), transform(sequence(0, ${planes - 1}), p -> sk ^ shiftleft(1L, p)))")).as("probe"))
     // The probe keys per query are pairwise distinct, so a corpus row
     // matches at most one — no dedup needed.
-    val scored = e.join(broadcast(q), col("sk") === col("probe") && col("vec_id") =!= col("qid"))
+    e.join(broadcast(q), col("sk") === col("probe") && col("vec_id") =!= col("qid"))
       .withColumn("cos", round(vecDot(col("embedding"), col("qe")) / (col("nrm") * col("qn")), 6))
-    groupTopK(scored, "cos", k)
   }
+
+  /** Hyperplane-LSH top-k: candidates share the query's sketch bucket or
+    * any Hamming-1 neighbor bucket (planes + 1 probes); exact cosine re-ranks. */
+  def lshTopK(corpus: DataFrame, queryIds: Seq[Long], k: Int): DataFrame =
+    groupTopK(lshScored(corpus, queryIds), "cos", k)
 
   private[graft] def duckNorm(v: String) =
     s"sqrt(list_sum(list_transform($v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
   private[graft] def duckDot(a: String, b: String) =
     s"list_sum(list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
 
+  // ---- shared DuckDB CTE chains (one definition per method, used by the
+  // method's own oracle AND the q264 operating-point audit, so the audit
+  // can never drift from what each query actually computes). Each ends in
+  // `${p}sc` (the scored candidate relation) and `${p}r` (its ranking).
+
+  /** Exact brute-force ranking for queries (0,1,2) — [[cosineTopK]]'s twin. */
+  private def exactDuckCte(p: String = ""): String =
+    s"""${p}e AS (SELECT vec_id, embedding, ${duckNorm("embedding")} AS nrm FROM embeddings),
+       |${p}q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM ${p}e WHERE vec_id IN (0, 1, 2)),
+       |${p}sc AS (SELECT qid, vec_id, round(${duckDot("e.embedding", "qe")} / (nrm * qn), 6) AS cos
+       |FROM ${p}e e, ${p}q q WHERE vec_id <> qid),
+       |${p}r AS (SELECT qid, vec_id, cos,
+       |row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn FROM ${p}sc)"""
+      .stripMargin.replace("\n", " ")
+
+  /** Hyperplane-LSH candidates + ranking — [[lshScored]]'s twin. */
+  private def lshDuckCte(p: String = ""): String =
+    s"""${p}e AS (SELECT vec_id, embedding, ${duckNorm("embedding")} AS nrm, $sketchDuck AS sk FROM embeddings),
+       |${p}q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn, sk AS qsk FROM ${p}e WHERE vec_id IN (0, 1, 2)),
+       |${p}probes AS (SELECT qid, qe, qn,
+       |unnest(list_concat([qsk], list_transform(generate_series(0, ${planes - 1}), p -> xor(qsk, CAST(1 AS BIGINT) << p)))) AS probe
+       |FROM ${p}q),
+       |${p}sc AS (SELECT qid, vec_id, round(${duckDot("e.embedding", "qe")} / (nrm * qn), 6) AS cos
+       |FROM ${p}e e JOIN ${p}probes probes ON e.sk = probes.probe AND e.vec_id <> probes.qid),
+       |${p}r AS (SELECT qid, vec_id, cos,
+       |row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn FROM ${p}sc)"""
+      .stripMargin.replace("\n", " ")
+
+  /** IVF probed-cell candidates + ranking — [[ivfScored]]'s twin. */
+  private def ivfDuckCte(p: String = "", nprobe: Int = 2): String =
+    s"""${p}e AS (SELECT vec_id, label, embedding, ${duckNorm("embedding")} AS nrm FROM embeddings),
+       |${p}dims AS (SELECT vec_id, label, i AS pos, CAST(embedding[i] AS DOUBLE) AS v
+       |FROM ${p}e e, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g),
+       |${p}cent AS (SELECT label, pos, avg(v) AS cv FROM ${p}dims GROUP BY 1, 2),
+       |${p}centnorm AS (SELECT label, sqrt(sum(cv * cv)) AS cn FROM ${p}cent GROUP BY 1),
+       |${p}q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM ${p}e WHERE vec_id IN (0, 1, 2)),
+       |${p}qdims AS (SELECT qid, qn, i AS pos, CAST(qe[i] AS DOUBLE) AS qv
+       |FROM ${p}q q, LATERAL (SELECT unnest(generate_series(1, len(qe))) AS i) g),
+       |${p}qc AS (SELECT qd.qid, c.label, round(sum(qv * cv) / (any_value(qd.qn) * any_value(cn.cn)), 6) AS cscore
+       |FROM ${p}qdims qd JOIN ${p}cent c ON qd.pos = c.pos JOIN ${p}centnorm cn ON c.label = cn.label
+       |GROUP BY 1, 2),
+       |${p}probed AS (SELECT qid, label FROM (SELECT qid, label,
+       |row_number() OVER (PARTITION BY qid ORDER BY cscore DESC, label) AS pr FROM ${p}qc) z WHERE pr <= $nprobe),
+       |${p}sc AS (SELECT q.qid, e.vec_id, round(${duckDot("e.embedding", "qe")} / (e.nrm * qn), 6) AS cos
+       |FROM ${p}e e JOIN ${p}probed probed ON e.label = probed.label JOIN ${p}q q ON q.qid = probed.qid
+       |WHERE e.vec_id <> q.qid),
+       |${p}r AS (SELECT qid, vec_id, cos,
+       |row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn FROM ${p}sc)"""
+      .stripMargin.replace("\n", " ")
+
+  /** ADC full-compressed-scan candidates + ranking — [[adcScored]]'s twin. */
+  private def adcDuckCte(p: String = ""): String =
+    s"""${p}lvv AS (SELECT [${adcLevels.mkString(", ")}] AS lv),
+       |${p}k AS (SELECT vec_id, lv,
+       |list_transform(embedding, x ->
+       |list_position(list_transform(lv, l -> pow(CAST(x AS DOUBLE) - l, 2)),
+       |list_min(list_transform(lv, l -> pow(CAST(x AS DOUBLE) - l, 2)))) - 1) AS codes
+       |FROM embeddings, ${p}lvv),
+       |${p}q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id IN (0, 1, 2)),
+       |${p}sc AS (SELECT qid, vec_id,
+       |round(list_sum(list_transform(generate_series(1, 64), j ->
+       |pow(CAST(qe[j] AS DOUBLE) - lv[codes[j] + 1], 2))), 6) AS adist
+       |FROM ${p}k k, ${p}q q WHERE vec_id <> qid),
+       |${p}r AS (SELECT qid, vec_id, adist,
+       |row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS rn FROM ${p}sc)"""
+      .stripMargin.replace("\n", " ")
+
+  /** Truncated-dim cascade: stage-1 coarse top-100, stage-2 full-precision
+    * re-score (`${p}sc`) + ranking (`${p}rr`) — [[rerankScored]]'s twin. */
+  private def rerankDuckCte(p: String = ""): String =
+    s"""${p}ee AS (SELECT vec_id, embedding, ${duckNorm("embedding")} AS nrm,
+       |embedding[1:32] AS c16, ${duckNorm("embedding[1:32]")} AS n16 FROM embeddings),
+       |${p}qq AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn, c16 AS q16, n16 AS qn16
+       |FROM ${p}ee WHERE vec_id IN (0, 1, 2)),
+       |${p}c1 AS (SELECT qid, vec_id, qe, qn, embedding, nrm,
+       |round(${duckDot("ee.c16", "q16")} / (n16 * qn16), 6) AS ccos
+       |FROM ${p}ee ee, ${p}qq qq WHERE vec_id <> qid),
+       |${p}r1 AS (SELECT qid, vec_id, qe, qn, embedding, nrm, ccos,
+       |row_number() OVER (PARTITION BY qid ORDER BY ccos DESC, vec_id) AS rn1 FROM ${p}c1),
+       |${p}sc AS (SELECT qid, vec_id,
+       |round(${duckDot("r1.embedding", "qe")} / (nrm * qn), 6) AS cos
+       |FROM ${p}r1 r1 WHERE rn1 <= 100),
+       |${p}rr AS (SELECT qid, vec_id, cos,
+       |row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn FROM ${p}sc)"""
+      .stripMargin.replace("\n", " ")
+
   def defs: Seq[QueryDef] = Seq(
 
     QueryDef(
       "q50_knn_bruteforce",
       (s, dir) => cosineTopK(Tables.embeddings(s, dir), Seq(0L, 1L, 2L), 10),
-      Some(s"""WITH e AS (SELECT vec_id, embedding, ${duckNorm("embedding")} AS nrm FROM embeddings),
-              |q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM e WHERE vec_id IN (0, 1, 2)),
-              |sc AS (SELECT qid, vec_id, round(${duckDot("e.embedding", "qe")} / (nrm * qn), 6) AS cos
-              |FROM e, q WHERE vec_id <> qid),
-              |r AS (SELECT qid, vec_id, cos,
-              |row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn FROM sc)
-              |SELECT qid, vec_id, rn, cos FROM r WHERE rn <= 10 ORDER BY qid, rn""".stripMargin.replace("\n", " ")),
+      Some(s"WITH ${exactDuckCte()} SELECT qid, vec_id, rn, cos FROM r WHERE rn <= 10 ORDER BY qid, rn"),
       bench = true),
 
     QueryDef(
       "q53_knn_lsh",
       (s, dir) => lshTopK(Tables.embeddings(s, dir), Seq(0L, 1L, 2L), 10),
-      Some(s"""WITH e AS (SELECT vec_id, embedding, ${duckNorm("embedding")} AS nrm, $sketchDuck AS sk FROM embeddings),
-              |q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn, sk AS qsk FROM e WHERE vec_id IN (0, 1, 2)),
-              |probes AS (SELECT qid, qe, qn,
-              |unnest(list_concat([qsk], list_transform(generate_series(0, ${planes - 1}), p -> xor(qsk, CAST(1 AS BIGINT) << p)))) AS probe
-              |FROM q),
-              |sc AS (SELECT qid, vec_id, round(${duckDot("e.embedding", "qe")} / (nrm * qn), 6) AS cos
-              |FROM e JOIN probes ON e.sk = probes.probe AND e.vec_id <> probes.qid),
-              |r AS (SELECT qid, vec_id, cos,
-              |row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn FROM sc)
-              |SELECT qid, vec_id, rn, cos FROM r WHERE rn <= 10 ORDER BY qid, rn""".stripMargin.replace("\n", " "))),
+      Some(s"WITH ${lshDuckCte()} SELECT qid, vec_id, rn, cos FROM r WHERE rn <= 10 ORDER BY qid, rn")),
 
     QueryDef(
       "q54_embedding_quantize",
@@ -287,25 +366,7 @@ object Similarity {
     QueryDef(
       "q51_knn_ivf",
       (s, dir) => ivfTopK(Tables.embeddings(s, dir), Seq(0L, 1L, 2L), 10, 2),
-      Some(s"""WITH e AS (SELECT vec_id, label, embedding, ${duckNorm("embedding")} AS nrm FROM embeddings),
-              |dims AS (SELECT vec_id, label, i AS pos, CAST(embedding[i] AS DOUBLE) AS v
-              |FROM e, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g),
-              |cent AS (SELECT label, pos, avg(v) AS cv FROM dims GROUP BY 1, 2),
-              |centnorm AS (SELECT label, sqrt(sum(cv * cv)) AS cn FROM cent GROUP BY 1),
-              |q AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM e WHERE vec_id IN (0, 1, 2)),
-              |qdims AS (SELECT qid, qn, i AS pos, CAST(qe[i] AS DOUBLE) AS qv
-              |FROM q, LATERAL (SELECT unnest(generate_series(1, len(qe))) AS i) g),
-              |qc AS (SELECT qd.qid, c.label, round(sum(qv * cv) / (any_value(qd.qn) * any_value(cn.cn)), 6) AS cscore
-              |FROM qdims qd JOIN cent c ON qd.pos = c.pos JOIN centnorm cn ON c.label = cn.label
-              |GROUP BY 1, 2),
-              |probed AS (SELECT qid, label FROM (SELECT qid, label,
-              |row_number() OVER (PARTITION BY qid ORDER BY cscore DESC, label) AS pr FROM qc) p WHERE pr <= 2),
-              |sc AS (SELECT q.qid, e.vec_id, round(${duckDot("e.embedding", "qe")} / (e.nrm * qn), 6) AS cos
-              |FROM e JOIN probed ON e.label = probed.label JOIN q ON q.qid = probed.qid
-              |WHERE e.vec_id <> q.qid),
-              |r AS (SELECT qid, vec_id, cos,
-              |row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn FROM sc)
-              |SELECT qid, vec_id, rn, cos FROM r WHERE rn <= 10 ORDER BY qid, rn""".stripMargin.replace("\n", " "))),
+      Some(s"WITH ${ivfDuckCte()} SELECT qid, vec_id, rn, cos FROM r WHERE rn <= 10 ORDER BY qid, rn")),
 
     QueryDef(
       "q255_knn_batch",
@@ -446,41 +507,10 @@ object Similarity {
       // SimilaritySpec. 100 TB shape: query time never reads the float
       // vectors — a codes-only scan (24 B/vec) against a broadcast
       // query; quantization itself is one codegen'd projection.
-      (s, dir) => {
-        val lv = adcLevels.mkString(", ")
-        val e = Tables.embeddings(s, dir)
-        val codes = e
-          .withColumn("lv", expr(s"array($lv)"))
-          .withColumn("codes", expr(
-            """transform(embedding, x ->
-              |array_position(transform(lv, l -> pow(CAST(x AS DOUBLE) - l, 2D)),
-              |array_min(transform(lv, l -> pow(CAST(x AS DOUBLE) - l, 2D)))) - 1)"""
-              .stripMargin.replace("\n", " ")))
-          .select(col("vec_id"), col("lv"), col("codes"))
-        val q = e.filter(col("vec_id").isInCollection(Seq(0L, 1L, 2L)))
-          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-        val scored = codes.join(broadcast(q), col("vec_id") =!= col("qid"))
-          .withColumn("adist", round(expr(
-            """aggregate(sequence(0, 63), 0D, (a, j) ->
-              |a + pow(CAST(qe[j] AS DOUBLE) - lv[CAST(codes[j] AS INT)], 2D))"""
-              .stripMargin.replace("\n", " ")), 6))
-        groupTopK(scored, "adist", 10, asc = true)
-      },
-      Some(s"""WITH lvv AS (SELECT [${adcLevels.mkString(", ")}] AS lv),
-              |k AS (SELECT vec_id, lv,
-              |list_transform(embedding, x ->
-              |list_position(list_transform(lv, l -> pow(CAST(x AS DOUBLE) - l, 2)),
-              |list_min(list_transform(lv, l -> pow(CAST(x AS DOUBLE) - l, 2)))) - 1) AS codes
-              |FROM embeddings, lvv),
-              |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id IN (0, 1, 2)),
-              |sc AS (SELECT qid, vec_id,
-              |round(list_sum(list_transform(generate_series(1, 64), j ->
-              |pow(CAST(qe[j] AS DOUBLE) - lv[codes[j] + 1], 2))), 6) AS adist
-              |FROM k, q WHERE vec_id <> qid),
-              |r AS (SELECT qid, vec_id, adist,
-              |row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS rn FROM sc)
-              |SELECT qid, vec_id, CAST(rn AS BIGINT) AS rn, adist
-              |FROM r WHERE rn <= 10 ORDER BY qid, rn""".stripMargin.replace("\n", " "))),
+      (s, dir) =>
+        groupTopK(adcScored(Tables.embeddings(s, dir), Seq(0L, 1L, 2L)),
+          "adist", 10, asc = true),
+      Some(s"WITH ${adcDuckCte()} SELECT qid, vec_id, CAST(rn AS BIGINT) AS rn, adist FROM r WHERE rn <= 10 ORDER BY qid, rn")),
 
     QueryDef(
       "q140_hard_negatives",
@@ -548,39 +578,10 @@ object Similarity {
       // SimilaritySpec, not assumed: 32-of-64 dims at k1=100 recalls
       // 0.7-1.0 of q50's exact top-10 on this weakly-clustered corpus
       // (16 dims at k1=50 measures 0.3-0.4 — the knob matters).
-      (s, dir) => {
-        val e = withNorm(Tables.embeddings(s, dir))
-          .withColumn("c16", slice(col("embedding"), 1, 32))
-          .withColumn("n16", vecNorm(col("c16")))
-        val q = e.filter(col("vec_id").isInCollection(Seq(0L, 1L, 2L)))
-          .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"),
-            col("c16").as("q16"), col("n16").as("qn16"))
-        val coarse = e.join(broadcast(q), col("vec_id") =!= col("qid"))
-          .withColumn("ccos",
-            round(vecDot(col("c16"), col("q16")) / (col("n16") * col("qn16")), 6))
-        val coarseTop = groupTopK(coarse, "ccos", 100).select("qid", "vec_id")
-        val survivors = e.join(broadcast(coarseTop), Seq("vec_id"))
-          .join(broadcast(q), Seq("qid"))
-          .withColumn("cos",
-            round(vecDot(col("embedding"), col("qe")) / (col("nrm") * col("qn")), 6))
-        groupTopK(survivors, "cos", 10)
-      },
-      Some(s"""WITH ee AS (SELECT vec_id, embedding, ${duckNorm("embedding")} AS nrm,
-              |embedding[1:32] AS c16, ${duckNorm("embedding[1:32]")} AS n16 FROM embeddings),
-              |qq AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn, c16 AS q16, n16 AS qn16
-              |FROM ee WHERE vec_id IN (0, 1, 2)),
-              |c1 AS (SELECT qid, vec_id, qe, qn, embedding, nrm,
-              |round(${duckDot("ee.c16", "q16")} / (n16 * qn16), 6) AS ccos
-              |FROM ee, qq WHERE vec_id <> qid),
-              |r1 AS (SELECT qid, vec_id, qe, qn, embedding, nrm, ccos,
-              |row_number() OVER (PARTITION BY qid ORDER BY ccos DESC, vec_id) AS rn1 FROM c1),
-              |sc AS (SELECT qid, vec_id,
-              |round(${duckDot("r1.embedding", "qe")} / (nrm * qn), 6) AS cos
-              |FROM r1 WHERE rn1 <= 100),
-              |rr AS (SELECT qid, vec_id, cos,
-              |row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn FROM sc)
-              |SELECT qid, vec_id, CAST(rn AS BIGINT) AS rn, cos
-              |FROM rr WHERE rn <= 10 ORDER BY qid, rn""".stripMargin.replace("\n", " "))),
+      (s, dir) =>
+        groupTopK(rerankScored(Tables.embeddings(s, dir), Seq(0L, 1L, 2L), 100),
+          "cos", 10),
+      Some(s"WITH ${rerankDuckCte()} SELECT qid, vec_id, CAST(rn AS BIGINT) AS rn, cos FROM rr WHERE rn <= 10 ORDER BY qid, rn")),
 
     QueryDef(
       "q166_pq_trained",
@@ -667,7 +668,74 @@ object Similarity {
             |string_agg(CAST(c AS VARCHAR), '' ORDER BY m) AS codes_str,
             |round(list_sum(list(md ORDER BY m)) / 64.0 * 1e6, 4) AS mse_e6
             |FROM pa3 GROUP BY vec_id ORDER BY vec_id""").stripMargin.replace("\n", " ")
-      })
+      }),
+
+    QueryDef(
+      "q264_ann_operating_point",
+      // ANN OPERATING-POINT AUDIT — the q243 discipline applied to the
+      // embedding side: recall@10 of each approximate method against
+      // q50's exact brute-force ground truth, PLUS its candidate cost,
+      // published as an oracled query so any cell/probe/codebook/width
+      // parameter change hits the correctness gate, not just a spec
+      // assertion (SimilaritySpec pins bands; THIS publishes the
+      // numbers). Each method row is computed from the method's OWN
+      // scored-candidate relation (adcScored/ivfScored/lshScored/
+      // rerankScored — the exact relations q134/q51/q53/q141 rank), so
+      // the audit cannot drift from the deployed pipelines. n_cand is
+      // each method's honest cost unit: adc = full compressed scan
+      // (|corpus|−1 code distances per query), ivf = vectors in the
+      // nprobe probed cells, lsh = bucket-matched vectors, rerank32 =
+      // the ≤100/query full-precision stage-2 re-scores (stage 1's
+      // half-width full scan is the cheap pass). Scale shape: each
+      // branch is its method's own bounded plan; the counts/tp are
+      // 1-row aggregates meeting in broadcast crossjoins, and the
+      // tp join probes a 30-row broadcast truth set.
+      (s, dir) => {
+        val qids = Seq(0L, 1L, 2L)
+        val emb = Tables.embeddings(s, dir)
+        val truth = cosineTopK(emb, qids, 10).select("qid", "vec_id")
+        def row(m: String, scored: DataFrame, scoreCol: String, asc: Boolean) = {
+          val topk = groupTopK(scored, scoreCol, 10, asc).select("qid", "vec_id")
+          val nc = scored.agg(count(lit(1)).as("n_cand"))
+          val tp = topk.join(broadcast(truth), Seq("qid", "vec_id"))
+            .agg(count(lit(1)).as("tp"))
+          nc.crossJoin(broadcast(tp))
+            .select(lit(m).as("method"), col("n_cand"), col("tp"))
+        }
+        val nt = truth.agg(count(lit(1)).as("n_truth"))
+        Seq(
+          row("adc", adcScored(emb, qids), "adist", asc = true),
+          row("ivf", ivfScored(emb, qids, 2), "cos", asc = false),
+          row("lsh", lshScored(emb, qids), "cos", asc = false),
+          row("rerank32", rerankScored(emb, qids, 100), "cos", asc = false))
+          .reduce(_ unionByName _)
+          .crossJoin(broadcast(nt))
+          .select(col("method"), col("n_cand"), col("n_truth"), col("tp"),
+            round(col("tp").cast("double") / col("n_truth"), 4).as("recall_at_10"))
+          .orderBy("method")
+      },
+      Some(s"""WITH ${exactDuckCte("x_")},
+              |${adcDuckCte("a_")},
+              |${ivfDuckCte("i_")},
+              |${lshDuckCte("l_")},
+              |${rerankDuckCte("t_")},
+              |truth AS (SELECT qid, vec_id FROM x_r WHERE rn <= 10),
+              |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
+              |u AS (SELECT 'adc' AS method,
+              |(SELECT CAST(count(*) AS BIGINT) FROM a_sc) AS n_cand,
+              |(SELECT CAST(count(*) AS BIGINT) FROM a_r JOIN truth USING (qid, vec_id) WHERE rn <= 10) AS tp
+              |UNION ALL SELECT 'ivf',
+              |(SELECT CAST(count(*) AS BIGINT) FROM i_sc),
+              |(SELECT CAST(count(*) AS BIGINT) FROM i_r JOIN truth USING (qid, vec_id) WHERE rn <= 10)
+              |UNION ALL SELECT 'lsh',
+              |(SELECT CAST(count(*) AS BIGINT) FROM l_sc),
+              |(SELECT CAST(count(*) AS BIGINT) FROM l_r JOIN truth USING (qid, vec_id) WHERE rn <= 10)
+              |UNION ALL SELECT 'rerank32',
+              |(SELECT CAST(count(*) AS BIGINT) FROM t_sc),
+              |(SELECT CAST(count(*) AS BIGINT) FROM t_rr JOIN truth USING (qid, vec_id) WHERE rn <= 10))
+              |SELECT method, n_cand, n_truth, tp,
+              |round(CAST(tp AS DOUBLE) / n_truth, 4) AS recall_at_10
+              |FROM u, nt ORDER BY method""".stripMargin.replace("\n", " ")))
   )
 
   /** Pinned shared PQ codebook: K=4 centroids × 8 dims, flattened
@@ -683,6 +751,49 @@ object Similarity {
     * both engines materialize bit-identical doubles. */
   private[graft] val adcLevels: IndexedSeq[Double] =
     IndexedSeq(-0.26, -0.17, -0.10, -0.033, 0.033, 0.10, 0.17, 0.26)
+
+  /** The ADC candidate relation (every (qid, vec_id) pair scored against
+    * the 3-bit codes — a full compressed scan) — q134 ranks it; the q264
+    * audit counts it. */
+  private[operators] def adcScored(e: DataFrame, queryIds: Seq[Long]): DataFrame = {
+    val lv = adcLevels.mkString(", ")
+    val codes = e
+      .withColumn("lv", expr(s"array($lv)"))
+      .withColumn("codes", expr(
+        """transform(embedding, x ->
+          |array_position(transform(lv, l -> pow(CAST(x AS DOUBLE) - l, 2D)),
+          |array_min(transform(lv, l -> pow(CAST(x AS DOUBLE) - l, 2D)))) - 1)"""
+          .stripMargin.replace("\n", " ")))
+      .select(col("vec_id"), col("lv"), col("codes"))
+    val q = e.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    codes.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("adist", round(expr(
+        """aggregate(sequence(0, 63), 0D, (a, j) ->
+          |a + pow(CAST(qe[j] AS DOUBLE) - lv[CAST(codes[j] AS INT)], 2D))"""
+          .stripMargin.replace("\n", " ")), 6))
+  }
+
+  /** The cascade's stage-2 relation: the k1 coarse survivors per query
+    * re-scored at full precision — q141 ranks it; the q264 audit counts
+    * it (stage 1's half-width full scan is the cheap pass; the
+    * full-precision cost is exactly this bounded relation). */
+  private[operators] def rerankScored(corpus: DataFrame, queryIds: Seq[Long], k1: Int): DataFrame = {
+    val e = withNorm(corpus)
+      .withColumn("c16", slice(col("embedding"), 1, 32))
+      .withColumn("n16", vecNorm(col("c16")))
+    val q = e.filter(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"),
+        col("c16").as("q16"), col("n16").as("qn16"))
+    val coarse = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("ccos",
+        round(vecDot(col("c16"), col("q16")) / (col("n16") * col("qn16")), 6))
+    val coarseTop = groupTopK(coarse, "ccos", k1).select("qid", "vec_id")
+    e.join(broadcast(coarseTop), Seq("vec_id"))
+      .join(broadcast(q), Seq("qid"))
+      .withColumn("cos",
+        round(vecDot(col("embedding"), col("qe")) / (col("nrm") * col("qn")), 6))
+  }
 
   /** embeddings → (vec_id, embedding, cb, codes): q57's PQ code
     * assignment, factored out of the query body. */

@@ -218,4 +218,34 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     val q166 = SparkEntry.queries("q166_pq_trained")(spark, sfDir)
     assert(q166.filter(!$"codes_str".rlike("^[0-3]{8}$")).count() == 0)
   }
+
+  test("q264 recall rows replay from the published method queries; cost columns match first principles") {
+    // The audit must agree with what the deployed queries actually
+    // return: recompute tp for each method by joining that method's OWN
+    // published top-10 (q134/q51/q53/q141) against q50's — the audit
+    // row's tp/recall must match exactly.
+    val audit = SparkEntry.queries("q264_ann_operating_point")(spark, sfDir)
+      .select($"method", $"n_cand", $"n_truth", $"tp", $"recall_at_10")
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val truth = SparkEntry.queries("q50_knn_bruteforce")(spark, sfDir)
+      .select("qid", "vec_id")
+    def tpOf(name: String): Long =
+      SparkEntry.queries(name)(spark, sfDir).select("qid", "vec_id")
+        .join(truth, Seq("qid", "vec_id")).count()
+    val byMethod = Map("adc" -> "q134_adc_search", "ivf" -> "q51_knn_ivf",
+      "lsh" -> "q53_knn_lsh", "rerank32" -> "q141_truncated_rerank")
+    byMethod.foreach { case (m, q) =>
+      assert(audit(m)._4 == tpOf(q), s"$m tp drifted from $q's published top-10")
+      assert(audit(m)._5 == math.round(audit(m)._4 * 10000.0 / audit(m)._3) / 10000.0)
+    }
+    // cost columns from first principles: adc scans the whole compressed
+    // corpus per query; rerank32 re-scores exactly k1=100 per query.
+    val n = Tables.embeddings(spark, sfDir).count()
+    assert(audit("adc")._2 == 3 * (n - 1))
+    assert(audit("rerank32")._2 == 3 * math.min(100, n - 1))
+    assert(audit.values.forall(r => r._3 == 30 && r._4 <= 30 && r._2 > 0))
+    // the cascade premise: stage-2 cost is a tiny fraction of the full scan
+    assert(audit("rerank32")._2 < audit("adc")._2 / 2)
+  }
 }
