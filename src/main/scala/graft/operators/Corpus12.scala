@@ -164,6 +164,93 @@ object Corpus12 {
        |l$n AS (SELECT v.doc_id, CAST(sum(length(t.w[v.p])) AS BIGINT) AS covc
        |FROM v$n v JOIN t ON t.doc_id = v.doc_id GROUP BY 1)""".stripMargin
 
+  /** q265's deterministic host injection (the q262 idiom — the synthetic
+    * corpus has no URLs): `h0` is a deliberate heavy-hitter carrying ~1/3
+    * of the corpus (the boilerplate-domain skew a per-domain cap exists
+    * to contain); the rest spread uniformly over h1..h23. Identical
+    * bytes on both engines. */
+  private def hostCol = when(col("doc_id") % 3 === 0, lit("h0"))
+    .otherwise(concat(lit("h"), ((col("doc_id") % 23) + 1).cast("string")))
+  private val hostDuck =
+    "CASE WHEN doc_id % 3 = 0 THEN 'h0' ELSE 'h' || CAST(doc_id % 23 + 1 AS VARCHAR) END"
+
+  /** q265's body, input-agnostic: per-host document cap — keep the top
+    * `cap` docs per host by n_chars (quality proxy; doc_id tie-break),
+    * report what the cap did to each host. The per-host selection runs
+    * through the [[graft.functions.TopKScored]] partial-aggregating
+    * k-heap, NOT a window: a heavy-hitter host (h0 here; a boilerplate
+    * domain with 10⁹ pages at 100 TB) trims to ≤2·cap rows per map
+    * partition BEFORE the host-keyed exchange, where the window form
+    * would land the whole domain in one task. */
+  private[graft] def domainQuota(docs: DataFrame, cap: Int = 10): DataFrame = {
+    val top = udaf(new graft.functions.TopKScored(cap))
+    docs.select(col("doc_id"), col("n_chars"), hostCol.as("host"))
+      .groupBy("host")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("total_chars"),
+        top(col("n_chars").cast("double"), col("doc_id")).as("kept"))
+      .select(col("host"), col("n_docs"), col("total_chars"),
+        size(col("kept")).cast("long").as("n_kept"),
+        expr("CAST(aggregate(kept, 0D, (a, x) -> a + x.score) AS BIGINT)").as("kept_chars"),
+        (col("n_docs") > cap).as("cap_hit"))
+      .orderBy("host")
+  }
+
+  /** q266's deterministic dirty-URL injection: scheme + sometimes-WWW
+    * host + path, then the three mess classes every crawler sees —
+    * utm tracking query, trailing slash, fragment — so canonicalization
+    * has real, oracle-checkable work. doc_id ≡ (mod 200) ⇒ same
+    * canonical URL, so duplicate groups exist at every SF. */
+  private def urlCol = concat(lit("https://"),
+    when(col("doc_id") % 5 === 0, lit("WWW.")).otherwise(lit("")),
+    lit("ex"), (col("doc_id") % 50).cast("string"), lit(".com/p/"),
+    (col("doc_id") % 200).cast("string"),
+    when(col("doc_id") % 3 === 0,
+      concat(lit("?utm_source=feed&utm_campaign=c"), (col("doc_id") % 7).cast("string")))
+      .when(col("doc_id") % 3 === 1, lit("/")).otherwise(lit("")),
+    when(col("doc_id") % 7 === 0, lit("#sec")).otherwise(lit("")))
+
+  private val urlDuck =
+    """'https://'
+      | || CASE WHEN doc_id % 5 = 0 THEN 'WWW.' ELSE '' END
+      | || 'ex' || CAST(doc_id % 50 AS VARCHAR) || '.com/p/' || CAST(doc_id % 200 AS VARCHAR)
+      | || CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&utm_campaign=c' || CAST(doc_id % 7 AS VARCHAR)
+      |         WHEN doc_id % 3 = 1 THEN '/' ELSE '' END
+      | || CASE WHEN doc_id % 7 = 0 THEN '#sec' ELSE '' END"""
+      .stripMargin.replace("\n", "")
+
+  // The four canonicalization rules, in order: strip fragment, strip
+  // utm-only tracking query, lowercase, strip www + trailing slash.
+  // Every pattern is $-anchored or unique-per-url, so Spark's
+  // replace-all and DuckDB's replace-first agree.
+  private def canonCol(u: org.apache.spark.sql.Column) =
+    regexp_replace(
+      regexp_replace(
+        lower(regexp_replace(regexp_replace(u, "#.*$", ""), "\\?utm_.*$", "")),
+        "://www\\.", "://"),
+      "/$", "")
+  private def canonDuck(u: String) =
+    s"""regexp_replace(regexp_replace(lower(regexp_replace(regexp_replace($u,
+       |'#.*$$', ''), '\\?utm_.*$$', '')), '://www\\.', '://'), '/$$', '')"""
+      .stripMargin.replace("\n", " ")
+
+  /** q266's body: URL canonicalization + canonical-URL keep-first dedup
+    * (the fetch-dedup step every web pipeline runs before content
+    * dedup; RefinedWeb §3.1). Scale shape: canonicalization is
+    * stateless map work; the winner per canonical URL is a
+    * PARTIAL-AGGREGABLE min(doc_id) (a heavy-hitter URL collapses
+    * map-side, q259's discipline), and the mark-kept join fans out only
+    * to the actual duplicate count, which is the output's own size. */
+  private[graft] def urlDedup(docs: DataFrame): DataFrame = {
+    val u = docs.select(col("doc_id"), urlCol.as("url"))
+      .withColumn("canon_url", canonCol(col("url")))
+    val w = u.groupBy("canon_url").agg(min("doc_id").as("keep_id"))
+    u.join(w, Seq("canon_url"))
+      .select(col("doc_id"), col("url"), col("canon_url"),
+        (col("doc_id") === col("keep_id")).as("kept"))
+      .orderBy("doc_id")
+  }
+
   def defs: Seq[QueryDef] = Seq(
 
     QueryDef(
@@ -223,6 +310,50 @@ object Corpus12 {
               |FROM t LEFT JOIN f2 USING (doc_id) LEFT JOIN f3 USING (doc_id)
               |LEFT JOIN f4 USING (doc_id) LEFT JOIN l2 USING (doc_id)
               |LEFT JOIN l3 USING (doc_id)
-              |ORDER BY t.doc_id""".stripMargin.replace("\n", " ")))
+              |ORDER BY t.doc_id""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q265_domain_quota",
+      // PER-DOMAIN DOCUMENT CAP (RefinedWeb §3.1's per-domain limits /
+      // C4's heuristic): keep the top-10 docs per host by n_chars
+      // (doc_id tie-break), publish per-host what the cap did. Hosts
+      // are doc_id-derived (h0 a deliberate ~1/3-of-corpus heavy
+      // hitter — the boilerplate-domain skew the cap exists for). The
+      // selection is the TopKScored partial-aggregating k-heap inside
+      // groupBy(host) — never a per-host window — so h0's mass trims
+      // to ≤2·cap rows per map partition before the exchange; at
+      // 100 TB a 10⁹-page domain costs the same as a 20-page one
+      // after the map side.
+      (s, dir) => domainQuota(Tables.documents(s, dir)),
+      Some(s"""WITH h AS (SELECT doc_id, n_chars, $hostDuck AS host FROM documents),
+              |r AS (SELECT host, doc_id, n_chars,
+              |row_number() OVER (PARTITION BY host ORDER BY n_chars DESC, doc_id) AS rn FROM h)
+              |SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
+              |CAST(sum(n_chars) AS BIGINT) AS total_chars,
+              |CAST(sum(CASE WHEN rn <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+              |CAST(sum(CASE WHEN rn <= 10 THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars,
+              |count(*) > 10 AS cap_hit
+              |FROM r GROUP BY host ORDER BY host""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q266_url_dedup",
+      // URL CANONICALIZATION + KEEP-FIRST DEDUP — the fetch-level dedup
+      // every web pipeline runs BEFORE content dedup (RefinedWeb §3.1):
+      // strip fragment, strip utm tracking query, lowercase, strip
+      // www. and trailing slash; then one winner per canonical URL
+      // (min doc_id). URLs are doc_id-derived dirty injections (q262
+      // idiom) with all three mess classes, and doc_id ≡ (mod 200)
+      // collides canonically so duplicate groups exist at every SF.
+      // Scale shape: stateless map canonicalization; partial-aggregable
+      // min(doc_id) winner per canonical key (heavy-hitter URL collapses
+      // map-side); mark-kept join fans out only to the true duplicate
+      // count.
+      (s, dir) => urlDedup(Tables.documents(s, dir)),
+      Some(s"""WITH u AS (SELECT doc_id, $urlDuck AS url FROM documents),
+              |c AS (SELECT doc_id, url, ${canonDuck("url")} AS canon_url FROM u),
+              |w AS (SELECT canon_url, min(doc_id) AS keep_id FROM c GROUP BY 1)
+              |SELECT c.doc_id, c.url, c.canon_url, c.doc_id = w.keep_id AS kept
+              |FROM c JOIN w ON c.canon_url = w.canon_url
+              |ORDER BY c.doc_id""".stripMargin.replace("\n", " ")))
   )
 }

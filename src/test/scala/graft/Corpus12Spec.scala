@@ -104,4 +104,47 @@ class Corpus12Spec extends AnyFunSuite with SparkSuite {
       .as[(Long, Long)].collect().toMap
     assert(got == Map(1L -> 10L, 2L -> 6L)) // doc 3: no 5-grams → absent
   }
+
+  test("q265 domain quota: brute-force per-host replay; the heavy-hitter host is capped") {
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "n_chars").as[(Long, Long)].collect()
+    def host(id: Long) = if (id % 3 == 0) "h0" else s"h${id % 23 + 1}"
+    val byHost = docs.groupBy { case (id, _) => host(id) }
+    val out = SparkEntry.queries("q265_domain_quota")(spark, sfDir)
+      .as[(String, Long, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out.size == byHost.size)
+    byHost.foreach { case (h, ds) =>
+      val kept = ds.sortBy { case (id, nc) => (-nc, id) }.take(10)
+      assert(out(h) == ((h, ds.size.toLong, ds.map(_._2).sum,
+        kept.size.toLong, kept.map(_._2).sum, ds.size > 10)), s"host $h")
+    }
+    // the skew premise: h0 carries ~1/3 of the corpus and the cap bites
+    assert(out("h0")._2 > docs.length / 4 && out("h0")._4 == 10L)
+    assert(out.values.count(_._6) > 1) // cap binds on more than one host
+  }
+
+  test("q266 url dedup: canonical invariants hold, one winner per group, duplicates exist") {
+    val out = SparkEntry.queries("q266_url_dedup")(spark, sfDir)
+      .as[(Long, String, String, Boolean)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (id, url, canon, _) =>
+      assert(url.startsWith("https://"), s"doc $id")
+      assert(!canon.contains("#") && !canon.contains("?") &&
+        !canon.contains("www.") && !canon.endsWith("/") &&
+        canon == canon.toLowerCase, s"doc $id canon '$canon'")
+      // canonical form is the doc_id-derived invariant part of the URL
+      assert(canon == s"https://ex${id % 50}.com/p/${id % 200}", s"doc $id")
+    }
+    val groups = out.groupBy(_._3)
+    groups.foreach { case (c, rows) =>
+      assert(rows.count(_._4) == 1, s"group $c has != 1 winner")
+      assert(rows.filter(_._4).head._1 == rows.map(_._1).min, s"group $c keeps non-min")
+    }
+    // real duplicate groups exist (doc_id ≡ mod 200 collides) and the
+    // dirty variants differ as STRINGS inside at least one group
+    val dupGroups = groups.filter(_._2.length >= 2)
+    assert(dupGroups.nonEmpty)
+    assert(dupGroups.exists(_._2.map(_._2).distinct.length >= 2))
+  }
 }
