@@ -241,9 +241,15 @@ object Corpus12 {
     * PARTIAL-AGGREGABLE min(doc_id) (a heavy-hitter URL collapses
     * map-side, q259's discipline), and the mark-kept join fans out only
     * to the actual duplicate count, which is the output's own size. */
-  private[graft] def urlDedup(docs: DataFrame): DataFrame = {
-    val u = docs.select(col("doc_id"), urlCol.as("url"))
+  /** (doc_id, url, canon_url) — the stateless canonicalization stage,
+    * shared by q266 and its streaming twin (`StatefulOps.urlDedupStream`
+    * runs it unchanged on the stream; no shuffle, no state). */
+  private[graft] def canonUrls(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), urlCol.as("url"))
       .withColumn("canon_url", canonCol(col("url")))
+
+  private[graft] def urlDedup(docs: DataFrame): DataFrame = {
+    val u = canonUrls(docs)
     val w = u.groupBy("canon_url").agg(min("doc_id").as("keep_id"))
     u.join(w, Seq("canon_url"))
       .select(col("doc_id"), col("url"), col("canon_url"),

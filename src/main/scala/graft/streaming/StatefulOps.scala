@@ -461,6 +461,38 @@ object StatefulOps {
       }
   }
 
+  final case class UrlIn(doc_id: Long, canon_url: String)
+  final case class UrlDecision(doc_id: Long, canon_url: String, kept: Boolean)
+
+  /** Streaming twin of q266's URL keep-first dedup — the crawl-frontier
+    * "have we fetched this page" check every incremental web pipeline
+    * runs: canonicalized URLs stream in (Corpus12.canonUrls is stateless,
+    * so canonicalization itself runs on the stream), keyed state on the
+    * canonical URL records the FIRST OWNER doc_id; the owner emits
+    * kept=true, every later duplicate kept=false. The q204/q259
+    * arrival-order discipline: within a micro-batch ties resolve in
+    * q266's batch order (min doc_id); across batches first arrival owns
+    * — a doc-ordered replay reproduces q266's winner exactly
+    * (StatefulStreamingSpec proves it), any other order is the
+    * documented frontier policy. State per distinct canonical URL is
+    * one long — the irreducible memory of incremental fetch dedup; at
+    * web scale use the RocksDB store and the URL-hash-partitioned key
+    * space spreads it across executors. */
+  def urlDedupStream(urls: Dataset[UrlIn]): Dataset[UrlDecision] = {
+    import urls.sparkSession.implicits._
+    urls.groupByKey(_.canon_url)
+      .flatMapGroupsWithState[Long, UrlDecision](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (cu: String, rows: Iterator[UrlIn], state: GroupState[Long]) =>
+          val sorted = rows.toArray.sortBy(_.doc_id)
+          val newOwner = state.getOption.isEmpty
+          if (newOwner) state.update(sorted.head.doc_id)
+          sorted.iterator.zipWithIndex.map { case (r, i) =>
+            UrlDecision(r.doc_id, cu, newOwner && i == 0)
+          }
+      }
+  }
+
   final case class DocBit(b: Long, doc_id: Long, x: Int)
   final case class RunSeg(b: Long, n: Long, firstx: Int, lastx: Int, chg: Long)
 

@@ -491,6 +491,67 @@ class StatefulStreamingSpec extends AnyFunSuite with SparkSuite {
     assert(fin.exceptAll(batch).count() == 0)
   }
 
+  private def stagedUrls(dir: String, stage: java.nio.file.Path,
+      nFiles: Int): (org.apache.spark.sql.DataFrame, Long => Int) = {
+    // doc-ranged files staged in doc_id order, as stagedChunks: the
+    // cross-batch first-arrival then matches q266's min(doc_id) winner
+    val prepared = operators.Corpus12.canonUrls(Tables.documents(spark, dir))
+      .select("doc_id", "canon_url")
+    val ids = prepared.select($"doc_id").distinct().as[Long].collect().sorted
+    val groups = ids.grouped((ids.length + nFiles - 1) / nFiles).toSeq
+    groups.zipWithIndex.foreach { case (chunk, i) =>
+      if (i > 0) Thread.sleep(1100)
+      prepared.filter($"doc_id".isin(chunk: _*))
+        .coalesce(1).write.mode("append").parquet(stage.toString)
+    }
+    val fileOf = groups.zipWithIndex
+      .flatMap { case (g, i) => g.map(_ -> i) }.toMap
+    (prepared, fileOf)
+  }
+
+  test("streaming url dedup over one replay batch equals q266's kept column") {
+    val dir = "/root/testdata/sf0.01"
+    val stage = java.nio.file.Files.createTempDirectory("graft_url_stage1")
+    val (prepared, _) = stagedUrls(dir, stage, 1)
+    val q = StatefulOps.urlDedupStream(
+        spark.readStream.schema(prepared.schema).parquet(stage.toString)
+          .as[StatefulOps.UrlIn]).writeStream
+      .outputMode("append").format("memory").queryName("url_dedup1")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val fin = spark.table("url_dedup1").select("doc_id", "canon_url", "kept")
+    val batch = SparkEntry.queries("q266_url_dedup")(spark, dir)
+      .select("doc_id", "canon_url", "kept")
+    assert(fin.count() > 0)
+    assert(batch.exceptAll(fin).count() == 0)
+    assert(fin.exceptAll(batch).count() == 0)
+  }
+
+  test("streaming url dedup carries first-owner state across micro-batches") {
+    val dir = "/root/testdata/sf0.01"
+    val stage = java.nio.file.Files.createTempDirectory("graft_url_stage3")
+    val (prepared, fileOf) = stagedUrls(dir, stage, 3)
+    val q = StatefulOps.urlDedupStream(
+        spark.readStream.schema(prepared.schema)
+          .option("maxFilesPerTrigger", 1).parquet(stage.toString)
+          .as[StatefulOps.UrlIn]).writeStream
+      .outputMode("append").format("memory").queryName("url_dedup3")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // a cross-file duplicate URL really exercised state
+    val crossFile = prepared.groupBy("canon_url")
+      .agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
+      .as[(String, Long, Long)].collect()
+      .count { case (_, lo, hi) => fileOf(lo) != fileOf(hi) }
+    assert(crossFile > 0,
+      "fixture has no cross-file duplicate URLs — multi-batch path untested")
+    val fin = spark.table("url_dedup3").select("doc_id", "canon_url", "kept")
+    val batch = SparkEntry.queries("q266_url_dedup")(spark, dir)
+      .select("doc_id", "canon_url", "kept")
+    assert(batch.exceptAll(fin).count() == 0)
+    assert(fin.exceptAll(batch).count() == 0)
+  }
+
   test("streaming dedup by event_id keeps exactly the distinct ids") {
     val q = StreamingTwin.dedupStream(stagedEventStream()).writeStream
       .outputMode("append").format("memory").queryName("dedup_stream")
