@@ -182,9 +182,14 @@ object Corpus12 {
     * domain with 10⁹ pages at 100 TB) trims to ≤2·cap rows per map
     * partition BEFORE the host-keyed exchange, where the window form
     * would land the whole domain in one task. */
+  /** (doc_id, n_chars, host) — the stateless host attachment, shared by
+    * q265 and its streaming twin (`StatefulOps.domainQuotaStream`). */
+  private[graft] def hostedDocs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("n_chars"), hostCol.as("host"))
+
   private[graft] def domainQuota(docs: DataFrame, cap: Int = 10): DataFrame = {
     val top = udaf(new graft.functions.TopKScored(cap))
-    docs.select(col("doc_id"), col("n_chars"), hostCol.as("host"))
+    hostedDocs(docs)
       .groupBy("host")
       .agg(count(lit(1)).as("n_docs"),
         sum("n_chars").as("total_chars"),

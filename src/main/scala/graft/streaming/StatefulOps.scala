@@ -493,6 +493,38 @@ object StatefulOps {
       }
   }
 
+  final case class QuotaIn(doc_id: Long, host: String, n_chars: Long)
+  final case class QuotaDecision(doc_id: Long, host: String, admitted: Boolean)
+
+  /** Streaming twin of q265's per-domain cap — the ingestion-time form:
+    * a crawl frontier admits documents per host while the host's budget
+    * lasts. HONEST SEMANTIC DIFFERENCE from the batch query: q265 sees
+    * the whole corpus and keeps the top-cap by score; an online admitter
+    * cannot see future scores, so the policy is admit-first-cap in
+    * arrival order. Within a micro-batch ties resolve in q265's
+    * selection order (n_chars DESC, doc_id), so a score-ordered replay
+    * reproduces the batch selection exactly (StatefulStreamingSpec
+    * proves it), while ANY arrival order admits exactly
+    * min(cap, |host|) docs per host — the budget invariant an ingestion
+    * frontier actually enforces. State per host: one long (admitted
+    * count) — |hosts| entries total at any corpus size. */
+  def domainQuotaStream(docs: Dataset[QuotaIn], cap: Int = 10): Dataset[QuotaDecision] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.host)
+      .flatMapGroupsWithState[Long, QuotaDecision](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (h: String, rows: Iterator[QuotaIn], state: GroupState[Long]) =>
+          var used = state.getOption.getOrElse(0L)
+          val out = rows.toArray.sortBy(r => (-r.n_chars, r.doc_id)).map { r =>
+            val ok = used < cap
+            if (ok) used += 1
+            QuotaDecision(r.doc_id, h, ok)
+          }
+          state.update(used)
+          out.iterator
+      }
+  }
+
   final case class DocBit(b: Long, doc_id: Long, x: Int)
   final case class RunSeg(b: Long, n: Long, firstx: Int, lastx: Int, chg: Long)
 

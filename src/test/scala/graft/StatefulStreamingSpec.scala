@@ -552,6 +552,68 @@ class StatefulStreamingSpec extends AnyFunSuite with SparkSuite {
     assert(fin.exceptAll(batch).count() == 0)
   }
 
+  test("streaming domain quota over one score-ordered batch equals q265's selection") {
+    val dir = "/root/testdata/sf0.01"
+    val stage = java.nio.file.Files.createTempDirectory("graft_quota_stage1")
+    val prepared = operators.Corpus12.hostedDocs(Tables.documents(spark, dir))
+    prepared.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    val q = StatefulOps.domainQuotaStream(
+        spark.readStream.schema(prepared.schema).parquet(stage.toString)
+          .as[StatefulOps.QuotaIn]).writeStream
+      .outputMode("append").format("memory").queryName("quota1")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // one batch = the whole corpus, intra-batch order is q265's
+    // (n_chars DESC, doc_id) — so admit-first-cap IS the batch top-cap
+    val fin = spark.table("quota1")
+      .join(prepared, Seq("doc_id", "host"))
+      .groupBy("host")
+      .agg(sum(when($"admitted", 1L).otherwise(0L)).as("n_kept"),
+        sum(when($"admitted", $"n_chars").otherwise(0L)).as("kept_chars"))
+    val batch = SparkEntry.queries("q265_domain_quota")(spark, dir)
+      .select("host", "n_kept", "kept_chars")
+    assert(fin.count() > 0)
+    assert(batch.exceptAll(fin).count() == 0)
+    assert(fin.exceptAll(batch).count() == 0)
+  }
+
+  test("streaming domain quota enforces the budget across micro-batches in arrival order") {
+    val dir = "/root/testdata/sf0.01"
+    val stage = java.nio.file.Files.createTempDirectory("graft_quota_stage3")
+    val prepared = operators.Corpus12.hostedDocs(Tables.documents(spark, dir))
+    val ids = prepared.select($"doc_id").distinct().as[Long].collect().sorted
+    val groups = ids.grouped((ids.length + 2) / 3).toSeq
+    groups.zipWithIndex.foreach { case (chunk, i) =>
+      if (i > 0) Thread.sleep(1100)
+      prepared.filter($"doc_id".isin(chunk: _*))
+        .coalesce(1).write.mode("append").parquet(stage.toString)
+    }
+    val q = StatefulOps.domainQuotaStream(
+        spark.readStream.schema(prepared.schema)
+          .option("maxFilesPerTrigger", 1).parquet(stage.toString)
+          .as[StatefulOps.QuotaIn]).writeStream
+      .outputMode("append").format("memory").queryName("quota3")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // budget invariant: admitted per host == min(cap, |host|), any order
+    val perHost = spark.table("quota3").groupBy("host")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"admitted", 1L).otherwise(0L)).as("adm"))
+      .as[(String, Long, Long)].collect()
+    assert(perHost.nonEmpty)
+    perHost.foreach { case (h, n, adm) =>
+      assert(adm == math.min(10L, n), s"host $h admitted $adm of $n")
+    }
+    // cross-batch state: h0 (the heavy hitter) exhausts its budget in
+    // file 0 (>= cap docs there), so every later-file h0 doc is refused
+    val file0Max = groups.head.max
+    val h0Later = spark.table("quota3")
+      .filter($"host" === "h0" && $"doc_id" > file0Max)
+      .as[StatefulOps.QuotaDecision].collect()
+    assert(h0Later.nonEmpty && h0Later.forall(!_.admitted),
+      "h0's later-file docs must all be refused by carried state")
+  }
+
   test("streaming dedup by event_id keeps exactly the distinct ids") {
     val q = StreamingTwin.dedupStream(stagedEventStream()).writeStream
       .outputMode("append").format("memory").queryName("dedup_stream")
