@@ -199,7 +199,67 @@ object Corpus11 {
                 |n_sh5, n_sh5_fps, n_sh5 - n_sh5_fps AS n_sh5_collisions,
                 |n_g8, n_g8_fps, n_g8 - n_g8_fps AS n_g8_collisions
                 |FROM pd, v5, v8""".stripMargin.replace("\n", " "))
-      })
+      }),
+
+    QueryDef(
+      "q267_boilerplate_scrub",
+      // BOILERPLATE SCRUB + KEEP-FIRST, COMPOSED (the CCNet/Dolma
+      // paragraph-hygiene ladder in one pass): a chunk whose fingerprint
+      // appears in >= 3 DISTINCT documents is boilerplate (nav/footer
+      // class) and ALL its occurrences drop — including the would-be
+      // keep-first winner, which is what distinguishes this from q259's
+      // pure dedup; the surviving duplicated chunks then keep-first
+      // exactly as q259. Output: per doc, occurrences by fate
+      // (boiler/dup-removed/kept) + retained token fraction. Scale
+      // shape: stateless map-side chunking, then ONE fp-keyed aggregate
+      // computing BOTH signals — count(DISTINCT doc_id) (Spark plans it
+      // as the two-level (fp, doc_id) -> fp partial aggregate, so a
+      // billion-occurrence boilerplate chunk collapses map-side) and
+      // the partial-aggregable min(struct) winner — and the classify
+      // join fans out only to the true occurrence count, which is the
+      // output's own size. No window anywhere.
+      (s, dir) => {
+        val ch = Corpus.chunkTokens(Tables.documents(s, dir))
+          .withColumn("fp", md5(col("chunk")))
+        val d = ch.groupBy("fp").agg(
+          countDistinct("doc_id").as("df"),
+          min(struct(col("doc_id"), col("chunk_idx"))).as("win"))
+        ch.join(d, Seq("fp"))
+          .select(col("doc_id"), col("n_tokens"),
+            when(col("df") >= 3, "boiler")
+              .when(col("win") === struct(col("doc_id"), col("chunk_idx")), "kept")
+              .otherwise("dup").as("status"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(when(col("status") === "boiler", 1L).otherwise(0L)).as("n_boiler"),
+            sum(when(col("status") === "dup", 1L).otherwise(0L)).as("n_dup_removed"),
+            sum(when(col("status") === "kept", 1L).otherwise(0L)).as("n_kept"),
+            sum("n_tokens").as("total_tokens"),
+            sum(when(col("status") === "kept", col("n_tokens")).otherwise(0L)).as("kept_tokens"))
+          .withColumn("retained_frac",
+            round(col("kept_tokens") * lit(1.0) / col("total_tokens"), 4))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w FROM documents),
+             |ch AS (SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+             |array_to_string(w[i*15+1:i*15+20], ' ') AS chunk,
+             |CAST(len(w[i*15+1:i*15+20]) AS BIGINT) AS n_tokens
+             |FROM t, LATERAL (SELECT unnest(generate_series(0, (len(w)-1)//15)) AS i) g WHERE len(w) > 0),
+             |d AS (SELECT md5(chunk) AS fp, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+             |min(row(doc_id, chunk_idx)) AS win FROM ch GROUP BY 1),
+             |cl AS (SELECT c.doc_id, c.n_tokens,
+             |CASE WHEN d.df >= 3 THEN 'boiler'
+             |WHEN d.win = row(c.doc_id, c.chunk_idx) THEN 'kept'
+             |ELSE 'dup' END AS status
+             |FROM ch c JOIN d ON md5(c.chunk) = d.fp)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+             |CAST(sum(CASE WHEN status = 'boiler' THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+             |CAST(sum(CASE WHEN status = 'dup' THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_removed,
+             |CAST(sum(CASE WHEN status = 'kept' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             |CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+             |CAST(sum(CASE WHEN status = 'kept' THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens,
+             |round(sum(CASE WHEN status = 'kept' THEN n_tokens ELSE 0 END) * 1.0 / sum(n_tokens), 4) AS retained_frac
+             |FROM cl GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", " ")))
   )
 
   private val qFpAuditOracle =

@@ -8,7 +8,9 @@ import org.scalatest.funsuite.AnyFunSuite
   * the token-interning collision audit: a local replay of the per-doc
   * and vocabulary fingerprint arithmetic, plus a narrow-width synthetic
   * fixture proving the audit fires when fingerprints do collide — and
-  * for q261, the same two checks for the shingle/8-gram widths.
+  * for q261, the same two checks for the shingle/8-gram widths — and
+  * for q267, a brute-force replay of the boilerplate/dup/kept classify
+  * ladder plus its q259 conservation bridge.
   */
 class Corpus11Spec extends AnyFunSuite with SparkSuite {
   import spark.implicits._
@@ -55,6 +57,43 @@ class Corpus11Spec extends AnyFunSuite with SparkSuite {
     assert(out.forall { case (_, nc, nk, tt, kt, rf) =>
       nk >= 0 && nk <= nc && kt <= tt && rf >= 0.0 && rf <= 1.0
     })
+  }
+
+  test("q267 boilerplate scrub: brute-force replay of the classify ladder") {
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
+    // local ground truth: df (distinct docs) and first owner per chunk
+    val dfOf = scala.collection.mutable.Map.empty[String, Set[Long]]
+    val firstOwner = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    for ((id, text) <- docs; (ci, c, _) <- chunks(text)) {
+      dfOf(c) = dfOf.getOrElse(c, Set.empty) + id
+      if (!firstOwner.contains(c)) firstOwner(c) = (id, ci)
+    }
+    val expected = docs.filter(d => toks(d._2).nonEmpty).map { case (id, text) =>
+      val ch = chunks(text)
+      def status(ci: Long, c: String): String =
+        if (dfOf(c).size >= 3) "boiler"
+        else if (firstOwner(c) == (id, ci)) "kept" else "dup"
+      val st = ch.map { case (ci, c, nt) => (status(ci, c), nt) }
+      val keptT = st.collect { case ("kept", nt) => nt }.sum
+      (id, ch.size.toLong,
+        st.count(_._1 == "boiler").toLong, st.count(_._1 == "dup").toLong,
+        st.count(_._1 == "kept").toLong, st.map(_._2).sum, keptT,
+        round(keptT.toDouble / st.map(_._2).sum, 4))
+    }.map(r => r._1 -> r).toMap
+    val out = SparkEntry.queries("q267_boilerplate_scrub")(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Double)].collect()
+    assert(out.length == expected.size)
+    out.foreach { case r @ (id, _, _, _, _, _, _, _) =>
+      assert(r == expected(id), s"doc $id")
+    }
+    // the ladder discriminates: both fates occur, and boiler removes
+    // MORE aggressively than q259 (its winners drop too)
+    assert(out.map(_._3).sum > 0 && out.map(_._4).sum > 0)
+    val q259kept = SparkEntry.queries("q259_chunk_dedup")(spark, sfDir)
+      .agg(org.apache.spark.sql.functions.sum("n_kept")).as[Long].collect().head
+    assert(out.map(_._5).sum ==
+      q259kept - dfOf.valuesIterator.count(_.size >= 3))
   }
 
   /** First 15 md5 hex digits of `u` as a 60-bit long — the local twin of
