@@ -37,7 +37,9 @@ object ExplainAudit {
         "q198_merkle_manifest", "q204_clamped_balance",
         "q215_kcenter_coreset", "q219_hits_ranking", "q221_spearman_matrix",
         "q222_kendall_taub", "q225_clustering_coefficient", "q229_skipgram_pairs",
-        "q259_chunk_dedup", "q262_pii_scrub", "q263_repetition_battery")
+        "q259_chunk_dedup", "q262_pii_scrub", "q263_repetition_battery",
+        "q264_ann_operating_point", "q265_domain_quota", "q266_url_dedup",
+        "q267_boilerplate_scrub")
     targets.foreach { name =>
       println(s"\n===== $name =====")
       SparkEntry.queries(name)(spark, dir).explain("formatted")
