@@ -262,6 +262,82 @@ object Corpus12 {
       .orderBy("doc_id")
   }
 
+  /** q268's body: the five hygiene gates COMPOSED in production order
+    * (RefinedWeb §3 / FineWeb's published ladder) — URL dedup → domain
+    * cap → Gopher repetition gate → chunk-level scrub → PII redaction —
+    * each stage conditioned on the previous stage's SURVIVOR corpus
+    * (the cap ranks only URL-deduped docs; chunk document frequencies
+    * count only gated docs — composition order is semantics, not
+    * presentation). Output: the 6-row funnel (docs in/out/dropped +
+    * surviving chars per stage; the stateless PII stage drops nothing
+    * and reports post-redaction chars).
+    *
+    * Scale shape: every stage is its standalone query's audited plan
+    * (q266 partial-aggregable min winner; q265 TopKScored k-heap — the
+    * explode of the per-host kept array is bounded at cap rows/host;
+    * q263's narrow explode→partial-agg battery; q267's two-level
+    * distinct-doc aggregate; q262 stateless regex) glued by left-semi
+    * joins on doc_id — no window, no cartesian, nothing quadratic. The
+    * funnel COUNTS re-execute each stage prefix (Spark has no
+    * DataFrame-level CSE): at 100 TB a production run materializes each
+    * stage's survivor shard anyway (the shards ARE the product; the
+    * funnel is its audit trail), so the one-pass-per-stage cost here is
+    * the fixture-scale rendering of reading back what was just written. */
+  private[graft] def hygieneFunnel(
+      docs0: DataFrame, cap: Int = 10, minRetained: Double = 0.2): DataFrame = {
+    val docs = docs0.select(col("doc_id"), col("text"), col("n_chars"))
+    val w1 = canonUrls(docs).groupBy("canon_url")
+      .agg(min("doc_id").as("doc_id")).select("doc_id")
+    val s1 = docs.join(w1, Seq("doc_id"), "left_semi")
+    val top = udaf(new graft.functions.TopKScored(cap))
+    val k2 = hostedDocs(s1).groupBy("host")
+      .agg(top(col("n_chars").cast("double"), col("doc_id")).as("kept"))
+      .select(explode(col("kept")).as("k")).select(col("k.id").as("doc_id"))
+    val s2 = s1.join(k2, Seq("doc_id"), "left_semi")
+    val k3 = repetitionBattery(s2).filter(col("keep")).select("doc_id")
+    val s3 = s2.join(k3, Seq("doc_id"), "left_semi")
+    val ch = Corpus.chunkTokens(s3).withColumn("fp", md5(col("chunk")))
+    val dd = ch.groupBy("fp").agg(
+      countDistinct("doc_id").as("df"),
+      min(struct(col("doc_id"), col("chunk_idx"))).as("win"))
+    val k4 = ch.join(dd, Seq("fp"))
+      .select(col("doc_id"), col("n_tokens"),
+        when(col("df") >= 3, lit(0L))
+          .when(col("win") === struct(col("doc_id"), col("chunk_idx")), col("n_tokens"))
+          .otherwise(lit(0L)).as("kt"))
+      .groupBy("doc_id")
+      .agg(round(sum("kt") * lit(1.0) / sum("n_tokens"), 4).as("rf"))
+      .filter(col("rf") >= minRetained).select("doc_id")
+    val s4 = s3.join(k4, Seq("doc_id"), "left_semi")
+
+    def stat(df: DataFrame, n: String, c: String) =
+      df.agg(count(lit(1)).cast("long").as(n),
+        coalesce(sum("n_chars"), lit(0L)).as(c))
+    val pc = piiScrub(s4)
+      .agg(coalesce(sum(length(col("scrubbed"))).cast("long"), lit(0L)).as("pc"))
+    val one = stat(docs, "n0", "c0")
+      .crossJoin(broadcast(stat(s1, "n1", "c1")))
+      .crossJoin(broadcast(stat(s2, "n2", "c2")))
+      .crossJoin(broadcast(stat(s3, "n3", "c3")))
+      .crossJoin(broadcast(stat(s4, "n4", "c4")))
+      .crossJoin(broadcast(pc))
+    def row(stage: Int, nm: String, in: String, out: String, chars: org.apache.spark.sql.Column) =
+      struct(lit(stage.toLong).as("stage"), lit(nm).as("name"),
+        col(in).as("docs_in"), col(out).as("docs_out"),
+        (col(in) - col(out)).as("docs_dropped"), chars.as("chars_out"))
+    one.select(explode(array(
+        row(0, "fetch", "n0", "n0", col("c0")),
+        row(1, "url_dedup", "n0", "n1", col("c1")),
+        row(2, "domain_quota", "n1", "n2", col("c2")),
+        row(3, "gopher_gate", "n2", "n3", col("c3")),
+        row(4, "chunk_scrub", "n3", "n4", col("c4")),
+        row(5, "pii_scrub", "n4", "n4", col("pc")))).as("r"))
+      .select(col("r.stage").as("stage"), col("r.name").as("name"),
+        col("r.docs_in").as("docs_in"), col("r.docs_out").as("docs_out"),
+        col("r.docs_dropped").as("docs_dropped"), col("r.chars_out").as("chars_out"))
+      .orderBy("stage")
+  }
+
   def defs: Seq[QueryDef] = Seq(
 
     QueryDef(
@@ -365,6 +441,71 @@ object Corpus12 {
               |w AS (SELECT canon_url, min(doc_id) AS keep_id FROM c GROUP BY 1)
               |SELECT c.doc_id, c.url, c.canon_url, c.doc_id = w.keep_id AS kept
               |FROM c JOIN w ON c.canon_url = w.canon_url
-              |ORDER BY c.doc_id""".stripMargin.replace("\n", " ")))
+              |ORDER BY c.doc_id""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q268_hygiene_funnel",
+      // END-TO-END HYGIENE FUNNEL — the five gates of a production
+      // web-corpus pipeline composed in order (RefinedWeb §3 /
+      // FineWeb's ladder): URL canonicalization dedup → per-domain cap
+      // → Gopher repetition gate → chunk-level boilerplate/dup scrub →
+      // PII redaction, each stage conditioned on the previous stage's
+      // survivor corpus. Output: the funnel audit every pipeline run
+      // publishes — per stage, documents in/out/dropped and surviving
+      // characters (the stateless PII stage drops nothing; its
+      // chars_out is post-redaction). See hygieneFunnel's scaladoc for
+      // the stage-by-stage scale argument.
+      (s, dir) => hygieneFunnel(Tables.documents(s, dir)),
+      Some(s"""WITH d0 AS (SELECT doc_id, text, n_chars FROM documents),
+              |cu AS (SELECT doc_id, ${canonDuck(s"($urlDuck)")} AS canon_url FROM d0),
+              |w1 AS (SELECT canon_url, min(doc_id) AS doc_id FROM cu GROUP BY 1),
+              |s1 AS (SELECT d0.* FROM d0 JOIN w1 USING (doc_id)),
+              |hr AS (SELECT doc_id, row_number() OVER (PARTITION BY $hostDuck ORDER BY n_chars DESC, doc_id) AS rn FROM s1),
+              |s2 AS (SELECT s1.* FROM s1 JOIN hr USING (doc_id) WHERE rn <= 10),
+              |t AS (SELECT doc_id, ${TextAnalytics.toksDuck} AS w,
+              |CAST(length(replace(text, ' ', '')) AS BIGINT) AS tc FROM s2),
+              |${topGramDuckCte(2)}, ${topGramDuckCte(3)}, ${topGramDuckCte(4)},
+              |${dupCovDuckCte(2)}, ${dupCovDuckCte(3)},
+              |gk AS (SELECT t.doc_id FROM t LEFT JOIN f2 USING (doc_id) LEFT JOIN f3 USING (doc_id)
+              |LEFT JOIN f4 USING (doc_id) LEFT JOIN l2 USING (doc_id) LEFT JOIN l3 USING (doc_id)
+              |WHERE round(coalesce(f2.topc, 0) * 1.0 / tc, 4) <= 0.20
+              |AND round(coalesce(f3.topc, 0) * 1.0 / tc, 4) <= 0.18
+              |AND round(coalesce(f4.topc, 0) * 1.0 / tc, 4) <= 0.16
+              |AND round(coalesce(l2.covc, 0) * 1.0 / tc, 4) <= 0.20
+              |AND round(coalesce(l3.covc, 0) * 1.0 / tc, 4) <= 0.10),
+              |s3 AS (SELECT s2.* FROM s2 JOIN gk USING (doc_id)),
+              |s3t AS (SELECT doc_id, ${TextAnalytics.toksDuck} AS w FROM s3),
+              |ch AS (SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+              |array_to_string(w[i*15+1:i*15+20], ' ') AS chunk,
+              |CAST(len(w[i*15+1:i*15+20]) AS BIGINT) AS n_tokens
+              |FROM s3t, LATERAL (SELECT unnest(generate_series(0, (len(w)-1)//15)) AS i) g WHERE len(w) > 0),
+              |dd AS (SELECT md5(chunk) AS fp, count(DISTINCT doc_id) AS df,
+              |min(row(doc_id, chunk_idx)) AS win FROM ch GROUP BY 1),
+              |rf AS (SELECT c.doc_id, round(sum(CASE WHEN d.df >= 3 THEN 0
+              |WHEN d.win = row(c.doc_id, c.chunk_idx) THEN c.n_tokens ELSE 0 END) * 1.0 / sum(c.n_tokens), 4) AS rf
+              |FROM ch c JOIN dd d ON md5(c.chunk) = d.fp GROUP BY 1),
+              |s4 AS (SELECT s3.* FROM s3 JOIN rf USING (doc_id) WHERE rf.rf >= 0.2),
+              |sc AS (SELECT doc_id, $dirtyDuck AS t FROM s4),
+              |np AS (SELECT CAST(coalesce(sum(length(
+              |regexp_replace(regexp_replace(regexp_replace(t,
+              |'$emailPat', '[EMAIL]', 'g'), '$phonePat', '[PHONE]', 'g'),
+              |'$ipPat', '[IP]', 'g'))), 0) AS BIGINT) AS pc FROM sc),
+              |n0 AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS c FROM d0),
+              |n1 AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS c FROM s1),
+              |n2 AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS c FROM s2),
+              |n3 AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS c FROM s3),
+              |n4 AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS c FROM s4)
+              |SELECT * FROM (
+              |SELECT CAST(0 AS BIGINT) AS stage, 'fetch' AS name, n0.n AS docs_in, n0.n AS docs_out, CAST(0 AS BIGINT) AS docs_dropped, n0.c AS chars_out FROM n0
+              |UNION ALL SELECT 1, 'url_dedup', n0.n, n1.n, n0.n - n1.n, n1.c FROM n0, n1
+              |UNION ALL SELECT 2, 'domain_quota', n1.n, n2.n, n1.n - n2.n, n2.c FROM n1, n2
+              |UNION ALL SELECT 3, 'gopher_gate', n2.n, n3.n, n2.n - n3.n, n3.c FROM n2, n3
+              |UNION ALL SELECT 4, 'chunk_scrub', n3.n, n4.n, n3.n - n4.n, n4.c FROM n3, n4
+              |UNION ALL SELECT 5, 'pii_scrub', n4.n, n4.n, 0, np.pc FROM n4, np
+              |) ORDER BY stage""".stripMargin.replace("\n", " ")),
+      // headline-benched: the composed form is the single most
+      // production-representative query on the board — tracks the whole
+      // r9 hygiene family's cost round over round.
+      bench = true)
   )
 }

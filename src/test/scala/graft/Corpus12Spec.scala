@@ -147,4 +147,68 @@ class Corpus12Spec extends AnyFunSuite with SparkSuite {
     assert(dupGroups.nonEmpty)
     assert(dupGroups.exists(_._2.map(_._2).distinct.length >= 2))
   }
+
+  test("q268 hygiene funnel: full local replay of the five composed stages") {
+    def round4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text", "n_chars").as[(Long, String, Long)].collect().toSeq
+    // stage 1: canonical-URL keep-first (the q266 invariant form)
+    def canon(id: Long) = s"https://ex${id % 50}.com/p/${id % 200}"
+    val s1Ids = docs.map(_._1).groupBy(canon).values.map(_.min).toSet
+    val s1 = docs.filter(d => s1Ids(d._1))
+    // stage 2: per-host cap 10 by (n_chars desc, doc_id)
+    def host(id: Long) = if (id % 3 == 0) "h0" else s"h${id % 23 + 1}"
+    val s2Ids = s1.groupBy(d => host(d._1)).values
+      .flatMap(_.sortBy(d => (-d._3, d._1)).take(10).map(_._1)).toSet
+    val s2 = s1.filter(d => s2Ids(d._1))
+    // stage 3: the Gopher gate is strictly per-doc, so q263's published
+    // flags (already brute-force-replayed above) apply to any subset
+    val keep263 = SparkEntry.queries("q263_repetition_battery")(spark, sfDir)
+      .select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
+    val s3 = s2.filter(d => keep263(d._1))
+    // stage 4: chunk scrub (boiler df>=3 + keep-first) over s3's corpus
+    val allCh = s3.flatMap { case (id, text, _) =>
+      val w = text.toLowerCase.split(" ").filter(_.nonEmpty).toSeq
+      if (w.isEmpty) Seq.empty
+      else (0 to (w.length - 1) / 15).map { i =>
+        val c = w.slice(i * 15, i * 15 + 20)
+        (id, i.toLong, c.mkString(" "), c.length.toLong)
+      }
+    }
+    val byChunk = allCh.groupBy(_._3)
+    val boiler = byChunk.filter(_._2.map(_._1).distinct.size >= 3).keySet
+    val winner = byChunk.map { case (c, occ) =>
+      c -> occ.map(o => (o._1, o._2)).min }
+    val rf = allCh.groupBy(_._1).map { case (id, occ) =>
+      val kept = occ.collect {
+        case (i, ci, c, nt) if !boiler(c) && winner(c) == ((i, ci)) => nt
+      }.sum
+      id -> round4(kept.toDouble / occ.map(_._4).sum)
+    }
+    val s4 = s3.filter(d => rf.getOrElse(d._1, 0.0) >= 0.2)
+    // stage 5: PII chars over s4 (dirty + scrub, as in the q262 replay)
+    val pc = s4.map { case (id, text, _) =>
+      ip.replaceAllIn(phone.replaceAllIn(
+        email.replaceAllIn(dirty(id, text), "[EMAIL]"), "[PHONE]"), "[IP]")
+        .length.toLong
+    }.sum
+    def cs(xs: Seq[(Long, String, Long)]) = xs.map(_._3).sum
+    val exp = Seq(
+      (0L, "fetch", docs.size.toLong, docs.size.toLong, 0L, cs(docs)),
+      (1L, "url_dedup", docs.size.toLong, s1.size.toLong,
+        docs.size.toLong - s1.size, cs(s1)),
+      (2L, "domain_quota", s1.size.toLong, s2.size.toLong,
+        s1.size.toLong - s2.size, cs(s2)),
+      (3L, "gopher_gate", s2.size.toLong, s3.size.toLong,
+        s2.size.toLong - s3.size, cs(s3)),
+      (4L, "chunk_scrub", s3.size.toLong, s4.size.toLong,
+        s3.size.toLong - s4.size, cs(s4)),
+      (5L, "pii_scrub", s4.size.toLong, s4.size.toLong, 0L, pc))
+    val got = SparkEntry.queries("q268_hygiene_funnel")(spark, sfDir)
+      .as[(Long, String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == exp)
+    // every content gate fires on this corpus (stages 1-4 all drop docs)
+    exp.slice(1, 5).foreach { r => assert(r._5 > 0, s"stage ${r._2} dropped 0") }
+  }
 }
