@@ -278,24 +278,29 @@ object Corpus12 {
     * q263's narrow explode→partial-agg battery; q267's two-level
     * distinct-doc aggregate; q262 stateless regex) glued by left-semi
     * joins on doc_id — no window, no cartesian, nothing quadratic. The
-    * funnel COUNTS re-execute each stage prefix (Spark has no
-    * DataFrame-level CSE): at 100 TB a production run materializes each
-    * stage's survivor shard anyway (the shards ARE the product; the
-    * funnel is its audit trail), so the one-pass-per-stage cost here is
-    * the fixture-scale rendering of reading back what was just written. */
+    * funnel's six audit aggregates all re-read stage survivors, and
+    * Spark has no DataFrame-level CSE, so each stage output is PINNED
+    * (localCheckpoint) once computed — exactly what a production run
+    * does anyway (the survivor shards ARE the product; the funnel is
+    * their audit trail). Measured: pinning took the sf0.1 funnel from
+    * 11.2 s (each count branch re-ran its whole stage prefix — the
+    * battery three times, the URL winner aggregate five times) to the
+    * sum of one pass per stage. Unlike the BPE chain (where a pin was
+    * measured to LOSE, see Corpus2), the pinned frames here are the
+    * tiny survivor tables, not a corpus-sized intermediate. */
   private[graft] def hygieneFunnel(
       docs0: DataFrame, cap: Int = 10, minRetained: Double = 0.2): DataFrame = {
     val docs = docs0.select(col("doc_id"), col("text"), col("n_chars"))
     val w1 = canonUrls(docs).groupBy("canon_url")
       .agg(min("doc_id").as("doc_id")).select("doc_id")
-    val s1 = docs.join(w1, Seq("doc_id"), "left_semi")
+    val s1 = docs.join(w1, Seq("doc_id"), "left_semi").localCheckpoint()
     val top = udaf(new graft.functions.TopKScored(cap))
     val k2 = hostedDocs(s1).groupBy("host")
       .agg(top(col("n_chars").cast("double"), col("doc_id")).as("kept"))
       .select(explode(col("kept")).as("k")).select(col("k.id").as("doc_id"))
-    val s2 = s1.join(k2, Seq("doc_id"), "left_semi")
+    val s2 = s1.join(k2, Seq("doc_id"), "left_semi").localCheckpoint()
     val k3 = repetitionBattery(s2).filter(col("keep")).select("doc_id")
-    val s3 = s2.join(k3, Seq("doc_id"), "left_semi")
+    val s3 = s2.join(k3, Seq("doc_id"), "left_semi").localCheckpoint()
     val ch = Corpus.chunkTokens(s3).withColumn("fp", md5(col("chunk")))
     val dd = ch.groupBy("fp").agg(
       countDistinct("doc_id").as("df"),
@@ -308,7 +313,7 @@ object Corpus12 {
       .groupBy("doc_id")
       .agg(round(sum("kt") * lit(1.0) / sum("n_tokens"), 4).as("rf"))
       .filter(col("rf") >= minRetained).select("doc_id")
-    val s4 = s3.join(k4, Seq("doc_id"), "left_semi")
+    val s4 = s3.join(k4, Seq("doc_id"), "left_semi").localCheckpoint()
 
     def stat(df: DataFrame, n: String, c: String) =
       df.agg(count(lit(1)).cast("long").as(n),
