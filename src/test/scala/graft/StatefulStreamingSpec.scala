@@ -614,6 +614,62 @@ class StatefulStreamingSpec extends AnyFunSuite with SparkSuite {
       "h0's later-file docs must all be refused by carried state")
   }
 
+  test("composed streaming admission: url dedup → foreachBatch bridge → domain quota ties to q268") {
+    // The production topology for q268's two STATEFUL stages: two keyed
+    // flatMapGroupsWithState operators cannot chain inside one streaming
+    // query, so stage 1 (crawl-frontier URL dedup) writes its kept rows
+    // through a foreachBatch bridge (= the Kafka/shard hop between
+    // pipeline services) and stage 2 (per-domain admission) streams from
+    // the bridge. One AvailableNow replay each: intra-batch ties resolve
+    // in the batch queries' own order, so the composed stream must equal
+    // the batch funnel's url_dedup and domain_quota rows exactly.
+    val dir = "/root/testdata/sf0.01"
+    val stage = java.nio.file.Files.createTempDirectory("graft_adm_in")
+    val bridge = java.nio.file.Files.createTempDirectory("graft_adm_bridge")
+      .resolve("kept").toString
+    val (prepared, _) = stagedUrls(dir, stage, 1)
+    val hosted = operators.Corpus12.hostedDocs(Tables.documents(spark, dir))
+    val q1 = StatefulOps.urlDedupStream(
+        spark.readStream.schema(prepared.schema).parquet(stage.toString)
+          .as[StatefulOps.UrlIn]).writeStream
+      .outputMode("append")
+      .foreachBatch { (ds: org.apache.spark.sql.Dataset[StatefulOps.UrlDecision], _: Long) =>
+        ds.filter($"kept").join(hosted, Seq("doc_id"))
+          .select($"doc_id", $"host", $"n_chars")
+          .write.mode("append").parquet(bridge)
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q1.awaitTermination()
+    val q2 = StatefulOps.domainQuotaStream(
+        spark.readStream.schema(hosted.schema).parquet(bridge)
+          .as[StatefulOps.QuotaIn]).writeStream
+      .outputMode("append").format("memory").queryName("admission2")
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    val funnel = SparkEntry.queries("q268_hygiene_funnel")(spark, dir)
+      .select("name", "docs_out").as[(String, Long)].collect().toMap
+    // bridge == the funnel's url_dedup survivors
+    val bridged = spark.read.parquet(bridge)
+    assert(bridged.count() == funnel("url_dedup"))
+    // admitted set == the funnel's domain_quota survivors (score-ordered
+    // single batch = the batch top-cap selection, host by host)
+    val admitted = spark.table("admission2").filter($"admitted")
+    assert(admitted.count() == funnel("domain_quota"))
+    val expected = bridged.join(hosted.select("doc_id"), Seq("doc_id"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"host")
+          .orderBy($"n_chars".desc, $"doc_id")))
+      .filter($"rn" <= 10).select("doc_id")
+    assert(expected.exceptAll(admitted.select("doc_id")).count() == 0)
+    assert(admitted.select("doc_id").exceptAll(expected).count() == 0)
+    // the stateless gates run unchanged downstream: q263's per-doc keep
+    // flags applied to the admitted set reproduce the funnel's next stage
+    val keep = SparkEntry.queries("q263_repetition_battery")(spark, dir)
+      .select("doc_id", "keep")
+    assert(admitted.select("doc_id").join(keep, Seq("doc_id"))
+      .filter($"keep").count() == funnel("gopher_gate"))
+  }
+
   test("streaming dedup by event_id keeps exactly the distinct ids") {
     val q = StreamingTwin.dedupStream(stagedEventStream()).writeStream
       .outputMode("append").format("memory").queryName("dedup_stream")
