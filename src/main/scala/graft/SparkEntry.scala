@@ -34,6 +34,7 @@ object SparkEntry {
       operators.Corpus10.defs ++
       operators.Corpus11.defs ++
       operators.Corpus12.defs ++
+      operators.Corpus13.defs ++
       sources.Articles.defs ++
       ml.MlQueries.defs
 

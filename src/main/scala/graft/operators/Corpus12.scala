@@ -169,9 +169,9 @@ object Corpus12 {
     * of the corpus (the boilerplate-domain skew a per-domain cap exists
     * to contain); the rest spread uniformly over h1..h23. Identical
     * bytes on both engines. */
-  private def hostCol = when(col("doc_id") % 3 === 0, lit("h0"))
+  private[operators] def hostCol = when(col("doc_id") % 3 === 0, lit("h0"))
     .otherwise(concat(lit("h"), ((col("doc_id") % 23) + 1).cast("string")))
-  private val hostDuck =
+  private[operators] val hostDuck =
     "CASE WHEN doc_id % 3 = 0 THEN 'h0' ELSE 'h' || CAST(doc_id % 23 + 1 AS VARCHAR) END"
 
   /** q265's body, input-agnostic: per-host document cap — keep the top

@@ -1,0 +1,125 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Round-9 corpus operators, continued: host-graph centrality — the
+  * crawl-prioritization / quality-weighting signal every web-corpus
+  * pipeline derives from a host-level graph (PageRank over hyperlinks
+  * in the classic form; CommonCrawl publishes exactly such host ranks).
+  * The synthetic corpus has no hyperlinks, so the graph is derived from
+  * a signal the engine already computes: CONTENT SYNDICATION — two
+  * hosts are linked when they serve the same chunk fingerprint (the
+  * q259/q267 chunking), which is how mirror/aggregator relationships
+  * surface in a real crawl when link data is absent.
+  */
+object Corpus13 {
+
+  /** Fixed-point scale for the integer PageRank iterates: rank r(v) is
+    * carried as t(v) = r(v)·N·S, an exact int64. */
+  private val S = 1000000000000L // 10^12
+
+  /** q269's body: 2 damped PageRank rounds (d = 0.85 = 17/20) over the
+    * host syndication graph, ENTIRELY IN INT64 ARITHMETIC — no float
+    * sum exists anywhere, so Spark and DuckDB agree bit-for-bit with no
+    * rounding discipline needed (the q219-HITS determinism idea, pushed
+    * one step further: HITS kept integer numerators because it is
+    * scale-invariant; PageRank is not, so the iterate is fixed-point
+    * scaled instead, t(v) = r(v)·N·S, and each edge contribution
+    * floor-divides ONCE per round: c(u,v) = ⌊t(u)·w/W(u)⌋ in the
+    * overflow-safe split form (t div W)·w + ((t mod W)·w) div W, exact
+    * for t·w beyond int64). Fixed rounds, not convergence — the
+    * oracle-checkable-prefix contract of q114/q121/q216/q217.
+    *
+    * Scale shape: chunking is stateless map work; the (fp, host)
+    * distinct and the per-fp host-set aggregate are the only
+    * corpus-sized shuffles (both partial-aggregable). Per-fp pair
+    * fan-out is bounded by the syndication-width cap (a chunk served by
+    * > maxHosts hosts is boilerplate, not syndication — the df-cap
+    * discipline of cappedShingles; non-binding on this corpus where
+    * |hosts| = 24 < 64, load-bearing at web scale where one universal
+    * chunk would otherwise emit |hosts|² pairs). The iteration joins
+    * are keyed on host — data-sized at web scale (millions of hosts),
+    * never corpus-sized, and each round is one join + one
+    * partial-aggregable sum. Dangling hosts (no out-edges) contribute
+    * no mass, the standard drop-dangling convention, stated here
+    * because ranks then sum to < 1. */
+  private[graft] def hostPageRank(docs: DataFrame, maxHosts: Int = 64): DataFrame = {
+    val hc = Corpus.chunkTokens(docs)
+      .select(md5(col("chunk")).as("fp"), Corpus12.hostCol.as("host"))
+      .distinct()
+    val e = hc.groupBy("fp")
+      .agg(array_sort(collect_set(col("host"))).as("hs"))
+      .filter(size(col("hs")).between(2, maxHosts))
+      .select(explode(col("hs")).as("u"), col("hs"))
+      .select(col("u"), explode(col("hs")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("w"))
+    val nodes = hc.select("host").distinct()
+    val ow = nodes
+      .join(e.groupBy("u").agg(sum("w").as("wout")),
+        nodes("host") === col("u"), "left")
+      .select(col("host"), coalesce(col("wout"), lit(0L)).as("wout"))
+    def step(t: DataFrame): DataFrame = {
+      val m = e
+        .join(t.withColumnRenamed("host", "u"), Seq("u"))
+        .join(ow.select(col("host").as("u"), col("wout").as("wu")), Seq("u"))
+        .select(col("v"),
+          expr("(t div wu) * w + ((t % wu) * w) div wu").as("c"))
+        .groupBy("v").agg(sum("c").as("m"))
+      nodes.join(m, nodes("host") === col("v"), "left")
+        .select(col("host"),
+          (lit(3L * S / 20L) +
+            expr("(17 * coalesce(m, CAST(0 AS BIGINT))) div 20")).as("t"))
+    }
+    val t2 = step(step(nodes.withColumn("t", lit(S))))
+    val nn = nodes.agg(count(lit(1)).as("n"))
+    t2.join(ow, Seq("host"))
+      .crossJoin(broadcast(nn))
+      .select(col("host"), col("wout").as("out_w"),
+        col("t").as("rank_scaled"),
+        round(col("t") * lit(1.0) / (col("n") * lit(S)), 6).as("rank"))
+      .orderBy(col("rank_scaled").desc, col("host"))
+  }
+
+  def defs: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "q269_host_pagerank",
+      // HOST-GRAPH PAGERANK over the content-syndication graph: hosts
+      // are linked when they serve the same chunk fingerprint (edge
+      // weight = number of shared distinct chunks); two damped rounds
+      // (d = 17/20) from the uniform start rank every host. All
+      // arithmetic is exact int64 fixed-point (see hostPageRank) — the
+      // published rank_scaled column is the exact iterate, `rank` its
+      // readable fraction-of-total form. h0, the deliberate
+      // heavy-hitter host, should and does dominate.
+      (s, dir) => hostPageRank(Tables.documents(s, dir)),
+      Some(s"""WITH t AS (SELECT doc_id, ${TextAnalytics.toksDuck} AS w FROM documents),
+              |ch AS (SELECT doc_id, array_to_string(w[i*15+1:i*15+20], ' ') AS chunk
+              |FROM t, LATERAL (SELECT unnest(generate_series(0, (len(w)-1)//15)) AS i) g WHERE len(w) > 0),
+              |hc AS (SELECT DISTINCT md5(chunk) AS fp, ${Corpus12.hostDuck} AS host FROM ch),
+              |fps AS (SELECT fp FROM hc GROUP BY 1 HAVING count(*) BETWEEN 2 AND 64),
+              |e AS (SELECT a.host AS u, b.host AS v, CAST(count(*) AS BIGINT) AS w
+              |FROM hc a JOIN hc b ON a.fp = b.fp AND a.host <> b.host
+              |JOIN fps ON fps.fp = a.fp GROUP BY 1, 2),
+              |nodes AS (SELECT DISTINCT host FROM hc),
+              |ow AS (SELECT n.host, CAST(coalesce(sum(e.w), 0) AS BIGINT) AS wout
+              |FROM nodes n LEFT JOIN e ON e.u = n.host GROUP BY 1),
+              |t0 AS (SELECT host, CAST(1000000000000 AS BIGINT) AS t FROM nodes),
+              |c0 AS (SELECT e.v AS host, CAST(sum((t0.t // ow.wout) * e.w + ((t0.t % ow.wout) * e.w) // ow.wout) AS BIGINT) AS m
+              |FROM e JOIN t0 ON t0.host = e.u JOIN ow ON ow.host = e.u GROUP BY 1),
+              |t1 AS (SELECT n.host, (3 * 1000000000000) // 20 + (17 * coalesce(c0.m, 0)) // 20 AS t
+              |FROM nodes n LEFT JOIN c0 ON c0.host = n.host),
+              |c1 AS (SELECT e.v AS host, CAST(sum((t1.t // ow.wout) * e.w + ((t1.t % ow.wout) * e.w) // ow.wout) AS BIGINT) AS m
+              |FROM e JOIN t1 ON t1.host = e.u JOIN ow ON ow.host = e.u GROUP BY 1),
+              |t2 AS (SELECT n.host, CAST((3 * 1000000000000) // 20 + (17 * coalesce(c1.m, 0)) // 20 AS BIGINT) AS t
+              |FROM nodes n LEFT JOIN c1 ON c1.host = n.host),
+              |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes)
+              |SELECT t2.host AS host, ow.wout AS out_w, t2.t AS rank_scaled,
+              |round(t2.t * 1.0 / (nn.n * 1000000000000), 6) AS rank
+              |FROM t2 JOIN ow ON ow.host = t2.host, nn
+              |ORDER BY rank_scaled DESC, t2.host""".stripMargin.replace("\n", " ")))
+  )
+}
