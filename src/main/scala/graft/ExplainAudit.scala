@@ -39,7 +39,8 @@ object ExplainAudit {
         "q222_kendall_taub", "q225_clustering_coefficient", "q229_skipgram_pairs",
         "q259_chunk_dedup", "q262_pii_scrub", "q263_repetition_battery",
         "q264_ann_operating_point", "q265_domain_quota", "q266_url_dedup",
-        "q267_boilerplate_scrub", "q268_hygiene_funnel", "q269_host_pagerank")
+        "q267_boilerplate_scrub", "q268_hygiene_funnel", "q269_host_pagerank",
+        "q270_semantic_decontam")
     targets.foreach { name =>
       println(s"\n===== $name =====")
       SparkEntry.queries(name)(spark, dir).explain("formatted")

@@ -248,4 +248,39 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     // the cascade premise: stage-2 cost is a tiny fraction of the full scan
     assert(audit("rerank32")._2 < audit("adc")._2 / 2)
   }
+
+  test("q270 semantic decontam: local replay of the LSH-blocked best-match gate") {
+    val got = SparkEntry.queries("q270_semantic_decontam")(spark, sfDir)
+      .as[(Long, Int, Double, Long, Boolean)].collect().toSeq
+    val e = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"label", $"embedding",
+        operators.Similarity.sketchCol($"embedding").as("sk"))
+      .as[(Long, Int, Seq[Float], Long)].collect().toSeq
+    def dot(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x.toDouble * y.toDouble }
+    def norm(a: Seq[Float]) = math.sqrt(dot(a, a))
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val eval = e.filter(_._1 % 20 == 0)
+    val train = e.filter(_._1 % 20 != 0)
+    val expected = train.map { case (id, lab, emb, sk) =>
+      // a train row is a candidate when its bucket is the eval vector's
+      // own sketch or any Hamming-1 probe of it — q53's probing contract
+      val cands = eval.filter { case (_, _, _, qsk) =>
+        qsk == sk || (0 until 4).exists(p => (qsk ^ (1L << p)) == sk) }
+      if (cands.isEmpty) (id, lab, -1.0, -1L, false)
+      else {
+        val best = cands.map { case (qid, _, qe, _) =>
+          (r6(dot(emb, qe) / (norm(emb) * norm(qe))), qid) }
+          .maxBy { case (c, q) => (c, -q) }
+        (id, lab, best._1, best._2, best._1 >= 0.40)
+      }
+    }.sortBy(_._1)
+    assert(got == expected)
+    // the gate discriminates, and every match points into the eval split
+    val flagged = got.count(_._5)
+    assert(flagged > 0 && flagged < got.size)
+    got.filter(_._4 >= 0).foreach { r =>
+      assert(r._4 % 20 == 0 && r._1 % 20 != 0, s"row $r")
+    }
+  }
 }
