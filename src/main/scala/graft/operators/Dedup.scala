@@ -133,6 +133,29 @@ object Dedup {
   private val internExpr =
     "array_distinct(transform(w, u -> CAST(conv(substring(md5(u), 1, 15), 16, 10) AS BIGINT)))"
 
+  /** The operational contract above, ENFORCEABLE IN-PIPELINE (ADVICE r8):
+    * recompute the q260/q261 vocabulary audits on `docs` and throw if any
+    * two distinct tokens / 5-shingles / 8-grams share a fingerprint — the
+    * precondition under which every interned Jaccard, containment, and
+    * span match equals its exact string form. Cost: one distinct + one
+    * hash aggregate per family (the same plans q260/q261 run). Call once
+    * per NEW corpus before trusting interned results; on failure, rerun
+    * the affected queries with their exact string verifies. `hexWidth`
+    * parameterizes the fingerprint width for tests (production = 15). */
+  def assertInterningExact(docs: DataFrame, hexWidth: Int = 15): Unit = {
+    val v = Corpus11.fingerprintAudit(docs, hexWidth)
+      .select("n_vocab_collisions").head().getLong(0)
+    require(v == 0L,
+      s"token interning UNSAFE on this corpus: $v vocabulary fingerprint " +
+        "collisions — fall back to the exact string verify (q260 contract)")
+    val r = Corpus11.ngramFingerprintAudit(docs, hexWidth)
+      .select("n_sh5_collisions", "n_g8_collisions").head()
+    require(r.getLong(0) == 0L && r.getLong(1) == 0L,
+      s"n-gram interning UNSAFE on this corpus: ${r.getLong(0)} shingle / " +
+        s"${r.getLong(1)} 8-gram fingerprint collisions — fall back to the " +
+        "exact string forms (q261 contract)")
+  }
+
   /** Array-form verify (r7): join the candidate pairs against the
     * (doc_id, w) SET table once per side and compute the intersection
     * as one codegen'd `array_intersect` per pair — replacing the

@@ -190,4 +190,19 @@ class Corpus11Spec extends AnyFunSuite with SparkSuite {
     assert(r._4 <= 16L)          // 4-bit space
     assert(r._5 == r._3 - r._4 && r._5 >= 25L)
   }
+
+  test("assertInterningExact: passes on the corpus, throws on forced collisions") {
+    // the SCALE.md operational contract, enforceable in-pipeline: the
+    // guard is silent at the production width on the gate corpus...
+    operators.Dedup.assertInterningExact(Tables.documents(spark, sfDir))
+    // ...and throws with the fall-back instruction when fingerprints
+    // collide (4-bit width forces it by pigeonhole)
+    val fixture = Seq((1L, (0 until 40).map(i => s"tok$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val ex = intercept[IllegalArgumentException] {
+      operators.Dedup.assertInterningExact(fixture, hexWidth = 1)
+    }
+    assert(ex.getMessage.contains("UNSAFE") &&
+      ex.getMessage.contains("exact string"))
+  }
 }
