@@ -340,13 +340,24 @@ object Similarity {
     * its bucket's eval occupancy only; the best-match is a
     * partial-aggregable max(struct). If eval ever outgrew a broadcast,
     * the same plan runs as a shuffle join on the sketch key. */
-  private[graft] def semanticDecontam(corpus: DataFrame, tau: Double = 0.40): DataFrame = {
+  /** The (train, eval, eval-multiprobe) split shared by q270 and its
+    * q271 operating-point audit — one definition so the audit cannot
+    * drift from the deployed gate. */
+  private def decontamSides(corpus: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val e = withNorm(corpus).withColumn("sk", sketchCol(col("embedding")))
-    val ev = e.filter(col("vec_id") % 20 === 0)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"),
-        explode(expr(s"concat(array(sk), transform(sequence(0, ${planes - 1}), p -> sk ^ shiftleft(1L, p)))")).as("probe"))
-    val tr = e.filter(col("vec_id") % 20 =!= 0)
-    val best = tr.join(broadcast(ev), col("sk") === col("probe"))
+    val evBase = e.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("nrm").as("qn"), col("sk").as("qsk"))
+    val probes = evBase.select(col("qid"), col("qe"), col("qn"),
+      explode(expr(s"concat(array(qsk), transform(sequence(0, ${planes - 1}), p -> qsk ^ shiftleft(1L, p)))")).as("probe"))
+    (e.filter(col("vec_id") % 20 =!= 0), evBase, probes)
+  }
+
+  private def decontamTau = 0.40
+
+  private[graft] def semanticDecontam(corpus: DataFrame, tau: Double = decontamTau): DataFrame = {
+    val (tr, _, probes) = decontamSides(corpus)
+    val best = tr.join(broadcast(probes), col("sk") === col("probe"))
       .withColumn("cos", round(vecDot(col("embedding"), col("qe")) / (col("nrm") * col("qn")), 6))
       .groupBy("vec_id")
       .agg(max(struct(col("cos"), (-col("qid")).as("nq"))).as("b"))
@@ -383,6 +394,66 @@ object Similarity {
               |coalesce(b.bb.cos, -1.0) >= 0.40 AS contaminated
               |FROM tr LEFT JOIN b ON tr.vec_id = b.vec_id
               |ORDER BY tr.vec_id""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q271_decontam_operating_point",
+      // q270's OPERATING-POINT AUDIT (the q243/q264 discipline): at the
+      // gate corpus where brute force is affordable, compare the
+      // LSH-blocked gate's flags against the exact train × eval maximum
+      // and publish flag recall + what each side scanned. blocked max ≤
+      // exact max per vector (candidates are a subset), so every blocked
+      // flag is a true flag — `missed` is the whole error. Both sides
+      // derive from decontamSides, so the audit cannot drift from the
+      // deployed gate. At 100 TB the exact side is the intractable
+      // ~10¹⁵-pair scan — this audit exists to be run on samples/gate
+      // corpora to certify the blocking before trusting it, exactly as
+      // q260/q261 certify interning.
+      (s, dir) => {
+        val (tr, ev, probes) = decontamSides(Tables.embeddings(s, dir))
+        def cosCol = round(vecDot(col("embedding"), col("qe")) / (col("nrm") * col("qn")), 6)
+        val bc = tr.join(broadcast(probes), col("sk") === col("probe"))
+          .withColumn("cos", cosCol)
+        val bp = bc.agg(count(lit(1)).as("blocked_pairs"))
+        val bf = bc.groupBy("vec_id").agg(max("cos").as("m"))
+          .filter(col("m") >= decontamTau)
+          .agg(count(lit(1)).as("blocked_flagged"))
+        val ec = tr.crossJoin(broadcast(ev.select("qid", "qe", "qn")))
+          .withColumn("cos", cosCol)
+        val ef = ec.groupBy("vec_id").agg(max("cos").as("m"))
+          .filter(col("m") >= decontamTau)
+          .agg(count(lit(1)).as("exact_flagged"))
+        val nt = tr.agg(count(lit(1)).as("n_train"))
+        val ne = ev.agg(count(lit(1)).as("n_eval"))
+        nt.crossJoin(broadcast(ne)).crossJoin(broadcast(ef))
+          .crossJoin(broadcast(bf)).crossJoin(broadcast(bp))
+          .select(col("n_train"), col("n_eval"),
+            col("exact_flagged"), col("blocked_flagged"),
+            (col("exact_flagged") - col("blocked_flagged")).as("missed"),
+            round(col("blocked_flagged") * lit(1.0) / col("exact_flagged"), 4).as("flag_recall"),
+            (col("n_train") * col("n_eval")).as("exact_pairs"),
+            col("blocked_pairs"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding, ${duckNorm("embedding")} AS nrm, $sketchDuck AS sk FROM embeddings),
+              |ev AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn, sk AS qsk FROM e WHERE vec_id % 20 = 0),
+              |pr AS (SELECT qid, qe, qn,
+              |unnest(list_concat([qsk], list_transform(generate_series(0, ${planes - 1}), p -> xor(qsk, CAST(1 AS BIGINT) << p)))) AS probe FROM ev),
+              |tr AS (SELECT * FROM e WHERE vec_id % 20 <> 0),
+              |bc AS (SELECT t.vec_id, round(${duckDot("t.embedding", "q.qe")} / (t.nrm * q.qn), 6) AS cos
+              |FROM tr t JOIN pr q ON t.sk = q.probe),
+              |bp AS (SELECT CAST(count(*) AS BIGINT) AS blocked_pairs FROM bc),
+              |bf AS (SELECT CAST(count(*) AS BIGINT) AS blocked_flagged FROM
+              |(SELECT vec_id, max(cos) AS m FROM bc GROUP BY 1) WHERE m >= 0.40),
+              |ec AS (SELECT t.vec_id, round(${duckDot("t.embedding", "q.qe")} / (t.nrm * q.qn), 6) AS cos
+              |FROM tr t, ev q),
+              |ef AS (SELECT CAST(count(*) AS BIGINT) AS exact_flagged FROM
+              |(SELECT vec_id, max(cos) AS m FROM ec GROUP BY 1) WHERE m >= 0.40),
+              |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_train FROM tr),
+              |ne AS (SELECT CAST(count(*) AS BIGINT) AS n_eval FROM ev)
+              |SELECT n_train, n_eval, exact_flagged, blocked_flagged,
+              |exact_flagged - blocked_flagged AS missed,
+              |round(blocked_flagged * 1.0 / exact_flagged, 4) AS flag_recall,
+              |n_train * n_eval AS exact_pairs, blocked_pairs
+              |FROM nt, ne, ef, bf, bp""".stripMargin.replace("\n", " "))),
 
     QueryDef(
       "q50_knn_bruteforce",

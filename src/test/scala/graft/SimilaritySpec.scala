@@ -283,4 +283,29 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
       assert(r._4 % 20 == 0 && r._1 % 20 != 0, s"row $r")
     }
   }
+
+  test("q271 operating point: replays from q270's flags and an exact local brute force") {
+    val Array(r) = SparkEntry.queries("q271_decontam_operating_point")(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long, Double, Long, Long)].collect()
+    val blockedFlagged = SparkEntry.queries("q270_semantic_decontam")(spark, sfDir)
+      .filter($"contaminated").count()
+    assert(r._4 == blockedFlagged) // the audit counts the deployed gate's flags
+    // exact side recomputed locally (sequential fold + 6-dp rounding)
+    val e = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+    def dot(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x.toDouble * y.toDouble }
+    def norm(a: Seq[Float]) = math.sqrt(dot(a, a))
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val eval = e.filter(_._1 % 20 == 0)
+    val train = e.filter(_._1 % 20 != 0)
+    val exactFlagged = train.count { case (_, emb) =>
+      eval.map { case (_, qe) => r6(dot(emb, qe) / (norm(emb) * norm(qe))) }.max >= 0.40
+    }
+    assert(r._3 == exactFlagged)
+    assert(r._1 == train.length && r._2 == eval.length)
+    // soundness: blocked ⊆ exact (missed is the whole error, never negative)
+    assert(r._5 == r._3 - r._4 && r._5 >= 0)
+    assert(r._7 == r._1 * r._2 && r._8 < r._7) // the blocking really prunes
+  }
 }
