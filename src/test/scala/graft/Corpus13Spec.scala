@@ -54,4 +54,31 @@ class Corpus13Spec extends AnyFunSuite with SparkSuite {
     assert(e.nonEmpty)
     assert(got.last._3 >= (3L * S) / 20L)
   }
+
+  test("q269 syndication-width cap binds: a universal chunk contributes no edges") {
+    // The cap is non-binding on the 24-host corpus, so exercise it at
+    // maxHosts = 3 on a fixture: one chunk shared by the hosts of docs
+    // 1/2/4/5/8 (width 5 > 3 — the 'universal boilerplate' class the
+    // cap exists for at web scale) must contribute NOTHING, while a
+    // chunk shared by docs 7 and 14 (width 2, hosts h8/h15) forms the
+    // only edges. 15 identical tokens = exactly one chunk per doc (20
+    // would add a stride-15 tail chunk and double every weight); no
+    // doc_id is a multiple of 3, so no host collapses onto h0.
+    def doc(id: Long, tok: String) = (id, Seq.fill(15)(tok).mkString(" "))
+    val fixture = (Seq(1L, 2L, 4L, 5L, 8L).map(doc(_, "wide")) ++
+      Seq(doc(7L, "pair"), doc(14L, "pair"))).toDF("doc_id", "text")
+    val got = operators.Corpus13.hostPageRank(fixture, maxHosts = 3)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    // the wide-chunk hosts (h2 h3 h5 h6 h9) all dangling (out_w = 0);
+    // h8 and h15 (docs 7, 14) carry the single pair edge each way
+    val byHost = got.map(r => r._1 -> r._2).toMap
+    assert(byHost.keySet == Set("h2", "h3", "h5", "h6", "h9", "h8", "h15"))
+    Seq("h2", "h3", "h5", "h6", "h9").foreach(h => assert(byHost(h) == 0L, h))
+    assert(byHost("h8") == 1L && byHost("h15") == 1L)
+    // and the uncapped run keeps the wide chunk's edges
+    val uncapped = operators.Corpus13.hostPageRank(fixture, maxHosts = 64)
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> r._2).toMap
+    assert(uncapped("h2") == 4L) // 4 partners via the wide chunk
+  }
 }
