@@ -239,6 +239,10 @@ object Corpus12 {
        |'#.*$$', ''), '\\?utm_.*$$', '')), '://www\\.', '://'), '/$$', '')"""
       .stripMargin.replace("\n", " ")
 
+  /** The canonical-URL DuckDB expression over `documents` (q266's
+    * injection + rules in one) — shared with q272's robots gate. */
+  private[operators] def canonUrlDuck: String = canonDuck(s"($urlDuck)")
+
   /** q266's body: URL canonicalization + canonical-URL keep-first dedup
     * (the fetch-dedup step every web pipeline runs before content
     * dedup; RefinedWeb §3.1). Scale shape: canonicalization is

@@ -83,7 +83,64 @@ object Corpus13 {
       .orderBy(col("rank_scaled").desc, col("host"))
   }
 
+  /** q272's deterministic robots corpus: per-host disallow path-prefixes
+    * (the parsed form of each host's robots.txt — in production this
+    * table is crawled and data-sized; here 6 rules over the q266 URL
+    * hosts, chosen to exercise every class: a multi-rule host with
+    * NESTED prefixes (ex4: /p/1 and /p/15 — longest match must win), a
+    * disallow-everything host (ex2: /p/ blocks its whole path space),
+    * and plain single-prefix hosts). */
+  private val robotsRules = Seq(
+    ("ex0.com", "/p/1"), ("ex4.com", "/p/1"), ("ex4.com", "/p/15"),
+    ("ex8.com", "/p/1"), ("ex12.com", "/p/1"), ("ex2.com", "/p/"))
+  private def robotsDuck = robotsRules
+    .map { case (h, d) => s"('$h', '$d')" }.mkString(", ")
+
+  /** q272's body: the robots.txt fetch gate every crawler runs — a URL
+    * is blocked when any of its host's disallow prefixes matches its
+    * path; the reported rule is the LONGEST match (robots precedence;
+    * matching rules are nested prefixes of the path, so longest =
+    * lexicographic max — a plain partial-aggregable max(dis)). Scale
+    * shape: the rules table is host-keyed (data-sized in production —
+    * the join is a host-keyed hash join, broadcast when it fits, and
+    * per-URL fan-out is bounded by that host's rule count); the
+    * longest-match aggregate is (doc_id, host, path)-keyed — no skew
+    * beyond a hot host, which AQE splits. Stateless otherwise: runs
+    * unchanged on a readStream frontier. */
+  private[graft] def robotsGate(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val u = Corpus12.canonUrls(docs).select(col("doc_id"),
+      regexp_extract(col("canon_url"), "^https://([^/]+)", 1).as("host"),
+      regexp_extract(col("canon_url"), "^https://[^/]+(/.*)$", 1).as("path"))
+    val rules = spark.createDataFrame(robotsRules).toDF("rhost", "dis")
+    u.join(broadcast(rules),
+        col("host") === col("rhost") && col("path").startsWith(col("dis")), "left")
+      .groupBy("doc_id", "host", "path").agg(max("dis").as("rule"))
+      .select(col("doc_id"), col("host"), col("path"),
+        coalesce(col("rule"), lit("")).as("matched_rule"),
+        col("rule").isNull.as("allowed"))
+      .orderBy("doc_id")
+  }
+
   def defs: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "q272_robots_gate",
+      // ROBOTS.TXT FETCH GATE (the admission check upstream of even
+      // q266's URL dedup): parse host + path from the canonical URL,
+      // match against the per-host disallow-prefix table, block on any
+      // match, report the longest matching rule. See robotsGate for the
+      // rule fixture and scale shape.
+      (s, dir) => robotsGate(Tables.documents(s, dir)),
+      Some(s"""WITH c AS (SELECT doc_id, ${Corpus12.canonUrlDuck} AS cu FROM documents),
+              |u AS (SELECT doc_id, regexp_extract(cu, '^https://([^/]+)', 1) AS host,
+              |regexp_extract(cu, '^https://[^/]+(/.*)$$', 1) AS path FROM c),
+              |rules(rhost, dis) AS (VALUES $robotsDuck),
+              |m AS (SELECT u.doc_id, u.host, u.path, r.dis
+              |FROM u LEFT JOIN rules r ON u.host = r.rhost AND starts_with(u.path, r.dis))
+              |SELECT doc_id, host, path, coalesce(max(dis), '') AS matched_rule,
+              |max(dis) IS NULL AS allowed
+              |FROM m GROUP BY 1, 2, 3 ORDER BY doc_id""".stripMargin.replace("\n", " "))),
 
     QueryDef(
       "q269_host_pagerank",

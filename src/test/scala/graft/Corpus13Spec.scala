@@ -81,4 +81,31 @@ class Corpus13Spec extends AnyFunSuite with SparkSuite {
       .map(r => r._1 -> r._2).toMap
     assert(uncapped("h2") == 4L) // 4 partners via the wide chunk
   }
+
+  test("q272 robots gate: local longest-match replay; every rule class fires") {
+    val rules = Seq("ex0.com" -> "/p/1", "ex4.com" -> "/p/1",
+      "ex4.com" -> "/p/15", "ex8.com" -> "/p/1", "ex12.com" -> "/p/1",
+      "ex2.com" -> "/p/")
+    val ids = Tables.documents(spark, sfDir)
+      .select("doc_id").as[Long].collect().toSeq
+    // q266's proven canonical form: host ex{id%50}.com, path /p/{id%200}
+    val expected = ids.map { id =>
+      val host = s"ex${id % 50}.com"
+      val path = s"/p/${id % 200}"
+      val ms = rules.collect { case (h, d) if h == host && path.startsWith(d) => d }
+      (id, host, path, if (ms.isEmpty) "" else ms.max, ms.isEmpty)
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("q272_robots_gate")(spark, sfDir)
+      .as[(Long, String, String, String, Boolean)].collect().toSeq
+    assert(got == expected)
+    // every rule class fires on this corpus:
+    // nested prefixes resolve to the LONGEST match (doc 154/354: ex4
+    // /p/154 matches both /p/1 and /p/15)...
+    assert(got.exists(r => r._2 == "ex4.com" && r._4 == "/p/15" && !r._5))
+    // ...the disallow-everything host blocks ALL its docs...
+    val ex2 = got.filter(_._2 == "ex2.com")
+    assert(ex2.nonEmpty && ex2.forall(!_._5))
+    // ...and the gate discriminates (blocked and allowed both occur)
+    assert(got.exists(!_._5) && got.exists(_._5))
+  }
 }
