@@ -96,31 +96,35 @@ object Corpus13 {
   private def robotsDuck = robotsRules
     .map { case (h, d) => s"('$h', '$d')" }.mkString(", ")
 
-  /** q272's body: the robots.txt fetch gate every crawler runs — a URL
-    * is blocked when any of its host's disallow prefixes matches its
-    * path; the reported rule is the LONGEST match (robots precedence;
-    * matching rules are nested prefixes of the path, so longest =
-    * lexicographic max — a plain partial-aggregable max(dis)). Scale
-    * shape: the rules table is host-keyed (data-sized in production —
-    * the join is a host-keyed hash join, broadcast when it fits, and
-    * per-URL fan-out is bounded by that host's rule count); the
-    * longest-match aggregate is (doc_id, host, path)-keyed — no skew
-    * beyond a hot host, which AQE splits. Stateless otherwise: runs
-    * unchanged on a readStream frontier. */
-  private[graft] def robotsGate(docs: DataFrame): DataFrame = {
+  /** q272's body, WITHOUT the presentation sort — the truly stateless
+    * form: rules collapse to one array per host (a tiny/broadcast
+    * build), the URL side takes ONE equi-join on host, and the longest
+    * match is an array HOF per row (robots precedence; matching rules
+    * are nested prefixes of the path, so longest = lexicographic max =
+    * array_max of the filtered set). ZERO shuffles on the URL side at
+    * any corpus size — no (doc, host, path)-keyed aggregate exists —
+    * which is also why it runs UNCHANGED on a readStream frontier
+    * (stream-static join + map; StatefulStreamingSpec proves stream ≡
+    * batch). In production the per-host rule arrays are data-sized:
+    * same plan, hash join instead of broadcast. */
+  private[graft] def robotsDecisions(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     val u = Corpus12.canonUrls(docs).select(col("doc_id"),
       regexp_extract(col("canon_url"), "^https://([^/]+)", 1).as("host"),
       regexp_extract(col("canon_url"), "^https://[^/]+(/.*)$", 1).as("path"))
-    val rules = spark.createDataFrame(robotsRules).toDF("rhost", "dis")
-    u.join(broadcast(rules),
-        col("host") === col("rhost") && col("path").startsWith(col("dis")), "left")
-      .groupBy("doc_id", "host", "path").agg(max("dis").as("rule"))
+    val ruleSets = spark.createDataFrame(robotsRules).toDF("rhost", "dis")
+      .groupBy("rhost").agg(array_sort(collect_list(col("dis"))).as("rs"))
+    u.join(broadcast(ruleSets), col("host") === col("rhost"), "left")
+      .select(col("doc_id"), col("host"), col("path"),
+        expr("array_max(filter(coalesce(rs, array()), r -> startswith(path, r)))").as("rule"))
       .select(col("doc_id"), col("host"), col("path"),
         coalesce(col("rule"), lit("")).as("matched_rule"),
         col("rule").isNull.as("allowed"))
-      .orderBy("doc_id")
   }
+
+  /** q272: [[robotsDecisions]] + the deterministic presentation sort. */
+  private[graft] def robotsGate(docs: DataFrame): DataFrame =
+    robotsDecisions(docs).orderBy("doc_id")
 
   def defs: Seq[QueryDef] = Seq(
 

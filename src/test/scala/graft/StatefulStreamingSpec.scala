@@ -670,6 +670,27 @@ class StatefulStreamingSpec extends AnyFunSuite with SparkSuite {
       .filter($"keep").count() == funnel("gopher_gate"))
   }
 
+  test("q272 robots gate runs unchanged on a readStream frontier") {
+    // the scaladoc's claim made true-by-test: the gate is stateless, so
+    // the SAME robotsGate body runs on a streaming frontier and its
+    // decisions equal the batch query's rows exactly
+    val dir = "/root/testdata/sf0.01"
+    val stage = java.nio.file.Files.createTempDirectory("graft_robots_stage")
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    docs.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    val q = operators.Corpus13.robotsDecisions(
+        spark.readStream.schema(docs.schema).parquet(stage.toString))
+      .writeStream
+      .outputMode("append").format("memory").queryName("robots_stream")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val fin = spark.table("robots_stream")
+    val batch = SparkEntry.queries("q272_robots_gate")(spark, dir)
+    assert(fin.count() > 0)
+    assert(batch.exceptAll(fin).count() == 0)
+    assert(fin.exceptAll(batch).count() == 0)
+  }
+
   test("streaming dedup by event_id keeps exactly the distinct ids") {
     val q = StreamingTwin.dedupStream(stagedEventStream()).writeStream
       .outputMode("append").format("memory").queryName("dedup_stream")
