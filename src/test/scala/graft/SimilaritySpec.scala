@@ -249,31 +249,28 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     assert(audit("rerank32")._2 < audit("adc")._2 / 2)
   }
 
-  test("q270 semantic decontam: local replay of the LSH-blocked best-match gate") {
+  test("q270 semantic decontam: cascade output equals the exact brute force (recall 1.0)") {
     val got = SparkEntry.queries("q270_semantic_decontam")(spark, sfDir)
       .as[(Long, Int, Double, Long, Boolean)].collect().toSeq
     val e = Tables.embeddings(spark, sfDir)
-      .select($"vec_id", $"label", $"embedding",
-        operators.Similarity.sketchCol($"embedding").as("sk"))
-      .as[(Long, Int, Seq[Float], Long)].collect().toSeq
+      .select($"vec_id", $"label", $"embedding")
+      .as[(Long, Int, Seq[Float])].collect().toSeq
     def dot(a: Seq[Float], b: Seq[Float]): Double =
       a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x.toDouble * y.toDouble }
     def norm(a: Seq[Float]) = math.sqrt(dot(a, a))
     def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     val eval = e.filter(_._1 % 20 == 0)
     val train = e.filter(_._1 % 20 != 0)
-    val expected = train.map { case (id, lab, emb, sk) =>
-      // a train row is a candidate when its bucket is the eval vector's
-      // own sketch or any Hamming-1 probe of it — q53's probing contract
-      val cands = eval.filter { case (_, _, _, qsk) =>
-        qsk == sk || (0 until 4).exists(p => (qsk ^ (1L << p)) == sk) }
-      if (cands.isEmpty) (id, lab, -1.0, -1L, false)
-      else {
-        val best = cands.map { case (qid, _, qe, _) =>
-          (r6(dot(emb, qe) / (norm(emb) * norm(qe))), qid) }
-          .maxBy { case (c, q) => (c, -q) }
-        (id, lab, best._1, best._2, best._1 >= 0.40)
-      }
+    // Because the int8 screen bound admits every true-τ pair, the gate's
+    // published output must equal the EXACT brute-force gate with sub-τ
+    // rows masked — this local replay is the recall-1.0 proof run
+    // end-to-end, with no reference to the screen at all.
+    val expected = train.map { case (id, lab, emb) =>
+      val best = eval.map { case (qid, _, qe) =>
+        (r6(dot(emb, qe) / (norm(emb) * norm(qe))), qid) }
+        .maxBy { case (c, q) => (c, -q) }
+      if (best._1 >= 0.40) (id, lab, best._1, best._2, true)
+      else (id, lab, -1.0, -1L, false)
     }.sortBy(_._1)
     assert(got == expected)
     // the gate discriminates, and every match points into the eval split
@@ -284,12 +281,40 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     }
   }
 
-  test("q271 operating point: replays from q270's flags and an exact local brute force") {
+  test("q270 screen bound: local int8 replay dominates the exact cosine on every pair") {
+    val e = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toSeq
+    def dot(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x.toDouble * y.toDouble }
+    def norm(a: Seq[Float]) = math.sqrt(dot(a, a))
+    case class Q(id: Long, emb: Seq[Float], nrm: Double, s: Double, codes: Seq[Long], csum: Long)
+    val qs = e.map { case (id, emb) =>
+      val mx = emb.foldLeft(0.0) { (a, x) => math.max(a, math.abs(x.toDouble)) }
+      val codes = emb.map(x => math.floor(x.toDouble * 127.0 / mx + 0.5).toLong)
+      Q(id, emb, norm(emb), mx / 127.0, codes, codes.map(math.abs).sum)
+    }
+    val eval = qs.filter(_.id % 20 == 0)
+    val train = qs.filter(_.id % 20 != 0)
+    var margins = List.empty[Double]
+    for (t <- train; q <- eval) {
+      val codeDot = t.codes.zip(q.codes).map { case (a, b) => a * b }.sum
+      val ub = t.s * q.s * (codeDot + 0.5 * t.csum + 0.5 * q.csum + 64 / 4.0) /
+        (t.nrm * q.nrm)
+      val cos = dot(t.emb, q.emb) / (t.nrm * q.nrm)
+      assert(ub >= cos, s"bound violated for (${t.id}, ${q.id}): ub=$ub cos=$cos")
+      margins ::= ub - cos
+    }
+    // the margin is real but small — the screen prunes aggressively while
+    // provably admitting every boundary (round-6) flag
+    assert(margins.min > 1e-4 && margins.max < 0.05)
+  }
+
+  test("q271 operating point: recall is exactly 1.0 and the rescore set is tiny") {
     val Array(r) = SparkEntry.queries("q271_decontam_operating_point")(spark, sfDir)
       .as[(Long, Long, Long, Long, Long, Double, Long, Long)].collect()
-    val blockedFlagged = SparkEntry.queries("q270_semantic_decontam")(spark, sfDir)
+    val cascadeFlagged = SparkEntry.queries("q270_semantic_decontam")(spark, sfDir)
       .filter($"contaminated").count()
-    assert(r._4 == blockedFlagged) // the audit counts the deployed gate's flags
+    assert(r._4 == cascadeFlagged) // the audit counts the deployed gate's flags
     // exact side recomputed locally (sequential fold + 6-dp rounding)
     val e = Tables.embeddings(spark, sfDir)
       .select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
@@ -304,8 +329,9 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     }
     assert(r._3 == exactFlagged)
     assert(r._1 == train.length && r._2 == eval.length)
-    // soundness: blocked ⊆ exact (missed is the whole error, never negative)
-    assert(r._5 == r._3 - r._4 && r._5 >= 0)
-    assert(r._7 == r._1 * r._2 && r._8 < r._7) // the blocking really prunes
+    // the cascade's contract: zero misses, recall exactly 1.0
+    assert(r._4 == r._3 && r._5 == 0L && r._6 == 1.0)
+    // ...at a float64 rescore cost ≪ the exact pair scan
+    assert(r._7 == r._1 * r._2 && r._8 < r._7 / 100)
   }
 }
