@@ -451,12 +451,32 @@ object StatefulOps {
       .flatMapGroupsWithState[(Long, Long), ChunkDecision](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (_: String, rows: Iterator[ChunkIn], state: GroupState[(Long, Long)]) =>
-          val sorted = rows.toArray.sortBy(c => (c.doc_id, c.chunk_idx))
-          val newOwner = state.getOption.isEmpty
-          if (newOwner)
-            state.update((sorted.head.doc_id, sorted.head.chunk_idx))
-          sorted.iterator.zipWithIndex.map { case (c, i) =>
-            ChunkDecision(c.doc_id, c.chunk_idx, c.n_tokens, newOwner && i == 0)
+          // NEVER materialize the group: a heavy-hitter fingerprint (a
+          // boilerplate chunk replayed in one batch) lands wholly in one
+          // task otherwise — the same single-task hazard q259's batch
+          // min(struct) rewrite avoids. Owned fp → pure streaming map;
+          // new fp → one O(1)-memory pass keeping a running champion
+          // (the batch-order min), emitting dethroned rows as they fall.
+          if (state.exists)
+            rows.map(c => ChunkDecision(c.doc_id, c.chunk_idx, c.n_tokens, kept = false))
+          else {
+            var champ: ChunkIn = null
+            val losers = rows.flatMap { c =>
+              if (champ == null) { champ = c; Iterator.empty }
+              else if (c.doc_id < champ.doc_id ||
+                (c.doc_id == champ.doc_id && c.chunk_idx < champ.chunk_idx)) {
+                val prev = champ; champ = c
+                Iterator.single(ChunkDecision(prev.doc_id, prev.chunk_idx, prev.n_tokens, kept = false))
+              } else
+                Iterator.single(ChunkDecision(c.doc_id, c.chunk_idx, c.n_tokens, kept = false))
+            }
+            // state.update runs during output consumption, before the
+            // exec's completion hook writes the store — the documented
+            // lazy-update contract of FlatMapGroupsWithStateExec.
+            losers ++ {
+              state.update((champ.doc_id, champ.chunk_idx))
+              Iterator.single(ChunkDecision(champ.doc_id, champ.chunk_idx, champ.n_tokens, kept = true))
+            }
           }
       }
   }
@@ -484,11 +504,26 @@ object StatefulOps {
       .flatMapGroupsWithState[Long, UrlDecision](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (cu: String, rows: Iterator[UrlIn], state: GroupState[Long]) =>
-          val sorted = rows.toArray.sortBy(_.doc_id)
-          val newOwner = state.getOption.isEmpty
-          if (newOwner) state.update(sorted.head.doc_id)
-          sorted.iterator.zipWithIndex.map { case (r, i) =>
-            UrlDecision(r.doc_id, cu, newOwner && i == 0)
+          // Same O(1)-memory discipline as chunkDedupStream: owned URL →
+          // streaming map; new URL → running-min champion pass, never a
+          // materialized sort (a hot URL replayed in one batch must not
+          // land wholly in one task's memory).
+          if (state.exists)
+            rows.map(r => UrlDecision(r.doc_id, cu, kept = false))
+          else {
+            var champ = Long.MinValue
+            var seen = false
+            val losers = rows.flatMap { r =>
+              if (!seen) { seen = true; champ = r.doc_id; Iterator.empty }
+              else if (r.doc_id < champ) {
+                val prev = champ; champ = r.doc_id
+                Iterator.single(UrlDecision(prev, cu, kept = false))
+              } else Iterator.single(UrlDecision(r.doc_id, cu, kept = false))
+            }
+            losers ++ {
+              state.update(champ)
+              Iterator.single(UrlDecision(champ, cu, kept = true))
+            }
           }
       }
   }
@@ -514,14 +549,31 @@ object StatefulOps {
       .flatMapGroupsWithState[Long, QuotaDecision](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (h: String, rows: Iterator[QuotaIn], state: GroupState[Long]) =>
-          var used = state.getOption.getOrElse(0L)
-          val out = rows.toArray.sortBy(r => (-r.n_chars, r.doc_id)).map { r =>
-            val ok = used < cap
-            if (ok) used += 1
-            QuotaDecision(r.doc_id, h, ok)
+          // O(cap)-memory, not O(batch): the batch's admitted set is the
+          // top-(remaining budget) by (n_chars DESC, doc_id) — maintain
+          // it in a bounded heap (worst-kept on top), emitting every
+          // spilled row as rejected the moment it falls out. A host hit
+          // by a million-page batch never materializes the group.
+          val used = state.getOption.getOrElse(0L)
+          val budget = math.max(0L, cap - used).toInt
+          if (budget == 0)
+            rows.map(r => QuotaDecision(r.doc_id, h, admitted = false))
+          else {
+            // greatest = worst kept: smallest n_chars, then largest doc_id
+            val pq = scala.collection.mutable.PriorityQueue
+              .empty[QuotaIn](Ordering.by(r => (-r.n_chars, r.doc_id)))
+            val spilled = rows.flatMap { r =>
+              pq.enqueue(r)
+              if (pq.size > budget) {
+                val out = pq.dequeue()
+                Iterator.single(QuotaDecision(out.doc_id, h, admitted = false))
+              } else Iterator.empty
+            }
+            spilled ++ {
+              state.update(used + pq.size)
+              pq.iterator.map(r => QuotaDecision(r.doc_id, h, admitted = true))
+            }
           }
-          state.update(used)
-          out.iterator
       }
   }
 
