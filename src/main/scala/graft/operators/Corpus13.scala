@@ -17,7 +17,19 @@ import org.apache.spark.sql.functions._
 object Corpus13 {
 
   /** Fixed-point scale for the integer PageRank iterates: rank r(v) is
-    * carried as t(v) = r(v)·N·S, an exact int64. */
+    * carried as t(v) = r(v)·N·S, an exact int64.
+    *
+    * SAFE ENVELOPE (exactness, not a soft bound — r9 ADVICE): the
+    * damping term 17·m needs 17·Σt = 17·N·S < 2^63, so at S = 10^12 the
+    * graph may hold N ≤ ~5.4·10^5 hosts even under total rank
+    * concentration; the split edge term (t mod wu)·w needs
+    * wu·max(w) < 2^63, safe while a host's total out-weight stays below
+    * ~3·10^9 shared-chunk edges (the maxHosts cap bounds per-fp
+    * fan-out, not wout itself). Beyond either bound, lower S (each
+    * factor-of-k drop buys k× more hosts at 1/k rank resolution) —
+    * 10^12 gives 6-figure host counts with 12 significant digits,
+    * the right default for a per-crawl host graph; a full-web billion-
+    * host graph wants S = 10^8. */
   private val S = 1000000000000L // 10^12
 
   /** q269's body: 2 damped PageRank rounds (d = 0.85 = 17/20) over the
@@ -45,7 +57,15 @@ object Corpus13 {
     * partial-aggregable sum. Dangling hosts (no out-edges) contribute
     * no mass, the standard drop-dangling convention, stated here
     * because ranks then sum to < 1. */
-  private[graft] def hostPageRank(docs: DataFrame, maxHosts: Int = 64): DataFrame = {
+  /** The (edges, out-weights, nodes) triple of the host syndication
+    * graph, each PINNED via localCheckpoint: all three are host-sized
+    * (tiny at any corpus size) but rebuilt from corpus-sized chunking
+    * lineage, and every PageRank round references e/ow while nodes
+    * anchors each iterate and the final join — the q268/q235 pin rule
+    * (small frame, read >1×) rather than trusting ReuseExchange to
+    * dedupe identical aggregate subtrees (an optimizer courtesy, not a
+    * contract). */
+  private def hostGraph(docs: DataFrame, maxHosts: Int): (DataFrame, DataFrame, DataFrame) = {
     val hc = Corpus.chunkTokens(docs)
       .select(md5(col("chunk")).as("fp"), Corpus12.hostCol.as("host"))
       .distinct()
@@ -56,24 +76,33 @@ object Corpus13 {
       .select(col("u"), explode(col("hs")).as("v"))
       .filter(col("u") =!= col("v"))
       .groupBy("u", "v").agg(count(lit(1)).as("w"))
-    val nodes = hc.select("host").distinct()
+      .localCheckpoint()
+    val nodes = hc.select("host").distinct().localCheckpoint()
     val ow = nodes
       .join(e.groupBy("u").agg(sum("w").as("wout")),
         nodes("host") === col("u"), "left")
       .select(col("host"), coalesce(col("wout"), lit(0L)).as("wout"))
-    def step(t: DataFrame): DataFrame = {
-      val m = e
-        .join(t.withColumnRenamed("host", "u"), Seq("u"))
-        .join(ow.select(col("host").as("u"), col("wout").as("wu")), Seq("u"))
-        .select(col("v"),
-          expr("(t div wu) * w + ((t % wu) * w) div wu").as("c"))
-        .groupBy("v").agg(sum("c").as("m"))
-      nodes.join(m, nodes("host") === col("v"), "left")
-        .select(col("host"),
-          (lit(3L * S / 20L) +
-            expr("(17 * coalesce(m, CAST(0 AS BIGINT))) div 20")).as("t"))
-    }
-    val t2 = step(step(nodes.withColumn("t", lit(S))))
+      .localCheckpoint()
+    (e, ow, nodes)
+  }
+
+  /** One damped round over pinned (e, ow, nodes) — shared verbatim by the
+    * 2-round declarative unroll (q269) and the iterative form. */
+  private def prStep(e: DataFrame, ow: DataFrame, nodes: DataFrame)(t: DataFrame): DataFrame = {
+    val m = e
+      .join(t.withColumnRenamed("host", "u"), Seq("u"))
+      .join(ow.select(col("host").as("u"), col("wout").as("wu")), Seq("u"))
+      .select(col("v"),
+        expr("(t div wu) * w + ((t % wu) * w) div wu").as("c"))
+      .groupBy("v").agg(sum("c").as("m"))
+    nodes.join(m, nodes("host") === col("v"), "left")
+      .select(col("host"),
+        (lit(3L * S / 20L) +
+          expr("(17 * coalesce(m, CAST(0 AS BIGINT))) div 20")).as("t"))
+  }
+
+  /** Final presentation shared by both forms. */
+  private def prFinish(t2: DataFrame, ow: DataFrame, nodes: DataFrame): DataFrame = {
     val nn = nodes.agg(count(lit(1)).as("n"))
     t2.join(ow, Seq("host"))
       .crossJoin(broadcast(nn))
@@ -81,6 +110,25 @@ object Corpus13 {
         col("t").as("rank_scaled"),
         round(col("t") * lit(1.0) / (col("n") * lit(S)), 6).as("rank"))
       .orderBy(col("rank_scaled").desc, col("host"))
+  }
+
+  private[graft] def hostPageRank(docs: DataFrame, maxHosts: Int = 64): DataFrame = {
+    val (e, ow, nodes) = hostGraph(docs, maxHosts)
+    val step = prStep(e, ow, nodes) _
+    prFinish(step(step(nodes.withColumn("t", lit(S)))), ow, nodes)
+  }
+
+  /** The REAL-ROUND-COUNT form (the bpeTrainIterative discipline): each
+    * round's host-sized iterate is pinned before the next round reads
+    * it, so the plan stays one-join-one-aggregate deep at ANY round
+    * count instead of growing a 2^rounds lineage. Corpus13Spec proves
+    * its 2-round prefix ≡ q269's declarative unroll. */
+  private[graft] def hostPageRankIterative(docs: DataFrame, rounds: Int, maxHosts: Int = 64): DataFrame = {
+    val (e, ow, nodes) = hostGraph(docs, maxHosts)
+    val step = prStep(e, ow, nodes) _
+    var t = nodes.withColumn("t", lit(S))
+    for (_ <- 0 until rounds) t = step(t).localCheckpoint()
+    prFinish(t, ow, nodes)
   }
 
   /** q272's deterministic robots corpus: per-host disallow path-prefixes

@@ -82,6 +82,28 @@ class Corpus13Spec extends AnyFunSuite with SparkSuite {
     assert(uncapped("h2") == 4L) // 4 partners via the wide chunk
   }
 
+  test("q269 iterative form: 2-round prefix equals the declarative unroll exactly") {
+    // the bpeTrainIterative discipline: the per-round-pinned iterative
+    // form must be BIT-EQUAL to q269's declarative 2-round unroll (all
+    // arithmetic is int64 fixed-point, so equality is exact, not
+    // tolerance-based), certifying the iterative path for real round
+    // counts where the unrolled lineage would be intractable.
+    val docs = Tables.documents(spark, sfDir)
+    val unrolled = operators.Corpus13.hostPageRank(docs)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    val iterative = operators.Corpus13.hostPageRankIterative(docs, 2)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(iterative == unrolled)
+    // more rounds keep the fixed-point invariants: total mass below N·S
+    // (dangling hosts leak mass) and every rank at least the teleport
+    // floor 3S/20
+    val r4 = operators.Corpus13.hostPageRankIterative(docs, 4)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(r4.map(_._3).sum < r4.size * 1000000000000L)
+    assert(r4.forall(_._3 >= 3L * 1000000000000L / 20L))
+    assert(r4.map(_._1).sorted == unrolled.map(_._1).sorted)
+  }
+
   test("q272 robots gate: local longest-match replay; every rule class fires") {
     val rules = Seq("ex0.com" -> "/p/1", "ex4.com" -> "/p/1",
       "ex4.com" -> "/p/15", "ex8.com" -> "/p/1", "ex12.com" -> "/p/1",
