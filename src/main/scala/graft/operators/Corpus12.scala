@@ -266,15 +266,21 @@ object Corpus12 {
       .orderBy("doc_id")
   }
 
-  /** q268's body: the five hygiene gates COMPOSED in production order
-    * (RefinedWeb §3 / FineWeb's published ladder) — URL dedup → domain
-    * cap → Gopher repetition gate → chunk-level scrub → PII redaction —
+  /** q268's body: the SIX hygiene gates COMPOSED in production order
+    * (RefinedWeb §3 / FineWeb's published ladder, with the fetch-policy
+    * gate where it belongs) — robots.txt gate → URL dedup → domain cap
+    * → Gopher repetition gate → chunk-level scrub → PII redaction —
     * each stage conditioned on the previous stage's SURVIVOR corpus
-    * (the cap ranks only URL-deduped docs; chunk document frequencies
-    * count only gated docs — composition order is semantics, not
-    * presentation). Output: the 6-row funnel (docs in/out/dropped +
-    * surviving chars per stage; the stateless PII stage drops nothing
-    * and reports post-redaction chars).
+    * (URL dedup elects winners only among fetchable docs; the cap ranks
+    * only URL-deduped docs; chunk document frequencies count only gated
+    * docs — composition order is semantics, not presentation). The
+    * robots gate runs FIRST because it is the only stage a compliant
+    * crawler may not defer: a disallowed URL must not even be fetched,
+    * let alone win a dedup election (r9 shipped it as q272 but left the
+    * funnel starting at URL dedup — the r9 verdict's composition gap).
+    * Output: the 7-row funnel (docs in/out/dropped + surviving chars
+    * per stage; the stateless PII stage drops nothing and reports
+    * post-redaction chars).
     *
     * Scale shape: every stage is its standalone query's audited plan
     * (q266 partial-aggregable min winner; q265 TopKScored k-heap — the
@@ -295,9 +301,13 @@ object Corpus12 {
   private[graft] def hygieneFunnel(
       docs0: DataFrame, cap: Int = 10, minRetained: Double = 0.2): DataFrame = {
     val docs = docs0.select(col("doc_id"), col("text"), col("n_chars"))
-    val w1 = canonUrls(docs).groupBy("canon_url")
+    // stage 1: robots gate (q272's stateless longest-match plan — zero
+    // URL-side shuffles; the semi-join below is its only exchange)
+    val k0 = Corpus13.robotsDecisions(docs).filter(col("allowed")).select("doc_id")
+    val s0 = docs.join(k0, Seq("doc_id"), "left_semi").localCheckpoint()
+    val w1 = canonUrls(s0).groupBy("canon_url")
       .agg(min("doc_id").as("doc_id")).select("doc_id")
-    val s1 = docs.join(w1, Seq("doc_id"), "left_semi").localCheckpoint()
+    val s1 = s0.join(w1, Seq("doc_id"), "left_semi").localCheckpoint()
     val top = udaf(new graft.functions.TopKScored(cap))
     val k2 = hostedDocs(s1).groupBy("host")
       .agg(top(col("n_chars").cast("double"), col("doc_id")).as("kept"))
@@ -325,6 +335,7 @@ object Corpus12 {
     val pc = piiScrub(s4)
       .agg(coalesce(sum(length(col("scrubbed"))).cast("long"), lit(0L)).as("pc"))
     val one = stat(docs, "n0", "c0")
+      .crossJoin(broadcast(stat(s0, "nr", "cr")))
       .crossJoin(broadcast(stat(s1, "n1", "c1")))
       .crossJoin(broadcast(stat(s2, "n2", "c2")))
       .crossJoin(broadcast(stat(s3, "n3", "c3")))
@@ -336,11 +347,12 @@ object Corpus12 {
         (col(in) - col(out)).as("docs_dropped"), chars.as("chars_out"))
     one.select(explode(array(
         row(0, "fetch", "n0", "n0", col("c0")),
-        row(1, "url_dedup", "n0", "n1", col("c1")),
-        row(2, "domain_quota", "n1", "n2", col("c2")),
-        row(3, "gopher_gate", "n2", "n3", col("c3")),
-        row(4, "chunk_scrub", "n3", "n4", col("c4")),
-        row(5, "pii_scrub", "n4", "n4", col("pc")))).as("r"))
+        row(1, "robots_gate", "n0", "nr", col("cr")),
+        row(2, "url_dedup", "nr", "n1", col("c1")),
+        row(3, "domain_quota", "n1", "n2", col("c2")),
+        row(4, "gopher_gate", "n2", "n3", col("c3")),
+        row(5, "chunk_scrub", "n3", "n4", col("c4")),
+        row(6, "pii_scrub", "n4", "n4", col("pc")))).as("r"))
       .select(col("r.stage").as("stage"), col("r.name").as("name"),
         col("r.docs_in").as("docs_in"), col("r.docs_out").as("docs_out"),
         col("r.docs_dropped").as("docs_dropped"), col("r.chars_out").as("chars_out"))
@@ -454,12 +466,13 @@ object Corpus12 {
 
     QueryDef(
       "q268_hygiene_funnel",
-      // END-TO-END HYGIENE FUNNEL — the five gates of a production
+      // END-TO-END HYGIENE FUNNEL — the six gates of a production
       // web-corpus pipeline composed in order (RefinedWeb §3 /
-      // FineWeb's ladder): URL canonicalization dedup → per-domain cap
-      // → Gopher repetition gate → chunk-level boilerplate/dup scrub →
-      // PII redaction, each stage conditioned on the previous stage's
-      // survivor corpus. Output: the funnel audit every pipeline run
+      // FineWeb's ladder): robots.txt fetch gate → URL canonicalization
+      // dedup → per-domain cap → Gopher repetition gate → chunk-level
+      // boilerplate/dup scrub → PII redaction, each stage conditioned
+      // on the previous stage's survivor corpus. Output: the funnel
+      // audit every pipeline run
       // publishes — per stage, documents in/out/dropped and surviving
       // characters (the stateless PII stage drops nothing; its
       // chars_out is post-redaction). See hygieneFunnel's scaladoc for
@@ -467,8 +480,16 @@ object Corpus12 {
       (s, dir) => hygieneFunnel(Tables.documents(s, dir)),
       Some(s"""WITH d0 AS (SELECT doc_id, text, n_chars FROM documents),
               |cu AS (SELECT doc_id, ${canonDuck(s"($urlDuck)")} AS canon_url FROM d0),
-              |w1 AS (SELECT canon_url, min(doc_id) AS doc_id FROM cu GROUP BY 1),
-              |s1 AS (SELECT d0.* FROM d0 JOIN w1 USING (doc_id)),
+              |up AS (SELECT doc_id, regexp_extract(canon_url, '^https://([^/]+)', 1) AS host,
+              |regexp_extract(canon_url, '^https://[^/]+(/.*)$$', 1) AS path FROM cu),
+              |rules(rhost, dis) AS (VALUES ${Corpus13.robotsDuck}),
+              |rb AS (SELECT up.doc_id FROM up LEFT JOIN rules r
+              |ON up.host = r.rhost AND starts_with(up.path, r.dis)
+              |GROUP BY 1 HAVING max(r.dis) IS NULL),
+              |s0 AS (SELECT d0.* FROM d0 JOIN rb USING (doc_id)),
+              |w1 AS (SELECT canon_url, min(doc_id) AS doc_id
+              |FROM cu JOIN rb USING (doc_id) GROUP BY 1),
+              |s1 AS (SELECT s0.* FROM s0 JOIN w1 USING (doc_id)),
               |hr AS (SELECT doc_id, row_number() OVER (PARTITION BY $hostDuck ORDER BY n_chars DESC, doc_id) AS rn FROM s1),
               |s2 AS (SELECT s1.* FROM s1 JOIN hr USING (doc_id) WHERE rn <= 10),
               |t AS (SELECT doc_id, ${TextAnalytics.toksDuck} AS w,
@@ -500,17 +521,19 @@ object Corpus12 {
               |'$emailPat', '[EMAIL]', 'g'), '$phonePat', '[PHONE]', 'g'),
               |'$ipPat', '[IP]', 'g'))), 0) AS BIGINT) AS pc FROM sc),
               |n0 AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS c FROM d0),
+              |nr AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS c FROM s0),
               |n1 AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS c FROM s1),
               |n2 AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS c FROM s2),
               |n3 AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS c FROM s3),
               |n4 AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS c FROM s4)
               |SELECT * FROM (
               |SELECT CAST(0 AS BIGINT) AS stage, 'fetch' AS name, n0.n AS docs_in, n0.n AS docs_out, CAST(0 AS BIGINT) AS docs_dropped, n0.c AS chars_out FROM n0
-              |UNION ALL SELECT 1, 'url_dedup', n0.n, n1.n, n0.n - n1.n, n1.c FROM n0, n1
-              |UNION ALL SELECT 2, 'domain_quota', n1.n, n2.n, n1.n - n2.n, n2.c FROM n1, n2
-              |UNION ALL SELECT 3, 'gopher_gate', n2.n, n3.n, n2.n - n3.n, n3.c FROM n2, n3
-              |UNION ALL SELECT 4, 'chunk_scrub', n3.n, n4.n, n3.n - n4.n, n4.c FROM n3, n4
-              |UNION ALL SELECT 5, 'pii_scrub', n4.n, n4.n, 0, np.pc FROM n4, np
+              |UNION ALL SELECT 1, 'robots_gate', n0.n, nr.n, n0.n - nr.n, nr.c FROM n0, nr
+              |UNION ALL SELECT 2, 'url_dedup', nr.n, n1.n, nr.n - n1.n, n1.c FROM nr, n1
+              |UNION ALL SELECT 3, 'domain_quota', n1.n, n2.n, n1.n - n2.n, n2.c FROM n1, n2
+              |UNION ALL SELECT 4, 'gopher_gate', n2.n, n3.n, n2.n - n3.n, n3.c FROM n2, n3
+              |UNION ALL SELECT 5, 'chunk_scrub', n3.n, n4.n, n3.n - n4.n, n4.c FROM n3, n4
+              |UNION ALL SELECT 6, 'pii_scrub', n4.n, n4.n, 0, np.pc FROM n4, np
               |) ORDER BY stage""".stripMargin.replace("\n", " ")),
       // headline-benched: the composed form is the single most
       // production-representative query on the board — tracks the whole

@@ -138,10 +138,10 @@ object Corpus13 {
     * NESTED prefixes (ex4: /p/1 and /p/15 — longest match must win), a
     * disallow-everything host (ex2: /p/ blocks its whole path space),
     * and plain single-prefix hosts). */
-  private val robotsRules = Seq(
+  private[operators] val robotsRules = Seq(
     ("ex0.com", "/p/1"), ("ex4.com", "/p/1"), ("ex4.com", "/p/15"),
     ("ex8.com", "/p/1"), ("ex12.com", "/p/1"), ("ex2.com", "/p/"))
-  private def robotsDuck = robotsRules
+  private[operators] def robotsDuck = robotsRules
     .map { case (h, d) => s"('$h', '$d')" }.mkString(", ")
 
   /** q272's body, WITHOUT the presentation sort — the truly stateless
@@ -155,20 +155,28 @@ object Corpus13 {
     * (stream-static join + map; StatefulStreamingSpec proves stream ≡
     * batch). In production the per-host rule arrays are data-sized:
     * same plan, hash join instead of broadcast. */
-  private[graft] def robotsDecisions(docs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
-    val u = Corpus12.canonUrls(docs).select(col("doc_id"),
+  /** The URL-level form of the gate: input is any (doc_id, canon_url)
+    * relation — batch OR stream (stateless, so it chains in front of the
+    * admission topology for free); output keeps canon_url so downstream
+    * stages can continue from it. */
+  private[graft] def robotsDecideUrls(u: DataFrame): DataFrame = {
+    val spark = u.sparkSession
+    val parsed = u.select(col("doc_id"), col("canon_url"),
       regexp_extract(col("canon_url"), "^https://([^/]+)", 1).as("host"),
       regexp_extract(col("canon_url"), "^https://[^/]+(/.*)$", 1).as("path"))
     val ruleSets = spark.createDataFrame(robotsRules).toDF("rhost", "dis")
       .groupBy("rhost").agg(array_sort(collect_list(col("dis"))).as("rs"))
-    u.join(broadcast(ruleSets), col("host") === col("rhost"), "left")
-      .select(col("doc_id"), col("host"), col("path"),
+    parsed.join(broadcast(ruleSets), col("host") === col("rhost"), "left")
+      .select(col("doc_id"), col("canon_url"), col("host"), col("path"),
         expr("array_max(filter(coalesce(rs, array()), r -> startswith(path, r)))").as("rule"))
-      .select(col("doc_id"), col("host"), col("path"),
+      .select(col("doc_id"), col("canon_url"), col("host"), col("path"),
         coalesce(col("rule"), lit("")).as("matched_rule"),
         col("rule").isNull.as("allowed"))
   }
+
+  private[graft] def robotsDecisions(docs: DataFrame): DataFrame =
+    robotsDecideUrls(Corpus12.canonUrls(docs).select("doc_id", "canon_url"))
+      .drop("canon_url")
 
   /** q272: [[robotsDecisions]] + the deterministic presentation sort. */
   private[graft] def robotsGate(docs: DataFrame): DataFrame =

@@ -148,15 +148,27 @@ class Corpus12Spec extends AnyFunSuite with SparkSuite {
     assert(dupGroups.exists(_._2.map(_._2).distinct.length >= 2))
   }
 
-  test("q268 hygiene funnel: full local replay of the five composed stages") {
+  test("q268 hygiene funnel: full local replay of the six composed stages") {
     def round4(x: Double): Double =
       BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
     val docs = Tables.documents(spark, sfDir)
       .select("doc_id", "text", "n_chars").as[(Long, String, Long)].collect().toSeq
-    // stage 1: canonical-URL keep-first (the q266 invariant form)
+    // stage 1: robots gate (the q272 longest-match fixture — a doc
+    // survives when NO rule of its host prefixes its path)
+    val rules = Seq("ex0.com" -> "/p/1", "ex4.com" -> "/p/1",
+      "ex4.com" -> "/p/15", "ex8.com" -> "/p/1", "ex12.com" -> "/p/1",
+      "ex2.com" -> "/p/")
+    def allowed(id: Long): Boolean = {
+      val host = s"ex${id % 50}.com"
+      val path = s"/p/${id % 200}"
+      !rules.exists { case (h, d) => h == host && path.startsWith(d) }
+    }
+    val s0 = docs.filter(d => allowed(d._1))
+    // stage 2: canonical-URL keep-first over fetchable docs (the q266
+    // invariant form, electing winners only among robots survivors)
     def canon(id: Long) = s"https://ex${id % 50}.com/p/${id % 200}"
-    val s1Ids = docs.map(_._1).groupBy(canon).values.map(_.min).toSet
-    val s1 = docs.filter(d => s1Ids(d._1))
+    val s1Ids = s0.map(_._1).groupBy(canon).values.map(_.min).toSet
+    val s1 = s0.filter(d => s1Ids(d._1))
     // stage 2: per-host cap 10 by (n_chars desc, doc_id)
     def host(id: Long) = if (id % 3 == 0) "h0" else s"h${id % 23 + 1}"
     val s2Ids = s1.groupBy(d => host(d._1)).values
@@ -196,19 +208,21 @@ class Corpus12Spec extends AnyFunSuite with SparkSuite {
     def cs(xs: Seq[(Long, String, Long)]) = xs.map(_._3).sum
     val exp = Seq(
       (0L, "fetch", docs.size.toLong, docs.size.toLong, 0L, cs(docs)),
-      (1L, "url_dedup", docs.size.toLong, s1.size.toLong,
-        docs.size.toLong - s1.size, cs(s1)),
-      (2L, "domain_quota", s1.size.toLong, s2.size.toLong,
+      (1L, "robots_gate", docs.size.toLong, s0.size.toLong,
+        docs.size.toLong - s0.size, cs(s0)),
+      (2L, "url_dedup", s0.size.toLong, s1.size.toLong,
+        s0.size.toLong - s1.size, cs(s1)),
+      (3L, "domain_quota", s1.size.toLong, s2.size.toLong,
         s1.size.toLong - s2.size, cs(s2)),
-      (3L, "gopher_gate", s2.size.toLong, s3.size.toLong,
+      (4L, "gopher_gate", s2.size.toLong, s3.size.toLong,
         s2.size.toLong - s3.size, cs(s3)),
-      (4L, "chunk_scrub", s3.size.toLong, s4.size.toLong,
+      (5L, "chunk_scrub", s3.size.toLong, s4.size.toLong,
         s3.size.toLong - s4.size, cs(s4)),
-      (5L, "pii_scrub", s4.size.toLong, s4.size.toLong, 0L, pc))
+      (6L, "pii_scrub", s4.size.toLong, s4.size.toLong, 0L, pc))
     val got = SparkEntry.queries("q268_hygiene_funnel")(spark, sfDir)
       .as[(Long, String, Long, Long, Long, Long)].collect().toSeq
     assert(got == exp)
-    // every content gate fires on this corpus (stages 1-4 all drop docs)
-    exp.slice(1, 5).foreach { r => assert(r._5 > 0, s"stage ${r._2} dropped 0") }
+    // every content gate fires on this corpus (stages 1-5 all drop docs)
+    exp.slice(1, 6).foreach { r => assert(r._5 > 0, s"stage ${r._2} dropped 0") }
   }
 }

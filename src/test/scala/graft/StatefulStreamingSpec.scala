@@ -614,24 +614,31 @@ class StatefulStreamingSpec extends AnyFunSuite with SparkSuite {
       "h0's later-file docs must all be refused by carried state")
   }
 
-  test("composed streaming admission: url dedup → foreachBatch bridge → domain quota ties to q268") {
-    // The production topology for q268's two STATEFUL stages: two keyed
-    // flatMapGroupsWithState operators cannot chain inside one streaming
-    // query, so stage 1 (crawl-frontier URL dedup) writes its kept rows
-    // through a foreachBatch bridge (= the Kafka/shard hop between
-    // pipeline services) and stage 2 (per-domain admission) streams from
-    // the bridge. One AvailableNow replay each: intra-batch ties resolve
-    // in the batch queries' own order, so the composed stream must equal
-    // the batch funnel's url_dedup and domain_quota rows exactly.
+  test("composed streaming admission: robots gate → url dedup → foreachBatch bridge → domain quota ties to q268") {
+    // The production topology for q268's STATEFUL stages with the
+    // stateless robots gate chained at the head (it is a plain
+    // stream-side map + broadcast-rules join, so it composes into stage
+    // 1's query for free — a disallowed URL never even reaches the
+    // frontier's dedup state, exactly the funnel's composition order).
+    // Two keyed flatMapGroupsWithState operators cannot chain inside
+    // one streaming query, so stage 2 (crawl-frontier URL dedup) writes
+    // its kept rows through a foreachBatch bridge (= the Kafka/shard
+    // hop between pipeline services) and stage 3 (per-domain admission)
+    // streams from the bridge. One AvailableNow replay each: intra-batch
+    // ties resolve in the batch queries' own order, so the composed
+    // stream must equal the batch funnel's robots_gate, url_dedup and
+    // domain_quota rows exactly.
     val dir = "/root/testdata/sf0.01"
     val stage = java.nio.file.Files.createTempDirectory("graft_adm_in")
     val bridge = java.nio.file.Files.createTempDirectory("graft_adm_bridge")
       .resolve("kept").toString
     val (prepared, _) = stagedUrls(dir, stage, 1)
     val hosted = operators.Corpus12.hostedDocs(Tables.documents(spark, dir))
+    val gated = operators.Corpus13.robotsDecideUrls(
+        spark.readStream.schema(prepared.schema).parquet(stage.toString))
+      .filter($"allowed").select("doc_id", "canon_url")
     val q1 = StatefulOps.urlDedupStream(
-        spark.readStream.schema(prepared.schema).parquet(stage.toString)
-          .as[StatefulOps.UrlIn]).writeStream
+        gated.as[StatefulOps.UrlIn]).writeStream
       .outputMode("append")
       .foreachBatch { (ds: org.apache.spark.sql.Dataset[StatefulOps.UrlDecision], _: Long) =>
         ds.filter($"kept").join(hosted, Seq("doc_id"))
@@ -648,6 +655,9 @@ class StatefulStreamingSpec extends AnyFunSuite with SparkSuite {
     q2.awaitTermination()
     val funnel = SparkEntry.queries("q268_hygiene_funnel")(spark, dir)
       .select("name", "docs_out").as[(String, Long)].collect().toMap
+    // the stream-side robots head passes exactly the batch gate's docs
+    assert(SparkEntry.queries("q272_robots_gate")(spark, dir)
+      .filter($"allowed").count() == funnel("robots_gate"))
     // bridge == the funnel's url_dedup survivors
     val bridged = spark.read.parquet(bridge)
     assert(bridged.count() == funnel("url_dedup"))
