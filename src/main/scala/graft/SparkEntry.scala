@@ -35,6 +35,7 @@ object SparkEntry {
       operators.Corpus11.defs ++
       operators.Corpus12.defs ++
       operators.Corpus13.defs ++
+      operators.Corpus14.defs ++
       sources.Articles.defs ++
       ml.MlQueries.defs
 

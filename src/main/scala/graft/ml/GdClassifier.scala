@@ -47,11 +47,22 @@ object GdClassifier {
     text.toLowerCase.split(' ').toSeq
       .filter(t => t.nonEmpty && !TextAnalytics.Stopwords.contains(t))
 
-  def fit(data: Seq[(String, String)] = TextClassifier.trainingData): Model = {
+  /** Fit with q74's defaults, or a caller-supplied operating point: the
+    * quality gate (Corpus14) trains the SAME unrolled GD on a different
+    * fixture with `posLabel = "quality"`, `eta = 2`, and
+    * `normalize = true` (relative term frequency tf/L, so the learned
+    * boundary is document-length-invariant — mandatory when the scored
+    * corpus's lengths differ from the fixture's). Defaults keep q74's
+    * fit bit-identical. */
+  def fit(data: Seq[(String, String)] = TextClassifier.trainingData,
+      posLabel: String = "threat", eta: Double = Eta, steps: Int = Steps,
+      normalize: Boolean = false): Model = {
     val n = data.size
     val docs = data.map { case (text, label) =>
-      (tokens(text).groupBy(identity).map { case (t, g) => t -> g.size.toDouble },
-        if (label == "threat") 1.0 else 0.0)
+      val tk = tokens(text)
+      val raw = tk.groupBy(identity).map { case (t, g) => t -> g.size.toDouble }
+      val tf = if (normalize) raw.map { case (t, c) => t -> c / tk.size } else raw
+      (tf, if (label == posLabel) 1.0 else 0.0)
     }
     val dfCount = docs.flatMap(_._1.keys).groupBy(identity).map { case (t, g) => t -> g.size }
     val idf = dfCount.map { case (t, d) => t -> (math.log((n + 1.0) / (d + 1.0)) + 1.0) }
@@ -60,15 +71,15 @@ object GdClassifier {
     // run-to-run deterministic (Map iteration order is not)
     var w = Map.empty[String, Double].withDefaultValue(0.0)
     var b = 0.0
-    for (_ <- 1 to Steps) {
+    for (_ <- 1 to steps) {
       val errs = feats.map { case (x, y) =>
         val s = x.toSeq.sortBy(_._1).map { case (t, v) => w(t) * v }.sum
         (x, 1.0 / (1.0 + math.exp(-(b + s))) - y)
       }
       val grad = collection.mutable.Map.empty[String, Double].withDefaultValue(0.0)
       errs.foreach { case (x, e) => x.foreach { case (t, v) => grad(t) += e * v } }
-      w = idf.keysIterator.map(t => t -> (w(t) - Eta * grad(t) / n)).toMap.withDefaultValue(0.0)
-      b -= Eta * errs.map(_._2).sum / n
+      w = idf.keysIterator.map(t => t -> (w(t) - eta * grad(t) / n)).toMap.withDefaultValue(0.0)
+      b -= eta * errs.map(_._2).sum / n
     }
     Model(idf.map { case (t, i) => t -> (i, w(t)) }, b)
   }
