@@ -125,8 +125,18 @@ object Flows {
     * streams sequences in layout order with min/max pruning) → a
     * per-pack-shard integrity manifest (q136's bit_xor checksum rule)
     * written alongside as `_manifest`. Returns the landed layout. */
-  def packingFlow(spark: SparkSession, dir: String, outDir: String): DataFrame = {
+  def packingFlow(spark: SparkSession, dir: String, outDir: String,
+      internHexWidth: Int = 15): DataFrame = {
     import operators.{Indexing, TextAnalytics}
+    // The interning-exactness contract (q260/q261), enforced IN-PIPELINE
+    // rather than by convention: the contamination ladder below verifies
+    // via 60-bit interned fingerprints, and a corpus where those collide
+    // must fail loudly BEFORE any interned verdict lands (the r9 ADVICE
+    // made the guard callable; this makes it unskippable on the flow
+    // path — FlowsSpec proves it fires on the forced-collision corpus
+    // and that nothing is written when it does). The width parameter
+    // exists only so the test can force a collision by pigeonhole.
+    operators.Dedup.assertInterningExact(Tables.documents(spark, dir), internHexWidth)
     val keep = SparkEntry.queries("q143_contamination_ladder")(spark, dir)
       .filter(col("kept")).select("doc_id")
     val docs = Tables.documents(spark, dir).join(keep, "doc_id")

@@ -58,6 +58,25 @@ class FlowsSpec extends AnyFunSuite with SparkSuite {
     assert(back.count() == chunks.count())
   }
 
+  test("packing flow refuses a collision corpus before anything lands (interning guard in-pipeline)") {
+    // stage a corpus where a 4-bit fingerprint MUST collide (40 distinct
+    // tokens, 16 buckets — the Corpus11Spec pigeonhole fixture) as a
+    // documents.parquet dir, then run the REAL flow entry point against
+    // it: the q260/q261 guard has to throw before the ladder runs, and
+    // the landing directory must stay empty — no interned verdict may
+    // land on a corpus where interning is unsound.
+    val stage = java.nio.file.Files.createTempDirectory("graft_flows_guard")
+    Seq((1L, (0 until 40).map(i => s"tok$i").mkString(" ")))
+      .toDF("doc_id", "text")
+      .write.parquet(stage.resolve("documents.parquet").toString)
+    val out = stage.resolve("packed").toString
+    val ex = intercept[IllegalArgumentException] {
+      Flows.packingFlow(spark, stage.toString, out, internHexWidth = 1)
+    }
+    assert(ex.getMessage.contains("UNSAFE"))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(out)))
+  }
+
   test("packing flow: decontaminated, q139-packed, ordered files, manifest certifies the landed bytes") {
     val out = java.nio.file.Files.createTempDirectory("graft_flows_pack")
       .resolve("packed").toString
