@@ -266,21 +266,23 @@ object Corpus12 {
       .orderBy("doc_id")
   }
 
-  /** q268's body: the SIX hygiene gates COMPOSED in production order
+  /** q268's body: the SEVEN hygiene gates COMPOSED in production order
     * (RefinedWeb §3 / FineWeb's published ladder, with the fetch-policy
     * gate where it belongs) — robots.txt gate → URL dedup → domain cap
-    * → Gopher repetition gate → chunk-level scrub → PII redaction —
-    * each stage conditioned on the previous stage's SURVIVOR corpus
-    * (URL dedup elects winners only among fetchable docs; the cap ranks
-    * only URL-deduped docs; chunk document frequencies count only gated
-    * docs — composition order is semantics, not presentation). The
-    * robots gate runs FIRST because it is the only stage a compliant
-    * crawler may not defer: a disallowed URL must not even be fetched,
-    * let alone win a dedup election (r9 shipped it as q272 but left the
-    * funnel starting at URL dedup — the r9 verdict's composition gap).
-    * Output: the 7-row funnel (docs in/out/dropped + surviving chars
-    * per stage; the stateless PII stage drops nothing and reports
-    * post-redaction chars).
+    * → Gopher repetition gate → trained quality-classifier gate →
+    * chunk-level scrub → PII redaction — each stage conditioned on the
+    * previous stage's SURVIVOR corpus (URL dedup elects winners only
+    * among fetchable docs; the cap ranks only URL-deduped docs; the
+    * classifier scores only rule-gate survivors — the FineWeb-Edu
+    * ordering, cheap rules before the model; chunk document frequencies
+    * count only gated docs — composition order is semantics, not
+    * presentation). The robots gate runs FIRST because it is the only
+    * stage a compliant crawler may not defer: a disallowed URL must not
+    * even be fetched, let alone win a dedup election (r9 shipped it as
+    * q272 but left the funnel starting at URL dedup — the r9 verdict's
+    * composition gap). Output: the 8-row funnel (docs in/out/dropped +
+    * surviving chars per stage; the stateless PII stage drops nothing
+    * and reports post-redaction chars).
     *
     * Scale shape: every stage is its standalone query's audited plan
     * (q266 partial-aggregable min winner; q265 TopKScored k-heap — the
@@ -315,7 +317,12 @@ object Corpus12 {
     val s2 = s1.join(k2, Seq("doc_id"), "left_semi").localCheckpoint()
     val k3 = repetitionBattery(s2).filter(col("keep")).select("doc_id")
     val s3 = s2.join(k3, Seq("doc_id"), "left_semi").localCheckpoint()
-    val ch = Corpus.chunkTokens(s3).withColumn("fp", md5(col("chunk")))
+    // stage 5: the TRAINED quality gate (q273's model) after the rule
+    // gates — the FineWeb-Edu ordering: cheap rules first, the
+    // classifier only scores rule survivors
+    val k35 = Corpus14.qualityClassify(s3).filter(col("clf_keep")).select("doc_id")
+    val s35 = s3.join(k35, Seq("doc_id"), "left_semi").localCheckpoint()
+    val ch = Corpus.chunkTokens(s35).withColumn("fp", md5(col("chunk")))
     val dd = ch.groupBy("fp").agg(
       countDistinct("doc_id").as("df"),
       min(struct(col("doc_id"), col("chunk_idx"))).as("win"))
@@ -327,7 +334,7 @@ object Corpus12 {
       .groupBy("doc_id")
       .agg(round(sum("kt") * lit(1.0) / sum("n_tokens"), 4).as("rf"))
       .filter(col("rf") >= minRetained).select("doc_id")
-    val s4 = s3.join(k4, Seq("doc_id"), "left_semi").localCheckpoint()
+    val s4 = s35.join(k4, Seq("doc_id"), "left_semi").localCheckpoint()
 
     def stat(df: DataFrame, n: String, c: String) =
       df.agg(count(lit(1)).cast("long").as(n),
@@ -339,6 +346,7 @@ object Corpus12 {
       .crossJoin(broadcast(stat(s1, "n1", "c1")))
       .crossJoin(broadcast(stat(s2, "n2", "c2")))
       .crossJoin(broadcast(stat(s3, "n3", "c3")))
+      .crossJoin(broadcast(stat(s35, "nq", "cq")))
       .crossJoin(broadcast(stat(s4, "n4", "c4")))
       .crossJoin(broadcast(pc))
     def row(stage: Int, nm: String, in: String, out: String, chars: org.apache.spark.sql.Column) =
@@ -351,8 +359,9 @@ object Corpus12 {
         row(2, "url_dedup", "nr", "n1", col("c1")),
         row(3, "domain_quota", "n1", "n2", col("c2")),
         row(4, "gopher_gate", "n2", "n3", col("c3")),
-        row(5, "chunk_scrub", "n3", "n4", col("c4")),
-        row(6, "pii_scrub", "n4", "n4", col("pc")))).as("r"))
+        row(5, "clf_gate", "n3", "nq", col("cq")),
+        row(6, "chunk_scrub", "nq", "n4", col("c4")),
+        row(7, "pii_scrub", "n4", "n4", col("pc")))).as("r"))
       .select(col("r.stage").as("stage"), col("r.name").as("name"),
         col("r.docs_in").as("docs_in"), col("r.docs_out").as("docs_out"),
         col("r.docs_dropped").as("docs_dropped"), col("r.chars_out").as("chars_out"))
@@ -466,13 +475,14 @@ object Corpus12 {
 
     QueryDef(
       "q268_hygiene_funnel",
-      // END-TO-END HYGIENE FUNNEL — the six gates of a production
+      // END-TO-END HYGIENE FUNNEL — the seven gates of a production
       // web-corpus pipeline composed in order (RefinedWeb §3 /
       // FineWeb's ladder): robots.txt fetch gate → URL canonicalization
-      // dedup → per-domain cap → Gopher repetition gate → chunk-level
-      // boilerplate/dup scrub → PII redaction, each stage conditioned
-      // on the previous stage's survivor corpus. Output: the funnel
-      // audit every pipeline run
+      // dedup → per-domain cap → Gopher repetition gate → trained
+      // quality-classifier gate (q273's model, the FineWeb-Edu stage) →
+      // chunk-level boilerplate/dup scrub → PII redaction, each stage
+      // conditioned on the previous stage's survivor corpus. Output:
+      // the funnel audit every pipeline run
       // publishes — per stage, documents in/out/dropped and surviving
       // characters (the stateless PII stage drops nothing; its
       // chars_out is post-redaction). See hygieneFunnel's scaladoc for
@@ -486,12 +496,12 @@ object Corpus12 {
               |rb AS (SELECT up.doc_id FROM up LEFT JOIN rules r
               |ON up.host = r.rhost AND starts_with(up.path, r.dis)
               |GROUP BY 1 HAVING max(r.dis) IS NULL),
-              |s0 AS (SELECT d0.* FROM d0 JOIN rb USING (doc_id)),
+              |s0 AS MATERIALIZED (SELECT d0.* FROM d0 JOIN rb USING (doc_id)),
               |w1 AS (SELECT canon_url, min(doc_id) AS doc_id
               |FROM cu JOIN rb USING (doc_id) GROUP BY 1),
-              |s1 AS (SELECT s0.* FROM s0 JOIN w1 USING (doc_id)),
+              |s1 AS MATERIALIZED (SELECT s0.* FROM s0 JOIN w1 USING (doc_id)),
               |hr AS (SELECT doc_id, row_number() OVER (PARTITION BY $hostDuck ORDER BY n_chars DESC, doc_id) AS rn FROM s1),
-              |s2 AS (SELECT s1.* FROM s1 JOIN hr USING (doc_id) WHERE rn <= 10),
+              |s2 AS MATERIALIZED (SELECT s1.* FROM s1 JOIN hr USING (doc_id) WHERE rn <= 10),
               |t AS (SELECT doc_id, ${TextAnalytics.toksDuck} AS w,
               |CAST(length(replace(text, ' ', '')) AS BIGINT) AS tc FROM s2),
               |${topGramDuckCte(2)}, ${topGramDuckCte(3)}, ${topGramDuckCte(4)},
@@ -503,9 +513,11 @@ object Corpus12 {
               |AND round(coalesce(f4.topc, 0) * 1.0 / tc, 4) <= 0.16
               |AND round(coalesce(l2.covc, 0) * 1.0 / tc, 4) <= 0.20
               |AND round(coalesce(l3.covc, 0) * 1.0 / tc, 4) <= 0.10),
-              |s3 AS (SELECT s2.* FROM s2 JOIN gk USING (doc_id)),
-              |s3t AS (SELECT doc_id, ${TextAnalytics.toksDuck} AS w FROM s3),
-              |ch AS (SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+              |s3 AS MATERIALIZED (SELECT s2.* FROM s2 JOIN gk USING (doc_id)),
+              |${Corpus14.clfDuckCte("s3", "c_")},
+              |s35 AS MATERIALIZED (SELECT s3.* FROM s3 JOIN c_clf ON s3.doc_id = c_clf.doc_id AND c_clf.clf_keep),
+              |s3t AS MATERIALIZED (SELECT doc_id, ${TextAnalytics.toksDuck} AS w FROM s35),
+              |ch AS MATERIALIZED (SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
               |array_to_string(w[i*15+1:i*15+20], ' ') AS chunk,
               |CAST(len(w[i*15+1:i*15+20]) AS BIGINT) AS n_tokens
               |FROM s3t, LATERAL (SELECT unnest(generate_series(0, (len(w)-1)//15)) AS i) g WHERE len(w) > 0),
@@ -514,7 +526,7 @@ object Corpus12 {
               |rf AS (SELECT c.doc_id, round(sum(CASE WHEN d.df >= 3 THEN 0
               |WHEN d.win = row(c.doc_id, c.chunk_idx) THEN c.n_tokens ELSE 0 END) * 1.0 / sum(c.n_tokens), 4) AS rf
               |FROM ch c JOIN dd d ON md5(c.chunk) = d.fp GROUP BY 1),
-              |s4 AS (SELECT s3.* FROM s3 JOIN rf USING (doc_id) WHERE rf.rf >= 0.2),
+              |s4 AS (SELECT s35.* FROM s35 JOIN rf USING (doc_id) WHERE rf.rf >= 0.2),
               |sc AS (SELECT doc_id, $dirtyDuck AS t FROM s4),
               |np AS (SELECT CAST(coalesce(sum(length(
               |regexp_replace(regexp_replace(regexp_replace(t,
@@ -525,6 +537,7 @@ object Corpus12 {
               |n1 AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS c FROM s1),
               |n2 AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS c FROM s2),
               |n3 AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS c FROM s3),
+              |nq AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS c FROM s35),
               |n4 AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS c FROM s4)
               |SELECT * FROM (
               |SELECT CAST(0 AS BIGINT) AS stage, 'fetch' AS name, n0.n AS docs_in, n0.n AS docs_out, CAST(0 AS BIGINT) AS docs_dropped, n0.c AS chars_out FROM n0
@@ -532,8 +545,9 @@ object Corpus12 {
               |UNION ALL SELECT 2, 'url_dedup', nr.n, n1.n, nr.n - n1.n, n1.c FROM nr, n1
               |UNION ALL SELECT 3, 'domain_quota', n1.n, n2.n, n1.n - n2.n, n2.c FROM n1, n2
               |UNION ALL SELECT 4, 'gopher_gate', n2.n, n3.n, n2.n - n3.n, n3.c FROM n2, n3
-              |UNION ALL SELECT 5, 'chunk_scrub', n3.n, n4.n, n3.n - n4.n, n4.c FROM n3, n4
-              |UNION ALL SELECT 6, 'pii_scrub', n4.n, n4.n, 0, np.pc FROM n4, np
+              |UNION ALL SELECT 5, 'clf_gate', n3.n, nq.n, n3.n - nq.n, nq.c FROM n3, nq
+              |UNION ALL SELECT 6, 'chunk_scrub', nq.n, n4.n, nq.n - n4.n, n4.c FROM nq, n4
+              |UNION ALL SELECT 7, 'pii_scrub', n4.n, n4.n, 0, np.pc FROM n4, np
               |) ORDER BY stage""".stripMargin.replace("\n", " ")),
       // headline-benched: the composed form is the single most
       // production-representative query on the board — tracks the whole

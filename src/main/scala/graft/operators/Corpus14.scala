@@ -121,42 +121,43 @@ object Corpus14 {
 
   /** The full fit+score chain as DuckDB CTEs — [[GdClassifier.oracleSql]]'s
     * unroll technique at the quality operating point (normalized
-    * features, η = 2), scoring the documents TABLE instead of inline
-    * phrases. The training fixture inlines as VALUES; the GD steps
-    * unroll textually; ends in `clf(doc_id, clf_keep)`. */
-  private def clfDuckCte: String = {
+    * features, η = 2), scoring the `src` relation (default: the
+    * documents table; q268's funnel passes its Gopher-survivor CTE).
+    * The training fixture inlines as VALUES; the GD steps unroll
+    * textually; ends in `clf(doc_id, clf_keep)`. */
+  private[operators] def clfDuckCte(src: String = "documents", p: String = ""): String = {
     val n = qualityFixture.size
     val trainVals = qualityFixture.zipWithIndex.map { case ((text, label), i) =>
       s"($i, ${if (label == "quality") "1.0" else "0.0"}, '$text')"
     }.mkString(", ")
     val steps = (1 to QSteps).map { k =>
-      val (wp, bp) = (s"w${k - 1}", s"b${k - 1}")
-      s"""s$k AS (SELECT f.i, sum($wp.w * f.v) AS s FROM feat f JOIN $wp ON f.term = $wp.term GROUP BY f.i),
-         |e$k AS (SELECT t.i, 1/(1+exp(-((SELECT b FROM $bp) + coalesce(s$k.s, 0)))) - t.y AS err
-         |FROM tr t LEFT JOIN s$k ON t.i = s$k.i),
-         |g$k AS (SELECT f.term, sum(e$k.err * f.v) / $n AS g FROM feat f JOIN e$k ON f.i = e$k.i GROUP BY f.term),
-         |w$k AS (SELECT $wp.term, $wp.w - $QEta * coalesce(g$k.g, 0) AS w FROM $wp LEFT JOIN g$k ON $wp.term = g$k.term),
-         |b$k AS (SELECT (SELECT b FROM $bp) - $QEta * avg(err) AS b FROM e$k)""".stripMargin
+      val (wp, bp) = (s"${p}w${k - 1}", s"${p}b${k - 1}")
+      s"""${p}s$k AS (SELECT f.i, sum(w.w * f.v) AS s FROM ${p}feat f JOIN $wp w ON f.term = w.term GROUP BY f.i),
+         |${p}e$k AS (SELECT t.i, 1/(1+exp(-((SELECT b FROM $bp) + coalesce(s.s, 0)))) - t.y AS err
+         |FROM ${p}tr t LEFT JOIN ${p}s$k s ON t.i = s.i),
+         |${p}g$k AS (SELECT f.term, sum(e.err * f.v) / $n AS g FROM ${p}feat f JOIN ${p}e$k e ON f.i = e.i GROUP BY f.term),
+         |${p}w$k AS (SELECT w.term, w.w - $QEta * coalesce(g.g, 0) AS w FROM $wp w LEFT JOIN ${p}g$k g ON w.term = g.term),
+         |${p}b$k AS (SELECT (SELECT b FROM $bp) - $QEta * avg(err) AS b FROM ${p}e$k)""".stripMargin
     }.mkString(",\n")
-    s"""tr(i, y, text) AS (VALUES $trainVals),
-       |tok AS (SELECT i, y, unnest(list_filter(string_split(lower(text), ' '),
-       |x -> x <> '' AND x NOT IN ($stopSqlList))) AS term FROM tr),
-       |dl AS (SELECT i, CAST(count(*) AS DOUBLE) AS l FROM tok GROUP BY 1),
-       |x AS (SELECT i, y, term, CAST(count(*) AS DOUBLE) AS tf FROM tok GROUP BY 1, 2, 3),
-       |dfx AS (SELECT term, count(DISTINCT i) AS dfc FROM x GROUP BY 1),
-       |feat AS (SELECT x.i, x.y, x.term, x.tf / dl.l * (ln(($n + 1.0) / (dfc + 1.0)) + 1.0) AS v
-       |FROM x JOIN dl USING (i) JOIN dfx USING (term)),
-       |w0 AS (SELECT term, 0.0 AS w FROM dfx),
-       |b0 AS (SELECT 0.0 AS b),
+    s"""${p}tr(i, y, text) AS (VALUES $trainVals),
+       |${p}tok AS (SELECT i, y, unnest(list_filter(string_split(lower(text), ' '),
+       |x -> x <> '' AND x NOT IN ($stopSqlList))) AS term FROM ${p}tr),
+       |${p}dl AS (SELECT i, CAST(count(*) AS DOUBLE) AS l FROM ${p}tok GROUP BY 1),
+       |${p}x AS (SELECT i, y, term, CAST(count(*) AS DOUBLE) AS tf FROM ${p}tok GROUP BY 1, 2, 3),
+       |${p}dfx AS (SELECT term, count(DISTINCT i) AS dfc FROM ${p}x GROUP BY 1),
+       |${p}feat AS (SELECT x.i, x.y, x.term, x.tf / dl.l * (ln(($n + 1.0) / (dfc + 1.0)) + 1.0) AS v
+       |FROM ${p}x x JOIN ${p}dl dl USING (i) JOIN ${p}dfx USING (term)),
+       |${p}w0 AS (SELECT term, 0.0 AS w FROM ${p}dfx),
+       |${p}b0 AS (SELECT 0.0 AS b),
        |$steps,
-       |qtok AS (SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
-       |x -> x <> '' AND x NOT IN ($stopSqlList))) AS t FROM documents),
-       |ql AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS l FROM qtok GROUP BY 1),
-       |qx AS (SELECT doc_id, t, CAST(count(*) AS DOUBLE) AS tf FROM qtok GROUP BY 1, 2),
-       |qs AS (SELECT qx.doc_id, sum(qx.tf / ql.l * (ln(($n + 1.0) / (dfx.dfc + 1.0)) + 1.0) * w$QSteps.w) AS s
-       |FROM qx JOIN ql USING (doc_id) JOIN dfx ON qx.t = dfx.term JOIN w$QSteps ON qx.t = w$QSteps.term GROUP BY 1),
-       |clf AS (SELECT d.doc_id, coalesce(qs.s, 0) + (SELECT b FROM b$QSteps) > 0 AS clf_keep
-       |FROM documents d LEFT JOIN qs ON d.doc_id = qs.doc_id)""".stripMargin.replace("\n", " ")
+       |${p}qtok AS (SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+       |x -> x <> '' AND x NOT IN ($stopSqlList))) AS t FROM $src),
+       |${p}ql AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS l FROM ${p}qtok GROUP BY 1),
+       |${p}qx AS (SELECT doc_id, t, CAST(count(*) AS DOUBLE) AS tf FROM ${p}qtok GROUP BY 1, 2),
+       |${p}qs AS (SELECT qx.doc_id, sum(qx.tf / ql.l * (ln(($n + 1.0) / (dfx.dfc + 1.0)) + 1.0) * w.w) AS s
+       |FROM ${p}qx qx JOIN ${p}ql ql USING (doc_id) JOIN ${p}dfx dfx ON qx.t = dfx.term JOIN ${p}w$QSteps w ON qx.t = w.term GROUP BY 1),
+       |${p}clf AS MATERIALIZED (SELECT d.doc_id, coalesce(qs.s, 0) + (SELECT b FROM ${p}b$QSteps) > 0 AS clf_keep
+       |FROM $src d LEFT JOIN ${p}qs qs ON d.doc_id = qs.doc_id)""".stripMargin.replace("\n", " ")
   }
 
   def defs: Seq[QueryDef] = Seq(
@@ -172,7 +173,7 @@ object Corpus14 {
       // rules pass), so the published rows are a real operating-point
       // comparison, not a constant column.
       (s, dir) => classifierVsRuleGate(Tables.documents(s, dir)),
-      Some(s"""WITH $clfDuckCte,
+      Some(s"""WITH ${clfDuckCte()},
               |${Corpus.gateDuckCte("g_")}
               |SELECT clf.doc_id AS doc_id, clf.clf_keep AS clf_keep,
               |(len_ok AND stop_ok AND toklen_ok AND rep_ok) AS rule_keep,

@@ -148,7 +148,7 @@ class Corpus12Spec extends AnyFunSuite with SparkSuite {
     assert(dupGroups.exists(_._2.map(_._2).distinct.length >= 2))
   }
 
-  test("q268 hygiene funnel: full local replay of the six composed stages") {
+  test("q268 hygiene funnel: full local replay of the seven composed stages") {
     def round4(x: Double): Double =
       BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
     val docs = Tables.documents(spark, sfDir)
@@ -179,8 +179,14 @@ class Corpus12Spec extends AnyFunSuite with SparkSuite {
     val keep263 = SparkEntry.queries("q263_repetition_battery")(spark, sfDir)
       .select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
     val s3 = s2.filter(d => keep263(d._1))
-    // stage 4: chunk scrub (boiler df>=3 + keep-first) over s3's corpus
-    val allCh = s3.flatMap { case (id, text, _) =>
+    // stage 3.5: the trained classifier gate is also strictly per-doc,
+    // so q273's published flags (brute-force-replayed in Corpus14Spec)
+    // apply to the Gopher survivors
+    val keep273 = SparkEntry.queries("q273_quality_classifier_gate")(spark, sfDir)
+      .select("doc_id", "clf_keep").as[(Long, Boolean)].collect().toMap
+    val s35 = s3.filter(d => keep273(d._1))
+    // stage 4: chunk scrub (boiler df>=3 + keep-first) over s35's corpus
+    val allCh = s35.flatMap { case (id, text, _) =>
       val w = text.toLowerCase.split(" ").filter(_.nonEmpty).toSeq
       if (w.isEmpty) Seq.empty
       else (0 to (w.length - 1) / 15).map { i =>
@@ -198,7 +204,7 @@ class Corpus12Spec extends AnyFunSuite with SparkSuite {
       }.sum
       id -> round4(kept.toDouble / occ.map(_._4).sum)
     }
-    val s4 = s3.filter(d => rf.getOrElse(d._1, 0.0) >= 0.2)
+    val s4 = s35.filter(d => rf.getOrElse(d._1, 0.0) >= 0.2)
     // stage 5: PII chars over s4 (dirty + scrub, as in the q262 replay)
     val pc = s4.map { case (id, text, _) =>
       ip.replaceAllIn(phone.replaceAllIn(
@@ -216,13 +222,21 @@ class Corpus12Spec extends AnyFunSuite with SparkSuite {
         s1.size.toLong - s2.size, cs(s2)),
       (4L, "gopher_gate", s2.size.toLong, s3.size.toLong,
         s2.size.toLong - s3.size, cs(s3)),
-      (5L, "chunk_scrub", s3.size.toLong, s4.size.toLong,
-        s3.size.toLong - s4.size, cs(s4)),
-      (6L, "pii_scrub", s4.size.toLong, s4.size.toLong, 0L, pc))
+      (5L, "clf_gate", s3.size.toLong, s35.size.toLong,
+        s3.size.toLong - s35.size, cs(s35)),
+      (6L, "chunk_scrub", s35.size.toLong, s4.size.toLong,
+        s35.size.toLong - s4.size, cs(s4)),
+      (7L, "pii_scrub", s4.size.toLong, s4.size.toLong, 0L, pc))
     val got = SparkEntry.queries("q268_hygiene_funnel")(spark, sfDir)
       .as[(Long, String, Long, Long, Long, Long)].collect().toSeq
     assert(got == exp)
-    // every content gate fires on this corpus (stages 1-5 all drop docs)
-    exp.slice(1, 6).foreach { r => assert(r._5 > 0, s"stage ${r._2} dropped 0") }
+    // the robots/url/quota/gopher/chunk gates all fire on this corpus;
+    // the classifier stage may legitimately drop 0 among rule survivors
+    // (rules already removed most filler-dense docs), so it only has to
+    // be NON-EXPANDING — its firing is proven corpus-wide in Corpus14Spec
+    Seq(1, 2, 3, 4, 6).foreach { i =>
+      assert(exp(i)._5 > 0, s"stage ${exp(i)._2} dropped 0")
+    }
+    assert(exp(5)._5 >= 0)
   }
 }
