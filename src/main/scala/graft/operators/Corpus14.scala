@@ -75,34 +75,33 @@ object Corpus14 {
     GdClassifier.fit(qualityFixture, posLabel = "quality",
       eta = QEta, steps = QSteps, normalize = true)
 
-  /** Corpus-wide scoring: broadcast the ~29-term (term, idf, weight)
-    * table onto the tokenized corpus, margin = b + Σ (tf/L)·idf·w per
-    * document, keep = margin > 0 (P(quality) ≥ 0.5). Scale shape:
-    * stateless tokenize + broadcast join + one partial-aggregable
-    * doc-keyed sum — zero corpus-sized shuffles beyond the doc_id
-    * aggregate, embarrassingly parallel at 100 TB. The published
+  /** Corpus-wide scoring, ZERO-shuffle: the ~29-term weight·idf table
+    * embeds as a MAP LITERAL (a broadcast constant either way — the
+    * LSH sign-matrix precedent) and the margin
+    * b + (Σ_occurrences idf·w) / L folds per row with one HOF —
+    * occurrence-summing IS tf-weighting, so this equals
+    * b + Σ_t (tf/L)·idf·w. keep = margin > 0 (P(quality) ≥ 0.5).
+    * Scale shape: pure stateless map work inside one projection, like
+    * the robots and PII stages — no explode, no join, no doc-keyed
+    * aggregate (the r10 first cut spent two corpus-token-sized hash
+    * aggregates on what a fold computes in the scan pipeline), and
+    * therefore the SAME body runs unchanged on a readStream frontier
+    * (StatefulStreamingSpec proves stream ≡ batch). The published
     * decision is the margin's SIGN only (the q74 discipline), and
-    * Corpus14Spec pins min |margin| ≥ 1e-4 on this corpus, so
-    * engine-level float summation order cannot flip the hash. */
+    * Corpus14Spec pins min |margin| ≥ 1e-5 on this corpus, so float
+    * summation order (fold vs the oracle's grouped sum) cannot flip
+    * the hash. */
   private[graft] def qualityClassify(docs: DataFrame): DataFrame = {
-    val vocab = docs.sparkSession.createDataFrame(
-        model.vocab.toSeq.map { case (t, (idf, w)) => (t, idf, w) })
-      .toDF("tok", "tidf", "tw")
-    val tok = docs
-      .select(col("doc_id"), expr(
+    val entries = model.vocab.toSeq.sortBy(_._1)
+      .map { case (t, (idf, w)) => s"'$t', ${idf * w}D" }.mkString(", ")
+    docs.select(col("doc_id"), expr(
         s"filter($toksExpr, x -> NOT x IN ($stopSqlList))").as("w"))
-      .filter(size(col("w")) > 0)
-      .select(col("doc_id"), size(col("w")).cast("double").as("l"),
-        explode(col("w")).as("tok"))
-    val margins = tok
-      .groupBy("doc_id", "l", "tok").agg(count(lit(1)).cast("double").as("tf"))
-      .join(broadcast(vocab), "tok")
-      .groupBy("doc_id")
-      .agg(sum(col("tf") / col("l") * col("tidf") * col("tw")).as("s"))
-    docs.select("doc_id")
-      .join(margins, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        (coalesce(col("s"), lit(0.0)) + lit(model.bias) > 0).as("clf_keep"))
+        (when(size(col("w")) > 0,
+          expr(s"""aggregate(w, 0D, (a, t) ->
+            |a + coalesce(element_at(map($entries), t), 0D))"""
+            .stripMargin.replace("\n", " ")) / size(col("w")))
+          .otherwise(lit(0.0)) + lit(model.bias) > 0).as("clf_keep"))
   }
 
   /** q273's body: the classifier gate side-by-side with q100's

@@ -680,6 +680,29 @@ class StatefulStreamingSpec extends AnyFunSuite with SparkSuite {
       .filter($"keep").count() == funnel("gopher_gate"))
   }
 
+  test("q273 classifier gate runs unchanged on a readStream frontier") {
+    // the r10 zero-shuffle rewrite's claim made true-by-test: the gate
+    // is one stateless projection (map-literal HOF fold), so the SAME
+    // qualityClassify body runs on a streaming frontier and its
+    // decisions equal the batch query's (doc_id, clf_keep) rows exactly
+    val dir = "/root/testdata/sf0.01"
+    val stage = java.nio.file.Files.createTempDirectory("graft_clf_stage")
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    docs.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    val q = operators.Corpus14.qualityClassify(
+        spark.readStream.schema(docs.schema).parquet(stage.toString))
+      .writeStream
+      .outputMode("append").format("memory").queryName("clf_stream")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val fin = spark.table("clf_stream")
+    val batch = SparkEntry.queries("q273_quality_classifier_gate")(spark, dir)
+      .select("doc_id", "clf_keep")
+    assert(fin.count() > 0)
+    assert(batch.exceptAll(fin).count() == 0)
+    assert(fin.exceptAll(batch).count() == 0)
+  }
+
   test("q272 robots gate runs unchanged on a readStream frontier") {
     // the scaladoc's claim made true-by-test: the gate is stateless, so
     // the SAME robotsGate body runs on a streaming frontier and its
