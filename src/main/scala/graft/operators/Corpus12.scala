@@ -304,9 +304,14 @@ object Corpus12 {
       docs0: DataFrame, cap: Int = 10, minRetained: Double = 0.2): DataFrame = {
     val docs = docs0.select(col("doc_id"), col("text"), col("n_chars"))
     // stage 1: robots gate (q272's stateless longest-match plan — zero
-    // URL-side shuffles; the semi-join below is its only exchange)
+    // URL-side shuffles; the semi-join below is its only exchange).
+    // s0 is deliberately NOT pinned: robots passes ~94% of the corpus,
+    // so materializing it would checkpoint a corpus-sized frame to
+    // "save" re-running one scan + a broadcast join — the exact
+    // anti-pattern the pin rule forbids (pin iff small relative to
+    // lineage cost). Its three readers each re-run cheap map work.
     val k0 = Corpus13.robotsDecisions(docs).filter(col("allowed")).select("doc_id")
-    val s0 = docs.join(k0, Seq("doc_id"), "left_semi").localCheckpoint()
+    val s0 = docs.join(k0, Seq("doc_id"), "left_semi")
     val w1 = canonUrls(s0).groupBy("canon_url")
       .agg(min("doc_id").as("doc_id")).select("doc_id")
     val s1 = s0.join(w1, Seq("doc_id"), "left_semi").localCheckpoint()
