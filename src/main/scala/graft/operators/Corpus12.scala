@@ -305,12 +305,20 @@ object Corpus12 {
     val docs = docs0.select(col("doc_id"), col("text"), col("n_chars"))
     // stage 1: robots gate (q272's stateless longest-match plan — zero
     // URL-side shuffles; the semi-join below is its only exchange).
-    // s0 is deliberately NOT pinned: robots passes ~94% of the corpus,
-    // so materializing it would checkpoint a corpus-sized frame to
-    // "save" re-running one scan + a broadcast join — the exact
-    // anti-pattern the pin rule forbids (pin iff small relative to
-    // lineage cost). Its three readers each re-run cheap map work.
-    val k0 = Corpus13.robotsDecisions(docs).filter(col("allowed")).select("doc_id")
+    // The PAYLOAD frame s0 is deliberately NOT pinned — robots passes
+    // ~94% of the corpus, and materializing text-bearing survivors to
+    // save one scan + broadcast join is the anti-pattern the pin rule
+    // forbids. What IS pinned is the narrow DECISION column k0
+    // (doc_id-only, ~1% of corpus bytes): s0's three readers then each
+    // re-run only a scan + semi-join against the pinned id list
+    // instead of re-deriving canonical URLs + the rules join per read.
+    // Measured at sf0.1 the pin is NEUTRAL (the whole funnel is
+    // fixed-overhead-bound at gate scale — ProfFunnel: warm stages sum
+    // ~4.8 s on ≤135-doc inputs, all scheduling/barrier floor); it is
+    // kept for the 100 TB shape, where 2 extra full-corpus regex+join
+    // passes are real and 8 B/doc of pinned ids are not.
+    val k0 = Corpus13.robotsDecisions(docs).filter(col("allowed"))
+      .select("doc_id").localCheckpoint()
     val s0 = docs.join(k0, Seq("doc_id"), "left_semi")
     val w1 = canonUrls(s0).groupBy("canon_url")
       .agg(min("doc_id").as("doc_id")).select("doc_id")
