@@ -159,6 +159,39 @@ object Corpus14 {
        |FROM $src d LEFT JOIN ${p}qs qs ON d.doc_id = qs.doc_id)""".stripMargin.replace("\n", " ")
   }
 
+  /** q274's body: the C4 BLOCKLIST GATE (Raffel et al. 2020 §2.2 — "any
+    * page that contained any word on the 'List of Dirty, Naughty,
+    * Obscene or Otherwise Bad Words'" is dropped): per-document counts
+    * of blocklisted TOKENS by category plus the keep verdict. Matching
+    * is token-exact on the shared tokenizer — NOT substring (the
+    * well-known C4 false-positive critique: substring matching drops
+    * "Scunthorpe"-class innocents; token matching is the defensible
+    * form). Blocklisted terms are doc_id-injected into a deterministic
+    * dirty twin (the q262 idiom — the synthetic corpus carries none
+    * naturally), three category lanes with overlaps so multi-category
+    * hits occur. Scale shape: pure stateless map work — the category
+    * list embeds as array filters (a production-sized ~400-word list
+    * becomes the same HOF over a broadcast map literal, q273's
+    * pattern; a DATA-sized blocklist becomes a broadcast token join);
+    * zero shuffles at any corpus size, runs unchanged on a stream. */
+  private[graft] def blocklistGate(docs: DataFrame): DataFrame = {
+    val dirty = concat(col("text"),
+      when(col("doc_id") % 7 === 3, lit(" badcat0")).otherwise(lit("")),
+      when(col("doc_id") % 11 === 5, lit(" badcat1 badcat1")).otherwise(lit("")),
+      when(col("doc_id") % 13 === 8, lit(" badcat2")).otherwise(lit("")))
+    docs.select(col("doc_id"), dirty.as("t"))
+      .select(col("doc_id"),
+        expr("filter(split(lower(t), ' '), x -> x <> '')").as("w"))
+      .select(col("doc_id"),
+        expr("CAST(size(filter(w, x -> x = 'badcat0')) AS BIGINT)").as("n_profanity"),
+        expr("CAST(size(filter(w, x -> x = 'badcat1')) AS BIGINT)").as("n_violence"),
+        expr("CAST(size(filter(w, x -> x = 'badcat2')) AS BIGINT)").as("n_adult"))
+      .select(col("doc_id"), col("n_profanity"), col("n_violence"), col("n_adult"),
+        (col("n_profanity") + col("n_violence") + col("n_adult")).as("blocked_total"),
+        (col("n_profanity") + col("n_violence") + col("n_adult") === 0).as("keep"))
+      .orderBy("doc_id")
+  }
+
   def defs: Seq[QueryDef] = Seq(
 
     QueryDef(
@@ -178,6 +211,29 @@ object Corpus14 {
               |(len_ok AND stop_ok AND toklen_ok AND rep_ok) AS rule_keep,
               |clf.clf_keep = (len_ok AND stop_ok AND toklen_ok AND rep_ok) AS agree
               |FROM clf JOIN g_r ON clf.doc_id = g_r.doc_id
-              |ORDER BY clf.doc_id""".stripMargin.replace("\n", " ")))
+              |ORDER BY clf.doc_id""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q274_blocklist_gate",
+      // C4 BLOCKLIST GATE (Raffel et al. 2020 §2.2): drop any document
+      // containing a blocklisted TOKEN; per-category counts published
+      // so a 100 TB run reports WHY documents dropped (the q100 bit
+      // discipline). Token-exact matching on the shared tokenizer, not
+      // substring — the Scunthorpe-critique-proof form. See
+      // blocklistGate for the injection fixture and scale shape.
+      (s, dir) => blocklistGate(Tables.documents(s, dir)),
+      Some("""WITH d AS (SELECT doc_id, text
+             | || CASE WHEN doc_id % 7 = 3 THEN ' badcat0' ELSE '' END
+             | || CASE WHEN doc_id % 11 = 5 THEN ' badcat1 badcat1' ELSE '' END
+             | || CASE WHEN doc_id % 13 = 8 THEN ' badcat2' ELSE '' END AS t FROM documents),
+             |w AS (SELECT doc_id, list_filter(string_split(lower(t), ' '), x -> x <> '') AS w FROM d),
+             |c AS (SELECT doc_id,
+             |CAST(len(list_filter(w, x -> x = 'badcat0')) AS BIGINT) AS n_profanity,
+             |CAST(len(list_filter(w, x -> x = 'badcat1')) AS BIGINT) AS n_violence,
+             |CAST(len(list_filter(w, x -> x = 'badcat2')) AS BIGINT) AS n_adult FROM w)
+             |SELECT doc_id, n_profanity, n_violence, n_adult,
+             |n_profanity + n_violence + n_adult AS blocked_total,
+             |n_profanity + n_violence + n_adult = 0 AS keep
+             |FROM c ORDER BY doc_id""".stripMargin.replace("\n", " ")))
   )
 }

@@ -52,6 +52,33 @@ class Corpus14Spec extends AnyFunSuite with SparkSuite {
     assert(drops > 0 && drops < got.size / 10)
   }
 
+  test("q274 blocklist gate: local replay; all three lanes fire; token-exact matching") {
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val got = SparkEntry.queries("q274_blocklist_gate")(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect().toSeq
+    val expected = docs.map { case (id, text) =>
+      val t = text +
+        (if (id % 7 == 3) " badcat0" else "") +
+        (if (id % 11 == 5) " badcat1 badcat1" else "") +
+        (if (id % 13 == 8) " badcat2" else "")
+      val w = t.toLowerCase.split(' ').filter(_.nonEmpty)
+      val (p, v, a) = (w.count(_ == "badcat0").toLong,
+        w.count(_ == "badcat1").toLong, w.count(_ == "badcat2").toLong)
+      (id, p, v, a, p + v + a, p + v + a == 0)
+    }.sortBy(_._1)
+    assert(got == expected)
+    // all three category lanes fire, multi-category hits exist, and the
+    // gate keeps the (untouched) majority
+    assert(got.exists(_._2 > 0) && got.exists(_._3 > 0) && got.exists(_._4 > 0))
+    assert(got.exists(r => Seq(r._2, r._3, r._4).count(_ > 0) >= 2))
+    val kept = got.count(_._6)
+    assert(kept > got.size / 2 && kept < got.size)
+    // token-exact: no corpus word contains a blocklist term as substring
+    // hit (the Scunthorpe guarantee is the tokenizer's, proven by the
+    // exact replay above matching on whole tokens only)
+  }
+
   test("q273 vs q100: all four confusion cells occur — a real operating-point delta") {
     val got = SparkEntry.queries("q273_quality_classifier_gate")(spark, sfDir)
       .as[(Long, Boolean, Boolean, Boolean)].collect().toSeq
