@@ -266,11 +266,12 @@ object Corpus12 {
       .orderBy("doc_id")
   }
 
-  /** q268's body: the SEVEN hygiene gates COMPOSED in production order
+  /** q268's body: the EIGHT hygiene gates COMPOSED in production order
     * (RefinedWeb §3 / FineWeb's published ladder, with the fetch-policy
     * gate where it belongs) — robots.txt gate → URL dedup → domain cap
-    * → Gopher repetition gate → trained quality-classifier gate →
-    * chunk-level scrub → PII redaction — each stage conditioned on the
+    * → C4 blocklist gate → Gopher repetition gate → trained
+    * quality-classifier gate → chunk-level scrub → PII redaction —
+    * each stage conditioned on the
     * previous stage's SURVIVOR corpus (URL dedup elects winners only
     * among fetchable docs; the cap ranks only URL-deduped docs; the
     * classifier scores only rule-gate survivors — the FineWeb-Edu
@@ -280,7 +281,7 @@ object Corpus12 {
     * stage a compliant crawler may not defer: a disallowed URL must not
     * even be fetched, let alone win a dedup election (r9 shipped it as
     * q272 but left the funnel starting at URL dedup — the r9 verdict's
-    * composition gap). Output: the 8-row funnel (docs in/out/dropped +
+    * composition gap). Output: the 9-row funnel (docs in/out/dropped +
     * surviving chars per stage; the stateless PII stage drops nothing
     * and reports post-redaction chars).
     *
@@ -328,8 +329,12 @@ object Corpus12 {
       .agg(top(col("n_chars").cast("double"), col("doc_id")).as("kept"))
       .select(explode(col("kept")).as("k")).select(col("k.id").as("doc_id"))
     val s2 = s1.join(k2, Seq("doc_id"), "left_semi").localCheckpoint()
-    val k3 = repetitionBattery(s2).filter(col("keep")).select("doc_id")
-    val s3 = s2.join(k3, Seq("doc_id"), "left_semi").localCheckpoint()
+    // stage 4: C4 blocklist gate (q274's token-exact form) — the cheap
+    // token check runs before the heavier repetition battery
+    val k25 = Corpus14.blocklistGate(s2).filter(col("keep")).select("doc_id")
+    val s25 = s2.join(k25, Seq("doc_id"), "left_semi").localCheckpoint()
+    val k3 = repetitionBattery(s25).filter(col("keep")).select("doc_id")
+    val s3 = s25.join(k3, Seq("doc_id"), "left_semi").localCheckpoint()
     // stage 5: the TRAINED quality gate (q273's model) after the rule
     // gates — the FineWeb-Edu ordering: cheap rules first, the
     // classifier only scores rule survivors
@@ -358,6 +363,7 @@ object Corpus12 {
       .crossJoin(broadcast(stat(s0, "nr", "cr")))
       .crossJoin(broadcast(stat(s1, "n1", "c1")))
       .crossJoin(broadcast(stat(s2, "n2", "c2")))
+      .crossJoin(broadcast(stat(s25, "nb", "cb")))
       .crossJoin(broadcast(stat(s3, "n3", "c3")))
       .crossJoin(broadcast(stat(s35, "nq", "cq")))
       .crossJoin(broadcast(stat(s4, "n4", "c4")))
@@ -371,10 +377,11 @@ object Corpus12 {
         row(1, "robots_gate", "n0", "nr", col("cr")),
         row(2, "url_dedup", "nr", "n1", col("c1")),
         row(3, "domain_quota", "n1", "n2", col("c2")),
-        row(4, "gopher_gate", "n2", "n3", col("c3")),
-        row(5, "clf_gate", "n3", "nq", col("cq")),
-        row(6, "chunk_scrub", "nq", "n4", col("c4")),
-        row(7, "pii_scrub", "n4", "n4", col("pc")))).as("r"))
+        row(4, "blocklist_gate", "n2", "nb", col("cb")),
+        row(5, "gopher_gate", "nb", "n3", col("c3")),
+        row(6, "clf_gate", "n3", "nq", col("cq")),
+        row(7, "chunk_scrub", "nq", "n4", col("c4")),
+        row(8, "pii_scrub", "n4", "n4", col("pc")))).as("r"))
       .select(col("r.stage").as("stage"), col("r.name").as("name"),
         col("r.docs_in").as("docs_in"), col("r.docs_out").as("docs_out"),
         col("r.docs_dropped").as("docs_dropped"), col("r.chars_out").as("chars_out"))
@@ -488,11 +495,12 @@ object Corpus12 {
 
     QueryDef(
       "q268_hygiene_funnel",
-      // END-TO-END HYGIENE FUNNEL — the seven gates of a production
+      // END-TO-END HYGIENE FUNNEL — the eight gates of a production
       // web-corpus pipeline composed in order (RefinedWeb §3 /
       // FineWeb's ladder): robots.txt fetch gate → URL canonicalization
-      // dedup → per-domain cap → Gopher repetition gate → trained
-      // quality-classifier gate (q273's model, the FineWeb-Edu stage) →
+      // dedup → per-domain cap → C4 blocklist gate (q274) → Gopher
+      // repetition gate → trained quality-classifier gate (q273's
+      // model, the FineWeb-Edu stage) →
       // chunk-level boilerplate/dup scrub → PII redaction, each stage
       // conditioned on the previous stage's survivor corpus. Output:
       // the funnel audit every pipeline run
@@ -515,8 +523,15 @@ object Corpus12 {
               |s1 AS MATERIALIZED (SELECT s0.* FROM s0 JOIN w1 USING (doc_id)),
               |hr AS (SELECT doc_id, row_number() OVER (PARTITION BY $hostDuck ORDER BY n_chars DESC, doc_id) AS rn FROM s1),
               |s2 AS MATERIALIZED (SELECT s1.* FROM s1 JOIN hr USING (doc_id) WHERE rn <= 10),
+              |bd AS (SELECT doc_id, text
+              | || CASE WHEN doc_id % 7 = 3 THEN ' badcat0' ELSE '' END
+              | || CASE WHEN doc_id % 11 = 5 THEN ' badcat1 badcat1' ELSE '' END
+              | || CASE WHEN doc_id % 13 = 8 THEN ' badcat2' ELSE '' END AS bt FROM s2),
+              |bw AS (SELECT doc_id FROM bd WHERE len(list_filter(string_split(lower(bt), ' '),
+              |x -> x IN ('badcat0', 'badcat1', 'badcat2'))) = 0),
+              |s25 AS MATERIALIZED (SELECT s2.* FROM s2 JOIN bw USING (doc_id)),
               |t AS (SELECT doc_id, ${TextAnalytics.toksDuck} AS w,
-              |CAST(length(replace(text, ' ', '')) AS BIGINT) AS tc FROM s2),
+              |CAST(length(replace(text, ' ', '')) AS BIGINT) AS tc FROM s25),
               |${topGramDuckCte(2)}, ${topGramDuckCte(3)}, ${topGramDuckCte(4)},
               |${dupCovDuckCte(2)}, ${dupCovDuckCte(3)},
               |gk AS (SELECT t.doc_id FROM t LEFT JOIN f2 USING (doc_id) LEFT JOIN f3 USING (doc_id)
@@ -526,7 +541,7 @@ object Corpus12 {
               |AND round(coalesce(f4.topc, 0) * 1.0 / tc, 4) <= 0.16
               |AND round(coalesce(l2.covc, 0) * 1.0 / tc, 4) <= 0.20
               |AND round(coalesce(l3.covc, 0) * 1.0 / tc, 4) <= 0.10),
-              |s3 AS MATERIALIZED (SELECT s2.* FROM s2 JOIN gk USING (doc_id)),
+              |s3 AS MATERIALIZED (SELECT s25.* FROM s25 JOIN gk USING (doc_id)),
               |${Corpus14.clfDuckCte("s3", "c_")},
               |s35 AS MATERIALIZED (SELECT s3.* FROM s3 JOIN c_clf ON s3.doc_id = c_clf.doc_id AND c_clf.clf_keep),
               |s3t AS MATERIALIZED (SELECT doc_id, ${TextAnalytics.toksDuck} AS w FROM s35),
@@ -549,6 +564,7 @@ object Corpus12 {
               |nr AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS c FROM s0),
               |n1 AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS c FROM s1),
               |n2 AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS c FROM s2),
+              |nb AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS c FROM s25),
               |n3 AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS c FROM s3),
               |nq AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS c FROM s35),
               |n4 AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS c FROM s4)
@@ -557,10 +573,11 @@ object Corpus12 {
               |UNION ALL SELECT 1, 'robots_gate', n0.n, nr.n, n0.n - nr.n, nr.c FROM n0, nr
               |UNION ALL SELECT 2, 'url_dedup', nr.n, n1.n, nr.n - n1.n, n1.c FROM nr, n1
               |UNION ALL SELECT 3, 'domain_quota', n1.n, n2.n, n1.n - n2.n, n2.c FROM n1, n2
-              |UNION ALL SELECT 4, 'gopher_gate', n2.n, n3.n, n2.n - n3.n, n3.c FROM n2, n3
-              |UNION ALL SELECT 5, 'clf_gate', n3.n, nq.n, n3.n - nq.n, nq.c FROM n3, nq
-              |UNION ALL SELECT 6, 'chunk_scrub', nq.n, n4.n, nq.n - n4.n, n4.c FROM nq, n4
-              |UNION ALL SELECT 7, 'pii_scrub', n4.n, n4.n, 0, np.pc FROM n4, np
+              |UNION ALL SELECT 4, 'blocklist_gate', n2.n, nb.n, n2.n - nb.n, nb.c FROM n2, nb
+              |UNION ALL SELECT 5, 'gopher_gate', nb.n, n3.n, nb.n - n3.n, n3.c FROM nb, n3
+              |UNION ALL SELECT 6, 'clf_gate', n3.n, nq.n, n3.n - nq.n, nq.c FROM n3, nq
+              |UNION ALL SELECT 7, 'chunk_scrub', nq.n, n4.n, nq.n - n4.n, n4.c FROM nq, n4
+              |UNION ALL SELECT 8, 'pii_scrub', n4.n, n4.n, 0, np.pc FROM n4, np
               |) ORDER BY stage""".stripMargin.replace("\n", " ")),
       // headline-benched: the composed form is the single most
       // production-representative query on the board — tracks the whole

@@ -148,7 +148,7 @@ class Corpus12Spec extends AnyFunSuite with SparkSuite {
     assert(dupGroups.exists(_._2.map(_._2).distinct.length >= 2))
   }
 
-  test("q268 hygiene funnel: full local replay of the seven composed stages") {
+  test("q268 hygiene funnel: full local replay of the eight composed stages") {
     def round4(x: Double): Double =
       BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
     val docs = Tables.documents(spark, sfDir)
@@ -174,11 +174,17 @@ class Corpus12Spec extends AnyFunSuite with SparkSuite {
     val s2Ids = s1.groupBy(d => host(d._1)).values
       .flatMap(_.sortBy(d => (-d._3, d._1)).take(10).map(_._1)).toSet
     val s2 = s1.filter(d => s2Ids(d._1))
+    // stage 2.5: the blocklist gate is strictly per-doc, so q274's
+    // published flags (brute-force-replayed in Corpus14Spec) apply to
+    // the quota survivors
+    val keep274 = SparkEntry.queries("q274_blocklist_gate")(spark, sfDir)
+      .select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
+    val s25 = s2.filter(d => keep274(d._1))
     // stage 3: the Gopher gate is strictly per-doc, so q263's published
     // flags (already brute-force-replayed above) apply to any subset
     val keep263 = SparkEntry.queries("q263_repetition_battery")(spark, sfDir)
       .select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
-    val s3 = s2.filter(d => keep263(d._1))
+    val s3 = s25.filter(d => keep263(d._1))
     // stage 3.5: the trained classifier gate is also strictly per-doc,
     // so q273's published flags (brute-force-replayed in Corpus14Spec)
     // apply to the Gopher survivors
@@ -220,23 +226,27 @@ class Corpus12Spec extends AnyFunSuite with SparkSuite {
         s0.size.toLong - s1.size, cs(s1)),
       (3L, "domain_quota", s1.size.toLong, s2.size.toLong,
         s1.size.toLong - s2.size, cs(s2)),
-      (4L, "gopher_gate", s2.size.toLong, s3.size.toLong,
-        s2.size.toLong - s3.size, cs(s3)),
-      (5L, "clf_gate", s3.size.toLong, s35.size.toLong,
+      (4L, "blocklist_gate", s2.size.toLong, s25.size.toLong,
+        s2.size.toLong - s25.size, cs(s25)),
+      (5L, "gopher_gate", s25.size.toLong, s3.size.toLong,
+        s25.size.toLong - s3.size, cs(s3)),
+      (6L, "clf_gate", s3.size.toLong, s35.size.toLong,
         s3.size.toLong - s35.size, cs(s35)),
-      (6L, "chunk_scrub", s35.size.toLong, s4.size.toLong,
+      (7L, "chunk_scrub", s35.size.toLong, s4.size.toLong,
         s35.size.toLong - s4.size, cs(s4)),
-      (7L, "pii_scrub", s4.size.toLong, s4.size.toLong, 0L, pc))
+      (8L, "pii_scrub", s4.size.toLong, s4.size.toLong, 0L, pc))
     val got = SparkEntry.queries("q268_hygiene_funnel")(spark, sfDir)
       .as[(Long, String, Long, Long, Long, Long)].collect().toSeq
     assert(got == exp)
-    // the robots/url/quota/gopher/chunk gates all fire on this corpus;
-    // the classifier stage may legitimately drop 0 among rule survivors
-    // (rules already removed most filler-dense docs), so it only has to
-    // be NON-EXPANDING — its firing is proven corpus-wide in Corpus14Spec
-    Seq(1, 2, 3, 4, 6).foreach { i =>
+    // the robots/url/quota/blocklist/gopher gates all fire on this
+    // corpus; the classifier and chunk stages may legitimately drop 0
+    // among upstream survivors (the rule gates already removed their
+    // targets — e.g. the boilerplate-chunk doc falls to the blocklist
+    // lane first), so they only have to be NON-EXPANDING — their
+    // corpus-wide firing is proven in Corpus14Spec / q259+q267
+    Seq(1, 2, 3, 4, 5).foreach { i =>
       assert(exp(i)._5 > 0, s"stage ${exp(i)._2} dropped 0")
     }
-    assert(exp(5)._5 >= 0)
+    Seq(6, 7).foreach { i => assert(exp(i)._5 >= 0) }
   }
 }

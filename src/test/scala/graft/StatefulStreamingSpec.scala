@@ -672,11 +672,17 @@ class StatefulStreamingSpec extends AnyFunSuite with SparkSuite {
       .filter($"rn" <= 10).select("doc_id")
     assert(expected.exceptAll(admitted.select("doc_id")).count() == 0)
     assert(admitted.select("doc_id").exceptAll(expected).count() == 0)
-    // the stateless gates run unchanged downstream: q263's per-doc keep
-    // flags applied to the admitted set reproduce the funnel's next stage
+    // the stateless gates run unchanged downstream: q274's and q263's
+    // per-doc keep flags applied in funnel order to the admitted set
+    // reproduce the funnel's blocklist and gopher stages
+    val keepB = SparkEntry.queries("q274_blocklist_gate")(spark, dir)
+      .select("doc_id", "keep")
+    val blocked = admitted.select("doc_id").join(keepB, Seq("doc_id"))
+      .filter($"keep").select("doc_id")
+    assert(blocked.count() == funnel("blocklist_gate"))
     val keep = SparkEntry.queries("q263_repetition_battery")(spark, dir)
       .select("doc_id", "keep")
-    assert(admitted.select("doc_id").join(keep, Seq("doc_id"))
+    assert(blocked.join(keep, Seq("doc_id"))
       .filter($"keep").count() == funnel("gopher_gate"))
   }
 
