@@ -171,6 +171,27 @@ object Flows {
     * (`_clusters`: kept/dropped counts + the exemplar policy's rank-1
     * doc) written alongside — the artifact a curation pipeline reviews
     * before committing a prune. Returns the kept-doc frame. */
+  /** The HYGIENE flow (round 10's eight-gate funnel as API): run the
+    * admission ladder (robots → URL dedup → domain cap → blocklist →
+    * Gopher → classifier → chunk scrub), land the PII-SCRUBBED survivor
+    * corpus ordered by doc_id — the training-ready product, with
+    * `n_chars` recomputed from the scrubbed text — and write q268's
+    * 9-row audit alongside as `_funnel` (the artifact a curation run
+    * reviews before committing). The audit is assembled from the SAME
+    * pinned stage frames that produced the landing (funnelAudit), so
+    * nothing re-runs and the flow cannot drift from the oracled query.
+    * Returns the landed layout. */
+  def hygieneFlow(spark: SparkSession, dir: String, outDir: String): DataFrame = {
+    val st = operators.Corpus12.hygieneStages(Tables.documents(spark, dir))
+    val product = operators.Corpus12.piiScrub(st.last._2)
+      .select(col("doc_id"), col("scrubbed").as("text"),
+        length(col("scrubbed")).cast("long").as("n_chars"))
+    graft.sources.Sinks.writeOrdered(product, Seq(col("doc_id")), outDir, Some(4))
+    operators.Corpus12.funnelAudit(st)
+      .write.mode("overwrite").parquet(s"$outDir/_funnel")
+    spark.read.parquet(outDir)
+  }
+
   def semanticDedupFlow(spark: SparkSession, dir: String, outDir: String): DataFrame = {
     val verdicts = SparkEntry.queries("q170_semdedup")(spark, dir)
     val kept = Tables.documents(spark, dir)

@@ -301,8 +301,14 @@ object Corpus12 {
     * sum of one pass per stage. Unlike the BPE chain (where a pin was
     * measured to LOSE, see Corpus2), the pinned frames here are the
     * tiny survivor tables, not a corpus-sized intermediate. */
-  private[graft] def hygieneFunnel(
-      docs0: DataFrame, cap: Int = 10, minRetained: Double = 0.2): DataFrame = {
+  /** The funnel's named stage-survivor frames in order (element 0 is
+    * the fetch corpus, the last is the chunk-scrub survivors) — ONE
+    * definition shared by q268 (which assembles the audit rows) and
+    * Flows.hygieneFlow (which lands the final survivors as the
+    * training-ready product), so the API cannot drift from the oracled
+    * audit. */
+  private[graft] def hygieneStages(
+      docs0: DataFrame, cap: Int = 10, minRetained: Double = 0.2): Seq[(String, DataFrame)] = {
     val docs = docs0.select(col("doc_id"), col("text"), col("n_chars"))
     // stage 1: robots gate (q272's stateless longest-match plan — zero
     // URL-side shuffles; the semi-join below is its only exchange).
@@ -353,40 +359,42 @@ object Corpus12 {
       .agg(round(sum("kt") * lit(1.0) / sum("n_tokens"), 4).as("rf"))
       .filter(col("rf") >= minRetained).select("doc_id")
     val s4 = s35.join(k4, Seq("doc_id"), "left_semi").localCheckpoint()
+    Seq("fetch" -> docs, "robots_gate" -> s0, "url_dedup" -> s1,
+      "domain_quota" -> s2, "blocklist_gate" -> s25, "gopher_gate" -> s3,
+      "clf_gate" -> s35, "chunk_scrub" -> s4)
+  }
 
+  /** The 9-row audit over prebuilt stage frames — exposed so
+    * Flows.hygieneFlow can publish the audit WITHOUT re-running the
+    * stages it already built. */
+  private[graft] def funnelAudit(st: Seq[(String, DataFrame)]): DataFrame = {
     def stat(df: DataFrame, n: String, c: String) =
       df.agg(count(lit(1)).cast("long").as(n),
         coalesce(sum("n_chars"), lit(0L)).as(c))
-    val pc = piiScrub(s4)
+    val pc = piiScrub(st.last._2)
       .agg(coalesce(sum(length(col("scrubbed"))).cast("long"), lit(0L)).as("pc"))
-    val one = stat(docs, "n0", "c0")
-      .crossJoin(broadcast(stat(s0, "nr", "cr")))
-      .crossJoin(broadcast(stat(s1, "n1", "c1")))
-      .crossJoin(broadcast(stat(s2, "n2", "c2")))
-      .crossJoin(broadcast(stat(s25, "nb", "cb")))
-      .crossJoin(broadcast(stat(s3, "n3", "c3")))
-      .crossJoin(broadcast(stat(s35, "nq", "cq")))
-      .crossJoin(broadcast(stat(s4, "n4", "c4")))
+    val one = st.indices.tail
+      .foldLeft(stat(st.head._2, "n0", "c0")) { (acc, i) =>
+        acc.crossJoin(broadcast(stat(st(i)._2, s"n$i", s"c$i")))
+      }
       .crossJoin(broadcast(pc))
     def row(stage: Int, nm: String, in: String, out: String, chars: org.apache.spark.sql.Column) =
       struct(lit(stage.toLong).as("stage"), lit(nm).as("name"),
         col(in).as("docs_in"), col(out).as("docs_out"),
         (col(in) - col(out)).as("docs_dropped"), chars.as("chars_out"))
-    one.select(explode(array(
-        row(0, "fetch", "n0", "n0", col("c0")),
-        row(1, "robots_gate", "n0", "nr", col("cr")),
-        row(2, "url_dedup", "nr", "n1", col("c1")),
-        row(3, "domain_quota", "n1", "n2", col("c2")),
-        row(4, "blocklist_gate", "n2", "nb", col("cb")),
-        row(5, "gopher_gate", "nb", "n3", col("c3")),
-        row(6, "clf_gate", "n3", "nq", col("cq")),
-        row(7, "chunk_scrub", "nq", "n4", col("c4")),
-        row(8, "pii_scrub", "n4", "n4", col("pc")))).as("r"))
+    val rows = row(0, "fetch", "n0", "n0", col("c0")) +:
+      st.indices.tail.map(i => row(i, st(i)._1, s"n${i - 1}", s"n$i", col(s"c$i"))) :+
+      row(st.size, "pii_scrub", s"n${st.size - 1}", s"n${st.size - 1}", col("pc"))
+    one.select(explode(array(rows: _*)).as("r"))
       .select(col("r.stage").as("stage"), col("r.name").as("name"),
         col("r.docs_in").as("docs_in"), col("r.docs_out").as("docs_out"),
         col("r.docs_dropped").as("docs_dropped"), col("r.chars_out").as("chars_out"))
       .orderBy("stage")
   }
+
+  private[graft] def hygieneFunnel(
+      docs0: DataFrame, cap: Int = 10, minRetained: Double = 0.2): DataFrame =
+    funnelAudit(hygieneStages(docs0, cap, minRetained))
 
   def defs: Seq[QueryDef] = Seq(
 

@@ -58,6 +58,38 @@ class FlowsSpec extends AnyFunSuite with SparkSuite {
     assert(back.count() == chunks.count())
   }
 
+  test("hygiene flow lands the scrubbed survivors + the funnel audit, tied to q268") {
+    val out = java.nio.file.Files.createTempDirectory("graft_flows_hyg")
+      .resolve("clean").toString
+    val landed = Flows.hygieneFlow(spark, sfDir, out)
+    val funnel = SparkEntry.queries("q268_hygiene_funnel")(spark, sfDir)
+      .as[(Long, String, Long, Long, Long, Long)].collect().toSeq
+    val byName = funnel.map(r => r._2 -> r).toMap
+    // the landing is exactly the chunk-scrub survivors, PII-scrubbed
+    assert(landed.count() == byName("chunk_scrub")._4)
+    assert(landed.agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.length($"text"))).as[Long].head() ==
+      byName("pii_scrub")._6)
+    // residual-free: re-running the PII patterns on the landed text finds 0
+    val email = """[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}""".r
+    val phone = """\b\d{3}-\d{3}-\d{4}\b""".r
+    val ip = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b""".r
+    val landedClean = landed.select($"doc_id", $"text")
+      .as[(Long, String)].collect()
+    landedClean.foreach { case (id, t) =>
+      assert(email.findAllIn(t).isEmpty && phone.findAllIn(t).isEmpty &&
+        ip.findAllIn(t).isEmpty, s"doc $id has residual PII")
+    }
+    // the written audit matches the oracled q268 rows exactly
+    val audit = spark.read.parquet(s"$out/_funnel")
+      .as[(Long, String, Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(audit == funnel)
+    // doc_id-ordered landing: file ranges are disjoint and sorted
+    val ids = landed.select("doc_id").as[Long].collect()
+    assert(ids.sorted.sameElements(
+      spark.read.parquet(out).orderBy("doc_id").select("doc_id").as[Long].collect()))
+  }
+
   test("packing flow refuses a collision corpus before anything lands (interning guard in-pipeline)") {
     // stage a corpus where a 4-bit fingerprint MUST collide (40 distinct
     // tokens, 16 buckets — the Corpus11Spec pigeonhole fixture) as a
