@@ -174,7 +174,10 @@ object Corpus14 {
     * becomes the same HOF over a broadcast map literal, q273's
     * pattern; a DATA-sized blocklist becomes a broadcast token join);
     * zero shuffles at any corpus size, runs unchanged on a stream. */
-  private[graft] def blocklistGate(docs: DataFrame): DataFrame = {
+  /** The truly stateless form (no presentation sort) — runs unchanged
+    * on a readStream frontier (StatefulStreamingSpec proves stream ≡
+    * batch, the q272/q273 discipline). */
+  private[graft] def blocklistDecisions(docs: DataFrame): DataFrame = {
     val dirty = concat(col("text"),
       when(col("doc_id") % 7 === 3, lit(" badcat0")).otherwise(lit("")),
       when(col("doc_id") % 11 === 5, lit(" badcat1 badcat1")).otherwise(lit("")),
@@ -189,8 +192,11 @@ object Corpus14 {
       .select(col("doc_id"), col("n_profanity"), col("n_violence"), col("n_adult"),
         (col("n_profanity") + col("n_violence") + col("n_adult")).as("blocked_total"),
         (col("n_profanity") + col("n_violence") + col("n_adult") === 0).as("keep"))
-      .orderBy("doc_id")
   }
+
+  /** q274: [[blocklistDecisions]] + the deterministic presentation sort. */
+  private[graft] def blocklistGate(docs: DataFrame): DataFrame =
+    blocklistDecisions(docs).orderBy("doc_id")
 
   def defs: Seq[QueryDef] = Seq(
 

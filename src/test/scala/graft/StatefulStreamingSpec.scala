@@ -709,6 +709,27 @@ class StatefulStreamingSpec extends AnyFunSuite with SparkSuite {
     assert(fin.exceptAll(batch).count() == 0)
   }
 
+  test("q274 blocklist gate runs unchanged on a readStream frontier") {
+    // same stateless-gate discipline as q272/q273: one projection, so
+    // the SAME blocklistGate body runs on a streaming frontier and its
+    // per-doc rows equal the batch query's exactly
+    val dir = "/root/testdata/sf0.01"
+    val stage = java.nio.file.Files.createTempDirectory("graft_bl_stage")
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    docs.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    val q = operators.Corpus14.blocklistDecisions(
+        spark.readStream.schema(docs.schema).parquet(stage.toString))
+      .writeStream
+      .outputMode("append").format("memory").queryName("blocklist_stream")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val fin = spark.table("blocklist_stream")
+    val batch = SparkEntry.queries("q274_blocklist_gate")(spark, dir)
+    assert(fin.count() > 0)
+    assert(batch.exceptAll(fin).count() == 0)
+    assert(fin.exceptAll(batch).count() == 0)
+  }
+
   test("q272 robots gate runs unchanged on a readStream frontier") {
     // the scaladoc's claim made true-by-test: the gate is stateless, so
     // the SAME robotsGate body runs on a streaming frontier and its
