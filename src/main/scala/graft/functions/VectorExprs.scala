@@ -70,6 +70,65 @@ case class FloatVecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Integer sibling of [[FloatVecDot]]: Σ a(i)·b(i) over two array<bigint>
+  * columns in exact int64 arithmetic — value-identical to the
+  * `aggregate(zip_with(...))` HOF twin (integer sums are associative, so
+  * "bit-identical" is trivial here), but codegen'd. Exists for q270's
+  * decontamination screen, where the code-dot runs once per
+  * (train, eval) pair inside the broadcast join and the interpreted HOF
+  * frame per element is the hot path at 100 TB (the FloatVecDot
+  * argument, applied to the int8-code table). Overflow-safe for its
+  * caller by construction: |codes| ≤ 127, so |Σ| ≤ 64·127² ≪ 2^63. */
+case class LongVecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"long_vec_dot requires two array<bigint> arguments, got ${l.simpleString(10)} and ${r.simpleString(10)}")
+    }
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getLong($i) * $b.getLong($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LongVecDot =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Random-hyperplane cosine sketch as a codegen'd expression: bit p of the
   * result = sign of Σ_d m[p][d]·v[d], where m[p][d] = ±1 is encoded as bit
   * d of `masks(p)` (set = +1). The fold adds ±v[d] in ascending d order —
@@ -152,6 +211,11 @@ object VectorExprs {
   def vecDot(a: Column, b: Column): Column =
     GraftColumnBridge.column(
       FloatVecDot(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  /** Column API: exact int64 dot over array<bigint> (q270's screen). */
+  def longVecDot(a: Column, b: Column): Column =
+    GraftColumnBridge.column(
+      LongVecDot(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 
   /** L2 norm via the same fold (dot(v, v) then sqrt). */
   def vecNorm(v: Column): Column = {

@@ -388,10 +388,15 @@ object Similarity {
   /** The rigorous cosine upper bound over a joined (train, eval) row —
     * integer codeDot plus the half-step quantization error budget; the
     * parenthesized sum is exact double arithmetic (all terms ≪ 2^53),
-    * written in the same association order as the oracle SQL. */
+    * written in the same association order as the oracle SQL. The
+    * codeDot is the codegen'd LongVecDot (integer sums are associative,
+    * so it is value-identical to the `aggregate(zip_with(...))` HOF twin
+    * — SimilaritySpec asserts it — but it does not pay an interpreted
+    * lambda frame per element on every screened pair, which is the hot
+    * path of the whole gate). */
   private def screenUb: Column =
     col("s") * col("qs") *
-      (expr("aggregate(zip_with(codes, qcodes, (a, b) -> a * b), 0L, (acc, x) -> acc + x)")
+      (graft.functions.VectorExprs.longVecDot(col("codes"), col("qcodes"))
         .cast("double") + lit(0.5) * col("csum") + lit(0.5) * col("qcsum") + lit(dims / 4.0)) /
       (col("nrm") * col("qn"))
 

@@ -48,6 +48,22 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     assert(files.forall(f => probed.exists(l => f.contains(s"label=$l"))), files.take(3).mkString)
   }
 
+  test("codegen'd long_vec_dot equals the interpreted HOF dot on the q270 code table") {
+    val e = Tables.embeddings(spark, sfDir)
+      .withColumn("mx", expr(
+        "aggregate(embedding, 0D, (a, x) -> greatest(a, abs(CAST(x AS DOUBLE))))"))
+      .withColumn("codes", expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0D / mx + 0.5D) AS BIGINT))"))
+      .select($"vec_id", $"codes")
+    val pairs = e.crossJoin(e.limit(5)
+      .select($"vec_id".as("qid"), $"codes".as("qcodes")))
+    val both = pairs.select($"vec_id", $"qid",
+      graft.functions.VectorExprs.longVecDot($"codes", $"qcodes").as("fast"),
+      expr("aggregate(zip_with(codes, qcodes, (a, b) -> a * b), 0L, (acc, x) -> acc + x)").as("hof"))
+    assert(both.filter($"fast" =!= $"hof").count() == 0)
+    assert(both.count() > 0)
+  }
+
   test("codegen'd vec_sketch equals the interpreted HOF sketch on the corpus") {
     val e = Tables.embeddings(spark, sfDir)
     val both = e.select($"vec_id",
