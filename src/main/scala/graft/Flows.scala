@@ -164,13 +164,6 @@ object Flows {
     landed
   }
 
-  /** The SEMANTIC-DEDUP flow (round 5's capability as API): q170's
-    * SemDeDup verdicts (cluster-then-prune over the learned LloydKMeans
-    * space) pick one exemplar per semantic-dup group → the kept docs
-    * land ordered by doc_id with a per-cluster survivor ledger
-    * (`_clusters`: kept/dropped counts + the exemplar policy's rank-1
-    * doc) written alongside — the artifact a curation pipeline reviews
-    * before committing a prune. Returns the kept-doc frame. */
   /** The HYGIENE flow (round 10's eight-gate funnel as API): run the
     * admission ladder (robots → URL dedup → domain cap → blocklist →
     * Gopher → classifier → chunk scrub), land the PII-SCRUBBED survivor
@@ -192,6 +185,13 @@ object Flows {
     spark.read.parquet(outDir)
   }
 
+  /** The SEMANTIC-DEDUP flow (round 5's capability as API): q170's
+    * SemDeDup verdicts (cluster-then-prune over the learned LloydKMeans
+    * space) pick one exemplar per semantic-dup group → the kept docs
+    * land ordered by doc_id with a per-cluster survivor ledger
+    * (`_clusters`: kept/dropped counts + the exemplar policy's rank-1
+    * doc) written alongside — the artifact a curation pipeline reviews
+    * before committing a prune. Returns the kept-doc frame. */
   def semanticDedupFlow(spark: SparkSession, dir: String, outDir: String): DataFrame = {
     val verdicts = SparkEntry.queries("q170_semdedup")(spark, dir)
     val kept = Tables.documents(spark, dir)

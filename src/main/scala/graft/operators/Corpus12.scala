@@ -266,41 +266,6 @@ object Corpus12 {
       .orderBy("doc_id")
   }
 
-  /** q268's body: the EIGHT hygiene gates COMPOSED in production order
-    * (RefinedWeb §3 / FineWeb's published ladder, with the fetch-policy
-    * gate where it belongs) — robots.txt gate → URL dedup → domain cap
-    * → C4 blocklist gate → Gopher repetition gate → trained
-    * quality-classifier gate → chunk-level scrub → PII redaction —
-    * each stage conditioned on the
-    * previous stage's SURVIVOR corpus (URL dedup elects winners only
-    * among fetchable docs; the cap ranks only URL-deduped docs; the
-    * classifier scores only rule-gate survivors — the FineWeb-Edu
-    * ordering, cheap rules before the model; chunk document frequencies
-    * count only gated docs — composition order is semantics, not
-    * presentation). The robots gate runs FIRST because it is the only
-    * stage a compliant crawler may not defer: a disallowed URL must not
-    * even be fetched, let alone win a dedup election (r9 shipped it as
-    * q272 but left the funnel starting at URL dedup — the r9 verdict's
-    * composition gap). Output: the 9-row funnel (docs in/out/dropped +
-    * surviving chars per stage; the stateless PII stage drops nothing
-    * and reports post-redaction chars).
-    *
-    * Scale shape: every stage is its standalone query's audited plan
-    * (q266 partial-aggregable min winner; q265 TopKScored k-heap — the
-    * explode of the per-host kept array is bounded at cap rows/host;
-    * q263's narrow explode→partial-agg battery; q267's two-level
-    * distinct-doc aggregate; q262 stateless regex) glued by left-semi
-    * joins on doc_id — no window, no cartesian, nothing quadratic. The
-    * funnel's six audit aggregates all re-read stage survivors, and
-    * Spark has no DataFrame-level CSE, so each stage output is PINNED
-    * (localCheckpoint) once computed — exactly what a production run
-    * does anyway (the survivor shards ARE the product; the funnel is
-    * their audit trail). Measured: pinning took the sf0.1 funnel from
-    * 11.2 s (each count branch re-ran its whole stage prefix — the
-    * battery three times, the URL winner aggregate five times) to the
-    * sum of one pass per stage. Unlike the BPE chain (where a pin was
-    * measured to LOSE, see Corpus2), the pinned frames here are the
-    * tiny survivor tables, not a corpus-sized intermediate. */
   /** The funnel's named stage-survivor frames in order (element 0 is
     * the fetch corpus, the last is the chunk-scrub survivors) — ONE
     * definition shared by q268 (which assembles the audit rows) and
@@ -337,7 +302,7 @@ object Corpus12 {
     val s2 = s1.join(k2, Seq("doc_id"), "left_semi").localCheckpoint()
     // stage 4: C4 blocklist gate (q274's token-exact form) — the cheap
     // token check runs before the heavier repetition battery
-    val k25 = Corpus14.blocklistGate(s2).filter(col("keep")).select("doc_id")
+    val k25 = Corpus14.blocklistDecisions(s2).filter(col("keep")).select("doc_id")
     val s25 = s2.join(k25, Seq("doc_id"), "left_semi").localCheckpoint()
     val k3 = repetitionBattery(s25).filter(col("keep")).select("doc_id")
     val s3 = s25.join(k3, Seq("doc_id"), "left_semi").localCheckpoint()
@@ -392,6 +357,41 @@ object Corpus12 {
       .orderBy("stage")
   }
 
+  /** q268's body: the EIGHT hygiene gates COMPOSED in production order
+    * (RefinedWeb §3 / FineWeb's published ladder, with the fetch-policy
+    * gate where it belongs) — robots.txt gate → URL dedup → domain cap
+    * → C4 blocklist gate → Gopher repetition gate → trained
+    * quality-classifier gate → chunk-level scrub → PII redaction —
+    * each stage conditioned on the
+    * previous stage's SURVIVOR corpus (URL dedup elects winners only
+    * among fetchable docs; the cap ranks only URL-deduped docs; the
+    * classifier scores only rule-gate survivors — the FineWeb-Edu
+    * ordering, cheap rules before the model; chunk document frequencies
+    * count only gated docs — composition order is semantics, not
+    * presentation). The robots gate runs FIRST because it is the only
+    * stage a compliant crawler may not defer: a disallowed URL must not
+    * even be fetched, let alone win a dedup election (r9 shipped it as
+    * q272 but left the funnel starting at URL dedup — the r9 verdict's
+    * composition gap). Output: the 9-row funnel (docs in/out/dropped +
+    * surviving chars per stage; the stateless PII stage drops nothing
+    * and reports post-redaction chars).
+    *
+    * Scale shape: every stage is its standalone query's audited plan
+    * (q266 partial-aggregable min winner; q265 TopKScored k-heap — the
+    * explode of the per-host kept array is bounded at cap rows/host;
+    * q263's narrow explode→partial-agg battery; q267's two-level
+    * distinct-doc aggregate; q262 stateless regex) glued by left-semi
+    * joins on doc_id — no window, no cartesian, nothing quadratic. The
+    * funnel's six audit aggregates all re-read stage survivors, and
+    * Spark has no DataFrame-level CSE, so each stage output is PINNED
+    * (localCheckpoint) once computed — exactly what a production run
+    * does anyway (the survivor shards ARE the product; the funnel is
+    * their audit trail). Measured: pinning took the sf0.1 funnel from
+    * 11.2 s (each count branch re-ran its whole stage prefix — the
+    * battery three times, the URL winner aggregate five times) to the
+    * sum of one pass per stage. Unlike the BPE chain (where a pin was
+    * measured to LOSE, see Corpus2), the pinned frames here are the
+    * tiny survivor tables, not a corpus-sized intermediate. */
   private[graft] def hygieneFunnel(
       docs0: DataFrame, cap: Int = 10, minRetained: Double = 0.2): DataFrame =
     funnelAudit(hygieneStages(docs0, cap, minRetained))

@@ -32,31 +32,6 @@ object Corpus13 {
     * host graph wants S = 10^8. */
   private val S = 1000000000000L // 10^12
 
-  /** q269's body: 2 damped PageRank rounds (d = 0.85 = 17/20) over the
-    * host syndication graph, ENTIRELY IN INT64 ARITHMETIC — no float
-    * sum exists anywhere, so Spark and DuckDB agree bit-for-bit with no
-    * rounding discipline needed (the q219-HITS determinism idea, pushed
-    * one step further: HITS kept integer numerators because it is
-    * scale-invariant; PageRank is not, so the iterate is fixed-point
-    * scaled instead, t(v) = r(v)·N·S, and each edge contribution
-    * floor-divides ONCE per round: c(u,v) = ⌊t(u)·w/W(u)⌋ in the
-    * overflow-safe split form (t div W)·w + ((t mod W)·w) div W, exact
-    * for t·w beyond int64). Fixed rounds, not convergence — the
-    * oracle-checkable-prefix contract of q114/q121/q216/q217.
-    *
-    * Scale shape: chunking is stateless map work; the (fp, host)
-    * distinct and the per-fp host-set aggregate are the only
-    * corpus-sized shuffles (both partial-aggregable). Per-fp pair
-    * fan-out is bounded by the syndication-width cap (a chunk served by
-    * > maxHosts hosts is boilerplate, not syndication — the df-cap
-    * discipline of cappedShingles; non-binding on this corpus where
-    * |hosts| = 24 < 64, load-bearing at web scale where one universal
-    * chunk would otherwise emit |hosts|² pairs). The iteration joins
-    * are keyed on host — data-sized at web scale (millions of hosts),
-    * never corpus-sized, and each round is one join + one
-    * partial-aggregable sum. Dangling hosts (no out-edges) contribute
-    * no mass, the standard drop-dangling convention, stated here
-    * because ranks then sum to < 1. */
   /** The (edges, out-weights, nodes) triple of the host syndication
     * graph, each PINNED via localCheckpoint: all three are host-sized
     * (tiny at any corpus size) but rebuilt from corpus-sized chunking
@@ -112,6 +87,31 @@ object Corpus13 {
       .orderBy(col("rank_scaled").desc, col("host"))
   }
 
+  /** q269's body: 2 damped PageRank rounds (d = 0.85 = 17/20) over the
+    * host syndication graph, ENTIRELY IN INT64 ARITHMETIC — no float
+    * sum exists anywhere, so Spark and DuckDB agree bit-for-bit with no
+    * rounding discipline needed (the q219-HITS determinism idea, pushed
+    * one step further: HITS kept integer numerators because it is
+    * scale-invariant; PageRank is not, so the iterate is fixed-point
+    * scaled instead, t(v) = r(v)·N·S, and each edge contribution
+    * floor-divides ONCE per round: c(u,v) = ⌊t(u)·w/W(u)⌋ in the
+    * overflow-safe split form (t div W)·w + ((t mod W)·w) div W, exact
+    * for t·w beyond int64). Fixed rounds, not convergence — the
+    * oracle-checkable-prefix contract of q114/q121/q216/q217.
+    *
+    * Scale shape: chunking is stateless map work; the (fp, host)
+    * distinct and the per-fp host-set aggregate are the only
+    * corpus-sized shuffles (both partial-aggregable). Per-fp pair
+    * fan-out is bounded by the syndication-width cap (a chunk served by
+    * > maxHosts hosts is boilerplate, not syndication — the df-cap
+    * discipline of cappedShingles; non-binding on this corpus where
+    * |hosts| = 24 < 64, load-bearing at web scale where one universal
+    * chunk would otherwise emit |hosts|² pairs). The iteration joins
+    * are keyed on host — data-sized at web scale (millions of hosts),
+    * never corpus-sized, and each round is one join + one
+    * partial-aggregable sum. Dangling hosts (no out-edges) contribute
+    * no mass, the standard drop-dangling convention, stated here
+    * because ranks then sum to < 1. */
   private[graft] def hostPageRank(docs: DataFrame, maxHosts: Int = 64): DataFrame = {
     val (e, ow, nodes) = hostGraph(docs, maxHosts)
     val step = prStep(e, ow, nodes) _
@@ -144,17 +144,6 @@ object Corpus13 {
   private[operators] def robotsDuck = robotsRules
     .map { case (h, d) => s"('$h', '$d')" }.mkString(", ")
 
-  /** q272's body, WITHOUT the presentation sort — the truly stateless
-    * form: rules collapse to one array per host (a tiny/broadcast
-    * build), the URL side takes ONE equi-join on host, and the longest
-    * match is an array HOF per row (robots precedence; matching rules
-    * are nested prefixes of the path, so longest = lexicographic max =
-    * array_max of the filtered set). ZERO shuffles on the URL side at
-    * any corpus size — no (doc, host, path)-keyed aggregate exists —
-    * which is also why it runs UNCHANGED on a readStream frontier
-    * (stream-static join + map; StatefulStreamingSpec proves stream ≡
-    * batch). In production the per-host rule arrays are data-sized:
-    * same plan, hash join instead of broadcast. */
   /** The URL-level form of the gate: input is any (doc_id, canon_url)
     * relation — batch OR stream (stateless, so it chains in front of the
     * admission topology for free); output keeps canon_url so downstream
@@ -174,6 +163,17 @@ object Corpus13 {
         col("rule").isNull.as("allowed"))
   }
 
+  /** q272's body, WITHOUT the presentation sort — the truly stateless
+    * form: rules collapse to one array per host (a tiny/broadcast
+    * build), the URL side takes ONE equi-join on host, and the longest
+    * match is an array HOF per row (robots precedence; matching rules
+    * are nested prefixes of the path, so longest = lexicographic max =
+    * array_max of the filtered set). ZERO shuffles on the URL side at
+    * any corpus size — no (doc, host, path)-keyed aggregate exists —
+    * which is also why it runs UNCHANGED on a readStream frontier
+    * (stream-static join + map; StatefulStreamingSpec proves stream ≡
+    * batch). In production the per-host rule arrays are data-sized:
+    * same plan, hash join instead of broadcast. */
   private[graft] def robotsDecisions(docs: DataFrame): DataFrame =
     robotsDecideUrls(Corpus12.canonUrls(docs).select("doc_id", "canon_url"))
       .drop("canon_url")

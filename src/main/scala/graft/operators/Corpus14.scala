@@ -159,7 +159,7 @@ object Corpus14 {
        |FROM $src d LEFT JOIN ${p}qs qs ON d.doc_id = qs.doc_id)""".stripMargin.replace("\n", " ")
   }
 
-  /** q274's body: the C4 BLOCKLIST GATE (Raffel et al. 2020 §2.2 — "any
+  /** q274's body (the truly stateless, sort-free form — runs unchanged on a readStream frontier, StatefulStreamingSpec proves stream ≡ batch): the C4 BLOCKLIST GATE (Raffel et al. 2020 §2.2 — "any
     * page that contained any word on the 'List of Dirty, Naughty,
     * Obscene or Otherwise Bad Words'" is dropped): per-document counts
     * of blocklisted TOKENS by category plus the keep verdict. Matching
@@ -174,9 +174,6 @@ object Corpus14 {
     * becomes the same HOF over a broadcast map literal, q273's
     * pattern; a DATA-sized blocklist becomes a broadcast token join);
     * zero shuffles at any corpus size, runs unchanged on a stream. */
-  /** The truly stateless form (no presentation sort) — runs unchanged
-    * on a readStream frontier (StatefulStreamingSpec proves stream ≡
-    * batch, the q272/q273 discipline). */
   private[graft] def blocklistDecisions(docs: DataFrame): DataFrame = {
     val dirty = concat(col("text"),
       when(col("doc_id") % 7 === 3, lit(" badcat0")).otherwise(lit("")),

@@ -460,23 +460,25 @@ object StatefulOps {
           if (state.exists)
             rows.map(c => ChunkDecision(c.doc_id, c.chunk_idx, c.n_tokens, kept = false))
           else {
+            // state is claimed on the FIRST row and refreshed on every
+            // dethronement (all before the exec's completion hook writes
+            // the store), so even a plan that stops consuming the group
+            // early commits SOME owner — never an ownerless key that
+            // would let a later batch elect a second kept=true winner.
             var champ: ChunkIn = null
             val losers = rows.flatMap { c =>
-              if (champ == null) { champ = c; Iterator.empty }
-              else if (c.doc_id < champ.doc_id ||
+              if (champ == null) {
+                champ = c; state.update((c.doc_id, c.chunk_idx)); Iterator.empty
+              } else if (c.doc_id < champ.doc_id ||
                 (c.doc_id == champ.doc_id && c.chunk_idx < champ.chunk_idx)) {
                 val prev = champ; champ = c
+                state.update((c.doc_id, c.chunk_idx))
                 Iterator.single(ChunkDecision(prev.doc_id, prev.chunk_idx, prev.n_tokens, kept = false))
               } else
                 Iterator.single(ChunkDecision(c.doc_id, c.chunk_idx, c.n_tokens, kept = false))
             }
-            // state.update runs during output consumption, before the
-            // exec's completion hook writes the store — the documented
-            // lazy-update contract of FlatMapGroupsWithStateExec.
-            losers ++ {
-              state.update((champ.doc_id, champ.chunk_idx))
-              Iterator.single(ChunkDecision(champ.doc_id, champ.chunk_idx, champ.n_tokens, kept = true))
-            }
+            losers ++ Iterator.single(
+              ChunkDecision(champ.doc_id, champ.chunk_idx, champ.n_tokens, kept = true))
           }
       }
   }
@@ -511,19 +513,20 @@ object StatefulOps {
           if (state.exists)
             rows.map(r => UrlDecision(r.doc_id, cu, kept = false))
           else {
+            // claim-on-first-row + refresh-on-dethrone, as in
+            // chunkDedupStream: partial consumption never commits an
+            // ownerless URL.
             var champ = Long.MinValue
             var seen = false
             val losers = rows.flatMap { r =>
-              if (!seen) { seen = true; champ = r.doc_id; Iterator.empty }
+              if (!seen) { seen = true; champ = r.doc_id; state.update(champ); Iterator.empty }
               else if (r.doc_id < champ) {
                 val prev = champ; champ = r.doc_id
+                state.update(champ)
                 Iterator.single(UrlDecision(prev, cu, kept = false))
               } else Iterator.single(UrlDecision(r.doc_id, cu, kept = false))
             }
-            losers ++ {
-              state.update(champ)
-              Iterator.single(UrlDecision(champ, cu, kept = true))
-            }
+            losers ++ Iterator.single(UrlDecision(champ, cu, kept = true))
           }
       }
   }
@@ -562,17 +565,18 @@ object StatefulOps {
             // greatest = worst kept: smallest n_chars, then largest doc_id
             val pq = scala.collection.mutable.PriorityQueue
               .empty[QuotaIn](Ordering.by(r => (-r.n_chars, r.doc_id)))
+            // pq.size is monotone up to the budget, so refreshing state
+            // per row keeps the committed count correct even under
+            // partial consumption (the claim-on-first-row discipline).
             val spilled = rows.flatMap { r =>
               pq.enqueue(r)
+              state.update(used + math.min(pq.size, budget))
               if (pq.size > budget) {
                 val out = pq.dequeue()
                 Iterator.single(QuotaDecision(out.doc_id, h, admitted = false))
               } else Iterator.empty
             }
-            spilled ++ {
-              state.update(used + pq.size)
-              pq.iterator.map(r => QuotaDecision(r.doc_id, h, admitted = true))
-            }
+            spilled ++ pq.iterator.map(r => QuotaDecision(r.doc_id, h, admitted = true))
           }
       }
   }

@@ -45,9 +45,13 @@ object ProfFunnel {
           .select(explode(col("kept")).as("k")).select(col("k.id").as("doc_id"))
         s1.join(k2, Seq("doc_id"), "left_semi").localCheckpoint()
       }
+      val s25 = t("s25 blocklist") {
+        val k25 = Corpus14.blocklistDecisions(s2).filter(col("keep")).select("doc_id")
+        s2.join(k25, Seq("doc_id"), "left_semi").localCheckpoint()
+      }
       val s3 = t("s3 gopher") {
-        val k3 = Corpus12.repetitionBattery(s2).filter(col("keep")).select("doc_id")
-        s2.join(k3, Seq("doc_id"), "left_semi").localCheckpoint()
+        val k3 = Corpus12.repetitionBattery(s25).filter(col("keep")).select("doc_id")
+        s25.join(k3, Seq("doc_id"), "left_semi").localCheckpoint()
       }
       val s35 = t("s35 clf") {
         val k35 = Corpus14.qualityClassify(s3).filter(col("clf_keep")).select("doc_id")
@@ -71,7 +75,7 @@ object ProfFunnel {
       t("audits+collect") {
         SparkEntry.queries("q268_hygiene_funnel")(spark, dir).collect()
       }
-      Seq(s0, s1, s2, s3, s35, s4).foreach(_ => ())
+      Seq(s0, s1, s2, s25, s3, s35, s4).foreach(_ => ())
     }
     spark.stop()
   }
