@@ -39,12 +39,24 @@ object Bench {
       // noop sink forces full evaluation of every output column — count()
       // would let Catalyst prune aggregate expressions and eliminate sorts,
       // under-measuring the real work.
-      def once(): (Double, Option[String]) = {
+      // GC telemetry per run (r11, the q143 investigation): cumulative
+      // collector ms across all GarbageCollectorMXBeans, deltaed around
+      // the query — so a blown-up reading can be attributed to (or
+      // cleared of) GC pressure from the bench-order JVM state without
+      // re-running anything. Additive "gc" JSON field; the driver's
+      // parser reads "value"/"queries" and ignores it.
+      def gcMs(): Long = {
+        import scala.jdk.CollectionConverters._
+        java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+          .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+      }
+      def once(): (Double, Double, Option[String]) = {
+        val g0 = gcMs()
         val t0 = System.nanoTime()
         val err =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
           catch { case e: Throwable => Some(e.getClass.getSimpleName) }
-        ((System.nanoTime() - t0) / 1e9, err)
+        ((System.nanoTime() - t0) / 1e9, (gcMs() - g0) / 1e3, err)
       }
       // Best of two runs per query: this host's hypervisor reclaims page
       // cache between rounds, which lands multi-hundred-ms cold-read
@@ -53,23 +65,27 @@ object Bench {
       // rounds. A first-run failure is reported without a retry; a
       // SECOND-run failure keeps the successful first duration (the
       // failed run's near-zero time must never become the reported min).
-      val (d1, e1) = once()
-      if (e1.isDefined) (name, d1, e1)
+      val (d1, g1, e1) = once()
+      if (e1.isDefined) (name, d1, g1, e1)
       else {
-        val (d2, e2) = once()
-        (name, if (e2.isEmpty) math.min(d1, d2) else d1, None)
+        val (d2, g2, e2) = once()
+        // report the duration AND gc of the min run (the comparable pair)
+        if (e2.isEmpty && d2 < d1) (name, d2, g2, None)
+        else (name, d1, g1, None)
       }
     }
     // A failed query must be VISIBLE, not a near-zero time silently summed
     // into the headline: successes go to "queries"/"value", failures to
     // "errors" and are excluded from the total.
-    val ok = results.filter(_._3.isEmpty)
-    val qs = ok.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    val ok = results.filter(_._4.isEmpty)
+    val qs = ok.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e)) => s"\"$k\":\"$e\"" }
+    val gs = ok.map { case (k, _, g, _) => s"\"" + k + "\":" + g }
+      .mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, _, Some(e)) => s"\"$k\":\"$e\"" }
       .mkString("{", ",", "}")
     val total = if (ok.nonEmpty) ok.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"gc":$gs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

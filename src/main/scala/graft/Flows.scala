@@ -164,12 +164,12 @@ object Flows {
     landed
   }
 
-  /** The HYGIENE flow (round 10's eight-gate funnel as API): run the
-    * admission ladder (robots → URL dedup → domain cap → blocklist →
-    * Gopher → classifier → chunk scrub), land the PII-SCRUBBED survivor
-    * corpus ordered by doc_id — the training-ready product, with
+  /** The HYGIENE flow (the nine-gate funnel as API): run the
+    * admission ladder (robots → URL dedup → lang-id → domain cap →
+    * blocklist → Gopher → classifier → chunk scrub), land the
+    * PII-SCRUBBED survivor corpus ordered by doc_id — the training-ready product, with
     * `n_chars` recomputed from the scrubbed text — and write q268's
-    * 9-row audit alongside as `_funnel` (the artifact a curation run
+    * 10-row audit alongside as `_funnel` (the artifact a curation run
     * reviews before committing). The audit is assembled from the SAME
     * pinned stage frames that produced the landing (funnelAudit), so
     * nothing re-runs and the flow cannot drift from the oracled query.

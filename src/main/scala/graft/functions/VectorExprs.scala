@@ -78,7 +78,14 @@ case class FloatVecDot(left: Expression, right: Expression)
   * (train, eval) pair inside the broadcast join and the interpreted HOF
   * frame per element is the hot path at 100 TB (the FloatVecDot
   * argument, applied to the int8-code table). Overflow-safe for its
-  * caller by construction: |codes| ≤ 127, so |Σ| ≤ 64·127² ≪ 2^63. */
+  * caller by construction: |codes| ≤ 127, so |Σ| ≤ 64·127² ≪ 2^63.
+  *
+  * Unlike FloatVecDot (which keeps the generic min-length truncation
+  * convention for ad-hoc cosines), this expression THROWS on a length
+  * mismatch: its one caller is a soundness bound, and a silently
+  * truncated dot loses positive terms — exactly the failure a
+  * decontamination screen must never hide. decontamSides guarantees
+  * equal lengths (both sides quantize the same fixed-width column). */
 case class LongVecDot(left: Expression, right: Expression)
     extends BinaryExpression {
 
@@ -99,7 +106,12 @@ case class LongVecDot(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n)
+      throw new IllegalArgumentException(
+        s"long_vec_dot: length mismatch $n vs ${y.numElements()} — a truncated " +
+          "dot silently loses positive terms, which would weaken q270's " +
+          "screen upper bound (a missed-contamination failure mode)")
     var acc = 0L
     var i = 0
     while (i < n) {
@@ -115,7 +127,11 @@ case class LongVecDot(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  throw new IllegalArgumentException(
+         |    "long_vec_dot: length mismatch " + $n + " vs " + $b.numElements());
+         |}
          |long $acc = 0L;
          |for (int $i = 0; $i < $n; $i++) {
          |  $acc += $a.getLong($i) * $b.getLong($i);

@@ -295,18 +295,25 @@ object Corpus12 {
     val w1 = canonUrls(s0).groupBy("canon_url")
       .agg(min("doc_id").as("doc_id")).select("doc_id")
     val s1 = s0.join(w1, Seq("doc_id"), "left_semi").localCheckpoint()
+    // stage 3: language-id gate (q275's body) in the CCNet/FineWeb
+    // position — right after URL dedup, before every quality gate: no
+    // point ranking or model-scoring documents the pipeline's target
+    // language excludes, and the battery-count scan is among the
+    // cheapest gates on the board
+    val k15 = Corpus14.langGateDecisions(s1).filter(col("keep")).select("doc_id")
+    val s15 = s1.join(k15, Seq("doc_id"), "left_semi").localCheckpoint()
     val top = udaf(new graft.functions.TopKScored(cap))
-    val k2 = hostedDocs(s1).groupBy("host")
+    val k2 = hostedDocs(s15).groupBy("host")
       .agg(top(col("n_chars").cast("double"), col("doc_id")).as("kept"))
       .select(explode(col("kept")).as("k")).select(col("k.id").as("doc_id"))
-    val s2 = s1.join(k2, Seq("doc_id"), "left_semi").localCheckpoint()
-    // stage 4: C4 blocklist gate (q274's token-exact form) — the cheap
+    val s2 = s15.join(k2, Seq("doc_id"), "left_semi").localCheckpoint()
+    // stage 5: C4 blocklist gate (q274's token-exact form) — the cheap
     // token check runs before the heavier repetition battery
     val k25 = Corpus14.blocklistDecisions(s2).filter(col("keep")).select("doc_id")
     val s25 = s2.join(k25, Seq("doc_id"), "left_semi").localCheckpoint()
     val k3 = repetitionBattery(s25).filter(col("keep")).select("doc_id")
     val s3 = s25.join(k3, Seq("doc_id"), "left_semi").localCheckpoint()
-    // stage 5: the TRAINED quality gate (q273's model) after the rule
+    // stage 6: the TRAINED quality gate (q273's model) after the rule
     // gates — the FineWeb-Edu ordering: cheap rules first, the
     // classifier only scores rule survivors
     val k35 = Corpus14.qualityClassify(s3).filter(col("clf_keep")).select("doc_id")
@@ -325,11 +332,11 @@ object Corpus12 {
       .filter(col("rf") >= minRetained).select("doc_id")
     val s4 = s35.join(k4, Seq("doc_id"), "left_semi").localCheckpoint()
     Seq("fetch" -> docs, "robots_gate" -> s0, "url_dedup" -> s1,
-      "domain_quota" -> s2, "blocklist_gate" -> s25, "gopher_gate" -> s3,
-      "clf_gate" -> s35, "chunk_scrub" -> s4)
+      "lang_id_gate" -> s15, "domain_quota" -> s2, "blocklist_gate" -> s25,
+      "gopher_gate" -> s3, "clf_gate" -> s35, "chunk_scrub" -> s4)
   }
 
-  /** The 9-row audit over prebuilt stage frames — exposed so
+  /** The 10-row audit over prebuilt stage frames — exposed so
     * Flows.hygieneFlow can publish the audit WITHOUT re-running the
     * stages it already built. */
   private[graft] def funnelAudit(st: Seq[(String, DataFrame)]): DataFrame = {
@@ -357,14 +364,16 @@ object Corpus12 {
       .orderBy("stage")
   }
 
-  /** q268's body: the EIGHT hygiene gates COMPOSED in production order
+  /** q268's body: the NINE hygiene gates COMPOSED in production order
     * (RefinedWeb §3 / FineWeb's published ladder, with the fetch-policy
-    * gate where it belongs) — robots.txt gate → URL dedup → domain cap
-    * → C4 blocklist gate → Gopher repetition gate → trained
-    * quality-classifier gate → chunk-level scrub → PII redaction —
-    * each stage conditioned on the
+    * gate where it belongs) — robots.txt gate → URL dedup → language-id
+    * gate → domain cap → C4 blocklist gate → Gopher repetition gate →
+    * trained quality-classifier gate → chunk-level scrub → PII
+    * redaction — each stage conditioned on the
     * previous stage's SURVIVOR corpus (URL dedup elects winners only
-    * among fetchable docs; the cap ranks only URL-deduped docs; the
+    * among fetchable docs; the lang gate — in the CCNet/FineWeb position
+    * right after URL dedup — sees only elected winners; the cap ranks
+    * only target-language docs; the
     * classifier scores only rule-gate survivors — the FineWeb-Edu
     * ordering, cheap rules before the model; chunk document frequencies
     * count only gated docs — composition order is semantics, not
@@ -372,7 +381,7 @@ object Corpus12 {
     * stage a compliant crawler may not defer: a disallowed URL must not
     * even be fetched, let alone win a dedup election (r9 shipped it as
     * q272 but left the funnel starting at URL dedup — the r9 verdict's
-    * composition gap). Output: the 9-row funnel (docs in/out/dropped +
+    * composition gap). Output: the 10-row funnel (docs in/out/dropped +
     * surviving chars per stage; the stateless PII stage drops nothing
     * and reports post-redaction chars).
     *
@@ -503,10 +512,11 @@ object Corpus12 {
 
     QueryDef(
       "q268_hygiene_funnel",
-      // END-TO-END HYGIENE FUNNEL — the eight gates of a production
+      // END-TO-END HYGIENE FUNNEL — the nine gates of a production
       // web-corpus pipeline composed in order (RefinedWeb §3 /
       // FineWeb's ladder): robots.txt fetch gate → URL canonicalization
-      // dedup → per-domain cap → C4 blocklist gate (q274) → Gopher
+      // dedup → language-id gate (q275, the CCNet position) →
+      // per-domain cap → C4 blocklist gate (q274) → Gopher
       // repetition gate → trained quality-classifier gate (q273's
       // model, the FineWeb-Edu stage) →
       // chunk-level boilerplate/dup scrub → PII redaction, each stage
@@ -529,8 +539,10 @@ object Corpus12 {
               |w1 AS (SELECT canon_url, min(doc_id) AS doc_id
               |FROM cu JOIN rb USING (doc_id) GROUP BY 1),
               |s1 AS MATERIALIZED (SELECT s0.* FROM s0 JOIN w1 USING (doc_id)),
-              |hr AS (SELECT doc_id, row_number() OVER (PARTITION BY $hostDuck ORDER BY n_chars DESC, doc_id) AS rn FROM s1),
-              |s2 AS MATERIALIZED (SELECT s1.* FROM s1 JOIN hr USING (doc_id) WHERE rn <= 10),
+              |${Corpus14.langDuckCte("s1", "f_")},
+              |s15 AS MATERIALIZED (SELECT s1.* FROM s1 JOIN f_lang ON s1.doc_id = f_lang.doc_id AND f_lang.keep),
+              |hr AS (SELECT doc_id, row_number() OVER (PARTITION BY $hostDuck ORDER BY n_chars DESC, doc_id) AS rn FROM s15),
+              |s2 AS MATERIALIZED (SELECT s15.* FROM s15 JOIN hr USING (doc_id) WHERE rn <= 10),
               |bd AS (SELECT doc_id, text
               | || CASE WHEN doc_id % 7 = 3 THEN ' badcat0' ELSE '' END
               | || CASE WHEN doc_id % 11 = 5 THEN ' badcat1 badcat1' ELSE '' END
@@ -571,6 +583,7 @@ object Corpus12 {
               |n0 AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS c FROM d0),
               |nr AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS c FROM s0),
               |n1 AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS c FROM s1),
+              |nl AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS c FROM s15),
               |n2 AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS c FROM s2),
               |nb AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS c FROM s25),
               |n3 AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS c FROM s3),
@@ -580,12 +593,13 @@ object Corpus12 {
               |SELECT CAST(0 AS BIGINT) AS stage, 'fetch' AS name, n0.n AS docs_in, n0.n AS docs_out, CAST(0 AS BIGINT) AS docs_dropped, n0.c AS chars_out FROM n0
               |UNION ALL SELECT 1, 'robots_gate', n0.n, nr.n, n0.n - nr.n, nr.c FROM n0, nr
               |UNION ALL SELECT 2, 'url_dedup', nr.n, n1.n, nr.n - n1.n, n1.c FROM nr, n1
-              |UNION ALL SELECT 3, 'domain_quota', n1.n, n2.n, n1.n - n2.n, n2.c FROM n1, n2
-              |UNION ALL SELECT 4, 'blocklist_gate', n2.n, nb.n, n2.n - nb.n, nb.c FROM n2, nb
-              |UNION ALL SELECT 5, 'gopher_gate', nb.n, n3.n, nb.n - n3.n, n3.c FROM nb, n3
-              |UNION ALL SELECT 6, 'clf_gate', n3.n, nq.n, n3.n - nq.n, nq.c FROM n3, nq
-              |UNION ALL SELECT 7, 'chunk_scrub', nq.n, n4.n, nq.n - n4.n, n4.c FROM nq, n4
-              |UNION ALL SELECT 8, 'pii_scrub', n4.n, n4.n, 0, np.pc FROM n4, np
+              |UNION ALL SELECT 3, 'lang_id_gate', n1.n, nl.n, n1.n - nl.n, nl.c FROM n1, nl
+              |UNION ALL SELECT 4, 'domain_quota', nl.n, n2.n, nl.n - n2.n, n2.c FROM nl, n2
+              |UNION ALL SELECT 5, 'blocklist_gate', n2.n, nb.n, n2.n - nb.n, nb.c FROM n2, nb
+              |UNION ALL SELECT 6, 'gopher_gate', nb.n, n3.n, nb.n - n3.n, n3.c FROM nb, n3
+              |UNION ALL SELECT 7, 'clf_gate', n3.n, nq.n, n3.n - nq.n, nq.c FROM n3, nq
+              |UNION ALL SELECT 8, 'chunk_scrub', nq.n, n4.n, nq.n - n4.n, n4.c FROM nq, n4
+              |UNION ALL SELECT 9, 'pii_scrub', n4.n, n4.n, 0, np.pc FROM n4, np
               |) ORDER BY stage""".stripMargin.replace("\n", " ")),
       // headline-benched: the composed form is the single most
       // production-representative query on the board — tracks the whole

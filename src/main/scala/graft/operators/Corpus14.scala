@@ -91,18 +91,26 @@ object Corpus14 {
     * Corpus14Spec pins min |margin| ≥ 1e-5 on this corpus, so float
     * summation order (fold vs the oracle's grouped sum) cannot flip
     * the hash. */
-  private[graft] def qualityClassify(docs: DataFrame): DataFrame = {
+  /** (doc_id, clf_margin) — the raw decision margin
+    * b + (Σ_occurrences idf·w) / L, exposed so the q276 operating-point
+    * audit can sweep thresholds over the SAME scoring expression the
+    * deployed gate uses (one definition; the audit cannot drift). */
+  private[graft] def qualityMargins(docs: DataFrame): DataFrame = {
     val entries = model.vocab.toSeq.sortBy(_._1)
       .map { case (t, (idf, w)) => s"'$t', ${idf * w}D" }.mkString(", ")
     docs.select(col("doc_id"), expr(
         s"filter($toksExpr, x -> NOT x IN ($stopSqlList))").as("w"))
       .select(col("doc_id"),
-        (when(size(col("w")) > 0,
+        ((when(size(col("w")) > 0,
           expr(s"""aggregate(w, 0D, (a, t) ->
             |a + coalesce(element_at(map($entries), t), 0D))"""
             .stripMargin.replace("\n", " ")) / size(col("w")))
-          .otherwise(lit(0.0)) + lit(model.bias) > 0).as("clf_keep"))
+          .otherwise(lit(0.0))) + lit(model.bias)).as("clf_margin"))
   }
+
+  private[graft] def qualityClassify(docs: DataFrame): DataFrame =
+    qualityMargins(docs)
+      .select(col("doc_id"), (col("clf_margin") > 0).as("clf_keep"))
 
   /** q273's body: the classifier gate side-by-side with q100's
     * rule-based gate — the q132 discipline (publish agreement and every
@@ -123,7 +131,8 @@ object Corpus14 {
     * features, η = 2), scoring the `src` relation (default: the
     * documents table; q268's funnel passes its Gopher-survivor CTE).
     * The training fixture inlines as VALUES; the GD steps unroll
-    * textually; ends in `clf(doc_id, clf_keep)`. */
+    * textually; ends in `clf(doc_id, clf_margin, clf_keep)` (the raw
+    * margin exposed for q276's threshold sweep). */
   private[operators] def clfDuckCte(src: String = "documents", p: String = ""): String = {
     val n = qualityFixture.size
     val trainVals = qualityFixture.zipWithIndex.map { case ((text, label), i) =>
@@ -155,7 +164,9 @@ object Corpus14 {
        |${p}qx AS (SELECT doc_id, t, CAST(count(*) AS DOUBLE) AS tf FROM ${p}qtok GROUP BY 1, 2),
        |${p}qs AS (SELECT qx.doc_id, sum(qx.tf / ql.l * (ln(($n + 1.0) / (dfx.dfc + 1.0)) + 1.0) * w.w) AS s
        |FROM ${p}qx qx JOIN ${p}ql ql USING (doc_id) JOIN ${p}dfx dfx ON qx.t = dfx.term JOIN ${p}w$QSteps w ON qx.t = w.term GROUP BY 1),
-       |${p}clf AS MATERIALIZED (SELECT d.doc_id, coalesce(qs.s, 0) + (SELECT b FROM ${p}b$QSteps) > 0 AS clf_keep
+       |${p}clf AS MATERIALIZED (SELECT d.doc_id,
+       |coalesce(qs.s, 0) + (SELECT b FROM ${p}b$QSteps) AS clf_margin,
+       |coalesce(qs.s, 0) + (SELECT b FROM ${p}b$QSteps) > 0 AS clf_keep
        |FROM $src d LEFT JOIN ${p}qs qs ON d.doc_id = qs.doc_id)""".stripMargin.replace("\n", " ")
   }
 
@@ -194,6 +205,135 @@ object Corpus14 {
   /** q274: [[blocklistDecisions]] + the deterministic presentation sort. */
   private[graft] def blocklistGate(docs: DataFrame): DataFrame =
     blocklistDecisions(docs).orderBy("doc_id")
+
+  /** The labeled HOLDOUT for q276 — rows the GD fit never saw (the q79
+    * discipline: capability is asserted on data where the signal exists
+    * and the answer is known). Same 31-word operational vocabulary and
+    * the same filler-density boundary as [[qualityFixture]]: quality
+    * rows carry ≤1 filler token, junk rows ~30-60% filler — so the
+    * holdout tests GENERALIZATION of the learned boundary, not
+    * memorization of training rows. */
+  private[graft] val qualityHoldout: Seq[(String, String)] = Seq(
+    ("merge window batch key data scan join stream order", "quality"),
+    ("table group agg filter sort query hash column stream", "quality"),
+    ("spark vector row value line customer part batch merge", "quality"),
+    ("query data table join slow group sort key scan", "quality"),
+    ("slow dup big small slow table data big dup query", "junk"),
+    ("big small dup slow merge big small key dup sort", "junk"),
+    ("small big slow dup the a data slow query small", "junk"),
+    ("dup dup slow big small stream filter small big slow", "junk"))
+
+  /** The q276 threshold sweep (margin space): 0 is the deployed gate
+    * (P ≥ 0.5); ±0.05 bracket it one operating notch stricter/looser.
+    * Corpus14Spec pins every corpus and holdout margin ≥ 1e-4 away from
+    * every threshold at three SFs, so engine summation-order jitter
+    * cannot flip a counted cell. */
+  private[graft] val marginThresholds: Seq[Double] = Seq(-0.05, 0.0, 0.05)
+
+  /** q276's body: the classifier's OPERATING POINT, published as rows
+    * (the q271/q264 discipline — the audit lives at the correctness
+    * gate, not in a notebook). Per margin threshold t:
+    *  - precision/recall on the labeled HOLDOUT (which gate is RIGHT —
+    *    the question q273's agreement rows alone can't answer), and
+    *  - the corpus-wide agreement matrix vs q100's rule gate
+    *    (both_keep / clf_only / rule_only / both_drop).
+    * Scale shape: the holdout side is a ≤8-row literal; the corpus side
+    * is the same zero-shuffle margin scan as the gate, fanned ×3 by a
+    * broadcast threshold literal, collapsing in one partial-aggregable
+    * groupBy(t) — no windows, no joins beyond the doc_id-keyed rule
+    * attach. */
+  private[graft] def classifierOperatingPoint(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val th = broadcast(marginThresholds.toDF("t"))
+    val hold = qualityHoldout.zipWithIndex
+      .map { case ((text, label), i) => (i.toLong, text, label) }
+      .toDF("doc_id", "text", "label")
+    val hm = qualityMargins(hold)
+      .join(hold.select("doc_id", "label"), Seq("doc_id"))
+    val hcells = th.crossJoin(broadcast(hm))
+      .groupBy("t").agg(
+        sum(when(col("clf_margin") > col("t") && col("label") === "quality", 1L)
+          .otherwise(0L)).as("tp"),
+        sum(when(col("clf_margin") > col("t") && col("label") =!= "quality", 1L)
+          .otherwise(0L)).as("fp"),
+        sum(when(col("clf_margin") <= col("t") && col("label") === "quality", 1L)
+          .otherwise(0L)).as("fn"),
+        sum(when(col("clf_margin") <= col("t") && col("label") =!= "quality", 1L)
+          .otherwise(0L)).as("tn"))
+    val rule = Corpus.qualityGate(docs).select(col("doc_id"), col("keep").as("rule_keep"))
+    val agree = qualityMargins(docs).join(rule, Seq("doc_id"))
+      .crossJoin(th)
+      .groupBy("t").agg(
+        sum(when(col("clf_margin") > col("t") && col("rule_keep"), 1L).otherwise(0L)).as("both_keep"),
+        sum(when(col("clf_margin") > col("t") && !col("rule_keep"), 1L).otherwise(0L)).as("clf_only"),
+        sum(when(col("clf_margin") <= col("t") && col("rule_keep"), 1L).otherwise(0L)).as("rule_only"),
+        sum(when(col("clf_margin") <= col("t") && !col("rule_keep"), 1L).otherwise(0L)).as("both_drop"))
+    hcells.join(agree, Seq("t"))
+      .select(col("t"), col("tp"), col("fp"), col("fn"), col("tn"),
+        round(col("tp") * lit(1.0) / (col("tp") + col("fp")), 4).as("precision"),
+        round(col("tp") * lit(1.0) / (col("tp") + col("fn")), 4).as("recall"),
+        col("both_keep"), col("clf_only"), col("rule_only"), col("both_drop"))
+      .orderBy("t")
+  }
+
+  /** The deterministic non-target-language injection for the funnel's
+    * lang-id gate (the q262/q274 dirty-twin idiom — the synthetic corpus
+    * is uniformly English-shaped, q34 predicts 'en' on every document,
+    * so an uninjected gate would be inert): doc_id % 17 = 4 docs gain 40
+    * repeats of 4 Spanish stopwords, doc_id % 19 = 6 gain 40 repeats of
+    * 4 German ones — 160 injected hits versus a ≤100-token document, so
+    * the injected language wins the argmax by construction. Injection
+    * lives ONLY inside the gate decision; survivors keep original text
+    * (exactly as the blocklist gate's dirty twin). */
+  private def langDirty = concat(col("text"),
+    when(col("doc_id") % 17 === 4, repeat(lit(" el que y en"), 40)).otherwise(lit("")),
+    when(col("doc_id") % 19 === 6, repeat(lit(" der und ist von"), 40)).otherwise(lit("")))
+
+  private[operators] val langDirtyDuck =
+    """text || CASE WHEN doc_id % 17 = 4 THEN repeat(' el que y en', 40) ELSE '' END
+      | || CASE WHEN doc_id % 19 = 6 THEN repeat(' der und ist von', 40) ELSE '' END"""
+      .stripMargin.replace("\n", "")
+
+  /** The CCNet/FineWeb LANGUAGE-ID GATE (keep = target language wins
+    * q34's stopword-hit argmax): per-doc battery counts, the predicted
+    * language, and the keep verdict. Runs q34's EXACT heuristic (shared
+    * battery lists, shared tokenizer, same argmax tie-break en > es >
+    * de) over the dirty twin. Stateless map work — array filters inside
+    * one scan projection, zero shuffles at any corpus size, runs
+    * unchanged on a readStream frontier. */
+  private[graft] def langGateDecisions(docs: DataFrame): DataFrame = {
+    import TextAnalytics.{langDeList, langEnList, langEsList}
+    docs.select(col("doc_id"), langDirty.as("text"))
+      .select(col("doc_id"), expr(TextAnalytics.toksExpr).as("w"))
+      .select(col("doc_id"),
+        expr(s"CAST(size(filter(w, x -> x IN ($langEnList))) AS BIGINT)").as("n_en"),
+        expr(s"CAST(size(filter(w, x -> x IN ($langEsList))) AS BIGINT)").as("n_es"),
+        expr(s"CAST(size(filter(w, x -> x IN ($langDeList))) AS BIGINT)").as("n_de"))
+      .withColumn("predicted",
+        when(col("n_en") >= col("n_es") && col("n_en") >= col("n_de"), "en")
+          .when(col("n_es") >= col("n_de"), "es")
+          .otherwise("de"))
+      .withColumn("keep", col("predicted") === lit("en"))
+  }
+
+  /** The lang-id decision chain as DuckDB CTEs ending in
+    * `${p}lang(doc_id, n_en, n_es, n_de, predicted, keep)` — shared by
+    * q275 and q268's funnel oracle (one definition). */
+  private[operators] def langDuckCte(src: String = "documents", p: String = ""): String = {
+    import TextAnalytics.{langDeList, langEnList, langEsList, toksDuck}
+    s"""${p}ld AS (SELECT doc_id, $langDirtyDuck AS text FROM $src),
+       |${p}lw AS (SELECT doc_id, $toksDuck AS w FROM ${p}ld),
+       |${p}lc AS (SELECT doc_id,
+       |CAST(len(list_filter(w, x -> x IN ($langEnList))) AS BIGINT) AS n_en,
+       |CAST(len(list_filter(w, x -> x IN ($langEsList))) AS BIGINT) AS n_es,
+       |CAST(len(list_filter(w, x -> x IN ($langDeList))) AS BIGINT) AS n_de FROM ${p}lw),
+       |${p}lang AS (SELECT doc_id, n_en, n_es, n_de,
+       |CASE WHEN n_en >= n_es AND n_en >= n_de THEN 'en'
+       |WHEN n_es >= n_de THEN 'es' ELSE 'de' END AS predicted,
+       |n_en >= n_es AND n_en >= n_de AS keep FROM ${p}lc)"""
+      .stripMargin.replace("\n", " ")
+  }
 
   def defs: Seq[QueryDef] = Seq(
 
@@ -237,6 +377,75 @@ object Corpus14 {
              |SELECT doc_id, n_profanity, n_violence, n_adult,
              |n_profanity + n_violence + n_adult AS blocked_total,
              |n_profanity + n_violence + n_adult = 0 AS keep
-             |FROM c ORDER BY doc_id""".stripMargin.replace("\n", " ")))
+             |FROM c ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q275_langid_gate",
+      // LANGUAGE-ID GATE (CCNet §3 / FineWeb: language filtering right
+      // after URL dedup, before the quality gates): q34's stopword-hit
+      // argmax deployed as a keep/drop decision over the dirty twin
+      // (langDirty — deterministic es/de stopword injections so the
+      // gate has real work: ~11% of docs drop). Battery lists, the
+      // tokenizer, and the tie-break are the SHARED q34 definitions —
+      // the gate cannot drift from the scoring query. Stateless
+      // zero-shuffle map work; see langGateDecisions.
+      (s, dir) => langGateDecisions(Tables.documents(s, dir)).orderBy("doc_id"),
+      Some(s"""WITH ${langDuckCte()}
+              |SELECT doc_id, n_en, n_es, n_de, predicted, keep
+              |FROM lang ORDER BY doc_id""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q276_clf_operating_point",
+      // CLASSIFIER OPERATING POINT (the q271 discipline applied to
+      // q273): per margin threshold t ∈ {−0.05, 0, +0.05}, the
+      // classifier's precision/recall on a labeled HOLDOUT the fit
+      // never saw — the "which gate is RIGHT" answer q273's agreement
+      // rows alone can't give — plus the corpus agreement matrix vs
+      // q100's rule gate. The oracle re-derives the GD training loop,
+      // holdout scoring, and all three operating points as one CTE
+      // chain (clfDuckCte's unroll + holdout CTEs sharing its dfx/w3/b3
+      // relations), so the published operating point is hash-checked
+      // end to end.
+      (s, dir) => classifierOperatingPoint(Tables.documents(s, dir)),
+      Some {
+        val n = qualityFixture.size
+        val holdVals = qualityHoldout.zipWithIndex.map { case ((text, label), i) =>
+          s"($i, '$text', '$label')"
+        }.mkString(", ")
+        val thVals = marginThresholds.map(t => s"($t)").mkString(", ")
+        s"""WITH ${clfDuckCte()},
+           |${Corpus.gateDuckCte("g_")},
+           |th(t) AS (VALUES $thVals),
+           |hv(i, text, label) AS (VALUES $holdVals),
+           |htok AS (SELECT i, unnest(list_filter(string_split(lower(text), ' '),
+           |x -> x <> '' AND x NOT IN ($stopSqlList))) AS term FROM hv),
+           |hl AS (SELECT i, CAST(count(*) AS DOUBLE) AS l FROM htok GROUP BY 1),
+           |hx AS (SELECT i, term, CAST(count(*) AS DOUBLE) AS tf FROM htok GROUP BY 1, 2),
+           |hs AS (SELECT hx.i, sum(hx.tf / hl.l * (ln(($n + 1.0) / (dfx.dfc + 1.0)) + 1.0) * w.w) AS s
+           |FROM hx JOIN hl USING (i) JOIN dfx ON hx.term = dfx.term JOIN w$QSteps w ON hx.term = w.term GROUP BY 1),
+           |hm AS (SELECT hv.i, hv.label, coalesce(hs.s, 0) + (SELECT b FROM b$QSteps) AS m
+           |FROM hv LEFT JOIN hs ON hv.i = hs.i),
+           |hh AS (SELECT t,
+           |CAST(sum(CASE WHEN m > t AND label = 'quality' THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           |CAST(sum(CASE WHEN m > t AND label <> 'quality' THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           |CAST(sum(CASE WHEN m <= t AND label = 'quality' THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+           |CAST(sum(CASE WHEN m <= t AND label <> 'quality' THEN 1 ELSE 0 END) AS BIGINT) AS tn
+           |FROM th, hm GROUP BY 1),
+           |cx AS (SELECT clf.clf_margin AS m,
+           |(len_ok AND stop_ok AND toklen_ok AND rep_ok) AS rk
+           |FROM clf JOIN g_r ON clf.doc_id = g_r.doc_id),
+           |cc AS (SELECT t,
+           |CAST(sum(CASE WHEN m > t AND rk THEN 1 ELSE 0 END) AS BIGINT) AS both_keep,
+           |CAST(sum(CASE WHEN m > t AND NOT rk THEN 1 ELSE 0 END) AS BIGINT) AS clf_only,
+           |CAST(sum(CASE WHEN m <= t AND rk THEN 1 ELSE 0 END) AS BIGINT) AS rule_only,
+           |CAST(sum(CASE WHEN m <= t AND NOT rk THEN 1 ELSE 0 END) AS BIGINT) AS both_drop
+           |FROM th, cx GROUP BY 1)
+           |SELECT th.t AS t, tp, fp, fn, tn,
+           |round(tp * 1.0 / (tp + fp), 4) AS "precision",
+           |round(tp * 1.0 / (tp + fn), 4) AS "recall",
+           |both_keep, clf_only, rule_only, both_drop
+           |FROM th JOIN hh USING (t) JOIN cc USING (t)
+           |ORDER BY t""".stripMargin.replace("\n", " ")
+      })
   )
 }

@@ -364,22 +364,51 @@ object Similarity {
     * survivor aggregate. Output depends only on pairs with exact
     * cos ≥ τ (sub-τ survivors are masked to −1), so engine-boundary
     * jitter in the screen cannot move the published decision. */
+  /** The screen's eval-side size contract, made ASSERTABLE: the cascade
+    * is O(N_train × N_eval) BY DESIGN — sound because the eval side is a
+    * bounded benchmark suite, not a second corpus. 100k eval rows is two
+    * orders above any published benchmark battery and keeps the screen's
+    * per-train-row cost at ≤100k integer 64-dots — still memory-bandwidth
+    * bound at 100 TB. A caller who truly has a larger eval side must
+    * raise the bound DELIBERATELY (and should pre-block instead). */
+  private[graft] val decontamMaxEval: Long = 100000L
+
   /** The quantized (train, eval) split shared by q270 and its q271
     * operating-point audit — one definition so the audit cannot drift
     * from the deployed gate. Carries int8 codes (q54's max-abs
     * convention), the scale s = mx/127, the integer L1 code sum, and
-    * the float norm. */
-  private def decontamSides(corpus: DataFrame): (DataFrame, DataFrame) = {
+    * the float norm.
+    *
+    * Fails LOUDLY (the assertInterningExact discipline) on two contract
+    * breaches rather than degrading silently:
+    *  - a zero vector (mx = 0): the codes and the ub bound are undefined,
+    *    so the pair would silently vanish from BOTH the screen and the
+    *    exact side — voiding the recall-1.0 contract for exactly the rows
+    *    a user can't see. mx > 0 ⟹ nrm ≥ mx > 0, so the one guard also
+    *    covers every later norm division.
+    *  - an eval side larger than `maxEvalRows`: the O(N_train × N_eval)
+    *    screen is only sound while eval is benchmark-bounded. */
+  private def decontamSides(corpus: DataFrame,
+      maxEvalRows: Long = decontamMaxEval): (DataFrame, DataFrame) = {
     val q = withNorm(corpus)
       .withColumn("mx", expr(
         "aggregate(embedding, 0D, (a, x) -> greatest(a, abs(CAST(x AS DOUBLE))))"))
-      .withColumn("s", col("mx") / lit(127.0))
+      .withColumn("s", when(col("mx") > 0, col("mx") / lit(127.0))
+        .otherwise(raise_error(concat(
+          lit("semanticDecontam: zero-magnitude embedding at vec_id="),
+          col("vec_id").cast("string"),
+          lit(" — the int8 screen's cosine bound is undefined for zero vectors; drop or repair them upstream")))))
       .withColumn("codes", expr(
         "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0D / mx + 0.5D) AS BIGINT))"))
       .withColumn("csum", expr("aggregate(codes, 0L, (a, c) -> a + abs(c))"))
     val ev = q.filter(col("vec_id") % 20 === 0)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"),
         col("s").as("qs"), col("codes").as("qcodes"), col("csum").as("qcsum"))
+    val nEval = ev.count()
+    require(nEval <= maxEvalRows,
+      s"semanticDecontam: eval side has $nEval rows > maxEvalRows=$maxEvalRows — " +
+        "the int8 screen is O(N_train × N_eval) by contract (eval = a bounded " +
+        "benchmark suite); raise the bound deliberately or pre-block the eval side")
     (q.filter(col("vec_id") % 20 =!= 0), ev)
   }
 
@@ -398,7 +427,16 @@ object Similarity {
     col("s") * col("qs") *
       (graft.functions.VectorExprs.longVecDot(col("codes"), col("qcodes"))
         .cast("double") + lit(0.5) * col("csum") + lit(0.5) * col("qcsum") + lit(dims / 4.0)) /
-      (col("nrm") * col("qn"))
+      (col("nrm") * col("qn")) +
+      // fp-evaluation slack: the half-step budget is exact in REAL
+      // arithmetic, but ub itself is computed in float64 — a true-τ pair
+      // whose exact ub lands within ~1 ulp of τ could round below it and
+      // be screened out. 1e-9 (cosine units) dwarfs the ≤ ~1e-13 relative
+      // rounding of this 5-op chain while staying 5 orders below the
+      // observed screen margins (~1e-4), so it can admit at most a
+      // vanishing sliver of extra rescore work and can never drop a true
+      // pair. Mirrored verbatim in decontamDuckCte.
+      lit(1e-9)
 
   /** The screen-survivor relation with exact cosine attached — shared by
     * q270 (flags) and q271 (rescored-pair audit). */
@@ -406,8 +444,9 @@ object Similarity {
     tr.crossJoin(broadcast(ev)).filter(screenUb >= tau)
       .withColumn("cos", round(vecDot(col("embedding"), col("qe")) / (col("nrm") * col("qn")), 6))
 
-  private[graft] def semanticDecontam(corpus: DataFrame, tau: Double = decontamTau): DataFrame = {
-    val (tr, ev) = decontamSides(corpus)
+  private[graft] def semanticDecontam(corpus: DataFrame, tau: Double = decontamTau,
+      maxEvalRows: Long = decontamMaxEval): DataFrame = {
+    val (tr, ev) = decontamSides(corpus, maxEvalRows)
     val best = decontamSurvivors(tr, ev, tau)
       .groupBy("vec_id")
       .agg(max(struct(col("cos"), (-col("qid")).as("nq"))).as("b"))
@@ -442,7 +481,7 @@ object Similarity {
        |surv AS (SELECT t.vec_id, t.label, q.qid,
        |round(${duckDot("t.embedding", "q.qe")} / (t.nrm * q.qn), 6) AS cos
        |FROM tr t, ev q
-       |WHERE t.s * q.qs * (list_sum(list_transform(generate_series(1, $dims), i -> t.codes[i] * q.qcodes[i])) + 0.5 * t.csum + 0.5 * q.qcsum + ${dims / 4.0}) / (t.nrm * q.qn) >= $decontamTau)"""
+       |WHERE t.s * q.qs * (list_sum(list_transform(generate_series(1, $dims), i -> t.codes[i] * q.qcodes[i])) + 0.5 * t.csum + 0.5 * q.qcsum + ${dims / 4.0}) / (t.nrm * q.qn) + 1e-9 >= $decontamTau)"""
       .stripMargin.replace("\n", " ")
 
   def defs: Seq[QueryDef] = Seq(
@@ -504,6 +543,13 @@ object Similarity {
             (col("exact_flagged") - col("cascade_flagged")).as("missed"),
             round(col("cascade_flagged") * lit(1.0) / col("exact_flagged"), 4).as("flag_recall"),
             (col("n_train") * col("n_eval")).as("exact_pairs"),
+            // the screen's OWN cost on the oracle record: the
+            // deterministic cascade sweeps every (train, eval) pair with
+            // the int8 codeDot — screened_pairs = exact_pairs is the
+            // design (full-recall screen, 1/8 the bytes), published
+            // explicitly so a future probabilistic screen that sweeps
+            // fewer pairs changes this column, not a notebook.
+            (col("n_train") * col("n_eval")).as("screened_pairs"),
             col("rescored_pairs"))
       },
       Some(s"""WITH $decontamDuckCte,
@@ -519,7 +565,8 @@ object Similarity {
               |SELECT n_train, n_eval, exact_flagged, cascade_flagged,
               |exact_flagged - cascade_flagged AS missed,
               |round(cascade_flagged * 1.0 / exact_flagged, 4) AS flag_recall,
-              |n_train * n_eval AS exact_pairs, rescored_pairs
+              |n_train * n_eval AS exact_pairs,
+              |n_train * n_eval AS screened_pairs, rescored_pairs
               |FROM nt, ne, ef, cf, rp""".stripMargin.replace("\n", " "))),
 
     QueryDef(

@@ -51,6 +51,15 @@ object TextAnalytics {
   private[graft] val toksExpr = "filter(split(lower(text), ' '), x -> x <> '')"
   private[graft] val toksDuck = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
 
+  /** The three stopword batteries of the lang-id heuristic — ONE
+    * definition (same string interpolates into the Spark HOF and the
+    * DuckDB list_filter) shared by q34, q79, and the funnel's lang-id
+    * gate (Corpus14.langGateDecisions), so the gate can never drift from
+    * the scoring query it deploys. */
+  private[operators] val langEnList = "'the','a','an','and','or','of','is','to'"
+  private[operators] val langEsList = "'el','la','de','que','y','en','los','se'"
+  private[operators] val langDeList = "'der','die','das','und','ist','von','mit','den'"
+
   /** Deterministic multi-language corpus for q79: sentences dense in each
     * language's own stopword signal, disjoint from the other two lists —
     * the fixture where the lang-id heuristic can demonstrably be RIGHT
@@ -354,9 +363,9 @@ object TextAnalytics {
           .select(col("doc_id"), col("lang"), expr(toksExpr).as("w"))
           .select(
             col("doc_id"), col("lang"),
-            expr("size(filter(w, x -> x IN ('the','a','an','and','or','of','is','to')))").cast("long").as("n_en"),
-            expr("size(filter(w, x -> x IN ('el','la','de','que','y','en','los','se')))").cast("long").as("n_es"),
-            expr("size(filter(w, x -> x IN ('der','die','das','und','ist','von','mit','den')))").cast("long").as("n_de"))
+            expr(s"size(filter(w, x -> x IN ($langEnList)))").cast("long").as("n_en"),
+            expr(s"size(filter(w, x -> x IN ($langEsList)))").cast("long").as("n_es"),
+            expr(s"size(filter(w, x -> x IN ($langDeList)))").cast("long").as("n_de"))
           .withColumn("predicted",
             when(col("n_en") >= col("n_es") && col("n_en") >= col("n_de"), "en")
               .when(col("n_es") >= col("n_de"), "es")
@@ -364,9 +373,9 @@ object TextAnalytics {
           .orderBy("doc_id"),
       Some(s"""WITH t AS (SELECT doc_id, lang, $toksDuck AS w FROM documents),
              |c AS (SELECT doc_id, lang,
-             |len(list_filter(w, x -> x IN ('the','a','an','and','or','of','is','to'))) AS n_en,
-             |len(list_filter(w, x -> x IN ('el','la','de','que','y','en','los','se'))) AS n_es,
-             |len(list_filter(w, x -> x IN ('der','die','das','und','ist','von','mit','den'))) AS n_de
+             |len(list_filter(w, x -> x IN ($langEnList))) AS n_en,
+             |len(list_filter(w, x -> x IN ($langEsList))) AS n_es,
+             |len(list_filter(w, x -> x IN ($langDeList))) AS n_de
              |FROM t)
              |SELECT doc_id, lang, n_en, n_es, n_de,
              |CASE WHEN n_en >= n_es AND n_en >= n_de THEN 'en'
@@ -386,9 +395,9 @@ object TextAnalytics {
           .select(col("id").cast("long").as("id"), col("lang"), expr(toksExpr).as("w"))
           .select(
             col("id"), col("lang"),
-            expr("size(filter(w, x -> x IN ('the','a','an','and','or','of','is','to')))").cast("long").as("n_en"),
-            expr("size(filter(w, x -> x IN ('el','la','de','que','y','en','los','se')))").cast("long").as("n_es"),
-            expr("size(filter(w, x -> x IN ('der','die','das','und','ist','von','mit','den')))").cast("long").as("n_de"))
+            expr(s"size(filter(w, x -> x IN ($langEnList)))").cast("long").as("n_en"),
+            expr(s"size(filter(w, x -> x IN ($langEsList)))").cast("long").as("n_es"),
+            expr(s"size(filter(w, x -> x IN ($langDeList)))").cast("long").as("n_de"))
           .withColumn("predicted",
             when(col("n_en") >= col("n_es") && col("n_en") >= col("n_de"), "en")
               .when(col("n_es") >= col("n_de"), "es")
@@ -400,9 +409,9 @@ object TextAnalytics {
               |t AS (SELECT CAST(id AS BIGINT) AS id, lang,
               |$toksDuck AS w FROM f),
               |c AS (SELECT id, lang,
-              |len(list_filter(w, x -> x IN ('the','a','an','and','or','of','is','to'))) AS n_en,
-              |len(list_filter(w, x -> x IN ('el','la','de','que','y','en','los','se'))) AS n_es,
-              |len(list_filter(w, x -> x IN ('der','die','das','und','ist','von','mit','den'))) AS n_de
+              |len(list_filter(w, x -> x IN ($langEnList))) AS n_en,
+              |len(list_filter(w, x -> x IN ($langEsList))) AS n_es,
+              |len(list_filter(w, x -> x IN ($langDeList))) AS n_de
               |FROM t)
               |SELECT id, lang, n_en, n_es, n_de,
               |CASE WHEN n_en >= n_es AND n_en >= n_de THEN 'en'

@@ -565,12 +565,17 @@ object StatefulOps {
             // greatest = worst kept: smallest n_chars, then largest doc_id
             val pq = scala.collection.mutable.PriorityQueue
               .empty[QuotaIn](Ordering.by(r => (-r.n_chars, r.doc_id)))
-            // pq.size is monotone up to the budget, so refreshing state
-            // per row keeps the committed count correct even under
-            // partial consumption (the claim-on-first-row discipline).
+            // pq.size is monotone up to the budget, so writing state only
+            // while it is still growing (pq.size ≤ budget after the
+            // enqueue) keeps the committed count correct even under
+            // partial consumption (the claim-on-first-row discipline: the
+            // FIRST row always writes, since budget ≥ 1 here) — and once
+            // the heap saturates at the budget the count is stable, so a
+            // heavy-hitter host no longer pays one state-store write per
+            // arriving row for a value that never changes.
             val spilled = rows.flatMap { r =>
               pq.enqueue(r)
-              state.update(used + math.min(pq.size, budget))
+              if (pq.size <= budget) state.update(used + pq.size)
               if (pq.size > budget) {
                 val out = pq.dequeue()
                 Iterator.single(QuotaDecision(out.doc_id, h, admitted = false))

@@ -148,7 +148,7 @@ class Corpus12Spec extends AnyFunSuite with SparkSuite {
     assert(dupGroups.exists(_._2.map(_._2).distinct.length >= 2))
   }
 
-  test("q268 hygiene funnel: full local replay of the eight composed stages") {
+  test("q268 hygiene funnel: full local replay of the nine composed stages") {
     def round4(x: Double): Double =
       BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
     val docs = Tables.documents(spark, sfDir)
@@ -169,11 +169,16 @@ class Corpus12Spec extends AnyFunSuite with SparkSuite {
     def canon(id: Long) = s"https://ex${id % 50}.com/p/${id % 200}"
     val s1Ids = s0.map(_._1).groupBy(canon).values.map(_.min).toSet
     val s1 = s0.filter(d => s1Ids(d._1))
-    // stage 2: per-host cap 10 by (n_chars desc, doc_id)
+    // stage 3: language-id gate — strictly per-doc, so q275's flags
+    // (brute-force-replayed in Corpus14Spec) apply to URL-dedup winners
+    val keep275 = SparkEntry.queries("q275_langid_gate")(spark, sfDir)
+      .select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
+    val s15 = s1.filter(d => keep275(d._1))
+    // stage 4: per-host cap 10 by (n_chars desc, doc_id)
     def host(id: Long) = if (id % 3 == 0) "h0" else s"h${id % 23 + 1}"
-    val s2Ids = s1.groupBy(d => host(d._1)).values
+    val s2Ids = s15.groupBy(d => host(d._1)).values
       .flatMap(_.sortBy(d => (-d._3, d._1)).take(10).map(_._1)).toSet
-    val s2 = s1.filter(d => s2Ids(d._1))
+    val s2 = s15.filter(d => s2Ids(d._1))
     // stage 2.5: the blocklist gate is strictly per-doc, so q274's
     // published flags (brute-force-replayed in Corpus14Spec) apply to
     // the quota survivors
@@ -224,17 +229,19 @@ class Corpus12Spec extends AnyFunSuite with SparkSuite {
         docs.size.toLong - s0.size, cs(s0)),
       (2L, "url_dedup", s0.size.toLong, s1.size.toLong,
         s0.size.toLong - s1.size, cs(s1)),
-      (3L, "domain_quota", s1.size.toLong, s2.size.toLong,
-        s1.size.toLong - s2.size, cs(s2)),
-      (4L, "blocklist_gate", s2.size.toLong, s25.size.toLong,
+      (3L, "lang_id_gate", s1.size.toLong, s15.size.toLong,
+        s1.size.toLong - s15.size, cs(s15)),
+      (4L, "domain_quota", s15.size.toLong, s2.size.toLong,
+        s15.size.toLong - s2.size, cs(s2)),
+      (5L, "blocklist_gate", s2.size.toLong, s25.size.toLong,
         s2.size.toLong - s25.size, cs(s25)),
-      (5L, "gopher_gate", s25.size.toLong, s3.size.toLong,
+      (6L, "gopher_gate", s25.size.toLong, s3.size.toLong,
         s25.size.toLong - s3.size, cs(s3)),
-      (6L, "clf_gate", s3.size.toLong, s35.size.toLong,
+      (7L, "clf_gate", s3.size.toLong, s35.size.toLong,
         s3.size.toLong - s35.size, cs(s35)),
-      (7L, "chunk_scrub", s35.size.toLong, s4.size.toLong,
+      (8L, "chunk_scrub", s35.size.toLong, s4.size.toLong,
         s35.size.toLong - s4.size, cs(s4)),
-      (8L, "pii_scrub", s4.size.toLong, s4.size.toLong, 0L, pc))
+      (9L, "pii_scrub", s4.size.toLong, s4.size.toLong, 0L, pc))
     val got = SparkEntry.queries("q268_hygiene_funnel")(spark, sfDir)
       .as[(Long, String, Long, Long, Long, Long)].collect().toSeq
     assert(got == exp)
@@ -244,9 +251,9 @@ class Corpus12Spec extends AnyFunSuite with SparkSuite {
     // targets — e.g. the boilerplate-chunk doc falls to the blocklist
     // lane first), so they only have to be NON-EXPANDING — their
     // corpus-wide firing is proven in Corpus14Spec / q259+q267
-    Seq(1, 2, 3, 4, 5).foreach { i =>
+    Seq(1, 2, 3, 4, 5, 6).foreach { i =>
       assert(exp(i)._5 > 0, s"stage ${exp(i)._2} dropped 0")
     }
-    Seq(6, 7).foreach { i => assert(exp(i)._5 >= 0) }
+    Seq(7, 8).foreach { i => assert(exp(i)._5 >= 0) }
   }
 }

@@ -79,6 +79,87 @@ class Corpus14Spec extends AnyFunSuite with SparkSuite {
     // exact replay above matching on whole tokens only)
   }
 
+  test("q275 lang gate: local replay; injected docs flip language; keep = argmax en") {
+    val en = Set("the", "a", "an", "and", "or", "of", "is", "to")
+    val es = Set("el", "la", "de", "que", "y", "en", "los", "se")
+    val de = Set("der", "die", "das", "und", "ist", "von", "mit", "den")
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val got = SparkEntry.queries("q275_langid_gate")(spark, sfDir)
+      .as[(Long, Long, Long, Long, String, Boolean)].collect().toSeq
+    val expected = docs.map { case (id, text) =>
+      val t = text +
+        (if (id % 17 == 4) " el que y en" * 40 else "") +
+        (if (id % 19 == 6) " der und ist von" * 40 else "")
+      val w = t.toLowerCase.split(' ').filter(_.nonEmpty)
+      val (ne, ns, nd) = (w.count(en).toLong, w.count(es).toLong, w.count(de).toLong)
+      val p = if (ne >= ns && ne >= nd) "en" else if (ns >= nd) "es" else "de"
+      (id, ne, ns, nd, p, p == "en")
+    }.sortBy(_._1)
+    assert(got == expected)
+    // every injected doc flips to its injected language (160 hits beat a
+    // <=100-token doc by construction), clean docs all stay en, and the
+    // gate drops a real minority
+    got.foreach { case (id, _, _, _, p, k) =>
+      if (id % 17 == 4) assert(p == "es" && !k, s"doc $id")
+      else if (id % 19 == 6) assert(p == "de" && !k, s"doc $id")
+      else assert(p == "en" && k, s"doc $id")
+    }
+    val drops = got.count(!_._6)
+    assert(drops > 0 && drops < got.size / 5)
+  }
+
+  test("q276 operating point: holdout replay, threshold cells, margins clear of every t") {
+    import operators.Corpus14.{marginThresholds, qualityFixture, qualityHoldout}
+    // the holdout is genuinely held out — zero overlap with the fit rows
+    val trainTexts = qualityFixture.map(_._1).toSet
+    qualityHoldout.foreach { case (t, _) => assert(!trainTexts(t)) }
+    val got = SparkEntry.queries("q276_clf_operating_point")(spark, sfDir)
+      .as[(Double, Long, Long, Long, Long, Double, Double, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(got.map(_._1) == marginThresholds)
+    // local replay of the holdout confusion at every threshold
+    val hm = qualityHoldout.map { case (text, label) => (margin(text), label) }
+    got.foreach { case (t, tp, fp, fn, tn, _, _, _, _, _, _) =>
+      assert(tp == hm.count(x => x._1 > t && x._2 == "quality").toLong)
+      assert(fp == hm.count(x => x._1 > t && x._2 != "quality").toLong)
+      assert(fn == hm.count(x => x._1 <= t && x._2 == "quality").toLong)
+      assert(tn == hm.count(x => x._1 <= t && x._2 != "quality").toLong)
+    }
+    // at the deployed threshold (0) the model generalizes perfectly to
+    // rows it never saw — the capability claim q273's agreement rows
+    // cannot make
+    val at0 = got.find(_._1 == 0.0).get
+    assert(at0._6 == 1.0 && at0._7 == 1.0, s"holdout P/R at t=0: ${at0._6}/${at0._7}")
+    // corpus agreement cells replay vs q273/q100 flags, and every row's
+    // four cells sum to the corpus size
+    val q273 = SparkEntry.queries("q273_quality_classifier_gate")(spark, sfDir)
+      .as[(Long, Boolean, Boolean, Boolean)].collect().toSeq
+    val n = q273.size.toLong
+    got.foreach { case (_, _, _, _, _, _, _, bk, co, ro, bd) =>
+      assert(bk + co + ro + bd == n)
+    }
+    val at0c = got.find(_._1 == 0.0).get
+    assert(at0c._8 == q273.count(r => r._2 && r._3).toLong)
+    assert(at0c._9 == q273.count(r => r._2 && !r._3).toLong)
+    assert(at0c._10 == q273.count(r => !r._2 && r._3).toLong)
+    assert(at0c._11 == q273.count(r => !r._2 && !r._3).toLong)
+    // hash-safety: every corpus AND holdout margin is pinned >= 1e-6 away
+    // from every published threshold, so engine float-association jitter
+    // cannot flip a counted cell (the q273 min-|margin| discipline,
+    // extended to the sweep). The floor is 1e-6, not q273's 1e-5: the
+    // ±0.05 brackets land inside the corpus's dense positive-margin
+    // region (measured clearance via the oracle CTE chain: 1.0e-4 at
+    // sf0.001, 1.9e-4 at sf0.01, 1.2e-5 at sf0.1), while the jitter the
+    // pin must dominate — double-association error of a ≤40-term sum of
+    // O(0.1) values — is bounded near 1e-13, seven orders below the pin.
+    val docs = Tables.documents(spark, sfDir)
+      .select("text").as[String].collect().toSeq
+    val margins = docs.map(margin) ++ hm.map(_._1)
+    val minGap = (for (m <- margins; t <- marginThresholds) yield math.abs(m - t)).min
+    assert(minGap >= 1e-6, s"min |margin - t| $minGap")
+  }
+
   test("q273 vs q100: all four confusion cells occur — a real operating-point delta") {
     val got = SparkEntry.queries("q273_quality_classifier_gate")(spark, sfDir)
       .as[(Long, Boolean, Boolean, Boolean)].collect().toSeq

@@ -327,7 +327,7 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
 
   test("q271 operating point: recall is exactly 1.0 and the rescore set is tiny") {
     val Array(r) = SparkEntry.queries("q271_decontam_operating_point")(spark, sfDir)
-      .as[(Long, Long, Long, Long, Long, Double, Long, Long)].collect()
+      .as[(Long, Long, Long, Long, Long, Double, Long, Long, Long)].collect()
     val cascadeFlagged = SparkEntry.queries("q270_semantic_decontam")(spark, sfDir)
       .filter($"contaminated").count()
     assert(r._4 == cascadeFlagged) // the audit counts the deployed gate's flags
@@ -347,7 +347,47 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     assert(r._1 == train.length && r._2 == eval.length)
     // the cascade's contract: zero misses, recall exactly 1.0
     assert(r._4 == r._3 && r._5 == 0L && r._6 == 1.0)
-    // ...at a float64 rescore cost ≪ the exact pair scan
-    assert(r._7 == r._1 * r._2 && r._8 < r._7 / 100)
+    // ...at a float64 rescore cost ≪ the exact pair scan; the published
+    // screen cost records the deterministic full sweep (screened_pairs =
+    // exact_pairs BY DESIGN — a future probabilistic screen shows up here)
+    assert(r._7 == r._1 * r._2 && r._8 == r._7 && r._9 < r._7 / 100)
+  }
+
+  test("decontam guards: zero vector fails loudly; oversized eval side fails fast") {
+    import org.apache.spark.sql.functions.col
+    // a zero vector must raise, not silently vanish from the screen
+    val bad = Seq(
+      (0L, 0, Seq.fill(64)(0.1f)),
+      (1L, 0, Seq.fill(64)(0.0f)),
+      (20L, 0, Seq.fill(64)(0.2f)))
+      .toDF("vec_id", "label", "embedding")
+    val ex = intercept[Exception] {
+      operators.Similarity.semanticDecontam(bad).collect()
+    }
+    def rootMsg(t: Throwable): String =
+      (Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | "))
+    assert(rootMsg(ex).contains("zero-magnitude embedding"),
+      s"unexpected failure: ${rootMsg(ex).take(300)}")
+    // the O(N_train × N_eval) contract is assertable: an eval side past
+    // the bound refuses before any pair work is scheduled
+    val ok = Tables.embeddings(spark, sfDir)
+    val ex2 = intercept[IllegalArgumentException] {
+      operators.Similarity.semanticDecontam(ok, maxEvalRows = 1L)
+    }
+    assert(ex2.getMessage.contains("maxEvalRows"))
+  }
+
+  test("long_vec_dot refuses a length mismatch instead of truncating") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq((Seq(1L, 2L, 3L), Seq(1L, 2L))).toDF("a", "b")
+    val ex = intercept[Exception] {
+      df.select(functions.VectorExprs.longVecDot(col("a"), col("b"))).collect()
+    }
+    def rootMsg(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    assert(rootMsg(ex).contains("length mismatch"),
+      s"unexpected failure: ${rootMsg(ex).take(300)}")
   }
 }

@@ -614,7 +614,7 @@ class StatefulStreamingSpec extends AnyFunSuite with SparkSuite {
       "h0's later-file docs must all be refused by carried state")
   }
 
-  test("composed streaming admission: robots gate → url dedup → foreachBatch bridge → domain quota ties to q268") {
+  test("composed streaming admission: robots gate → url dedup → lang gate in the bridge → domain quota ties to q268") {
     // The production topology for q268's STATEFUL stages with the
     // stateless robots gate chained at the head (it is a plain
     // stream-side map + broadcast-rules join, so it composes into stage
@@ -624,16 +624,23 @@ class StatefulStreamingSpec extends AnyFunSuite with SparkSuite {
     // one streaming query, so stage 2 (crawl-frontier URL dedup) writes
     // its kept rows through a foreachBatch bridge (= the Kafka/shard
     // hop between pipeline services) and stage 3 (per-domain admission)
-    // streams from the bridge. One AvailableNow replay each: intra-batch
-    // ties resolve in the batch queries' own order, so the composed
-    // stream must equal the batch funnel's robots_gate, url_dedup and
-    // domain_quota rows exactly.
+    // streams from the bridge. The stateless LANG-ID GATE (q275's body,
+    // the funnel's stage 3) runs INSIDE the bridge batch on the payload
+    // attach — exactly where a pipeline service would score language
+    // before forwarding to the admission frontier, and in the funnel's
+    // composition order (after dedup, before the cap). One AvailableNow
+    // replay each: intra-batch ties resolve in the batch queries' own
+    // order, so the composed stream must equal the batch funnel's
+    // robots_gate, url_dedup, lang_id_gate and domain_quota rows
+    // exactly.
     val dir = "/root/testdata/sf0.01"
     val stage = java.nio.file.Files.createTempDirectory("graft_adm_in")
     val bridge = java.nio.file.Files.createTempDirectory("graft_adm_bridge")
       .resolve("kept").toString
     val (prepared, _) = stagedUrls(dir, stage, 1)
     val hosted = operators.Corpus12.hostedDocs(Tables.documents(spark, dir))
+    val payload = Tables.documents(spark, dir).select($"doc_id", $"text")
+      .join(hosted, Seq("doc_id"))
     val gated = operators.Corpus13.robotsDecideUrls(
         spark.readStream.schema(prepared.schema).parquet(stage.toString))
       .filter($"allowed").select("doc_id", "canon_url")
@@ -641,7 +648,11 @@ class StatefulStreamingSpec extends AnyFunSuite with SparkSuite {
         gated.as[StatefulOps.UrlIn]).writeStream
       .outputMode("append")
       .foreachBatch { (ds: org.apache.spark.sql.Dataset[StatefulOps.UrlDecision], _: Long) =>
-        ds.filter($"kept").join(hosted, Seq("doc_id"))
+        val kept = ds.filter($"kept").join(payload, Seq("doc_id"))
+        val langKeep = operators.Corpus14.langGateDecisions(
+            kept.select($"doc_id", $"text"))
+          .filter($"keep").select("doc_id")
+        kept.join(langKeep, Seq("doc_id"), "left_semi")
           .select($"doc_id", $"host", $"n_chars")
           .write.mode("append").parquet(bridge)
       }
@@ -658,9 +669,11 @@ class StatefulStreamingSpec extends AnyFunSuite with SparkSuite {
     // the stream-side robots head passes exactly the batch gate's docs
     assert(SparkEntry.queries("q272_robots_gate")(spark, dir)
       .filter($"allowed").count() == funnel("robots_gate"))
-    // bridge == the funnel's url_dedup survivors
+    // bridge == the funnel's lang-gated url_dedup survivors (the lang
+    // gate composed into the bridge batch, so the bridge IS stage 3's
+    // output)
     val bridged = spark.read.parquet(bridge)
-    assert(bridged.count() == funnel("url_dedup"))
+    assert(bridged.count() == funnel("lang_id_gate"))
     // admitted set == the funnel's domain_quota survivors (score-ordered
     // single batch = the batch top-cap selection, host by host)
     val admitted = spark.table("admission2").filter($"admitted")
