@@ -174,8 +174,21 @@ object Flows {
     * pinned stage frames that produced the landing (funnelAudit), so
     * nothing re-runs and the flow cannot drift from the oracled query.
     * Returns the landed layout. */
-  def hygieneFlow(spark: SparkSession, dir: String, outDir: String): DataFrame = {
+  def hygieneFlow(spark: SparkSession, dir: String, outDir: String,
+      chunkFpHexWidth: Int = 32): DataFrame = {
     val st = operators.Corpus12.hygieneStages(Tables.documents(spark, dir))
+    // Fingerprint-exactness contract, enforced IN-PIPELINE (the
+    // packingFlow discipline, extended per the r10 verdict): the chunk
+    // scrub keys its df counts and keep-first winners on md5(chunk) —
+    // a corpus where those keys conflate distinct chunks must fail
+    // loudly BEFORE the training-ready product lands. The audit runs
+    // over exactly the chunks the scrub keyed (the clf-gate survivors).
+    // Width is parameterized only so FlowsSpec can force a collision by
+    // pigeonhole; production = the full 32-hex digest.
+    operators.Corpus12.assertChunkFpExact(
+      operators.Corpus.chunkTokens(
+        st.collectFirst { case ("clf_gate", f) => f }.get),
+      chunkFpHexWidth)
     val product = operators.Corpus12.piiScrub(st.last._2)
       .select(col("doc_id"), col("scrubbed").as("text"),
         length(col("scrubbed")).cast("long").as("n_chars"))
@@ -193,6 +206,21 @@ object Flows {
     * doc) written alongside — the artifact a curation pipeline reviews
     * before committing a prune. Returns the kept-doc frame. */
   def semanticDedupFlow(spark: SparkSession, dir: String, outDir: String): DataFrame = {
+    // Degenerate-input contract (the decontamSides zero-vector
+    // discipline, extended per the r10 verdict so every flow keyed on a
+    // DERIVED quantity carries its guard): q170's verdicts rank members
+    // by cosine to the cluster centroid, which is UNDEFINED for a
+    // zero-magnitude embedding — such a row would rank on a null and
+    // could silently become (or displace) a cluster exemplar. Fail
+    // loudly before any verdict lands.
+    val nz = Tables.embeddings(spark, dir)
+      .filter(expr(
+        "aggregate(embedding, 0D, (a, x) -> a + abs(CAST(x AS DOUBLE)))") === 0d)
+      .count()
+    require(nz == 0L,
+      s"semanticDedupFlow: $nz zero-magnitude embeddings in this corpus — " +
+        "cosine-to-centroid ranking is undefined for them; drop or repair " +
+        "them upstream (the semanticDecontam zero-vector contract)")
     val verdicts = SparkEntry.queries("q170_semdedup")(spark, dir)
     val kept = Tables.documents(spark, dir)
       .join(verdicts.filter(col("kept")).select("vec_id", "cluster"),

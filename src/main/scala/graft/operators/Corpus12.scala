@@ -266,6 +266,28 @@ object Corpus12 {
       .orderBy("doc_id")
   }
 
+  /** Chunk-fingerprint exactness contract — [[Dedup.assertInterningExact]]'s
+    * discipline applied to the scrub stage's keys: the chunk scrub
+    * counts document frequency and elects keep-first winners BY
+    * md5(chunk), so a corpus where two DISTINCT chunks share a
+    * fingerprint would silently conflate unrelated text into one
+    * df/winner group. md5's 128 bits make that cryptographically
+    * negligible, but the contract is CHECKED, not assumed (exactly as
+    * q260/q261 check the 60-bit interned forms). `hexWidth` exists only
+    * so FlowsSpec can force a collision by pigeonhole; production runs
+    * the full 32-hex digest. */
+  private[graft] def assertChunkFpExact(chunks: DataFrame, hexWidth: Int = 32): Unit = {
+    val v = chunks
+      .groupBy(substring(md5(col("chunk")), 1, hexWidth).as("fp"))
+      .agg(countDistinct(col("chunk")).as("nd"))
+      .filter(col("nd") > 1).count()
+    require(v == 0L,
+      s"chunk fingerprinting UNSAFE on this corpus: $v fingerprint groups " +
+        "carry more than one distinct chunk — the scrub's df/winner keys " +
+        "would conflate unrelated chunks; fall back to exact chunk-string " +
+        "keys (the q260/q261 contract)")
+  }
+
   /** The funnel's named stage-survivor frames in order (element 0 is
     * the fetch corpus, the last is the chunk-scrub survivors) — ONE
     * definition shared by q268 (which assembles the audit rows) and

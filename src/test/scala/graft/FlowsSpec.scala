@@ -109,6 +109,40 @@ class FlowsSpec extends AnyFunSuite with SparkSuite {
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(out)))
   }
 
+  test("hygiene flow refuses a chunk-fingerprint collision before the product lands") {
+    // force a collision by pigeonhole (the packingFlow guard's fixture
+    // idiom): a 1-hex fingerprint has 16 buckets, and the clf-gate
+    // survivor corpus carries far more distinct chunks than that — the
+    // guard must throw and the training-ready product must NOT land.
+    val out = java.nio.file.Files.createTempDirectory("graft_flows_hyg_guard")
+      .resolve("corpus").toString
+    val ex = intercept[IllegalArgumentException] {
+      Flows.hygieneFlow(spark, sfDir, out, chunkFpHexWidth = 1)
+    }
+    assert(ex.getMessage.contains("UNSAFE"))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(out)))
+  }
+
+  test("semantic-dedup flow refuses a zero-magnitude embedding before any verdict lands") {
+    // cosine-to-centroid is undefined for a zero vector — the flow must
+    // fail loudly (the semanticDecontam contract), not let the row rank
+    // on a null and silently become or displace an exemplar.
+    val stage = java.nio.file.Files.createTempDirectory("graft_flows_sem_guard")
+    Seq((0L, 0, Seq.fill(64)(0.1f)), (1L, 0, Seq.fill(64)(0.0f)),
+      (2L, 1, Seq.fill(64)(0.2f)))
+      .toDF("vec_id", "label", "embedding")
+      .write.parquet(stage.resolve("embeddings.parquet").toString)
+    Seq((0L, "a doc", 5L), (1L, "b doc", 5L), (2L, "c doc", 5L))
+      .toDF("doc_id", "text", "n_chars")
+      .write.parquet(stage.resolve("documents.parquet").toString)
+    val out = stage.resolve("semdedup").toString
+    val ex = intercept[IllegalArgumentException] {
+      Flows.semanticDedupFlow(spark, stage.toString, out)
+    }
+    assert(ex.getMessage.contains("zero-magnitude"))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(out)))
+  }
+
   test("packing flow: decontaminated, q139-packed, ordered files, manifest certifies the landed bytes") {
     val out = java.nio.file.Files.createTempDirectory("graft_flows_pack")
       .resolve("packed").toString

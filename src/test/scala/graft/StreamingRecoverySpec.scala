@@ -84,6 +84,131 @@ class StreamingRecoverySpec extends AnyFunSuite with SparkSuite {
       s"recovered stream est ${fin.est} vs batch $q153")
   }
 
+  test("composed admission topology killed between micro-batches recovers BOTH state stores") {
+    // The r10 verdict's composed-topology recovery ask: the full
+    // three-service admission pipeline (robots gate → crawl-frontier URL
+    // dedup → lang gate in the foreachBatch bridge → per-domain quota),
+    // each stateful stage on its OWN checkpoint (two services, two
+    // stores — exactly the production shape), killed after a prefix and
+    // restarted with fresh query objects. Recovery must hold end to end:
+    //  - url store: a canonical URL claimed before the kill is NEVER
+    //    re-claimed after it (phase-2 duplicates all come out
+    //    kept=false), while genuinely new canons still claim;
+    //  - url offsets: every robots-allowed input row is decided EXACTLY
+    //    once across the restart (a replay would double-decide);
+    //  - quota store: a host that exhausted its budget before the kill
+    //    admits nothing after it; every host ends at min(cap, arrivals);
+    //  - quota offsets: every bridged row is decided exactly once.
+    // Staging is doc_id-ordered (the stagedChunks discipline), so the
+    // recovered first-arrival winners equal q266's min(doc_id) winners
+    // on the allowed subset — state recovery is checked against the
+    // BATCH truth, not just internal consistency.
+    val dir = "/root/testdata/sf0.01"
+    val stage = java.nio.file.Files.createTempDirectory("graft_admrec_stage")
+    val ckpt1 = java.nio.file.Files.createTempDirectory("graft_admrec_ckpt1")
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft_admrec_ckpt2")
+    val bridge = java.nio.file.Files.createTempDirectory("graft_admrec_bridge")
+      .resolve("kept").toString
+
+    val prepared = operators.Corpus12.canonUrls(Tables.documents(spark, dir))
+      .select("doc_id", "canon_url")
+    val hosted = operators.Corpus12.hostedDocs(Tables.documents(spark, dir))
+    val payload = Tables.documents(spark, dir).select($"doc_id", $"text")
+      .join(hosted, Seq("doc_id"))
+
+    val urlBuf = collection.mutable.ArrayBuffer.empty[StatefulOps.UrlDecision]
+    val quotaBuf = collection.mutable.ArrayBuffer.empty[StatefulOps.QuotaDecision]
+
+    def runTopology(): Unit = {
+      val gated = operators.Corpus13.robotsDecideUrls(
+          spark.readStream.schema(prepared.schema)
+            .option("maxFilesPerTrigger", 1).parquet(stage.toString))
+        .filter($"allowed").select("doc_id", "canon_url")
+      val q1 = StatefulOps.urlDedupStream(gated.as[StatefulOps.UrlIn]).writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt1.toString)
+        .foreachBatch { (ds: Dataset[StatefulOps.UrlDecision], _: Long) =>
+          val rows = ds.collect().toSeq
+          urlBuf.synchronized { urlBuf ++= rows }
+          val kept = rows.filter(_.kept).toDF().join(payload, Seq("doc_id"))
+          val langKeep = operators.Corpus14.langGateDecisions(
+              kept.select($"doc_id", $"text"))
+            .filter($"keep").select("doc_id")
+          kept.join(langKeep, Seq("doc_id"), "left_semi")
+            .select($"doc_id", $"host", $"n_chars")
+            .write.mode("append").parquet(bridge)
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q1.awaitTermination()
+      val q2 = StatefulOps.domainQuotaStream(
+          spark.readStream
+            .schema(org.apache.spark.sql.Encoders.product[StatefulOps.QuotaIn].schema)
+            .option("maxFilesPerTrigger", 1).parquet(bridge)
+            .as[StatefulOps.QuotaIn]).writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt2.toString)
+        .foreachBatch { (ds: Dataset[StatefulOps.QuotaDecision], _: Long) =>
+          val rows = ds.collect()
+          quotaBuf.synchronized { quotaBuf ++= rows }
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q2.awaitTermination()
+    }
+
+    // split so BOTH phases claim new canons AND phase 2 replays phase-1
+    // canons: ids 0..149 claim canons 0..149; ids 150+ claim canons
+    // 150..199 and duplicate everything else (canon is doc_id mod 200)
+    val ids = prepared.select($"doc_id").as[Long].collect().sorted
+    val (idsA, idsB) = (ids.take(150), ids.drop(150))
+    prepared.filter($"doc_id".isin(idsA: _*))
+      .coalesce(1).write.mode("append").parquet(stage.toString)
+    runTopology() // "killed" here: query objects gone, both checkpoints remain
+    val urlPhase1 = urlBuf.size
+    val quotaPhase1 = quotaBuf.size
+    val claimed1 = urlBuf.filter(_.kept).map(_.canon_url).toSet
+    val h0Bridged1 = spark.read.parquet(bridge).filter($"host" === "h0").count()
+    assert(urlPhase1 > 0 && quotaPhase1 > 0 && claimed1.nonEmpty)
+    // the heavy-hitter host must have exhausted its budget in phase 1,
+    // or the phase-2 "admits nothing" check below proves nothing
+    assert(h0Bridged1 >= 10L, s"h0 bridged only $h0Bridged1 rows in phase 1")
+
+    Thread.sleep(1100) // keep modtime order across the restart boundary
+    prepared.filter($"doc_id".isin(idsB: _*))
+      .coalesce(1).write.mode("append").parquet(stage.toString)
+    runTopology() // NEW query objects, SAME two checkpoints
+
+    val allowed = SparkEntry.queries("q272_robots_gate")(spark, dir)
+      .filter($"allowed").select("doc_id").as[Long].collect().toSet
+    // url offsets recovered: every allowed row decided exactly once
+    assert(urlBuf.size == ids.count(allowed), s"decided ${urlBuf.size} rows")
+    assert(urlBuf.map(_.doc_id).distinct.size == urlBuf.size)
+    // url state recovered: one claim per canon across the restart, and
+    // the winner is the min allowed doc_id — the batch q266 rule
+    urlBuf.groupBy(_.canon_url).foreach { case (cu, ds) =>
+      assert(ds.count(_.kept) == 1, s"canon $cu claimed ${ds.count(_.kept)} times")
+      assert(ds.filter(_.kept).head.doc_id == ds.map(_.doc_id).min, s"canon $cu")
+    }
+    val phase2 = urlBuf.drop(urlPhase1)
+    val replayed = phase2.filter(d => claimed1(d.canon_url))
+    assert(replayed.nonEmpty && replayed.forall(!_.kept),
+      "a phase-1-claimed canon was re-claimed after the restart")
+    assert(phase2.exists(_.kept), "phase 2 claimed no new canons")
+    // quota offsets recovered: every bridged row decided exactly once
+    val bridged = spark.read.parquet(bridge)
+    assert(quotaBuf.size == bridged.count())
+    // quota state recovered: per host min(cap, arrivals); the exhausted
+    // heavy hitter admits NOTHING after the restart
+    val perHost = bridged.groupBy($"host").count()
+      .as[(String, Long)].collect().toMap
+    quotaBuf.groupBy(_.host).foreach { case (h, ds) =>
+      assert(ds.count(_.admitted) == math.min(10L, perHost(h)), s"host $h")
+    }
+    val h0Phase2 = quotaBuf.drop(quotaPhase1).filter(_.host == "h0")
+    assert(h0Phase2.nonEmpty && h0Phase2.forall(!_.admitted),
+      "h0's post-restart arrivals must all be refused by carried state")
+  }
+
   test("clamped-balance stream killed between micro-batches resumes and settles to q204") {
     val dir = "/root/testdata/sf0.01"
     val stage = java.nio.file.Files.createTempDirectory("graft_balrec_stage")
