@@ -316,19 +316,39 @@ object Corpus12 {
     val s0 = docs.join(k0, Seq("doc_id"), "left_semi")
     val w1 = canonUrls(s0).groupBy("canon_url")
       .agg(min("doc_id").as("doc_id")).select("doc_id")
-    val s1 = s0.join(w1, Seq("doc_id"), "left_semi").localCheckpoint()
+    // stages 2-3 (r11): the SAME narrow-pin rule applies past robots —
+    // URL-dedup survivors are ~40% of the corpus and lang survivors
+    // ~36%, so a text-bearing localCheckpoint here is the s0
+    // anti-pattern at corpus scale (it would materialize ~0.4 corpora
+    // of text to save column-pruned re-scans). Measured NEUTRAL at
+    // sf0.1 (A/B same session, min-of-2: 6.5-7.3 s vs 6.7 s — the
+    // funnel is floor-bound at gate scale either way); kept for the
+    // 100 TB shape. Pin (doc_id, n_chars) —
+    // 16 B/doc, exactly what the audit's count+sum and the quota's
+    // k-heap scoring need — and re-attach text lazily per reader
+    // (scan ⋉ pinned ids). Only ONE downstream reader needs text
+    // before the cap (the lang gate); from the cap onward survivors
+    // are bounded by cap × |hosts| BY CONSTRUCTION, so the remaining
+    // stages keep their text-bearing pins (each feeds 2+ text readers
+    // and is no longer corpus-sized at any scale).
+    val narrow = docs0.select(col("doc_id"), col("n_chars"))
+    val k1 = narrow.join(k0, Seq("doc_id"), "left_semi")
+      .join(w1, Seq("doc_id"), "left_semi").localCheckpoint()
+    val s1 = docs.join(k1.select("doc_id"), Seq("doc_id"), "left_semi")
     // stage 3: language-id gate (q275's body) in the CCNet/FineWeb
     // position — right after URL dedup, before every quality gate: no
     // point ranking or model-scoring documents the pipeline's target
     // language excludes, and the battery-count scan is among the
     // cheapest gates on the board
-    val k15 = Corpus14.langGateDecisions(s1).filter(col("keep")).select("doc_id")
-    val s15 = s1.join(k15, Seq("doc_id"), "left_semi").localCheckpoint()
+    val kl = Corpus14.langGateDecisions(s1).filter(col("keep")).select("doc_id")
+    val k15 = k1.join(kl, Seq("doc_id"), "left_semi").localCheckpoint()
     val top = udaf(new graft.functions.TopKScored(cap))
-    val k2 = hostedDocs(s15).groupBy("host")
+    // the quota scores on (doc_id, n_chars, host) alone — the narrow
+    // pinned frame feeds it directly, zero text reads in this stage
+    val k2 = hostedDocs(k15).groupBy("host")
       .agg(top(col("n_chars").cast("double"), col("doc_id")).as("kept"))
       .select(explode(col("kept")).as("k")).select(col("k.id").as("doc_id"))
-    val s2 = s15.join(k2, Seq("doc_id"), "left_semi").localCheckpoint()
+    val s2 = docs.join(k2, Seq("doc_id"), "left_semi").localCheckpoint()
     // stage 5: C4 blocklist gate (q274's token-exact form) — the cheap
     // token check runs before the heavier repetition battery
     val k25 = Corpus14.blocklistDecisions(s2).filter(col("keep")).select("doc_id")
@@ -353,8 +373,12 @@ object Corpus12 {
       .agg(round(sum("kt") * lit(1.0) / sum("n_tokens"), 4).as("rf"))
       .filter(col("rf") >= minRetained).select("doc_id")
     val s4 = s35.join(k4, Seq("doc_id"), "left_semi").localCheckpoint()
-    Seq("fetch" -> docs, "robots_gate" -> s0, "url_dedup" -> s1,
-      "lang_id_gate" -> s15, "domain_quota" -> s2, "blocklist_gate" -> s25,
+    // the url_dedup / lang stage entries are the NARROW pinned frames —
+    // funnelAudit only needs count + sum(n_chars), which they carry;
+    // text-needing consumers (the chunk guard, piiScrub) read the later
+    // text-bearing entries
+    Seq("fetch" -> docs, "robots_gate" -> s0, "url_dedup" -> k1,
+      "lang_id_gate" -> k15, "domain_quota" -> s2, "blocklist_gate" -> s25,
       "gopher_gate" -> s3, "clf_gate" -> s35, "chunk_scrub" -> s4)
   }
 
@@ -413,16 +437,22 @@ object Corpus12 {
     * q263's narrow explode→partial-agg battery; q267's two-level
     * distinct-doc aggregate; q262 stateless regex) glued by left-semi
     * joins on doc_id — no window, no cartesian, nothing quadratic. The
-    * funnel's six audit aggregates all re-read stage survivors, and
-    * Spark has no DataFrame-level CSE, so each stage output is PINNED
-    * (localCheckpoint) once computed — exactly what a production run
-    * does anyway (the survivor shards ARE the product; the funnel is
-    * their audit trail). Measured: pinning took the sf0.1 funnel from
-    * 11.2 s (each count branch re-ran its whole stage prefix — the
+    * funnel's audit aggregates all re-read stage survivors, and
+    * Spark has no DataFrame-level CSE, so each stage's DECISION is
+    * PINNED (localCheckpoint) once computed — exactly what a production
+    * run does anyway (the survivor shards ARE the product; the funnel
+    * is their audit trail). Measured: pinning took the sf0.1 funnel
+    * from 11.2 s (each count branch re-ran its whole stage prefix — the
     * battery three times, the URL winner aggregate five times) to the
-    * sum of one pass per stage. Unlike the BPE chain (where a pin was
-    * measured to LOSE, see Corpus2), the pinned frames here are the
-    * tiny survivor tables, not a corpus-sized intermediate. */
+    * sum of one pass per stage. WHAT each pin holds follows the
+    * corpus-fraction rule (r11): stages whose survivors are still
+    * corpus-scale (url_dedup ~40%, lang ~36%) pin only the 16 B/doc
+    * (doc_id, n_chars) decision columns and re-attach text by a
+    * column-pruned scan ⋉ pinned ids per text reader; from the domain
+    * cap onward survivors are bounded by cap × |hosts| by construction,
+    * so those stages pin text-bearing frames (each feeds 2+ text
+    * readers). Unlike the BPE chain (where a pin was measured to LOSE,
+    * see Corpus2), nothing corpus-sized is ever materialized. */
   private[graft] def hygieneFunnel(
       docs0: DataFrame, cap: Int = 10, minRetained: Double = 0.2): DataFrame =
     funnelAudit(hygieneStages(docs0, cap, minRetained))
