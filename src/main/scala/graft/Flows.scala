@@ -372,6 +372,10 @@ object Flows {
       out.resolve("semdedup").toString)
     println(s"FLOW semdedup kept=${sem.count()}")
 
+    val hyg = hygieneFlow(spark, "/root/testdata/sf0.001",
+      out.resolve("hygiene").toString)
+    println(s"FLOW hygiene survivors=${hyg.count()}")
+
     val mon = monitoringFlow(spark, "/root/testdata/sf0.001",
       out.resolve("monitoring").toString)
     println(s"FLOW monitoring series=${mon.count()}")
