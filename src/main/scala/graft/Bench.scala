@@ -40,8 +40,9 @@ object Bench {
       // would let Catalyst prune aggregate expressions and eliminate sorts,
       // under-measuring the real work.
       // GC telemetry per run (r11, the q143 investigation): cumulative
-      // collector ms across all GarbageCollectorMXBeans, deltaed around
-      // the query — so a blown-up reading can be attributed to (or
+      // collector time across all GarbageCollectorMXBeans, deltaed
+      // around the query and emitted in SECONDS (same unit as the
+      // durations) — so a blown-up reading can be attributed to (or
       // cleared of) GC pressure from the bench-order JVM state without
       // re-running anything. Additive "gc" JSON field; the driver's
       // parser reads "value"/"queries" and ignores it.

@@ -213,14 +213,17 @@ object Flows {
     // zero-magnitude embedding — such a row would rank on a null and
     // could silently become (or displace) a cluster exemplar. Fail
     // loudly before any verdict lands.
+    // NULL counts as degenerate too: aggregate() over a NULL array is
+    // NULL, and a NULL === 0 filter would silently DROP the row from
+    // the guard — the exact hole the guard exists to close.
     val nz = Tables.embeddings(spark, dir)
-      .filter(expr(
+      .filter(col("embedding").isNull || expr(
         "aggregate(embedding, 0D, (a, x) -> a + abs(CAST(x AS DOUBLE)))") === 0d)
       .count()
     require(nz == 0L,
-      s"semanticDedupFlow: $nz zero-magnitude embeddings in this corpus — " +
-        "cosine-to-centroid ranking is undefined for them; drop or repair " +
-        "them upstream (the semanticDecontam zero-vector contract)")
+      s"semanticDedupFlow: $nz zero-magnitude or NULL embeddings in this " +
+        "corpus — cosine-to-centroid ranking is undefined for them; drop or " +
+        "repair them upstream (the semanticDecontam zero-vector contract)")
     val verdicts = SparkEntry.queries("q170_semdedup")(spark, dir)
     val kept = Tables.documents(spark, dir)
       .join(verdicts.filter(col("kept")).select("vec_id", "cluster"),

@@ -225,9 +225,12 @@ object Corpus14 {
 
   /** The q276 threshold sweep (margin space): 0 is the deployed gate
     * (P ≥ 0.5); ±0.05 bracket it one operating notch stricter/looser.
-    * Corpus14Spec pins every corpus and holdout margin ≥ 1e-4 away from
-    * every threshold at three SFs, so engine summation-order jitter
-    * cannot flip a counted cell. */
+    * Corpus14Spec pins every corpus and holdout margin ≥ 1e-6 away from
+    * every threshold (measured clearance via the oracle CTE chain:
+    * 1.0e-4 at sf0.001, 1.9e-4 at sf0.01, 1.2e-5 at sf0.1 — all ≥7
+    * orders above the ~1e-13 summation-order jitter the pin must
+    * dominate), so engine float-association noise cannot flip a
+    * counted cell. */
   private[graft] val marginThresholds: Seq[Double] = Seq(-0.05, 0.0, 0.05)
 
   /** q276's body: the classifier's OPERATING POINT, published as rows
@@ -310,10 +313,7 @@ object Corpus14 {
         expr(s"CAST(size(filter(w, x -> x IN ($langEnList))) AS BIGINT)").as("n_en"),
         expr(s"CAST(size(filter(w, x -> x IN ($langEsList))) AS BIGINT)").as("n_es"),
         expr(s"CAST(size(filter(w, x -> x IN ($langDeList))) AS BIGINT)").as("n_de"))
-      .withColumn("predicted",
-        when(col("n_en") >= col("n_es") && col("n_en") >= col("n_de"), "en")
-          .when(col("n_es") >= col("n_de"), "es")
-          .otherwise("de"))
+      .withColumn("predicted", TextAnalytics.langPredCol)
       .withColumn("keep", col("predicted") === lit("en"))
   }
 
@@ -329,8 +329,7 @@ object Corpus14 {
        |CAST(len(list_filter(w, x -> x IN ($langEsList))) AS BIGINT) AS n_es,
        |CAST(len(list_filter(w, x -> x IN ($langDeList))) AS BIGINT) AS n_de FROM ${p}lw),
        |${p}lang AS (SELECT doc_id, n_en, n_es, n_de,
-       |CASE WHEN n_en >= n_es AND n_en >= n_de THEN 'en'
-       |WHEN n_es >= n_de THEN 'es' ELSE 'de' END AS predicted,
+       |${TextAnalytics.langPredDuck} AS predicted,
        |n_en >= n_es AND n_en >= n_de AS keep FROM ${p}lc)"""
       .stripMargin.replace("\n", " ")
   }

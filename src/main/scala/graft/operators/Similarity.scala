@@ -389,7 +389,7 @@ object Similarity {
     *  - an eval side larger than `maxEvalRows`: the O(N_train × N_eval)
     *    screen is only sound while eval is benchmark-bounded. */
   private def decontamSides(corpus: DataFrame,
-      maxEvalRows: Long = decontamMaxEval): (DataFrame, DataFrame) = {
+      maxEvalRows: Long = decontamMaxEval): (DataFrame, DataFrame, Long) = {
     val q = withNorm(corpus)
       .withColumn("mx", expr(
         "aggregate(embedding, 0D, (a, x) -> greatest(a, abs(CAST(x AS DOUBLE))))"))
@@ -404,12 +404,14 @@ object Similarity {
     val ev = q.filter(col("vec_id") % 20 === 0)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"),
         col("s").as("qs"), col("codes").as("qcodes"), col("csum").as("qcsum"))
+    // one scan: the guard's count IS the audit's published n_eval (the
+    // review's double-count fix — q271 must not re-count the same set)
     val nEval = ev.count()
     require(nEval <= maxEvalRows,
       s"semanticDecontam: eval side has $nEval rows > maxEvalRows=$maxEvalRows — " +
         "the int8 screen is O(N_train × N_eval) by contract (eval = a bounded " +
         "benchmark suite); raise the bound deliberately or pre-block the eval side")
-    (q.filter(col("vec_id") % 20 =!= 0), ev)
+    (q.filter(col("vec_id") % 20 =!= 0), ev, nEval)
   }
 
   private def decontamTau = 0.40
@@ -446,7 +448,7 @@ object Similarity {
 
   private[graft] def semanticDecontam(corpus: DataFrame, tau: Double = decontamTau,
       maxEvalRows: Long = decontamMaxEval): DataFrame = {
-    val (tr, ev) = decontamSides(corpus, maxEvalRows)
+    val (tr, ev, _) = decontamSides(corpus, maxEvalRows)
     val best = decontamSurvivors(tr, ev, tau)
       .groupBy("vec_id")
       .agg(max(struct(col("cos"), (-col("qid")).as("nq"))).as("b"))
@@ -519,7 +521,7 @@ object Similarity {
       // sides derive from decontamSides/decontamSurvivors, so the audit
       // cannot drift from the deployed gate.
       (s, dir) => {
-        val (tr, ev) = decontamSides(Tables.embeddings(s, dir))
+        val (tr, ev, nEval) = decontamSides(Tables.embeddings(s, dir))
         def cosCol = round(vecDot(col("embedding"), col("qe")) / (col("nrm") * col("qn")), 6)
         // Tiny survivor set read twice below (count + flags) — pin it
         // (the q268 rule: small frame, >1 read).
@@ -535,7 +537,9 @@ object Similarity {
           .filter(col("m") >= decontamTau)
           .agg(count(lit(1)).as("exact_flagged"))
         val nt = tr.agg(count(lit(1)).as("n_train"))
-        val ne = ev.agg(count(lit(1)).as("n_eval"))
+        // the guard already counted the eval side — publish that number
+        // instead of scanning the same set a second time
+        val ne = s.range(1).select(lit(nEval).as("n_eval"))
         nt.crossJoin(broadcast(ne)).crossJoin(broadcast(ef))
           .crossJoin(broadcast(cf)).crossJoin(broadcast(rp))
           .select(col("n_train"), col("n_eval"),

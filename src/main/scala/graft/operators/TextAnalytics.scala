@@ -60,6 +60,18 @@ object TextAnalytics {
   private[operators] val langEsList = "'el','la','de','que','y','en','los','se'"
   private[operators] val langDeList = "'der','die','das','und','ist','von','mit','den'"
 
+  /** The argmax + tie-break (en > es > de) over the three battery
+    * counts — ONE Spark expression and its byte-identical DuckDB CASE
+    * twin, shared by q34, q79, and the funnel gate (q275). Completes
+    * what the shared lists start: a tie-break change (or a fourth
+    * language) edits exactly one place per engine. */
+  private[operators] def langPredCol: org.apache.spark.sql.Column =
+    when(col("n_en") >= col("n_es") && col("n_en") >= col("n_de"), "en")
+      .when(col("n_es") >= col("n_de"), "es")
+      .otherwise("de")
+  private[operators] val langPredDuck =
+    "CASE WHEN n_en >= n_es AND n_en >= n_de THEN 'en' WHEN n_es >= n_de THEN 'es' ELSE 'de' END"
+
   /** Deterministic multi-language corpus for q79: sentences dense in each
     * language's own stopword signal, disjoint from the other two lists —
     * the fixture where the lang-id heuristic can demonstrably be RIGHT
@@ -366,10 +378,7 @@ object TextAnalytics {
             expr(s"size(filter(w, x -> x IN ($langEnList)))").cast("long").as("n_en"),
             expr(s"size(filter(w, x -> x IN ($langEsList)))").cast("long").as("n_es"),
             expr(s"size(filter(w, x -> x IN ($langDeList)))").cast("long").as("n_de"))
-          .withColumn("predicted",
-            when(col("n_en") >= col("n_es") && col("n_en") >= col("n_de"), "en")
-              .when(col("n_es") >= col("n_de"), "es")
-              .otherwise("de"))
+          .withColumn("predicted", langPredCol)
           .orderBy("doc_id"),
       Some(s"""WITH t AS (SELECT doc_id, lang, $toksDuck AS w FROM documents),
              |c AS (SELECT doc_id, lang,
@@ -378,8 +387,7 @@ object TextAnalytics {
              |len(list_filter(w, x -> x IN ($langDeList))) AS n_de
              |FROM t)
              |SELECT doc_id, lang, n_en, n_es, n_de,
-             |CASE WHEN n_en >= n_es AND n_en >= n_de THEN 'en'
-             |WHEN n_es >= n_de THEN 'es' ELSE 'de' END AS predicted
+             |$langPredDuck AS predicted
              |FROM c ORDER BY doc_id""".stripMargin.replace("\n", " "))),
 
     QueryDef(
@@ -398,10 +406,7 @@ object TextAnalytics {
             expr(s"size(filter(w, x -> x IN ($langEnList)))").cast("long").as("n_en"),
             expr(s"size(filter(w, x -> x IN ($langEsList)))").cast("long").as("n_es"),
             expr(s"size(filter(w, x -> x IN ($langDeList)))").cast("long").as("n_de"))
-          .withColumn("predicted",
-            when(col("n_en") >= col("n_es") && col("n_en") >= col("n_de"), "en")
-              .when(col("n_es") >= col("n_de"), "es")
-              .otherwise("de"))
+          .withColumn("predicted", langPredCol)
           .orderBy("id")
       },
       Some(s"""WITH f(id, lang, text) AS (VALUES ${langIdFixture.map {
@@ -414,8 +419,7 @@ object TextAnalytics {
               |len(list_filter(w, x -> x IN ($langDeList))) AS n_de
               |FROM t)
               |SELECT id, lang, n_en, n_es, n_de,
-              |CASE WHEN n_en >= n_es AND n_en >= n_de THEN 'en'
-              |WHEN n_es >= n_de THEN 'es' ELSE 'de' END AS predicted
+              |$langPredDuck AS predicted
               |FROM c ORDER BY id""".stripMargin.replace("\n", " "))),
 
     QueryDef(

@@ -5,6 +5,12 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 class SimilaritySpec extends AnyFunSuite with SparkSuite {
+
+  /** Concatenated cause-chain messages — Spark wraps codegen/eval
+    * failures, so guard tests match on the root text. */
+  private def rootMsg(t: Throwable): String =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+      .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
   import spark.implicits._
 
   test("brute-force top-1 of an exact duplicate vector is that duplicate with cos=1") {
@@ -364,9 +370,6 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     val ex = intercept[Exception] {
       operators.Similarity.semanticDecontam(bad).collect()
     }
-    def rootMsg(t: Throwable): String =
-      (Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
-        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | "))
     assert(rootMsg(ex).contains("zero-magnitude embedding"),
       s"unexpected failure: ${rootMsg(ex).take(300)}")
     // the O(N_train × N_eval) contract is assertable: an eval side past
@@ -384,9 +387,6 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     val ex = intercept[Exception] {
       df.select(functions.VectorExprs.longVecDot(col("a"), col("b"))).collect()
     }
-    def rootMsg(t: Throwable): String =
-      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
-        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
     assert(rootMsg(ex).contains("length mismatch"),
       s"unexpected failure: ${rootMsg(ex).take(300)}")
   }
