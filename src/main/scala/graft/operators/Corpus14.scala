@@ -6,13 +6,16 @@ import graft.operators.TextAnalytics.{stopSqlList, toksDuck, toksExpr}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Round-10 corpus operators: the TRAINED quality-classifier gate — the
-  * canonical "quality = P(reference-like)" corpus filter of the GPT-3 /
-  * CCNet / palm-era pipelines (a linear model trained on labeled
+/** Round-10/11 corpus operators: the TRAINED quality-classifier gate —
+  * the canonical "quality = P(reference-like)" corpus filter of the
+  * GPT-3 / CCNet / palm-era pipelines (a linear model trained on labeled
   * reference-vs-junk text, applied corpus-wide with a probability
   * threshold), which was the one classic LLM-pipeline operator still
-  * missing after r9: every RULE-based gate existed (q100's composite,
-  * q263's Gopher battery, q132's calibrated tiering) but no TRAINED one.
+  * missing after r9 (every RULE-based gate existed: q100's composite,
+  * q263's Gopher battery, q132's calibrated tiering) — plus its r11
+  * companions: the q276 holdout operating-point audit, the q274 C4
+  * blocklist gate, and the q275 language-id gate the funnel deploys in
+  * the CCNet position.
   *
   * Reference analog: the TF-IDF + LogisticRegression classifier
   * (scrappy.py:32-44) — there a term router, here repurposed as the
