@@ -18,13 +18,25 @@ object Sinks {
     * the single-writer scale-killer this replaces). Readers get
     * min/max-pruned row groups for free from parquet statistics. */
   def writeOrdered(df: DataFrame, order: Seq[Column], out: String,
-      numFiles: Option[Int] = None): Unit = {
+      numFiles: Option[Int] = None, format: String = "parquet"): Unit = {
     val parted = numFiles match {
       case Some(n) => df.repartitionByRange(n, order: _*)
       case None => df.repartitionByRange(order: _*)
     }
-    parted.sortWithinPartitions(order: _*).write.mode("overwrite").parquet(out)
+    parted.sortWithinPartitions(order: _*)
+      .write.mode("overwrite").format(format).save(out)
   }
+
+  /** ORC twin of the ordered parquet landing — the other columnar lake
+    * format Spark ships natively (no external jar): same disjoint
+    * range-partitioned layout contract, same min/max row-group pruning
+    * on read (ORC file/stripe statistics), same filter pushdown at the
+    * scan. Exists so a consumer whose lake standardizes on ORC gets the
+    * identical layout story (OrcRoundTripSpec proves byte-exact
+    * round-trips incl. array<float> columns and a pushed scan filter). */
+  def writeOrderedOrc(df: DataFrame, order: Seq[Column], out: String,
+      numFiles: Option[Int] = None): Unit =
+    writeOrdered(df, order, out, numFiles, format = "orc")
 
   /** K3 PNG sink (SURVEY §2.1, scrappy.py:519-526 — the wordcloud
     * `savefig`): render the A5 weighted-word aggregate (q77's bounded
