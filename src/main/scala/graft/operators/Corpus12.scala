@@ -382,6 +382,57 @@ object Corpus12 {
       "gopher_gate" -> s3, "clf_gate" -> s35, "chunk_scrub" -> s4)
   }
 
+  /** q277's body: GATE ATTRIBUTION — the drop-one ablation table every
+    * curation run publishes next to the funnel (FineWeb's ablation
+    * discipline): for each of the five STATELESS per-doc gates (robots,
+    * lang-id, blocklist, Gopher, classifier — the set-dependent stages
+    * dedup/quota/chunk-scrub have no per-doc flag by nature), how many
+    * documents it fails on the FULL corpus and how many it UNIQUELY
+    * kills (fails while every other gate passes) — the number that says
+    * whether a gate earns its scan. Unlike q268 (which conditions each
+    * stage on upstream survivors), attribution scores every gate on the
+    * same corpus so the counts are comparable.
+    * Scale shape: each flag source is its standalone query's audited
+    * plan; five doc-keyed joins (broadcast at gate SF, co-partitioned
+    * hash joins at 100 TB); ONE global partial-aggregable aggregate
+    * folds all 12 cells in a single pass; 5-row output. */
+  private[graft] def gateAttribution(docs: DataFrame): DataFrame = {
+    val flags = Corpus13.robotsDecisions(docs)
+      .select(col("doc_id"), col("allowed").as("f_robots"))
+      .join(Corpus14.langGateDecisions(docs)
+        .select(col("doc_id"), col("keep").as("f_lang")), Seq("doc_id"))
+      .join(Corpus14.blocklistDecisions(docs)
+        .select(col("doc_id"), col("keep").as("f_block")), Seq("doc_id"))
+      .join(repetitionBattery(docs)
+        .select(col("doc_id"), col("keep").as("f_gopher")), Seq("doc_id"))
+      .join(Corpus14.qualityClassify(docs)
+        .select(col("doc_id"), col("clf_keep").as("f_clf")), Seq("doc_id"))
+    val gates = Seq(("robots", "f_robots"), ("lang_id", "f_lang"),
+      ("blocklist", "f_block"), ("gopher", "f_gopher"), ("classifier", "f_clf"))
+    val allPass = gates.map(g => col(g._2)).reduce(_ && _)
+    val aggs = Seq(
+      count(lit(1)).as("n_docs"),
+      sum(when(allPass, 1L).otherwise(0L)).as("n_pass_all")) ++
+      gates.flatMap { case (n, f) =>
+        val othersPass = gates.filterNot(_._2 == f)
+          .map(g => col(g._2)).reduce(_ && _)
+        Seq(sum(when(!col(f), 1L).otherwise(0L)).as(s"nf_$n"),
+          sum(when(!col(f) && othersPass, 1L).otherwise(0L)).as(s"nu_$n"))
+      }
+    val one = flags.agg(aggs.head, aggs.tail: _*)
+    val rows = gates.zipWithIndex.map { case ((n, _), i) =>
+      struct(lit((i + 1).toLong).as("stage"), lit(n).as("gate"),
+        col("n_docs"), col(s"nf_$n").as("n_failed"),
+        col(s"nu_$n").as("n_unique_kill"), col("n_pass_all"))
+    }
+    one.select(explode(array(rows: _*)).as("r"))
+      .select(col("r.stage").as("stage"), col("r.gate").as("gate"),
+        col("r.n_docs").as("n_docs"), col("r.n_failed").as("n_failed"),
+        col("r.n_unique_kill").as("n_unique_kill"),
+        col("r.n_pass_all").as("n_pass_all"))
+      .orderBy("stage")
+  }
+
   /** The 10-row audit over prebuilt stage frames — exposed so
     * Flows.hygieneFlow can publish the audit WITHOUT re-running the
     * stages it already built. */
@@ -656,6 +707,71 @@ object Corpus12 {
       // headline-benched: the composed form is the single most
       // production-representative query on the board — tracks the whole
       // r9 hygiene family's cost round over round.
-      bench = true)
+      bench = true),
+
+    QueryDef(
+      "q277_gate_attribution",
+      // GATE ATTRIBUTION (drop-one ablation): per stateless gate, docs
+      // failed on the full corpus + docs UNIQUELY killed (every other
+      // gate passes) — whether each gate earns its scan. See
+      // gateAttribution for the scale shape; the oracle re-derives all
+      // five flag chains (robots longest-match, lang argmax, blocklist
+      // tokens, the Gopher battery, the GD-unroll classifier) and folds
+      // the 12 cells in one aggregate.
+      (s, dir) => gateAttribution(Tables.documents(s, dir)),
+      Some(s"""WITH cq AS (SELECT doc_id, $canonUrlDuck AS cu FROM documents),
+              |uq AS (SELECT doc_id, regexp_extract(cu, '^https://([^/]+)', 1) AS host,
+              |regexp_extract(cu, '^https://[^/]+(/.*)$$', 1) AS path FROM cq),
+              |rules(rhost, dis) AS (VALUES ${Corpus13.robotsDuck}),
+              |mq AS (SELECT uq.doc_id, r.dis FROM uq LEFT JOIN rules r
+              |ON uq.host = r.rhost AND starts_with(uq.path, r.dis)),
+              |rb AS (SELECT doc_id, max(dis) IS NULL AS f_robots FROM mq GROUP BY 1),
+              |${Corpus14.langDuckCte("documents", "a_")},
+              |bdq AS (SELECT doc_id, text
+              | || CASE WHEN doc_id % 7 = 3 THEN ' badcat0' ELSE '' END
+              | || CASE WHEN doc_id % 11 = 5 THEN ' badcat1 badcat1' ELSE '' END
+              | || CASE WHEN doc_id % 13 = 8 THEN ' badcat2' ELSE '' END AS bt FROM documents),
+              |bwq AS (SELECT doc_id, len(list_filter(string_split(lower(bt), ' '),
+              |x -> x IN ('badcat0', 'badcat1', 'badcat2'))) = 0 AS f_block FROM bdq),
+              |t AS (SELECT doc_id, ${TextAnalytics.toksDuck} AS w,
+              |CAST(length(replace(text, ' ', '')) AS BIGINT) AS tc FROM documents),
+              |${topGramDuckCte(2)}, ${topGramDuckCte(3)}, ${topGramDuckCte(4)},
+              |${dupCovDuckCte(2)}, ${dupCovDuckCte(3)},
+              |gf AS (SELECT t.doc_id,
+              |(round(coalesce(f2.topc, 0) * 1.0 / tc, 4) <= 0.20
+              | AND round(coalesce(f3.topc, 0) * 1.0 / tc, 4) <= 0.18
+              | AND round(coalesce(f4.topc, 0) * 1.0 / tc, 4) <= 0.16
+              | AND round(coalesce(l2.covc, 0) * 1.0 / tc, 4) <= 0.20
+              | AND round(coalesce(l3.covc, 0) * 1.0 / tc, 4) <= 0.10) AS f_gopher
+              |FROM t LEFT JOIN f2 USING (doc_id) LEFT JOIN f3 USING (doc_id)
+              |LEFT JOIN f4 USING (doc_id) LEFT JOIN l2 USING (doc_id)
+              |LEFT JOIN l3 USING (doc_id)),
+              |${Corpus14.clfDuckCte("documents", "c_")},
+              |fl AS MATERIALIZED (SELECT rb.doc_id, rb.f_robots,
+              |a_lang.keep AS f_lang, bwq.f_block, gf.f_gopher, c_clf.clf_keep AS f_clf
+              |FROM rb JOIN a_lang ON rb.doc_id = a_lang.doc_id
+              |JOIN bwq ON rb.doc_id = bwq.doc_id
+              |JOIN gf ON rb.doc_id = gf.doc_id
+              |JOIN c_clf ON rb.doc_id = c_clf.doc_id),
+              |ag AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+              |CAST(sum(CASE WHEN f_robots AND f_lang AND f_block AND f_gopher AND f_clf THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_all,
+              |CAST(sum(CASE WHEN NOT f_robots THEN 1 ELSE 0 END) AS BIGINT) AS nf_robots,
+              |CAST(sum(CASE WHEN NOT f_robots AND f_lang AND f_block AND f_gopher AND f_clf THEN 1 ELSE 0 END) AS BIGINT) AS nu_robots,
+              |CAST(sum(CASE WHEN NOT f_lang THEN 1 ELSE 0 END) AS BIGINT) AS nf_lang,
+              |CAST(sum(CASE WHEN NOT f_lang AND f_robots AND f_block AND f_gopher AND f_clf THEN 1 ELSE 0 END) AS BIGINT) AS nu_lang,
+              |CAST(sum(CASE WHEN NOT f_block THEN 1 ELSE 0 END) AS BIGINT) AS nf_blocklist,
+              |CAST(sum(CASE WHEN NOT f_block AND f_robots AND f_lang AND f_gopher AND f_clf THEN 1 ELSE 0 END) AS BIGINT) AS nu_blocklist,
+              |CAST(sum(CASE WHEN NOT f_gopher THEN 1 ELSE 0 END) AS BIGINT) AS nf_gopher,
+              |CAST(sum(CASE WHEN NOT f_gopher AND f_robots AND f_lang AND f_block AND f_clf THEN 1 ELSE 0 END) AS BIGINT) AS nu_gopher,
+              |CAST(sum(CASE WHEN NOT f_clf THEN 1 ELSE 0 END) AS BIGINT) AS nf_classifier,
+              |CAST(sum(CASE WHEN NOT f_clf AND f_robots AND f_lang AND f_block AND f_gopher THEN 1 ELSE 0 END) AS BIGINT) AS nu_classifier
+              |FROM fl)
+              |SELECT * FROM (
+              |SELECT CAST(1 AS BIGINT) AS stage, 'robots' AS gate, n_docs, nf_robots AS n_failed, nu_robots AS n_unique_kill, n_pass_all FROM ag
+              |UNION ALL SELECT 2, 'lang_id', n_docs, nf_lang, nu_lang, n_pass_all FROM ag
+              |UNION ALL SELECT 3, 'blocklist', n_docs, nf_blocklist, nu_blocklist, n_pass_all FROM ag
+              |UNION ALL SELECT 4, 'gopher', n_docs, nf_gopher, nu_gopher, n_pass_all FROM ag
+              |UNION ALL SELECT 5, 'classifier', n_docs, nf_classifier, nu_classifier, n_pass_all FROM ag
+              |) ORDER BY stage""".stripMargin.replace("\n", " ")))
   )
 }

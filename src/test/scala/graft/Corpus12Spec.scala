@@ -148,6 +148,36 @@ class Corpus12Spec extends AnyFunSuite with SparkSuite {
     assert(dupGroups.exists(_._2.map(_._2).distinct.length >= 2))
   }
 
+  test("q277 gate attribution replays exactly from the five standalone gate queries") {
+    def flags(q: String, c: String): Map[Long, Boolean] =
+      SparkEntry.queries(q)(spark, sfDir).select(col("doc_id"), col(c))
+        .as[(Long, Boolean)].collect().toMap
+    val f = Seq(
+      ("robots", flags("q272_robots_gate", "allowed")),
+      ("lang_id", flags("q275_langid_gate", "keep")),
+      ("blocklist", flags("q274_blocklist_gate", "keep")),
+      ("gopher", flags("q263_repetition_battery", "keep")),
+      ("classifier", flags("q273_quality_classifier_gate", "clf_keep")))
+    val ids = f.head._2.keySet
+    val nPassAll = ids.count(id => f.forall(_._2(id))).toLong
+    val expected = f.zipWithIndex.map { case ((name, self), i) =>
+      val others = f.filterNot(_._1 == name)
+      (i + 1L, name, ids.size.toLong,
+        ids.count(id => !self(id)).toLong,
+        ids.count(id => !self(id) && others.forall(_._2(id))).toLong,
+        nPassAll)
+    }
+    val got = SparkEntry.queries("q277_gate_attribution")(spark, sfDir)
+      .as[(Long, String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == expected)
+    // the table carries signal: every gate fails someone, unique kills
+    // never exceed fails, and the corpus is not all-pass
+    got.foreach { case (_, n, d, nf, nu, pa) =>
+      assert(nf > 0, s"gate $n fails 0 docs")
+      assert(nu <= nf && pa < d, s"gate $n")
+    }
+  }
+
   test("q268 hygiene funnel: full local replay of the nine composed stages") {
     def round4(x: Double): Double =
       BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
