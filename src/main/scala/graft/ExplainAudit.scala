@@ -41,7 +41,9 @@ object ExplainAudit {
         "q264_ann_operating_point", "q265_domain_quota", "q266_url_dedup",
         "q267_boilerplate_scrub", "q268_hygiene_funnel", "q269_host_pagerank",
         "q270_semantic_decontam", "q272_robots_gate",
-        "q273_quality_classifier_gate", "q274_blocklist_gate")
+        "q273_quality_classifier_gate", "q274_blocklist_gate",
+        "q275_langid_gate", "q276_clf_operating_point",
+        "q277_gate_attribution")
     targets.foreach { name =>
       println(s"\n===== $name =====")
       SparkEntry.queries(name)(spark, dir).explain("formatted")
