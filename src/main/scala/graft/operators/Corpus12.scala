@@ -713,7 +713,12 @@ object Corpus12 {
       "q277_gate_attribution",
       // GATE ATTRIBUTION (drop-one ablation): per stateless gate, docs
       // failed on the full corpus + docs UNIQUELY killed (every other
-      // gate passes) — whether each gate earns its scan. See
+      // gate passes) — whether each gate earns its scan. This table is
+      // the audit that DROVE a change: at the naive t=0 it showed the
+      // classifier uniquely killing ~0 docs (r11), and the q276 sweep
+      // then recalibrated the deployed threshold to QThreshold=0.03
+      // (see Corpus14.QThreshold), at which nu_classifier is non-zero
+      // at every SF — the FineWeb ablation loop closed. See
       // gateAttribution for the scale shape; the oracle re-derives all
       // five flag chains (robots longest-match, lang argmax, blocklist
       // tokens, the Gopher battery, the GD-unroll classifier) and folds

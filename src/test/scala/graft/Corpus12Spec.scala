@@ -176,6 +176,12 @@ class Corpus12Spec extends AnyFunSuite with SparkSuite {
       assert(nf > 0, s"gate $n fails 0 docs")
       assert(nu <= nf && pa < d, s"gate $n")
     }
+    // the r12 acceptance criterion: at the deployed QThreshold the
+    // classifier gate EARNS its scan — non-zero unique kill (the r11
+    // q277 finding at t=0 was nu≈0; the q276-driven recalibration to
+    // 0.03 is what this asserts held)
+    assert(got.find(_._2 == "classifier").get._5 > 0,
+      "classifier gate uniquely kills 0 docs — threshold miscalibrated")
   }
 
   test("q268 hygiene funnel: full local replay of the nine composed stages") {

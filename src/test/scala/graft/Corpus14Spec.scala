@@ -31,19 +31,22 @@ class Corpus14Spec extends AnyFunSuite with SparkSuite {
     assert(acc >= 0.9, s"train accuracy $acc")
   }
 
-  test("q273: local normalized-tf-idf scoring replay; margins pinned off zero") {
+  test("q273: local normalized-tf-idf scoring replay; margins pinned off the threshold") {
+    val t0 = operators.Corpus14.QThreshold
     val got = SparkEntry.queries("q273_quality_classifier_gate")(spark, sfDir)
       .as[(Long, Boolean, Boolean, Boolean)].collect().toSeq
     val docs = Tables.documents(spark, sfDir)
       .select("doc_id", "text").as[(Long, String)].collect().toMap
     got.foreach { case (id, clf, _, _) =>
-      assert(clf == (margin(docs(id)) > 0), s"doc $id")
+      assert(clf == (margin(docs(id)) > t0), s"doc $id")
     }
-    // the sign-only output is hash-safe only while no corpus margin sits
-    // at 0 — pin the floor well above engine float-association noise
-    // (the q74 |margin| discipline, corpus-wide)
-    val minAbs = docs.values.map(t => math.abs(margin(t))).min
-    assert(minAbs >= 1e-5, s"min |margin| $minAbs")
+    // the threshold-sign output is hash-safe only while no corpus margin
+    // sits AT the deployed threshold — pin the clearance well above
+    // engine float-association noise (~1e-13; the q74 |margin|
+    // discipline, corpus-wide — measured clearance at t=0.03:
+    // 4.0e-4 / 1.9e-4 / 7.4e-6 at sf0.001/0.01/0.1)
+    val minAbs = docs.values.map(t => math.abs(margin(t) - t0)).min
+    assert(minAbs >= 1e-5, s"min |margin - $t0| $minAbs")
     // agree column is derived, both decisions occur, and the gate drops
     // a minority (a quality filter that drops most of its corpus is
     // miscalibrated)
@@ -110,10 +113,15 @@ class Corpus14Spec extends AnyFunSuite with SparkSuite {
   }
 
   test("q276 operating point: holdout replay, threshold cells, margins clear of every t") {
-    import operators.Corpus14.{marginThresholds, qualityFixture, qualityHoldout}
+    import operators.Corpus14.{marginThresholds, qualityFixture, qualityHoldout, QThreshold}
     // the holdout is genuinely held out — zero overlap with the fit rows
     val trainTexts = qualityFixture.map(_._1).toSet
     qualityHoldout.foreach { case (t, _) => assert(!trainTexts(t)) }
+    // r12 resolution contract: ≥24 rows, balanced, all distinct — so
+    // precision/recall move in steps of ~1/12, not the old 1/4
+    assert(qualityHoldout.size >= 24)
+    assert(qualityHoldout.count(_._2 == "quality") == qualityHoldout.size / 2)
+    assert(qualityHoldout.map(_._1).distinct.size == qualityHoldout.size)
     val got = SparkEntry.queries("q276_clf_operating_point")(spark, sfDir)
       .as[(Double, Long, Long, Long, Long, Double, Double, Long, Long, Long, Long)]
       .collect().toSeq
@@ -126,12 +134,15 @@ class Corpus14Spec extends AnyFunSuite with SparkSuite {
       assert(fn == hm.count(x => x._1 <= t && x._2 == "quality").toLong)
       assert(tn == hm.count(x => x._1 <= t && x._2 != "quality").toLong)
     }
-    // at the deployed threshold (0) the model generalizes perfectly to
-    // rows it never saw — the capability claim q273's agreement rows
-    // cannot make
-    val at0 = got.find(_._1 == 0.0).get
-    assert(at0._6 == 1.0 && at0._7 == 1.0, s"holdout P/R at t=0: ${at0._6}/${at0._7}")
-    // corpus agreement cells replay vs q273/q100 flags, and every row's
+    // at the DEPLOYED threshold (QThreshold = 0.03) the model
+    // generalizes perfectly to rows it never saw — the capability claim
+    // the r12 recalibration rests on: moving off the naive t=0 bought
+    // unique corpus kill (q277) at ZERO holdout cost
+    val atT = got.find(_._1 == QThreshold).get
+    assert(atT._6 == 1.0 && atT._7 == 1.0,
+      s"holdout P/R at deployed t=$QThreshold: ${atT._6}/${atT._7}")
+    // corpus agreement cells replay vs q273/q100 flags at the deployed
+    // threshold (q273 publishes margin > QThreshold), and every row's
     // four cells sum to the corpus size
     val q273 = SparkEntry.queries("q273_quality_classifier_gate")(spark, sfDir)
       .as[(Long, Boolean, Boolean, Boolean)].collect().toSeq
@@ -139,20 +150,21 @@ class Corpus14Spec extends AnyFunSuite with SparkSuite {
     got.foreach { case (_, _, _, _, _, _, _, bk, co, ro, bd) =>
       assert(bk + co + ro + bd == n)
     }
-    val at0c = got.find(_._1 == 0.0).get
-    assert(at0c._8 == q273.count(r => r._2 && r._3).toLong)
-    assert(at0c._9 == q273.count(r => r._2 && !r._3).toLong)
-    assert(at0c._10 == q273.count(r => !r._2 && r._3).toLong)
-    assert(at0c._11 == q273.count(r => !r._2 && !r._3).toLong)
+    val atTc = got.find(_._1 == QThreshold).get
+    assert(atTc._8 == q273.count(r => r._2 && r._3).toLong)
+    assert(atTc._9 == q273.count(r => r._2 && !r._3).toLong)
+    assert(atTc._10 == q273.count(r => !r._2 && r._3).toLong)
+    assert(atTc._11 == q273.count(r => !r._2 && !r._3).toLong)
     // hash-safety: every corpus AND holdout margin is pinned >= 1e-6 away
     // from every published threshold, so engine float-association jitter
     // cannot flip a counted cell (the q273 min-|margin| discipline,
     // extended to the sweep). The floor is 1e-6, not q273's 1e-5: the
-    // ±0.05 brackets land inside the corpus's dense positive-margin
-    // region (measured clearance via the oracle CTE chain: 1.0e-4 at
-    // sf0.001, 1.9e-4 at sf0.01, 1.2e-5 at sf0.1), while the jitter the
-    // pin must dominate — double-association error of a ≤40-term sum of
-    // O(0.1) values — is bounded near 1e-13, seven orders below the pin.
+    // sweep's brackets land inside the corpus's dense positive-margin
+    // region (measured clearance over the full 4-threshold sweep:
+    // 1.0e-4 at sf0.001, 1.9e-4 at sf0.01, 7.4e-6 at sf0.1), while the
+    // jitter the pin must dominate — double-association error of a
+    // ≤40-term sum of O(0.1) values — is bounded near 1e-13, seven
+    // orders below the pin.
     val docs = Tables.documents(spark, sfDir)
       .select("text").as[String].collect().toSeq
     val margins = docs.map(margin) ++ hm.map(_._1)
