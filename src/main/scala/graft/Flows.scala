@@ -215,15 +215,21 @@ object Flows {
     // loudly before any verdict lands.
     // NULL counts as degenerate too: aggregate() over a NULL array is
     // NULL, and a NULL === 0 filter would silently DROP the row from
-    // the guard — the exact hole the guard exists to close.
+    // the guard — the exact hole the guard exists to close. Same for a
+    // NULL ELEMENT inside an otherwise-present array (r11 ADVICE): the
+    // fold's sum goes NULL, `NULL === 0` filters the row OUT of the
+    // guard while its cosine still evaluates NULL downstream — so
+    // null-element vectors get their own exists() clause.
     val nz = Tables.embeddings(spark, dir)
-      .filter(col("embedding").isNull || expr(
-        "aggregate(embedding, 0D, (a, x) -> a + abs(CAST(x AS DOUBLE)))") === 0d)
+      .filter(col("embedding").isNull ||
+        expr("exists(embedding, x -> x IS NULL)") ||
+        expr("aggregate(embedding, 0D, (a, x) -> a + abs(CAST(x AS DOUBLE)))") === 0d)
       .count()
     require(nz == 0L,
-      s"semanticDedupFlow: $nz zero-magnitude or NULL embeddings in this " +
-        "corpus — cosine-to-centroid ranking is undefined for them; drop or " +
-        "repair them upstream (the semanticDecontam zero-vector contract)")
+      s"semanticDedupFlow: $nz zero-magnitude, NULL, or null-element " +
+        "embeddings in this corpus — cosine-to-centroid ranking is undefined " +
+        "for them; drop or repair them upstream (the semanticDecontam " +
+        "zero-vector contract)")
     val verdicts = SparkEntry.queries("q170_semdedup")(spark, dir)
     val kept = Tables.documents(spark, dir)
       .join(verdicts.filter(col("kept")).select("vec_id", "cluster"),

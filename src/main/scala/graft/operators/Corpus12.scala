@@ -397,16 +397,30 @@ object Corpus12 {
     * hash joins at 100 TB); ONE global partial-aggregable aggregate
     * folds all 12 cells in a single pass; 5-row output. */
   private[graft] def gateAttribution(docs: DataFrame): DataFrame = {
-    val flags = Corpus13.robotsDecisions(docs)
-      .select(col("doc_id"), col("allowed").as("f_robots"))
+    // LEFT joins onto the corpus doc_id spine + a per-row null-flag
+    // refusal, NOT silent inner joins (r11 ADVICE): every gate frame is
+    // one-row-per-doc by construction today, but a future gate that
+    // drops token-less docs would have silently shrunk n_docs and every
+    // cell under inner joins. coalesce short-circuits, so raise_error
+    // evaluates only on an actually-missing flag — the guard is free on
+    // the healthy path and needs no extra count pass.
+    def must(c: String) = coalesce(col(c), raise_error(lit(
+      s"gateAttribution: $c missing for some doc — a gate frame returned " +
+        "fewer rows than the corpus; every stateless gate must flag every " +
+        "document"))).as(c)
+    val flags = docs.select(col("doc_id"))
+      .join(Corpus13.robotsDecisions(docs)
+        .select(col("doc_id"), col("allowed").as("f_robots")), Seq("doc_id"), "left")
       .join(Corpus14.langGateDecisions(docs)
-        .select(col("doc_id"), col("keep").as("f_lang")), Seq("doc_id"))
+        .select(col("doc_id"), col("keep").as("f_lang")), Seq("doc_id"), "left")
       .join(Corpus14.blocklistDecisions(docs)
-        .select(col("doc_id"), col("keep").as("f_block")), Seq("doc_id"))
+        .select(col("doc_id"), col("keep").as("f_block")), Seq("doc_id"), "left")
       .join(repetitionBattery(docs)
-        .select(col("doc_id"), col("keep").as("f_gopher")), Seq("doc_id"))
+        .select(col("doc_id"), col("keep").as("f_gopher")), Seq("doc_id"), "left")
       .join(Corpus14.qualityClassify(docs)
-        .select(col("doc_id"), col("clf_keep").as("f_clf")), Seq("doc_id"))
+        .select(col("doc_id"), col("clf_keep").as("f_clf")), Seq("doc_id"), "left")
+      .select(col("doc_id"), must("f_robots"), must("f_lang"),
+        must("f_block"), must("f_gopher"), must("f_clf"))
     val gates = Seq(("robots", "f_robots"), ("lang_id", "f_lang"),
       ("blocklist", "f_block"), ("gopher", "f_gopher"), ("classifier", "f_clf"))
     val allPass = gates.map(g => col(g._2)).reduce(_ && _)

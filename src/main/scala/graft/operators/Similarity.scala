@@ -389,7 +389,7 @@ object Similarity {
     *  - an eval side larger than `maxEvalRows`: the O(N_train × N_eval)
     *    screen is only sound while eval is benchmark-bounded. */
   private def decontamSides(corpus: DataFrame,
-      maxEvalRows: Long = decontamMaxEval): (DataFrame, DataFrame, Long) = {
+      maxEvalRows: Long = decontamMaxEval): (DataFrame, DataFrame, DataFrame) = {
     val q = withNorm(corpus)
       .withColumn("mx", expr(
         "aggregate(embedding, 0D, (a, x) -> greatest(a, abs(CAST(x AS DOUBLE))))"))
@@ -404,14 +404,29 @@ object Similarity {
     val ev = q.filter(col("vec_id") % 20 === 0)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"),
         col("s").as("qs"), col("codes").as("qcodes"), col("csum").as("qcsum"))
-    // one scan: the guard's count IS the audit's published n_eval (the
-    // review's double-count fix — q271 must not re-count the same set)
-    val nEval = ev.count()
-    require(nEval <= maxEvalRows,
-      s"semanticDecontam: eval side has $nEval rows > maxEvalRows=$maxEvalRows — " +
-        "the int8 screen is O(N_train × N_eval) by contract (eval = a bounded " +
-        "benchmark suite); raise the bound deliberately or pre-block the eval side")
-    (q.filter(col("vec_id") % 20 =!= 0), ev, nEval)
+    // The eval-size contract rides the PLAN, not a driver action (r11
+    // ADVICE: the previous eager count() here made CONSTRUCTION run a
+    // Spark job — even ExplainAudit's explain() scanned parquet). The
+    // 1-row checked aggregate raise_errors past the bound; threading it
+    // through a Filter on the eval side makes the check LOAD-BEARING
+    // (column pruning cannot drop an expression a Filter references),
+    // so any execution that consumes the eval side — q270's screen,
+    // q271's audit — refuses while BUILDING the eval broadcast, before
+    // any pair work is scheduled, while plan-only callers stay
+    // action-free. The same checked aggregate is handed back as the
+    // audit's published n_eval (one definition; its ≤100k-row input is
+    // a pruned 5%-of-embeddings scan, noise next to the N×N screen).
+    val nEval = ev.agg(count(lit(1)).as("ne_raw")).select(
+      when(col("ne_raw") <= maxEvalRows, col("ne_raw"))
+        .otherwise(raise_error(concat(
+          lit("semanticDecontam: eval side has "), col("ne_raw").cast("string"),
+          lit(s" rows > maxEvalRows=$maxEvalRows — the int8 screen is " +
+            "O(N_train × N_eval) by contract (eval = a bounded benchmark " +
+            "suite); raise the bound deliberately or pre-block the eval side"))))
+        .as("n_eval"))
+    val evGuarded = ev.crossJoin(broadcast(nEval))
+      .filter(col("n_eval") >= 0).drop("n_eval")
+    (q.filter(col("vec_id") % 20 =!= 0), evGuarded, nEval)
   }
 
   private def decontamTau = 0.40
@@ -537,9 +552,9 @@ object Similarity {
           .filter(col("m") >= decontamTau)
           .agg(count(lit(1)).as("exact_flagged"))
         val nt = tr.agg(count(lit(1)).as("n_train"))
-        // the guard already counted the eval side — publish that number
-        // instead of scanning the same set a second time
-        val ne = s.range(1).select(lit(nEval).as("n_eval"))
+        // the published n_eval IS the guard's checked aggregate — one
+        // definition, now lazy (counted at execution, not plan time)
+        val ne = nEval
         nt.crossJoin(broadcast(ne)).crossJoin(broadcast(ef))
           .crossJoin(broadcast(cf)).crossJoin(broadcast(rp))
           .select(col("n_train"), col("n_eval"),

@@ -128,13 +128,19 @@ class FlowsSpec extends AnyFunSuite with SparkSuite {
     // fail loudly (the semanticDecontam contract), not let the row rank
     // on a null and silently become or displace an exemplar. A NULL
     // embedding is the sneakier twin (aggregate() over NULL is NULL, so
-    // a bare === 0 filter would drop it FROM THE GUARD) — both count.
+    // a bare === 0 filter would drop it FROM THE GUARD), and a NULL
+    // ELEMENT inside a present array is the sneakiest (the fold's sum
+    // goes NULL the same way, r11 ADVICE) — all three count.
     val stage = java.nio.file.Files.createTempDirectory("graft_flows_sem_guard")
-    Seq((0L, 0, Some(Seq.fill(64)(0.1f))), (1L, 0, Some(Seq.fill(64)(0.0f))),
-      (2L, 1, Option.empty[Seq[Float]]), (3L, 1, Some(Seq.fill(64)(0.2f))))
+    Seq((0L, 0, Some(Seq.fill(64)(Option(0.1f)))),
+      (1L, 0, Some(Seq.fill(64)(Option(0.0f)))),
+      (2L, 1, Option.empty[Seq[Option[Float]]]),
+      (3L, 1, Some(Seq.fill(64)(Option(0.2f)))),
+      (4L, 1, Some(Option(0.3f) +: Option.empty[Float] +: Seq.fill(62)(Option(0.3f)))))
       .toDF("vec_id", "label", "embedding")
       .write.parquet(stage.resolve("embeddings.parquet").toString)
-    Seq((0L, "a doc", 5L), (1L, "b doc", 5L), (2L, "c doc", 5L), (3L, "d doc", 5L))
+    Seq((0L, "a doc", 5L), (1L, "b doc", 5L), (2L, "c doc", 5L),
+      (3L, "d doc", 5L), (4L, "e doc", 5L))
       .toDF("doc_id", "text", "n_chars")
       .write.parquet(stage.resolve("documents.parquet").toString)
     val out = stage.resolve("semdedup").toString
@@ -142,7 +148,9 @@ class FlowsSpec extends AnyFunSuite with SparkSuite {
       Flows.semanticDedupFlow(spark, stage.toString, out)
     }
     assert(ex.getMessage.contains("zero-magnitude"))
-    assert(ex.getMessage.contains("2 zero-magnitude"), ex.getMessage)
+    // all three degenerate shapes counted: all-zero (1), NULL array (2),
+    // null-element array (4)
+    assert(ex.getMessage.contains("3 zero-magnitude"), ex.getMessage)
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(out)))
   }
 

@@ -372,13 +372,15 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     }
     assert(rootMsg(ex).contains("zero-magnitude embedding"),
       s"unexpected failure: ${rootMsg(ex).take(300)}")
-    // the O(N_train × N_eval) contract is assertable: an eval side past
-    // the bound refuses before any pair work is scheduled
+    // the O(N_train × N_eval) contract is assertable and IN-PLAN (r11
+    // ADVICE: the old eager count made mere construction run a Spark
+    // job): building the frame is action-free; executing it refuses
+    // while the eval broadcast is being built — before any pair work
     val ok = Tables.embeddings(spark, sfDir)
-    val ex2 = intercept[IllegalArgumentException] {
-      operators.Similarity.semanticDecontam(ok, maxEvalRows = 1L)
-    }
-    assert(ex2.getMessage.contains("maxEvalRows"))
+    val gated = operators.Similarity.semanticDecontam(ok, maxEvalRows = 1L)
+    val ex2 = intercept[Exception] { gated.collect() }
+    assert(rootMsg(ex2).contains("maxEvalRows"),
+      s"unexpected failure: ${rootMsg(ex2).take(300)}")
   }
 
   test("long_vec_dot refuses a length mismatch instead of truncating") {
