@@ -347,36 +347,42 @@ object Corpus14 {
   /** The CCNet/FineWeb LANGUAGE-ID GATE (keep = target language wins
     * q34's stopword-hit argmax): per-doc battery counts, the predicted
     * language, and the keep verdict. Runs q34's EXACT heuristic (shared
-    * battery lists, shared tokenizer, same argmax tie-break en > es >
-    * de) over the dirty twin. Stateless map work — array filters inside
-    * one scan projection, zero shuffles at any corpus size, runs
-    * unchanged on a readStream frontier. */
+    * battery table, shared tokenizer, same argmax tie-break = table
+    * order) over the dirty twin — the FULL [[TextAnalytics.langBatteries]]
+    * table (en/es/de/ru incl. the non-Latin-script row), every count
+    * column, the argmax, and the keep condition GENERATED from it, so
+    * adding a language is a battery-row edit and nothing here. Stateless
+    * map work — array filters inside one scan projection, zero shuffles
+    * at any corpus size, runs unchanged on a readStream frontier. */
   private[graft] def langGateDecisions(docs: DataFrame): DataFrame = {
-    import TextAnalytics.{langDeList, langEnList, langEsList}
+    import TextAnalytics.{langBatteries, langList}
+    val langs = langBatteries.map(_._1)
+    val counts = langs.map(l =>
+      expr(s"CAST(size(filter(w, x -> x IN (${langList(l)}))) AS BIGINT)").as(s"n_$l"))
     docs.select(col("doc_id"), langDirty.as("text"))
       .select(col("doc_id"), expr(TextAnalytics.toksExpr).as("w"))
-      .select(col("doc_id"),
-        expr(s"CAST(size(filter(w, x -> x IN ($langEnList))) AS BIGINT)").as("n_en"),
-        expr(s"CAST(size(filter(w, x -> x IN ($langEsList))) AS BIGINT)").as("n_es"),
-        expr(s"CAST(size(filter(w, x -> x IN ($langDeList))) AS BIGINT)").as("n_de"))
-      .withColumn("predicted", TextAnalytics.langPredCol)
-      .withColumn("keep", col("predicted") === lit("en"))
+      .select(col("doc_id") +: counts: _*)
+      .withColumn("predicted", TextAnalytics.langPredColOf(langs))
+      .withColumn("keep", col("predicted") === lit(langs.head))
   }
 
   /** The lang-id decision chain as DuckDB CTEs ending in
-    * `${p}lang(doc_id, n_en, n_es, n_de, predicted, keep)` — shared by
-    * q275 and q268's funnel oracle (one definition). */
+    * `${p}lang(doc_id, n_<lang>..., predicted, keep)` — shared by q275
+    * and q268's funnel oracle (one definition), generated from the same
+    * battery table as the Spark body. */
   private[operators] def langDuckCte(src: String = "documents", p: String = ""): String = {
-    import TextAnalytics.{langDeList, langEnList, langEsList, toksDuck}
+    import TextAnalytics.{langBatteries, langList, langPredDuckOf, toksDuck}
+    val langs = langBatteries.map(_._1)
+    val counts = langs.map(l =>
+      s"CAST(len(list_filter(w, x -> x IN (${langList(l)}))) AS BIGINT) AS n_$l")
+      .mkString(", ")
+    val keepCond = langs.tail.map(o => s"n_${langs.head} >= n_$o").mkString(" AND ")
     s"""${p}ld AS (SELECT doc_id, $langDirtyDuck AS text FROM $src),
        |${p}lw AS (SELECT doc_id, $toksDuck AS w FROM ${p}ld),
-       |${p}lc AS (SELECT doc_id,
-       |CAST(len(list_filter(w, x -> x IN ($langEnList))) AS BIGINT) AS n_en,
-       |CAST(len(list_filter(w, x -> x IN ($langEsList))) AS BIGINT) AS n_es,
-       |CAST(len(list_filter(w, x -> x IN ($langDeList))) AS BIGINT) AS n_de FROM ${p}lw),
-       |${p}lang AS (SELECT doc_id, n_en, n_es, n_de,
-       |${TextAnalytics.langPredDuck} AS predicted,
-       |n_en >= n_es AND n_en >= n_de AS keep FROM ${p}lc)"""
+       |${p}lc AS (SELECT doc_id, $counts FROM ${p}lw),
+       |${p}lang AS (SELECT doc_id, ${langs.map(l => s"n_$l").mkString(", ")},
+       |${langPredDuckOf(langs)} AS predicted,
+       |$keepCond AS keep FROM ${p}lc)"""
       .stripMargin.replace("\n", " ")
   }
 
@@ -431,13 +437,16 @@ object Corpus14 {
       // after URL dedup, before the quality gates): q34's stopword-hit
       // argmax deployed as a keep/drop decision over the dirty twin
       // (langDirty — deterministic es/de stopword injections so the
-      // gate has real work: ~11% of docs drop). Battery lists, the
+      // gate has real work: ~11% of docs drop). Battery table, the
       // tokenizer, and the tie-break are the SHARED q34 definitions —
-      // the gate cannot drift from the scoring query. Stateless
-      // zero-shuffle map work; see langGateDecisions.
+      // the gate cannot drift from the scoring query — and since r12
+      // the battery is DATA (TextAnalytics.langBatteries, including the
+      // Cyrillic 'ru' row: zero hits on this corpus, but the count/
+      // argmax path is exercised and spec-proven non-ASCII-safe).
+      // Stateless zero-shuffle map work; see langGateDecisions.
       (s, dir) => langGateDecisions(Tables.documents(s, dir)).orderBy("doc_id"),
       Some(s"""WITH ${langDuckCte()}
-              |SELECT doc_id, n_en, n_es, n_de, predicted, keep
+              |SELECT doc_id, ${TextAnalytics.langBatteries.map(b => s"n_${b._1}").mkString(", ")}, predicted, keep
               |FROM lang ORDER BY doc_id""".stripMargin.replace("\n", " "))),
 
     QueryDef(

@@ -51,26 +51,55 @@ object TextAnalytics {
   private[graft] val toksExpr = "filter(split(lower(text), ' '), x -> x <> '')"
   private[graft] val toksDuck = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
 
-  /** The three stopword batteries of the lang-id heuristic — ONE
-    * definition (same string interpolates into the Spark HOF and the
-    * DuckDB list_filter) shared by q34, q79, and the funnel's lang-id
-    * gate (Corpus14.langGateDecisions), so the gate can never drift from
-    * the scoring query it deploys. */
-  private[operators] val langEnList = "'the','a','an','and','or','of','is','to'"
-  private[operators] val langEsList = "'el','la','de','que','y','en','los','se'"
-  private[operators] val langDeList = "'der','die','das','und','ist','von','mit','den'"
+  /** The stopword batteries of the lang-id heuristic as ONE DATA TABLE
+    * (r12: adding a language is a ROW here, not code — every consumer's
+    * count columns, argmax, and oracle CASE are GENERATED from it):
+    * (lang, stopwords), ordered by tie-break priority. Rows 1-3
+    * (en/es/de) are the original q34/q79 battery; row 4 (ru) is the
+    * non-Latin-script row that pins the tokenizer path as honest UTF-8
+    * — lower()/split/IN-list matching on Cyrillic, nothing in the chain
+    * assumes ASCII (Corpus14Spec proves a Russian document predicts
+    * 'ru' through the full q275 gate body). q34/q79 keep the 3-language
+    * battery (their published schema); the q275 funnel gate runs the
+    * full table. */
+  private[graft] val langBatteries: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "an", "and", "or", "of", "is", "to"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "se"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "den"),
+    "ru" -> Seq("и", "в", "не", "на", "что", "с", "он", "как"))
 
-  /** The argmax + tie-break (en > es > de) over the three battery
-    * counts — ONE Spark expression and its byte-identical DuckDB CASE
-    * twin, shared by q34, q79, and the funnel gate (q275). Completes
-    * what the shared lists start: a tie-break change (or a fourth
-    * language) edits exactly one place per engine. */
+  /** The IN-list literal for one battery row — the same string
+    * interpolates into the Spark HOF and the DuckDB list_filter, so the
+    * two engines can never drift. */
+  private[operators] def langList(lang: String): String =
+    langBatteries.find(_._1 == lang).get._2.map(w => s"'$w'").mkString(",")
+
+  private[operators] val langEnList = langList("en")
+  private[operators] val langEsList = langList("es")
+  private[operators] val langDeList = langList("de")
+
+  /** The argmax + tie-break (table order) over `langs`' battery counts
+    * (columns `n_<lang>`) — ONE generated Spark expression and its
+    * byte-identical DuckDB CASE twin, shared by q34, q79, and the
+    * funnel gate (q275). A tie-break change or a new language edits the
+    * [[langBatteries]] table, nothing else. */
+  private[operators] def langPredColOf(langs: Seq[String]): org.apache.spark.sql.Column =
+    langs.init.zipWithIndex.foldRight(lit(langs.last)) { case ((l, i), els) =>
+      val cond = langs.drop(i + 1).map(o => col(s"n_$l") >= col(s"n_$o")).reduce(_ && _)
+      when(cond, l).otherwise(els)
+    }
+  private[operators] def langPredDuckOf(langs: Seq[String]): String = {
+    val cases = langs.init.zipWithIndex.map { case (l, i) =>
+      val cond = langs.drop(i + 1).map(o => s"n_$l >= n_$o").mkString(" AND ")
+      s"WHEN $cond THEN '$l'"
+    }.mkString(" ")
+    s"CASE $cases ELSE '${langs.last}' END"
+  }
+
   private[operators] def langPredCol: org.apache.spark.sql.Column =
-    when(col("n_en") >= col("n_es") && col("n_en") >= col("n_de"), "en")
-      .when(col("n_es") >= col("n_de"), "es")
-      .otherwise("de")
+    langPredColOf(langBatteries.take(3).map(_._1))
   private[operators] val langPredDuck =
-    "CASE WHEN n_en >= n_es AND n_en >= n_de THEN 'en' WHEN n_es >= n_de THEN 'es' ELSE 'de' END"
+    langPredDuckOf(langBatteries.take(3).map(_._1))
 
   /** Deterministic multi-language corpus for q79: sentences dense in each
     * language's own stopword signal, disjoint from the other two lists —

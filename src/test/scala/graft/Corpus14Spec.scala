@@ -83,33 +83,51 @@ class Corpus14Spec extends AnyFunSuite with SparkSuite {
   }
 
   test("q275 lang gate: local replay; injected docs flip language; keep = argmax en") {
-    val en = Set("the", "a", "an", "and", "or", "of", "is", "to")
-    val es = Set("el", "la", "de", "que", "y", "en", "los", "se")
-    val de = Set("der", "die", "das", "und", "ist", "von", "mit", "den")
+    val bats = operators.TextAnalytics.langBatteries.map { case (l, ws) => (l, ws.toSet) }
     val docs = Tables.documents(spark, sfDir)
       .select("doc_id", "text").as[(Long, String)].collect().toSeq
     val got = SparkEntry.queries("q275_langid_gate")(spark, sfDir)
-      .as[(Long, Long, Long, Long, String, Boolean)].collect().toSeq
+      .as[(Long, Long, Long, Long, Long, String, Boolean)].collect().toSeq
     val expected = docs.map { case (id, text) =>
       val t = text +
         (if (id % 17 == 4) " el que y en" * 40 else "") +
         (if (id % 19 == 6) " der und ist von" * 40 else "")
       val w = t.toLowerCase.split(' ').filter(_.nonEmpty)
-      val (ne, ns, nd) = (w.count(en).toLong, w.count(es).toLong, w.count(de).toLong)
-      val p = if (ne >= ns && ne >= nd) "en" else if (ns >= nd) "es" else "de"
-      (id, ne, ns, nd, p, p == "en")
+      val counts = bats.map { case (l, ws) => (l, w.count(ws).toLong) }
+      // argmax with battery-table-order tie-break
+      val p = counts.zipWithIndex
+        .find { case ((_, c), i) => counts.drop(i + 1).forall(c >= _._2) }.get._1._1
+      (id, counts(0)._2, counts(1)._2, counts(2)._2, counts(3)._2, p, p == "en")
     }.sortBy(_._1)
     assert(got == expected)
     // every injected doc flips to its injected language (160 hits beat a
-    // <=100-token doc by construction), clean docs all stay en, and the
-    // gate drops a real minority
-    got.foreach { case (id, _, _, _, p, k) =>
+    // <=100-token doc by construction), clean docs all stay en, the ru
+    // battery scores ZERO on this Latin-script corpus (its path is
+    // proven on a Cyrillic fixture below), and the gate drops a real
+    // minority
+    got.foreach { case (id, _, _, _, nr, p, k) =>
+      assert(nr == 0L, s"doc $id has Cyrillic battery hits on a Latin corpus")
       if (id % 17 == 4) assert(p == "es" && !k, s"doc $id")
       else if (id % 19 == 6) assert(p == "de" && !k, s"doc $id")
       else assert(p == "en" && k, s"doc $id")
     }
-    val drops = got.count(!_._6)
+    val drops = got.count(!_._7)
     assert(drops > 0 && drops < got.size / 5)
+  }
+
+  test("q275 battery is data: the non-Latin-script (Cyrillic) row works through the gate body") {
+    // the tokenizer chain (lower/split/IN-list) must be honest UTF-8 —
+    // nothing may assume ASCII. doc_ids dodge the dirty-twin injections
+    // (% 17 != 4, % 19 != 6) so the fixture text is what gets scored.
+    val docs = Seq(
+      (1L, "и в не на что с он как и в не"),
+      (2L, "the data of the table is to scan and to sort"))
+      .toDF("doc_id", "text")
+    val got = operators.Corpus14.langGateDecisions(docs)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long, String, Boolean)].collect().toSeq
+    assert(got(0) == ((1L, 0L, 0L, 0L, 11L, "ru", false)), got(0).toString)
+    assert(got(1)._6 == "en" && got(1)._7)
   }
 
   test("q276 operating point: holdout replay, threshold cells, margins clear of every t") {
