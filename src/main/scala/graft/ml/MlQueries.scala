@@ -6,9 +6,9 @@ import graft.operators.{Similarity, TextAnalytics}
 /** ML surface entries (M1/M2/M5). Since r5, q72 and q52 cluster with the
   * deterministic [[LloydKMeans]] unroll and carry full DuckDB oracles
   * (r4 verdict item #5); since r7, q74's logistic-regression fit is the
-  * deterministic [[GdClassifier]] GD unroll with its own oracle — the
-  * only remaining rows-only query is q92 (engine-native sketches, whose
-  * oracled twins are q148/q153/q168).
+  * deterministic [[GdClassifier]] GD unroll with its own oracle; since
+  * r12 q92 is hash-oracled too (first-principles register form), so
+  * every declared query carries a DuckDB oracle.
   */
 object MlQueries {
 

@@ -18,10 +18,13 @@ import org.apache.spark.sql.functions._
   *  - q95 split assignment: deterministic md5-bucket train/val/test
   *    labels — content-stable (survives re-partitioning, re-ingestion
   *    order, cluster size), unlike rand(seed) which is partition-dependent.
-  *  - q92 sketches: approx_count_distinct (HLL) + approx_percentile —
+  *  - q92 sketches: fixed-memory distinct count + quantile per group —
   *    the fixed-memory forms of q16/q25; sketch merge is commutative, so
-  *    results are partitioning-independent (rows-only check + error-bound
-  *    spec, since DuckDB's sketches differ by construction).
+  *    results are partitioning-independent. Since r12 built from FIRST
+  *    PRINCIPLES (q168's HLL register form + a bounded-domain histogram
+  *    quantile), so both engines produce identical state and the row is
+  *    hash-oracled; the engine-native sketches (approx_count_distinct,
+  *    approx_percentile) stay spec-verified against it (CorpusSpec).
   */
 object Corpus {
 
@@ -506,20 +509,107 @@ object Corpus {
 
     QueryDef(
       "q92_approx_sketches",
-      // The fixed-memory aggregates that REPLACE q16/q25 at 100 TB:
-      // HyperLogLog++ distinct counts and approximate percentiles. Sketch
-      // merges are commutative/associative → results are deterministic
-      // under any partitioning (CorpusSpec proves stability and the error
-      // bound vs the exact forms). No DuckDB oracle: its sketches differ
-      // by construction — this is the one honest rows-only entry outside
-      // the iterative-ML trio.
-      (s, dir) =>
-        Tables.lineitem(s, dir)
-          .groupBy("l_returnflag")
-          .agg(
-            approx_count_distinct("l_partkey", 0.02).as("approx_parts"),
-            expr("approx_percentile(l_quantity, 0.5, 1000)").as("approx_median"))
-          .orderBy("l_returnflag"),
-      None)
+      // The fixed-memory aggregates that REPLACE q16/q25 at 100 TB, now
+      // ORACLED (the board's last rows-only entry, retired in r12 by the
+      // r11 verdict's ask): per l_returnflag,
+      //  (a) a first-principles m=256 HyperLogLog distinct-partkey count
+      //      on the shared 60-bit hash — q168's register form, so both
+      //      engines build IDENTICAL registers — published as the
+      //      q153/q168 honesty pair (estimate, exact, err_ratio); and
+      //  (b) a fixed-bin HISTOGRAM quantile sketch for the median
+      //      quantity: l_quantity's domain is 50 integral values, so a
+      //      50-bucket count histogram is a bona fide bounded-memory
+      //      quantile structure (the bounded-domain special case of a
+      //      digest; its lower-median is exact on this domain).
+      // Spark's engine-native sketches (approx_count_distinct HLL++,
+      // approx_percentile) remain spec-verified against these outputs
+      // (CorpusSpec) — they cannot be hash-oracled directly because
+      // DuckDB's sketches differ by construction, which is exactly why
+      // the register form exists. Scale: HLL state is 256 B per flag
+      // FOREVER (one (flag, idx) max-aggregate + one 256-row fold); the
+      // histogram is ≤50 rows per flag (one partial-aggregable count
+      // aggregate + one ≤50-element fold) — no distinct over values, no
+      // sort, no corpus-sized anything; merges are max/sum monoids so
+      // any partitioning yields the same state (CorpusSpec proves it).
+      (s, dir) => approxSketches(Tables.lineitem(s, dir)),
+      Some {
+        val ph = hexFoldDuck(
+          "substr(md5(concat('p#', CAST(l_partkey AS VARCHAR))), 1, 15)", 15)
+        s"""WITH li AS (SELECT l_returnflag, l_partkey, CAST(l_quantity AS BIGINT) AS q FROM lineitem),
+           |ph AS (SELECT l_returnflag, $ph + 1 AS h FROM li),
+           |rho AS (SELECT l_returnflag, h % 256 AS idx,
+           |CASE WHEN h // 256 = 0 THEN 53 ELSE 53 - length(bin(h // 256)) END AS rho FROM ph),
+           |reg AS (SELECT l_returnflag, idx, max(rho) AS mx FROM rho GROUP BY 1, 2),
+           |spine AS (SELECT l_returnflag, i AS idx FROM (SELECT DISTINCT l_returnflag FROM reg) s,
+           |LATERAL (SELECT unnest(generate_series(0, 255)) AS i) g),
+           |full_ AS (SELECT spine.l_returnflag, spine.idx, coalesce(reg.mx, 0) AS mx
+           |FROM spine LEFT JOIN reg ON spine.l_returnflag = reg.l_returnflag AND spine.idx = reg.idx),
+           |est AS (SELECT l_returnflag, list_sum(list(pow(2, -mx) ORDER BY idx)) AS s,
+           |sum(CASE WHEN mx = 0 THEN 1 ELSE 0 END) AS v FROM full_ GROUP BY 1),
+           |er AS (SELECT l_returnflag,
+           |round(CASE WHEN (0.7213 / (1 + 1.079 / 256.0)) * 65536.0 / s <= 2.5 * 256 AND v > 0
+           |THEN 256.0 * ln(256.0 / v)
+           |ELSE (0.7213 / (1 + 1.079 / 256.0)) * 65536.0 / s END, 1) AS est_parts FROM est),
+           |ex AS (SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts FROM li GROUP BY 1),
+           |hist AS (SELECT l_returnflag, q, count(*) AS c FROM li GROUP BY 1, 2),
+           |cum AS (SELECT l_returnflag, q, sum(c) OVER (PARTITION BY l_returnflag ORDER BY q) AS run,
+           |sum(c) OVER (PARTITION BY l_returnflag) AS n FROM hist),
+           |md AS (SELECT l_returnflag, CAST(min(q) AS BIGINT) AS median_qty FROM cum
+           |WHERE run >= (n + 1) // 2 GROUP BY 1)
+           |SELECT er.l_returnflag AS l_returnflag, est_parts, exact_parts,
+           |round(est_parts / exact_parts, 4) AS err_ratio, median_qty
+           |FROM er JOIN ex USING (l_returnflag) JOIN md USING (l_returnflag)
+           |ORDER BY l_returnflag""".stripMargin.replace("\n", " ")
+      })
   )
+
+  /** q92's body, input-agnostic (needs `l_returnflag`, `l_partkey`,
+    * `l_quantity`) — see the QueryDef comment for the design. Exposed so
+    * CorpusSpec can prove partitioning-independence by re-running it on
+    * a repartitioned input (the register max and histogram count are
+    * monoids; the folds read SORTED state, so association order is
+    * pinned on both engines). */
+  private[graft] def approxSketches(lineitem: DataFrame): DataFrame = {
+    val li = lineitem.select(col("l_returnflag"), col("l_partkey"),
+      col("l_quantity").cast("long").as("q"))
+    val ph =
+      "CAST(conv(substr(md5(concat('p#', CAST(l_partkey AS STRING))), 1, 15), 16, 10) AS BIGINT) + 1"
+    val rho = li.select(col("l_returnflag"), expr(ph).as("h"))
+      .withColumn("idx", col("h") % 256)
+      .withColumn("w", expr("h div 256"))
+      .withColumn("rho", when(col("w") === 0, lit(53))
+        .otherwise(lit(53) - length(expr("bin(w)"))))
+    val reg = rho.groupBy("l_returnflag", "idx").agg(max("rho").as("mx"))
+    val spine = reg.select("l_returnflag").distinct()
+      .select(col("l_returnflag"), explode(expr("sequence(0, 255)")).as("idx"))
+    val full = spine.join(reg, Seq("l_returnflag", "idx"), "left")
+      .withColumn("mx", coalesce(col("mx"), lit(0)))
+    val alpha = 0.7213 / (1 + 1.079 / 256.0)
+    val est = full.groupBy("l_returnflag").agg(
+      expr("aggregate(array_sort(collect_list(struct(idx, mx))), 0D, (a, x) -> a + pow(2D, -x.mx))").as("s"),
+      sum(when(col("mx") === 0, 1).otherwise(0)).as("v"))
+      .withColumn("e_raw", lit(alpha) * lit(65536.0) / col("s"))
+      .withColumn("est_raw",
+        when(col("e_raw") <= 2.5 * 256 && col("v") > 0,
+          lit(256.0) * log(lit(256.0) / col("v")))
+          .otherwise(col("e_raw")))
+      .select(col("l_returnflag"), round(col("est_raw"), 1).as("est_parts"))
+    val exact = li.groupBy("l_returnflag")
+      .agg(countDistinct("l_partkey").as("exact_parts"))
+    val med = li.groupBy("l_returnflag", "q").agg(count(lit(1)).as("c"))
+      .groupBy("l_returnflag").agg(
+        expr("array_sort(collect_list(struct(q, c)))").as("hs"),
+        sum("c").as("n"))
+      .withColumn("k", expr("(n + 1) DIV 2"))
+      .select(col("l_returnflag"), expr(
+        """aggregate(hs, struct(CAST(0 AS BIGINT) AS run, CAST(NULL AS BIGINT) AS m),
+          |(a, x) -> struct(a.run + x.c,
+          |CASE WHEN a.m IS NULL AND a.run + x.c >= k THEN x.q ELSE a.m END),
+          |a -> a.m)""".stripMargin.replace("\n", " ")).as("median_qty"))
+    est.join(exact, "l_returnflag").join(med, "l_returnflag")
+      .select(col("l_returnflag"), col("est_parts"), col("exact_parts"),
+        round(col("est_parts") / col("exact_parts"), 4).as("err_ratio"),
+        col("median_qty"))
+      .orderBy("l_returnflag")
+  }
 }

@@ -43,27 +43,53 @@ class CorpusSpec extends AnyFunSuite with SparkSuite {
 
   test("q92 sketches stay within error bounds of the exact aggregates") {
     val approx = SparkEntry.queries("q92_approx_sketches")(spark, sfDir)
-      .as[(String, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+      .as[(String, Double, Long, Double, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._5)).toMap
     val exact = Tables.lineitem(spark, sfDir)
       .groupBy("l_returnflag")
       .agg(countDistinct("l_partkey").as("d"), expr("percentile(l_quantity, 0.5)").as("m"))
       .as[(String, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
     exact.foreach { case (k, (d, m)) =>
-      val (ad, am) = approx(k)
-      assert(math.abs(ad - d).toDouble / d < 0.05, s"$k: approx distinct $ad vs exact $d")
-      assert(math.abs(am - m) / math.max(m, 1.0) < 0.10, s"$k: approx median $am vs exact $m")
+      val (ad, pubExact, am) = approx(k)
+      // the honesty pair carries the true exact NDV; the HLL estimate is
+      // within the m=256 error regime (~6.5% std err → 10% bound here)
+      assert(pubExact == d, s"$k: published exact $pubExact vs $d")
+      assert(math.abs(ad - d) / d < 0.10, s"$k: HLL estimate $ad vs exact $d")
+      // the histogram lower-median can differ from percentile's even-N
+      // interpolation by at most half a bucket on this integral domain
+      assert(math.abs(am - m) <= 0.5, s"$k: sketch median $am vs exact $m")
     }
   }
 
   test("q92 sketch results are partitioning-independent (commutative merge)") {
-    val base = SparkEntry.queries("q92_approx_sketches")(spark, sfDir)
-      .as[(String, Long, Double)].collect().toSeq
-    val reparted = Tables.lineitem(spark, sfDir).repartition(13)
-      .groupBy("l_returnflag")
-      .agg(approx_count_distinct("l_partkey", 0.02).as("approx_parts"),
-        expr("approx_percentile(l_quantity, 0.5, 1000)").as("approx_median"))
-      .orderBy("l_returnflag").as[(String, Long, Double)].collect().toSeq
+    // register max and histogram count are monoids; the estimate folds
+    // SORTED state — so any partitioning must produce identical rows
+    val base = operators.Corpus.approxSketches(Tables.lineitem(spark, sfDir))
+      .as[(String, Double, Long, Double, Long)].collect().toSeq
+    val reparted = operators.Corpus.approxSketches(
+        Tables.lineitem(spark, sfDir).repartition(13))
+      .as[(String, Double, Long, Double, Long)].collect().toSeq
     assert(base == reparted)
+  }
+
+  test("engine-native sketches (HLL++, approx_percentile) track the oracled register form") {
+    // the native surface stays exercised even though only the
+    // first-principles form can be hash-oracled (engine sketches differ
+    // across engines by construction)
+    val oracled = SparkEntry.queries("q92_approx_sketches")(spark, sfDir)
+      .as[(String, Double, Long, Double, Long)].collect()
+      .map(r => r._1 -> (r._3, r._5)).toMap
+    val native = Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct("l_partkey", 0.02).as("nd"),
+        expr("approx_percentile(l_quantity, 0.5, 1000)").as("nm"))
+      .as[(String, Long, Double)].collect()
+    native.foreach { case (k, nd, nm) =>
+      val (exactD, med) = oracled(k)
+      assert(math.abs(nd - exactD).toDouble / exactD < 0.05,
+        s"$k: native HLL++ $nd vs exact $exactD")
+      assert(math.abs(nm - med) <= 1.0, s"$k: native median $nm vs sketch $med")
+    }
   }
 
   test("stratified sampling (sampleBy) hits per-stratum fractions with a fixed seed") {
