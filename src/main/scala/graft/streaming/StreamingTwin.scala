@@ -76,6 +76,26 @@ object StreamingTwin {
     q.awaitTermination()
   }
 
+  /** IDEMPOTENT foreachBatch parquet landing — the bridge sink for
+    * composed streaming topologies (service A's foreachBatch lands rows
+    * that service B's file source then consumes). foreachBatch is
+    * AT-LEAST-ONCE: a micro-batch whose write finished but whose commit
+    * didn't (post-write pre-commit crash) is RE-DELIVERED with the same
+    * batchId on restart, and a plain `mode("append")` landing would
+    * double its rows into every downstream reader — the one
+    * exactly-once hole kill/restart recovery alone doesn't close. Each
+    * batch therefore lands as its OWN batchId-keyed hive partition with
+    * mode("overwrite") scoped to that directory: re-delivery rewrites
+    * `dir/batch_id=N` with the identical rows (the batch's offset range
+    * is fixed in the WAL before foreachBatch runs, so the replayed
+    * input is the same) and the landing converges byte-stably no matter
+    * how many times the batch is delivered. Readers list the base dir;
+    * `batch_id` surfaces as an ordinary prunable partition column.
+    * StreamingRecoverySpec proves a forced double-delivery changes
+    * nothing and runs the composed admission topology over this sink. */
+  def landBatch(b: DataFrame, batchId: Long, dir: String): Unit =
+    b.write.mode("overwrite").parquet(s"$dir/batch_id=$batchId")
+
   // One staged copy per source dir per JVM — repeated calls (tests, demos)
   // must not leak a fresh copy of the dataset into /tmp each time.
   private val stagedDirs =

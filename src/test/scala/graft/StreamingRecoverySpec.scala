@@ -127,16 +127,19 @@ class StreamingRecoverySpec extends AnyFunSuite with SparkSuite {
       val q1 = StatefulOps.urlDedupStream(gated.as[StatefulOps.UrlIn]).writeStream
         .outputMode("append")
         .option("checkpointLocation", ckpt1.toString)
-        .foreachBatch { (ds: Dataset[StatefulOps.UrlDecision], _: Long) =>
+        .foreachBatch { (ds: Dataset[StatefulOps.UrlDecision], batchId: Long) =>
           val rows = ds.collect().toSeq
           urlBuf.synchronized { urlBuf ++= rows }
           val kept = rows.filter(_.kept).toDF().join(payload, Seq("doc_id"))
           val langKeep = operators.Corpus14.langGateDecisions(
               kept.select($"doc_id", $"text"))
             .filter($"keep").select("doc_id")
-          kept.join(langKeep, Seq("doc_id"), "left_semi")
-            .select($"doc_id", $"host", $"n_chars")
-            .write.mode("append").parquet(bridge)
+          // batchId-keyed idempotent landing (NOT append): a re-delivered
+          // micro-batch must not double-feed the quota service
+          streaming.StreamingTwin.landBatch(
+            kept.join(langKeep, Seq("doc_id"), "left_semi")
+              .select($"doc_id", $"host", $"n_chars"),
+            batchId, bridge)
         }
         .trigger(Trigger.AvailableNow()).start()
       q1.awaitTermination()
@@ -207,6 +210,40 @@ class StreamingRecoverySpec extends AnyFunSuite with SparkSuite {
     val h0Phase2 = quotaBuf.drop(quotaPhase1).filter(_.host == "h0")
     assert(h0Phase2.nonEmpty && h0Phase2.forall(!_.admitted),
       "h0's post-restart arrivals must all be refused by carried state")
+  }
+
+  test("a re-delivered micro-batch lands idempotently through the batchId-keyed bridge") {
+    // foreachBatch is at-least-once: after a post-write pre-commit crash
+    // the SAME batchId is delivered again on restart. The bridge landing
+    // (StreamingTwin.landBatch) must make that a no-op — this forces the
+    // replay deterministically by re-invoking the sink with the same
+    // batchId (same rows, the WAL-fixed offset range; different
+    // partitioning, as a restarted job may produce) and checks the
+    // landed frame equals the batch truth, not truth + a doubled batch.
+    val bridge = java.nio.file.Files.createTempDirectory("graft_idem_bridge")
+      .resolve("kept").toString
+    val truth = operators.Corpus12.hostedDocs(
+      Tables.documents(spark, "/root/testdata/sf0.001"))
+      .select($"doc_id", $"host", $"n_chars")
+    val batch0 = truth.filter($"doc_id" % 2 === 0)
+    val batch1 = truth.filter($"doc_id" % 2 =!= 0)
+    streaming.StreamingTwin.landBatch(batch0, 0L, bridge)
+    streaming.StreamingTwin.landBatch(batch1, 1L, bridge)
+    def landed(): Seq[(Long, String, Long)] =
+      spark.read.parquet(bridge).select("doc_id", "host", "n_chars")
+        .as[(Long, String, Long)].collect().toSeq.sorted
+    val expected = truth.as[(Long, String, Long)].collect().toSeq.sorted
+    assert(landed() == expected)
+    // the crash-replay: batch 1 delivered AGAIN (same batchId), with a
+    // different physical partitioning — the landing must not change
+    streaming.StreamingTwin.landBatch(batch1.repartition(3), 1L, bridge)
+    assert(landed() == expected,
+      "a re-delivered micro-batch changed the landed frame — the bridge is not idempotent")
+    // and an append-mode landing WOULD have doubled it (the hole this
+    // sink closes): the batch_id partition column scopes each delivery
+    val perBatch = spark.read.parquet(bridge)
+      .groupBy("batch_id").count().as[(Long, Long)].collect().toMap
+    assert(perBatch(1L) == batch1.count(), s"batch 1 landed ${perBatch(1L)} rows")
   }
 
   test("clamped-balance stream killed between micro-batches resumes and settles to q204") {
