@@ -329,8 +329,14 @@ object Corpus12 {
     // (scan ⋉ pinned ids). Only ONE downstream reader needs text
     // before the cap (the lang gate); from the cap onward survivors
     // are bounded by cap × |hosts| BY CONSTRUCTION, so the remaining
-    // stages keep their text-bearing pins (each feeds 2+ text readers
-    // and is no longer corpus-sized at any scale).
+    // stages keep their text-bearing pins (each feeds 2+ text readers).
+    // The post-cap pins were SETTLED BY MEASUREMENT in r12 on the
+    // skewed-host fixture (ProfPinPolicy: cap×|hosts| = 40% of a
+    // 40k/80k-doc corpus — the web's many-hosts/shallow-quota shape):
+    // text pins beat narrow+re-attach ~10% warm at both sizes, and the
+    // byte math holds at 100 TB — the shrinking post-cap frames cost
+    // ~1.1 corpus-copies of text total vs 4 full text-column re-scans
+    // for narrow pins. See SCALE.md (r12 entry).
     val narrow = docs0.select(col("doc_id"), col("n_chars"))
     val k1 = narrow.join(k0, Seq("doc_id"), "left_semi")
       .join(w1, Seq("doc_id"), "left_semi").localCheckpoint()
