@@ -28,7 +28,7 @@ object ExplainAudit {
         "q121_bpe_merges", "q122_bpe_encode", "q123_hybrid_rrf",
         "q144_temperature_mixture", "q145_countmin_heavy_hitters",
         "q150_constraint_audit", "q151_equidepth_histogram",
-        "q50_knn_bruteforce", "q153_kmv_distinct_sketch",
+        "q50_knn_bruteforce", "q92_approx_sketches", "q153_kmv_distinct_sketch",
         "q248_lorenz_curve", "q254_image_decode", "q255_knn_batch",
         "q166_pq_trained", "q167_label_propagation",
         "q168_hll_distinct", "q169_ivf_delta",
