@@ -336,6 +336,70 @@ object Flows {
     spark.read.parquet(outDir)
   }
 
+  /** Drains the streaming bridge's batchId-keyed landing into a durable
+    * doc_id-keyed parquet store, then prunes the drained batch dirs —
+    * the COMPACTION step the idempotent landing (StreamingTwin.landBatch)
+    * makes necessary at scale: one hive partition per micro-batch is
+    * exactly-once-correct but accumulates a dir per batch forever
+    * (millions of small files at 100 TB ingest rates; the classic
+    * streaming small-file problem). The drain upserts every batch with
+    * `batch_id <= upTo` into `storeDir` via the SAME crash-safe
+    * stage-and-swap protocol as the article store (Ingest.stageSwapStore)
+    * with existing-wins/earliest-batch-wins keep-first semantics, then
+    * deletes the drained partitions.
+    *
+    * Safety contract, in order:
+    *  - `upTo` must be a COMMITTED watermark (the streaming checkpoint's
+    *    offset log has moved past batch upTo) — committed batches can
+    *    never be re-delivered, so their dirs are safe to prune. Batches
+    *    above the watermark are left untouched for a possible replay.
+    *  - Idempotent anyway: if a crash lands between the store swap and
+    *    the prune (or an uncommitted batch IS re-delivered after its
+    *    early drain), the next drain re-reads the same rows and the
+    *    keyed upsert is a no-op — the store converges, never doubles.
+    *  - Crash inside the swap itself: stageSwapStore's torn-swap
+    *    recovery restores the backup; the batch dirs are still present
+    *    (pruning is last), so re-draining reproduces the same store.
+    *
+    * Returns the number of batch partitions drained. FlowsSpec proves
+    * convergence under double-drain and post-drain replay, and that the
+    * store compacts to O(1) files while the bridge dir shrinks. */
+  def drainBridge(spark: SparkSession, bridgeDir: String, storeDir: String,
+      upTo: Long, key: Seq[String] = Seq("doc_id")): Int = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val base = Paths.get(bridgeDir)
+    if (!Files.isDirectory(base)) return 0
+    val drained = Files.list(base).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("batch_id="))
+      .filter(p => p.getFileName.toString.stripPrefix("batch_id=").toLong <= upTo)
+      .toSeq.sortBy(_.getFileName.toString)
+    if (drained.isEmpty) return 0
+    val landed = spark.read.option("basePath", bridgeDir)
+      .parquet(drained.map(_.toString): _*)
+      .withColumn("batch_id", col("batch_id").cast("long"))
+    Ingest.stageSwapStore(spark, storeDir) {
+      case Some(existing) =>
+        // existing wins (it came from an earlier drain of earlier
+        // batches), then earliest batch — the same priority-window merge
+        // as mergeExistingWins, keyed generically
+        val e = existing.withColumn("pri", lit(0)).withColumn("batch_id", lit(-1L))
+        val b = landed.withColumn("pri", lit(1))
+        Relational.dedupKeepFirst(e.unionByName(b), key,
+          Seq(col("pri"), col("batch_id"))).drop("pri", "batch_id")
+      case None =>
+        Relational.dedupKeepFirst(landed, key, Seq(col("batch_id")))
+          .drop("batch_id")
+    }
+    // prune LAST: a crash anywhere above leaves every batch dir in
+    // place and the next drain converges to the same store
+    drained.foreach { p =>
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(q => Files.delete(q))
+    }
+    drained.size
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master("local[4]")

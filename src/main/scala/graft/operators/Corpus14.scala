@@ -326,6 +326,73 @@ object Corpus14 {
       .orderBy("t")
   }
 
+  /** q278's bin edges ARE the q276 sweep thresholds (sorted) — ONE edge
+    * list for both audits, so the clearance pin Corpus14Spec measures
+    * for the sweep (every corpus + holdout margin ≥1e-6 from every
+    * threshold, vs ~1e-13 engine jitter) also makes the diagram's bin
+    * assignment float-safe: no margin can land close enough to a bin
+    * edge for summation-order noise to move it across. */
+  private[graft] def reliabilityEdges: Seq[Double] = marginThresholds.sorted
+
+  /** q278's body: the RELIABILITY DIAGRAM + ECE (Guo et al. 2017,
+    * "On Calibration of Modern Neural Networks") for the deployed
+    * classifier — whether the classifier's CONFIDENCE is meaningful,
+    * not just its decisions. q276 audits the decision at swept
+    * thresholds; this audits the probability scale BETWEEN them: per
+    * margin bin (edges = [[reliabilityEdges]]) and scope, the count,
+    * the mean predicted P(quality) = σ(margin), the empirical positive
+    * rate (scope=corpus: q100's rule gate as the reference verdict —
+    * the q273 pairing; scope=holdout: the true labels), the |gap|, and
+    * the scope's ECE = Σ gap·n / Σ n.
+    *
+    * Scale shape: margins are the same stateless map work as the gate
+    * itself; ONE partial-aggregable groupBy folds the corpus onto
+    * ≤2·(edges+1) (scope, bin) groups; the ECE window runs over ≤5 rows
+    * per scope; the holdout is a 24-row literal. Hash discipline:
+    * avg_p / pos_rate round(4) at the aggregate (the repo-wide float
+    * rule), and gap / ece compute FROM the rounded values — exact
+    * arithmetic on hash-stable inputs, so the derived columns cannot
+    * drift even where the raw sums differ by ulps across engines. */
+  private[graft] def classifierReliability(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.Column
+    val edges = reliabilityEdges
+    val hold = qualityHoldout.zipWithIndex
+      .map { case ((text, label), i) => (i.toLong, text, label) }
+      .toDF("doc_id", "text", "label")
+    val hm = qualityMargins(hold)
+      .join(hold.select("doc_id", "label"), Seq("doc_id"))
+      .select(lit("holdout").as("scope"), col("clf_margin").as("m"),
+        (col("label") === "quality").as("pos"))
+    val rule = Corpus.qualityGate(docs).select(col("doc_id"), col("keep"))
+    val cm = qualityMargins(docs).join(rule, Seq("doc_id"))
+      .select(lit("corpus").as("scope"), col("clf_margin").as("m"),
+        col("keep").as("pos"))
+    val binned = cm.unionByName(hm).withColumn("bin",
+      edges.zipWithIndex.foldRight(lit(edges.size): Column) {
+        case ((e, i), els) => when(col("m") <= e, lit(i)).otherwise(els)
+      })
+    val lo = "-inf" +: edges.map(_.toString)
+    val hi = edges.map(_.toString) :+ "inf"
+    def labelCol(xs: Seq[String]): Column =
+      xs.zipWithIndex.tail.foldLeft(lit(xs.head): Column) {
+        case (els, (x, i)) => when(col("bin") === i, lit(x)).otherwise(els)
+      }
+    val g = binned.groupBy("scope", "bin").agg(
+      count(lit(1)).as("n"),
+      round(avg(lit(1.0) / (lit(1.0) + exp(-col("m")))), 4).as("avg_p"),
+      round(avg(col("pos").cast("double")), 4).as("pos_rate"))
+      .withColumn("gap", round(abs(col("avg_p") - col("pos_rate")), 4))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("scope")
+    g.withColumn("ece",
+        round(sum(col("gap") * col("n")).over(w) / sum(col("n")).over(w), 4))
+      .select(col("scope"), col("bin"), labelCol(lo).as("bin_lo"),
+        labelCol(hi).as("bin_hi"), col("n"), col("avg_p"), col("pos_rate"),
+        col("gap"), col("ece"))
+      .orderBy("scope", "bin")
+  }
+
   /** The deterministic non-target-language injection for the funnel's
     * lang-id gate (the q262/q274 dirty-twin idiom — the synthetic corpus
     * is uniformly English-shaped, q34 predicts 'en' on every document,
@@ -502,6 +569,65 @@ object Corpus14 {
            |both_keep, clf_only, rule_only, both_drop
            |FROM th JOIN hh USING (t) JOIN cc USING (t)
            |ORDER BY t""".stripMargin.replace("\n", " ")
+      }),
+
+    QueryDef(
+      "q278_clf_reliability",
+      // CLASSIFIER RELIABILITY DIAGRAM + ECE (Guo et al. 2017): q276
+      // audits the gate's DECISIONS at swept thresholds; this audits
+      // whether the probability scale between them is CALIBRATED — per
+      // margin bin (edges = the q276 thresholds, so the same clearance
+      // pin covers both audits), mean predicted P(quality) vs the
+      // empirical positive rate on the corpus (rule gate as reference
+      // verdict) and on the labeled holdout, plus each scope's expected
+      // calibration error. The "is the classifier's confidence
+      // meaningful" readout that decides whether margins can be reused
+      // as sampling weights (the FineWeb-Edu score-as-weight pattern)
+      // or are only safe as a hard gate. See classifierReliability for
+      // the scale shape and float discipline.
+      (s, dir) => classifierReliability(Tables.documents(s, dir)),
+      Some {
+        val n = qualityFixture.size
+        val edges = reliabilityEdges
+        val holdVals = qualityHoldout.zipWithIndex.map { case ((text, label), i) =>
+          s"($i, '$text', '$label')"
+        }.mkString(", ")
+        val binCase =
+          "CASE " + edges.zipWithIndex.map { case (e, i) =>
+            s"WHEN m <= CAST($e AS DOUBLE) THEN $i"
+          }.mkString(" ") + s" ELSE ${edges.size} END"
+        val lo = "-inf" +: edges.map(_.toString)
+        val hi = edges.map(_.toString) :+ "inf"
+        def labelCase(xs: Seq[String]) =
+          "CASE bin " + xs.zipWithIndex.map { case (x, i) =>
+            s"WHEN $i THEN '$x'"
+          }.mkString(" ") + " END"
+        s"""WITH ${clfDuckCte()},
+           |${Corpus.gateDuckCte("g_")},
+           |hv(i, text, label) AS (VALUES $holdVals),
+           |htok AS (SELECT i, unnest(list_filter(string_split(lower(text), ' '),
+           |x -> x <> '' AND x NOT IN ($stopSqlList))) AS term FROM hv),
+           |hl AS (SELECT i, CAST(count(*) AS DOUBLE) AS l FROM htok GROUP BY 1),
+           |hx AS (SELECT i, term, CAST(count(*) AS DOUBLE) AS tf FROM htok GROUP BY 1, 2),
+           |hs AS (SELECT hx.i, sum(hx.tf / hl.l * (ln(($n + 1.0) / (dfx.dfc + 1.0)) + 1.0) * w.w) AS s
+           |FROM hx JOIN hl USING (i) JOIN dfx ON hx.term = dfx.term JOIN w$QSteps w ON hx.term = w.term GROUP BY 1),
+           |hm AS (SELECT hv.i, hv.label, coalesce(hs.s, 0) + (SELECT b FROM b$QSteps) AS m
+           |FROM hv LEFT JOIN hs ON hv.i = hs.i),
+           |u AS (SELECT 'corpus' AS scope, clf.clf_margin AS m,
+           |(len_ok AND stop_ok AND toklen_ok AND rep_ok) AS pos
+           |FROM clf JOIN g_r ON clf.doc_id = g_r.doc_id
+           |UNION ALL SELECT 'holdout', m, label = 'quality' FROM hm),
+           |bnd AS (SELECT scope, $binCase AS bin, m, pos FROM u),
+           |grp AS (SELECT scope, bin, CAST(count(*) AS BIGINT) AS n,
+           |round(avg(1.0 / (1.0 + exp(-m))), 4) AS avg_p,
+           |round(avg(CASE WHEN pos THEN 1.0 ELSE 0.0 END), 4) AS pos_rate
+           |FROM bnd GROUP BY 1, 2),
+           |gp AS (SELECT *, round(abs(avg_p - pos_rate), 4) AS gap FROM grp),
+           |ec AS (SELECT *, round(sum(gap * n) OVER (PARTITION BY scope)
+           | / CAST(sum(n) OVER (PARTITION BY scope) AS DOUBLE), 4) AS ece FROM gp)
+           |SELECT scope, bin, ${labelCase(lo)} AS bin_lo, ${labelCase(hi)} AS bin_hi,
+           |n, avg_p, pos_rate, gap, ece
+           |FROM ec ORDER BY scope, bin""".stripMargin.replace("\n", " ")
       })
   )
 }

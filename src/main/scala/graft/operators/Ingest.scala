@@ -76,7 +76,23 @@ object Ingest {
     * deployment target (a commit-protocol table format) owns that
     * concern. Callers must serialize invocations per storeDir.
     */
-  def persistMerge(spark: SparkSession, storeDir: String, batch: DataFrame): Unit = {
+  def persistMerge(spark: SparkSession, storeDir: String, batch: DataFrame): Unit =
+    stageSwapStore(spark, storeDir) {
+      case Some(existing) => mergeExistingWins(existing, batch)
+      case None => Relational.dedupKeepFirst(batch, Seq("title"),
+        Seq(col("source_rank"), col("ingest_idx")))
+    }
+
+  /** The crash-safe stage-and-swap protocol around a parquet store,
+    * factored out of [[persistMerge]] (r12: `Flows.drainBridge` needs the
+    * same swap for a doc_id-keyed store): recover a torn previous swap,
+    * hand the current store (if any) to `mergeWith`, stage the result,
+    * swap atomically with an `.old` backup, drop the backup. The caller's
+    * merge MUST be idempotent — that is what makes re-applying a batch
+    * after the recovery path safe (PersistMergeSpec proves the protocol
+    * for both a clean store and every torn-swap state). */
+  private[graft] def stageSwapStore(spark: SparkSession, storeDir: String)(
+      mergeWith: Option[DataFrame] => DataFrame): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val store = Paths.get(storeDir)
     val old = Paths.get(storeDir + ".old")
@@ -92,10 +108,8 @@ object Ingest {
     if (!Files.exists(store) && Files.exists(old))
       Files.move(old, store, StandardCopyOption.ATOMIC_MOVE)
     else rmTree(old)
-    val merged =
-      if (Files.exists(store)) mergeExistingWins(spark.read.parquet(storeDir), batch)
-      else Relational.dedupKeepFirst(batch, Seq("title"),
-        Seq(col("source_rank"), col("ingest_idx")))
+    val merged = mergeWith(
+      if (Files.exists(store)) Some(spark.read.parquet(storeDir)) else None)
     val stage = Paths.get(storeDir + ".staging")
     merged.write.mode("overwrite").parquet(stage.toString)
     if (Files.exists(store)) Files.move(store, old, StandardCopyOption.ATOMIC_MOVE)

@@ -190,6 +190,65 @@ class Corpus14Spec extends AnyFunSuite with SparkSuite {
     assert(minGap >= 1e-6, s"min |margin - t| $minGap")
   }
 
+  test("q278 reliability: bin/rate replay, ECE arithmetic, monotone confidence") {
+    import operators.Corpus14.{qualityHoldout, reliabilityEdges}
+    val edges = reliabilityEdges
+    // the diagram's bins reuse the sweep's thresholds EXACTLY — one edge
+    // list, one clearance pin (the q276 test above measures it)
+    assert(edges == operators.Corpus14.marginThresholds.sorted)
+    val got = SparkEntry.queries("q278_clf_reliability")(spark, sfDir)
+      .as[(String, Int, String, String, Long, Double, Double, Double, Double)]
+      .collect().toSeq
+    def binOf(m: Double): Int =
+      edges.zipWithIndex.collectFirst { case (e, i) if m <= e => i }
+        .getOrElse(edges.size)
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // scope truths: corpus = (margin, rule keep) via q273's published
+    // rule column (≡ q100), holdout = (margin, label)
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    val rk = SparkEntry.queries("q273_quality_classifier_gate")(spark, sfDir)
+      .as[(Long, Boolean, Boolean, Boolean)].collect()
+      .map(r => r._1 -> r._3).toMap
+    val corpus = docs.toSeq.map { case (id, t) => (margin(t), rk(id)) }
+    val holdout = qualityHoldout.map { case (t, l) => (margin(t), l == "quality") }
+    val truth = Map("corpus" -> corpus, "holdout" -> holdout)
+    assert(got.map(_._1).toSet == truth.keySet)
+    for ((scope, rows) <- truth) {
+      val pub = got.filter(_._1 == scope)
+      // bins partition the scope: counts replay bin-by-bin, absent bins empty
+      val exp = rows.groupBy(x => binOf(x._1))
+      assert(pub.map(_._2).toSet == exp.keySet)
+      assert(pub.map(r => r._2 -> r._5).toMap ==
+        exp.view.mapValues(_.size.toLong).toMap)
+      // per-bin aggregates replay under the same round-4 discipline
+      pub.foreach { case (_, bin, _, _, n, avgP, posRate, gap, _) =>
+        val xs = exp(bin)
+        assert(avgP == r4(xs.map(x => 1.0 / (1.0 + math.exp(-x._1))).sum / n))
+        assert(posRate == r4(xs.count(_._2).toDouble / n))
+        assert(gap == r4(math.abs(avgP - posRate)))
+      }
+      // ECE is exact arithmetic over the published (rounded) rows
+      val ece = r4(pub.map(r => r._8 * r._5).sum / pub.map(_._5).sum)
+      assert(pub.forall(_._9 == ece), s"$scope ece ${pub.map(_._9).distinct}")
+      // mean confidence is strictly monotone across occupied bins (bins
+      // are margin-ordered and sigmoid is monotone)
+      val byBin = pub.sortBy(_._2).map(_._6)
+      assert(byBin.zip(byBin.tail).forall { case (a, b) => a < b }, s"$scope $byBin")
+      // bin labels are the edge list verbatim
+      pub.foreach { case (_, bin, lo, hi, _, _, _, _, _) =>
+        assert(lo == (("-inf" +: edges.map(_.toString)))(bin))
+        assert(hi == ((edges.map(_.toString) :+ "inf"))(bin))
+      }
+    }
+    // the audit says something: the holdout's extreme bins are PURE
+    // (perfectly separated labels), so ECE there reads the probability
+    // scale's honesty, not classification error
+    val h = got.filter(_._1 == "holdout").sortBy(_._2)
+    assert(h.head._7 == 0.0 && h.last._7 == 1.0)
+  }
+
   test("q273 vs q100: all four confusion cells occur — a real operating-point delta") {
     val got = SparkEntry.queries("q273_quality_classifier_gate")(spark, sfDir)
       .as[(Long, Boolean, Boolean, Boolean)].collect().toSeq

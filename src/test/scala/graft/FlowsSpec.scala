@@ -23,6 +23,45 @@ class FlowsSpec extends AnyFunSuite with SparkSuite {
     assert(spark.read.parquet(store).count() == n1)
   }
 
+  test("drainBridge compacts the batchId landing into the keyed store, replay-safe") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_drain")
+    val bridge = tmp.resolve("bridge").toString
+    val store = tmp.resolve("store").toString
+    val truth = operators.Corpus12.hostedDocs(
+        Tables.documents(spark, "/root/testdata/sf0.001"))
+      .select($"doc_id", $"host", $"n_chars")
+    val Seq(b0, b1, b2) = (0 to 2).map(i => truth.filter($"doc_id" % 3 === i))
+    streaming.StreamingTwin.landBatch(b0, 0L, bridge)
+    streaming.StreamingTwin.landBatch(b1, 1L, bridge)
+    streaming.StreamingTwin.landBatch(b2, 2L, bridge)
+    def storeRows(): Seq[(Long, String, Long)] =
+      spark.read.parquet(store).as[(Long, String, Long)].collect().toSeq.sorted
+    def bridgeParts(): Seq[String] =
+      new java.io.File(bridge).list().toSeq.filter(_.startsWith("batch_id=")).sorted
+    // drain up to the committed watermark (batch 1): batches 0+1 land in
+    // the store, their dirs are pruned, batch 2 stays for its commit
+    val expect01 = b0.unionByName(b1).as[(Long, String, Long)].collect().toSeq.sorted
+    assert(Flows.drainBridge(spark, bridge, store, upTo = 1L) == 2)
+    assert(storeRows() == expect01)
+    assert(bridgeParts() == Seq("batch_id=2"))
+    // double-drain at the same watermark is a no-op
+    assert(Flows.drainBridge(spark, bridge, store, 1L) == 0)
+    assert(storeRows() == expect01)
+    // at-least-once replay AFTER the drain (batch 1 re-delivered, new
+    // partitioning): the re-drain upserts the same rows — no doubling
+    streaming.StreamingTwin.landBatch(b1.repartition(3), 1L, bridge)
+    assert(Flows.drainBridge(spark, bridge, store, 1L) == 1)
+    assert(storeRows() == expect01)
+    // advance the watermark: the store converges to the full truth, the
+    // bridge is empty, and the landing is compacted to O(1) files
+    assert(Flows.drainBridge(spark, bridge, store, 2L) == 1)
+    assert(storeRows() == truth.as[(Long, String, Long)].collect().toSeq.sorted)
+    assert(bridgeParts().isEmpty)
+    val storeFiles = new java.io.File(store).list().count(_.endsWith(".parquet"))
+    assert(storeFiles <= spark.sparkContext.defaultParallelism,
+      s"store not compacted: $storeFiles files")
+  }
+
   test("query-articles composes the four optional filters like the reference") {
     val out = java.nio.file.Files.createTempDirectory("graft_flows_spec_q")
     val store = out.resolve("store").toString
