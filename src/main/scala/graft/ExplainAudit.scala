@@ -43,7 +43,8 @@ object ExplainAudit {
         "q270_semantic_decontam", "q272_robots_gate",
         "q273_quality_classifier_gate", "q274_blocklist_gate",
         "q275_langid_gate", "q276_clf_operating_point",
-        "q277_gate_attribution", "q278_clf_reliability")
+        "q277_gate_attribution", "q278_clf_reliability",
+        "q279_temperature_scaling")
     targets.foreach { name =>
       println(s"\n===== $name =====")
       SparkEntry.queries(name)(spark, dir).explain("formatted")

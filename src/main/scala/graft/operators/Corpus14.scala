@@ -393,6 +393,65 @@ object Corpus14 {
       .orderBy("scope", "bin")
   }
 
+  /** q279's temperature grid — exact binary fractions (1/2^k), so the
+    * scaled margin m/T is an EXACT double rescaling in both engines (no
+    * new float hazard beyond the margins themselves, which the q276
+    * clearance pin already covers). T < 1 SHARPENS σ(m/T) — the
+    * direction q278's finding calls for (margins compressed ~±0.05
+    * around 0 while empirical rates span 0-1). */
+  private[graft] val temperatureGrid: Seq[Double] =
+    Seq(1.0, 0.5, 0.25, 0.125, 0.0625, 0.03125)
+
+  /** q279's body: TEMPERATURE SCALING (Guo et al. 2017 §4.2 — the
+    * one-parameter post-hoc recalibration) acted on q278's finding that
+    * the classifier's raw sigmoid scale is compressed. Per grid
+    * temperature T: the holdout's negative log-likelihood and Brier
+    * score under p = σ(margin/T) (binning-free calibration metrics —
+    * no bin-edge float hazard), and the corpus Brier against the rule
+    * gate's verdict (the q273 reference pairing). `chosen` marks the
+    * holdout-NLL argmin (tie-break: larger T, i.e. the LEAST aggressive
+    * scaling that achieves it). The published tension is the point:
+    * the perfectly-separated holdout rewards ever-sharper T while the
+    * corpus-vs-rule Brier worsens past moderate sharpening (the two
+    * gates genuinely disagree on ~40% of docs, and confident
+    * disagreement is penalized quadratically) — so the table documents
+    * WHY the deployed gate stays a hard threshold (monotone in any T)
+    * and what T a weights-consumer should take. Scale shape: the
+    * corpus side is one stateless projection crossed with a 6-row
+    * broadcast literal into one partial-aggregable groupBy; the
+    * holdout is a 24-row literal. Same round-4 discipline as q278. */
+  private[graft] def temperatureScaling(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val grid = broadcast(temperatureGrid.toDF("t"))
+    def p = lit(1.0) / (lit(1.0) + exp(-col("m") / col("t")))
+    val hold = qualityHoldout.zipWithIndex
+      .map { case ((text, label), i) => (i.toLong, text, label) }
+      .toDF("doc_id", "text", "label")
+    val hm = qualityMargins(hold)
+      .join(hold.select("doc_id", "label"), Seq("doc_id"))
+      .select(col("clf_margin").as("m"), (col("label") === "quality").as("y"))
+    val h = broadcast(hm).crossJoin(grid)
+      .select(col("t"), p.as("p"), col("y").cast("double").as("y"))
+      .groupBy("t").agg(
+        round(avg(-log(when(col("y") === 1.0, col("p")).otherwise(lit(1.0) - col("p")))), 4)
+          .as("holdout_nll"),
+        round(avg(pow(col("p") - col("y"), 2)), 4).as("holdout_brier"))
+    val rule = Corpus.qualityGate(docs).select(col("doc_id"), col("keep"))
+    val c = qualityMargins(docs).join(rule, Seq("doc_id"))
+      .select(col("clf_margin").as("m"), col("keep").cast("double").as("y"))
+      .crossJoin(grid)
+      .groupBy("t").agg(
+        round(avg(pow(p - col("y"), 2)), 4).as("corpus_brier"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("holdout_nll"), col("t").desc)
+    h.join(c, Seq("t"))
+      .withColumn("chosen", row_number().over(w) === 1)
+      .select(col("t"), col("holdout_nll"), col("holdout_brier"),
+        col("corpus_brier"), col("chosen"))
+      .orderBy("t")
+  }
+
   /** The deterministic non-target-language injection for the funnel's
     * lang-id gate (the q262/q274 dirty-twin idiom — the synthetic corpus
     * is uniformly English-shaped, q34 predicts 'en' on every document,
@@ -628,6 +687,55 @@ object Corpus14 {
            |SELECT scope, bin, ${labelCase(lo)} AS bin_lo, ${labelCase(hi)} AS bin_hi,
            |n, avg_p, pos_rate, gap, ece
            |FROM ec ORDER BY scope, bin""".stripMargin.replace("\n", " ")
+      }),
+
+    QueryDef(
+      "q279_temperature_scaling",
+      // TEMPERATURE SCALING sweep (Guo et al. 2017 §4.2) — the ACTION on
+      // q278's finding (raw sigmoid scale compressed, holdout ECE 0.46):
+      // per exact-binary temperature T, the holdout NLL + Brier and the
+      // corpus Brier vs the rule verdict under p = σ(margin/T), with the
+      // holdout-NLL argmin marked. Binning-free metrics (no bin-edge
+      // float hazard); the table shows the holdout rewarding ever-
+      // sharper T while the corpus-vs-rule Brier turns — the measured
+      // reason the deployed gate stays a hard threshold and what T a
+      // sampling-weights consumer should take instead of raw σ(margin).
+      // See temperatureScaling for the scale shape.
+      (s, dir) => temperatureScaling(Tables.documents(s, dir)),
+      Some {
+        val n = qualityFixture.size
+        val holdVals = qualityHoldout.zipWithIndex.map { case ((text, label), i) =>
+          s"($i, '$text', '$label')"
+        }.mkString(", ")
+        val gridVals = temperatureGrid.map(t => s"($t)").mkString(", ")
+        s"""WITH ${clfDuckCte()},
+           |${Corpus.gateDuckCte("g_")},
+           |hv(i, text, label) AS (VALUES $holdVals),
+           |htok AS (SELECT i, unnest(list_filter(string_split(lower(text), ' '),
+           |x -> x <> '' AND x NOT IN ($stopSqlList))) AS term FROM hv),
+           |hl AS (SELECT i, CAST(count(*) AS DOUBLE) AS l FROM htok GROUP BY 1),
+           |hx AS (SELECT i, term, CAST(count(*) AS DOUBLE) AS tf FROM htok GROUP BY 1, 2),
+           |hs AS (SELECT hx.i, sum(hx.tf / hl.l * (ln(($n + 1.0) / (dfx.dfc + 1.0)) + 1.0) * w.w) AS s
+           |FROM hx JOIN hl USING (i) JOIN dfx ON hx.term = dfx.term JOIN w$QSteps w ON hx.term = w.term GROUP BY 1),
+           |hm AS (SELECT hv.i, hv.label, coalesce(hs.s, 0) + (SELECT b FROM b$QSteps) AS m
+           |FROM hv LEFT JOIN hs ON hv.i = hs.i),
+           |tg AS (SELECT CAST(t AS DOUBLE) AS t FROM (VALUES $gridVals) v(t)),
+           |hh AS (SELECT tg.t, 1.0 / (1.0 + exp(-hm.m / tg.t)) AS p,
+           |CASE WHEN label = 'quality' THEN 1.0 ELSE 0.0 END AS y FROM tg, hm),
+           |ha AS (SELECT t,
+           |round(avg(-ln(CASE WHEN y = 1.0 THEN p ELSE 1.0 - p END)), 4) AS holdout_nll,
+           |round(avg(pow(p - y, 2)), 4) AS holdout_brier FROM hh GROUP BY 1),
+           |cx AS (SELECT clf.clf_margin AS m,
+           |CASE WHEN (len_ok AND stop_ok AND toklen_ok AND rep_ok) THEN 1.0 ELSE 0.0 END AS y
+           |FROM clf JOIN g_r ON clf.doc_id = g_r.doc_id),
+           |ca AS (SELECT tg.t,
+           |round(avg(pow(1.0 / (1.0 + exp(-cx.m / tg.t)) - cx.y, 2)), 4) AS corpus_brier
+           |FROM tg, cx GROUP BY 1),
+           |j AS (SELECT ha.t AS t, holdout_nll, holdout_brier, corpus_brier
+           |FROM ha JOIN ca ON ha.t = ca.t),
+           |r AS (SELECT *, row_number() OVER (ORDER BY holdout_nll, t DESC) AS rn FROM j)
+           |SELECT t, holdout_nll, holdout_brier, corpus_brier, rn = 1 AS chosen
+           |FROM r ORDER BY t""".stripMargin.replace("\n", " ")
       })
   )
 }

@@ -249,6 +249,55 @@ class Corpus14Spec extends AnyFunSuite with SparkSuite {
     assert(h.head._7 == 0.0 && h.last._7 == 1.0)
   }
 
+  test("q279 temperature scaling: metric replay, argmin choice, holdout/corpus tension") {
+    import operators.Corpus14.{qualityHoldout, temperatureGrid}
+    // exact binary fractions only — m/T must be an exact rescaling
+    temperatureGrid.foreach { t =>
+      assert(java.lang.Double.toHexString(t).matches("0x1\\.0p-?\\d+"), s"$t")
+    }
+    val got = SparkEntry.queries("q279_temperature_scaling")(spark, sfDir)
+      .as[(Double, Double, Double, Double, Boolean)].collect().toSeq
+    assert(got.map(_._1) == temperatureGrid.sorted)
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def sig(m: Double, t: Double): Double = 1.0 / (1.0 + math.exp(-m / t))
+    // local replay of all three metrics per temperature
+    val hm = qualityHoldout.map { case (text, l) => (margin(text), l == "quality") }
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val rk = SparkEntry.queries("q273_quality_classifier_gate")(spark, sfDir)
+      .as[(Long, Boolean, Boolean, Boolean)].collect()
+      .map(r => r._1 -> r._3).toMap
+    val cm = docs.map { case (id, t) => (margin(t), rk(id)) }
+    got.foreach { case (t, nll, brier, cbrier, _) =>
+      assert(nll == r4(hm.map { case (m, y) =>
+        -math.log(if (y) sig(m, t) else 1.0 - sig(m, t))
+      }.sum / hm.size))
+      assert(brier == r4(hm.map { case (m, y) =>
+        math.pow(sig(m, t) - (if (y) 1.0 else 0.0), 2)
+      }.sum / hm.size))
+      assert(cbrier == r4(cm.map { case (m, y) =>
+        math.pow(sig(m, t) - (if (y) 1.0 else 0.0), 2)
+      }.sum / cm.size))
+    }
+    // chosen = unique holdout-NLL argmin (tie-break: larger T)
+    val chosen = got.filter(_._5)
+    assert(chosen.size == 1)
+    assert(chosen.head == got.sortBy(r => (r._2, -r._1)).head)
+    // on the separated holdout, sharper is strictly better (NLL
+    // increases with T) — the q278 compression finding quantified
+    assert(got.map(_._2) == got.map(_._2).sorted)
+    // and the published TENSION: the corpus-vs-rule Brier does NOT
+    // reward the holdout's choice — its optimum is an interior T and
+    // the holdout-chosen sharpest T is strictly worse than even the
+    // unscaled T=1 (confident disagreement on ~40% of docs penalized
+    // quadratically) — the measured reason raw σ(margin/T_chosen) must
+    // not be shipped as corpus sampling weights unchecked
+    val byCorpus = got.minBy(r => (r._4, -r._1))
+    assert(byCorpus._1 != chosen.head._1)
+    assert(chosen.head._4 > got.find(_._1 == 1.0).get._4)
+  }
+
   test("q273 vs q100: all four confusion cells occur — a real operating-point delta") {
     val got = SparkEntry.queries("q273_quality_classifier_gate")(spark, sfDir)
       .as[(Long, Boolean, Boolean, Boolean)].collect().toSeq

@@ -68,7 +68,8 @@ class PlanLinterSpec extends AnyFunSuite with SparkSuite {
     "q233_stl_decompose"        -> "30-day series",
     "q238_pacf"                 -> "daily aggregate (<=30 day rows) feeding the 5-lag Durbin-Levinson",
     "q245_kruskal_wallis"       -> "value-DOMAIN midrank table",
-    "q246_rank_biased_overlap"  -> "two top-20 rank lists"
+    "q246_rank_biased_overlap"  -> "two top-20 rank lists",
+    "q279_temperature_scaling"  -> "6 temperature-grid aggregate rows (argmin rank)"
   )
 
   /** Queries allowed a non-scalar-merge SinglePartition exchange — the
