@@ -370,10 +370,15 @@ object Flows {
     import scala.jdk.CollectionConverters._
     val base = Paths.get(bridgeDir)
     if (!Files.isDirectory(base)) return 0
-    val drained = Files.list(base).iterator().asScala
-      .filter(p => p.getFileName.toString.startsWith("batch_id="))
-      .filter(p => p.getFileName.toString.stripPrefix("batch_id=").toLong <= upTo)
-      .toSeq.sortBy(_.getFileName.toString)
+    // drain is called repeatedly from a long-lived driver: close the
+    // directory streams (they hold OS handles until GC otherwise)
+    val ls = Files.list(base)
+    val drained =
+      try ls.iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("batch_id="))
+        .filter(p => p.getFileName.toString.stripPrefix("batch_id=").toLong <= upTo)
+        .toSeq.sortBy(_.getFileName.toString)
+      finally ls.close()
     if (drained.isEmpty) return 0
     val landed = spark.read.option("basePath", bridgeDir)
       .parquet(drained.map(_.toString): _*)
@@ -394,8 +399,10 @@ object Flows {
     // prune LAST: a crash anywhere above leaves every batch dir in
     // place and the next drain converges to the same store
     drained.foreach { p =>
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+      val walk = Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder())
         .forEach(q => Files.delete(q))
+      finally walk.close()
     }
     drained.size
   }
@@ -452,6 +459,19 @@ object Flows {
     val mon = monitoringFlow(spark, "/root/testdata/sf0.001",
       out.resolve("monitoring").toString)
     println(s"FLOW monitoring series=${mon.count()}")
+
+    // bridge lifecycle: batchId-keyed idempotent landings drained into
+    // the compacted doc_id-keyed store (the streaming topology's sink
+    // side, runnable standalone)
+    val bridge = out.resolve("bridge").toString
+    val docsStore = out.resolve("docs_store").toString
+    val hosted = operators.Corpus12.hostedDocs(docs)
+      .select(col("doc_id"), col("host"), col("n_chars"))
+    Seq(0L, 1L, 2L).foreach(b => streaming.StreamingTwin.landBatch(
+      hosted.filter(col("doc_id") % 3 === b), b, bridge))
+    val drained = drainBridge(spark, bridge, docsStore, upTo = 2L)
+    println(s"FLOW drain-bridge batches=$drained " +
+      s"store=${spark.read.parquet(docsStore).count()}")
     spark.stop()
   }
 }
