@@ -452,6 +452,62 @@ object Corpus14 {
       .orderBy("t")
   }
 
+  /** q280's constants: η = the exponentiated-gradient step size of the
+    * Group-DRO weight update (DoReMi, Xie et al. 2023 alg. 1), α = the
+    * uniform-smoothing mix that keeps every domain sampled, and T* =
+    * q279's CORPUS-validated temperature (the corpus-Brier optimum,
+    * 0.125 — NOT the holdout-NLL argmin, exactly the distinction q279
+    * publishes), at which σ(margin/T*) is honest enough to feed a loss. */
+  private[graft] val DoremiEta = 1.0
+  private[graft] val DoremiAlpha = 0.5
+  private[graft] val DoremiT = 0.125
+
+  /** q280's body: DOMAIN REWEIGHTING via the Group-DRO exponentiated-
+    * gradient step — the DoReMi-shaped "learned mixture" member of the
+    * mixture family (q104 samples a GIVEN mixture, q144 temperature-
+    * flattens by SIZE; this derives weights from a LOSS signal). Per
+    * source domain: docs, mean calibrated cross-entropy of the
+    * classifier against the rule-gate reference verdict (p = σ(m/T*) —
+    * the q278→q279 calibration arc's consumer), excess over the
+    * unweighted domain-mean baseline, and the tilted weights
+    * w ∝ exp(η·excess) (hard domains UP-weighted, the DRO direction),
+    * published raw and uniform-smoothed. One honest step, not the full
+    * DoReMi proxy-retraining loop — the iteration is a training job,
+    * the weight UPDATE is this exact arithmetic (the LloydKMeans /
+    * GdClassifier contract-reduction discipline).
+    *
+    * Scale shape: one stateless corpus projection into one partial-
+    * aggregable groupBy(source) → |domains| rows; the baseline/Z
+    * whole-frame windows run over those ~20 rows (q197's exemption
+    * class), never the corpus. Float discipline: per-domain mean loss
+    * rounds at the aggregate; baseline, excess, tilt, and both weights
+    * are arithmetic on the ROUNDED means (exp ulp noise absorbed by the
+    * final round-4), so the published table is hash-stable. */
+  private[graft] def domainReweight(docs: DataFrame): DataFrame = {
+    val rule = Corpus.qualityGate(docs).select(col("doc_id"), col("keep"))
+    val p = lit(1.0) / (lit(1.0) + exp(-col("clf_margin") / lit(DoremiT)))
+    val scored = qualityMargins(docs)
+      .join(rule, Seq("doc_id"))
+      .join(docs.select("doc_id", "source"), Seq("doc_id"))
+      .select(col("source"), p.as("p"), col("keep").cast("double").as("y"))
+      .select(col("source"), (-(col("y") * log(col("p")) +
+        (lit(1.0) - col("y")) * log(lit(1.0) - col("p")))).as("loss"))
+    val dom = scored.groupBy("source").agg(
+      count(lit(1)).as("n_docs"), round(avg("loss"), 4).as("mean_loss"))
+    val all = org.apache.spark.sql.expressions.Window.partitionBy()
+    dom
+      .withColumn("baseline", round(avg(col("mean_loss")).over(all), 4))
+      .withColumn("k", count(lit(1)).over(all).cast("double"))
+      .withColumn("excess", round(col("mean_loss") - col("baseline"), 4))
+      .withColumn("tilt", exp(lit(DoremiEta) * col("excess")))
+      .withColumn("z", sum(col("tilt")).over(all))
+      .select(col("source"), col("n_docs"), col("mean_loss"), col("excess"),
+        round(col("tilt") / col("z"), 4).as("w_raw"),
+        round(lit(DoremiAlpha) * col("tilt") / col("z") +
+          (lit(1.0) - lit(DoremiAlpha)) / col("k"), 4).as("w_smoothed"))
+      .orderBy("source")
+  }
+
   /** The deterministic non-target-language injection for the funnel's
     * lang-id gate (the q262/q274 dirty-twin idiom — the synthetic corpus
     * is uniformly English-shaped, q34 predicts 'en' on every document,
@@ -736,6 +792,40 @@ object Corpus14 {
            |r AS (SELECT *, row_number() OVER (ORDER BY holdout_nll, t DESC) AS rn FROM j)
            |SELECT t, holdout_nll, holdout_brier, corpus_brier, rn = 1 AS chosen
            |FROM r ORDER BY t""".stripMargin.replace("\n", " ")
+      }),
+
+    QueryDef(
+      "q280_domain_reweight",
+      // DoReMi-STEP DOMAIN REWEIGHTING (Xie et al. 2023): per source
+      // domain, the mean calibrated classifier cross-entropy against
+      // the rule verdict (at q279's corpus-validated T*), the excess
+      // over the domain-mean baseline, and Group-DRO exponentiated-
+      // gradient weights (raw + uniform-smoothed) — the loss-DRIVEN
+      // mixture member next to q104 (given mixture) and q144 (size-
+      // flattened mixture): domains where the two gates disagree most
+      // get up-weighted, the DRO "hardest group" direction. See
+      // domainReweight for the one-step contract reduction and the
+      // scale/float shape.
+      (s, dir) => domainReweight(Tables.documents(s, dir)),
+      Some {
+        s"""WITH ${clfDuckCte()},
+           |${Corpus.gateDuckCte("g_")},
+           |sc AS (SELECT d.source AS source,
+           |1.0 / (1.0 + exp(-clf.clf_margin / $DoremiT)) AS p,
+           |CASE WHEN (len_ok AND stop_ok AND toklen_ok AND rep_ok) THEN 1.0 ELSE 0.0 END AS y
+           |FROM clf JOIN g_r ON clf.doc_id = g_r.doc_id JOIN documents d ON clf.doc_id = d.doc_id),
+           |ls AS (SELECT source, -(y * ln(p) + (1.0 - y) * ln(1.0 - p)) AS loss FROM sc),
+           |dom AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           |round(avg(loss), 4) AS mean_loss FROM ls GROUP BY 1),
+           |t1 AS (SELECT *, round(avg(mean_loss) OVER (), 4) AS baseline,
+           |CAST(count(*) OVER () AS DOUBLE) AS k FROM dom),
+           |t2 AS (SELECT *, round(mean_loss - baseline, 4) AS excess FROM t1),
+           |t3 AS (SELECT *, exp($DoremiEta * excess) AS tilt FROM t2),
+           |t4 AS (SELECT *, sum(tilt) OVER () AS z FROM t3)
+           |SELECT source, n_docs, mean_loss, excess,
+           |round(tilt / z, 4) AS w_raw,
+           |round($DoremiAlpha * tilt / z + (1.0 - $DoremiAlpha) / k, 4) AS w_smoothed
+           |FROM t4 ORDER BY source""".stripMargin.replace("\n", " ")
       })
   )
 }

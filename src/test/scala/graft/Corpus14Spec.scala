@@ -298,6 +298,62 @@ class Corpus14Spec extends AnyFunSuite with SparkSuite {
     assert(chosen.head._4 > got.find(_._1 == 1.0).get._4)
   }
 
+  test("q280 domain reweighting: loss replay, DRO tilt arithmetic, hard domains up") {
+    import operators.Corpus14.{DoremiAlpha, DoremiEta, DoremiT}
+    // T* is q279's corpus-Brier optimum, read from its own published row
+    val q279 = SparkEntry.queries("q279_temperature_scaling")(spark, sfDir)
+      .as[(Double, Double, Double, Double, Boolean)].collect().toSeq
+    assert(q279.minBy(r => (r._4, -r._1))._1 == DoremiT,
+      "DoremiT is not the corpus-Brier-optimal temperature q279 publishes")
+    val got = SparkEntry.queries("q280_domain_reweight")(spark, sfDir)
+      .as[(String, Long, Double, Double, Double, Double)].collect().toSeq
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // per-domain mean loss replayed from raw text: calibrated
+    // cross-entropy of the classifier vs the rule verdict
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text", "source").as[(Long, String, String)].collect()
+    val rk = SparkEntry.queries("q273_quality_classifier_gate")(spark, sfDir)
+      .as[(Long, Boolean, Boolean, Boolean)].collect()
+      .map(r => r._1 -> r._3).toMap
+    val byDom = docs.groupBy(_._3).view.mapValues { rows =>
+      rows.map { case (id, t, _) =>
+        val p = 1.0 / (1.0 + math.exp(-margin(t) / DoremiT))
+        val y = if (rk(id)) 1.0 else 0.0
+        -(y * math.log(p) + (1.0 - y) * math.log(1.0 - p))
+      }
+    }.toMap
+    assert(got.map(_._1) == byDom.keys.toSeq.sorted)
+    got.foreach { case (s, n, ml, _, _, _) =>
+      assert(n == byDom(s).size.toLong)
+      assert(ml == r4(byDom(s).sum / n), s"$s mean loss")
+    }
+    // the tilt is exact arithmetic on the published rounded means
+    val base = r4(got.map(_._3).sum / got.size)
+    val tilts = got.map(r => math.exp(DoremiEta * r4(r._3 - base)))
+    val z = tilts.sum
+    got.zip(tilts).foreach { case ((s, _, ml, ex, wr, ws), t) =>
+      assert(ex == r4(ml - base), s"$s excess")
+      assert(wr == r4(t / z), s"$s w_raw")
+      assert(ws == r4(DoremiAlpha * t / z + (1.0 - DoremiAlpha) / got.size), s"$s w_smoothed")
+    }
+    // both weight columns are distributions (rounding slack 0.5e-4/row)
+    Seq(got.map(_._5), got.map(_._6)).foreach { ws =>
+      assert(math.abs(ws.sum - 1.0) <= 0.5e-4 * got.size)
+    }
+    // the DRO direction: the hardest domain (max mean loss) carries the
+    // max weight, the easiest the min, and smoothing contracts toward
+    // uniform without reordering
+    val hardest = got.maxBy(_._3); val easiest = got.minBy(_._3)
+    assert(hardest._5 == got.map(_._5).max && easiest._5 == got.map(_._5).min)
+    val u = 1.0 / got.size
+    got.foreach { case (_, _, _, _, wr, ws) =>
+      assert(math.abs(ws - u) <= math.abs(wr - u) + 1e-9)
+    }
+    // the signal is real: the tilt separates domains (not a constant column)
+    assert(got.map(_._5).distinct.size > 1)
+  }
+
   test("q273 vs q100: all four confusion cells occur — a real operating-point delta") {
     val got = SparkEntry.queries("q273_quality_classifier_gate")(spark, sfDir)
       .as[(Long, Boolean, Boolean, Boolean)].collect().toSeq
