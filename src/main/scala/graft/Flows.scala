@@ -380,21 +380,32 @@ object Flows {
         .toSeq.sortBy(_.getFileName.toString)
       finally ls.close()
     if (drained.isEmpty) return 0
-    val landed = spark.read.option("basePath", bridgeDir)
-      .parquet(drained.map(_.toString): _*)
-      .withColumn("batch_id", col("batch_id").cast("long"))
-    Ingest.stageSwapStore(spark, storeDir) {
-      case Some(existing) =>
-        // existing wins (it came from an earlier drain of earlier
-        // batches), then earliest batch — the same priority-window merge
-        // as mergeExistingWins, keyed generically
-        val e = existing.withColumn("pri", lit(0)).withColumn("batch_id", lit(-1L))
-        val b = landed.withColumn("pri", lit(1))
-        Relational.dedupKeepFirst(e.unionByName(b), key,
-          Seq(col("pri"), col("batch_id"))).drop("pri", "batch_id")
-      case None =>
-        Relational.dedupKeepFirst(landed, key, Seq(col("batch_id")))
-          .drop("batch_id")
+    // an empty micro-batch lands a dir with no part files (AvailableNow
+    // triggers deliver them routinely) — nothing to upsert, but the dir
+    // still counts as drained and gets pruned below
+    def hasData(p: java.nio.file.Path): Boolean = {
+      val ls2 = Files.list(p)
+      try ls2.iterator().asScala.exists(_.getFileName.toString.endsWith(".parquet"))
+      finally ls2.close()
+    }
+    val withData = drained.filter(hasData)
+    if (withData.nonEmpty) {
+      val landed = spark.read.option("basePath", bridgeDir)
+        .parquet(withData.map(_.toString): _*)
+        .withColumn("batch_id", col("batch_id").cast("long"))
+      Ingest.stageSwapStore(spark, storeDir) {
+        case Some(existing) =>
+          // existing wins (it came from an earlier drain of earlier
+          // batches), then earliest batch — the same priority-window
+          // merge as mergeExistingWins, keyed generically
+          val e = existing.withColumn("pri", lit(0)).withColumn("batch_id", lit(-1L))
+          val b = landed.withColumn("pri", lit(1))
+          Relational.dedupKeepFirst(e.unionByName(b), key,
+            Seq(col("pri"), col("batch_id"))).drop("pri", "batch_id")
+        case None =>
+          Relational.dedupKeepFirst(landed, key, Seq(col("batch_id")))
+            .drop("batch_id")
+      }
     }
     // prune LAST: a crash anywhere above leaves every batch dir in
     // place and the next drain converges to the same store

@@ -346,9 +346,11 @@ object Corpus14 {
     * the scope's ECE = Σ gap·n / Σ n.
     *
     * Scale shape: margins are the same stateless map work as the gate
-    * itself; ONE partial-aggregable groupBy folds the corpus onto
-    * ≤2·(edges+1) (scope, bin) groups; the ECE window runs over ≤5 rows
-    * per scope; the holdout is a 24-row literal. Hash discipline:
+    * itself, joined doc-keyed to the rule verdict (the q273 pairing
+    * shape, co-partitioned at any scale); ONE partial-aggregable
+    * groupBy folds the corpus onto ≤2·(edges+1) (scope, bin) groups;
+    * the ECE window runs over ≤5 rows per scope; the holdout is a
+    * 24-row literal. Hash discipline:
     * avg_p / pos_rate round(4) at the aggregate (the repo-wide float
     * rule), and gap / ece compute FROM the rounded values — exact
     * arithmetic on hash-stable inputs, so the derived columns cannot
@@ -476,7 +478,9 @@ object Corpus14 {
     * the weight UPDATE is this exact arithmetic (the LloydKMeans /
     * GdClassifier contract-reduction discipline).
     *
-    * Scale shape: one stateless corpus projection into one partial-
+    * Scale shape: the q273 pairing shape — the margin and rule-bit
+    * projections of the same documents scan joined doc-keyed (co-
+    * partitioned equi-joins at any scale) — feeding ONE partial-
     * aggregable groupBy(source) → |domains| rows; the baseline/Z
     * whole-frame windows run over those ~20 rows (q197's exemption
     * class), never the corpus. Float discipline: per-domain mean loss

@@ -346,9 +346,11 @@ class Corpus14Spec extends AnyFunSuite with SparkSuite {
     // uniform without reordering
     val hardest = got.maxBy(_._3); val easiest = got.minBy(_._3)
     assert(hardest._5 == got.map(_._5).max && easiest._5 == got.map(_._5).min)
+    // (slack: each published weight is independently round-4'd, so the
+    // exact ws = α·wr + (1−α)·u identity holds only to ~0.75e-4)
     val u = 1.0 / got.size
     got.foreach { case (_, _, _, _, wr, ws) =>
-      assert(math.abs(ws - u) <= math.abs(wr - u) + 1e-9)
+      assert(math.abs(ws - u) <= DoremiAlpha * math.abs(wr - u) + 1e-4)
     }
     // the signal is real: the tilt separates domains (not a constant column)
     assert(got.map(_._5).distinct.size > 1)

@@ -52,9 +52,12 @@ class FlowsSpec extends AnyFunSuite with SparkSuite {
     streaming.StreamingTwin.landBatch(b1.repartition(3), 1L, bridge)
     assert(Flows.drainBridge(spark, bridge, store, 1L) == 1)
     assert(storeRows() == expect01)
+    // an EMPTY micro-batch (AvailableNow delivers them routinely) lands
+    // a dir with no part files — it must drain (and prune) as a no-op
+    streaming.StreamingTwin.landBatch(truth.filter($"doc_id" < 0), 3L, bridge)
     // advance the watermark: the store converges to the full truth, the
     // bridge is empty, and the landing is compacted to O(1) files
-    assert(Flows.drainBridge(spark, bridge, store, 2L) == 1)
+    assert(Flows.drainBridge(spark, bridge, store, 3L) == 2)
     assert(storeRows() == truth.as[(Long, String, Long)].collect().toSeq.sorted)
     assert(bridgeParts().isEmpty)
     val storeFiles = new java.io.File(store).list().count(_.endsWith(".parquet"))
