@@ -361,6 +361,17 @@ object Flows {
     *    recovery restores the backup; the batch dirs are still present
     *    (pruning is last), so re-draining reproduces the same store.
     *
+    * Consumer side: a downstream file-stream reading the bridge keeps
+    * its own checkpoint; deleting partitions it has CONSUMED is safe
+    * (the source's seen-files log ignores deletions; only unprocessed
+    * files matter) — so the drain watermark must trail BOTH the
+    * producer's commit and every consumer's consumption. A consumer
+    * bootstrapping from scratch after a drain starts from the compacted
+    * store, not the bridge. StreamingRecoverySpec proves the restart:
+    * a consumer checkpointed past batches 0-1 survives their drain,
+    * delivers exactly the undrained batch, and store ∪ deliveries
+    * conserves the truth.
+    *
     * Returns the number of batch partitions drained. FlowsSpec proves
     * convergence under double-drain and post-drain replay, and that the
     * store compacts to O(1) files while the bridge dir shrinks. */

@@ -246,6 +246,56 @@ class StreamingRecoverySpec extends AnyFunSuite with SparkSuite {
     assert(perBatch(1L) == batch1.count(), s"batch 1 landed ${perBatch(1L)} rows")
   }
 
+  test("draining consumed bridge partitions is safe under the consumer's restart") {
+    // drainBridge's consumer-side contract: the downstream file-stream
+    // reads the bridge with its own checkpoint; once it has CONSUMED a
+    // batch partition, the drain may delete that dir. The proof: consume
+    // batches 0-1, drain them (dirs gone, rows upserted into the store),
+    // land batch 2, restart the consumer from the SAME checkpoint over a
+    // bridge missing its seen files — it must neither crash, nor lose
+    // batch 2, nor re-deliver the drained rows; and store ∪ deliveries
+    // stays exactly the truth (compaction moved data, never changed it).
+    val tmp = java.nio.file.Files.createTempDirectory("graft_drainrec")
+    val bridge = tmp.resolve("bridge").toString
+    val store = tmp.resolve("store").toString
+    val ckpt = tmp.resolve("ckpt").toString
+    val truth = operators.Corpus12.hostedDocs(
+        Tables.documents(spark, "/root/testdata/sf0.001"))
+      .select($"doc_id", $"host", $"n_chars")
+    val Seq(b0, b1, b2) = (0 to 2).map(i => truth.filter($"doc_id" % 3 === i))
+    val buf = collection.mutable.ArrayBuffer.empty[Long]
+    def runConsumer(): Unit = {
+      val q = spark.readStream.schema(truth.schema)
+        .option("maxFilesPerTrigger", 1).parquet(bridge)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rows = df.select("doc_id").as[Long].collect()
+          buf.synchronized { buf ++= rows }
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    streaming.StreamingTwin.landBatch(b0, 0L, bridge)
+    streaming.StreamingTwin.landBatch(b1, 1L, bridge)
+    runConsumer() // consumes batches 0 and 1, checkpoint records them
+    val n1 = buf.size
+    assert(n1 == b0.count() + b1.count())
+    // the consumed partitions drain away (committed watermark = 1)
+    assert(Flows.drainBridge(spark, bridge, store, 1L) == 2)
+    streaming.StreamingTwin.landBatch(b2, 2L, bridge)
+    runConsumer() // SAME checkpoint, seen files now deleted
+    val phase2 = buf.drop(n1)
+    assert(phase2.toSet == b2.select("doc_id").as[Long].collect().toSet,
+      "the restarted consumer must deliver exactly the undrained batch")
+    assert(buf.size == truth.count(), "no loss, no re-delivery across the drain")
+    // end-to-end conservation: compacted store ∪ live bridge == truth
+    val all = spark.read.parquet(store).select("doc_id", "host", "n_chars")
+      .unionByName(spark.read.parquet(bridge).select("doc_id", "host", "n_chars"))
+      .as[(Long, String, Long)].collect().toSeq.sorted
+    assert(all == truth.as[(Long, String, Long)].collect().toSeq.sorted)
+  }
+
   test("clamped-balance stream killed between micro-batches resumes and settles to q204") {
     val dir = "/root/testdata/sf0.01"
     val stage = java.nio.file.Files.createTempDirectory("graft_balrec_stage")
