@@ -44,7 +44,8 @@ object ExplainAudit {
         "q273_quality_classifier_gate", "q274_blocklist_gate",
         "q275_langid_gate", "q276_clf_operating_point",
         "q277_gate_attribution", "q278_clf_reliability",
-        "q279_temperature_scaling", "q280_domain_reweight")
+        "q279_temperature_scaling", "q280_domain_reweight",
+        "q281_gate_ordering")
     targets.foreach { name =>
       println(s"\n===== $name =====")
       SparkEntry.queries(name)(spark, dir).explain("formatted")

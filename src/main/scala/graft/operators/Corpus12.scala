@@ -402,19 +402,60 @@ object Corpus12 {
     * plan; five doc-keyed joins (broadcast at gate SF, co-partitioned
     * hash joins at 100 TB); ONE global partial-aggregable aggregate
     * folds all 12 cells in a single pass; 5-row output. */
-  private[graft] def gateAttribution(docs: DataFrame): DataFrame = {
-    // LEFT joins onto the corpus doc_id spine + a per-row null-flag
-    // refusal, NOT silent inner joins (r11 ADVICE): every gate frame is
-    // one-row-per-doc by construction today, but a future gate that
-    // drops token-less docs would have silently shrunk n_docs and every
-    // cell under inner joins. coalesce short-circuits, so raise_error
-    // evaluates only on an actually-missing flag — the guard is free on
-    // the healthy path and needs no extra count pass.
+  /** The five stateless gate-flag chains as DuckDB CTEs ending in
+    * `fl(doc_id, f_robots, f_lang, f_block, f_gopher, f_clf)`
+    * (MATERIALIZED: multi-referenced downstream) - the oracle twin of
+    * [[gateFlags]], shared by q277 and q281. */
+  private[operators] def gateFlagsDuckCte: String =
+    s"""cq AS (SELECT doc_id, $canonUrlDuck AS cu FROM documents),
+              |uq AS (SELECT doc_id, regexp_extract(cu, '^https://([^/]+)', 1) AS host,
+              |regexp_extract(cu, '^https://[^/]+(/.*)$$', 1) AS path FROM cq),
+              |rules(rhost, dis) AS (VALUES ${Corpus13.robotsDuck}),
+              |mq AS (SELECT uq.doc_id, r.dis FROM uq LEFT JOIN rules r
+              |ON uq.host = r.rhost AND starts_with(uq.path, r.dis)),
+              |rb AS (SELECT doc_id, max(dis) IS NULL AS f_robots FROM mq GROUP BY 1),
+              |${Corpus14.langDuckCte("documents", "a_")},
+              |bdq AS (SELECT doc_id, text
+              | || CASE WHEN doc_id % 7 = 3 THEN ' badcat0' ELSE '' END
+              | || CASE WHEN doc_id % 11 = 5 THEN ' badcat1 badcat1' ELSE '' END
+              | || CASE WHEN doc_id % 13 = 8 THEN ' badcat2' ELSE '' END AS bt FROM documents),
+              |bwq AS (SELECT doc_id, len(list_filter(string_split(lower(bt), ' '),
+              |x -> x IN ('badcat0', 'badcat1', 'badcat2'))) = 0 AS f_block FROM bdq),
+              |t AS (SELECT doc_id, ${TextAnalytics.toksDuck} AS w,
+              |CAST(length(replace(text, ' ', '')) AS BIGINT) AS tc FROM documents),
+              |${topGramDuckCte(2)}, ${topGramDuckCte(3)}, ${topGramDuckCte(4)},
+              |${dupCovDuckCte(2)}, ${dupCovDuckCte(3)},
+              |gf AS (SELECT t.doc_id,
+              |(round(coalesce(f2.topc, 0) * 1.0 / tc, 4) <= 0.20
+              | AND round(coalesce(f3.topc, 0) * 1.0 / tc, 4) <= 0.18
+              | AND round(coalesce(f4.topc, 0) * 1.0 / tc, 4) <= 0.16
+              | AND round(coalesce(l2.covc, 0) * 1.0 / tc, 4) <= 0.20
+              | AND round(coalesce(l3.covc, 0) * 1.0 / tc, 4) <= 0.10) AS f_gopher
+              |FROM t LEFT JOIN f2 USING (doc_id) LEFT JOIN f3 USING (doc_id)
+              |LEFT JOIN f4 USING (doc_id) LEFT JOIN l2 USING (doc_id)
+              |LEFT JOIN l3 USING (doc_id)),
+              |${Corpus14.clfDuckCte("documents", "c_")},
+              |fl AS MATERIALIZED (SELECT rb.doc_id, rb.f_robots,
+              |a_lang.keep AS f_lang, bwq.f_block, gf.f_gopher, c_clf.clf_keep AS f_clf
+              |FROM rb JOIN a_lang ON rb.doc_id = a_lang.doc_id
+              |JOIN bwq ON rb.doc_id = bwq.doc_id
+              |JOIN gf ON rb.doc_id = gf.doc_id
+              |JOIN c_clf ON rb.doc_id = c_clf.doc_id)""".stripMargin.replace("\n", " ")
+
+  /** The five stateless gate flags joined onto the corpus doc_id spine —
+    * shared by q277 (attribution) and q281 (ordering audit). LEFT joins
+    * + a per-row null-flag refusal, NOT silent inner joins (r11 ADVICE):
+    * every gate frame is one-row-per-doc by construction today, but a
+    * future gate that drops token-less docs would have silently shrunk
+    * every downstream cell under inner joins. coalesce short-circuits,
+    * so raise_error evaluates only on an actually-missing flag — the
+    * guard is free on the healthy path and needs no extra count pass. */
+  private[graft] def gateFlags(docs: DataFrame): DataFrame = {
     def must(c: String) = coalesce(col(c), raise_error(lit(
-      s"gateAttribution: $c missing for some doc — a gate frame returned " +
+      s"gateFlags: $c missing for some doc — a gate frame returned " +
         "fewer rows than the corpus; every stateless gate must flag every " +
         "document"))).as(c)
-    val flags = docs.select(col("doc_id"))
+    docs.select(col("doc_id"))
       .join(Corpus13.robotsDecisions(docs)
         .select(col("doc_id"), col("allowed").as("f_robots")), Seq("doc_id"), "left")
       .join(Corpus14.langGateDecisions(docs)
@@ -427,8 +468,18 @@ object Corpus12 {
         .select(col("doc_id"), col("clf_keep").as("f_clf")), Seq("doc_id"), "left")
       .select(col("doc_id"), must("f_robots"), must("f_lang"),
         must("f_block"), must("f_gopher"), must("f_clf"))
-    val gates = Seq(("robots", "f_robots"), ("lang_id", "f_lang"),
+  }
+
+  /** The stateless gate universe — (gate, flag column) in the DEPLOYED
+    * funnel order (the stateless subset of q268's ladder) — shared by
+    * q277 and q281. */
+  private[graft] val statelessGates: Seq[(String, String)] =
+    Seq(("robots", "f_robots"), ("lang_id", "f_lang"),
       ("blocklist", "f_block"), ("gopher", "f_gopher"), ("classifier", "f_clf"))
+
+  private[graft] def gateAttribution(docs: DataFrame): DataFrame = {
+    val flags = gateFlags(docs)
+    val gates = statelessGates
     val allPass = gates.map(g => col(g._2)).reduce(_ && _)
     val aggs = Seq(
       count(lit(1)).as("n_docs"),
@@ -451,6 +502,58 @@ object Corpus12 {
         col("r.n_unique_kill").as("n_unique_kill"),
         col("r.n_pass_all").as("n_pass_all"))
       .orderBy("stage")
+  }
+
+  /** q281's body: GATE-ORDERING AUDIT — the classic selection-predicate
+    * ordering problem (cheapest-most-selective first) made EXACTLY
+    * computable by q277's joint flag table. For every permutation of
+    * the five stateless gates, the total number of gate evaluations a
+    * short-circuiting funnel performs (each doc is evaluated at stage k
+    * iff it passed stages 1..k−1) and its char-weighted twin (an upper
+    * bound on text bytes read, counting robots' URL-only stage
+    * conservatively as a text read), ranked; the deployed CCNet order
+    * marked. No independence assumption anywhere — costs come from the
+    * measured JOINT distribution, so gate correlations (q277's
+    * unique-kill overlaps) are priced exactly.
+    *
+    * Scale shape: ONE corpus pass folds the five flags into the ≤2⁵-row
+    * contingency cube (partial-aggregable; the flags themselves are the
+    * same per-doc work q277 does); the 120-permutation literal crosses
+    * the CUBE, never the corpus (≤3840 driver-scale rows); the rank
+    * window runs over 120 rows. Everything downstream of the cube is
+    * INTEGER arithmetic — no float hazard at all. */
+  private[graft] def gateOrdering(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val flags = gateFlags(docs).join(docs.select("doc_id", "n_chars"), Seq("doc_id"))
+    val cube = flags.groupBy(statelessGates.map(g => col(g._2)): _*)
+      .agg(count(lit(1)).as("n"), sum("n_chars").as("ch"))
+    val names = statelessGates.map(_._1)
+    val perms = names.permutations.toSeq
+      .map(p => (p.mkString(">"), p(0), p(1), p(2), p(3), p(4), p == names))
+      .toDF("gate_order", "g1", "g2", "g3", "g4", "g5", "deployed")
+    def flagOf(g: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      statelessGates.tail.foldLeft(
+        when(g === statelessGates.head._1, col(statelessGates.head._2))) {
+        case (acc, (nm, f)) => acc.when(g === nm, col(f))
+      }
+    val p1 = flagOf(col("g1"))
+    val p2 = p1 && flagOf(col("g2"))
+    val p3 = p2 && flagOf(col("g3"))
+    val p4 = p3 && flagOf(col("g4"))
+    def i(c: org.apache.spark.sql.Column) = when(c, 1L).otherwise(0L)
+    val stages = lit(1L) + i(p1) + i(p2) + i(p3) + i(p4)
+    val totals = cube.crossJoin(broadcast(perms))
+      .select(col("gate_order"), col("deployed"),
+        (col("n") * stages).as("de"), (col("ch") * stages).as("ce"))
+      .groupBy("gate_order", "deployed")
+      .agg(sum("de").as("total_evals"), sum("ce").as("total_char_evals"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("total_evals"), col("gate_order"))
+    totals.withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col("gate_order"), col("deployed"),
+        col("total_evals"), col("total_char_evals"))
+      .orderBy("rank")
   }
 
   /** The 10-row audit over prebuilt stage frames — exposed so
@@ -744,40 +847,7 @@ object Corpus12 {
       // tokens, the Gopher battery, the GD-unroll classifier) and folds
       // the 12 cells in one aggregate.
       (s, dir) => gateAttribution(Tables.documents(s, dir)),
-      Some(s"""WITH cq AS (SELECT doc_id, $canonUrlDuck AS cu FROM documents),
-              |uq AS (SELECT doc_id, regexp_extract(cu, '^https://([^/]+)', 1) AS host,
-              |regexp_extract(cu, '^https://[^/]+(/.*)$$', 1) AS path FROM cq),
-              |rules(rhost, dis) AS (VALUES ${Corpus13.robotsDuck}),
-              |mq AS (SELECT uq.doc_id, r.dis FROM uq LEFT JOIN rules r
-              |ON uq.host = r.rhost AND starts_with(uq.path, r.dis)),
-              |rb AS (SELECT doc_id, max(dis) IS NULL AS f_robots FROM mq GROUP BY 1),
-              |${Corpus14.langDuckCte("documents", "a_")},
-              |bdq AS (SELECT doc_id, text
-              | || CASE WHEN doc_id % 7 = 3 THEN ' badcat0' ELSE '' END
-              | || CASE WHEN doc_id % 11 = 5 THEN ' badcat1 badcat1' ELSE '' END
-              | || CASE WHEN doc_id % 13 = 8 THEN ' badcat2' ELSE '' END AS bt FROM documents),
-              |bwq AS (SELECT doc_id, len(list_filter(string_split(lower(bt), ' '),
-              |x -> x IN ('badcat0', 'badcat1', 'badcat2'))) = 0 AS f_block FROM bdq),
-              |t AS (SELECT doc_id, ${TextAnalytics.toksDuck} AS w,
-              |CAST(length(replace(text, ' ', '')) AS BIGINT) AS tc FROM documents),
-              |${topGramDuckCte(2)}, ${topGramDuckCte(3)}, ${topGramDuckCte(4)},
-              |${dupCovDuckCte(2)}, ${dupCovDuckCte(3)},
-              |gf AS (SELECT t.doc_id,
-              |(round(coalesce(f2.topc, 0) * 1.0 / tc, 4) <= 0.20
-              | AND round(coalesce(f3.topc, 0) * 1.0 / tc, 4) <= 0.18
-              | AND round(coalesce(f4.topc, 0) * 1.0 / tc, 4) <= 0.16
-              | AND round(coalesce(l2.covc, 0) * 1.0 / tc, 4) <= 0.20
-              | AND round(coalesce(l3.covc, 0) * 1.0 / tc, 4) <= 0.10) AS f_gopher
-              |FROM t LEFT JOIN f2 USING (doc_id) LEFT JOIN f3 USING (doc_id)
-              |LEFT JOIN f4 USING (doc_id) LEFT JOIN l2 USING (doc_id)
-              |LEFT JOIN l3 USING (doc_id)),
-              |${Corpus14.clfDuckCte("documents", "c_")},
-              |fl AS MATERIALIZED (SELECT rb.doc_id, rb.f_robots,
-              |a_lang.keep AS f_lang, bwq.f_block, gf.f_gopher, c_clf.clf_keep AS f_clf
-              |FROM rb JOIN a_lang ON rb.doc_id = a_lang.doc_id
-              |JOIN bwq ON rb.doc_id = bwq.doc_id
-              |JOIN gf ON rb.doc_id = gf.doc_id
-              |JOIN c_clf ON rb.doc_id = c_clf.doc_id),
+      Some(s"""WITH $gateFlagsDuckCte,
               |ag AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
               |CAST(sum(CASE WHEN f_robots AND f_lang AND f_block AND f_gopher AND f_clf THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_all,
               |CAST(sum(CASE WHEN NOT f_robots THEN 1 ELSE 0 END) AS BIGINT) AS nf_robots,
@@ -797,6 +867,56 @@ object Corpus12 {
               |UNION ALL SELECT 3, 'blocklist', n_docs, nf_blocklist, nu_blocklist, n_pass_all FROM ag
               |UNION ALL SELECT 4, 'gopher', n_docs, nf_gopher, nu_gopher, n_pass_all FROM ag
               |UNION ALL SELECT 5, 'classifier', n_docs, nf_classifier, nu_classifier, n_pass_all FROM ag
-              |) ORDER BY stage""".stripMargin.replace("\n", " ")))
+              |) ORDER BY stage""".stripMargin.replace("\n", " "))),
+
+    QueryDef(
+      "q281_gate_ordering",
+      // GATE-ORDERING AUDIT: every permutation of the five stateless
+      // gates priced by exact short-circuit evaluation counts off the
+      // measured JOINT flag distribution (q277's table answers "does
+      // each gate earn its scan"; this answers "in what ORDER do the
+      // scans cost least") — the selection-predicate-ordering question
+      // every multi-gate funnel faces, with correlations priced exactly
+      // rather than assumed independent. The deployed CCNet order is
+      // marked for comparison against the optimum. Integer-exact end to
+      // end. See gateOrdering for the cube shape.
+      //
+      // THE READING (sf0.001): the deployed order ranks 87/120 on raw
+      // evaluations — Gopher is this corpus's most selective gate and a
+      // cost-blind optimum fronts it (1417 vs 1875 evals, −24%); the
+      // best COMPLIANT order (robots legally first) is
+      // robots>gopher>blocklist>lang_id>classifier (1656, −12%). The
+      // audit prices evaluation and char-read counts EXACTLY and leaves
+      // per-gate unit costs to the consumer — the deployed order is not
+      // wrong, it reflects that Gopher's battery is the most expensive
+      // per evaluation and lang-id the cheapest; this table is what a
+      // reorder decision multiplies those unit costs into.
+      (s, dir) => gateOrdering(Tables.documents(s, dir)),
+      Some {
+        val names = statelessGates.map(_._1)
+        val permVals = names.permutations.toSeq.map { p =>
+          s"('${p.mkString(">")}', '${p(0)}', '${p(1)}', '${p(2)}', '${p(3)}', '${p(4)}', ${p == names})"
+        }.mkString(", ")
+        def fo(g: String) =
+          "CASE " + g + statelessGates.map { case (nm, f) =>
+            s" WHEN '$nm' THEN $f"
+          }.mkString + " END"
+        val sExpr = "1 + " + (1 to 4).map { k =>
+          val conj = (1 to k).map(j => fo(s"g$j")).mkString(" AND ")
+          s"CASE WHEN $conj THEN 1 ELSE 0 END"
+        }.mkString(" + ")
+        s"""WITH $gateFlagsDuckCte,
+           |fx AS (SELECT fl.*, d.n_chars FROM fl JOIN documents d ON fl.doc_id = d.doc_id),
+           |cb AS (SELECT f_robots, f_lang, f_block, f_gopher, f_clf,
+           |CAST(count(*) AS BIGINT) AS n, CAST(sum(n_chars) AS BIGINT) AS ch
+           |FROM fx GROUP BY 1, 2, 3, 4, 5),
+           |pm(gate_order, g1, g2, g3, g4, g5, deployed) AS (VALUES $permVals),
+           |ev AS (SELECT gate_order, deployed, n * ($sExpr) AS de, ch * ($sExpr) AS ce FROM pm, cb),
+           |tt AS (SELECT gate_order, deployed, CAST(sum(de) AS BIGINT) AS total_evals,
+           |CAST(sum(ce) AS BIGINT) AS total_char_evals FROM ev GROUP BY 1, 2),
+           |rk AS (SELECT *, CAST(row_number() OVER (ORDER BY total_evals, gate_order) AS BIGINT) AS rank FROM tt)
+           |SELECT rank, gate_order, deployed, total_evals, total_char_evals
+           |FROM rk ORDER BY rank""".stripMargin.replace("\n", " ")
+      })
   )
 }

@@ -148,6 +148,56 @@ class Corpus12Spec extends AnyFunSuite with SparkSuite {
     assert(dupGroups.exists(_._2.map(_._2).distinct.length >= 2))
   }
 
+  test("q281 gate ordering replays exactly from the flags; deployed marked; bounds hold") {
+    // the same five standalone gate queries are the truth source as in
+    // the q277 replay below — q281 must price every permutation from
+    // their JOINT distribution exactly
+    def gflags(q: String, c: String): Map[Long, Boolean] =
+      SparkEntry.queries(q)(spark, sfDir).select(col("doc_id"), col(c))
+        .as[(Long, Boolean)].collect().toMap
+    val f = Seq(
+      ("robots", gflags("q272_robots_gate", "allowed")),
+      ("lang_id", gflags("q275_langid_gate", "keep")),
+      ("blocklist", gflags("q274_blocklist_gate", "keep")),
+      ("gopher", gflags("q263_repetition_battery", "keep")),
+      ("classifier", gflags("q273_quality_classifier_gate", "clf_keep")))
+    val chars = Tables.documents(spark, sfDir)
+      .select("doc_id", "n_chars").as[(Long, Long)].collect().toMap
+    val ids = f.head._2.keySet.toSeq
+    val names = f.map(_._1)
+    val byName = f.toMap
+    def cost(order: Seq[String]): (Long, Long) =
+      ids.foldLeft((0L, 0L)) { case ((de, ce), id) =>
+        // evaluated at stage k iff stages 1..k-1 passed (short circuit)
+        val stages = 1 + order.init.scanLeft(true) { (acc, g) =>
+          acc && byName(g)(id)
+        }.tail.takeWhile(identity).size
+        (de + stages, ce + stages * chars(id))
+      }
+    val got = SparkEntry.queries("q281_gate_ordering")(spark, sfDir)
+      .as[(Long, String, Boolean, Long, Long)].collect().toSeq
+    assert(got.size == 120 && got.map(_._2).distinct.size == 120)
+    // exact replay of every permutation's two totals
+    got.foreach { case (_, ord, dep, de, ce) =>
+      val o = ord.split('>').toSeq
+      assert(o.sorted == names.sorted)
+      assert((de, ce) == cost(o), s"order $ord")
+      assert(dep == (o == names), s"deployed flag on $ord")
+    }
+    // ranks are 1..120, ordered by (total_evals, gate_order)
+    assert(got.map(_._1) == (1L to 120L))
+    assert(got.sortBy(r => (r._4, r._2)).map(_._1) == (1L to 120L))
+    // bounds: every total is within [n, 5n] (each doc evaluated at
+    // least once, at most at all five gates)
+    val n = ids.size.toLong
+    got.foreach { case (_, ord, _, de, _) =>
+      assert(de >= n && de <= 5 * n, s"$ord total $de")
+    }
+    // exactly one deployed row, and the optimum is no worse than it
+    assert(got.count(_._3) == 1)
+    assert(got.head._4 <= got.find(_._3).get._4)
+  }
+
   test("q277 gate attribution replays exactly from the five standalone gate queries") {
     def flags(q: String, c: String): Map[Long, Boolean] =
       SparkEntry.queries(q)(spark, sfDir).select(col("doc_id"), col(c))

@@ -70,7 +70,8 @@ class PlanLinterSpec extends AnyFunSuite with SparkSuite {
     "q245_kruskal_wallis"       -> "value-DOMAIN midrank table",
     "q246_rank_biased_overlap"  -> "two top-20 rank lists",
     "q279_temperature_scaling"  -> "6 temperature-grid aggregate rows (argmin rank)",
-    "q280_domain_reweight"      -> "20 per-source aggregate rows (DRO tilt windows)"
+    "q280_domain_reweight"      -> "20 per-source aggregate rows (DRO tilt windows)",
+    "q281_gate_ordering"        -> "120 permutation-total rows (rank window)"
   )
 
   /** Queries allowed a non-scalar-merge SinglePartition exchange — the
