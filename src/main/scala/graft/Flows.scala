@@ -372,22 +372,44 @@ object Flows {
     * delivers exactly the undrained batch, and store ∪ deliveries
     * conserves the truth.
     *
+    * Precondition on `key`: within a single landed batch the key must be
+    * unique (landBatch's keyed frames satisfy this by construction). The
+    * keep-first merge orders by (pri, batch_id) and then a content hash
+    * of the full row as the final tiebreak — so even a caller that
+    * violates the precondition gets a DETERMINISTIC pick (and exact
+    * duplicate rows collapse to an arbitrary-but-identical survivor),
+    * never a run-to-run nondeterministic one.
+    *
+    * `consumedFloor`: the highest batch id every downstream consumer has
+    * provably consumed (e.g. read from its checkpoint's offset log).
+    * When supplied, the drain watermark is min(upTo, consumedFloor) —
+    * enforcing the "trail every consumer" half of the safety contract
+    * instead of trusting the caller. When absent (a bridge with no
+    * file-stream consumers), `upTo` alone governs. Pruned batch ids are
+    * logged one line per drain so an over-eager drain is diagnosable.
+    *
     * Returns the number of batch partitions drained. FlowsSpec proves
     * convergence under double-drain and post-drain replay, and that the
     * store compacts to O(1) files while the bridge dir shrinks. */
   def drainBridge(spark: SparkSession, bridgeDir: String, storeDir: String,
-      upTo: Long, key: Seq[String] = Seq("doc_id")): Int = {
+      upTo: Long, key: Seq[String] = Seq("doc_id"),
+      consumedFloor: Option[Long] = None): Int = {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
     val base = Paths.get(bridgeDir)
     if (!Files.isDirectory(base)) return 0
+    val effectiveUpTo = consumedFloor.fold(upTo)(math.min(upTo, _))
     // drain is called repeatedly from a long-lived driver: close the
     // directory streams (they hold OS handles until GC otherwise)
     val ls = Files.list(base)
     val drained =
       try ls.iterator().asScala
         .filter(p => p.getFileName.toString.startsWith("batch_id="))
-        .filter(p => p.getFileName.toString.stripPrefix("batch_id=").toLong <= upTo)
+        // toLongOption: a malformed or foreign batch_id=* entry (a stray
+        // temp dir, a corrupt landing) is skipped, not a permanent
+        // NumberFormatException failing every subsequent drain
+        .filter(p => p.getFileName.toString.stripPrefix("batch_id=")
+          .toLongOption.exists(_ <= effectiveUpTo))
         .toSeq.sortBy(_.getFileName.toString)
       finally ls.close()
     if (drained.isEmpty) return 0
@@ -408,18 +430,25 @@ object Flows {
         case Some(existing) =>
           // existing wins (it came from an earlier drain of earlier
           // batches), then earliest batch — the same priority-window
-          // merge as mergeExistingWins, keyed generically
+          // merge as mergeExistingWins, keyed generically; the full-row
+          // content hash is the deterministic final tiebreak (scaladoc
+          // precondition — only bites on a duplicate key WITHIN a batch)
           val e = existing.withColumn("pri", lit(0)).withColumn("batch_id", lit(-1L))
           val b = landed.withColumn("pri", lit(1))
-          Relational.dedupKeepFirst(e.unionByName(b), key,
-            Seq(col("pri"), col("batch_id"))).drop("pri", "batch_id")
+          val u = e.unionByName(b)
+          Relational.dedupKeepFirst(u, key,
+            Seq(col("pri"), col("batch_id"), xxhash64(u.columns.map(col): _*)))
+            .drop("pri", "batch_id")
         case None =>
-          Relational.dedupKeepFirst(landed, key, Seq(col("batch_id")))
+          Relational.dedupKeepFirst(landed, key,
+            Seq(col("batch_id"), xxhash64(landed.columns.map(col): _*)))
             .drop("batch_id")
       }
     }
     // prune LAST: a crash anywhere above leaves every batch dir in
     // place and the next drain converges to the same store
+    println(s"FLOW drain-bridge upTo=$effectiveUpTo pruned=" +
+      drained.map(_.getFileName.toString.stripPrefix("batch_id=")).mkString(","))
     drained.foreach { p =>
       val walk = Files.walk(p)
       try walk.sorted(java.util.Comparator.reverseOrder())

@@ -463,6 +463,7 @@ object Corpus14 {
   private[graft] val DoremiEta = 1.0
   private[graft] val DoremiAlpha = 0.5
   private[graft] val DoremiT = 0.125
+  private[graft] val NllEps = 1e-12
 
   /** q280's body: DOMAIN REWEIGHTING via the Group-DRO exponentiated-
     * gradient step — the DoReMi-shaped "learned mixture" member of the
@@ -489,7 +490,13 @@ object Corpus14 {
     * final round-4), so the published table is hash-stable. */
   private[graft] def domainReweight(docs: DataFrame): DataFrame = {
     val rule = Corpus.qualityGate(docs).select(col("doc_id"), col("keep"))
-    val p = lit(1.0) / (lit(1.0) + exp(-col("clf_margin") / lit(DoremiT)))
+    // standard NLL epsilon clamp: at T*=0.125 a margin |m| >~ 4.6 already
+    // saturates sigma(m/T) past double round-off toward exactly 0/1, and
+    // one such doc would drive a domain's mean_loss to Infinity/NaN.
+    // Latent on current margins (~±0.05) but load-bearing for new corpora;
+    // the DuckDB twin clamps identically so the hashes stay aligned.
+    val pRaw = lit(1.0) / (lit(1.0) + exp(-col("clf_margin") / lit(DoremiT)))
+    val p = greatest(least(pRaw, lit(1.0 - NllEps)), lit(NllEps))
     val scored = qualityMargins(docs)
       .join(rule, Seq("doc_id"))
       .join(docs.select("doc_id", "source"), Seq("doc_id"))
@@ -815,7 +822,7 @@ object Corpus14 {
         s"""WITH ${clfDuckCte()},
            |${Corpus.gateDuckCte("g_")},
            |sc AS (SELECT d.source AS source,
-           |1.0 / (1.0 + exp(-clf.clf_margin / $DoremiT)) AS p,
+           |greatest(least(1.0 / (1.0 + exp(-clf.clf_margin / $DoremiT)), 1.0 - $NllEps), $NllEps) AS p,
            |CASE WHEN (len_ok AND stop_ok AND toklen_ok AND rep_ok) THEN 1.0 ELSE 0.0 END AS y
            |FROM clf JOIN g_r ON clf.doc_id = g_r.doc_id JOIN documents d ON clf.doc_id = d.doc_id),
            |ls AS (SELECT source, -(y * ln(p) + (1.0 - y) * ln(1.0 - p)) AS loss FROM sc),
