@@ -477,6 +477,27 @@ object Corpus12 {
     Seq(("robots", "f_robots"), ("lang_id", "f_lang"),
       ("blocklist", "f_block"), ("gopher", "f_gopher"), ("classifier", "f_clf"))
 
+  /** MEASURED per-gate unit costs (ns/doc) for q281's cost-weighted
+    * ranking — the number the r12 audit left to the consumer ("a regex
+    * gate and the classifier's margin fold are not equal work"). Source:
+    * ProfGateCost, which times each gate's decision frame standalone at
+    * sf0.01 AND sf0.1 in one JVM (rounds interleaved across sizes, the
+    * flag forced through an aggregate so Catalyst can't prune the work)
+    * and extracts the MARGINAL per-doc cost by size differencing —
+    * (t_5000 − t_500)/4500 — because fixed job-scheduling overhead
+    * (~0.2-0.3 s) otherwise dominates every cheap gate at these corpus
+    * sizes. Two independent harness runs (2026-08-16, local[32]):
+    * robots 24k/9k, lang_id 59k/43k, blocklist 19k/16k, gopher
+    * 164k/252k, classifier 37k/26k — the magnitudes swing ~2× with the
+    * host, the ORDER (blocklist ≈ robots < classifier < lang_id ≪
+    * gopher) is stable, so the baked values are the pooled averages
+    * rounded to 1 µs: the decision they feed (SCALE.md "gate ordering")
+    * turns on the stable ~6-12× gopher ratio, not the noisy third
+    * digit. Integer ns so the cost totals stay integer-exact. */
+  private[graft] val gateUnitCostNs: Map[String, Long] = Map(
+    "robots" -> 17000L, "lang_id" -> 51000L, "blocklist" -> 17000L,
+    "gopher" -> 208000L, "classifier" -> 32000L)
+
   private[graft] def gateAttribution(docs: DataFrame): DataFrame = {
     val flags = gateFlags(docs)
     val gates = statelessGates
@@ -509,10 +530,16 @@ object Corpus12 {
     * computable by q277's joint flag table. For every permutation of
     * the five stateless gates, the total number of gate evaluations a
     * short-circuiting funnel performs (each doc is evaluated at stage k
-    * iff it passed stages 1..k−1) and its char-weighted twin (an upper
+    * iff it passed stages 1..k−1), its char-weighted twin (an upper
     * bound on text bytes read, counting robots' URL-only stage
-    * conservatively as a text read), ranked; the deployed CCNet order
-    * marked. No independence assumption anywhere — costs come from the
+    * conservatively as a text read), and — r13 — its COST-weighted twin
+    * (each evaluation priced at the gate's MEASURED unit cost,
+    * [[gateUnitCostNs]], with its own cost_rank), ranked; the deployed
+    * CCNet order marked, and `compliant` flags the orders a crawler may
+    * legally run (robots first — a disallowed URL must not be fetched,
+    * so robots cannot be deferred; the reorder decision reads the best
+    * COMPLIANT cost row, see SCALE.md "gate ordering"). No independence
+    * assumption anywhere — costs come from the
     * measured JOINT distribution, so gate correlations (q277's
     * unique-kill overlaps) are priced exactly.
     *
@@ -543,16 +570,35 @@ object Corpus12 {
     val p4 = p3 && flagOf(col("g4"))
     def i(c: org.apache.spark.sql.Column) = when(c, 1L).otherwise(0L)
     val stages = lit(1L) + i(p1) + i(p2) + i(p3) + i(p4)
+    // cost-weighted twin (r13): each evaluated gate priced at its
+    // MEASURED unit cost (gateUnitCostNs) instead of 1 — the reorder
+    // decision's actual objective. Same short-circuit structure; still
+    // integer-exact (ns are integers).
+    def costOf(g: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      statelessGates.tail.foldLeft(
+        when(g === statelessGates.head._1, lit(gateUnitCostNs(statelessGates.head._1)))) {
+        case (acc, (nm, _)) => acc.when(g === nm, lit(gateUnitCostNs(nm)))
+      }
+    val costNs = costOf(col("g1")) + i(p1) * costOf(col("g2")) +
+      i(p2) * costOf(col("g3")) + i(p3) * costOf(col("g4")) +
+      i(p4) * costOf(col("g5"))
     val totals = cube.crossJoin(broadcast(perms))
       .select(col("gate_order"), col("deployed"),
-        (col("n") * stages).as("de"), (col("ch") * stages).as("ce"))
-      .groupBy("gate_order", "deployed")
-      .agg(sum("de").as("total_evals"), sum("ce").as("total_char_evals"))
+        (col("g1") === statelessGates.head._1).as("compliant"),
+        (col("n") * stages).as("de"), (col("ch") * stages).as("ce"),
+        (col("n") * costNs).as("cn"))
+      .groupBy("gate_order", "deployed", "compliant")
+      .agg(sum("de").as("total_evals"), sum("ce").as("total_char_evals"),
+        sum("cn").as("total_cost_ns"))
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("total_evals"), col("gate_order"))
+    val wc = org.apache.spark.sql.expressions.Window
+      .orderBy(col("total_cost_ns"), col("gate_order"))
     totals.withColumn("rank", row_number().over(w).cast("long"))
-      .select(col("rank"), col("gate_order"), col("deployed"),
-        col("total_evals"), col("total_char_evals"))
+      .withColumn("cost_rank", row_number().over(wc).cast("long"))
+      .select(col("rank"), col("cost_rank"), col("gate_order"),
+        col("deployed"), col("compliant"),
+        col("total_evals"), col("total_char_evals"), col("total_cost_ns"))
       .orderBy("rank")
   }
 
@@ -877,20 +923,26 @@ object Corpus12 {
       // each gate earn its scan"; this answers "in what ORDER do the
       // scans cost least") — the selection-predicate-ordering question
       // every multi-gate funnel faces, with correlations priced exactly
-      // rather than assumed independent. The deployed CCNet order is
-      // marked for comparison against the optimum. Integer-exact end to
-      // end. See gateOrdering for the cube shape.
+      // rather than assumed independent — PLUS (r13) the cost-weighted
+      // ranking the r12 audit left to the consumer: each evaluation
+      // priced at the gate's MEASURED unit cost (gateUnitCostNs, the
+      // ProfGateCost size-differenced ns/doc), with `compliant` marking
+      // the legally runnable orders (robots first). Integer-exact end
+      // to end. See gateOrdering for the cube shape.
       //
-      // THE READING (sf0.001): the deployed order ranks 87/120 on raw
-      // evaluations — Gopher is this corpus's most selective gate and a
-      // cost-blind optimum fronts it (1417 vs 1875 evals, −24%); the
-      // best COMPLIANT order (robots legally first) is
-      // robots>gopher>blocklist>lang_id>classifier (1656, −12%). The
-      // audit prices evaluation and char-read counts EXACTLY and leaves
-      // per-gate unit costs to the consumer — the deployed order is not
-      // wrong, it reflects that Gopher's battery is the most expensive
-      // per evaluation and lang-id the cheapest; this table is what a
-      // reorder decision multiplies those unit costs into.
+      // THE READING (sf0.001): the r12 raw-eval finding INVERTS under
+      // measured costs — the eval-count optimum (gopher first, 1417 vs
+      // deployed 1875 evals) is cost_rank 65 and 20% MORE expensive
+      // than deployed (129.9 vs 108.3 ms), because the most selective
+      // gate is also 6-12x the dearest per evaluation. The deployed
+      // CCNet order is cost_rank 40/120; the best compliant order
+      // (robots>blocklist>lang_id>gopher>classifier — one blocklist/
+      // lang_id swap) saves 5.3% of stateless-gate compute. DECISION:
+      // the deployed order STAYS — the savings are ~1-2% of funnel
+      // wall (inside q268's own official variance band) and the swap
+      // would run the English-calibrated C4 blocklist before lang-id,
+      // which CCNet/FineWeb deliberately do not; see SCALE.md "gate
+      // ordering: the reorder decision" for the numbers on record.
       (s, dir) => gateOrdering(Tables.documents(s, dir)),
       Some {
         val names = statelessGates.map(_._1)
@@ -901,9 +953,17 @@ object Corpus12 {
           "CASE " + g + statelessGates.map { case (nm, f) =>
             s" WHEN '$nm' THEN $f"
           }.mkString + " END"
+        def co(g: String) =
+          "CASE " + g + statelessGates.map { case (nm, _) =>
+            s" WHEN '$nm' THEN ${gateUnitCostNs(nm)}"
+          }.mkString + " END"
         val sExpr = "1 + " + (1 to 4).map { k =>
           val conj = (1 to k).map(j => fo(s"g$j")).mkString(" AND ")
           s"CASE WHEN $conj THEN 1 ELSE 0 END"
+        }.mkString(" + ")
+        val cExpr = co("g1") + " + " + (2 to 5).map { k =>
+          val conj = (1 until k).map(j => fo(s"g$j")).mkString(" AND ")
+          s"CASE WHEN $conj THEN ${co(s"g$k")} ELSE 0 END"
         }.mkString(" + ")
         s"""WITH $gateFlagsDuckCte,
            |fx AS (SELECT fl.*, d.n_chars FROM fl JOIN documents d ON fl.doc_id = d.doc_id),
@@ -911,11 +971,16 @@ object Corpus12 {
            |CAST(count(*) AS BIGINT) AS n, CAST(sum(n_chars) AS BIGINT) AS ch
            |FROM fx GROUP BY 1, 2, 3, 4, 5),
            |pm(gate_order, g1, g2, g3, g4, g5, deployed) AS (VALUES $permVals),
-           |ev AS (SELECT gate_order, deployed, n * ($sExpr) AS de, ch * ($sExpr) AS ce FROM pm, cb),
-           |tt AS (SELECT gate_order, deployed, CAST(sum(de) AS BIGINT) AS total_evals,
-           |CAST(sum(ce) AS BIGINT) AS total_char_evals FROM ev GROUP BY 1, 2),
-           |rk AS (SELECT *, CAST(row_number() OVER (ORDER BY total_evals, gate_order) AS BIGINT) AS rank FROM tt)
-           |SELECT rank, gate_order, deployed, total_evals, total_char_evals
+           |ev AS (SELECT gate_order, deployed, g1 = '${names.head}' AS compliant,
+           |n * ($sExpr) AS de, ch * ($sExpr) AS ce, n * ($cExpr) AS cn FROM pm, cb),
+           |tt AS (SELECT gate_order, deployed, compliant,
+           |CAST(sum(de) AS BIGINT) AS total_evals,
+           |CAST(sum(ce) AS BIGINT) AS total_char_evals,
+           |CAST(sum(cn) AS BIGINT) AS total_cost_ns FROM ev GROUP BY 1, 2, 3),
+           |rk AS (SELECT *, CAST(row_number() OVER (ORDER BY total_evals, gate_order) AS BIGINT) AS rank,
+           |CAST(row_number() OVER (ORDER BY total_cost_ns, gate_order) AS BIGINT) AS cost_rank FROM tt)
+           |SELECT rank, cost_rank, gate_order, deployed, compliant,
+           |total_evals, total_char_evals, total_cost_ns
            |FROM rk ORDER BY rank""".stripMargin.replace("\n", " ")
       })
   )
