@@ -153,8 +153,21 @@ object MediaCodec {
       y += 1
     }
     val out = new java.io.ByteArrayOutputStream()
-    val ok = javax.imageio.ImageIO.write(img, format, out)
-    require(ok, s"no ImageIO writer for $format")
+    // explicit MEMORY-cache output stream: ImageIO.write's default
+    // useCache=true backs the stream with a TEMP FILE, i.e. one
+    // filesystem create+write+delete per encode — measured (ProfQ254,
+    // sf0.1 local[32], cache toggled per round in one JVM) as 2.6× on
+    // the full q254 and THE mechanism behind its 1.59-2.74 s host band:
+    // temp-file churn is filesystem-pressure-dependent, pure-memory
+    // codec work is not. Payloads here are KB-scale by construction, so
+    // the file cache's only purpose (bounding heap for huge images)
+    // doesn't apply.
+    val writers = javax.imageio.ImageIO.getImageWritersByFormatName(format)
+    require(writers.hasNext, s"no ImageIO writer for $format")
+    val w0 = writers.next()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
+    try { w0.setOutput(ios); w0.write(img) }
+    finally { ios.close(); w0.dispose() } // close flushes to `out`
     out.toByteArray
   }
 
@@ -203,9 +216,13 @@ object MediaCodec {
   }
 
   private def readImage(b: Array[Byte]): (String, java.awt.image.BufferedImage) = {
-    val iis = javax.imageio.ImageIO.createImageInputStream(
+    // explicit MEMORY-cache input stream, NOT ImageIO.createImageInputStream:
+    // the factory's default useCache=true materializes a temp FILE per
+    // decode (see grayImageBytes — the measured q254 host-band
+    // mechanism); the bytes are already fully in memory here, so a
+    // file-backed seekable wrapper is pure filesystem churn
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
       new java.io.ByteArrayInputStream(b))
-    require(iis != null, "no image input stream SPI") // registry can return null
     try {
       val readers = javax.imageio.ImageIO.getImageReaders(iis)
       require(readers.hasNext, "not a decodable image")
