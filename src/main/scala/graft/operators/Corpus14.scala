@@ -561,6 +561,49 @@ object Corpus14 {
       .orderBy("source")
   }
 
+  /** q282's body: the corpus SAMPLED at q280's smoothed weights — the
+    * mixture family's consumer (given q104 / flattened q144 /
+    * loss-driven q280 → consumed HERE). Target arithmetic is integer
+    * end-to-end on the published round-4 weights (w4 = weight in 1e-4
+    * units; N = min_d ⌊n_d·10⁴/w4⌋ the largest corpus deliverable at
+    * the mixture without exhausting a domain; per-domain target
+    * ⌊N·w4/10⁴⌋ ≤ n_d by construction); the keep decision is q104's
+    * content-hash bucket — u from md5(doc_id), keep iff
+    * u·n_d < 65536·target — so membership is deterministic across
+    * engines, repartitioning, and cluster size, and the achieved-vs-
+    * target gap published per domain is honest binomial hash noise.
+    * Scale shape: one domainReweight pass (co-partitioned doc-keyed
+    * joins → ~20-row aggregate), the 20-row target table broadcast
+    * back over a pure-scan sampling pass, one partial-aggregable
+    * groupBy(source); whole-frame windows only over the ~20 domain
+    * rows (q197 exemption class). */
+  private[graft] def doremiSample(docs: DataFrame): DataFrame = {
+    val wt = domainReweight(docs)
+      .select(col("source"), col("n_docs"), col("w_smoothed"))
+      .withColumn("wu", round(col("w_smoothed") * lit(10000)).cast("long"))
+    val nt = wt.filter(col("wu") > 0)
+      .agg(min(expr("n_docs * 10000 div wu")).as("n_total"))
+    val tg = wt.crossJoin(broadcast(nt))
+      .withColumn("n_target", expr("n_total * wu div 10000"))
+      .select(col("source"), col("n_docs"),
+        col("w_smoothed").as("w_target"), col("n_target"))
+    val du = docs.select(col("doc_id"), col("source"))
+      .withColumn("hx", expr("substring(md5(CAST(doc_id AS STRING)), 1, 4)"))
+      .withColumn("u", expr(Corpus.hexFoldSpark("hx", 4)))
+    val sm = du.join(broadcast(tg), Seq("source"))
+      .filter(col("u") * col("n_docs") < lit(65536L) * col("n_target"))
+      .groupBy("source").agg(count(lit(1)).as("n_sampled"))
+    val all = org.apache.spark.sql.expressions.Window.partitionBy()
+    tg.join(sm, Seq("source"), "left")
+      .withColumn("n_sampled", coalesce(col("n_sampled"), lit(0L)))
+      .withColumn("ts", sum("n_sampled").over(all))
+      .select(col("source"), col("n_docs"), col("w_target"),
+        col("n_target"), col("n_sampled"),
+        round(col("n_sampled") * lit(1.0) / col("ts"), 4).as("achieved_share"))
+      .withColumn("gap", round(abs(col("achieved_share") - col("w_target")), 4))
+      .orderBy("source")
+  }
+
   /** The deterministic non-target-language injection for the funnel's
     * lang-id gate (the q262/q274 dirty-twin idiom — the synthetic corpus
     * is uniformly English-shaped, q34 predicts 'en' on every document,
@@ -866,24 +909,79 @@ object Corpus14 {
       // scale/float shape.
       (s, dir) => domainReweight(Tables.documents(s, dir)),
       Some {
-        s"""WITH ${clfDuckCte()},
-           |${Corpus.gateDuckCte("g_")},
-           |sc AS (SELECT d.source AS source,
-           |greatest(least(1.0 / (1.0 + exp(-clf.clf_margin / $DoremiT)), 1.0 - $NllEps), $NllEps) AS p,
-           |CASE WHEN (len_ok AND stop_ok AND toklen_ok AND rep_ok) THEN 1.0 ELSE 0.0 END AS y
-           |FROM clf JOIN g_r ON clf.doc_id = g_r.doc_id JOIN documents d ON clf.doc_id = d.doc_id),
-           |ls AS (SELECT source, -(y * ln(p) + (1.0 - y) * ln(1.0 - p)) AS loss FROM sc),
-           |dom AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-           |round(avg(loss), 4) AS mean_loss FROM ls GROUP BY 1),
-           |t1 AS (SELECT *, round(avg(mean_loss) OVER (), 4) AS baseline,
-           |CAST(count(*) OVER () AS DOUBLE) AS k FROM dom),
-           |t2 AS (SELECT *, round(mean_loss - baseline, 4) AS excess FROM t1),
-           |t3 AS (SELECT *, exp($DoremiEta * excess) AS tilt FROM t2),
-           |t4 AS (SELECT *, sum(tilt) OVER () AS z FROM t3)
+        s"""WITH $reweightDuckCte
            |SELECT source, n_docs, mean_loss, excess,
            |round(tilt / z, 4) AS w_raw,
            |round($DoremiAlpha * tilt / z + (1.0 - $DoremiAlpha) / k, 4) AS w_smoothed
            |FROM t4 ORDER BY source""".stripMargin.replace("\n", " ")
+      }),
+
+    QueryDef(
+      "q282_doremi_sample",
+      // DoReMi WEIGHTS CONSUMED (completes audit→action→consumer for
+      // the mixture family the way q278→q279→q280 did for calibration):
+      // deterministically sample the corpus AT q280's smoothed weights
+      // — the content-hash bucket discipline of q104 (md5-derived
+      // integer u, integer threshold compare, reproducible under any
+      // repartitioning), with the target mixture DERIVED, not given.
+      // Per domain: the target share w_target (= q280's w_smoothed),
+      // the largest total N the corpus can deliver at that mixture
+      // without exhausting any domain (N = min_d ⌊n_d·10⁴/w4_d⌋, all
+      // integer — w4 = the published round-4 weight in 1e-4 units, so
+      // no float threshold crosses an engine boundary), the per-domain
+      // target count ⌊N·w4/10⁴⌋, the achieved hash-sampled count, the
+      // achieved share, and the |achieved − target| gap (sampling is
+      // binomial per doc, so the gap is honest hash-noise, not zero by
+      // construction). Scale shape: domainReweight's co-partitioned
+      // scan → ~20-row weight table (broadcast); the sampling pass is
+      // pure scan expressions + a broadcast join + one partial-
+      // aggregable groupBy(source); whole-frame windows only over the
+      // ~20 domain rows (the q197 exemption class).
+      (s, dir) => doremiSample(Tables.documents(s, dir)),
+      Some {
+        s"""WITH $reweightDuckCte,
+           |wt AS (SELECT source, n_docs,
+           |round($DoremiAlpha * tilt / z + (1.0 - $DoremiAlpha) / k, 4) AS w_smoothed FROM t4),
+           |w4 AS (SELECT *, CAST(round(w_smoothed * 10000) AS BIGINT) AS wu FROM wt),
+           |nt AS (SELECT CAST(min(n_docs * 10000 // wu) AS BIGINT) AS n_total FROM w4 WHERE wu > 0),
+           |tg AS (SELECT source, n_docs, w_smoothed,
+           |CAST((SELECT n_total FROM nt) * wu // 10000 AS BIGINT) AS n_target FROM w4),
+           |du AS (SELECT d.doc_id, d.source,
+           |${Corpus.hexFoldDuck("substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)", 4)} AS u
+           |FROM documents d),
+           |sm AS (SELECT du.source, CAST(count(*) AS BIGINT) AS n_sampled
+           |FROM du JOIN tg ON du.source = tg.source
+           |WHERE du.u * tg.n_docs < 65536 * tg.n_target GROUP BY 1),
+           |fin AS (SELECT tg.source, tg.n_docs, tg.w_smoothed AS w_target, tg.n_target,
+           |coalesce(sm.n_sampled, 0) AS n_sampled
+           |FROM tg LEFT JOIN sm ON tg.source = sm.source),
+           |tot AS (SELECT CAST(sum(n_sampled) AS BIGINT) AS ts FROM fin)
+           |SELECT source, n_docs, w_target, n_target, n_sampled,
+           |round(n_sampled * 1.0 / (SELECT ts FROM tot), 4) AS achieved_share,
+           |round(abs(round(n_sampled * 1.0 / (SELECT ts FROM tot), 4) - w_target), 4) AS gap
+           |FROM fin ORDER BY source""".stripMargin.replace("\n", " ")
       })
   )
+
+  /** The q280 reweight chain as one DuckDB CTE block (through `t4`,
+    * which carries n_docs/mean_loss/excess/tilt/z/k per source) —
+    * shared by q280 (publishes the weights) and q282 (consumes them),
+    * so the consumer's oracle re-derives the weights END TO END rather
+    * than trusting a pasted table (the q276 CTE-chain discipline). */
+  private def reweightDuckCte: String =
+    s"""${clfDuckCte()},
+       |${Corpus.gateDuckCte("g_")},
+       |sc AS (SELECT d.source AS source,
+       |greatest(least(1.0 / (1.0 + exp(-clf.clf_margin / $DoremiT)), 1.0 - $NllEps), $NllEps) AS p,
+       |CASE WHEN (len_ok AND stop_ok AND toklen_ok AND rep_ok) THEN 1.0 ELSE 0.0 END AS y
+       |FROM clf JOIN g_r ON clf.doc_id = g_r.doc_id JOIN documents d ON clf.doc_id = d.doc_id),
+       |ls AS (SELECT source, -(y * ln(p) + (1.0 - y) * ln(1.0 - p)) AS loss FROM sc),
+       |dom AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |round(avg(loss), 4) AS mean_loss FROM ls GROUP BY 1),
+       |t1 AS (SELECT *, round(avg(mean_loss) OVER (), 4) AS baseline,
+       |CAST(count(*) OVER () AS DOUBLE) AS k FROM dom),
+       |t2 AS (SELECT *, round(mean_loss - baseline, 4) AS excess FROM t1),
+       |t3 AS (SELECT *, exp($DoremiEta * excess) AS tilt FROM t2),
+       |t4 AS MATERIALIZED (SELECT *, sum(tilt) OVER () AS z FROM t3)"""
+      .stripMargin.replace("\n", " ")
 }

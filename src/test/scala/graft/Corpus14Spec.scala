@@ -378,6 +378,52 @@ class Corpus14Spec extends AnyFunSuite with SparkSuite {
     assert(got.map(_._5).distinct.size > 1)
   }
 
+  test("q282 doremi sample: targets replay from q280's weights, membership replays the hash") {
+    // the consumer's contract: targets derive from q280's PUBLISHED
+    // table (integer arithmetic on the round-4 weights) and membership
+    // is the q104 content-hash bucket — both replayed independently
+    val w = SparkEntry.queries("q280_domain_reweight")(spark, sfDir)
+      .as[(String, Long, Double, Double, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, math.round(r._6 * 10000))).toMap
+    val nTotal = w.values.collect { case (n, wu) if wu > 0 => n * 10000L / wu }.min
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "source").as[(Long, String)].collect()
+    def u(id: Long): Long = {
+      val hx = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .take(2).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hx, 16)
+    }
+    val exp = docs.groupBy(_._2).view.mapValues { rows =>
+      val (n, wu) = w(rows.head._2)
+      val tgt = nTotal * wu / 10000L
+      (n, tgt, rows.count { case (id, _) => u(id) * n < 65536L * tgt }.toLong)
+    }.toMap
+    // columns: source, n_docs, w_target, n_target, n_sampled, achieved, gap
+    val got2 = SparkEntry.queries("q282_doremi_sample")(spark, sfDir)
+      .as[(String, Long, Double, Long, Long, Double, Double)].collect().toSeq
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got2.map(_._1) == exp.keys.toSeq.sorted)
+    val totalSampled = got2.map(_._5).sum
+    got2.foreach { case (s, n, wt, tgt, smp, ach, gap) =>
+      val (en, etgt, esmp) = exp(s)
+      assert(n == en)
+      assert(wt == w(s)._2 / 10000.0, s"$s w_target")
+      assert(tgt == etgt, s"$s n_target")
+      // the target never exhausts the domain (the N = min_d bound)
+      assert(tgt <= n)
+      assert(smp == esmp, s"$s n_sampled")
+      assert(ach == r4(smp.toDouble / totalSampled))
+      assert(gap == r4(math.abs(ach - wt)))
+    }
+    // achieved shares are a distribution, and the sample is a real
+    // subset (neither empty nor the whole corpus)
+    assert(math.abs(got2.map(_._6).sum - 1.0) <= 0.5e-4 * got2.size)
+    assert(totalSampled > 0 && totalSampled < docs.length)
+    assert(got2 == got2.sortBy(_._1))
+  }
+
   test("q273 vs q100: all four confusion cells occur — a real operating-point delta") {
     val got = SparkEntry.queries("q273_quality_classifier_gate")(spark, sfDir)
       .as[(Long, Boolean, Boolean, Boolean)].collect().toSeq

@@ -69,9 +69,10 @@ class PlanLinterSpec extends AnyFunSuite with SparkSuite {
     "q238_pacf"                 -> "daily aggregate (<=30 day rows) feeding the 5-lag Durbin-Levinson",
     "q245_kruskal_wallis"       -> "value-DOMAIN midrank table",
     "q246_rank_biased_overlap"  -> "two top-20 rank lists",
-    "q279_temperature_scaling"  -> "6 temperature-grid aggregate rows (argmin rank)",
+    "q279_temperature_scaling"  -> "10 temperature-grid aggregate rows (argmin rank)",
     "q280_domain_reweight"      -> "20 per-source aggregate rows (DRO tilt windows)",
-    "q281_gate_ordering"        -> "120 permutation-total rows (rank window)"
+    "q281_gate_ordering"        -> "120 permutation-total rows (rank windows)",
+    "q282_doremi_sample"        -> "20 per-source target rows (total-sampled window)"
   )
 
   /** Queries allowed a non-scalar-merge SinglePartition exchange — the
