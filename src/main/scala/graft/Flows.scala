@@ -367,10 +367,13 @@ object Flows {
     * files matter) — so the drain watermark must trail BOTH the
     * producer's commit and every consumer's consumption. A consumer
     * bootstrapping from scratch after a drain starts from the compacted
-    * store, not the bridge. StreamingRecoverySpec proves the restart:
-    * a consumer checkpointed past batches 0-1 survives their drain,
-    * delivers exactly the undrained batch, and store ∪ deliveries
-    * conserves the truth.
+    * store, not the bridge. StreamingRecoverySpec proves BOTH consumer
+    * paths: the restart (a consumer checkpointed past batches 0-1
+    * survives their drain, delivers exactly the undrained batch, and
+    * store ∪ deliveries conserves the truth) and the fresh bootstrap
+    * (a no-checkpoint consumer reading store snapshot ∪ bridge stream
+    * sees exactly the truth once — drained rows via the store, the
+    * undrained batch via the stream, zero overlap).
     *
     * Precondition on `key`: within a single landed batch the key must be
     * unique (landBatch's keyed frames satisfy this by construction). The

@@ -65,6 +65,42 @@ class FlowsSpec extends AnyFunSuite with SparkSuite {
       s"store not compacted: $storeFiles files")
   }
 
+  test("drainBridge enforces the consumer floor and skips foreign bridge entries") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_drainguard")
+    val bridge = tmp.resolve("bridge").toString
+    val store = tmp.resolve("store").toString
+    val truth = operators.Corpus12.hostedDocs(
+        Tables.documents(spark, "/root/testdata/sf0.001"))
+      .select($"doc_id", $"host", $"n_chars")
+    val Seq(b0, b1, b2) = (0 to 2).map(i => truth.filter($"doc_id" % 3 === i))
+    streaming.StreamingTwin.landBatch(b0, 0L, bridge)
+    streaming.StreamingTwin.landBatch(b1, 1L, bridge)
+    streaming.StreamingTwin.landBatch(b2, 2L, bridge)
+    // a stray non-numeric entry (a foreign tool's temp dir) must be
+    // SKIPPED, not a NumberFormatException permanently failing every
+    // subsequent drain
+    java.nio.file.Files.createDirectory(
+      java.nio.file.Paths.get(bridge, "batch_id=__tmp_staging"))
+    def bridgeParts(): Seq[String] =
+      new java.io.File(bridge).list().toSeq.filter(_.startsWith("batch_id=")).sorted
+    // producer watermark says 2, but a lagging consumer has only
+    // consumed batch 0 — the floor caps the prune, so batches 1-2
+    // survive for that consumer
+    assert(Flows.drainBridge(spark, bridge, store, upTo = 2L,
+      consumedFloor = Some(0L)) == 1)
+    assert(bridgeParts() ==
+      Seq("batch_id=1", "batch_id=2", "batch_id=__tmp_staging"))
+    assert(spark.read.parquet(store).as[(Long, String, Long)].collect().toSeq.sorted ==
+      b0.as[(Long, String, Long)].collect().toSeq.sorted)
+    // the consumer catches up: the floor releases the rest; the foreign
+    // entry is still ignored and still present
+    assert(Flows.drainBridge(spark, bridge, store, upTo = 2L,
+      consumedFloor = Some(5L)) == 2)
+    assert(bridgeParts() == Seq("batch_id=__tmp_staging"))
+    assert(spark.read.parquet(store).as[(Long, String, Long)].collect().toSeq.sorted ==
+      truth.as[(Long, String, Long)].collect().toSeq.sorted)
+  }
+
   test("query-articles composes the four optional filters like the reference") {
     val out = java.nio.file.Files.createTempDirectory("graft_flows_spec_q")
     val store = out.resolve("store").toString

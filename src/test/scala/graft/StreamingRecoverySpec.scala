@@ -296,6 +296,63 @@ class StreamingRecoverySpec extends AnyFunSuite with SparkSuite {
     assert(all == truth.as[(Long, String, Long)].collect().toSeq.sorted)
   }
 
+  test("a consumer bootstrapping from scratch after a drain starts from the store, not the bridge") {
+    // drainBridge's THIRD consumer path (the scaladoc's last promise,
+    // r12 verdict #6): a consumer with NO checkpoint arriving after a
+    // drain cannot see the drained batches on the bridge — its
+    // bootstrap is the compacted STORE (batch snapshot) plus a stream
+    // over the surviving bridge dirs. The proof: drain batches 0-1,
+    // land batch 2 undrained, start a FRESH consumer (new checkpoint)
+    // whose first act reads the store and then streams the bridge —
+    // it must see exactly the truth once: no loss (the drained rows
+    // arrive via the store), no doubles (the stream delivers only the
+    // undrained batch).
+    val tmp = java.nio.file.Files.createTempDirectory("graft_drainboot")
+    val bridge = tmp.resolve("bridge").toString
+    val store = tmp.resolve("store").toString
+    val ckptFresh = tmp.resolve("ckpt_fresh").toString
+    val truth = operators.Corpus12.hostedDocs(
+        Tables.documents(spark, "/root/testdata/sf0.001"))
+      .select($"doc_id", $"host", $"n_chars")
+    val Seq(b0, b1, b2) = (0 to 2).map(i => truth.filter($"doc_id" % 3 === i))
+    streaming.StreamingTwin.landBatch(b0, 0L, bridge)
+    streaming.StreamingTwin.landBatch(b1, 1L, bridge)
+    // the producer's watermark is committed at 1; no consumer exists
+    // yet, so the consumedFloor guard is not in play — this is the
+    // bootstrap-AFTER-drain ordering the scaladoc describes
+    assert(Flows.drainBridge(spark, bridge, store, 1L) == 2)
+    streaming.StreamingTwin.landBatch(b2, 2L, bridge)
+    // FRESH consumer, no checkpoint: bootstrap = store snapshot …
+    val boot = spark.read.parquet(store)
+      .select($"doc_id", $"host", $"n_chars")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(boot.map(_._1).sorted ==
+      b0.unionByName(b1).select("doc_id").as[Long].collect().sorted.toSeq,
+      "the compacted store must hand the bootstrap exactly the drained batches")
+    // … then a stream over the bridge from a brand-new checkpoint
+    val buf = collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+    val q = spark.readStream.schema(truth.schema)
+      .option("maxFilesPerTrigger", 1).parquet(bridge)
+      .writeStream.option("checkpointLocation", ckptFresh)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = df.select("doc_id", "host", "n_chars")
+          .as[(Long, String, Long)].collect()
+        buf.synchronized { buf ++= rows }
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(buf.map(_._1).toSet ==
+      b2.select("doc_id").as[Long].collect().toSet,
+      "the fresh stream must deliver exactly the undrained batch — " +
+        "drained rows are the store's job, not the bridge's")
+    // exactly-once union: bootstrap ∪ stream == truth, no overlap
+    val all = (boot ++ buf).sorted
+    assert(all == truth.as[(Long, String, Long)].collect().toSeq.sorted,
+      "store ∪ fresh-consumer deliveries must conserve the truth exactly once")
+    assert(boot.map(_._1).toSet.intersect(buf.map(_._1).toSet).isEmpty)
+  }
+
   test("clamped-balance stream killed between micro-batches resumes and settles to q204") {
     val dir = "/root/testdata/sf0.01"
     val stage = java.nio.file.Files.createTempDirectory("graft_balrec_stage")
