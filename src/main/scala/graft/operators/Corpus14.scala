@@ -604,6 +604,96 @@ object Corpus14 {
       .orderBy("source")
   }
 
+  /** q283's smoothing: add-k with k = 1/2 written as the exact rational
+    * (c12 + 1/2)/(c1 + V/2) = (2·c12 + 1)/(2·c1 + V), so every log
+    * argument is an INTEGER — no float division inside the sum, the only
+    * cross-engine surface is ln() of exact integers (the tilt/NLL
+    * precedent, guarded by the same round-4 + measured-clearance
+    * discipline). */
+  private[graft] val LmPplBucketDiv = 100L
+
+  /** q283's body: CCNet-style LANGUAGE-MODEL PERPLEXITY scoring
+    * (Wenzek et al. 2020 §4.3) — the quality signal the actual CCNet
+    * pipeline uses (a KenLM trained on Wikipedia; documents split into
+    * head/middle/tail by perplexity terciles), contract-reduced to this
+    * engine's apparatus: the reference LM is a bigram add-1/2 model
+    * trained on the RULE-GATE SURVIVORS (q100's keep — the in-corpus
+    * stand-in for "reference-like text", the same reduction GdClassifier
+    * makes for the trained gate), every document is scored by
+    * ppl = exp(−Σ log P(w2|w1) / n_bigrams), and the corpus splits into
+    * CCNet's head/middle/tail thirds by ascending perplexity
+    * (keep = not tail, the CCNet default). A doc never seen by the LM
+    * backs off to P = k/(kV) = 1/V per OOV bigram — finite, never NaN.
+    *
+    * Float discipline: log arguments are exact integers (see
+    * [[LmPplBucketDiv]] scaladoc); log_prob rounds at the doc
+    * aggregate; ppl = round(exp(−lp₄/n_bi), 4) is deterministic
+    * arithmetic on the rounded value; everything downstream (ppl4,
+    * bucket, rank, tercile) is INTEGER on ppl4 = ppl·10⁴ with doc_id
+    * tie-breaks. Corpus14Spec measures the rounding clearance.
+    *
+    * Scale shape: LM counts are two partial-aggregable bigram/prefix
+    * aggregates over the survivor corpus (data-sized tables, the
+    * production LM is a fixed artifact anyway); scoring is two keyed
+    * joins + one groupBy(doc_id) — all corpus-sized work is keyed and
+    * partial-aggregable. The tercile split is the q112/q115 two-pass
+    * bucket-boundary pattern, NOT a global rank window: ppl4 buckets
+    * (width [[LmPplBucketDiv]] = 0.01-ppl units, a value-domain-bounded
+    * ≤ ~35k-row count table) locate each doc's global rank as
+    * bucket-cumsum + within-bucket row_number (window partitioned by
+    * bucket; granularity is the knob that bounds the partition at any
+    * corpus size). The cumsum window runs over the tiny bucket table
+    * only (q197 exemption class). */
+  private[graft] def lmPerplexity(docs: DataFrame): DataFrame = {
+    def pairsOf(d: DataFrame): DataFrame =
+      d.select(col("doc_id"), expr(toksExpr).as("w"))
+        .select(col("doc_id"), explode(expr(
+          """CASE WHEN size(w) >= 2
+            |THEN transform(sequence(0, size(w)-2), i -> struct(w[i] AS w1, w[i+1] AS w2))
+            |ELSE transform(slice(w, 1, 0), x -> struct(x AS w1, x AS w2)) END"""
+            .stripMargin.replace("\n", " "))).as("p"))
+        .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val ref = docs.join(Corpus.qualityGate(docs).filter(col("keep"))
+      .select("doc_id"), Seq("doc_id"), "left_semi")
+    val rp = pairsOf(ref)
+    val lm2 = rp.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val lm1 = rp.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocab = ref.select(explode(expr(toksExpr)).as("tok"))
+      .agg(countDistinct("tok").as("v"))
+    val sc = pairsOf(docs)
+      .join(lm2, Seq("w1", "w2"), "left")
+      .join(lm1, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_bigrams"),
+        round(sum(
+          log(lit(2L) * coalesce(col("c12"), lit(0L)) + lit(1L)) -
+            log(lit(2L) * coalesce(col("c1"), lit(0L)) + col("v"))), 4)
+          .as("log_prob"))
+    val scored = sc
+      .withColumn("ppl", round(exp(-col("log_prob") / col("n_bigrams")), 4))
+      .withColumn("ppl4", round(col("ppl") * lit(10000)).cast("long"))
+      .withColumn("b", expr(s"ppl4 div $LmPplBucketDiv"))
+    val bc = scored.groupBy(col("b").as("bb")).agg(count(lit(1)).as("bcnt"))
+    val wb = org.apache.spark.sql.expressions.Window.orderBy("bb")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val cum = bc.withColumn("cumb", coalesce(sum("bcnt").over(wb), lit(0L)))
+      .select("bb", "cumb")
+    val tot = scored.agg(count(lit(1)).as("n_total"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("b").orderBy(col("ppl4"), col("doc_id"))
+    scored.join(broadcast(cum), col("b") === col("bb"))
+      .crossJoin(broadcast(tot))
+      .withColumn("rnk", col("cumb") + row_number().over(win))
+      .withColumn("tercile",
+        when(col("rnk") <= expr("n_total div 3"), "head")
+          .when(col("rnk") <= expr("(2 * n_total) div 3"), "middle")
+          .otherwise("tail"))
+      .select(col("doc_id"), col("n_bigrams"), col("log_prob"), col("ppl"),
+        col("tercile"), (col("tercile") =!= "tail").as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** The deterministic non-target-language injection for the funnel's
     * lang-id gate (the q262/q274 dirty-twin idiom — the synthetic corpus
     * is uniformly English-shaped, q34 predicts 'en' on every document,
@@ -960,6 +1050,53 @@ object Corpus14 {
            |round(n_sampled * 1.0 / (SELECT ts FROM tot), 4) AS achieved_share,
            |round(abs(round(n_sampled * 1.0 / (SELECT ts FROM tot), 4) - w_target), 4) AS gap
            |FROM fin ORDER BY source""".stripMargin.replace("\n", " ")
+      }),
+
+    QueryDef(
+      "q283_lm_perplexity",
+      // CCNet LM-PERPLEXITY QUALITY SIGNAL (Wenzek et al. 2020 §4.3 —
+      // the quality dimension the actual CCNet pipeline gates on,
+      // missing until now next to the rule battery and the trained
+      // classifier): a bigram add-1/2 LM trained on the rule-gate
+      // survivors scores every document; the corpus splits into CCNet's
+      // head/middle/tail perplexity terciles (ascending ppl = closest
+      // to reference first); keep = not tail, the CCNet default. Log
+      // arguments are exact integers ((2c12+1)/(2c1+V) — the k=1/2
+      // rational), ranks are integer on ppl4 with doc_id tie-breaks,
+      // and the tercile split is the q112 two-pass bucket-boundary
+      // pattern, never a global rank window. See lmPerplexity.
+      (s, dir) => lmPerplexity(Tables.documents(s, dir)),
+      Some {
+        s"""WITH ${Corpus.gateDuckCte("g_")},
+           |t AS (SELECT doc_id, $toksDuck AS w FROM documents),
+           |ref AS MATERIALIZED (SELECT t.doc_id, w FROM t JOIN g_r ON t.doc_id = g_r.doc_id
+           |WHERE len_ok AND stop_ok AND toklen_ok AND rep_ok),
+           |rp AS MATERIALIZED (SELECT w[i] AS w1, w[i+1] AS w2 FROM ref,
+           |LATERAL (SELECT unnest(generate_series(1, len(w)-1)) AS i) g WHERE len(w) >= 2),
+           |lm2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM rp GROUP BY 1, 2),
+           |lm1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM rp GROUP BY 1),
+           |vc AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+           |FROM (SELECT unnest(w) AS tok FROM ref)),
+           |sp AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2 FROM t,
+           |LATERAL (SELECT unnest(generate_series(1, len(w)-1)) AS i) g WHERE len(w) >= 2),
+           |scd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           |round(sum(ln(2 * coalesce(c12, 0) + 1) - ln(2 * coalesce(c1, 0) + v)), 4) AS log_prob
+           |FROM sp LEFT JOIN lm2 USING (w1, w2) LEFT JOIN lm1 USING (w1) CROSS JOIN vc GROUP BY 1),
+           |pp AS (SELECT *, round(exp(-log_prob / n_bigrams), 4) AS ppl FROM scd),
+           |p4 AS MATERIALIZED (SELECT *, CAST(round(ppl * 10000) AS BIGINT) AS ppl4,
+           |CAST(round(ppl * 10000) AS BIGINT) // $LmPplBucketDiv AS b FROM pp),
+           |bc AS (SELECT b AS bb, CAST(count(*) AS BIGINT) AS bcnt FROM p4 GROUP BY 1),
+           |cm AS (SELECT bb, coalesce(sum(bcnt) OVER (ORDER BY bb
+           |ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb FROM bc),
+           |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM p4),
+           |rk AS (SELECT p4.*, cm.cumb + row_number()
+           |OVER (PARTITION BY b ORDER BY ppl4, doc_id) AS rnk
+           |FROM p4 JOIN cm ON p4.b = cm.bb),
+           |tc AS (SELECT *, CASE WHEN rnk <= (SELECT n_total FROM nt) // 3 THEN 'head'
+           |WHEN rnk <= (2 * (SELECT n_total FROM nt)) // 3 THEN 'middle'
+           |ELSE 'tail' END AS tercile FROM rk)
+           |SELECT doc_id, n_bigrams, log_prob, ppl, tercile, tercile <> 'tail' AS keep
+           |FROM tc ORDER BY doc_id""".stripMargin.replace("\n", " ")
       })
   )
 

@@ -424,6 +424,83 @@ class Corpus14Spec extends AnyFunSuite with SparkSuite {
     assert(got2 == got2.sortBy(_._1))
   }
 
+  test("q283 lm perplexity: LM replay from survivors, integer tercile split, clearance") {
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    // reference = the rule-gate survivors, read from q273's published
+    // rule column (≡ q100) — the same truth source the other replays use
+    val rk = SparkEntry.queries("q273_quality_classifier_gate")(spark, sfDir)
+      .as[(Long, Boolean, Boolean, Boolean)].collect()
+      .map(r => r._1 -> r._3).toMap
+    val ref = docs.filter { case (id, _) => rk(id) }
+    // q283 runs on the RAW tokenizer (no stopword filter — an LM needs
+    // function words), unlike the classifier-margin replays above
+    def rawToks(t: String): Seq[String] =
+      t.toLowerCase.split(' ').toSeq.filter(_.nonEmpty)
+    def bigrams(t: String): Seq[(String, String)] = {
+      val w = rawToks(t); if (w.size < 2) Nil else w.zip(w.tail)
+    }
+    val c12 = ref.flatMap(d => bigrams(d._2)).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val c1 = ref.flatMap(d => bigrams(d._2)).groupBy(_._1)
+      .view.mapValues(_.size.toLong).toMap
+    val v = ref.flatMap(d => rawToks(d._2)).distinct.size.toLong
+    // per-doc score replay under the exact-integer log-argument form
+    val exp0 = docs.flatMap { case (id, t) =>
+      val bs = bigrams(t)
+      if (bs.isEmpty) None else {
+        val lpRaw = bs.map { bg =>
+          math.log(2L * c12.getOrElse(bg, 0L) + 1L) -
+            math.log(2L * c1.getOrElse(bg._1, 0L) + v)
+        }.sum
+        val lp = r4(lpRaw)
+        val ppl = r4(math.exp(-lp / bs.size))
+        Some((id, bs.size.toLong, lp, ppl, lpRaw))
+      }
+    }
+    // tercile replay: integer rank on (ppl4, doc_id), integer thirds
+    val ranked = exp0.sortBy(e => (math.round(e._4 * 10000), e._1))
+    val n = ranked.size
+    val terc = ranked.zipWithIndex.map { case (e, i) =>
+      val rnk = i + 1
+      e._1 -> (if (rnk <= n / 3) "head"
+               else if (rnk <= 2 * n / 3) "middle" else "tail")
+    }.toMap
+    val got = SparkEntry.queries("q283_lm_perplexity")(spark, sfDir)
+      .as[(Long, Long, Double, Double, String, Boolean)].collect().toSeq
+    assert(got.map(_._1) == exp0.map(_._1).sorted,
+      "exactly the >=2-token docs are scored")
+    val byId = exp0.map(e => e._1 -> e).toMap
+    got.foreach { case (id, nb, lp, ppl, tc, keep) =>
+      val e = byId(id)
+      assert(nb == e._2, s"doc $id n_bigrams")
+      assert(lp == e._3, s"doc $id log_prob")
+      assert(ppl == e._4, s"doc $id ppl")
+      assert(tc == terc(id), s"doc $id tercile")
+      assert(keep == (tc != "tail"))
+    }
+    // CCNet thirds: sizes n/3, n/3, the remainder; ascending ppl bands
+    val sizes = got.groupBy(_._5).view.mapValues(_.size).toMap
+    assert(sizes("head") == n / 3 && sizes("middle") == 2 * n / 3 - n / 3)
+    assert(got.filter(_._5 == "head").map(_._4).max <=
+      got.filter(_._5 == "middle").map(_._4).min)
+    assert(got.filter(_._5 == "middle").map(_._4).max <=
+      got.filter(_._5 == "tail").map(_._4).min)
+    // the signal is real: the tail is materially worse than the head
+    assert(got.filter(_._5 == "tail").map(_._4).max >
+      1.2 * got.filter(_._5 == "head").map(_._4).min)
+    // hash-safety clearance: the raw log-prob sum (the only float sum
+    // crossing the engines) sits >= 1e-6 away from its round-4 boundary
+    // on every doc, >> the ~1e-13 summation-order jitter
+    val clear = exp0.map { e =>
+      val f = e._5 * 1e4
+      math.abs(f - math.floor(f) - 0.5)
+    }.min
+    assert(clear >= 1e-6, s"log_prob rounding clearance $clear")
+  }
+
   test("q273 vs q100: all four confusion cells occur — a real operating-point delta") {
     val got = SparkEntry.queries("q273_quality_classifier_gate")(spark, sfDir)
       .as[(Long, Boolean, Boolean, Boolean)].collect().toSeq

@@ -72,7 +72,8 @@ class PlanLinterSpec extends AnyFunSuite with SparkSuite {
     "q279_temperature_scaling"  -> "10 temperature-grid aggregate rows (argmin rank)",
     "q280_domain_reweight"      -> "20 per-source aggregate rows (DRO tilt windows)",
     "q281_gate_ordering"        -> "120 permutation-total rows (rank windows)",
-    "q282_doremi_sample"        -> "20 per-source target rows (total-sampled window)"
+    "q282_doremi_sample"        -> "20 per-source target rows (total-sampled window)",
+    "q283_lm_perplexity"        -> "value-DOMAIN ppl-bucket count table (boundary cumsum)"
   )
 
   /** Queries allowed a non-scalar-merge SinglePartition exchange — the
