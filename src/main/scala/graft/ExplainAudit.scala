@@ -45,7 +45,8 @@ object ExplainAudit {
         "q275_langid_gate", "q276_clf_operating_point",
         "q277_gate_attribution", "q278_clf_reliability",
         "q279_temperature_scaling", "q280_domain_reweight",
-        "q281_gate_ordering", "q282_doremi_sample", "q283_lm_perplexity")
+        "q281_gate_ordering", "q282_doremi_sample", "q283_lm_perplexity",
+        "q284_dsir_select")
     targets.foreach { name =>
       println(s"\n===== $name =====")
       SparkEntry.queries(name)(spark, dir).explain("formatted")

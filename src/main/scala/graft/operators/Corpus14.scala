@@ -694,6 +694,78 @@ object Corpus14 {
       .orderBy("doc_id")
   }
 
+  private[graft] val DsirBuckets = 1024L
+  private[graft] val DsirKeepDen = 4L
+
+  /** q284's body: DSIR — Data Selection via Importance Resampling
+    * (Xie et al. 2023, "Data Selection for Language Models via
+    * Importance Resampling") over HASHED bigram features, the
+    * selection-side sibling of q283's perplexity signal: two
+    * bag-of-hashed-ngrams unigram models (target = the rule-gate
+    * survivors, the same reference reduction as q283/GdClassifier;
+    * raw = the full corpus), per-document log importance weight
+    * log w(x) = Σ_occurrences [log p_target(b) − log p_raw(b)], and
+    * the top n/[[DsirKeepDen]] documents by weight selected — the
+    * deterministic contract reduction of the paper's Gumbel-noise
+    * resampling (the noise exists to diversify ties; here ties break
+    * on doc_id, so selection is reproducible and oracle-checkable).
+    *
+    * Feature hashing is ENGINE-PORTABLE by the q104 discipline: bucket
+    * = md5(bigram) hex-fold mod [[DsirBuckets]] — never an engine's
+    * native hash. Both smoothed models are exact rationals
+    * ((2c_b+1)/(2N+B), the q283 k=1/2 form), so every log argument is
+    * an INTEGER; log_w rounds at the doc aggregate (clearance measured
+    * in-spec) and the selection rank is integer on w4 = log_w·10⁴ with
+    * doc_id tie-breaks, via the q112 two-pass bucket-boundary pattern
+    * (descending — highest weight first), never a global rank window.
+    *
+    * Scale shape: the two models are ≤[[DsirBuckets]]-row partial-
+    * aggregable bucket counts (broadcast back — at 100 TB the model
+    * tables are still 1024 rows); scoring is broadcast joins + one
+    * groupBy(doc_id); the only corpus-sized shuffles are doc-keyed. */
+  private[graft] def dsirSelect(docs: DataFrame): DataFrame = {
+    def feats(d: DataFrame): DataFrame =
+      d.select(col("doc_id"), expr(toksExpr).as("w"))
+        .select(col("doc_id"), explode(expr(Corpus.ngramSpark(2))).as("bg"))
+        .select(col("doc_id"), expr(
+          s"CAST(conv(substring(md5(bg), 1, 4), 16, 10) AS BIGINT) % $DsirBuckets")
+          .as("b"))
+    val ref = docs.join(Corpus.qualityGate(docs).filter(col("keep"))
+      .select("doc_id"), Seq("doc_id"), "left_semi")
+    val tf = feats(ref).groupBy("b").agg(count(lit(1)).as("tb"))
+    val rf = feats(docs).groupBy("b").agg(count(lit(1)).as("rb"))
+    val tt = tf.agg(sum("tb").as("tc"))
+    val rt = rf.agg(sum("rb").as("rc"))
+    val sc = feats(docs)
+      .join(broadcast(tf), Seq("b"), "left")
+      .join(broadcast(rf), Seq("b"), "left")
+      .crossJoin(broadcast(tt)).crossJoin(broadcast(rt))
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_bigrams"),
+        round(sum(
+          log(lit(2L) * coalesce(col("tb"), lit(0L)) + lit(1L)) -
+            log(lit(2L) * col("tc") + lit(DsirBuckets)) -
+            log(lit(2L) * coalesce(col("rb"), lit(0L)) + lit(1L)) +
+            log(lit(2L) * col("rc") + lit(DsirBuckets))), 4).as("log_w"))
+    val scored = sc
+      .withColumn("w4", round(col("log_w") * lit(10000)).cast("long"))
+      .withColumn("bk", expr(s"w4 div $LmPplBucketDiv"))
+    val bc = scored.groupBy(col("bk").as("bb")).agg(count(lit(1)).as("bcnt"))
+    val wb = org.apache.spark.sql.expressions.Window.orderBy(col("bb").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val cum = bc.withColumn("cumb", coalesce(sum("bcnt").over(wb), lit(0L)))
+      .select("bb", "cumb")
+    val tot = scored.agg(count(lit(1)).as("n_total"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("bk").orderBy(col("w4").desc, col("doc_id"))
+    scored.join(broadcast(cum), col("bk") === col("bb"))
+      .crossJoin(broadcast(tot))
+      .withColumn("rnk", col("cumb") + row_number().over(win))
+      .select(col("doc_id"), col("n_bigrams"), col("log_w"),
+        (col("rnk") <= expr(s"n_total div $DsirKeepDen")).as("selected"))
+      .orderBy("doc_id")
+  }
+
   /** The deterministic non-target-language injection for the funnel's
     * lang-id gate (the q262/q274 dirty-twin idiom — the synthetic corpus
     * is uniformly English-shaped, q34 predicts 'en' on every document,
@@ -1097,6 +1169,57 @@ object Corpus14 {
            |ELSE 'tail' END AS tercile FROM rk)
            |SELECT doc_id, n_bigrams, log_prob, ppl, tercile, tercile <> 'tail' AS keep
            |FROM tc ORDER BY doc_id""".stripMargin.replace("\n", " ")
+      }),
+
+    QueryDef(
+      "q284_dsir_select",
+      // DSIR — importance-resampling data selection (Xie et al. 2023):
+      // per document, the log importance weight between two hashed-
+      // bigram unigram models (target = rule-gate survivors, raw = the
+      // corpus; buckets = md5 hex-fold mod 1024, the engine-portable
+      // q104 hashing discipline), and the top-quarter selection by
+      // weight — the deterministic reduction of the paper's Gumbel
+      // resampling (ties break on doc_id instead of noise). Exact-
+      // integer log arguments, integer descending rank via the q112
+      // bucket-boundary pattern. See dsirSelect.
+      (s, dir) => dsirSelect(Tables.documents(s, dir)),
+      Some {
+        val bg = "w[i] || ' ' || w[i+1]"
+        // the hex prefix lands in its own CTE column first: hexFoldDuck's
+        // fold lambda binds `i`, which would capture the LATERAL
+        // position variable if the md5 expression were spliced inline
+        val bkt = s"${Corpus.hexFoldDuck("hx", 4)} % $DsirBuckets"
+        s"""WITH ${Corpus.gateDuckCte("g_")},
+           |t AS (SELECT doc_id, $toksDuck AS w FROM documents),
+           |ref AS MATERIALIZED (SELECT t.doc_id, w FROM t JOIN g_r ON t.doc_id = g_r.doc_id
+           |WHERE len_ok AND stop_ok AND toklen_ok AND rep_ok),
+           |rf0 AS (SELECT substr(md5($bg), 1, 4) AS hx FROM ref,
+           |LATERAL (SELECT unnest(generate_series(1, len(w)-1)) AS i) g WHERE len(w) >= 2),
+           |rfe AS (SELECT $bkt AS b FROM rf0),
+           |af0 AS (SELECT doc_id, substr(md5($bg), 1, 4) AS hx FROM t,
+           |LATERAL (SELECT unnest(generate_series(1, len(w)-1)) AS i) g WHERE len(w) >= 2),
+           |afe AS MATERIALIZED (SELECT doc_id, $bkt AS b FROM af0),
+           |tf AS (SELECT b, CAST(count(*) AS BIGINT) AS tb FROM rfe GROUP BY 1),
+           |rf AS (SELECT b, CAST(count(*) AS BIGINT) AS rb FROM afe GROUP BY 1),
+           |tt AS (SELECT CAST(sum(tb) AS BIGINT) AS tc FROM tf),
+           |rt AS (SELECT CAST(sum(rb) AS BIGINT) AS rc FROM rf),
+           |scd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           |round(sum(ln(2 * coalesce(tb, 0) + 1) - ln(2 * tc + $DsirBuckets)
+           | - ln(2 * coalesce(rb, 0) + 1) + ln(2 * rc + $DsirBuckets)), 4) AS log_w
+           |FROM afe LEFT JOIN tf USING (b) LEFT JOIN rf USING (b)
+           |CROSS JOIN tt CROSS JOIN rt GROUP BY 1),
+           |p4 AS MATERIALIZED (SELECT *, CAST(round(log_w * 10000) AS BIGINT) AS w4,
+           |CAST(round(log_w * 10000) AS BIGINT) // $LmPplBucketDiv AS bk FROM scd),
+           |bc AS (SELECT bk AS bb, CAST(count(*) AS BIGINT) AS bcnt FROM p4 GROUP BY 1),
+           |cm AS (SELECT bb, coalesce(sum(bcnt) OVER (ORDER BY bb DESC
+           |ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb FROM bc),
+           |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM p4),
+           |rk AS (SELECT p4.*, cm.cumb + row_number()
+           |OVER (PARTITION BY bk ORDER BY w4 DESC, doc_id) AS rnk
+           |FROM p4 JOIN cm ON p4.bk = cm.bb)
+           |SELECT doc_id, n_bigrams, log_w,
+           |rnk <= (SELECT n_total FROM nt) // $DsirKeepDen AS selected
+           |FROM rk ORDER BY doc_id""".stripMargin.replace("\n", " ")
       })
   )
 

@@ -501,6 +501,69 @@ class Corpus14Spec extends AnyFunSuite with SparkSuite {
     assert(clear >= 1e-6, s"log_prob rounding clearance $clear")
   }
 
+  test("q284 dsir: hashed-model replay, deterministic top-quarter, selection enriches quality") {
+    import operators.Corpus14.{DsirBuckets, DsirKeepDen}
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def rawToks(t: String): Seq[String] =
+      t.toLowerCase.split(' ').toSeq.filter(_.nonEmpty)
+    def bucket(bg: String): Long = {
+      val hx = java.security.MessageDigest.getInstance("MD5")
+        .digest(bg.getBytes("UTF-8")).take(2).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hx, 16) % DsirBuckets
+    }
+    def feats(t: String): Seq[Long] = {
+      val w = rawToks(t)
+      if (w.size < 2) Nil else w.zip(w.tail).map { case (a, b) => bucket(s"$a $b") }
+    }
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val rk = SparkEntry.queries("q273_quality_classifier_gate")(spark, sfDir)
+      .as[(Long, Boolean, Boolean, Boolean)].collect()
+      .map(r => r._1 -> r._3).toMap
+    val tfs = docs.filter(d => rk(d._1)).flatMap(d => feats(d._2))
+    val rfs = docs.flatMap(d => feats(d._2))
+    val tb = tfs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val rb = rfs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val (tc, rc) = (tfs.size.toLong, rfs.size.toLong)
+    val exp0 = docs.flatMap { case (id, t) =>
+      val fs = feats(t)
+      if (fs.isEmpty) None else {
+        val lwRaw = fs.map { b =>
+          math.log(2L * tb.getOrElse(b, 0L) + 1L) - math.log(2L * tc + DsirBuckets) -
+            math.log(2L * rb.getOrElse(b, 0L) + 1L) + math.log(2L * rc + DsirBuckets)
+        }.sum
+        Some((id, fs.size.toLong, r4(lwRaw), lwRaw))
+      }
+    }
+    val n = exp0.size
+    val selected = exp0.sortBy(e => (-math.round(e._3 * 10000), e._1))
+      .take((n / DsirKeepDen).toInt).map(_._1).toSet
+    val got = SparkEntry.queries("q284_dsir_select")(spark, sfDir)
+      .as[(Long, Long, Double, Boolean)].collect().toSeq
+    assert(got.map(_._1) == exp0.map(_._1).sorted)
+    val byId = exp0.map(e => e._1 -> e).toMap
+    got.foreach { case (id, nb, lw, sel) =>
+      assert(nb == byId(id)._2, s"doc $id n_bigrams")
+      assert(lw == byId(id)._3, s"doc $id log_w")
+      assert(sel == selected(id), s"doc $id selected")
+    }
+    assert(got.count(_._4) == (n / DsirKeepDen).toInt)
+    // THE DSIR CLAIM, measured: importance selection enriches the
+    // target distribution — the selected quarter's rule-gate keep rate
+    // strictly exceeds the corpus rate
+    val selRate = got.filter(_._4).count(g => rk(g._1)).toDouble / got.count(_._4)
+    val allRate = docs.count(d => rk(d._1)).toDouble / docs.size
+    assert(selRate > allRate,
+      s"selection does not enrich quality: $selRate vs corpus $allRate")
+    // hash-safety clearance on the one cross-engine float sum
+    val clear = exp0.map { e =>
+      val f = e._4 * 1e4
+      math.abs(f - math.floor(f) - 0.5)
+    }.min
+    assert(clear >= 1e-6, s"log_w rounding clearance $clear")
+  }
+
   test("q273 vs q100: all four confusion cells occur — a real operating-point delta") {
     val got = SparkEntry.queries("q273_quality_classifier_gate")(spark, sfDir)
       .as[(Long, Boolean, Boolean, Boolean)].collect().toSeq

@@ -73,7 +73,8 @@ class PlanLinterSpec extends AnyFunSuite with SparkSuite {
     "q280_domain_reweight"      -> "20 per-source aggregate rows (DRO tilt windows)",
     "q281_gate_ordering"        -> "120 permutation-total rows (rank windows)",
     "q282_doremi_sample"        -> "20 per-source target rows (total-sampled window)",
-    "q283_lm_perplexity"        -> "value-DOMAIN ppl-bucket count table (boundary cumsum)"
+    "q283_lm_perplexity"        -> "value-DOMAIN ppl-bucket count table (boundary cumsum)",
+    "q284_dsir_select"          -> "value-DOMAIN logw-bucket count table (boundary cumsum)"
   )
 
   /** Queries allowed a non-scalar-merge SinglePartition exchange — the
