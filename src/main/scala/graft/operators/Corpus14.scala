@@ -766,6 +766,37 @@ object Corpus14 {
       .orderBy("doc_id")
   }
 
+  /** q285's body: the four quality verdicts joined doc-keyed onto the
+    * corpus spine and folded into their observed 2⁴ contingency cells —
+    * the gateFlags LEFT-join + raise_error contract (a signal frame
+    * that drops docs fails loud, never silently shrinks a cell; q283
+    * and q284 score only ≥2-token docs, which on any real corpus is
+    * every doc — the guard turns that assumption into an error message
+    * the day it breaks). One partial-aggregable groupBy → ≤16 rows;
+    * the share window runs over those rows only. */
+  private[graft] def qualitySignalCube(docs: DataFrame): DataFrame = {
+    def must(c: String) = coalesce(col(c), raise_error(lit(
+      s"qualitySignalCube: $c missing for some doc — a quality-signal " +
+        "frame returned fewer rows than the corpus"))).as(c)
+    val f = docs.select(col("doc_id"))
+      .join(Corpus.qualityGate(docs)
+        .select(col("doc_id"), col("keep").as("rule_keep")), Seq("doc_id"), "left")
+      .join(qualityClassify(docs)
+        .select(col("doc_id"), col("clf_keep")), Seq("doc_id"), "left")
+      .join(lmPerplexity(docs)
+        .select(col("doc_id"), col("keep").as("ppl_keep")), Seq("doc_id"), "left")
+      .join(dsirSelect(docs)
+        .select(col("doc_id"), col("selected").as("dsir_selected")), Seq("doc_id"), "left")
+      .select(col("doc_id"), must("rule_keep"), must("clf_keep"),
+        must("ppl_keep"), must("dsir_selected"))
+    val all = org.apache.spark.sql.expressions.Window.partitionBy()
+    f.groupBy("rule_keep", "clf_keep", "ppl_keep", "dsir_selected")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("share", round(col("n_docs") * lit(1.0) /
+        sum("n_docs").over(all), 4))
+      .orderBy("rule_keep", "clf_keep", "ppl_keep", "dsir_selected")
+  }
+
   /** The deterministic non-target-language injection for the funnel's
     * lang-id gate (the q262/q274 dirty-twin idiom — the synthetic corpus
     * is uniformly English-shaped, q34 predicts 'en' on every document,
@@ -1140,35 +1171,9 @@ object Corpus14 {
       (s, dir) => lmPerplexity(Tables.documents(s, dir)),
       Some {
         s"""WITH ${Corpus.gateDuckCte("g_")},
-           |t AS (SELECT doc_id, $toksDuck AS w FROM documents),
-           |ref AS MATERIALIZED (SELECT t.doc_id, w FROM t JOIN g_r ON t.doc_id = g_r.doc_id
-           |WHERE len_ok AND stop_ok AND toklen_ok AND rep_ok),
-           |rp AS MATERIALIZED (SELECT w[i] AS w1, w[i+1] AS w2 FROM ref,
-           |LATERAL (SELECT unnest(generate_series(1, len(w)-1)) AS i) g WHERE len(w) >= 2),
-           |lm2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM rp GROUP BY 1, 2),
-           |lm1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM rp GROUP BY 1),
-           |vc AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
-           |FROM (SELECT unnest(w) AS tok FROM ref)),
-           |sp AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2 FROM t,
-           |LATERAL (SELECT unnest(generate_series(1, len(w)-1)) AS i) g WHERE len(w) >= 2),
-           |scd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-           |round(sum(ln(2 * coalesce(c12, 0) + 1) - ln(2 * coalesce(c1, 0) + v)), 4) AS log_prob
-           |FROM sp LEFT JOIN lm2 USING (w1, w2) LEFT JOIN lm1 USING (w1) CROSS JOIN vc GROUP BY 1),
-           |pp AS (SELECT *, round(exp(-log_prob / n_bigrams), 4) AS ppl FROM scd),
-           |p4 AS MATERIALIZED (SELECT *, CAST(round(ppl * 10000) AS BIGINT) AS ppl4,
-           |CAST(round(ppl * 10000) AS BIGINT) // $LmPplBucketDiv AS b FROM pp),
-           |bc AS (SELECT b AS bb, CAST(count(*) AS BIGINT) AS bcnt FROM p4 GROUP BY 1),
-           |cm AS (SELECT bb, coalesce(sum(bcnt) OVER (ORDER BY bb
-           |ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb FROM bc),
-           |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM p4),
-           |rk AS (SELECT p4.*, cm.cumb + row_number()
-           |OVER (PARTITION BY b ORDER BY ppl4, doc_id) AS rnk
-           |FROM p4 JOIN cm ON p4.b = cm.bb),
-           |tc AS (SELECT *, CASE WHEN rnk <= (SELECT n_total FROM nt) // 3 THEN 'head'
-           |WHEN rnk <= (2 * (SELECT n_total FROM nt)) // 3 THEN 'middle'
-           |ELSE 'tail' END AS tercile FROM rk)
+           |${lmPplDuckCte("l_")}
            |SELECT doc_id, n_bigrams, log_prob, ppl, tercile, tercile <> 'tail' AS keep
-           |FROM tc ORDER BY doc_id""".stripMargin.replace("\n", " ")
+           |FROM l_tc ORDER BY doc_id""".stripMargin.replace("\n", " ")
       }),
 
     QueryDef(
@@ -1184,44 +1189,127 @@ object Corpus14 {
       // bucket-boundary pattern. See dsirSelect.
       (s, dir) => dsirSelect(Tables.documents(s, dir)),
       Some {
-        val bg = "w[i] || ' ' || w[i+1]"
-        // the hex prefix lands in its own CTE column first: hexFoldDuck's
-        // fold lambda binds `i`, which would capture the LATERAL
-        // position variable if the md5 expression were spliced inline
-        val bkt = s"${Corpus.hexFoldDuck("hx", 4)} % $DsirBuckets"
         s"""WITH ${Corpus.gateDuckCte("g_")},
-           |t AS (SELECT doc_id, $toksDuck AS w FROM documents),
-           |ref AS MATERIALIZED (SELECT t.doc_id, w FROM t JOIN g_r ON t.doc_id = g_r.doc_id
-           |WHERE len_ok AND stop_ok AND toklen_ok AND rep_ok),
-           |rf0 AS (SELECT substr(md5($bg), 1, 4) AS hx FROM ref,
-           |LATERAL (SELECT unnest(generate_series(1, len(w)-1)) AS i) g WHERE len(w) >= 2),
-           |rfe AS (SELECT $bkt AS b FROM rf0),
-           |af0 AS (SELECT doc_id, substr(md5($bg), 1, 4) AS hx FROM t,
-           |LATERAL (SELECT unnest(generate_series(1, len(w)-1)) AS i) g WHERE len(w) >= 2),
-           |afe AS MATERIALIZED (SELECT doc_id, $bkt AS b FROM af0),
-           |tf AS (SELECT b, CAST(count(*) AS BIGINT) AS tb FROM rfe GROUP BY 1),
-           |rf AS (SELECT b, CAST(count(*) AS BIGINT) AS rb FROM afe GROUP BY 1),
-           |tt AS (SELECT CAST(sum(tb) AS BIGINT) AS tc FROM tf),
-           |rt AS (SELECT CAST(sum(rb) AS BIGINT) AS rc FROM rf),
-           |scd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-           |round(sum(ln(2 * coalesce(tb, 0) + 1) - ln(2 * tc + $DsirBuckets)
-           | - ln(2 * coalesce(rb, 0) + 1) + ln(2 * rc + $DsirBuckets)), 4) AS log_w
-           |FROM afe LEFT JOIN tf USING (b) LEFT JOIN rf USING (b)
-           |CROSS JOIN tt CROSS JOIN rt GROUP BY 1),
-           |p4 AS MATERIALIZED (SELECT *, CAST(round(log_w * 10000) AS BIGINT) AS w4,
-           |CAST(round(log_w * 10000) AS BIGINT) // $LmPplBucketDiv AS bk FROM scd),
-           |bc AS (SELECT bk AS bb, CAST(count(*) AS BIGINT) AS bcnt FROM p4 GROUP BY 1),
-           |cm AS (SELECT bb, coalesce(sum(bcnt) OVER (ORDER BY bb DESC
-           |ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb FROM bc),
-           |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM p4),
-           |rk AS (SELECT p4.*, cm.cumb + row_number()
-           |OVER (PARTITION BY bk ORDER BY w4 DESC, doc_id) AS rnk
-           |FROM p4 JOIN cm ON p4.bk = cm.bb)
-           |SELECT doc_id, n_bigrams, log_w,
-           |rnk <= (SELECT n_total FROM nt) // $DsirKeepDen AS selected
-           |FROM rk ORDER BY doc_id""".stripMargin.replace("\n", " ")
+           |${dsirDuckCte("d_")}
+           |SELECT doc_id, n_bigrams, log_w, selected
+           |FROM d_sel ORDER BY doc_id""".stripMargin.replace("\n", " ")
+      }),
+
+    QueryDef(
+      "q285_quality_signal_cube",
+      // QUALITY-SIGNAL AGREEMENT CUBE — the q277/q281 joint-distribution
+      // discipline applied to the whole quality family: the corpus's
+      // four independent quality verdicts (q100 rule gate, q273 trained
+      // classifier, q283 perplexity not-tail, q284 DSIR top-quarter)
+      // folded into the observed cells of their 2⁴ contingency cube
+      // with per-cell counts and corpus share — the one table that
+      // answers "do the signals agree, and where do they split" (each
+      // pairwise agreement, every unique-dissent cell, and the
+      // all-four-agree mass are all reads off it). Scale shape: each
+      // signal is its standalone query's plan joined doc-keyed onto the
+      // corpus spine (LEFT + raise_error fail-loud, the gateFlags
+      // contract); ONE partial-aggregable groupBy folds the corpus onto
+      // ≤16 cells; the share window runs over those rows (q197 class).
+      (s, dir) => qualitySignalCube(Tables.documents(s, dir)),
+      Some {
+        s"""WITH ${Corpus.gateDuckCte("g_")},
+           |${clfDuckCte()},
+           |${lmPplDuckCte("l_")},
+           |${dsirDuckCte("d_")},
+           |fl AS (SELECT g_r.doc_id,
+           |(len_ok AND stop_ok AND toklen_ok AND rep_ok) AS rule_keep,
+           |clf.clf_keep AS clf_keep,
+           |l_tc.tercile <> 'tail' AS ppl_keep,
+           |d_sel.selected AS dsir_selected
+           |FROM g_r JOIN clf ON g_r.doc_id = clf.doc_id
+           |JOIN l_tc ON g_r.doc_id = l_tc.doc_id
+           |JOIN d_sel ON g_r.doc_id = d_sel.doc_id),
+           |cb AS (SELECT rule_keep, clf_keep, ppl_keep, dsir_selected,
+           |CAST(count(*) AS BIGINT) AS n_docs FROM fl GROUP BY 1, 2, 3, 4)
+           |SELECT rule_keep, clf_keep, ppl_keep, dsir_selected, n_docs,
+           |round(n_docs * 1.0 / (SELECT sum(n_docs) FROM cb), 4) AS share
+           |FROM cb ORDER BY rule_keep, clf_keep, ppl_keep, dsir_selected"""
+          .stripMargin.replace("\n", " ")
       })
   )
+
+  /** q283's LM chain as a prefixed DuckDB CTE block — assumes
+    * `g_r` (gateDuckCte("g_")) is already in scope; produces `${p}tc`
+    * carrying (doc_id, n_bigrams, log_prob, ppl, tercile). Shared by
+    * q283 and the q285 agreement cube, so the cube's oracle re-derives
+    * the perplexity verdict end-to-end (the q276 CTE-chain
+    * discipline). */
+  private def lmPplDuckCte(p: String): String =
+    s"""${p}t AS (SELECT doc_id, $toksDuck AS w FROM documents),
+       |${p}ref AS MATERIALIZED (SELECT t.doc_id, w FROM ${p}t t JOIN g_r ON t.doc_id = g_r.doc_id
+       |WHERE len_ok AND stop_ok AND toklen_ok AND rep_ok),
+       |${p}rp AS MATERIALIZED (SELECT w[i] AS w1, w[i+1] AS w2 FROM ${p}ref,
+       |LATERAL (SELECT unnest(generate_series(1, len(w)-1)) AS i) g WHERE len(w) >= 2),
+       |${p}lm2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM ${p}rp GROUP BY 1, 2),
+       |${p}lm1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM ${p}rp GROUP BY 1),
+       |${p}vc AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+       |FROM (SELECT unnest(w) AS tok FROM ${p}ref)),
+       |${p}sp AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2 FROM ${p}t,
+       |LATERAL (SELECT unnest(generate_series(1, len(w)-1)) AS i) g WHERE len(w) >= 2),
+       |${p}scd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |round(sum(ln(2 * coalesce(c12, 0) + 1) - ln(2 * coalesce(c1, 0) + v)), 4) AS log_prob
+       |FROM ${p}sp LEFT JOIN ${p}lm2 USING (w1, w2) LEFT JOIN ${p}lm1 USING (w1)
+       |CROSS JOIN ${p}vc GROUP BY 1),
+       |${p}pp AS (SELECT *, round(exp(-log_prob / n_bigrams), 4) AS ppl FROM ${p}scd),
+       |${p}p4 AS MATERIALIZED (SELECT *, CAST(round(ppl * 10000) AS BIGINT) AS ppl4,
+       |CAST(round(ppl * 10000) AS BIGINT) // $LmPplBucketDiv AS b FROM ${p}pp),
+       |${p}bc AS (SELECT b AS bb, CAST(count(*) AS BIGINT) AS bcnt FROM ${p}p4 GROUP BY 1),
+       |${p}cm AS (SELECT bb, coalesce(sum(bcnt) OVER (ORDER BY bb
+       |ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb FROM ${p}bc),
+       |${p}nt AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM ${p}p4),
+       |${p}rk AS (SELECT p4.*, cm.cumb + row_number()
+       |OVER (PARTITION BY b ORDER BY ppl4, doc_id) AS rnk
+       |FROM ${p}p4 p4 JOIN ${p}cm cm ON p4.b = cm.bb),
+       |${p}tc AS MATERIALIZED (SELECT *, CASE
+       |WHEN rnk <= (SELECT n_total FROM ${p}nt) // 3 THEN 'head'
+       |WHEN rnk <= (2 * (SELECT n_total FROM ${p}nt)) // 3 THEN 'middle'
+       |ELSE 'tail' END AS tercile FROM ${p}rk)""".stripMargin.replace("\n", " ")
+
+  /** q284's DSIR chain as a prefixed DuckDB CTE block — assumes `g_r`
+    * in scope; produces `${p}sel` carrying (doc_id, n_bigrams, log_w,
+    * selected). Shared by q284 and the q285 agreement cube. The hex
+    * prefix lands in its own CTE column before the fold: hexFoldDuck's
+    * lambda binds `i`, which would capture the LATERAL position
+    * variable if the md5 expression were spliced inline. */
+  private def dsirDuckCte(p: String): String = {
+    val bg = "w[i] || ' ' || w[i+1]"
+    val bkt = s"${Corpus.hexFoldDuck("hx", 4)} % $DsirBuckets"
+    s"""${p}t AS (SELECT doc_id, $toksDuck AS w FROM documents),
+       |${p}ref AS MATERIALIZED (SELECT t.doc_id, w FROM ${p}t t JOIN g_r ON t.doc_id = g_r.doc_id
+       |WHERE len_ok AND stop_ok AND toklen_ok AND rep_ok),
+       |${p}rf0 AS (SELECT substr(md5($bg), 1, 4) AS hx FROM ${p}ref,
+       |LATERAL (SELECT unnest(generate_series(1, len(w)-1)) AS i) g WHERE len(w) >= 2),
+       |${p}rfe AS (SELECT $bkt AS b FROM ${p}rf0),
+       |${p}af0 AS (SELECT doc_id, substr(md5($bg), 1, 4) AS hx FROM ${p}t,
+       |LATERAL (SELECT unnest(generate_series(1, len(w)-1)) AS i) g WHERE len(w) >= 2),
+       |${p}afe AS MATERIALIZED (SELECT doc_id, $bkt AS b FROM ${p}af0),
+       |${p}tf AS (SELECT b, CAST(count(*) AS BIGINT) AS tb FROM ${p}rfe GROUP BY 1),
+       |${p}rf AS (SELECT b, CAST(count(*) AS BIGINT) AS rb FROM ${p}afe GROUP BY 1),
+       |${p}tt AS (SELECT CAST(sum(tb) AS BIGINT) AS tsum FROM ${p}tf),
+       |${p}rt AS (SELECT CAST(sum(rb) AS BIGINT) AS rsum FROM ${p}rf),
+       |${p}scd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |round(sum(ln(2 * coalesce(tb, 0) + 1) - ln(2 * tsum + $DsirBuckets)
+       | - ln(2 * coalesce(rb, 0) + 1) + ln(2 * rsum + $DsirBuckets)), 4) AS log_w
+       |FROM ${p}afe LEFT JOIN ${p}tf USING (b) LEFT JOIN ${p}rf USING (b)
+       |CROSS JOIN ${p}tt CROSS JOIN ${p}rt GROUP BY 1),
+       |${p}p4 AS MATERIALIZED (SELECT *, CAST(round(log_w * 10000) AS BIGINT) AS w4,
+       |CAST(round(log_w * 10000) AS BIGINT) // $LmPplBucketDiv AS bk FROM ${p}scd),
+       |${p}bc AS (SELECT bk AS bb, CAST(count(*) AS BIGINT) AS bcnt FROM ${p}p4 GROUP BY 1),
+       |${p}cm AS (SELECT bb, coalesce(sum(bcnt) OVER (ORDER BY bb DESC
+       |ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb FROM ${p}bc),
+       |${p}nt AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM ${p}p4),
+       |${p}rk AS (SELECT p4.*, cm.cumb + row_number()
+       |OVER (PARTITION BY bk ORDER BY w4 DESC, doc_id) AS rnk
+       |FROM ${p}p4 p4 JOIN ${p}cm cm ON p4.bk = cm.bb),
+       |${p}sel AS MATERIALIZED (SELECT doc_id, n_bigrams, log_w,
+       |rnk <= (SELECT n_total FROM ${p}nt) // $DsirKeepDen AS selected
+       |FROM ${p}rk)""".stripMargin.replace("\n", " ")
+  }
 
   /** The q280 reweight chain as one DuckDB CTE block (through `t4`,
     * which carries n_docs/mean_loss/excess/tilt/z/k per source) —

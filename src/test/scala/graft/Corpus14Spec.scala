@@ -564,6 +564,46 @@ class Corpus14Spec extends AnyFunSuite with SparkSuite {
     assert(clear >= 1e-6, s"log_w rounding clearance $clear")
   }
 
+  test("q285 quality cube: cells replay from the four standalone signals; real dissent") {
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // the truth source is the four signals' OWN published queries —
+    // the cube must fold exactly their joint distribution
+    val rule = SparkEntry.queries("q273_quality_classifier_gate")(spark, sfDir)
+      .as[(Long, Boolean, Boolean, Boolean)].collect()
+      .map(r => r._1 -> r._3).toMap
+    val clf = SparkEntry.queries("q273_quality_classifier_gate")(spark, sfDir)
+      .as[(Long, Boolean, Boolean, Boolean)].collect()
+      .map(r => r._1 -> r._2).toMap
+    val ppl = SparkEntry.queries("q283_lm_perplexity")(spark, sfDir)
+      .as[(Long, Long, Double, Double, String, Boolean)].collect()
+      .map(r => r._1 -> r._6).toMap
+    val dsir = SparkEntry.queries("q284_dsir_select")(spark, sfDir)
+      .as[(Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> r._4).toMap
+    val exp = rule.keys.toSeq
+      .map(id => (rule(id), clf(id), ppl(id), dsir(id)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = SparkEntry.queries("q285_quality_signal_cube")(spark, sfDir)
+      .as[(Boolean, Boolean, Boolean, Boolean, Long, Double)].collect().toSeq
+    assert(got.map(r => (r._1, r._2, r._3, r._4)).toSet == exp.keySet)
+    val n = exp.values.sum
+    got.foreach { case (a, b, c, d, nd, sh) =>
+      assert(nd == exp((a, b, c, d)), s"cell ($a,$b,$c,$d)")
+      assert(sh == r4(nd.toDouble / n), s"share ($a,$b,$c,$d)")
+    }
+    // the cube partitions the corpus; shares are a distribution
+    assert(got.map(_._5).sum == n)
+    assert(math.abs(got.map(_._6).sum - 1.0) <= 0.5e-4 * got.size)
+    // the audit says something: every signal dissents somewhere (both
+    // values of each flag occur across cells), all-four-agree keep is
+    // the modal bulk, and the signals are not one signal in disguise
+    Seq(got.map(_._1), got.map(_._2), got.map(_._3), got.map(_._4))
+      .foreach(fs => assert(fs.distinct.size == 2))
+    assert(got.size > 2 && got.size <= 16)
+    assert(exp.getOrElse((true, true, true, true), 0L) > 0)
+  }
+
   test("q273 vs q100: all four confusion cells occur — a real operating-point delta") {
     val got = SparkEntry.queries("q273_quality_classifier_gate")(spark, sfDir)
       .as[(Long, Boolean, Boolean, Boolean)].collect().toSeq

@@ -74,7 +74,8 @@ class PlanLinterSpec extends AnyFunSuite with SparkSuite {
     "q281_gate_ordering"        -> "120 permutation-total rows (rank windows)",
     "q282_doremi_sample"        -> "20 per-source target rows (total-sampled window)",
     "q283_lm_perplexity"        -> "value-DOMAIN ppl-bucket count table (boundary cumsum)",
-    "q284_dsir_select"          -> "value-DOMAIN logw-bucket count table (boundary cumsum)"
+    "q284_dsir_select"          -> "value-DOMAIN logw-bucket count table (boundary cumsum)",
+    "q285_quality_signal_cube"  -> "<=16 contingency-cell rows (share window)"
   )
 
   /** Queries allowed a non-scalar-merge SinglePartition exchange — the
