@@ -644,25 +644,38 @@ object Corpus14 {
     * bucket; granularity is the knob that bounds the partition at any
     * corpus size). The cumsum window runs over the tiny bucket table
     * only (q197 exemption class). */
-  private[graft] def lmPerplexity(docs: DataFrame): DataFrame = {
-    def pairsOf(d: DataFrame): DataFrame =
-      d.select(col("doc_id"), expr(toksExpr).as("w"))
-        .select(col("doc_id"), explode(expr(
-          """CASE WHEN size(w) >= 2
-            |THEN transform(sequence(0, size(w)-2), i -> struct(w[i] AS w1, w[i+1] AS w2))
-            |ELSE transform(slice(w, 1, 0), x -> struct(x AS w1, x AS w2)) END"""
-            .stripMargin.replace("\n", " "))).as("p"))
-        .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
-    val ref = docs.join(Corpus.qualityGate(docs).filter(col("keep"))
-      .select("doc_id"), Seq("doc_id"), "left_semi")
-    val rp = pairsOf(ref)
-    val lm2 = rp.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-    val lm1 = rp.groupBy("w1").agg(count(lit(1)).as("c1"))
-    val vocab = ref.select(explode(expr(toksExpr)).as("tok"))
-      .agg(countDistinct("tok").as("v"))
-    val sc = pairsOf(docs)
-      .join(lm2, Seq("w1", "w2"), "left")
-      .join(lm1, Seq("w1"), "left")
+  /** (doc_id, w1, w2) bigram-occurrence pairs — the shared feature
+    * extraction of q283 and q284. */
+  private[graft] def bigramPairs(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), expr(toksExpr).as("w"))
+      .select(col("doc_id"), explode(expr(
+        """CASE WHEN size(w) >= 2
+          |THEN transform(sequence(0, size(w)-2), i -> struct(w[i] AS w1, w[i+1] AS w2))
+          |ELSE transform(slice(w, 1, 0), x -> struct(x AS w1, x AS w2)) END"""
+          .stripMargin.replace("\n", " "))).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+
+  /** q283's trained artifact: (bigram counts, prefix counts, vocab size)
+    * from the reference corpus — the "train in batch, ship the model"
+    * half; [[lmScore]] is the deploy half and runs UNCHANGED on a
+    * readStream frontier (StatefulStreamingSpec proves stream ≡ batch),
+    * exactly how a production perplexity gate deploys a fixed KenLM. */
+  private[graft] def lmModels(ref: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val rp = bigramPairs(ref)
+    (rp.groupBy("w1", "w2").agg(count(lit(1)).as("c12")),
+      rp.groupBy("w1").agg(count(lit(1)).as("c1")),
+      ref.select(explode(expr(toksExpr)).as("tok"))
+        .agg(countDistinct("tok").as("v")))
+  }
+
+  /** q283's scoring half, input-agnostic (batch or stream): per doc,
+    * (n_bigrams, log_prob, ppl) under the FROZEN model tables — pure
+    * stream-static broadcast joins + one doc-keyed aggregate. */
+  private[graft] def lmScore(docs: DataFrame,
+      lm2: DataFrame, lm1: DataFrame, vocab: DataFrame): DataFrame =
+    bigramPairs(docs)
+      .join(broadcast(lm2), Seq("w1", "w2"), "left")
+      .join(broadcast(lm1), Seq("w1"), "left")
       .crossJoin(broadcast(vocab))
       .groupBy("doc_id").agg(
         count(lit(1)).as("n_bigrams"),
@@ -670,8 +683,13 @@ object Corpus14 {
           log(lit(2L) * coalesce(col("c12"), lit(0L)) + lit(1L)) -
             log(lit(2L) * coalesce(col("c1"), lit(0L)) + col("v"))), 4)
           .as("log_prob"))
-    val scored = sc
       .withColumn("ppl", round(exp(-col("log_prob") / col("n_bigrams")), 4))
+
+  private[graft] def lmPerplexity(docs: DataFrame): DataFrame = {
+    val ref = docs.join(Corpus.qualityGate(docs).filter(col("keep"))
+      .select("doc_id"), Seq("doc_id"), "left_semi")
+    val (lm2, lm1, vocab) = lmModels(ref)
+    val scored = lmScore(docs, lm2, lm1, vocab)
       .withColumn("ppl4", round(col("ppl") * lit(10000)).cast("long"))
       .withColumn("b", expr(s"ppl4 div $LmPplBucketDiv"))
     val bc = scored.groupBy(col("b").as("bb")).agg(count(lit(1)).as("bcnt"))
@@ -723,20 +741,31 @@ object Corpus14 {
     * aggregable bucket counts (broadcast back — at 100 TB the model
     * tables are still 1024 rows); scoring is broadcast joins + one
     * groupBy(doc_id); the only corpus-sized shuffles are doc-keyed. */
-  private[graft] def dsirSelect(docs: DataFrame): DataFrame = {
-    def feats(d: DataFrame): DataFrame =
-      d.select(col("doc_id"), expr(toksExpr).as("w"))
-        .select(col("doc_id"), explode(expr(Corpus.ngramSpark(2))).as("bg"))
-        .select(col("doc_id"), expr(
-          s"CAST(conv(substring(md5(bg), 1, 4), 16, 10) AS BIGINT) % $DsirBuckets")
-          .as("b"))
-    val ref = docs.join(Corpus.qualityGate(docs).filter(col("keep"))
-      .select("doc_id"), Seq("doc_id"), "left_semi")
-    val tf = feats(ref).groupBy("b").agg(count(lit(1)).as("tb"))
-    val rf = feats(docs).groupBy("b").agg(count(lit(1)).as("rb"))
-    val tt = tf.agg(sum("tb").as("tc"))
-    val rt = rf.agg(sum("rb").as("rc"))
-    val sc = feats(docs)
+  /** q284's hashed-bigram bucket features (doc_id, b) — md5 hex-fold
+    * mod [[DsirBuckets]], the engine-portable q104 hashing. */
+  private[graft] def dsirFeats(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), expr(toksExpr).as("w"))
+      .select(col("doc_id"), explode(expr(Corpus.ngramSpark(2))).as("bg"))
+      .select(col("doc_id"), expr(
+        s"CAST(conv(substring(md5(bg), 1, 4), 16, 10) AS BIGINT) % $DsirBuckets")
+        .as("b"))
+
+  /** q284's trained artifact: the two ≤[[DsirBuckets]]-row hashed
+    * models + their totals — train-in-batch half; [[dsirScore]] is the
+    * deploy half and runs unchanged on a readStream frontier. */
+  private[graft] def dsirModels(ref: DataFrame, raw: DataFrame)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val tf = dsirFeats(ref).groupBy("b").agg(count(lit(1)).as("tb"))
+    val rf = dsirFeats(raw).groupBy("b").agg(count(lit(1)).as("rb"))
+    (tf, rf, tf.agg(sum("tb").as("tc")), rf.agg(sum("rb").as("rc")))
+  }
+
+  /** q284's scoring half, input-agnostic (batch or stream): per doc,
+    * (n_bigrams, log_w) under the FROZEN models — stream-static
+    * broadcast joins + one doc-keyed aggregate. */
+  private[graft] def dsirScore(docs: DataFrame, tf: DataFrame,
+      rf: DataFrame, tt: DataFrame, rt: DataFrame): DataFrame =
+    dsirFeats(docs)
       .join(broadcast(tf), Seq("b"), "left")
       .join(broadcast(rf), Seq("b"), "left")
       .crossJoin(broadcast(tt)).crossJoin(broadcast(rt))
@@ -747,7 +776,12 @@ object Corpus14 {
             log(lit(2L) * col("tc") + lit(DsirBuckets)) -
             log(lit(2L) * coalesce(col("rb"), lit(0L)) + lit(1L)) +
             log(lit(2L) * col("rc") + lit(DsirBuckets))), 4).as("log_w"))
-    val scored = sc
+
+  private[graft] def dsirSelect(docs: DataFrame): DataFrame = {
+    val ref = docs.join(Corpus.qualityGate(docs).filter(col("keep"))
+      .select("doc_id"), Seq("doc_id"), "left_semi")
+    val (tf, rf, tt, rt) = dsirModels(ref, docs)
+    val scored = dsirScore(docs, tf, rf, tt, rt)
       .withColumn("w4", round(col("log_w") * lit(10000)).cast("long"))
       .withColumn("bk", expr(s"w4 div $LmPplBucketDiv"))
     val bc = scored.groupBy(col("bk").as("bb")).agg(count(lit(1)).as("bcnt"))

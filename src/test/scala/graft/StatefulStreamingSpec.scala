@@ -764,6 +764,56 @@ class StatefulStreamingSpec extends AnyFunSuite with SparkSuite {
     assert(fin.exceptAll(batch).count() == 0)
   }
 
+  test("q283/q284 scoring runs unchanged on a readStream frontier against frozen models") {
+    // the production deploy shape of both signals: the models are
+    // TRAINED IN BATCH (lmModels/dsirModels — a fixed artifact, like a
+    // shipped KenLM or DSIR bucket table) and the scoring halves
+    // (lmScore/dsirScore) are stream-static broadcast joins + one
+    // doc-keyed aggregate, so the SAME bodies score a streaming
+    // frontier; each doc arrives whole in one file, so its aggregate
+    // finalizes in its arrival micro-batch and update-mode emits it once
+    val dir = "/root/testdata/sf0.01"
+    val stage = java.nio.file.Files.createTempDirectory("graft_score_stage")
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    // shuffled arrival across 3 files — 3 micro-batches
+    docs.orderBy(md5($"doc_id".cast("string"))).repartition(3)
+      .write.mode("overwrite").parquet(stage.toString)
+    val full = Tables.documents(spark, dir)
+    val ref = full.join(operators.Corpus.qualityGate(full)
+      .filter($"keep").select("doc_id"), Seq("doc_id"), "left_semi")
+    val (lm2, lm1, vocab) = operators.Corpus14.lmModels(ref)
+    val (tf, rf, tt, rt) = operators.Corpus14.dsirModels(ref, full)
+    // pin the artifacts: a deploy ships static files, and a lazy model
+    // frame would re-derive the training lineage inside every micro-batch
+    val Seq(lm2p, lm1p, vp, tfp, rfp, ttp, rtp) =
+      Seq(lm2, lm1, vocab, tf, rf, tt, rt).map(_.localCheckpoint())
+    def stream() = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage.toString)
+    val q1 = operators.Corpus14.lmScore(stream(), lm2p, lm1p, vp)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("lm_stream").trigger(Trigger.AvailableNow()).start()
+    q1.awaitTermination()
+    val q2 = operators.Corpus14.dsirScore(stream(), tfp, rfp, ttp, rtp)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("dsir_stream").trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    val sLm = spark.table("lm_stream")
+    val bLm = operators.Corpus14.lmScore(docs, lm2p, lm1p, vp)
+    assert(sLm.count() > 0)
+    assert(bLm.exceptAll(sLm).count() == 0 && sLm.exceptAll(bLm).count() == 0,
+      "streamed LM scores must equal the batch scores exactly")
+    val sDs = spark.table("dsir_stream")
+    val bDs = operators.Corpus14.dsirScore(docs, tfp, rfp, ttp, rtp)
+    assert(bDs.exceptAll(sDs).count() == 0 && sDs.exceptAll(bDs).count() == 0,
+      "streamed DSIR weights must equal the batch weights exactly")
+    // and the batch scores ARE the published queries' scores (the
+    // decomposition did not fork the math): ppl column vs q283's
+    val pub = SparkEntry.queries("q283_lm_perplexity")(spark, dir)
+      .select("doc_id", "n_bigrams", "log_prob", "ppl")
+    assert(pub.exceptAll(bLm.select("doc_id", "n_bigrams", "log_prob", "ppl"))
+      .count() == 0)
+  }
+
   test("streaming dedup by event_id keeps exactly the distinct ids") {
     val q = StreamingTwin.dedupStream(stagedEventStream()).writeStream
       .outputMode("append").format("memory").queryName("dedup_stream")
