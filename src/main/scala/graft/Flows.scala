@@ -295,6 +295,36 @@ object Flows {
       .crossJoin(zipf.select(col("slope").as("zipf_slope"), col("r2").as("zipf_r2")))
   }
 
+  /** The QUALITY-SIGNALS flow (r13): one per-document SCORECARD joining
+    * all four quality verdicts — q100 rule gate, q273 trained classifier
+    * (margin + keep), q283 LM perplexity (ppl + CCNet tercile), q284
+    * DSIR importance weight (+ top-quarter selection) — landed ordered
+    * by doc_id, with the q285 agreement cube as the `_cube` sidecar.
+    * Returns the cube. The scorecard is what a curation decision
+    * actually reads (which docs, which signal dissented); the cube is
+    * its one-page summary. Composition cost: each signal is its
+    * standalone query's audited plan glued by doc-keyed joins — nothing
+    * beyond what the four queries already pay. */
+  def qualitySignalsFlow(spark: SparkSession, dir: String, outDir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val scorecard = docs.select(col("doc_id"))
+      .join(operators.Corpus.qualityGate(docs)
+        .select(col("doc_id"), col("keep").as("rule_keep")), Seq("doc_id"))
+      .join(operators.Corpus14.qualityMargins(docs)
+        .select(col("doc_id"), col("clf_margin"),
+          (col("clf_margin") > operators.Corpus14.QThreshold).as("clf_keep")),
+        Seq("doc_id"))
+      .join(operators.Corpus14.lmPerplexity(docs)
+        .select(col("doc_id"), col("ppl"), col("tercile")), Seq("doc_id"))
+      .join(operators.Corpus14.dsirSelect(docs)
+        .select(col("doc_id"), col("log_w"),
+          col("selected").as("dsir_selected")), Seq("doc_id"))
+    graft.sources.Sinks.writeOrdered(scorecard, Seq(col("doc_id")), outDir, Some(1))
+    val cube = operators.Corpus14.qualitySignalCube(docs)
+    cube.write.mode("overwrite").parquet(s"$outDir/_cube")
+    cube
+  }
+
   /** The INTEGRITY-AUDIT flow (round 5's Merkle family as API): build
     * the q198 hash tree over snapshot v1 and a second snapshot v2,
     * compare trees top-down — root mismatch ⇒ divergent shards ⇒

@@ -404,6 +404,29 @@ class FlowsSpec extends AnyFunSuite with SparkSuite {
     assert(spark.read.parquet(out.resolve("diag").toString + "/_zipf").count() == 1)
   }
 
+  test("quality-signals flow lands the per-doc scorecard consistent with its cube sidecar") {
+    val out = java.nio.file.Files.createTempDirectory("graft_qsig").toString
+    val cube = Flows.qualitySignalsFlow(spark, "/root/testdata/sf0.001", out)
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    // the scorecard covers the corpus exactly once, ordered
+    val card = spark.read.parquet(out)
+      .select("doc_id", "rule_keep", "clf_keep", "tercile", "dsir_selected")
+      .as[(Long, Boolean, Boolean, String, Boolean)].collect().toSeq
+    assert(card.map(_._1) == docs.select("doc_id").as[Long].collect().sorted.toSeq)
+    // the cube sidecar IS the scorecard's own contingency fold — the
+    // flow cannot land two stories
+    val sidecar = spark.read.parquet(s"$out/_cube")
+      .as[(Boolean, Boolean, Boolean, Boolean, Long, Double)].collect().toSeq
+    assert(sidecar.sortBy(r => (r._1, r._2, r._3, r._4)) ==
+      cube.as[(Boolean, Boolean, Boolean, Boolean, Long, Double)].collect().toSeq)
+    val folded = card.groupBy(c => (c._2, c._3, c._4 != "tail", c._5))
+      .view.mapValues(_.size.toLong).toMap
+    sidecar.foreach { case (a, b, c, d, n, _) =>
+      assert(folded((a, b, c, d)) == n, s"cell ($a,$b,$c,$d)")
+    }
+    assert(sidecar.map(_._5).sum == card.size.toLong)
+  }
+
   test("semantic-dedup flow lands exactly q170's kept docs plus a consistent cluster ledger") {
     val out = java.nio.file.Files.createTempDirectory("graft_semdedup_flow")
     val landed = Flows.semanticDedupFlow(spark, sfDir, out.resolve("kept").toString)
