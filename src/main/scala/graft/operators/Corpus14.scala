@@ -661,11 +661,23 @@ object Corpus14 {
     * readStream frontier (StatefulStreamingSpec proves stream ≡ batch),
     * exactly how a production perplexity gate deploys a fixed KenLM. */
   private[graft] def lmModels(ref: DataFrame): (DataFrame, DataFrame, DataFrame) = {
-    val rp = bigramPairs(ref)
-    (rp.groupBy("w1", "w2").agg(count(lit(1)).as("c12")),
-      rp.groupBy("w1").agg(count(lit(1)).as("c1")),
-      ref.select(explode(expr(toksExpr)).as("tok"))
-        .agg(countDistinct("tok").as("v")))
+    // ONE reference pass: the bigram table is PINNED (localCheckpoint —
+    // the q268 corpus-fraction rule: a tiny vocab²-bounded frame ending
+    // a scan+gate+join+explode lineage that three consumers would
+    // otherwise re-run; ProfQ283 measured the unpinned three-frame
+    // build at ~29 s vs ~3 s pinned at sf0.1), and the other two model
+    // tables DERIVE from it exactly: c1 = Σ_w2 c12 (the prefix count IS
+    // the bigram-table marginal), and vocab = |{w1} ∪ {w2}| — equal to
+    // the distinct-token count because every gate survivor has ≥ 2
+    // tokens by construction (len_ok ≥ 100 chars with toklen ≤ 12
+    // implies ≥ 9 tokens), so every token occurs in some bigram.
+    val lm2 = bigramPairs(ref).groupBy("w1", "w2")
+      .agg(count(lit(1)).as("c12")).localCheckpoint()
+    val lm1 = lm2.groupBy("w1").agg(sum("c12").as("c1"))
+    val vocab = lm2.select(col("w1").as("tok"))
+      .union(lm2.select(col("w2").as("tok")))
+      .agg(countDistinct("tok").as("v"))
+    (lm2, lm1, vocab)
   }
 
   /** q283's scoring half, input-agnostic (batch or stream): per doc,
@@ -685,8 +697,15 @@ object Corpus14 {
           .as("log_prob"))
       .withColumn("ppl", round(exp(-col("log_prob") / col("n_bigrams")), 4))
 
-  private[graft] def lmPerplexity(docs: DataFrame): DataFrame = {
-    val ref = docs.join(Corpus.qualityGate(docs).filter(col("keep"))
+  private[graft] def lmPerplexity(docs: DataFrame): DataFrame =
+    lmPerplexityFrom(docs,
+      Corpus.qualityGate(docs).select("doc_id", "keep").localCheckpoint())
+
+  /** [[lmPerplexity]] with the gate DECISION precomputed (the 9 B/doc
+    * (doc_id, keep) pin) — q285 shares ONE gate pass across all four
+    * signals instead of each re-deriving it (no DataFrame CSE). */
+  private[graft] def lmPerplexityFrom(docs: DataFrame, gate: DataFrame): DataFrame = {
+    val ref = docs.join(gate.filter(col("keep"))
       .select("doc_id"), Seq("doc_id"), "left_semi")
     val (lm2, lm1, vocab) = lmModels(ref)
     val scored = lmScore(docs, lm2, lm1, vocab)
@@ -755,8 +774,12 @@ object Corpus14 {
     * deploy half and runs unchanged on a readStream frontier. */
   private[graft] def dsirModels(ref: DataFrame, raw: DataFrame)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val tf = dsirFeats(ref).groupBy("b").agg(count(lit(1)).as("tb"))
-    val rf = dsirFeats(raw).groupBy("b").agg(count(lit(1)).as("rb"))
+    // both ≤DsirBuckets-row models PINNED once (the lmModels rationale);
+    // the totals derive from the pinned tables — zero extra corpus passes
+    val tf = dsirFeats(ref).groupBy("b")
+      .agg(count(lit(1)).as("tb")).localCheckpoint()
+    val rf = dsirFeats(raw).groupBy("b")
+      .agg(count(lit(1)).as("rb")).localCheckpoint()
     (tf, rf, tf.agg(sum("tb").as("tc")), rf.agg(sum("rb").as("rc")))
   }
 
@@ -777,8 +800,14 @@ object Corpus14 {
             log(lit(2L) * coalesce(col("rb"), lit(0L)) + lit(1L)) +
             log(lit(2L) * col("rc") + lit(DsirBuckets))), 4).as("log_w"))
 
-  private[graft] def dsirSelect(docs: DataFrame): DataFrame = {
-    val ref = docs.join(Corpus.qualityGate(docs).filter(col("keep"))
+  private[graft] def dsirSelect(docs: DataFrame): DataFrame =
+    dsirSelectFrom(docs,
+      Corpus.qualityGate(docs).select("doc_id", "keep").localCheckpoint())
+
+  /** [[dsirSelect]] with the gate decision precomputed — see
+    * [[lmPerplexityFrom]]. */
+  private[graft] def dsirSelectFrom(docs: DataFrame, gate: DataFrame): DataFrame = {
+    val ref = docs.join(gate.filter(col("keep"))
       .select("doc_id"), Seq("doc_id"), "left_semi")
     val (tf, rf, tt, rt) = dsirModels(ref, docs)
     val scored = dsirScore(docs, tf, rf, tt, rt)
@@ -812,14 +841,18 @@ object Corpus14 {
     def must(c: String) = coalesce(col(c), raise_error(lit(
       s"qualitySignalCube: $c missing for some doc — a quality-signal " +
         "frame returned fewer rows than the corpus"))).as(c)
+    // ONE gate pass shared by the rule column AND both gate-trained
+    // signals (lmPerplexityFrom/dsirSelectFrom) — the 9 B/doc decision
+    // pin; without it the cube re-derived the gate four times
+    val gate = Corpus.qualityGate(docs).select("doc_id", "keep").localCheckpoint()
     val f = docs.select(col("doc_id"))
-      .join(Corpus.qualityGate(docs)
+      .join(gate
         .select(col("doc_id"), col("keep").as("rule_keep")), Seq("doc_id"), "left")
       .join(qualityClassify(docs)
         .select(col("doc_id"), col("clf_keep")), Seq("doc_id"), "left")
-      .join(lmPerplexity(docs)
+      .join(lmPerplexityFrom(docs, gate)
         .select(col("doc_id"), col("keep").as("ppl_keep")), Seq("doc_id"), "left")
-      .join(dsirSelect(docs)
+      .join(dsirSelectFrom(docs, gate)
         .select(col("doc_id"), col("selected").as("dsir_selected")), Seq("doc_id"), "left")
       .select(col("doc_id"), must("rule_keep"), must("clf_keep"),
         must("ppl_keep"), must("dsir_selected"))
