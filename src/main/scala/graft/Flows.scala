@@ -307,20 +307,34 @@ object Flows {
     * beyond what the four queries already pay. */
   def qualitySignalsFlow(spark: SparkSession, dir: String, outDir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
+    // one gate pin shared by the rule column and both gate-trained
+    // signals (the q285 discipline), and the cube FOLDS FROM the landed
+    // scorecard's own lineage — one computation, provably one story
+    // (FlowsSpec additionally ties the sidecar to q285's published cube)
+    val gate = operators.Corpus.qualityGate(docs)
+      .select("doc_id", "keep").localCheckpoint()
     val scorecard = docs.select(col("doc_id"))
-      .join(operators.Corpus.qualityGate(docs)
-        .select(col("doc_id"), col("keep").as("rule_keep")), Seq("doc_id"))
+      .join(gate.select(col("doc_id"), col("keep").as("rule_keep")), Seq("doc_id"))
       .join(operators.Corpus14.qualityMargins(docs)
         .select(col("doc_id"), col("clf_margin"),
           (col("clf_margin") > operators.Corpus14.QThreshold).as("clf_keep")),
         Seq("doc_id"))
-      .join(operators.Corpus14.lmPerplexity(docs)
+      .join(operators.Corpus14.lmPerplexityFrom(docs, gate)
         .select(col("doc_id"), col("ppl"), col("tercile")), Seq("doc_id"))
-      .join(operators.Corpus14.dsirSelect(docs)
+      .join(operators.Corpus14.dsirSelectFrom(docs, gate)
         .select(col("doc_id"), col("log_w"),
           col("selected").as("dsir_selected")), Seq("doc_id"))
     graft.sources.Sinks.writeOrdered(scorecard, Seq(col("doc_id")), outDir, Some(1))
-    val cube = operators.Corpus14.qualitySignalCube(docs)
+    val landed = spark.read.parquet(outDir)
+    val all = org.apache.spark.sql.expressions.Window.partitionBy()
+    val cube = landed
+      .select(col("rule_keep"), col("clf_keep"),
+        (col("tercile") =!= "tail").as("ppl_keep"), col("dsir_selected"))
+      .groupBy("rule_keep", "clf_keep", "ppl_keep", "dsir_selected")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("share", round(col("n_docs") * lit(1.0) /
+        sum("n_docs").over(all), 4))
+      .orderBy("rule_keep", "clf_keep", "ppl_keep", "dsir_selected")
     cube.write.mode("overwrite").parquet(s"$outDir/_cube")
     cube
   }

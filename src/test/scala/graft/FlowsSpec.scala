@@ -425,6 +425,12 @@ class FlowsSpec extends AnyFunSuite with SparkSuite {
       assert(folded((a, b, c, d)) == n, s"cell ($a,$b,$c,$d)")
     }
     assert(sidecar.map(_._5).sum == card.size.toLong)
+    // and the sidecar IS q285's published cube — the flow's scorecard
+    // fold and the standalone query tell the same story
+    val pub = SparkEntry.queries("q285_quality_signal_cube")(
+        spark, "/root/testdata/sf0.001")
+      .as[(Boolean, Boolean, Boolean, Boolean, Long, Double)].collect().toSeq
+    assert(sidecar.sortBy(r => (r._1, r._2, r._3, r._4)) == pub)
   }
 
   test("semantic-dedup flow lands exactly q170's kept docs plus a consistent cluster ledger") {
