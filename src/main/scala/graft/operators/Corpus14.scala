@@ -1235,6 +1235,12 @@ object Corpus14 {
       // rational), ranks are integer on ppl4 with doc_id tie-breaks,
       // and the tercile split is the q112 two-pass bucket-boundary
       // pattern, never a global rank window. See lmPerplexity.
+      //
+      // THE READING (sf0.001): ppl spans 25.56-45.02; the head caps at
+      // 29.30 and the tail starts at 30.43 — a real spread, and the
+      // signal carries information the rule gate agrees with without
+      // duplicating it: head+middle docs are rule-kept at 84.1% vs the
+      // corpus's 63.4% (q285 reads the full joint).
       (s, dir) => lmPerplexity(Tables.documents(s, dir)),
       Some {
         s"""WITH ${Corpus.gateDuckCte("g_")},
@@ -1254,6 +1260,12 @@ object Corpus14 {
       // resampling (ties break on doc_id instead of noise). Exact-
       // integer log arguments, integer descending rank via the q112
       // bucket-boundary pattern. See dsirSelect.
+      //
+      // THE READING (sf0.001): log_w spans −5.21..+2.73 and the
+      // selected quarter (125/500, threshold +0.43) is rule-kept at
+      // 98.4% vs the corpus's 63.4% — the DSIR claim (importance
+      // selection enriches the target distribution) measured, and
+      // asserted as an inequality in Corpus14Spec.
       (s, dir) => dsirSelect(Tables.documents(s, dir)),
       Some {
         s"""WITH ${Corpus.gateDuckCte("g_")},
@@ -1272,7 +1284,13 @@ object Corpus14 {
       // with per-cell counts and corpus share — the one table that
       // answers "do the signals agree, and where do they split" (each
       // pairwise agreement, every unique-dissent cell, and the
-      // all-four-agree mass are all reads off it). Scale shape: each
+      // all-four-agree mass are all reads off it). THE READING
+      // (sf0.001): 12 of 16 cells occupied — the four signals are
+      // genuinely different instruments (all-four-agree-keep 22.8%,
+      // all-reject 1.8%, and every signal dissents somewhere); the
+      // biggest splits are rule-only-reject vs classifier (24.2%) and
+      // the strict DSIR quarter inside the three-way-keep mass (31.2%
+      // kept by rule+clf+ppl but not selected). Scale shape: each
       // signal is its standalone query's plan joined doc-keyed onto the
       // corpus spine (LEFT + raise_error fail-loud, the gateFlags
       // contract); ONE partial-aggregable groupBy folds the corpus onto
