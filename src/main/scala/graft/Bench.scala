@@ -51,13 +51,33 @@ object Bench {
         java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
           .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
       }
-      def once(): (Double, Double, Option[String]) = {
+      // Allocation telemetry per run (r14, the q137 GC-storm question):
+      // total allocated bytes across all live threads, deltaed around
+      // the query and emitted in GiB — answers "is the GC-stormed query
+      // also the set's dominant ALLOCATOR, or is the collector stalling
+      // on something else (heap walk under hypervisor reclaim)?" without
+      // re-running anything. Additive "alloc" JSON field like "gc".
+      // Caveat (documented, acceptable for local[32]): per-thread
+      // counters vanish with their thread, so work on threads that die
+      // between snapshots undercounts — Spark's local-mode executor pool
+      // is stable across queries, and the driver-side delta dwarfs any
+      // short-lived helper thread.
+      def allocBytes(): Long = {
+        val mx = java.lang.management.ManagementFactory.getThreadMXBean
+          .asInstanceOf[com.sun.management.ThreadMXBean]
+        if (!mx.isThreadAllocatedMemorySupported) return 0L
+        if (!mx.isThreadAllocatedMemoryEnabled) mx.setThreadAllocatedMemoryEnabled(true)
+        mx.getThreadAllocatedBytes(mx.getAllThreadIds).filter(_ > 0L).sum
+      }
+      def once(): (Double, Double, Double, Option[String]) = {
+        val a0 = allocBytes()
         val g0 = gcMs()
         val t0 = System.nanoTime()
         val err =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
           catch { case e: Throwable => Some(e.getClass.getSimpleName) }
-        ((System.nanoTime() - t0) / 1e9, (gcMs() - g0) / 1e3, err)
+        ((System.nanoTime() - t0) / 1e9, (gcMs() - g0) / 1e3,
+          (allocBytes() - a0) / (1024d * 1024 * 1024), err)
       }
       // Best of two runs per query: this host's hypervisor reclaims page
       // cache between rounds, which lands multi-hundred-ms cold-read
@@ -66,27 +86,33 @@ object Bench {
       // rounds. A first-run failure is reported without a retry; a
       // SECOND-run failure keeps the successful first duration (the
       // failed run's near-zero time must never become the reported min).
-      val (d1, g1, e1) = once()
-      if (e1.isDefined) (name, d1, g1, e1)
+      val (d1, g1, a1, e1) = once()
+      if (e1.isDefined) (name, d1, g1, a1, e1)
       else {
-        val (d2, g2, e2) = once()
-        // report the duration AND gc of the min run (the comparable pair)
-        if (e2.isEmpty && d2 < d1) (name, d2, g2, None)
-        else (name, d1, g1, None)
+        val (d2, g2, a2, e2) = once()
+        // report the duration, gc AND alloc of the min run (the
+        // comparable triple)
+        if (e2.isEmpty && d2 < d1) (name, d2, g2, a2, None)
+        else (name, d1, g1, a1, None)
       }
     }
     // A failed query must be VISIBLE, not a near-zero time silently summed
     // into the headline: successes go to "queries"/"value", failures to
     // "errors" and are excluded from the total.
-    val ok = results.filter(_._4.isEmpty)
-    val qs = ok.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
+    val ok = results.filter(_._5.isEmpty)
+    val qs = ok.map { case (k, v, _, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val gs = ok.map { case (k, _, g, _) => s"\"" + k + "\":" + g }
+    val gs = ok.map { case (k, _, g, _, _) => s"\"" + k + "\":" + g }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, _, Some(e)) => s"\"$k\":\"$e\"" }
+    // alloc in GiB, 3dp — same additive-field discipline as "gc"
+    // (Double.toString is locale-independent, unlike f"%.3f")
+    val as = ok.map { case (k, _, _, a, _) =>
+      s"\"" + k + "\":" + (math.rint(a * 1000) / 1000) }
+      .mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, _, _, Some(e)) => s"\"$k\":\"$e\"" }
       .mkString("{", ",", "}")
     val total = if (ok.nonEmpty) ok.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"gc":$gs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"gc":$gs,"alloc_gib":$as,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -46,7 +46,8 @@ object ExplainAudit {
         "q277_gate_attribution", "q278_clf_reliability",
         "q279_temperature_scaling", "q280_domain_reweight",
         "q281_gate_ordering", "q282_doremi_sample", "q283_lm_perplexity",
-        "q284_dsir_select", "q285_quality_signal_cube")
+        "q284_dsir_select", "q285_quality_signal_cube",
+        "q286_ensemble_verdict")
     targets.foreach { name =>
       println(s"\n===== $name =====")
       SparkEntry.queries(name)(spark, dir).explain("formatted")

@@ -304,27 +304,44 @@ object Flows {
     * actually reads (which docs, which signal dissented); the cube is
     * its one-page summary. Composition cost: each signal is its
     * standalone query's audited plan glued by doc-keyed joins — nothing
-    * beyond what the four queries already pay. */
-  def qualitySignalsFlow(spark: SparkSession, dir: String, outDir: String): DataFrame = {
+    * beyond what the four queries already pay. `numFiles` sizes the
+    * landed layout (r14: the corpus-sized scorecard must not funnel
+    * through one writer task at scale — default stays 1 only because
+    * the test corpora are tiny; a 100 TB run passes a size-derived
+    * count, as SCALE.md's writeOrdered note prescribes). */
+  def qualitySignalsFlow(spark: SparkSession, dir: String, outDir: String,
+      numFiles: Option[Int] = Some(1)): DataFrame = {
     val docs = Tables.documents(spark, dir)
     // one gate pin shared by the rule column and both gate-trained
     // signals (the q285 discipline), and the cube FOLDS FROM the landed
     // scorecard's own lineage — one computation, provably one story
-    // (FlowsSpec additionally ties the sidecar to q285's published cube)
+    // (FlowsSpec additionally ties the sidecar to q285's published cube).
+    // LEFT joins + the must() raise_error contract (r14 ADVICE): a
+    // signal frame that fails to score a doc (q283/q284 drop <2-token
+    // docs at the bigram explode) fails LOUD here, exactly like the
+    // standalone q285 — the flow and the query can never tell different
+    // stories on a corpus containing short docs.
+    def must(c: String) = coalesce(col(c), raise_error(lit(
+      s"qualitySignalsFlow: $c missing for some doc — a quality-signal " +
+        "frame returned fewer rows than the corpus"))).as(c)
     val gate = operators.Corpus.qualityGate(docs)
       .select("doc_id", "keep").localCheckpoint()
     val scorecard = docs.select(col("doc_id"))
-      .join(gate.select(col("doc_id"), col("keep").as("rule_keep")), Seq("doc_id"))
+      .join(gate.select(col("doc_id"), col("keep").as("rule_keep")),
+        Seq("doc_id"), "left")
       .join(operators.Corpus14.qualityMargins(docs)
         .select(col("doc_id"), col("clf_margin"),
           (col("clf_margin") > operators.Corpus14.QThreshold).as("clf_keep")),
-        Seq("doc_id"))
+        Seq("doc_id"), "left")
       .join(operators.Corpus14.lmPerplexityFrom(docs, gate)
-        .select(col("doc_id"), col("ppl"), col("tercile")), Seq("doc_id"))
+        .select(col("doc_id"), col("ppl"), col("tercile")), Seq("doc_id"), "left")
       .join(operators.Corpus14.dsirSelectFrom(docs, gate)
         .select(col("doc_id"), col("log_w"),
-          col("selected").as("dsir_selected")), Seq("doc_id"))
-    graft.sources.Sinks.writeOrdered(scorecard, Seq(col("doc_id")), outDir, Some(1))
+          col("selected").as("dsir_selected")), Seq("doc_id"), "left")
+      .select(col("doc_id"), must("rule_keep"), must("clf_margin"),
+        must("clf_keep"), must("ppl"), must("tercile"),
+        must("log_w"), must("dsir_selected"))
+    graft.sources.Sinks.writeOrdered(scorecard, Seq(col("doc_id")), outDir, numFiles)
     val landed = spark.read.parquet(outDir)
     val all = org.apache.spark.sql.expressions.Window.partitionBy()
     val cube = landed
@@ -457,7 +474,12 @@ object Flows {
         // NumberFormatException failing every subsequent drain
         .filter(p => p.getFileName.toString.stripPrefix("batch_id=")
           .toLongOption.exists(_ <= effectiveUpTo))
-        .toSeq.sortBy(_.getFileName.toString)
+        // numeric order, not lexicographic (r14 ADVICE): the pruned=
+        // audit log line must read in batch order (10 after 2, not
+        // before); merge correctness never depended on this (the upsert
+        // orders by the batch_id COLUMN), only the diagnostic did
+        .toSeq.sortBy(_.getFileName.toString.stripPrefix("batch_id=")
+          .toLongOption.getOrElse(Long.MaxValue))
       finally ls.close()
     if (drained.isEmpty) return 0
     // an empty micro-batch lands a dir with no part files (AvailableNow

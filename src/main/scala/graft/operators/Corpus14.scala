@@ -581,8 +581,18 @@ object Corpus14 {
     val wt = domainReweight(docs)
       .select(col("source"), col("n_docs"), col("w_smoothed"))
       .withColumn("wu", round(col("w_smoothed") * lit(10000)).cast("long"))
+    // Degenerate-weight guard (r14 ADVICE): if every domain's round-4
+    // weight folds to wu = 0, min() over the empty set is NULL and every
+    // downstream row would go silently NULL — fail loud instead (the
+    // q285 raise_error contract). Can't happen on q280's smoothed
+    // weights (uniform smoothing floors each at (1-α)/k > 0), so this
+    // guards a pathological FUTURE weight table, not the deployed one.
     val nt = wt.filter(col("wu") > 0)
       .agg(min(expr("n_docs * 10000 div wu")).as("n_total"))
+      .select(coalesce(col("n_total"), raise_error(lit(
+        "doremiSample: every domain weight folded to 0 at 1e-4 " +
+          "resolution — no deliverable mixture (degenerate weight table)"))
+        .cast("long")).as("n_total"))
     val tg = wt.crossJoin(broadcast(nt))
       .withColumn("n_target", expr("n_total * wu div 10000"))
       .select(col("source"), col("n_docs"),
@@ -597,6 +607,12 @@ object Corpus14 {
     tg.join(sm, Seq("source"), "left")
       .withColumn("n_sampled", coalesce(col("n_sampled"), lit(0L)))
       .withColumn("ts", sum("n_sampled").over(all))
+      // same guard on the achieved total: ts = 0 (every target rounds
+      // to zero docs) would divide the shares into silent NULLs
+      .withColumn("ts", when(col("ts") > 0, col("ts"))
+        .otherwise(raise_error(lit(
+          "doremiSample: zero documents sampled across every domain — " +
+            "the mixture's per-domain targets all rounded to 0")).cast("long")))
       .select(col("source"), col("n_docs"), col("w_target"),
         col("n_target"), col("n_sampled"),
         round(col("n_sampled") * lit(1.0) / col("ts"), 4).as("achieved_share"))
@@ -632,9 +648,11 @@ object Corpus14 {
     * bucket, rank, tercile) is INTEGER on ppl4 = ppl·10⁴ with doc_id
     * tie-breaks. Corpus14Spec measures the rounding clearance.
     *
-    * Scale shape: LM counts are two partial-aggregable bigram/prefix
-    * aggregates over the survivor corpus (data-sized tables, the
-    * production LM is a fixed artifact anyway); scoring is two keyed
+    * Scale shape: the training vocabulary is FIXED at top-[[LmVocabCap]]
+    * tokens (one partial-aggregable unigram count + TakeOrderedAndProject;
+    * OOV maps to [[LmOovSymbol]] before the bigram count), so the LM
+    * tables are ≤ (V+1)²-bounded BY CONSTRUCTION at any corpus size —
+    * never data-sized — and broadcast honestly; scoring is broadcast
     * joins + one groupBy(doc_id) — all corpus-sized work is keyed and
     * partial-aggregable. The tercile split is the q112/q115 two-pass
     * bucket-boundary pattern, NOT a global rank window: ppl4 buckets
@@ -655,37 +673,89 @@ object Corpus14 {
           .stripMargin.replace("\n", " "))).as("p"))
       .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
 
-  /** q283's trained artifact: (bigram counts, prefix counts, vocab size)
-    * from the reference corpus — the "train in batch, ship the model"
-    * half; [[lmScore]] is the deploy half and runs UNCHANGED on a
-    * readStream frontier (StatefulStreamingSpec proves stream ≡ batch),
-    * exactly how a production perplexity gate deploys a fixed KenLM. */
-  private[graft] def lmModels(ref: DataFrame): (DataFrame, DataFrame, DataFrame) = {
-    // ONE reference pass: the bigram table is PINNED (localCheckpoint —
-    // the q268 corpus-fraction rule: a tiny vocab²-bounded frame ending
-    // a scan+gate+join+explode lineage that three consumers would
-    // otherwise re-run; ProfQ283 measured the unpinned three-frame
-    // build at ~29 s vs ~3 s pinned at sf0.1), and the other two model
-    // tables DERIVE from it exactly: c1 = Σ_w2 c12 (the prefix count IS
-    // the bigram-table marginal), and vocab = |{w1} ∪ {w2}| — equal to
-    // the distinct-token count because every gate survivor has ≥ 2
-    // tokens by construction (len_ok ≥ 100 chars with toklen ≤ 12
-    // implies ≥ 9 tokens), so every token occurs in some bigram.
-    val lm2 = bigramPairs(ref).groupBy("w1", "w2")
+  /** q283's training-vocabulary cap V — the KenLM/CCNet fixed-vocab
+    * discipline (Wenzek et al. 2020 train their reference LM on a FIXED
+    * Wikipedia vocabulary; q284's mod-[[DsirBuckets]] hashing is the
+    * in-repo precedent): the LM trains on the top-V reference tokens by
+    * frequency and every other token maps to [[LmOovSymbol]] BEFORE the
+    * bigram count, so lm2 is ≤ (V+1)² rows BY CONSTRUCTION at any
+    * corpus size and the broadcast hints in [[lmScore]] are honest at
+    * 100 TB (an uncapped distinct-bigram table is data-sized on a real
+    * web corpus — billions of rows — and a broadcast hint on it is an
+    * OOM, not a plan). 4096 ≫ this corpus's full vocabulary, so no
+    * published value moved when the cap landed (Corpus14Spec asserts
+    * the OOV row is absent at sf0.001); the OOV path itself is
+    * exercised with a tiny cap on an over-V synthetic corpus. */
+  private[graft] val LmVocabCap = 4096
+
+  /** The reserved out-of-vocabulary token. It contains spaces, which the
+    * shared tokenizer (split on ' ', drop empties) can NEVER produce —
+    * so no real token collides with it by construction, not by audit. */
+  private[graft] val LmOovSymbol = "< oov >"
+
+  /** Maps the (w1, w2) sides of a bigram frame onto the fixed training
+    * vocabulary `vt`: in-vocab tokens pass through, everything else
+    * becomes [[LmOovSymbol]]. Applied identically at train and score
+    * time (two broadcast joins against the ≤V-row vocab — a scored
+    * token the model never saw hits the OOV row's counts, or the add-½
+    * backoff when even the OOV context is unseen). Non-key columns
+    * (doc_id on the scoring side) ride through untouched. */
+  private def mapOov(pairs: DataFrame, vt: DataFrame): DataFrame =
+    pairs
+      .join(broadcast(vt.select(col("tok").as("w1"), lit(true).as("in1"))),
+        Seq("w1"), "left")
+      .join(broadcast(vt.select(col("tok").as("w2"), lit(true).as("in2"))),
+        Seq("w2"), "left")
+      .select(pairs.columns.filter(c => c != "w1" && c != "w2").map(col).toSeq ++ Seq(
+        when(col("in1"), col("w1")).otherwise(lit(LmOovSymbol)).as("w1"),
+        when(col("in2"), col("w2")).otherwise(lit(LmOovSymbol)).as("w2")): _*)
+
+  /** q283's trained artifact: (bigram counts, prefix counts, vocab size,
+    * vocab tokens) from the reference corpus — the "train in batch, ship
+    * the model" half; [[lmScore]] is the deploy half and runs UNCHANGED
+    * on a readStream frontier (StatefulStreamingSpec proves stream ≡
+    * batch), exactly how a production perplexity gate deploys a fixed
+    * KenLM. `cap` is [[LmVocabCap]] in production; parameterized only so
+    * the spec can exercise the OOV path cheaply. */
+  private[graft] def lmModels(ref: DataFrame, cap: Int = LmVocabCap)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    // The FIXED training vocabulary first: top-`cap` reference tokens by
+    // frequency, ties on the token string — one partial-aggregable
+    // unigram count into a TakeOrderedAndProject (the only data-sized
+    // work; its result is ≤ cap rows, pinned and broadcast below).
+    val vt = ref.select(explode(expr(toksExpr)).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok").asc).limit(cap)
+      .select("tok").localCheckpoint()
+    // ONE reference pass: the OOV-mapped bigram table is PINNED
+    // (localCheckpoint — the q268 corpus-fraction rule: a tiny
+    // ≤(V+1)²-bounded frame ending a scan+gate+join+explode lineage that
+    // three consumers would otherwise re-run; ProfQ283 measured the
+    // unpinned three-frame build at ~29 s vs ~3 s pinned at sf0.1), and
+    // the other two model tables DERIVE from it exactly: c1 = Σ_w2 c12
+    // (the prefix count IS the bigram-table marginal), and
+    // v = |{w1} ∪ {w2}| of the MAPPED space — on an under-cap corpus
+    // equal to the distinct-token count (every gate survivor has ≥ 2
+    // tokens by construction: len_ok ≥ 100 chars with toklen ≤ 12
+    // implies ≥ 9 tokens, so every token occurs in some bigram), and
+    // ≤ V+1 on any corpus.
+    val lm2 = mapOov(bigramPairs(ref), vt).groupBy("w1", "w2")
       .agg(count(lit(1)).as("c12")).localCheckpoint()
     val lm1 = lm2.groupBy("w1").agg(sum("c12").as("c1"))
     val vocab = lm2.select(col("w1").as("tok"))
       .union(lm2.select(col("w2").as("tok")))
       .agg(countDistinct("tok").as("v"))
-    (lm2, lm1, vocab)
+    (lm2, lm1, vocab, vt)
   }
 
   /** q283's scoring half, input-agnostic (batch or stream): per doc,
     * (n_bigrams, log_prob, ppl) under the FROZEN model tables — pure
-    * stream-static broadcast joins + one doc-keyed aggregate. */
-  private[graft] def lmScore(docs: DataFrame,
-      lm2: DataFrame, lm1: DataFrame, vocab: DataFrame): DataFrame =
-    bigramPairs(docs)
+    * stream-static broadcast joins + one doc-keyed aggregate. Every
+    * broadcast side is bounded by construction: lm2 ≤ (V+1)², lm1 and
+    * vt ≤ V+1, vocab is 1 row. */
+  private[graft] def lmScore(docs: DataFrame, lm2: DataFrame,
+      lm1: DataFrame, vocab: DataFrame, vt: DataFrame): DataFrame =
+    mapOov(bigramPairs(docs), vt)
       .join(broadcast(lm2), Seq("w1", "w2"), "left")
       .join(broadcast(lm1), Seq("w1"), "left")
       .crossJoin(broadcast(vocab))
@@ -707,8 +777,8 @@ object Corpus14 {
   private[graft] def lmPerplexityFrom(docs: DataFrame, gate: DataFrame): DataFrame = {
     val ref = docs.join(gate.filter(col("keep"))
       .select("doc_id"), Seq("doc_id"), "left_semi")
-    val (lm2, lm1, vocab) = lmModels(ref)
-    val scored = lmScore(docs, lm2, lm1, vocab)
+    val (lm2, lm1, vocab, vt) = lmModels(ref)
+    val scored = lmScore(docs, lm2, lm1, vocab, vt)
       .withColumn("ppl4", round(col("ppl") * lit(10000)).cast("long"))
       .withColumn("b", expr(s"ppl4 div $LmPplBucketDiv"))
     val bc = scored.groupBy(col("b").as("bb")).agg(count(lit(1)).as("bcnt"))
@@ -829,21 +899,22 @@ object Corpus14 {
       .orderBy("doc_id")
   }
 
-  /** q285's body: the four quality verdicts joined doc-keyed onto the
-    * corpus spine and folded into their observed 2⁴ contingency cells —
-    * the gateFlags LEFT-join + raise_error contract (a signal frame
-    * that drops docs fails loud, never silently shrinks a cell; q283
-    * and q284 score only ≥2-token docs, which on any real corpus is
+  /** The four per-doc verdicts joined doc-keyed onto the corpus spine
+    * (LEFT + raise_error fail-loud — the gateFlags contract: a signal
+    * frame that drops docs fails loud, never silently shrinks a cell;
+    * q283 and q284 score only ≥2-token docs, which on any real corpus is
     * every doc — the guard turns that assumption into an error message
-    * the day it breaks). One partial-aggregable groupBy → ≤16 rows;
-    * the share window runs over those rows only. */
-  private[graft] def qualitySignalCube(docs: DataFrame): DataFrame = {
+    * the day it breaks) and folded
+    * to their observed 2⁴ contingency cells (rule_keep, clf_keep,
+    * ppl_keep, dsir_selected, n_docs) — the ONE corpus pass shared by
+    * q285 (which adds shares) and q286 (which decides). One gate pass
+    * shared by the rule column AND both gate-trained signals
+    * (lmPerplexityFrom/dsirSelectFrom) — the 9 B/doc decision pin;
+    * without it the fold re-derived the gate four times. */
+  private[graft] def signalCells(docs: DataFrame): DataFrame = {
     def must(c: String) = coalesce(col(c), raise_error(lit(
       s"qualitySignalCube: $c missing for some doc — a quality-signal " +
         "frame returned fewer rows than the corpus"))).as(c)
-    // ONE gate pass shared by the rule column AND both gate-trained
-    // signals (lmPerplexityFrom/dsirSelectFrom) — the 9 B/doc decision
-    // pin; without it the cube re-derived the gate four times
     val gate = Corpus.qualityGate(docs).select("doc_id", "keep").localCheckpoint()
     val f = docs.select(col("doc_id"))
       .join(gate
@@ -856,12 +927,86 @@ object Corpus14 {
         .select(col("doc_id"), col("selected").as("dsir_selected")), Seq("doc_id"), "left")
       .select(col("doc_id"), must("rule_keep"), must("clf_keep"),
         must("ppl_keep"), must("dsir_selected"))
-    val all = org.apache.spark.sql.expressions.Window.partitionBy()
     f.groupBy("rule_keep", "clf_keep", "ppl_keep", "dsir_selected")
       .agg(count(lit(1)).as("n_docs"))
+  }
+
+  /** q285's body: [[signalCells]] with per-cell corpus shares — the
+    * share window runs over the ≤16 cell rows only (q197 class). */
+  private[graft] def qualitySignalCube(docs: DataFrame): DataFrame = {
+    val all = org.apache.spark.sql.expressions.Window.partitionBy()
+    signalCells(docs)
       .withColumn("share", round(col("n_docs") * lit(1.0) /
         sum("n_docs").over(all), 4))
       .orderBy("rule_keep", "clf_keep", "ppl_keep", "dsir_selected")
+  }
+
+  /** q286's body: the ENSEMBLE CURATION VERDICT — the quality family's
+    * consumer (the scorecard publishes four verdicts per doc; this
+    * DECIDES, completing audit→action→consumer the way q282 did for
+    * the mixture family).
+    *
+    * DECISION RULE (policy, with grounds): keep iff rule_keep AND ≥2 of
+    * the 3 learned signals {clf_keep, ppl_keep, dsir_selected}.
+    * Grounds: (1) the rule gate is MANDATORY — it encodes hard
+    * constraints (length, stopword density, repetition) that a learned
+    * signal may not override, the precision-first rule the q277
+    * threshold recalibration stated; (2) the learned signals are three
+    * genuinely different instruments (q285: every signal dissents
+    * somewhere), so a 2-of-3 majority tolerates any single instrument's
+    * idiosyncrasy without handing veto power to the strictest one
+    * (DSIR's fixed top-quarter would otherwise cap the corpus at 25%);
+    * (3) ties cannot occur (3 voters).
+    *
+    * Published per signal (4 rows): its own keep count, and its PIVOTAL
+    * influence on the ensemble — unique_save = ensemble-kept docs that
+    * flip to dropped if this signal alone flips (for the mandatory rule
+    * gate that is every kept doc, by design), unique_kill =
+    * ensemble-dropped docs that flip to kept (for a learned signal:
+    * rule-kept docs where it voted drop and exactly one other learned
+    * signal voted keep; for the rule gate: docs the learned majority
+    * wanted). Constant columns carry the decision totals: ens_kept,
+    * n_total, reduction = (n_total − ens_kept)/n_total.
+    *
+    * Scale shape: ONE partial-aggregable corpus fold ([[signalCells]])
+    * onto ≤16 cells, pinned; everything below is arithmetic over those
+    * rows (the q197 exemption class). */
+  private[graft] def ensembleVerdict(docs: DataFrame): DataFrame = {
+    // ≤16 rows pinned — five consumers below must not re-run the fold
+    val c = signalCells(docs)
+      .withColumn("lk", col("clf_keep").cast("int") +
+        col("ppl_keep").cast("int") + col("dsir_selected").cast("int"))
+      .withColumn("ens", col("rule_keep") && col("lk") >= 2)
+      .localCheckpoint()
+    val tot = c.agg(
+      sum("n_docs").as("n_total"),
+      sum(when(col("ens"), col("n_docs")).otherwise(0L)).as("ens_kept"))
+    type Column = org.apache.spark.sql.Column
+    def sig(name: String, keep: Column, save: Column, kill: Column) =
+      c.agg(
+        sum(when(keep, col("n_docs")).otherwise(0L)).as("n_keep"),
+        sum(when(save, col("n_docs")).otherwise(0L)).as("unique_save"),
+        sum(when(kill, col("n_docs")).otherwise(0L)).as("unique_kill"))
+        .select(lit(name).as("signal"), col("n_keep"),
+          col("unique_save"), col("unique_kill"))
+    // a learned signal is pivotal-keep on ens cells where it is the
+    // marginal second vote (lk = 2 and it voted keep), pivotal-drop on
+    // rule-kept cells where flipping it reaches the majority (lk = 1
+    // with its own vote drop)
+    def learned(name: String, s: Column) = sig(name, s,
+      col("ens") && col("lk") === 2 && s,
+      col("rule_keep") && !s && col("lk") === 1)
+    val rows = sig("rule", col("rule_keep"),
+        col("ens"), !col("rule_keep") && col("lk") >= 2)
+      .unionByName(learned("clf", col("clf_keep")))
+      .unionByName(learned("ppl", col("ppl_keep")))
+      .unionByName(learned("dsir", col("dsir_selected")))
+    rows.crossJoin(broadcast(tot))
+      .withColumn("reduction",
+        round((col("n_total") - col("ens_kept")) * lit(1.0) / col("n_total"), 4))
+      .select(col("signal"), col("n_keep"), col("unique_save"),
+        col("unique_kill"), col("ens_kept"), col("n_total"), col("reduction"))
+      .orderBy("signal")
   }
 
   /** The deterministic non-target-language injection for the funnel's
@@ -1230,7 +1375,11 @@ object Corpus14 {
       // classifier): a bigram add-1/2 LM trained on the rule-gate
       // survivors scores every document; the corpus splits into CCNet's
       // head/middle/tail perplexity terciles (ascending ppl = closest
-      // to reference first); keep = not tail, the CCNet default. Log
+      // to reference first); keep = not tail, the CCNet default. The
+      // training vocabulary is FIXED at top-LmVocabCap tokens with OOV
+      // mapped to a reserved symbol before the bigram count (r14 —
+      // KenLM's fixed-vocab discipline), so the model tables are
+      // V-bounded by construction, not by assumption. Log
       // arguments are exact integers ((2c12+1)/(2c1+V) — the k=1/2
       // rational), ranks are integer on ppl4 with doc_id tie-breaks,
       // and the tercile split is the q112 two-pass bucket-boundary
@@ -1315,6 +1464,66 @@ object Corpus14 {
            |round(n_docs * 1.0 / (SELECT sum(n_docs) FROM cb), 4) AS share
            |FROM cb ORDER BY rule_keep, clf_keep, ppl_keep, dsir_selected"""
           .stripMargin.replace("\n", " ")
+      }),
+
+    QueryDef(
+      "q286_ensemble_verdict",
+      // ENSEMBLE CURATION VERDICT — the quality family's consumer: the
+      // scorecard's four verdicts DECIDE (keep iff rule-gate AND ≥2 of
+      // the 3 learned signals — policy and grounds in ensembleVerdict's
+      // scaladoc), completing audit→action→consumer the way q282 did
+      // for mixtures. Per signal: its own keep count and its PIVOTAL
+      // influence (unique_save / unique_kill = ensemble flips if this
+      // signal alone flips), plus the decision totals (ens_kept,
+      // n_total, corpus reduction). The oracle re-derives ALL FOUR
+      // verdict chains end-to-end in one WITH (the q285 precedent) and
+      // then the ensemble arithmetic — nothing is trusted from a
+      // pasted table. THE READING (sf0.001): the ensemble keeps 279/500
+      // (55.8%; the rule gate alone keeps 317 — the learned majority
+      // tightens it by 38 net); the rule gate uniquely kills 50 docs
+      // the learned majority wanted (its mandatory status is
+      // load-bearing, not ceremonial); ppl and clf are the marginal
+      // second votes on most kept docs (unique_save 162/159 — the
+      // coalitions are real, not one signal rubber-stamping another);
+      // and strict DSIR is the binding learned DROP vote (unique_kill
+      // 35 vs clf's 4).
+      (s, dir) => ensembleVerdict(Tables.documents(s, dir)),
+      Some {
+        def sigSql(name: String, s: String) =
+          s"""SELECT '$name' AS signal,
+             |CAST(sum(CASE WHEN $s THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+             |CAST(sum(CASE WHEN ens AND lk = 2 AND $s THEN 1 ELSE 0 END) AS BIGINT) AS unique_save,
+             |CAST(sum(CASE WHEN rule_keep AND NOT $s AND lk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS unique_kill
+             |FROM cx""".stripMargin.replace("\n", " ")
+        s"""WITH ${Corpus.gateDuckCte("g_")},
+           |${clfDuckCte()},
+           |${lmPplDuckCte("l_")},
+           |${dsirDuckCte("d_")},
+           |fl AS (SELECT g_r.doc_id,
+           |(len_ok AND stop_ok AND toklen_ok AND rep_ok) AS rule_keep,
+           |clf.clf_keep AS clf_keep,
+           |l_tc.tercile <> 'tail' AS ppl_keep,
+           |d_sel.selected AS dsir_selected
+           |FROM g_r JOIN clf ON g_r.doc_id = clf.doc_id
+           |JOIN l_tc ON g_r.doc_id = l_tc.doc_id
+           |JOIN d_sel ON g_r.doc_id = d_sel.doc_id),
+           |ce AS (SELECT *, (CASE WHEN clf_keep THEN 1 ELSE 0 END
+           | + CASE WHEN ppl_keep THEN 1 ELSE 0 END
+           | + CASE WHEN dsir_selected THEN 1 ELSE 0 END) AS lk FROM fl),
+           |cx AS MATERIALIZED (SELECT *, rule_keep AND lk >= 2 AS ens FROM ce),
+           |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total,
+           |CAST(sum(CASE WHEN ens THEN 1 ELSE 0 END) AS BIGINT) AS ens_kept FROM cx),
+           |sg AS (SELECT 'rule' AS signal,
+           |CAST(sum(CASE WHEN rule_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+           |CAST(sum(CASE WHEN ens THEN 1 ELSE 0 END) AS BIGINT) AS unique_save,
+           |CAST(sum(CASE WHEN NOT rule_keep AND lk >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS unique_kill
+           |FROM cx
+           |UNION ALL ${sigSql("clf", "clf_keep")}
+           |UNION ALL ${sigSql("ppl", "ppl_keep")}
+           |UNION ALL ${sigSql("dsir", "dsir_selected")})
+           |SELECT signal, n_keep, unique_save, unique_kill, ens_kept, n_total,
+           |round((n_total - ens_kept) * 1.0 / n_total, 4) AS reduction
+           |FROM sg, tot ORDER BY signal""".stripMargin.replace("\n", " ")
       })
   )
 
@@ -1328,14 +1537,23 @@ object Corpus14 {
     s"""${p}t AS (SELECT doc_id, $toksDuck AS w FROM documents),
        |${p}ref AS MATERIALIZED (SELECT t.doc_id, w FROM ${p}t t JOIN g_r ON t.doc_id = g_r.doc_id
        |WHERE len_ok AND stop_ok AND toklen_ok AND rep_ok),
-       |${p}rp AS MATERIALIZED (SELECT w[i] AS w1, w[i+1] AS w2 FROM ${p}ref,
+       |${p}vt AS MATERIALIZED (SELECT tok FROM (SELECT tok, count(*) AS c
+       |FROM (SELECT unnest(w) AS tok FROM ${p}ref) GROUP BY tok)
+       |ORDER BY c DESC, tok ASC LIMIT $LmVocabCap),
+       |${p}rp0 AS (SELECT w[i] AS w1, w[i+1] AS w2 FROM ${p}ref,
        |LATERAL (SELECT unnest(generate_series(1, len(w)-1)) AS i) g WHERE len(w) >= 2),
+       |${p}rp AS MATERIALIZED (SELECT
+       |CASE WHEN w1 IN (SELECT tok FROM ${p}vt) THEN w1 ELSE '$LmOovSymbol' END AS w1,
+       |CASE WHEN w2 IN (SELECT tok FROM ${p}vt) THEN w2 ELSE '$LmOovSymbol' END AS w2 FROM ${p}rp0),
        |${p}lm2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM ${p}rp GROUP BY 1, 2),
        |${p}lm1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM ${p}rp GROUP BY 1),
        |${p}vc AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
-       |FROM (SELECT unnest(w) AS tok FROM ${p}ref)),
-       |${p}sp AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2 FROM ${p}t,
+       |FROM (SELECT w1 AS tok FROM ${p}rp UNION ALL SELECT w2 FROM ${p}rp)),
+       |${p}sp0 AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2 FROM ${p}t,
        |LATERAL (SELECT unnest(generate_series(1, len(w)-1)) AS i) g WHERE len(w) >= 2),
+       |${p}sp AS (SELECT doc_id,
+       |CASE WHEN w1 IN (SELECT tok FROM ${p}vt) THEN w1 ELSE '$LmOovSymbol' END AS w1,
+       |CASE WHEN w2 IN (SELECT tok FROM ${p}vt) THEN w2 ELSE '$LmOovSymbol' END AS w2 FROM ${p}sp0),
        |${p}scd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
        |round(sum(ln(2 * coalesce(c12, 0) + 1) - ln(2 * coalesce(c1, 0) + v)), 4) AS log_prob
        |FROM ${p}sp LEFT JOIN ${p}lm2 USING (w1, w2) LEFT JOIN ${p}lm1 USING (w1)

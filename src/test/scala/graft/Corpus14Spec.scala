@@ -604,6 +604,95 @@ class Corpus14Spec extends AnyFunSuite with SparkSuite {
     assert(exp.getOrElse((true, true, true, true), 0L) > 0)
   }
 
+  test("q286 ensemble verdict: replay from the four standalone signals; pivotal accounting") {
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = SparkEntry.queries("q273_quality_classifier_gate")(spark, sfDir)
+      .as[(Long, Boolean, Boolean, Boolean)].collect()
+    val rule = rows.map(r => r._1 -> r._3).toMap
+    val clf = rows.map(r => r._1 -> r._2).toMap
+    val ppl = SparkEntry.queries("q283_lm_perplexity")(spark, sfDir)
+      .as[(Long, Long, Double, Double, String, Boolean)].collect()
+      .map(r => r._1 -> r._6).toMap
+    val dsir = SparkEntry.queries("q284_dsir_select")(spark, sfDir)
+      .as[(Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> r._4).toMap
+    val ids = rule.keys.toSeq
+    // the published decision rule, replayed per doc — and per-signal
+    // pivotality by DEFINITION (flip the one signal, recompute)
+    def ensOf(r: Boolean, c: Boolean, p: Boolean, d: Boolean) =
+      r && Seq(c, p, d).count(identity) >= 2
+    def ens(id: Long) = ensOf(rule(id), clf(id), ppl(id), dsir(id))
+    def pivot(id: Long, s: String): Boolean = {
+      val (r, c, p, d) = (rule(id), clf(id), ppl(id), dsir(id))
+      val flipped = s match {
+        case "rule" => ensOf(!r, c, p, d)
+        case "clf"  => ensOf(r, !c, p, d)
+        case "ppl"  => ensOf(r, c, !p, d)
+        case "dsir" => ensOf(r, c, p, !d)
+      }
+      flipped != ens(id)
+    }
+    val kept = ids.count(ens)
+    val n = ids.size
+    val got = SparkEntry.queries("q286_ensemble_verdict")(spark, sfDir)
+      .as[(String, Long, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got.map(_._1) == Seq("clf", "dsir", "ppl", "rule"))
+    got.foreach { case (sig, nk, us, uk, ek, nt, red) =>
+      val keepMap: Long => Boolean = sig match {
+        case "rule" => rule
+        case "clf"  => clf
+        case "ppl"  => ppl
+        case "dsir" => dsir
+      }
+      assert(nk == ids.count(keepMap), s"$sig n_keep")
+      assert(us == ids.count(id => ens(id) && pivot(id, sig)), s"$sig unique_save")
+      assert(uk == ids.count(id => !ens(id) && pivot(id, sig)), s"$sig unique_kill")
+      assert(ek == kept && nt == n, s"$sig totals")
+      assert(red == r4((n - kept).toDouble / n), s"$sig reduction")
+    }
+    // the policy does real work at this SF: a strict subset is kept,
+    // and every signal's vote is pivotal somewhere (no ceremonial column)
+    assert(kept > 0 && kept < n)
+    got.foreach(g => assert(g._3 + g._4 > 0, s"${g._1} never pivotal"))
+  }
+
+  test("q283 LM vocab cap: OOV bounds the model by construction; inert at this SF") {
+    import operators.Corpus14.{LmVocabCap, LmOovSymbol}
+    // (a) inert on this corpus: vocabulary ≪ cap, so no OOV row exists
+    // in the trained tables — the documented reason no published q283
+    // value moved when the cap landed
+    val docs = Tables.documents(spark, sfDir)
+    val ref = docs.join(operators.Corpus.qualityGate(docs)
+      .filter($"keep").select("doc_id"), Seq("doc_id"), "left_semi")
+    val (lm2, _, _, vt) = operators.Corpus14.lmModels(ref)
+    assert(vt.count() <= LmVocabCap)
+    assert(lm2.filter($"w1" === LmOovSymbol || $"w2" === LmOovSymbol).count() == 0,
+      "corpus vocabulary exceeds the cap — published q283 values now depend on OOV")
+    // (b) the bound BITES on an over-cap corpus: with a tiny cap the
+    // model stays ≤ (cap+1)² rows REGARDLESS of corpus vocabulary
+    val wide = spark.range(0, 40).selectExpr("id AS doc_id",
+      "concat_ws(' ', 'common', concat('rare', id), 'common', concat('rarer', id)) AS text")
+    val cap = 3
+    val (wlm2, wlm1, wv, wvt) = operators.Corpus14.lmModels(wide, cap)
+    assert(wvt.count() <= cap)
+    assert(wlm2.count() <= (cap + 1L) * (cap + 1L),
+      "trained bigram table exceeds the (V+1)² construction bound")
+    val modelToks = wlm2.select($"w1".as("t"))
+      .union(wlm2.select($"w2".as("t"))).distinct().as[String].collect().toSet
+    assert(modelToks.size <= cap + 1 && modelToks.contains(LmOovSymbol),
+      "the synthetic corpus must actually exercise the OOV path")
+    // (c) scoring under the capped model: every ≥2-token doc scores a
+    // finite ppl (OOV rows + the add-½ backoff never yield NULL/NaN)
+    val scored = operators.Corpus14.lmScore(wide, wlm2, wlm1, wv, wvt)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(scored.length == 40)
+    scored.foreach { case (id, nb, lp, pp) =>
+      assert(nb == 3, s"doc $id bigram count")
+      assert(!lp.isNaN && !pp.isNaN && pp > 0 && pp.isFinite, s"doc $id ppl $pp")
+    }
+  }
+
   test("q273 vs q100: all four confusion cells occur — a real operating-point delta") {
     val got = SparkEntry.queries("q273_quality_classifier_gate")(spark, sfDir)
       .as[(Long, Boolean, Boolean, Boolean)].collect().toSeq

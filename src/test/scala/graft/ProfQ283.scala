@@ -36,12 +36,16 @@ object ProfQ283 {
       t("bigramPairs count") {
         Corpus14.bigramPairs(docs).agg(count(lit(1))).collect()
       }
-      val (lm2, lm1, vocab) = Corpus14.lmModels(ref)
-      t("models build+pin") {
-        Seq(lm2, lm1, vocab).foreach(_.localCheckpoint())
+      val (lm2, lm1, vocab, vt) = Corpus14.lmModels(ref)
+      // CAPTURE the pinned frames and score against THOSE (r14 ADVICE):
+      // discarding localCheckpoint()'s return re-derived lm1/vocab from
+      // lm2's lineage inside the lmScore stage, misallocating the
+      // attribution this harness exists to produce
+      val Seq(lm2p, lm1p, vp, vtp) = t("models build+pin") {
+        Seq(lm2, lm1, vocab, vt).map(_.localCheckpoint())
       }
       t("lmScore") {
-        Corpus14.lmScore(docs, lm2, lm1, vocab)
+        Corpus14.lmScore(docs, lm2p, lm1p, vp, vtp)
           .agg(sum("ppl")).collect()
       }
       t("q283 full") {

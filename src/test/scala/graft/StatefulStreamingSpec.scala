@@ -781,15 +781,15 @@ class StatefulStreamingSpec extends AnyFunSuite with SparkSuite {
     val full = Tables.documents(spark, dir)
     val ref = full.join(operators.Corpus.qualityGate(full)
       .filter($"keep").select("doc_id"), Seq("doc_id"), "left_semi")
-    val (lm2, lm1, vocab) = operators.Corpus14.lmModels(ref)
+    val (lm2, lm1, vocab, vt) = operators.Corpus14.lmModels(ref)
     val (tf, rf, tt, rt) = operators.Corpus14.dsirModels(ref, full)
     // pin the artifacts: a deploy ships static files, and a lazy model
     // frame would re-derive the training lineage inside every micro-batch
-    val Seq(lm2p, lm1p, vp, tfp, rfp, ttp, rtp) =
-      Seq(lm2, lm1, vocab, tf, rf, tt, rt).map(_.localCheckpoint())
+    val Seq(lm2p, lm1p, vp, vtp, tfp, rfp, ttp, rtp) =
+      Seq(lm2, lm1, vocab, vt, tf, rf, tt, rt).map(_.localCheckpoint())
     def stream() = spark.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", 1).parquet(stage.toString)
-    val q1 = operators.Corpus14.lmScore(stream(), lm2p, lm1p, vp)
+    val q1 = operators.Corpus14.lmScore(stream(), lm2p, lm1p, vp, vtp)
       .writeStream.outputMode("update").format("memory")
       .queryName("lm_stream").trigger(Trigger.AvailableNow()).start()
     q1.awaitTermination()
@@ -798,7 +798,7 @@ class StatefulStreamingSpec extends AnyFunSuite with SparkSuite {
       .queryName("dsir_stream").trigger(Trigger.AvailableNow()).start()
     q2.awaitTermination()
     val sLm = spark.table("lm_stream")
-    val bLm = operators.Corpus14.lmScore(docs, lm2p, lm1p, vp)
+    val bLm = operators.Corpus14.lmScore(docs, lm2p, lm1p, vp, vtp)
     assert(sLm.count() > 0)
     assert(bLm.exceptAll(sLm).count() == 0 && sLm.exceptAll(bLm).count() == 0,
       "streamed LM scores must equal the batch scores exactly")
