@@ -56,6 +56,13 @@ case class MinHashSigs(child: Expression, k: Int) extends UnaryExpression {
     val md = MinHashSigs.digests.get()
     val n = w.numElements()
     val mins = new Array[Array[Byte]](k)
+    // r14 allocation engineering (alloc telemetry showed the LSH family
+    // is the bench set's dominant allocator — q137/q143 ~21 of 32 GiB):
+    // digest into a reused thread-local scratch instead of letting
+    // digest() allocate a fresh 16-byte array per (token × salt) — 6
+    // allocations/token drop to one copy per new per-salt MINIMUM
+    // (expected O(k·ln n) copies per doc, not O(k·n) allocations).
+    val buf = MinHashSigs.scratch.get()
     var j = 0
     while (j < n) {
       if (!w.isNullAt(j)) {
@@ -65,8 +72,10 @@ case class MinHashSigs(child: Expression, k: Int) extends UnaryExpression {
           md.reset()
           md.update(saltPrefixes(i))
           md.update(tok)
-          val d = md.digest() // 16 bytes
-          if (mins(i) == null || MinHashSigs.unsignedLess(d, mins(i))) mins(i) = d
+          md.digest(buf, 0, 16) // writes in place — no per-call allocation
+          if (mins(i) == null) mins(i) = buf.clone()
+          else if (MinHashSigs.unsignedLess(buf, mins(i)))
+            System.arraycopy(buf, 0, mins(i), 0, 16)
           i += 1
         }
       }
@@ -92,9 +101,14 @@ case class MinHashSigs(child: Expression, k: Int) extends UnaryExpression {
 }
 
 object MinHashSigs {
-  private val digests = new ThreadLocal[java.security.MessageDigest] {
+  private[functions] val digests = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Reused 16-byte digest scratch, one per task thread (see compute). */
+  private[functions] val scratch = new ThreadLocal[Array[Byte]] {
+    override def initialValue(): Array[Byte] = new Array[Byte](16)
   }
 
   private def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
@@ -131,4 +145,153 @@ object MinHashSigs {
       .otherwise(GraftColumnBridge.column(
         MinHashSigs(GraftColumnBridge.expression(w), k)))
   }
+}
+
+/** Sorted distinct 60-bit md5-prefix fingerprints of a token set in ONE
+  * codegen pass — the allocation-engineered twin of the HOF interning
+  * chain the LSH verify used through r13
+  * (`array_sort(array_distinct(transform(w, u ->
+  * CAST(conv(substring(md5(u), 1, 15), 16, 10) AS BIGINT))))` —
+  * Dedup.internExpr under a sort):
+  *
+  *  - the first 15 hex chars of an md5 ARE the digest's first 7.5
+  *    bytes, i.e. (bytes[0..7] as a big-endian u64) >>> 4 — computed
+  *    straight off the digest buffer, so the 32-char hex string, the
+  *    15-char substring slice, and the conv() parse (~3 short-lived
+  *    objects PER TOKEN per verify side) never exist;
+  *  - sort + dedup run in place on one primitive long[]; the row's only
+  *    allocations are that array and its UnsafeArrayData wrapper.
+  *
+  * r14 alloc telemetry motivated this: the LSH family (q137/q143) was
+  * the bench set's dominant allocator at ~11 GiB/query. DedupSpec
+  * asserts value-equality with the HOF twin on the corpus.
+  *
+  * Contract: null elements are skipped (callers feed array_distinct'd
+  * non-null token sets); signed-long ordering — safe because a 60-bit
+  * value never sets the sign bit. Output containsNull = false.
+  */
+case class InternTokens(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.types.LongType
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "intern_tokens"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"intern_tokens requires array<string>, got ${t.simpleString(10)}")
+    }
+  }
+
+  override def nullSafeEval(a: Any): Any = compute(a.asInstanceOf[ArrayData])
+
+  /** Entry point for generated code (one virtual call per row — the
+    * surrounding operator stays inside whole-stage codegen). */
+  def compute(w: ArrayData): ArrayData = {
+    val md = MinHashSigs.digests.get()
+    val buf = MinHashSigs.scratch.get()
+    val n = w.numElements()
+    val out = new Array[Long](n)
+    var m = 0
+    var j = 0
+    while (j < n) {
+      if (!w.isNullAt(j)) {
+        md.reset()
+        md.update(w.getUTF8String(j).getBytes)
+        md.digest(buf, 0, 16)
+        var v = 0L
+        var b = 0
+        while (b < 8) { v = (v << 8) | (buf(b) & 0xffL); b += 1 }
+        out(m) = v >>> 4 // == conv(substring(md5_hex, 1, 15), 16, 10)
+        m += 1
+      }
+      j += 1
+    }
+    java.util.Arrays.sort(out, 0, m)
+    var r = 0
+    var k = 0
+    while (r < m) {
+      if (r == 0 || out(r) != out(r - 1)) { out(k) = out(r); k += 1 }
+      r += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(
+      if (k == n) out else java.util.Arrays.copyOf(out, k))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("intern", this, classOf[InternTokens].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): InternTokens =
+    copy(child = newChild)
+}
+
+object InternTokens {
+  def internTokens(w: Column): Column =
+    GraftColumnBridge.column(InternTokens(GraftColumnBridge.expression(w)))
+}
+
+/** |A ∩ B| of two SORTED distinct long arrays by a two-pointer merge
+  * walk — zero allocation per row, replacing
+  * `size(array_intersect(wa, wb))` on the LSH verify's per-pair hot
+  * path (array_intersect builds an OpenHashSet AND the materialized
+  * intersection array per candidate pair — the verify only ever needs
+  * the COUNT; r14 alloc telemetry). Value-identical on the
+  * [[InternTokens]] contract inputs (sorted, distinct, no nulls) —
+  * DedupSpec asserts ≡ size(array_intersect) on the corpus pairs.
+  */
+case class SortedLongIntersectCount(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  import org.apache.spark.sql.types.LongType
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sorted_intersect_count"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"sorted_intersect_count requires two array<bigint>, got " +
+          s"${l.simpleString(10)} and ${r.simpleString(10)}")
+    }
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  def compute(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x < y) i += 1
+      else if (x > y) j += 1
+      else { c += 1L; i += 1; j += 1 }
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("sic", this, classOf[SortedLongIntersectCount].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedLongIntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
+object SortedLongIntersectCount {
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    GraftColumnBridge.column(SortedLongIntersectCount(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 }

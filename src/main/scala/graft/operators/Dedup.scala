@@ -130,7 +130,11 @@ object Dedup {
     * results — one cheap distinct-vs-distinct aggregate — and a nonzero
     * `n_vocab_collisions` means the verify must fall back to the exact
     * string form (`exact = true`). */
-  private val internExpr =
+  /** The HOF reference form of the interning, kept as the equality twin
+    * for the codegen'd [[graft.functions.InternTokens]] that actually
+    * runs since r14 (DedupSpec asserts sort(this) ≡ InternTokens on the
+    * corpus — the sigsHofExpr discipline). */
+  private[graft] val internExpr =
     "array_distinct(transform(w, u -> CAST(conv(substring(md5(u), 1, 15), 16, 10) AS BIGINT)))"
 
   /** The operational contract above, ENFORCEABLE IN-PIPELINE (ADVICE r8):
@@ -171,7 +175,15 @@ object Dedup {
     * O(|A|+|B|) in the map stage with no further shuffle.
     *
     * `exact = false` (the LSH-family default) runs the intersection
-    * over [[internExpr]] fingerprints; q42's ground-truth contract
+    * over interned fingerprints — as of r14 via the codegen'd
+    * [[graft.functions.InternTokens]] (sorted distinct md5-prefix64
+    * longs, no per-token hex strings) with the per-pair count from
+    * [[graft.functions.SortedLongIntersectCount]] (two-pointer merge
+    * walk — no per-pair OpenHashSet or materialized intersection
+    * array), value-identical to the r13 `size(array_intersect)` over
+    * [[internExpr]] (DedupSpec asserts both ≡ on the corpus; alloc
+    * telemetry drove the change — q137/q143 were the bench set's
+    * dominant allocators). q42's ground-truth contract
     * passes `exact = true` to keep the verbatim string form — the
     * exact/interned pair gives q260 its audit baseline. */
   private def jaccardOfCandidates(
@@ -181,11 +193,16 @@ object Dedup {
     val pruned = if (minJ > 0.0) sizeCompatible(cand, sz, minJ) else cand
     val sets =
       if (exact) t.select(col("doc_id"), col("w"))
-      else t.select(col("doc_id"), expr(internExpr).as("w"))
+      else t.select(col("doc_id"),
+        graft.functions.InternTokens.internTokens(col("w")).as("w"))
+    val iCol =
+      if (exact) size(array_intersect(col("wa"), col("wb"))).cast("long")
+      else graft.functions.SortedLongIntersectCount
+        .sortedIntersectCount(col("wa"), col("wb"))
     pruned
       .join(sets.select(col("doc_id").as("da"), col("w").as("wa")), "da")
       .join(sets.select(col("doc_id").as("db"), col("w").as("wb")), "db")
-      .withColumn("i", size(array_intersect(col("wa"), col("wb"))).cast("long"))
+      .withColumn("i", iCol)
       .select(col("da"), col("db"),
         round(col("i") * lit(1.0) /
           (size(col("wa")) + size(col("wb")) - col("i")), 4).as("jaccard"))

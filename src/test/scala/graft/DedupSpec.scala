@@ -30,6 +30,40 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("codegen'd intern_tokens + sorted_intersect_count equal the HOF interning forms") {
+    // (a) InternTokens ≡ array_sort(internExpr) on the corpus — the
+    // fingerprints, their dedup, and the ascending order all match the
+    // conv(substring(md5)) reference chain the oracle semantics cite
+    val corpus = Tables.documents(spark, sfDir)
+      .select($"doc_id", expr("array_distinct(filter(split(lower(text), ' '), x -> x <> ''))").as("w"))
+    val both = corpus.select(
+      graft.functions.InternTokens.internTokens($"w").as("fast"),
+      expr(s"array_sort(${operators.Dedup.internExpr})").as("hof"))
+    assert(both.count() > 0)
+    assert(both.filter(!($"fast" <=> $"hof")).count() == 0)
+    // null elements are skipped (the HOF maps them to null; the twin
+    // compare above never sees one on the corpus, so pin it directly)
+    val edge = Seq(9004L).toDF("doc_id")
+      .select($"doc_id", expr("array('tok', CAST(NULL AS STRING))").as("w"))
+      .select(graft.functions.InternTokens.internTokens($"w").as("f"),
+        expr(s"array_sort(array_distinct(transform(filter(w, x -> x IS NOT NULL), " +
+          "u -> CAST(conv(substring(md5(u), 1, 15), 16, 10) AS BIGINT))))").as("h"))
+    assert(edge.filter(!($"f" <=> $"h")).count() == 0)
+    // (b) the merge-walk count ≡ size(array_intersect) on real pairs:
+    // every corpus doc against every 3rd doc (a dense mix of disjoint,
+    // partial, and identical overlaps)
+    val a = corpus.select($"doc_id".as("da"),
+      graft.functions.InternTokens.internTokens($"w").as("wa"))
+    val b = corpus.filter($"doc_id" % 3 === 0).select($"doc_id".as("db"),
+      graft.functions.InternTokens.internTokens($"w").as("wb"))
+    val pairs = a.crossJoin(b).select(
+      graft.functions.SortedLongIntersectCount.sortedIntersectCount($"wa", $"wb").as("fast"),
+      size(array_intersect($"wa", $"wb")).cast("long").as("ref"))
+    assert(pairs.count() > 0)
+    assert(pairs.filter($"fast" =!= $"ref").count() == 0)
+    assert(pairs.filter($"fast" > 0).count() > 0, "overlapping pairs must occur")
+  }
+
   test("incremental dedup: store dups, in-batch dups, and novel docs are classified") {
     def toks(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
       .select($"doc_id", expr("array_distinct(filter(split(lower(text), ' '), x -> x <> ''))").as("w"))
