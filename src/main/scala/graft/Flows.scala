@@ -298,11 +298,14 @@ object Flows {
   /** The QUALITY-SIGNALS flow (r13): one per-document SCORECARD joining
     * all four quality verdicts — q100 rule gate, q273 trained classifier
     * (margin + keep), q283 LM perplexity (ppl + CCNet tercile), q284
-    * DSIR importance weight (+ top-quarter selection) — landed ordered
-    * by doc_id, with the q285 agreement cube as the `_cube` sidecar.
-    * Returns the cube. The scorecard is what a curation decision
-    * actually reads (which docs, which signal dissented); the cube is
-    * its one-page summary. Composition cost: each signal is its
+    * DSIR importance weight (+ top-quarter selection) — plus (r14) the
+    * q286 ensemble DECISION per doc (`ens_keep`: rule mandatory +
+    * 2-of-3 learned majority), landed ordered by doc_id, with the q285
+    * agreement cube (`_cube`) and the q286 ensemble verdict
+    * (`_verdict`) as sidecars folded from ONE pass over the landed
+    * bytes. Returns the cube. The scorecard is what a curation decision
+    * actually reads (which docs, which signal dissented, what the
+    * policy decided); the sidecars are its one-page summaries. Composition cost: each signal is its
     * standalone query's audited plan glued by doc-keyed joins — nothing
     * beyond what the four queries already pay. `numFiles` sizes the
     * landed layout (r14: the corpus-sized scorecard must not funnel
@@ -341,18 +344,32 @@ object Flows {
       .select(col("doc_id"), must("rule_keep"), must("clf_margin"),
         must("clf_keep"), must("ppl"), must("tercile"),
         must("log_w"), must("dsir_selected"))
+      // the q286 DECISION, per doc (r14): rule gate mandatory + 2-of-3
+      // learned majority — the scorecard now carries the verdict a
+      // curation run acts on, not just the votes
+      .withColumn("ens_keep", col("rule_keep") &&
+        (col("clf_keep").cast("int") + (col("tercile") =!= "tail").cast("int") +
+          col("dsir_selected").cast("int")) >= 2)
     graft.sources.Sinks.writeOrdered(scorecard, Seq(col("doc_id")), outDir, numFiles)
     val landed = spark.read.parquet(outDir)
-    val all = org.apache.spark.sql.expressions.Window.partitionBy()
-    val cube = landed
+    // ONE cell fold from the LANDED bytes feeds both sidecars: the q285
+    // cube and (r14) the q286 ensemble verdict — each provably tells the
+    // landed scorecard's story (FlowsSpec ties both to their published
+    // queries)
+    val cells = landed
       .select(col("rule_keep"), col("clf_keep"),
         (col("tercile") =!= "tail").as("ppl_keep"), col("dsir_selected"))
       .groupBy("rule_keep", "clf_keep", "ppl_keep", "dsir_selected")
       .agg(count(lit(1)).as("n_docs"))
+      .localCheckpoint()
+    val all = org.apache.spark.sql.expressions.Window.partitionBy()
+    val cube = cells
       .withColumn("share", round(col("n_docs") * lit(1.0) /
         sum("n_docs").over(all), 4))
       .orderBy("rule_keep", "clf_keep", "ppl_keep", "dsir_selected")
     cube.write.mode("overwrite").parquet(s"$outDir/_cube")
+    operators.Corpus14.ensembleFromCells(cells)
+      .write.mode("overwrite").parquet(s"$outDir/_verdict")
     cube
   }
 

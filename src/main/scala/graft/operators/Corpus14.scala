@@ -971,9 +971,17 @@ object Corpus14 {
     * Scale shape: ONE partial-aggregable corpus fold ([[signalCells]])
     * onto ≤16 cells, pinned; everything below is arithmetic over those
     * rows (the q197 exemption class). */
-  private[graft] def ensembleVerdict(docs: DataFrame): DataFrame = {
+  private[graft] def ensembleVerdict(docs: DataFrame): DataFrame =
+    ensembleFromCells(signalCells(docs))
+
+  /** [[ensembleVerdict]]'s arithmetic over an ALREADY-FOLDED cell frame
+    * (rule_keep, clf_keep, ppl_keep, dsir_selected, n_docs) — shared
+    * with qualitySignalsFlow, which folds the cells from its LANDED
+    * scorecard so the `_verdict` sidecar provably tells the landed
+    * bytes' story (the `_cube` discipline). */
+  private[graft] def ensembleFromCells(cells: DataFrame): DataFrame = {
     // ≤16 rows pinned — five consumers below must not re-run the fold
-    val c = signalCells(docs)
+    val c = cells
       .withColumn("lk", col("clf_keep").cast("int") +
         col("ppl_keep").cast("int") + col("dsir_selected").cast("int"))
       .withColumn("ens", col("rule_keep") && col("lk") >= 2)

@@ -431,6 +431,26 @@ class FlowsSpec extends AnyFunSuite with SparkSuite {
         spark, "/root/testdata/sf0.001")
       .as[(Boolean, Boolean, Boolean, Boolean, Long, Double)].collect().toSeq
     assert(sidecar.sortBy(r => (r._1, r._2, r._3, r._4)) == pub)
+    // r14: the scorecard's per-doc ens_keep column replays the q286
+    // decision rule from its own landed votes...
+    val ek = spark.read.parquet(out)
+      .select("rule_keep", "clf_keep", "tercile", "dsir_selected", "ens_keep")
+      .as[(Boolean, Boolean, String, Boolean, Boolean)].collect()
+    ek.foreach { case (r, c, t, d, e) =>
+      val lk = Seq(c, t != "tail", d).count(identity)
+      assert(e == (r && lk >= 2), s"ens_keep rule at ($r,$c,$t,$d)")
+    }
+    // ...and the _verdict sidecar IS q286's published table — folded
+    // from the landed bytes, same story as the standalone query
+    val vsc = spark.read.parquet(s"$out/_verdict")
+      .as[(String, Long, Long, Long, Long, Long, Double)].collect().toSeq
+      .sortBy(_._1)
+    val vpub = SparkEntry.queries("q286_ensemble_verdict")(
+        spark, "/root/testdata/sf0.001")
+      .as[(String, Long, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(vsc == vpub)
+    // the landed decision's totals agree with the sidecar
+    assert(ek.count(_._5).toLong == vsc.head._5)
   }
 
   test("semantic-dedup flow lands exactly q170's kept docs plus a consistent cluster ledger") {
