@@ -295,3 +295,111 @@ object SortedLongIntersectCount {
     GraftColumnBridge.column(SortedLongIntersectCount(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 }
+
+/** Distinct n-shingle 60-bit fingerprints of a token array in ONE
+  * codegen pass — the [[InternTokens]] treatment applied to the shingle
+  * family (Corpus.shingleFpSpark's HOF chain:
+  * `transform(array_distinct(<n-gram concat>), s -> conv(substring(
+  * md5(s), 1, 15), 16, 10))`). The HOF materializes every shingle
+  * STRING (an n-token concat), its md5 hex string, a substring slice,
+  * and a conv parse — ~4 short-lived objects per shingle occurrence;
+  * this streams each window's token bytes through the thread-local
+  * digest (separator included) and keeps only the long.
+  *
+  * Value contract vs the HOF: the same fingerprint per shingle (the
+  * digest input is byte-identical: tok_i ++ " " ++ … ++ tok_{i+n-1}),
+  * deduped per document — BY FINGERPRINT here vs by string there, equal
+  * on any corpus free of within-doc shingle collisions (q261 audits;
+  * same discipline as every interned family) — and SORTED rather than
+  * first-occurrence order. Every consumer explodes the array into
+  * joins/aggregates, so element order is immaterial; the spec twin
+  * compares both sides sorted. Null tokens: a window containing a null
+  * element is skipped (the HOF's concat nulls the whole shingle and
+  * array_distinct keeps one null that fp60 then maps to null — which
+  * explode consumers drop via join/count-on-nonnull semantics; the
+  * corpora feed non-null tokens, and the spec pins the corpus
+  * equality).
+  */
+case class ShingleFps(child: Expression, n: Int) extends UnaryExpression {
+  import org.apache.spark.sql.types.LongType
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_fps"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"shingle_fps requires array<string>, got ${t.simpleString(10)}")
+    }
+  }
+
+  @transient private lazy val sep: Array[Byte] = " ".getBytes("UTF-8")
+
+  override def nullSafeEval(a: Any): Any = compute(a.asInstanceOf[ArrayData])
+
+  /** Entry point for generated code. */
+  def compute(w: ArrayData): ArrayData = {
+    val num = w.numElements()
+    if (num < n)
+      return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(Array.emptyLongArray)
+    val md = MinHashSigs.digests.get()
+    val buf = MinHashSigs.scratch.get()
+    // token bytes extracted once per row (one small array per token —
+    // the HOF allocated that AND the concat AND the hex machinery)
+    val toks = new Array[Array[Byte]](num)
+    var i = 0
+    while (i < num) {
+      toks(i) = if (w.isNullAt(i)) null else w.getUTF8String(i).getBytes
+      i += 1
+    }
+    val out = new Array[Long](num - n + 1)
+    var m = 0
+    i = 0
+    while (i <= num - n) {
+      var ok = true
+      var j = 0
+      while (j < n) { if (toks(i + j) == null) ok = false; j += 1 }
+      if (ok) {
+        md.reset()
+        j = 0
+        while (j < n) {
+          if (j > 0) md.update(sep)
+          md.update(toks(i + j))
+          j += 1
+        }
+        md.digest(buf, 0, 16)
+        var v = 0L
+        var b = 0
+        while (b < 8) { v = (v << 8) | (buf(b) & 0xffL); b += 1 }
+        out(m) = v >>> 4
+        m += 1
+      }
+      i += 1
+    }
+    java.util.Arrays.sort(out, 0, m)
+    var r = 0
+    var k = 0
+    while (r < m) {
+      if (r == 0 || out(r) != out(r - 1)) { out(k) = out(r); k += 1 }
+      r += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(
+      java.util.Arrays.copyOf(out, k))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shfp", this, classOf[ShingleFps].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleFps =
+    copy(child = newChild)
+}
+
+object ShingleFps {
+  def shingleFps(w: Column, n: Int): Column =
+    GraftColumnBridge.column(ShingleFps(GraftColumnBridge.expression(w), n))
+}

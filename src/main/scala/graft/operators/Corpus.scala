@@ -73,7 +73,11 @@ object Corpus {
 
   /** [[shingleSpark]] interned per element — distinct 5-shingle
     * FINGERPRINTS of `w` (collision-free ⇒ same cardinalities and the
-    * same join matches as the string form). */
+    * same join matches as the string form). Since r14 this HOF form is
+    * the REFERENCE TWIN: the queries run the codegen'd
+    * [[graft.functions.ShingleFps]] (same fingerprints, sorted instead
+    * of first-occurrence order — all consumers explode, so order is
+    * immaterial; DedupSpec asserts sorted-equality on the corpus). */
   private[operators] val shingleFpSpark =
     s"transform($shingleSpark, s5 -> ${fp60Spark("s5")})"
 
@@ -106,7 +110,11 @@ object Corpus {
   private[operators] def cappedShingles(docs: DataFrame, dfCap: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     docs.select(col("doc_id"), expr(TextAnalytics.toksExpr).as("w"))
-      .select(col("doc_id"), explode(expr(shingleFpSpark)).as("sg"))
+      // r14: the codegen'd shingle interning (one digest pass, no
+      // per-shingle string/hex/conv allocations — exploded consumers are
+      // order-insensitive; CorpusSpec asserts ≡ the shingleFpSpark HOF)
+      .select(col("doc_id"),
+        explode(graft.functions.ShingleFps.shingleFps(col("w"), 5)).as("sg"))
       .withColumn("df", count(lit(1)).over(Window.partitionBy("sg")))
       .filter(col("df") <= dfCap)
       .select("doc_id", "sg")

@@ -563,7 +563,10 @@ object Corpus2 {
       (s, dir) => {
         val sh = Tables.documents(s, dir)
           .select(col("doc_id"), expr(toksExpr).as("w"))
-          .select(col("doc_id"), explode(expr(Corpus.shingleFpSpark)).as("shingle"))
+          // r14: codegen shingle interning (≡ Corpus.shingleFpSpark,
+          // CorpusSpec twin; exploded consumer — order-insensitive)
+          .select(col("doc_id"),
+            explode(graft.functions.ShingleFps.shingleFps(col("w"), 5)).as("shingle"))
         val ev = sh.filter(col("doc_id").isInCollection(Seq(3L, 7L)))
           .select("shingle").distinct().withColumn("hit", lit(1))
         sh.join(broadcast(ev), Seq("shingle"), "left")

@@ -762,10 +762,13 @@ object Dedup {
           .join(broadcast(evFp), Seq("fp"), "left")
           .select(col("doc_id"), coalesce(col("ex"), lit(false)).as("exact_hit"))
         // rung 2's shingles ride as 60-bit interned fingerprints
-        // (Corpus.shingleFpSpark, r9) — broadcast set + probe are longs;
-        // the string-form oracle re-certifies exactness, q261 audits.
+        // (r9; r14: the codegen ShingleFps pass — no per-shingle
+        // string/hex/conv allocations) — broadcast set + probe are
+        // longs; the string-form oracle re-certifies exactness, q261
+        // audits.
         val sh = docs.select(col("doc_id"), expr(TextAnalytics.toksExpr).as("w"))
-          .select(col("doc_id"), explode(expr(Corpus.shingleFpSpark)).as("shingle"))
+          .select(col("doc_id"),
+            explode(graft.functions.ShingleFps.shingleFps(col("w"), 5)).as("shingle"))
         val evSh = sh.filter(col("doc_id") % 10 === 1)
           .select("shingle").distinct().withColumn("hit", lit(1))
         val ng = sh.filter(col("doc_id") % 10 =!= 1)

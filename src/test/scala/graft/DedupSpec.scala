@@ -64,6 +64,29 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     assert(pairs.filter($"fast" > 0).count() > 0, "overlapping pairs must occur")
   }
 
+  test("codegen'd shingle_fps equals the HOF shingle-interning form (sorted)") {
+    // the HOF reference chain (Corpus.shingleFpSpark): distinct shingle
+    // STRINGS then conv(substring(md5)) per element; the codegen twin
+    // dedups fingerprints and sorts — compare both sides sorted. Raw
+    // tokens (q107/q143's form), not the distinct token set: shingles
+    // are windows over the token SEQUENCE.
+    val hof = "array_sort(transform(array_distinct(CASE WHEN size(w) >= 5 THEN " +
+      "transform(sequence(0, size(w)-5), i -> concat(w[i], ' ', w[i+1], ' ', w[i+2], ' ', w[i+3], ' ', w[i+4])) " +
+      "ELSE slice(w, 1, 0) END), s5 -> CAST(conv(substring(md5(s5), 1, 15), 16, 10) AS BIGINT)))"
+    val both = Tables.documents(spark, sfDir)
+      .select(expr("filter(split(lower(text), ' '), x -> x <> '')").as("w"))
+      .select(graft.functions.ShingleFps.shingleFps($"w", 5).as("fast"),
+        expr(hof).as("hof"))
+    assert(both.count() > 0)
+    assert(both.filter(!($"fast" <=> $"hof")).count() == 0)
+    // short docs (< 5 tokens) yield the empty array on both sides
+    val short = Seq("a b c").toDF("text")
+      .select(expr("filter(split(lower(text), ' '), x -> x <> '')").as("w"))
+      .select(graft.functions.ShingleFps.shingleFps($"w", 5).as("fast"),
+        expr(hof).as("hof"))
+    assert(short.filter(!($"fast" <=> $"hof")).count() == 0)
+  }
+
   test("incremental dedup: store dups, in-batch dups, and novel docs are classified") {
     def toks(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
       .select($"doc_id", expr("array_distinct(filter(split(lower(text), ' '), x -> x <> ''))").as("w"))
