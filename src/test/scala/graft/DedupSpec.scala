@@ -64,6 +64,34 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     assert(pairs.filter($"fast" > 0).count() > 0, "overlapping pairs must occur")
   }
 
+  test("intern/intersect/shingle expressions: seeded generative sweep vs set semantics") {
+    // 200 deterministic pseudo-random token-set pairs (incl. empty and
+    // single-token sets) — the corpus twins above prove HOF equality on
+    // real data; this pins the SET SEMANTICS themselves on adversarial
+    // shapes: |intern(A) ∩ intern(B)| must equal |set(A) ∩ set(B)| and
+    // the shingle-fp count must equal the distinct-shingle count.
+    val rnd = new scala.util.Random(14)
+    def randToks(): Seq[String] =
+      Seq.fill(rnd.nextInt(12))(s"t${rnd.nextInt(30)}")
+    val rows = (0 until 200).map(i => (i.toLong, randToks(), randToks()))
+    val df = rows.toDF("id", "wa0", "wb0")
+      .select($"id", $"wa0", expr("array_distinct(wa0)").as("wa"),
+        expr("array_distinct(wb0)").as("wb"))
+    val got = df.select($"id",
+      graft.functions.SortedLongIntersectCount.sortedIntersectCount(
+        graft.functions.InternTokens.internTokens($"wa"),
+        graft.functions.InternTokens.internTokens($"wb")).as("n"),
+      size(graft.functions.ShingleFps.shingleFps($"wa0", 5)).cast("long").as("ns"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    rows.foreach { case (id, a, b) =>
+      assert(got(id)._1 == a.toSet.intersect(b.toSet).size.toLong, s"intersect case $id")
+      val expSh =
+        if (a.size < 5) 0L
+        else a.sliding(5).map(_.mkString(" ")).toSet.size.toLong
+      assert(got(id)._2 == expSh, s"shingle case $id")
+    }
+  }
+
   test("codegen'd shingle_fps equals the HOF shingle-interning form (sorted)") {
     // the HOF reference chain (Corpus.shingleFpSpark): distinct shingle
     // STRINGS then conv(substring(md5)) per element; the codegen twin
