@@ -62,13 +62,15 @@ object Bench {
       // between snapshots undercounts — Spark's local-mode executor pool
       // is stable across queries, and the driver-side delta dwarfs any
       // short-lived helper thread.
-      def allocBytes(): Long = {
-        val mx = java.lang.management.ManagementFactory.getThreadMXBean
-          .asInstanceOf[com.sun.management.ThreadMXBean]
-        if (!mx.isThreadAllocatedMemorySupported) return 0L
-        if (!mx.isThreadAllocatedMemoryEnabled) mx.setThreadAllocatedMemoryEnabled(true)
-        mx.getThreadAllocatedBytes(mx.getAllThreadIds).filter(_ > 0L).sum
-      }
+      // Non-HotSpot JVMs lack com.sun.management.ThreadMXBean — degrade to
+      // alloc=0 rather than failing the whole bench on the cast.
+      def allocBytes(): Long =
+        java.lang.management.ManagementFactory.getThreadMXBean match {
+          case mx: com.sun.management.ThreadMXBean if mx.isThreadAllocatedMemorySupported =>
+            if (!mx.isThreadAllocatedMemoryEnabled) mx.setThreadAllocatedMemoryEnabled(true)
+            mx.getThreadAllocatedBytes(mx.getAllThreadIds).filter(_ > 0L).sum
+          case _ => 0L
+        }
       def once(): (Double, Double, Double, Option[String]) = {
         val a0 = allocBytes()
         val g0 = gcMs()
@@ -76,8 +78,10 @@ object Bench {
         val err =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
           catch { case e: Throwable => Some(e.getClass.getSimpleName) }
+        // Clamp at 0: per-thread counters vanish with their thread, so a
+        // thread dying between snapshots can drive the raw delta negative.
         ((System.nanoTime() - t0) / 1e9, (gcMs() - g0) / 1e3,
-          (allocBytes() - a0) / (1024d * 1024 * 1024), err)
+          math.max(0L, allocBytes() - a0) / (1024d * 1024 * 1024), err)
       }
       // Best of two runs per query: this host's hypervisor reclaims page
       // cache between rounds, which lands multi-hundred-ms cold-read

@@ -4,7 +4,24 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. Extra args
   * (builder-side only; the driver passes two) select a subset of query
-  * names for targeted re-dumps at expensive scale factors. */
+  * names for targeted re-dumps at expensive scale factors.
+  *
+  * r15: dumps run CONCURRENTLY on a bounded pool (SPARK_GRAFT_DUMP_PAR,
+  * default = the session's core count). The r14 driver artifact came back
+  * empty with the engine provably green — the likely mechanism was the
+  * sweep's wall-clock (~19 min sequential at 285 queries), and most of a
+  * small-SF query's cost is DRIVER-side single-threaded work
+  * (analysis/optimization/codegen), which parallelizes across submitting
+  * threads even on a 4-core host. Safety audit for concurrency: every
+  * temp-view name is used by exactly one query (orders_v/lineitem_v/
+  * part_v), scratch dirs come from Files.createTempDirectory, and the
+  * only session-conf write (nanosAsLong) is an idempotent same-value set.
+  * Each dump writes to its own outDir/<name> directory. FAIR scheduling
+  * keeps a long query from starving the small ones' task slots.
+  *
+  * Also emits per-query dump seconds to stderr and outDir/timings.json
+  * (slowest first) — the feedback loop for trimming the slow tail.
+  */
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args.take(2)
@@ -14,20 +31,35 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.scheduler.mode", "FAIR")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.experimental.extraOptimizations ++= Seq(graft.plans.LowercaseContainsRewrite)
     new java.io.File(outDir).mkdirs()
+    val par = math.max(1, sys.env.getOrElse("SPARK_GRAFT_DUMP_PAR", cpus).toInt)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
+    val timings = new java.util.concurrent.ConcurrentLinkedQueue[(String, Double)]()
+    val failed = new java.util.concurrent.atomic.AtomicInteger(0)
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
-          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        pool.execute { () =>
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+              .parquet(s"$outDir/$name")
+            val secs = (System.nanoTime() - t0) / 1e9
+            timings.add(name -> secs)
+            System.err.println(f"[verify] $name%s ok $secs%.2fs")
+          } catch { case e: Throwable =>
+            failed.incrementAndGet()
+            System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          }
         }
       }
+    pool.shutdown()
+    pool.awaitTermination(6, java.util.concurrent.TimeUnit.HOURS)
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -43,6 +75,21 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Additive artifact (the driver reads only <name>/ dirs and
+    // oracle_sql.json): per-query dump seconds, slowest first.
+    import scala.jdk.CollectionConverters._
+    val tj = timings.asScala.toSeq.sortBy(-_._2)
+      .map { case (k, v) => s"${q(k)}: ${math.rint(v * 100) / 100}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/timings.json"), tj)
+    val total = timings.asScala.map(_._2).sum
+    System.err.println(
+      f"[verify] done: ${timings.size} ok, ${failed.get} failed, " +
+        f"query-seconds sum $total%.1f (wall is lower under par=$par)")
     spark.stop()
+    // rc stays 0 even with per-query failures: a missing <name>/ dir is
+    // already a per-query FAIL in the compare, while a nonzero rc could
+    // let one transient failure zero an otherwise-284-green round in a
+    // wrapper that aborts on rc. The loud stderr counter is the alarm.
   }
 }

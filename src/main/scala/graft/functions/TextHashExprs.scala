@@ -242,6 +242,15 @@ object InternTokens {
   * the COUNT; r14 alloc telemetry). Value-identical on the
   * [[InternTokens]] contract inputs (sorted, distinct, no nulls) —
   * DedupSpec asserts ≡ size(array_intersect) on the corpus pairs.
+  *
+  * PRECONDITION (enforced at the type boundary): both inputs must be
+  * `array<bigint>` with containsNull = false, and elements must be
+  * sorted ascending and distinct — i.e. the output shape of
+  * [[InternTokens]] / [[ShingleFps]]. Unsorted input silently
+  * undercounts and a null element would read undefined data, so the
+  * type check REJECTS nullable-element arrays rather than trusting the
+  * caller; the sortedness half of the contract is not machine-checkable
+  * per row and is stated here and in the TypeCheck failure message.
   */
 case class SortedLongIntersectCount(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
@@ -253,10 +262,12 @@ case class SortedLongIntersectCount(left: Expression, right: Expression)
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
     (left.dataType, right.dataType) match {
-      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+      case (ArrayType(LongType, false), ArrayType(LongType, false)) =>
         TypeCheckResult.TypeCheckSuccess
       case (l, r) => TypeCheckResult.TypeCheckFailure(
-        s"sorted_intersect_count requires two array<bigint>, got " +
+        s"sorted_intersect_count requires two array<bigint> with " +
+          s"non-null elements, sorted ascending and distinct (the " +
+          s"intern_tokens/shingle_fps output contract), got " +
           s"${l.simpleString(10)} and ${r.simpleString(10)}")
     }
   }
@@ -316,9 +327,15 @@ object SortedLongIntersectCount {
   * compares both sides sorted. Null tokens: a window containing a null
   * element is skipped (the HOF's concat nulls the whole shingle and
   * array_distinct keeps one null that fp60 then maps to null — which
-  * explode consumers drop via join/count-on-nonnull semantics; the
-  * corpora feed non-null tokens, and the spec pins the corpus
-  * equality).
+  * explode consumers drop via join/count-on-nonnull semantics). Null
+  * tokens: compute FAILS LOUD — the HOF twin's null plumbing (concat →
+  * null shingle → array_distinct keeps one null → fp60 → null element)
+  * and a silent skip here diverge on a doc whose every window holds a
+  * null token (0 rows vs 1 null row after explode), so rather than
+  * trusting the non-null-corpus assumption forever, a null token
+  * raises with the offending position; every in-repo caller feeds
+  * `filter(split(...), x -> x <> '')` output, which cannot contain
+  * null elements (DedupSpec pins the failure).
   */
 case class ShingleFps(child: Expression, n: Int) extends UnaryExpression {
   import org.apache.spark.sql.types.LongType
@@ -352,31 +369,31 @@ case class ShingleFps(child: Expression, n: Int) extends UnaryExpression {
     val toks = new Array[Array[Byte]](num)
     var i = 0
     while (i < num) {
-      toks(i) = if (w.isNullAt(i)) null else w.getUTF8String(i).getBytes
+      if (w.isNullAt(i))
+        throw new IllegalStateException(
+          s"shingle_fps: null token at position $i — the HOF/oracle twin " +
+            "diverges on null tokens (null shingle row vs skipped window); " +
+            "filter null elements upstream")
+      toks(i) = w.getUTF8String(i).getBytes
       i += 1
     }
     val out = new Array[Long](num - n + 1)
     var m = 0
     i = 0
     while (i <= num - n) {
-      var ok = true
+      md.reset()
       var j = 0
-      while (j < n) { if (toks(i + j) == null) ok = false; j += 1 }
-      if (ok) {
-        md.reset()
-        j = 0
-        while (j < n) {
-          if (j > 0) md.update(sep)
-          md.update(toks(i + j))
-          j += 1
-        }
-        md.digest(buf, 0, 16)
-        var v = 0L
-        var b = 0
-        while (b < 8) { v = (v << 8) | (buf(b) & 0xffL); b += 1 }
-        out(m) = v >>> 4
-        m += 1
+      while (j < n) {
+        if (j > 0) md.update(sep)
+        md.update(toks(i + j))
+        j += 1
       }
+      md.digest(buf, 0, 16)
+      var v = 0L
+      var b = 0
+      while (b < 8) { v = (v << 8) | (buf(b) & 0xffL); b += 1 }
+      out(m) = v >>> 4
+      m += 1
       i += 1
     }
     java.util.Arrays.sort(out, 0, m)
