@@ -323,10 +323,14 @@ object Flows {
     // signal frame that fails to score a doc (q283/q284 drop <2-token
     // docs at the bigram explode) fails LOUD here, exactly like the
     // standalone q285 — the flow and the query can never tell different
-    // stories on a corpus containing short docs.
-    def must(c: String) = coalesce(col(c), raise_error(lit(
-      s"qualitySignalsFlow: $c missing for some doc — a quality-signal " +
-        "frame returned fewer rows than the corpus"))).as(c)
+    // stories on a corpus containing short docs. The message names the
+    // offending doc_id (r15): on a 100 TB run the operator needs a row
+    // to chase, not just a column name — raise_error takes a Column, so
+    // the id is spliced per-row at zero cost on the non-error path.
+    def must(c: String) = coalesce(col(c), raise_error(concat(
+      lit(s"qualitySignalsFlow: $c missing for doc_id="),
+      col("doc_id").cast("string"),
+      lit(" — a quality-signal frame returned fewer rows than the corpus")))).as(c)
     val gate = operators.Corpus.qualityGate(docs)
       .select("doc_id", "keep").localCheckpoint()
     val scorecard = docs.select(col("doc_id"))

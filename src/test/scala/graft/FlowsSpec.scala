@@ -453,6 +453,27 @@ class FlowsSpec extends AnyFunSuite with SparkSuite {
     assert(ek.count(_._5).toLong == vsc.head._5)
   }
 
+  test("quality-signals flow fail-loud names the offending doc_id, not just the column") {
+    // a 1-token doc has no bigram, so q283's LM frame can't score it —
+    // the flow's LEFT join + must() contract has to raise, and (r15)
+    // the message must carry the ROW to chase, not only the column: on
+    // a 100 TB run "ppl missing" without an id is not actionable.
+    val stage = java.nio.file.Files.createTempDirectory("graft_qsig_short")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val short = docs.limit(1)
+      .withColumn("doc_id", org.apache.spark.sql.functions.lit(999999L))
+      .withColumn("text", org.apache.spark.sql.functions.lit("single"))
+    docs.union(short).coalesce(1)
+      .write.parquet(stage.resolve("documents.parquet").toString)
+    val out = stage.resolve("scorecard").toString
+    val ex = intercept[Exception] {
+      Flows.qualitySignalsFlow(spark, stage.toString, out)
+    }
+    val msgs = Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+      .flatMap(t => Option(t.getMessage)).mkString("\n")
+    assert(msgs.contains("missing for doc_id=999999"), msgs.take(500))
+  }
+
   test("semantic-dedup flow lands exactly q170's kept docs plus a consistent cluster ledger") {
     val out = java.nio.file.Files.createTempDirectory("graft_semdedup_flow")
     val landed = Flows.semanticDedupFlow(spark, sfDir, out.resolve("kept").toString)

@@ -10,7 +10,7 @@ compare), so type-lossy conversions such as DuckDB HUGEINT -> float64
 locally and hash-mismatching at the driver. Exact value equality (incl.
 floats) in row order, columns sorted by name.
 """
-import sys, json, glob, math
+import sys, json, glob, math, time
 
 import duckdb
 import numpy as np
@@ -28,8 +28,11 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    t_start = time.monotonic()
+    timings = {}  # name -> oracle+compare seconds (the trimmable side)
     for name in sorted(oracle):
         sql = oracle[name]
+        t0 = time.monotonic()
         files = sorted(glob.glob(f"{outdir}/{name}/*.parquet"))
         if not files:
             print(f"FAIL {name}: no spark output")
@@ -47,13 +50,20 @@ def main():
         got = list(gdf.itertuples(index=False, name=None))
         exp = list(edf.itertuples(index=False, name=None))
         ok, msg = compare(got, got_cols, exp, exp_cols)
+        timings[name] = time.monotonic() - t0
         if ok:
-            print(f"PASS {name} ({len(got)} rows)")
+            print(f"PASS {name} ({len(got)} rows) [{timings[name]:.2f}s]")
             n_pass += 1
         else:
             print(f"FAIL {name}: {msg}")
             n_fail += 1
-    print(f"== {n_pass} pass, {n_fail} fail ==")
+    wall = time.monotonic() - t_start
+    # the feedback loop for the gate's wall-clock budget: the slow tail
+    # is where oracle CTE MATERIALIZED hints / dump trims pay off
+    slow = sorted(timings.items(), key=lambda kv: -kv[1])[:10]
+    print("slowest oracles: " +
+          ", ".join(f"{k}={v:.1f}s" for k, v in slow))
+    print(f"== {n_pass} pass, {n_fail} fail == ({wall:.1f}s wall)")
     sys.exit(1 if n_fail else 0)
 
 
