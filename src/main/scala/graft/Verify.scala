@@ -37,6 +37,26 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     spark.experimental.extraOptimizations ++= Seq(graft.plans.LowercaseContainsRewrite)
     new java.io.File(outDir).mkdirs()
+    // oracle_sql.json lands BEFORE the dumps (r15): if a wrapper's
+    // timeout kills the sweep mid-dump, the completed queries still
+    // compare — with the JSON written last (as through r14), a killed
+    // sweep left an outDir the comparer reads as EMPTY, zeroing the
+    // whole round instead of just the un-dumped tail.
+    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
+    // — a tab or CR in builder-authored SQL would otherwise make the
+    // driver's json.load fail and silently zero the round's correctness.
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val json = SparkEntry.oracleSql
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     val par = math.max(1, sys.env.getOrElse("SPARK_GRAFT_DUMP_PAR", cpus).toInt)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
     val timings = new java.util.concurrent.ConcurrentLinkedQueue[(String, Double)]()
@@ -60,21 +80,6 @@ object Verify {
       }
     pool.shutdown()
     pool.awaitTermination(6, java.util.concurrent.TimeUnit.HOURS)
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // Additive artifact (the driver reads only <name>/ dirs and
     // oracle_sql.json): per-query dump seconds, slowest first.
     import scala.jdk.CollectionConverters._

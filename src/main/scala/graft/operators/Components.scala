@@ -121,7 +121,7 @@ object Components {
           .orderBy("doc_id")
       },
       Some(s"""WITH RECURSIVE ${Dedup.lshPairsDuckCte()},
-              |edges AS (SELECT da AS a, db AS b FROM pairs UNION SELECT db AS a, da AS b FROM pairs),
+              |edges AS MATERIALIZED (SELECT da AS a, db AS b FROM pairs UNION SELECT db AS a, da AS b FROM pairs),
               |reach AS (
               |SELECT a AS id, a AS r FROM (SELECT DISTINCT a FROM edges) base
               |UNION
@@ -156,7 +156,7 @@ object Components {
           .orderBy("comp")
       },
       Some(s"""WITH RECURSIVE ${Dedup.lshPairsDuckCte()},
-              |edges AS (SELECT da AS a, db AS b FROM pairs UNION SELECT db AS a, da AS b FROM pairs),
+              |edges AS MATERIALIZED (SELECT da AS a, db AS b FROM pairs UNION SELECT db AS a, da AS b FROM pairs),
               |reach AS (
               |SELECT a AS id, a AS r FROM (SELECT DISTINCT a FROM edges) base
               |UNION
@@ -186,7 +186,7 @@ object Components {
           .orderBy("vec_id")
       },
       Some(s"""WITH RECURSIVE ${Dedup.embPairsDuckCte()},
-              |edges AS (SELECT va AS a, vb AS b FROM pairs UNION SELECT vb AS a, va AS b FROM pairs),
+              |edges AS MATERIALIZED (SELECT va AS a, vb AS b FROM pairs UNION SELECT vb AS a, va AS b FROM pairs),
               |reach AS (
               |SELECT a AS id, a AS r FROM (SELECT DISTINCT a FROM edges) base
               |UNION
@@ -241,11 +241,11 @@ object Components {
           .orderBy("doc_id")
       },
       Some(s"""WITH ${Corpus.cappedShinglesDuckCte(8)},
-              |p AS (SELECT a.doc_id AS src, b.doc_id AS dst FROM sh a
+              |p AS MATERIALIZED (SELECT a.doc_id AS src, b.doc_id AS dst FROM sh a
               |JOIN sh b ON a.sg = b.sg AND a.doc_id < b.doc_id GROUP BY 1, 2),
-              |e AS (SELECT src, dst FROM p UNION ALL SELECT dst AS src, src AS dst FROM p),
-              |deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM e GROUP BY 1),
-              |n AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM deg),
+              |e AS MATERIALIZED (SELECT src, dst FROM p UNION ALL SELECT dst AS src, src AS dst FROM p),
+              |deg AS MATERIALIZED (SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM e GROUP BY 1),
+              |n AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS nn FROM deg),
               |pr0 AS (SELECT src AS id, 1.0 / (SELECT nn FROM n) AS pr FROM deg),
               |pr1 AS (SELECT e.dst AS id, 0.15 / (SELECT nn FROM n) + 0.85 * list_sum(list(p0.pr / d.deg ORDER BY e.src)) AS pr
               |FROM e JOIN pr0 p0 ON e.src = p0.id JOIN deg d ON e.src = d.src GROUP BY e.dst),
@@ -295,7 +295,7 @@ object Components {
               |(SELECT da, db FROM l_pairs
               |UNION ALL SELECT va, vb FROM e_pairs
               |UNION ALL SELECT da, db FROM v_p) z),
-              |edges AS (SELECT da AS a, db AS b FROM u UNION SELECT db AS a, da AS b FROM u),
+              |edges AS MATERIALIZED (SELECT da AS a, db AS b FROM u UNION SELECT db AS a, da AS b FROM u),
               |reach AS (
               |SELECT a AS id, a AS r FROM (SELECT DISTINCT a FROM edges) base
               |UNION
@@ -409,17 +409,17 @@ object Components {
           .orderBy("doc_id")
       },
       Some(s"""WITH ${Corpus.cappedShinglesDuckCte(8)},
-              |p AS (SELECT a.doc_id AS u, b.doc_id AS v FROM sh a
+              |p AS MATERIALIZED (SELECT a.doc_id AS u, b.doc_id AS v FROM sh a
               |JOIN sh b ON a.sg = b.sg AND a.doc_id < b.doc_id GROUP BY 1, 2),
-              |e AS (SELECT u, v FROM p UNION ALL SELECT v AS u, u AS v FROM p),
-              |l0 AS (SELECT DISTINCT u AS id, u AS lbl FROM e),
-              |l1 AS (SELECT id, min(l) AS lbl FROM (
+              |e AS MATERIALIZED (SELECT u, v FROM p UNION ALL SELECT v AS u, u AS v FROM p),
+              |l0 AS MATERIALIZED (SELECT DISTINCT u AS id, u AS lbl FROM e),
+              |l1 AS MATERIALIZED (SELECT id, min(l) AS lbl FROM (
               |SELECT e.u AS id, l0.lbl AS l FROM e JOIN l0 ON l0.id = e.v
               |UNION ALL SELECT id, lbl AS l FROM l0) z1 GROUP BY id),
-              |l2 AS (SELECT id, min(l) AS lbl FROM (
+              |l2 AS MATERIALIZED (SELECT id, min(l) AS lbl FROM (
               |SELECT e.u AS id, l1.lbl AS l FROM e JOIN l1 ON l1.id = e.v
               |UNION ALL SELECT id, lbl AS l FROM l1) z2 GROUP BY id),
-              |l3 AS (SELECT id, min(l) AS lbl FROM (
+              |l3 AS MATERIALIZED (SELECT id, min(l) AS lbl FROM (
               |SELECT e.u AS id, l2.lbl AS l FROM e JOIN l2 ON l2.id = e.v
               |UNION ALL SELECT id, lbl AS l FROM l2) z3 GROUP BY id),
               |sz AS (SELECT lbl, count(*) AS community_size FROM l3 GROUP BY lbl)
@@ -464,18 +464,18 @@ object Components {
           .orderBy("doc_id")
       },
       Some(s"""WITH ${Corpus.cappedShinglesDuckCte(8)},
-              |p AS (SELECT a.doc_id AS u, b.doc_id AS v FROM sh a
+              |p AS MATERIALIZED (SELECT a.doc_id AS u, b.doc_id AS v FROM sh a
               |JOIN sh b ON a.sg = b.sg AND a.doc_id < b.doc_id GROUP BY 1, 2),
-              |e0 AS (SELECT u, v FROM p UNION ALL SELECT v AS u, u AS v FROM p),
+              |e0 AS MATERIALIZED (SELECT u, v FROM p UNION ALL SELECT v AS u, u AS v FROM p),
               |dg0 AS (SELECT u, count(*) AS deg0 FROM e0 GROUP BY u),
-              |k1 AS (SELECT u FROM e0 GROUP BY u HAVING count(*) >= 2),
-              |e1 AS (SELECT e0.u, e0.v FROM e0
+              |k1 AS MATERIALIZED (SELECT u FROM e0 GROUP BY u HAVING count(*) >= 2),
+              |e1 AS MATERIALIZED (SELECT e0.u, e0.v FROM e0
               |JOIN k1 a ON e0.u = a.u JOIN k1 b ON e0.v = b.u),
-              |k2 AS (SELECT u FROM e1 GROUP BY u HAVING count(*) >= 2),
-              |e2 AS (SELECT e1.u, e1.v FROM e1
+              |k2 AS MATERIALIZED (SELECT u FROM e1 GROUP BY u HAVING count(*) >= 2),
+              |e2 AS MATERIALIZED (SELECT e1.u, e1.v FROM e1
               |JOIN k2 a ON e1.u = a.u JOIN k2 b ON e1.v = b.u),
-              |k3 AS (SELECT u FROM e2 GROUP BY u HAVING count(*) >= 2),
-              |e3 AS (SELECT e2.u, e2.v FROM e2
+              |k3 AS MATERIALIZED (SELECT u FROM e2 GROUP BY u HAVING count(*) >= 2),
+              |e3 AS MATERIALIZED (SELECT e2.u, e2.v FROM e2
               |JOIN k3 a ON e2.u = a.u JOIN k3 b ON e2.v = b.u)
               |SELECT e3.u AS doc_id, count(*) AS deg, any_value(dg0.deg0) AS deg0
               |FROM e3 JOIN dg0 ON e3.u = dg0.u

@@ -125,7 +125,7 @@ object Corpus {
   private[operators] def cappedShinglesDuckCte(dfCap: Int): String =
     s"""t AS (SELECT doc_id, ${TextAnalytics.toksDuck} AS w FROM documents),
        |sh0 AS (SELECT doc_id, unnest($shingleDuck) AS sg FROM t),
-       |sh AS (SELECT doc_id, sg FROM
+       |sh AS MATERIALIZED (SELECT doc_id, sg FROM
        |(SELECT doc_id, sg, count(*) OVER (PARTITION BY sg) AS df FROM sh0) z
        |WHERE df <= $dfCap)""".stripMargin.replace("\n", " ")
 

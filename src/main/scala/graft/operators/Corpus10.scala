@@ -105,11 +105,11 @@ object Corpus10 {
         global.unionByName(lcc).orderBy(col("part"), desc("lcc"), col("doc_id"))
       },
       Some(s"""WITH ${Corpus.cappedShinglesDuckCte(8)},
-              |e0 AS (SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+              |e0 AS MATERIALIZED (SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
               |FROM sh a JOIN sh b ON a.sg = b.sg AND a.doc_id < b.doc_id),
-              |deg AS (SELECT n, CAST(count(*) AS BIGINT) AS dg FROM
+              |deg AS MATERIALIZED (SELECT n, CAST(count(*) AS BIGINT) AS dg FROM
               |(SELECT u AS n FROM e0 UNION ALL SELECT v AS n FROM e0) z GROUP BY n),
-              |ed AS (SELECT
+              |ed AS MATERIALIZED (SELECT
               |CASE WHEN du.dg < dv.dg OR (du.dg = dv.dg AND u < v) THEN u ELSE v END AS src,
               |CASE WHEN du.dg < dv.dg OR (du.dg = dv.dg AND u < v) THEN v ELSE u END AS dst
               |FROM e0 JOIN deg du ON e0.u = du.n JOIN deg dv ON e0.v = dv.n),
@@ -669,18 +669,24 @@ object Corpus10 {
           |UNION ALL SELECT t AS s, 'null' AS t FROM seq WHERE rn = ntot AND t <> 'purchase'),
           |trc AS (SELECT s, t, CAST(count(*) AS BIGINT) AS n FROM tr0 GROUP BY s, t),
           |trs AS (SELECT s, CAST(sum(n) AS BIGINT) AS ns FROM trc GROUP BY s),
-          |tr AS (SELECT trc.s, trc.t, CAST(trc.n AS DOUBLE) / trs.ns AS p
+          |tr AS MATERIALIZED (SELECT trc.s, trc.t, CAST(trc.n AS DOUBLE) / trs.ns AS p
           |FROM trc JOIN trs ON trs.s = trc.s)""".stripMargin.replace("\n", " ")
+        // MATERIALIZED on every chain stage (r15): tr is referenced by
+        // all five chains and each p_tag_K final by 2-3 scalar
+        // subqueries — DuckDB 1.0 inlining re-derived the whole
+        // events-window base per reference (~20 s; 0.5 s materialized).
+        // Each pinned table is ≤ |states|² rows — the oracle twin of
+        // the Spark body's own localCheckpoint pins.
         def chain(tag: String, remove: Option[String]): (String, String) = {
           val trdef = remove match {
-            case None => s"tr_$tag AS (SELECT s, t, p FROM tr)"
+            case None => s"tr_$tag AS MATERIALIZED (SELECT s, t, p FROM tr)"
             case Some(c) =>
-              s"""tr_$tag AS (SELECT s, CASE WHEN t = '$c' THEN 'null' ELSE t END AS t,
+              s"""tr_$tag AS MATERIALIZED (SELECT s, CASE WHEN t = '$c' THEN 'null' ELSE t END AS t,
                  |sum(p ORDER BY t) AS p FROM tr WHERE s <> '$c'
                  |GROUP BY s, CASE WHEN t = '$c' THEN 'null' ELSE t END)""".stripMargin.replace("\n", " ")
           }
           val steps = (1 to K).map { k =>
-            s"""p_${tag}_$k AS (SELECT tr_$tag.s AS st,
+            s"""p_${tag}_$k AS MATERIALIZED (SELECT tr_$tag.s AS st,
                |sum(tr_$tag.p * coalesce(pp.pv, 0.0) ORDER BY tr_$tag.t) AS pv
                |FROM tr_$tag LEFT JOIN p_${tag}_${k - 1} pp ON pp.st = tr_$tag.t
                |GROUP BY tr_$tag.s UNION ALL SELECT 'conv', 1.0)""".stripMargin.replace("\n", " ")

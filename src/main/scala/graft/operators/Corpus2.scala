@@ -136,12 +136,12 @@ object Corpus2 {
     * (q127's fusion). */
   private[operators] def sharedSpansDuckCte(p: String = ""): String =
     s"""${p}t AS (SELECT doc_id, $toksDuck AS w FROM documents),
-       |${p}g0 AS (SELECT doc_id, i AS pos, ${Corpus.ngramAtDuck(8)} AS g
+       |${p}g0 AS MATERIALIZED (SELECT doc_id, i AS pos, ${Corpus.ngramAtDuck(8)} AS g
        |FROM ${p}t, LATERAL (SELECT unnest(generate_series(1, len(w)-7)) AS i) s
        |WHERE len(w) >= 8),
        |${p}dfok AS (SELECT g FROM
        |(SELECT g, count(DISTINCT doc_id) AS df FROM ${p}g0 GROUP BY 1) z WHERE df <= 8),
-       |${p}g AS (SELECT doc_id, pos, g FROM ${p}g0 JOIN ${p}dfok USING (g)),
+       |${p}g AS MATERIALIZED (SELECT doc_id, pos, g FROM ${p}g0 JOIN ${p}dfok USING (g)),
        |${p}m AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb
        |FROM ${p}g a JOIN ${p}g b ON a.g = b.g AND a.doc_id < b.doc_id),
        |${p}isl AS (SELECT doc_a, doc_b, pa - pb AS diag, pa,

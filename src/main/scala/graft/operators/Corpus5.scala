@@ -225,15 +225,15 @@ object Corpus5 {
         pern.unionByName(total).orderBy(col("n_tri").desc, col("doc_id"))
       },
       Some(s"""WITH ${Corpus.cappedShinglesDuckCte(8)},
-              |e0 AS (SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+              |e0 AS MATERIALIZED (SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
               |FROM sh a JOIN sh b ON a.sg = b.sg AND a.doc_id < b.doc_id),
-              |deg AS (SELECT n, count(*) AS dg FROM
+              |deg AS MATERIALIZED (SELECT n, count(*) AS dg FROM
               |(SELECT u AS n FROM e0 UNION ALL SELECT v AS n FROM e0) z GROUP BY n),
-              |ed AS (SELECT
+              |ed AS MATERIALIZED (SELECT
               |CASE WHEN du.dg < dv.dg OR (du.dg = dv.dg AND u < v) THEN u ELSE v END AS src,
               |CASE WHEN du.dg < dv.dg OR (du.dg = dv.dg AND u < v) THEN v ELSE u END AS dst
               |FROM e0 JOIN deg du ON e0.u = du.n JOIN deg dv ON e0.v = dv.n),
-              |tri AS (SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
+              |tri AS MATERIALIZED (SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
               |FROM ed e1 JOIN ed e2 ON e1.dst = e2.src
               |JOIN ed e3 ON e3.src = e1.src AND e3.dst = e2.dst),
               |pern AS (SELECT doc_id, count(*) AS n_tri FROM

@@ -280,15 +280,15 @@ object Dedup {
       p: String = "",
       pairCond: String = "a.doc_id < b.doc_id",
       thr: String = "0.9"): String =
-    s"""${p}t AS (SELECT doc_id, list_distinct($toksDuck) AS w FROM documents),
+    s"""${p}t AS MATERIALIZED (SELECT doc_id, list_distinct($toksDuck) AS w FROM documents),
        |${p}sigs AS (SELECT doc_id, list_transform(generate_series(0, 5), i ->
        |list_min(list_transform(w, u -> md5(CAST(i AS VARCHAR) || ':' || u)))) AS sigs FROM ${p}t),
-       |${p}sig AS (SELECT doc_id, b AS band, md5(sigs[2*b+1] || '|' || sigs[2*b+2]) AS h
+       |${p}sig AS MATERIALIZED (SELECT doc_id, b AS band, md5(sigs[2*b+1] || '|' || sigs[2*b+2]) AS h
        |FROM ${p}sigs, LATERAL (SELECT unnest(generate_series(0, 2)) AS b) g),
        |${p}cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db FROM ${p}sig a
        |JOIN ${p}sig b ON a.band = b.band AND a.h = b.h AND $pairCond),
-       |${p}sh AS (SELECT doc_id, unnest(w) AS s FROM ${p}t),
-       |${p}sz AS (SELECT doc_id, count(*) AS n FROM ${p}sh GROUP BY 1),
+       |${p}sh AS MATERIALIZED (SELECT doc_id, unnest(w) AS s FROM ${p}t),
+       |${p}sz AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM ${p}sh GROUP BY 1),
        |${p}inter AS (SELECT da, db, count(*) AS i FROM ${p}cand
        |JOIN ${p}sh sa ON da = sa.doc_id JOIN ${p}sh sb ON db = sb.doc_id AND sa.s = sb.s GROUP BY 1, 2),
        |${p}pairs AS (SELECT da, db, round(i * 1.0 / (za.n + zb.n - i), 4) AS jaccard
@@ -837,7 +837,7 @@ object Dedup {
     * twin of [[embAnchorPairs]]. Prefix-namespaced like
     * [[lshPairsDuckCte]]. */
   private[operators] def embPairsDuckCte(p: String = ""): String =
-    s"""${p}e AS (SELECT vec_id, embedding,
+    s"""${p}e AS MATERIALIZED (SELECT vec_id, embedding,
        |sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm,
        |${Similarity.sketchDuck} AS sk
        |FROM embeddings),

@@ -206,10 +206,18 @@ object Similarity {
        |CASE WHEN aggregate(sequence(0, ${dims - 1}), 0D, (a2, d) ->
        |a2 + element_at(element_at($mSpark, p + 1), d + 1) * CAST(embedding[d] AS DOUBLE)) > 0
        |THEN shiftleft(1L, p) ELSE 0L END)""".stripMargin.replace("\n", " ")
+  // r15 oracle-cost note: the matrix literal must stay OUT of the
+  // per-dimension lambda — `($mDuck)[p+1][d]` inside the d-lambda made
+  // DuckDB construct the 4×64 nested literal once per (row × plane ×
+  // dim) evaluation, ~10 s for 500 embeddings; indexing the row once
+  // per plane and letting native list_dot_product run the dimension
+  // loop is ~57× faster and value-identical on the corpus (the sketch
+  // consumes only the projection's SIGN, and the gate re-verifies
+  // every consumer query at each SF).
   private[graft] val sketchDuck =
     s"""CAST(list_sum(list_transform(generate_series(0, ${planes - 1}), p ->
-       |CASE WHEN list_sum(list_transform(generate_series(1, $dims), d ->
-       |($mDuck)[p + 1][d] * CAST(embedding[d] AS DOUBLE))) > 0
+       |CASE WHEN list_dot_product(($mDuck)[p + 1],
+       |list_transform(embedding, x -> CAST(x AS DOUBLE))) > 0
        |THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)) AS BIGINT)""".stripMargin.replace("\n", " ")
 
   /** The LSH candidate relation (bucket-matched (qid, vec_id) pairs with

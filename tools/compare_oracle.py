@@ -2,7 +2,8 @@
 """Local mirror of the driver's correctness gate: compare Verify.scala's
 parquet dumps against DuckDB running SparkEntry.oracleSql on the same tables.
 
-Usage: python3 tools/compare_oracle.py <sfDir> <verifyOutDir>
+Usage: python3 tools/compare_oracle.py <sfDir> <verifyOutDir> [qName...]
+(extra args = compare only those queries — targeted oracle re-timing)
 
 Strict by design: results flow through pandas (like the driver's hash
 compare), so type-lossy conversions such as DuckDB HUGEINT -> float64
@@ -27,6 +28,9 @@ def main():
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    only = set(sys.argv[3:])
+    if only:
+        oracle = {k: v for k, v in oracle.items() if k in only}
     n_pass = n_fail = 0
     t_start = time.monotonic()
     timings = {}  # name -> oracle+compare seconds (the trimmable side)
