@@ -23,19 +23,10 @@ import java.nio.file.{Files, Paths}
   * (slowest first) — the feedback loop for trimming the slow tail.
   */
 object Verify {
-  def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args.take(2)
-    val only = args.drop(2).toSet
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.scheduler.mode", "FAIR")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    spark.experimental.extraOptimizations ++= Seq(graft.plans.LowercaseContainsRewrite)
+  /** The dump body, session-in/session-out (VerifyContractSpec runs it
+    * on the shared test session — main owns session lifecycle, not this). */
+  def run(spark: SparkSession, sfDir: String, outDir: String,
+      only: Set[String], par: Int): Unit = {
     new java.io.File(outDir).mkdirs()
     // oracle_sql.json lands BEFORE the dumps (r15): if a wrapper's
     // timeout kills the sweep mid-dump, the completed queries still
@@ -57,8 +48,7 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    val par = math.max(1, sys.env.getOrElse("SPARK_GRAFT_DUMP_PAR", cpus).toInt)
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(math.max(1, par))
     val timings = new java.util.concurrent.ConcurrentLinkedQueue[(String, Double)]()
     val failed = new java.util.concurrent.atomic.AtomicInteger(0)
     SparkEntry.queries
@@ -91,10 +81,27 @@ object Verify {
     System.err.println(
       f"[verify] done: ${timings.size} ok, ${failed.get} failed, " +
         f"query-seconds sum $total%.1f (wall is lower under par=$par)")
-    spark.stop()
     // rc stays 0 even with per-query failures: a missing <name>/ dir is
     // already a per-query FAIL in the compare, while a nonzero rc could
     // let one transient failure zero an otherwise-284-green round in a
     // wrapper that aborts on rc. The loud stderr counter is the alarm.
+  }
+
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, outDir) = args.take(2)
+    val only = args.drop(2).toSet
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.scheduler.mode", "FAIR")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.experimental.extraOptimizations ++= Seq(graft.plans.LowercaseContainsRewrite)
+    run(spark, sfDir, outDir, only,
+      math.max(1, sys.env.getOrElse("SPARK_GRAFT_DUMP_PAR", cpus).toInt))
+    spark.stop()
   }
 }
