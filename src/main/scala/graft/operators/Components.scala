@@ -291,7 +291,7 @@ object Components {
               |${Corpus2.sharedSpansDuckCte("v_")},
               |v_p AS (SELECT doc_a AS da, doc_b AS db FROM v_spans
               |GROUP BY 1, 2 HAVING max(span) >= 12),
-              |u AS (SELECT DISTINCT da, db FROM
+              |u AS MATERIALIZED (SELECT DISTINCT da, db FROM
               |(SELECT da, db FROM l_pairs
               |UNION ALL SELECT va, vb FROM e_pairs
               |UNION ALL SELECT da, db FROM v_p) z),
@@ -351,7 +351,7 @@ object Components {
               |${Corpus2.sharedSpansDuckCte("v_")},
               |v_p AS (SELECT doc_a AS da, doc_b AS db FROM v_spans
               |GROUP BY 1, 2 HAVING max(span) >= 12),
-              |u AS (SELECT DISTINCT da, db FROM
+              |u AS MATERIALIZED (SELECT DISTINCT da, db FROM
               |(SELECT da, db FROM l_pairs
               |UNION ALL SELECT va, vb FROM e_pairs
               |UNION ALL SELECT da, db FROM v_p) z),

@@ -1549,15 +1549,15 @@ object Corpus10 {
     Some {
       val lsh = Dedup.lshPairsDuckCte("L")
       s"""WITH $lsh,
-         |Gt AS (SELECT doc_id, list_distinct($toksDuck) AS w FROM documents),
+         |Gt AS MATERIALIZED (SELECT doc_id, list_distinct($toksDuck) AS w FROM documents),
          |Gpr AS (SELECT doc_id, unnest(list_sort(w)[1:CAST(ceil(len(w) * 0.1) AS INT) + 1]) AS s FROM Gt),
-         |Gsh AS (SELECT doc_id, unnest(w) AS s FROM Gt),
-         |Gsz AS (SELECT doc_id, count(*) AS n FROM Gsh GROUP BY 1),
+         |Gsh AS MATERIALIZED (SELECT doc_id, unnest(w) AS s FROM Gt),
+         |Gsz AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM Gsh GROUP BY 1),
          |Gcand AS (SELECT DISTINCT pa.doc_id AS da, fb.doc_id AS db FROM Gpr pa
          |JOIN Gsh fb ON pa.s = fb.s AND pa.doc_id < fb.doc_id),
          |Ginter AS (SELECT da, db, count(*) AS i FROM Gcand
          |JOIN Gsh sa ON da = sa.doc_id JOIN Gsh sb ON db = sb.doc_id AND sa.s = sb.s GROUP BY 1, 2),
-         |truth AS (SELECT da, db FROM Ginter JOIN Gsz za ON da = za.doc_id JOIN Gsz zb ON db = zb.doc_id
+         |truth AS MATERIALIZED (SELECT da, db FROM Ginter JOIN Gsz za ON da = za.doc_id JOIN Gsz zb ON db = zb.doc_id
          |WHERE round(i * 1.0 / (za.n + zb.n - i), 4) >= 0.9),
          |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cand FROM Lcand),
          |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),

@@ -285,13 +285,13 @@ object Dedup {
        |list_min(list_transform(w, u -> md5(CAST(i AS VARCHAR) || ':' || u)))) AS sigs FROM ${p}t),
        |${p}sig AS MATERIALIZED (SELECT doc_id, b AS band, md5(sigs[2*b+1] || '|' || sigs[2*b+2]) AS h
        |FROM ${p}sigs, LATERAL (SELECT unnest(generate_series(0, 2)) AS b) g),
-       |${p}cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db FROM ${p}sig a
+       |${p}cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db FROM ${p}sig a
        |JOIN ${p}sig b ON a.band = b.band AND a.h = b.h AND $pairCond),
        |${p}sh AS MATERIALIZED (SELECT doc_id, unnest(w) AS s FROM ${p}t),
        |${p}sz AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM ${p}sh GROUP BY 1),
        |${p}inter AS (SELECT da, db, count(*) AS i FROM ${p}cand
        |JOIN ${p}sh sa ON da = sa.doc_id JOIN ${p}sh sb ON db = sb.doc_id AND sa.s = sb.s GROUP BY 1, 2),
-       |${p}pairs AS (SELECT da, db, round(i * 1.0 / (za.n + zb.n - i), 4) AS jaccard
+       |${p}pairs AS MATERIALIZED (SELECT da, db, round(i * 1.0 / (za.n + zb.n - i), 4) AS jaccard
        |FROM ${p}inter JOIN ${p}sz za ON da = za.doc_id JOIN ${p}sz zb ON db = zb.doc_id
        |WHERE round(i * 1.0 / (za.n + zb.n - i), 4) >= $thr)""".stripMargin.replace("\n", " ")
 
@@ -351,7 +351,7 @@ object Dedup {
       },
       Some(s"""WITH ${lshPairsDuckCte()},
               |partners AS (SELECT da AS d, db AS p FROM pairs UNION ALL SELECT db AS d, da AS p FROM pairs),
-              |batch AS (SELECT doc_id FROM documents WHERE doc_id % 5 = 0),
+              |batch AS MATERIALIZED (SELECT doc_id FROM documents WHERE doc_id % 5 = 0),
               |q AS (SELECT b.doc_id, min(p.p) AS dup_of FROM batch b
               |JOIN partners p ON p.d = b.doc_id
               |WHERE p.p % 5 <> 0 OR p.p < b.doc_id GROUP BY 1)
@@ -594,11 +594,11 @@ object Dedup {
               |${Corpus2.sharedSpansDuckCte("v_")},
               |v_p AS (SELECT doc_a AS da, doc_b AS db FROM v_spans
               |GROUP BY 1, 2 HAVING max(span) >= 12),
-              |u AS (SELECT DISTINCT da, db FROM
+              |u AS MATERIALIZED (SELECT DISTINCT da, db FROM
               |(SELECT da, db FROM l_pairs
               |UNION ALL SELECT va, vb FROM e_pairs
               |UNION ALL SELECT da, db FROM v_p) z),
-              |s AS (SELECT doc_id, ${Corpus.splitDuck("doc_id")} AS split FROM documents)
+              |s AS MATERIALIZED (SELECT doc_id, ${Corpus.splitDuck("doc_id")} AS split FROM documents)
               |SELECT least(sa.split, sb.split) AS split_lo,
               |greatest(sa.split, sb.split) AS split_hi,
               |count(*) AS n_pairs,
@@ -676,11 +676,11 @@ object Dedup {
               |${Corpus2.sharedSpansDuckCte("v_")},
               |v_p AS (SELECT doc_a AS da, doc_b AS db FROM v_spans
               |GROUP BY 1, 2 HAVING max(span) >= 12),
-              |u AS (SELECT DISTINCT da, db FROM
+              |u AS MATERIALIZED (SELECT DISTINCT da, db FROM
               |(SELECT da, db FROM l_pairs
               |UNION ALL SELECT va, vb FROM e_pairs
               |UNION ALL SELECT da, db FROM v_p) z),
-              |p AS (SELECT u.da, u.db,
+              |p AS MATERIALIZED (SELECT u.da, u.db,
               |least(a.source, b.source) AS src_lo, greatest(a.source, b.source) AS src_hi
               |FROM u JOIN documents a ON u.da = a.doc_id JOIN documents b ON u.db = b.doc_id),
               |c AS (SELECT src_lo, src_hi, CAST(count(*) AS BIGINT) AS n_pairs

@@ -820,12 +820,12 @@ object Similarity {
               |${Corpus2.sharedSpansDuckCte("v_")},
               |v_p AS (SELECT doc_a AS da, doc_b AS db FROM v_spans
               |GROUP BY 1, 2 HAVING max(span) >= 12),
-              |u AS (SELECT DISTINCT da, db FROM
+              |u AS MATERIALIZED (SELECT DISTINCT da, db FROM
               |(SELECT da, db FROM l_pairs
               |UNION ALL SELECT va, vb FROM e_pairs
               |UNION ALL SELECT da, db FROM v_p) z),
-              |dup AS (SELECT da AS qid, db AS vid FROM u UNION SELECT db, da FROM u),
-              |ee AS (SELECT vec_id, embedding, ${duckNorm("embedding")} AS nrm FROM embeddings),
+              |dup AS MATERIALIZED (SELECT da AS qid, db AS vid FROM u UNION SELECT db, da FROM u),
+              |ee AS MATERIALIZED (SELECT vec_id, embedding, ${duckNorm("embedding")} AS nrm FROM embeddings),
               |qq AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn FROM ee WHERE vec_id IN (0, 1, 2)),
               |sc AS (SELECT qid, vec_id, round(${duckDot("ee.embedding", "qe")} / (nrm * qn), 6) AS cos
               |FROM ee, qq WHERE vec_id <> qid
