@@ -46,4 +46,24 @@ class VerifyContractSpec extends AnyFunSuite with SparkSuite {
     val tj = java.nio.file.Files.readString(java.nio.file.Paths.get(s"$out/timings.json"))
     subset.foreach(k => assert(tj.contains("\"" + k + "\""), s"timings missing $k"))
   }
+
+  test("concurrent dump: the temp-view queries race-free under par=4, dumps equal direct runs") {
+    // the r15 concurrency-safety argument, pinned: q24/q86 register
+    // session-global temp views (orders_v / lineitem_v+part_v) inside
+    // their bodies — the claim is that names are per-query unique and a
+    // view is resolved at sql() time, so four-way concurrent dumping
+    // can never cross-wire them. Dump all four concurrently, then
+    // assert each landed dump equals its own direct (serial) run.
+    val out = java.nio.file.Files.createTempDirectory("graft_verify_conc").toString
+    val subset = Set("q24_grouping_sets", "q86_correlated_subquery",
+      "q01_pricing_summary", "q13_rollup")
+    Verify.run(spark, "/root/testdata/sf0.001", out, subset, par = 4)
+    subset.foreach { name =>
+      val dumped = spark.read.parquet(s"$out/$name").collect().map(_.toString).toSeq
+      val direct = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+        .collect().map(_.toString).toSeq
+      assert(dumped == direct, s"$name: concurrent dump differs from direct run")
+      assert(direct.nonEmpty, s"$name produced no rows")
+    }
+  }
 }
