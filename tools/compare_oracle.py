@@ -30,6 +30,11 @@ def main():
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     only = set(sys.argv[3:])
     if only:
+        # A typo'd name must not read as "0 pass, 0 fail == green".
+        unknown = only - set(oracle)
+        if unknown:
+            print(f"ERROR: not in oracle_sql.json: {sorted(unknown)}")
+            sys.exit(2)
         oracle = {k: v for k, v in oracle.items() if k in only}
     n_pass = n_fail = 0
     t_start = time.monotonic()

@@ -17,6 +17,20 @@ HERE=$(dirname "$0")
 DUMP_BUDGET=$(python3 -c "import json;print(json.load(open('$HERE/gate_budget.json'))['dump_wall_s'])")
 CMP_BUDGET=$(python3 -c "import json;print(json.load(open('$HERE/gate_budget.json'))['compare_wall_s'])")
 
+# Post-certification drift guard (r16): show what changed in production
+# files since the last green gate, so a post-cert code commit can't slip
+# silently — anything listed here is being (re)certified by this run.
+if [ -f "$HERE/certified_sha" ]; then
+  DRIFT=$(git -C "$HERE/.." diff --stat "$(cat "$HERE/certified_sha")" -- \
+    src/main tools build.sbt 2>/dev/null | tail -5)
+  if [ -n "$DRIFT" ]; then
+    echo "production drift since certified SHA $(cat "$HERE/certified_sha"):"
+    echo "$DRIFT"
+  else
+    echo "no production drift since certified SHA $(cat "$HERE/certified_sha")"
+  fi
+fi
+
 # ALWAYS start clean: stale dumps under a failed compile would "pass"
 rm -rf "$OUT"
 t0=$(date +%s)
@@ -35,5 +49,14 @@ fi
 if [ "$CMP" -gt "$CMP_BUDGET" ]; then
   echo "GATE BUDGET EXCEEDED: compare ${CMP}s > ${CMP_BUDGET}s — see 'slowest oracles' line; MATERIALIZE multi-referenced CTEs"
   FAIL=1
+fi
+
+if [ "$FAIL" -eq 0 ]; then
+  # Refresh the committed dump-cost snapshot (Verify submits cheapest-first
+  # from it, so a wall-clock kill loses only the expensive tail) and record
+  # the certified tree.
+  cp "$OUT/timings.json" "$HERE/gate_timings.json"
+  git -C "$HERE/.." rev-parse HEAD > "$HERE/certified_sha" 2>/dev/null || true
+  echo "gate green: refreshed tools/gate_timings.json; certified SHA $(cat "$HERE/certified_sha" 2>/dev/null)"
 fi
 exit $FAIL
