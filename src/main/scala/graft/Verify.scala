@@ -7,7 +7,8 @@ import java.nio.file.{Files, Paths}
   * names for targeted re-dumps at expensive scale factors.
   *
   * r15: dumps run CONCURRENTLY on a bounded pool (SPARK_GRAFT_DUMP_PAR,
-  * default = the session's core count). The r14 driver artifact came back
+  * default = 2× the session's core count since r16 — see main() for the
+  * oversubscription measurement). The r14 driver artifact came back
   * empty with the engine provably green — the likely mechanism was the
   * sweep's wall-clock (~19 min sequential at 285 queries), and most of a
   * small-SF query's cost is DRIVER-side single-threaded work
@@ -175,8 +176,13 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.experimental.extraOptimizations ++= Seq(graft.plans.LowercaseContainsRewrite)
+    // Default PAR = 2× cores (r16): most of a small-SF dump's cost is
+    // single-threaded DRIVER work (analysis/optimize/codegen), which
+    // oversubscribes well past the core count — measured warm at
+    // CPUS=4 on sf0.01: PAR=4 247 s, PAR=8 103 s, PAR=12 121 s
+    // (contention inflects past 2×).
     run(spark, sfDir, outDir, only,
-      math.max(1, sys.env.getOrElse("SPARK_GRAFT_DUMP_PAR", cpus).toInt))
+      math.max(1, sys.env.getOrElse("SPARK_GRAFT_DUMP_PAR", (cpus.toInt * 2).toString).toInt))
     spark.stop()
     if (allFailed) sys.exit(3)
   }
