@@ -293,79 +293,103 @@ object Corpus12 {
     * definition shared by q268 (which assembles the audit rows) and
     * Flows.hygieneFlow (which lands the final survivors as the
     * training-ready product), so the API cannot drift from the oracled
-    * audit. */
+    * audit.
+    *
+    * r16 RESTRUCTURE (guide §1.2 #1 / §2.4 — fewer passes, fewer
+    * barriers): the r15 form pinned EIGHT eager localCheckpoints, one
+    * per stage, and each pin's job fans out into 3-5 AQE stage-jobs —
+    * a measured ~47 sequential driver jobs per funnel build at sf0.1,
+    * all barrier floor (ProfR16b; the data is 5000 docs). Every PER-DOC
+    * gate decision (robots rule match, lang-id argmax, blocklist
+    * tokens, Gopher within-doc battery, the driver-constant classifier
+    * margin) is a pure function of the document — corpus-independent —
+    * so consecutive stateless gates fuse into ONE decision pass and the
+    * funnel's conditioning is reconstructed EXACTLY as flag
+    * conjunctions; only the set-dependent elections (URL-dedup min
+    * winner over robots survivors, the per-host cap over lang
+    * survivors, chunk df over clf survivors) keep their conditioned
+    * inputs, which are identical sets by the conjunction argument.
+    * Five pins instead of eight, two decision passes instead of five:
+    *   f  — pre-cap flags + election keys (doc_id, n_chars, host,
+    *        canon_url, f_robots, f_lang): ~80 B/doc, the narrow-pin
+    *        rule for corpus-scale frames (r11) unchanged;
+    *   w  — f + the two election outcomes (won_url, won_quota);
+    *   s2 — the cap-survivor TEXT, bounded by cap × |hosts| BY
+    *        CONSTRUCTION, pinned once for its five text readers
+    *        (the three post-cap gate decisions, the chunk scrub, the
+    *        PII pass) — the r12 ProfPinPolicy text-pin policy;
+    *   w3 — the three post-cap stateless flags over s2, narrow;
+    *   k4 — the chunk-scrub survivor ids.
+    * The short-circuit economics survive: at 100 TB the heavy gates
+    * still only ever read the cap-bounded s2 (never the corpus), and
+    * the only extra evaluations the fusion admits are the Gopher
+    * battery on blocklist-killed s2 docs and the classifier fold on
+    * Gopher-killed s2 docs — map-side arithmetic on an already
+    * cap-bounded set, traded against two fewer full materializations
+    * and scans of that set. Values are bit-identical to the sequential
+    * form (same flags, same election inputs, same conjunctions); the
+    * q268 oracle re-certifies per gate run. Measured at sf0.1
+    * (min-of-2, noop sink): q268 5.68 → see OPTIMIZATION_r16.md. */
   private[graft] def hygieneStages(
       docs0: DataFrame, cap: Int = 10, minRetained: Double = 0.2): Seq[(String, DataFrame)] = {
     val docs = docs0.select(col("doc_id"), col("text"), col("n_chars"))
-    // stage 1: robots gate (q272's stateless longest-match plan — zero
-    // URL-side shuffles; the semi-join below is its only exchange).
-    // The PAYLOAD frame s0 is deliberately NOT pinned — robots passes
-    // ~94% of the corpus, and materializing text-bearing survivors to
-    // save one scan + broadcast join is the anti-pattern the pin rule
-    // forbids. What IS pinned is the narrow DECISION column k0
-    // (doc_id-only, ~1% of corpus bytes): s0's three readers then each
-    // re-run only a scan + semi-join against the pinned id list
-    // instead of re-deriving canonical URLs + the rules join per read.
-    // Measured at sf0.1 the pin is NEUTRAL (the whole funnel is
-    // fixed-overhead-bound at gate scale — ProfFunnel: warm stages sum
-    // ~4.8 s on ≤135-doc inputs, all scheduling/barrier floor); it is
-    // kept for the 100 TB shape, where 2 extra full-corpus regex+join
-    // passes are real and 8 B/doc of pinned ids are not.
-    val k0 = Corpus13.robotsDecisions(docs).filter(col("allowed"))
-      .select("doc_id").localCheckpoint()
-    val s0 = docs.join(k0, Seq("doc_id"), "left_semi")
-    val w1 = canonUrls(s0).groupBy("canon_url")
-      .agg(min("doc_id").as("doc_id")).select("doc_id")
-    // stages 2-3 (r11): the SAME narrow-pin rule applies past robots —
-    // URL-dedup survivors are ~40% of the corpus and lang survivors
-    // ~36%, so a text-bearing localCheckpoint here is the s0
-    // anti-pattern at corpus scale (it would materialize ~0.4 corpora
-    // of text to save column-pruned re-scans). Measured NEUTRAL at
-    // sf0.1 (A/B same session, min-of-2: 6.5-7.3 s vs 6.7 s — the
-    // funnel is floor-bound at gate scale either way); kept for the
-    // 100 TB shape. Pin (doc_id, n_chars) —
-    // 16 B/doc, exactly what the audit's count+sum and the quota's
-    // k-heap scoring need — and re-attach text lazily per reader
-    // (scan ⋉ pinned ids). Only ONE downstream reader needs text
-    // before the cap (the lang gate); from the cap onward survivors
-    // are bounded by cap × |hosts| BY CONSTRUCTION, so the remaining
-    // stages keep their text-bearing pins (each feeds 2+ text readers).
-    // The post-cap pins were SETTLED BY MEASUREMENT in r12 on the
-    // skewed-host fixture (ProfPinPolicy: cap×|hosts| = 40% of a
-    // 40k/80k-doc corpus — the web's many-hosts/shallow-quota shape):
-    // text pins beat narrow+re-attach ~10% warm at both sizes, and the
-    // byte math holds at 100 TB — the shrinking post-cap frames cost
-    // ~1.1 corpus-copies of text total vs 4 full text-column re-scans
-    // for narrow pins. See SCALE.md (r12 entry).
-    val narrow = docs0.select(col("doc_id"), col("n_chars"))
-    val k1 = narrow.join(k0, Seq("doc_id"), "left_semi")
-      .join(w1, Seq("doc_id"), "left_semi").localCheckpoint()
-    val s1 = docs.join(k1.select("doc_id"), Seq("doc_id"), "left_semi")
-    // stage 3: language-id gate (q275's body) in the CCNet/FineWeb
-    // position — right after URL dedup, before every quality gate: no
-    // point ranking or model-scoring documents the pipeline's target
-    // language excludes, and the battery-count scan is among the
-    // cheapest gates on the board
-    val kl = Corpus14.langGateDecisions(s1).filter(col("keep")).select("doc_id")
-    val k15 = k1.join(kl, Seq("doc_id"), "left_semi").localCheckpoint()
+    // PASS 1 — every pre-cap per-doc decision + election key in one
+    // scan: canonical URL + robots longest-match (q272's stateless
+    // broadcast-rules plan), lang-id argmax (q275's body), the quota
+    // host. One doc_id-keyed join stitches the URL-side and text-side
+    // projections (co-partitioned at scale, broadcast at gate SF).
+    val ru = Corpus13.robotsDecideUrls(canonUrls(docs).select("doc_id", "canon_url"))
+      .select(col("doc_id"), col("canon_url"), col("allowed").as("f_robots"))
+    val lg = Corpus14.langGateDecisions(docs)
+      .select(col("doc_id"), col("keep").as("f_lang"))
+    val f = docs.select(col("doc_id"), col("n_chars"), hostCol.as("host"))
+      .join(ru, Seq("doc_id"))
+      .join(lg, Seq("doc_id"))
+      .localCheckpoint()
+    // PASS 2 — the two set-dependent elections, conditioned exactly as
+    // the sequential funnel conditions them: URL winners among robots
+    // survivors; the per-host k-heap cap (TopKScored — never a window,
+    // q265's heavy-hitter argument) among robots ∧ url-win ∧ lang
+    // survivors.
+    val u = f.filter(col("f_robots")).groupBy("canon_url")
+      .agg(min("doc_id").as("doc_id"))
+      .select(col("doc_id"), lit(true).as("won_url"))
+    val fu = f.join(u, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chars"), col("host"), col("f_robots"),
+        col("f_lang"), coalesce(col("won_url"), lit(false)).as("won_url"))
     val top = udaf(new graft.functions.TopKScored(cap))
-    // the quota scores on (doc_id, n_chars, host) alone — the narrow
-    // pinned frame feeds it directly, zero text reads in this stage
-    val k2 = hostedDocs(k15).groupBy("host")
+    val q = fu.filter(col("f_robots") && col("won_url") && col("f_lang"))
+      .groupBy("host")
       .agg(top(col("n_chars").cast("double"), col("doc_id")).as("kept"))
-      .select(explode(col("kept")).as("k")).select(col("k.id").as("doc_id"))
-    val s2 = docs.join(k2, Seq("doc_id"), "left_semi").localCheckpoint()
-    // stage 5: C4 blocklist gate (q274's token-exact form) — the cheap
-    // token check runs before the heavier repetition battery
-    val k25 = Corpus14.blocklistDecisions(s2).filter(col("keep")).select("doc_id")
-    val s25 = s2.join(k25, Seq("doc_id"), "left_semi").localCheckpoint()
-    val k3 = repetitionBattery(s25).filter(col("keep")).select("doc_id")
-    val s3 = s25.join(k3, Seq("doc_id"), "left_semi").localCheckpoint()
-    // stage 6: the TRAINED quality gate (q273's model) after the rule
-    // gates — the FineWeb-Edu ordering: cheap rules first, the
-    // classifier only scores rule survivors
-    val k35 = Corpus14.qualityClassify(s3).filter(col("clf_keep")).select("doc_id")
-    val s35 = s3.join(k35, Seq("doc_id"), "left_semi").localCheckpoint()
+      .select(explode(col("kept")).as("k"))
+      .select(col("k.id").as("doc_id"), lit(true).as("won_quota"))
+    val w = fu.join(q, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chars"), col("f_robots"), col("f_lang"),
+        col("won_url"), coalesce(col("won_quota"), lit(false)).as("won_quota"))
+      .localCheckpoint()
+    val s1c = col("f_robots") && col("won_url")
+    val s15c = s1c && col("f_lang")
+    // PASS 3 — the cap-survivor text, bounded by cap × |hosts|, pinned
+    // once for its five text readers (r12 ProfPinPolicy policy).
+    val s2 = docs.join(
+      w.filter(s15c && col("won_quota")).select("doc_id"), Seq("doc_id"), "left_semi")
+      .localCheckpoint()
+    // PASS 4 — the three post-cap stateless gates over s2 in one narrow
+    // pin (blocklist q274, Gopher battery q263, classifier q273 — all
+    // per-doc; the funnel order blocklist → gopher → clf is recovered
+    // as nested conjunctions below).
+    val fb = Corpus14.blocklistDecisions(s2).select(col("doc_id"), col("keep").as("f_block"))
+    val fg = repetitionBattery(s2).select(col("doc_id"), col("keep").as("f_gopher"))
+    val fc = Corpus14.qualityClassify(s2).select(col("doc_id"), col("clf_keep").as("f_clf"))
+    val w3 = s2.select(col("doc_id"), col("n_chars"))
+      .join(fb, Seq("doc_id")).join(fg, Seq("doc_id")).join(fc, Seq("doc_id"))
+      .localCheckpoint()
+    val s35 = s2.join(
+      w3.filter(col("f_block") && col("f_gopher") && col("f_clf")).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    // PASS 5 — chunk-level scrub, set-dependent on the clf survivors
+    // (df counted over exactly their chunks, as before); survivor ids
+    // pinned narrow, text re-attached from the pinned s2.
     val ch = Corpus.chunkTokens(s35).withColumn("fp", md5(col("chunk")))
     val dd = ch.groupBy("fp").agg(
       countDistinct("doc_id").as("df"),
@@ -378,14 +402,20 @@ object Corpus12 {
       .groupBy("doc_id")
       .agg(round(sum("kt") * lit(1.0) / sum("n_tokens"), 4).as("rf"))
       .filter(col("rf") >= minRetained).select("doc_id")
-    val s4 = s35.join(k4, Seq("doc_id"), "left_semi").localCheckpoint()
-    // the url_dedup / lang stage entries are the NARROW pinned frames —
-    // funnelAudit only needs count + sum(n_chars), which they carry;
-    // text-needing consumers (the chunk guard, piiScrub) read the later
-    // text-bearing entries
-    Seq("fetch" -> docs, "robots_gate" -> s0, "url_dedup" -> k1,
-      "lang_id_gate" -> k15, "domain_quota" -> s2, "blocklist_gate" -> s25,
-      "gopher_gate" -> s3, "clf_gate" -> s35, "chunk_scrub" -> s4)
+      .localCheckpoint()
+    val s4 = s2.join(k4, Seq("doc_id"), "left_semi")
+    // narrow flag-conjunction frames carry exactly what funnelAudit
+    // needs (count + n_chars); text-needing consumers (the chunk
+    // guard, piiScrub) read the text-bearing s2-derived entries
+    Seq("fetch" -> docs,
+      "robots_gate" -> f.filter(col("f_robots")),
+      "url_dedup" -> w.filter(s1c),
+      "lang_id_gate" -> w.filter(s15c),
+      "domain_quota" -> s2,
+      "blocklist_gate" -> w3.filter(col("f_block")),
+      "gopher_gate" -> w3.filter(col("f_block") && col("f_gopher")),
+      "clf_gate" -> s35,
+      "chunk_scrub" -> s4)
   }
 
   /** q277's body: GATE ATTRIBUTION — the drop-one ablation table every
@@ -658,21 +688,24 @@ object Corpus12 {
     * distinct-doc aggregate; q262 stateless regex) glued by left-semi
     * joins on doc_id — no window, no cartesian, nothing quadratic. The
     * funnel's audit aggregates all re-read stage survivors, and
-    * Spark has no DataFrame-level CSE, so each stage's DECISION is
-    * PINNED (localCheckpoint) once computed — exactly what a production
-    * run does anyway (the survivor shards ARE the product; the funnel
-    * is their audit trail). Measured: pinning took the sf0.1 funnel
-    * from 11.2 s (each count branch re-ran its whole stage prefix — the
-    * battery three times, the URL winner aggregate five times) to the
-    * sum of one pass per stage. WHAT each pin holds follows the
-    * corpus-fraction rule (r11): stages whose survivors are still
-    * corpus-scale (url_dedup ~40%, lang ~36%) pin only the 16 B/doc
-    * (doc_id, n_chars) decision columns and re-attach text by a
-    * column-pruned scan ⋉ pinned ids per text reader; from the domain
-    * cap onward survivors are bounded by cap × |hosts| by construction,
-    * so those stages pin text-bearing frames (each feeds 2+ text
-    * readers). Unlike the BPE chain (where a pin was measured to LOSE,
-    * see Corpus2), nothing corpus-sized is ever materialized. */
+    * Spark has no DataFrame-level CSE, so computed decisions are
+    * PINNED (localCheckpoint) — exactly what a production run does
+    * anyway (the survivor shards ARE the product; the funnel is their
+    * audit trail). Measured (r11): pinning took the sf0.1 funnel from
+    * 11.2 s (each count branch re-ran its whole stage prefix) to the
+    * sum of one pass per stage; r16 then FUSED the per-doc stateless
+    * decisions into two flag passes and cut the pins from eight to
+    * five (see hygieneStages' scaladoc — flags are corpus-independent
+    * per-doc functions, so the survivor sets are bit-identical flag
+    * conjunctions). WHAT each pin holds still follows the
+    * corpus-fraction rule (r11/r12): corpus-scale frames pin only
+    * narrow decision columns (f: ~80 B/doc incl. the election keys;
+    * w: 26 B/doc) and text re-attaches by a column-pruned scan ⋉
+    * pinned ids; from the domain cap onward survivors are bounded by
+    * cap × |hosts| by construction, so the s2 TEXT pin feeds all five
+    * post-cap text readers. Unlike the BPE chain (where a pin was
+    * measured to LOSE, see Corpus2), nothing corpus-sized is ever
+    * materialized. */
   private[graft] def hygieneFunnel(
       docs0: DataFrame, cap: Int = 10, minRetained: Double = 0.2): DataFrame =
     funnelAudit(hygieneStages(docs0, cap, minRetained))
