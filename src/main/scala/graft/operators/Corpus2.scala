@@ -219,19 +219,30 @@ object Corpus2 {
   def bpeSymbolization(docs: DataFrame, rounds: Int): (DataFrame, Seq[(Int, DataFrame)]) = {
     val words = docs.select(explode(expr(toksExpr)).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
-    // The unrolled round chain references its input twice per round
-    // (argmax + application); the duplicated subtrees sit behind
-    // identical exchanges, which ReuseExchange collapses at runtime —
-    // measured: an explicit persist() of s0 is SLOWER (6.4s vs 3.6s at
-    // sf0.1) because the InMemoryRelation blocks exchange reuse and
-    // codegen fusion. Leave the plan declarative.
+    // Checkpoint-per-round (r16 — the bpeTrainIterative pin discipline,
+    // without its driver collect): the unrolled chain references its
+    // input twice per round (argmax + application), so the subtree
+    // DOUBLES per round — 2^rounds copies of s0 in the final plan —
+    // and exchange reuse recovers only the shuffles, not the planning/
+    // codegen of the exponential tree or the window/broadcast work
+    // above them. Pinning the vocab-sized symbolization after each
+    // round keeps the plan one round deep at any merge count. Measured
+    // same-JVM interleaved A/B at sf0.1 (ProfBpeAB, min-of-4, noop
+    // sink): unroll 7.10 s vs ckpt 3.82 s, value-identical rows. (The
+    // r3 note that persist() of s0 alone was SLOWER still holds — an
+    // InMemoryRelation under the un-pinned 2^rounds tree blocks
+    // exchange reuse; the per-round pin removes that tree entirely.)
+    // The pinned state is vocab-sized — never corpus-sized — so the
+    // 100 TB story is unchanged (BPE never touches the corpus after
+    // the first aggregate).
     val s0 = words.select(col("word"), col("freq"),
       posexplode(expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
         .as(Seq("pos", "sym")))
+      .localCheckpoint()
     (1 to rounds).foldLeft((s0, Seq.empty[(Int, DataFrame)])) {
       case ((s, bs), r) =>
         val (s2, b) = bpeRound(s)
-        (s2, bs :+ (r -> b))
+        (s2.localCheckpoint(), bs :+ (r -> b.localCheckpoint()))
     }
   }
 
