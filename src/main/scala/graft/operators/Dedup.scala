@@ -417,19 +417,44 @@ object Dedup {
       // representatives; a rep is dropped if a smaller-id rep is ≥ 0.9
       // similar. Output: surviving rep per cluster + collapsed size.
       (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
         val t = tokenSets(s, dir)
           .withColumn("sigs", sigsCol)
           // Exact-collapse key = hash of the SORTED TOKEN SET itself, not
           // the minhash signature: true set-identity collapse, independent
           // of the banding configuration.
           .withColumn("sigkey", md5(concat_ws(" ", array_sort(col("w")))))
-        val reps = Relational.dedupKeepFirst(t, Seq("sigkey"), Seq(col("doc_id")))
-          .join(t.groupBy("sigkey").agg(count(lit(1)).as("cluster_size")), "sigkey")
+        // Keep-first winner AND cluster size from ONE sigkey window
+        // (r16, the q40 shape): the former groupBy(sigkey)+join re-ran
+        // the whole scan→minhash pipeline a second time behind a
+        // differently-pruned exchange. Same keep-first rows, same
+        // counts — one shuffle.
+        val win = Window.partitionBy("sigkey")
+        val reps = t
+          .withColumn("__rn", row_number().over(win.orderBy("doc_id")))
+          .withColumn("cluster_size", count(lit(1)).over(win))
+          .filter(col("__rn") === 1)
+        // ONE narrow pin of exactly what the three readers consume
+        // (r16): band signatures, interned verify sets (+ the string-set
+        // size the lossless prune tests), and the output columns.
+        // Column pruning specializes each reader's subtree differently,
+        // so without the pin ReuseExchange cannot collapse them and the
+        // 6-md5-per-token signature pass re-ran up to 4× (q45's
+        // formatted plan held five separate documents scans). At 100 TB
+        // the pin is interned-fingerprint-sized (8 B/distinct token +
+        // 6 band hashes/doc — a small fraction of text bytes), never
+        // the text itself.
+        val r = reps.select(col("doc_id"),
+            size(col("w")).cast("long").as("n"), col("sigs"),
+            graft.functions.InternTokens.internTokens(col("w")).as("iw"),
+            col("cluster_size"))
+          .localCheckpoint()
         // Anchor policy: each rep is verified ONLY against the minimum
         // doc_id of its LSH bucket — candidates are O(b) per rep instead of
         // O(bucket²), which is what keeps this linear when near-identical
         // clusters make buckets huge (the all-pairs policy is q41).
-        val bands = bandHashes(reps)
+        val bands = r.select(col("doc_id"), col("n"), posexplode(expr(bandsExpr)))
+          .withColumnRenamed("pos", "band").withColumnRenamed("col", "h")
         val anchors = bands.groupBy("band", "h").agg(min("doc_id").as("anchor"))
         val cand = bands.join(anchors, Seq("band", "h"))
           .filter(col("doc_id") > col("anchor"))
@@ -437,13 +462,27 @@ object Dedup {
           .distinct()
         // (Measured, r3: q64-style semi-join pruning of the verify index
         // is ~1.5s SLOWER here at sf0.1 — on this corpus nearly every rep
-        // pairs with an anchor, so the prune keeps ~all tokens while
-        // adding a fourth recomputation of the reps pipeline. q64 keeps
+        // pairs with an anchor, so the prune keeps ~all tokens. q64 keeps
         // the prune because its store/batch asymmetry makes it pay.)
-        val dropped = jaccardOfCandidates(cand, reps, minJ = 0.9)
+        // Inline jaccardOfCandidates over the pinned interned sets —
+        // same lossless size prune (sizes are the string-set sizes, as
+        // before), same SortedLongIntersectCount verify, same rounded
+        // jaccard over the interned array sizes.
+        val dropped = cand
+          .join(broadcast(r.select(col("doc_id").as("da"), col("n").as("na"))), "da")
+          .join(broadcast(r.select(col("doc_id").as("db"), col("n").as("nb"))), "db")
+          .filter(least(col("na"), col("nb")) >=
+            (lit(0.9) - lit(0.001)) * greatest(col("na"), col("nb")))
+          .join(r.select(col("doc_id").as("da"), col("iw").as("wa")), "da")
+          .join(r.select(col("doc_id").as("db"), col("iw").as("wb")), "db")
+          .withColumn("i", graft.functions.SortedLongIntersectCount
+            .sortedIntersectCount(col("wa"), col("wb")))
+          .select(col("da"), col("db"),
+            round(col("i") * lit(1.0) /
+              (size(col("wa")) + size(col("wb")) - col("i")), 4).as("jaccard"))
           .filter(col("jaccard") >= 0.9)
           .select(col("da").as("doc_id")).distinct()
-        reps.join(dropped, Seq("doc_id"), "left_anti")
+        r.join(dropped, Seq("doc_id"), "left_anti")
           .select(col("doc_id"), col("cluster_size"))
           .orderBy("doc_id")
       },
