@@ -236,13 +236,33 @@ object Dedup {
     * train×eval condition applied inside it. */
   private def neardupEvalHits(
       s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    // ONE narrow pin of the per-doc LSH state (r16, the q45 discipline):
+    // the band builder and both verify sides consume it, and without the
+    // pin column pruning specializes their subtrees so ReuseExchange
+    // cannot collapse them — the scan → tokenize → 6-md5-per-token
+    // signature pass re-ran three times. The pin is fingerprint-sized
+    // (8 B/distinct token + 6 hashes/doc), never text.
     val t = tokenSets(s, dir)
-    val bands = bandHashes(t.withColumn("sigs", sigsCol))
-    // size prune fused into the bucket join (minJ) — jaccardOfCandidates
-    // must not re-apply it, so it is called with minJ = 0.
+      .withColumn("sigs", sigsCol)
+      .select(col("doc_id"), size(col("w")).cast("long").as("n"), col("sigs"),
+        graft.functions.InternTokens.internTokens(col("w")).as("iw"))
+      .localCheckpoint()
+    val bands = t.select(col("doc_id"), col("n"), posexplode(expr(bandsExpr)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "h")
+    // size prune fused into the bucket join (minJ), as before.
     val cand = bucketPairs(bands,
       (da, db) => (da % 10 =!= 1) && (db % 10 === 1), minJ = 0.8)
-    jaccardOfCandidates(cand, t, minJ = 0.0).filter(col("jaccard") >= 0.8)
+    // inline interned verify over the pinned sets — same expressions
+    // jaccardOfCandidates(…, minJ = 0, exact = false) produced.
+    cand
+      .join(t.select(col("doc_id").as("da"), col("iw").as("wa")), "da")
+      .join(t.select(col("doc_id").as("db"), col("iw").as("wb")), "db")
+      .withColumn("i", graft.functions.SortedLongIntersectCount
+        .sortedIntersectCount(col("wa"), col("wb")))
+      .select(col("da"), col("db"),
+        round(col("i") * lit(1.0) /
+          (size(col("wa")) + size(col("wb")) - col("i")), 4).as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
       .groupBy("da")
       .agg(count(lit(1)).as("n_eval_matches"), max("jaccard").as("mj"))
       .withColumnRenamed("da", "doc_id")
@@ -793,11 +813,22 @@ object Dedup {
       (s, dir) => {
         val docs = Tables.documents(s, dir)
         val isEval = col("doc_id") % 10 === 1
-        val evFp = docs.filter(isEval)
-          .select(TextAnalytics.fpExactCol.as("fp")).distinct()
+        // rungs 1+2 share ONE pinned per-doc frame (r16, the q45/q137
+        // discipline): exact fingerprint + interned 5-shingle set from
+        // a single scan, where the four readers (eval fps, train fps,
+        // eval shingles, train shingles) previously each re-ran the
+        // scan + md5/ShingleFps codegen behind differently-pruned
+        // subtrees. Fingerprint-sized pin (8 B/shingle + 16 B/doc).
+        val d2 = docs
+          .select(col("doc_id"), TextAnalytics.fpExactCol.as("fp"),
+            graft.functions.ShingleFps.shingleFps(
+              expr(TextAnalytics.toksExpr), 5).as("shs"))
+          .localCheckpoint()
+        val evFp = d2.filter(isEval)
+          .select(col("fp")).distinct()
           .withColumn("ex", lit(true))
-        val ex = docs.filter(!isEval)
-          .select(col("doc_id"), TextAnalytics.fpExactCol.as("fp"))
+        val ex = d2.filter(!isEval)
+          .select(col("doc_id"), col("fp"))
           .join(broadcast(evFp), Seq("fp"), "left")
           .select(col("doc_id"), coalesce(col("ex"), lit(false)).as("exact_hit"))
         // rung 2's shingles ride as 60-bit interned fingerprints
@@ -805,9 +836,7 @@ object Dedup {
         // string/hex/conv allocations) — broadcast set + probe are
         // longs; the string-form oracle re-certifies exactness, q261
         // audits.
-        val sh = docs.select(col("doc_id"), expr(TextAnalytics.toksExpr).as("w"))
-          .select(col("doc_id"),
-            explode(graft.functions.ShingleFps.shingleFps(col("w"), 5)).as("shingle"))
+        val sh = d2.select(col("doc_id"), explode(col("shs")).as("shingle"))
         val evSh = sh.filter(col("doc_id") % 10 === 1)
           .select("shingle").distinct().withColumn("hit", lit(1))
         val ng = sh.filter(col("doc_id") % 10 =!= 1)
