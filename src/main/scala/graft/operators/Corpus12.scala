@@ -334,17 +334,22 @@ object Corpus12 {
       docs0: DataFrame, cap: Int = 10, minRetained: Double = 0.2): Seq[(String, DataFrame)] = {
     val docs = docs0.select(col("doc_id"), col("text"), col("n_chars"))
     // PASS 1 — every pre-cap per-doc decision + election key in one
-    // scan: canonical URL + robots longest-match (q272's stateless
+    // scan, composed as APPENDED COLUMNS (no doc_id joins — a per-gate
+    // (doc_id, keep) frame joined back would cost two exchanges per
+    // gate): canonical URL + robots longest-match (q272's stateless
     // broadcast-rules plan), lang-id argmax (q275's body), the quota
-    // host. One doc_id-keyed join stitches the URL-side and text-side
-    // projections (co-partitioned at scale, broadcast at gate SF).
-    val ru = Corpus13.robotsDecideUrls(canonUrls(docs).select("doc_id", "canon_url"))
-      .select(col("doc_id"), col("canon_url"), col("allowed").as("f_robots"))
-    val lg = Corpus14.langGateDecisions(docs)
-      .select(col("doc_id"), col("keep").as("f_lang"))
-    val f = docs.select(col("doc_id"), col("n_chars"), hostCol.as("host"))
-      .join(ru, Seq("doc_id"))
-      .join(lg, Seq("doc_id"))
+    // host. The appending forms share one definition with the
+    // standalone queries (withRobotsAllowed / withLangGate).
+    val langCounts = graft.operators.TextAnalytics.langBatteries
+      .map(l => s"n_${l._1}")
+    val f = Corpus14.withLangGate(docs)
+      .withColumnRenamed("keep", "f_lang")
+      .drop(langCounts :+ "predicted": _*)
+      .withColumn("canon_url", canonCol(urlCol))
+      .transform(Corpus13.withRobotsAllowed)
+      .withColumnRenamed("allowed", "f_robots")
+      .select(col("doc_id"), col("n_chars"), hostCol.as("host"),
+        col("canon_url"), col("f_robots"), col("f_lang"))
       .localCheckpoint()
     // PASS 2 — the two set-dependent elections, conditioned exactly as
     // the sequential funnel conditions them: URL winners among robots
@@ -377,12 +382,15 @@ object Corpus12 {
     // PASS 4 — the three post-cap stateless gates over s2 in one narrow
     // pin (blocklist q274, Gopher battery q263, classifier q273 — all
     // per-doc; the funnel order blocklist → gopher → clf is recovered
-    // as nested conjunctions below).
-    val fb = Corpus14.blocklistDecisions(s2).select(col("doc_id"), col("keep").as("f_block"))
+    // as nested conjunctions below). Blocklist and classifier are pure
+    // projections and APPEND as columns; only the battery (a per-doc
+    // aggregate) joins.
     val fg = repetitionBattery(s2).select(col("doc_id"), col("keep").as("f_gopher"))
-    val fc = Corpus14.qualityClassify(s2).select(col("doc_id"), col("clf_keep").as("f_clf"))
-    val w3 = s2.select(col("doc_id"), col("n_chars"))
-      .join(fb, Seq("doc_id")).join(fg, Seq("doc_id")).join(fc, Seq("doc_id"))
+    val w3 = Corpus14.withQualityMargin(Corpus14.withBlocklist(s2))
+      .select(col("doc_id"), col("n_chars"),
+        (col("blocked_total") === 0).as("f_block"),
+        (col("clf_margin") > Corpus14.QThreshold).as("f_clf"))
+      .join(fg, Seq("doc_id"))
       .localCheckpoint()
     val s35 = s2.join(
       w3.filter(col("f_block") && col("f_gopher") && col("f_clf")).select("doc_id"),

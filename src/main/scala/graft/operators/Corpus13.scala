@@ -163,6 +163,22 @@ object Corpus13 {
         col("rule").isNull.as("allowed"))
   }
 
+  /** APPENDING form of the robots decision (r16, the withLangGate
+    * discipline): adds `allowed` to `df` (which must carry canon_url)
+    * via the same broadcast rules join — composers avoid a doc_id join
+    * per gate. Same expressions as [[robotsDecideUrls]]. */
+  private[graft] def withRobotsAllowed(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val ruleSets = spark.createDataFrame(robotsRules).toDF("rhost", "dis")
+      .groupBy("rhost").agg(array_sort(collect_list(col("dis"))).as("rs"))
+    df.withColumn("__rhost", regexp_extract(col("canon_url"), "^https://([^/]+)", 1))
+      .withColumn("__rpath", regexp_extract(col("canon_url"), "^https://[^/]+(/.*)$", 1))
+      .join(broadcast(ruleSets), col("__rhost") === col("rhost"), "left")
+      .withColumn("allowed", expr(
+        "array_max(filter(coalesce(rs, array()), r -> startswith(__rpath, r)))").isNull)
+      .drop("__rhost", "__rpath", "rhost", "rs")
+  }
+
   /** q272's body, WITHOUT the presentation sort — the truly stateless
     * form: rules collapse to one array per host (a tiny/broadcast
     * build), the URL side takes ONE equi-join on host, and the longest

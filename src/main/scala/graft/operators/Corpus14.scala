@@ -130,17 +130,24 @@ object Corpus14 {
     * b + (Σ_occurrences idf·w) / L, exposed so the q276 operating-point
     * audit can sweep thresholds over the SAME scoring expression the
     * deployed gate uses (one definition; the audit cannot drift). */
-  private[graft] def qualityMargins(docs: DataFrame): DataFrame = {
+  private[graft] def qualityMargins(docs: DataFrame): DataFrame =
+    withQualityMargin(docs).select(col("doc_id"), col("clf_margin"))
+
+  /** APPENDING form of the classifier margin (r16, the withLangGate
+    * discipline): adds `clf_margin` to `df` (doc_id + text) without a
+    * join. One definition shared with q273/q276 and the funnel. */
+  private[graft] def withQualityMargin(df: DataFrame): DataFrame = {
     val entries = model.vocab.toSeq.sortBy(_._1)
       .map { case (t, (idf, w)) => s"'$t', ${idf * w}D" }.mkString(", ")
-    docs.select(col("doc_id"), expr(
-        s"filter($toksExpr, x -> NOT x IN ($stopSqlList))").as("w"))
-      .select(col("doc_id"),
-        ((when(size(col("w")) > 0,
-          expr(s"""aggregate(w, 0D, (a, t) ->
+    df.withColumn("__qw", expr(
+        s"filter($toksExpr, x -> NOT x IN ($stopSqlList))"))
+      .withColumn("clf_margin",
+        (when(size(col("__qw")) > 0,
+          expr(s"""aggregate(__qw, 0D, (a, t) ->
             |a + coalesce(element_at(map($entries), t), 0D))"""
-            .stripMargin.replace("\n", " ")) / size(col("w")))
-          .otherwise(lit(0.0))) + lit(model.bias)).as("clf_margin"))
+            .stripMargin.replace("\n", " ")) / size(col("__qw")))
+          .otherwise(lit(0.0))) + lit(model.bias))
+      .drop("__qw")
   }
 
   private[graft] def qualityClassify(docs: DataFrame): DataFrame =
@@ -220,21 +227,32 @@ object Corpus14 {
     * becomes the same HOF over a broadcast map literal, q273's
     * pattern; a DATA-sized blocklist becomes a broadcast token join);
     * zero shuffles at any corpus size, runs unchanged on a stream. */
-  private[graft] def blocklistDecisions(docs: DataFrame): DataFrame = {
+  private[graft] def blocklistDecisions(docs: DataFrame): DataFrame =
+    withBlocklist(docs).select(col("doc_id"),
+      col("n_profanity"), col("n_violence"), col("n_adult"),
+      col("blocked_total"), col("keep"))
+
+  /** APPENDING form of the blocklist gate (r16, the withLangGate
+    * discipline): adds the category counts, `blocked_total`, and `keep`
+    * to `df` (doc_id + text) without a join. One definition shared with
+    * q274. */
+  private[graft] def withBlocklist(df: DataFrame): DataFrame = {
     val dirty = concat(col("text"),
       when(col("doc_id") % 7 === 3, lit(" badcat0")).otherwise(lit("")),
       when(col("doc_id") % 11 === 5, lit(" badcat1 badcat1")).otherwise(lit("")),
       when(col("doc_id") % 13 === 8, lit(" badcat2")).otherwise(lit("")))
-    docs.select(col("doc_id"), dirty.as("t"))
-      .select(col("doc_id"),
-        expr("filter(split(lower(t), ' '), x -> x <> '')").as("w"))
-      .select(col("doc_id"),
-        expr("CAST(size(filter(w, x -> x = 'badcat0')) AS BIGINT)").as("n_profanity"),
-        expr("CAST(size(filter(w, x -> x = 'badcat1')) AS BIGINT)").as("n_violence"),
-        expr("CAST(size(filter(w, x -> x = 'badcat2')) AS BIGINT)").as("n_adult"))
-      .select(col("doc_id"), col("n_profanity"), col("n_violence"), col("n_adult"),
-        (col("n_profanity") + col("n_violence") + col("n_adult")).as("blocked_total"),
-        (col("n_profanity") + col("n_violence") + col("n_adult") === 0).as("keep"))
+    df.withColumn("__btext", dirty)
+      .withColumn("__bw", expr("filter(split(lower(__btext), ' '), x -> x <> '')"))
+      .withColumn("n_profanity",
+        expr("CAST(size(filter(__bw, x -> x = 'badcat0')) AS BIGINT)"))
+      .withColumn("n_violence",
+        expr("CAST(size(filter(__bw, x -> x = 'badcat1')) AS BIGINT)"))
+      .withColumn("n_adult",
+        expr("CAST(size(filter(__bw, x -> x = 'badcat2')) AS BIGINT)"))
+      .withColumn("blocked_total",
+        col("n_profanity") + col("n_violence") + col("n_adult"))
+      .withColumn("keep", col("blocked_total") === 0)
+      .drop("__btext", "__bw")
   }
 
   /** q274: [[blocklistDecisions]] + the deterministic presentation sort. */
@@ -1046,15 +1064,32 @@ object Corpus14 {
     * map work — array filters inside one scan projection, zero shuffles
     * at any corpus size, runs unchanged on a readStream frontier. */
   private[graft] def langGateDecisions(docs: DataFrame): DataFrame = {
+    val langs = TextAnalytics.langBatteries.map(_._1)
+    withLangGate(docs).select(
+      col("doc_id") +: langs.map(l => col(s"n_$l")) :+ col("predicted") :+ col("keep"): _*)
+  }
+
+  /** APPENDING form of the lang gate (r16): adds the battery counts,
+    * `predicted`, and `keep` to `df` (which must carry doc_id + text)
+    * without a join — the funnel composes it with the other stateless
+    * per-doc gates in ONE projection, where a (doc_id, keep) frame
+    * joined back would cost two exchanges per gate. Same expressions,
+    * one definition (q275 selects its published columns from this). */
+  private[graft] def withLangGate(df: DataFrame): DataFrame = {
     import TextAnalytics.{langBatteries, langList}
     val langs = langBatteries.map(_._1)
-    val counts = langs.map(l =>
-      expr(s"CAST(size(filter(w, x -> x IN (${langList(l)}))) AS BIGINT)").as(s"n_$l"))
-    docs.select(col("doc_id"), langDirty.as("text"))
-      .select(col("doc_id"), expr(TextAnalytics.toksExpr).as("w"))
-      .select(col("doc_id") +: counts: _*)
+    // dirty text -> tokens -> per-language counts -> argmax
+    val withToks = df
+      .withColumn("__ltext", langDirty)
+      .withColumn("__lw", expr("filter(split(lower(__ltext), ' '), x -> x <> '')"))
+    val withCounts = langs.foldLeft(withToks) { (d, l) =>
+      d.withColumn(s"n_$l",
+        expr(s"CAST(size(filter(__lw, x -> x IN (${langList(l)}))) AS BIGINT)"))
+    }
+    withCounts
       .withColumn("predicted", TextAnalytics.langPredColOf(langs))
       .withColumn("keep", col("predicted") === lit(langs.head))
+      .drop("__ltext", "__lw")
   }
 
   /** The lang-id decision chain as DuckDB CTEs ending in
