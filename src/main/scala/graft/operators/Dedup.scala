@@ -234,26 +234,28 @@ object Dedup {
     * eval-split near-dup evidence — match count and best verified
     * Jaccard (≥ 0.8) from the banded-LSH bucket join with the
     * train×eval condition applied inside it. */
-  private def neardupEvalHits(
-      s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
-    // ONE narrow pin of the per-doc LSH state (r16, the q45 discipline):
-    // the band builder and both verify sides consume it, and without the
-    // pin column pruning specializes their subtrees so ReuseExchange
-    // cannot collapse them — the scan → tokenize → 6-md5-per-token
-    // signature pass re-ran three times. The pin is fingerprint-sized
-    // (8 B/distinct token + 6 hashes/doc), never text.
-    val t = tokenSets(s, dir)
-      .withColumn("sigs", sigsCol)
+  /** ONE narrow pin of the per-doc LSH state (r16, the q45 discipline):
+    * (doc_id, n = |token set|, sigs, iw = interned token set). The band
+    * builder and both verify sides consume it, and without the pin
+    * column pruning specializes their subtrees so ReuseExchange cannot
+    * collapse them — the scan → tokenize → 6-md5-per-token signature
+    * pass re-ran once per reader. The pin is fingerprint-sized
+    * (8 B/distinct token + 6 hashes/doc), never text. */
+  private def pinnedLshState(t: DataFrame): DataFrame =
+    t.withColumn("sigs", sigsCol)
       .select(col("doc_id"), size(col("w")).cast("long").as("n"), col("sigs"),
         graft.functions.InternTokens.internTokens(col("w")).as("iw"))
       .localCheckpoint()
-    val bands = t.select(col("doc_id"), col("n"), posexplode(expr(bandsExpr)))
+
+  /** [[bandHashes]] over a pinned LSH-state frame (n precomputed). */
+  private def bandsOfPinned(t: DataFrame): DataFrame =
+    t.select(col("doc_id"), col("n"), posexplode(expr(bandsExpr)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "h")
-    // size prune fused into the bucket join (minJ), as before.
-    val cand = bucketPairs(bands,
-      (da, db) => (da % 10 =!= 1) && (db % 10 === 1), minJ = 0.8)
-    // inline interned verify over the pinned sets — same expressions
-    // jaccardOfCandidates(…, minJ = 0, exact = false) produced.
+
+  /** Interned verify over a pinned LSH-state frame — the same
+    * expressions jaccardOfCandidates(…, exact = false) produces, with
+    * the sets read from the pin instead of re-derived per side. */
+  private def internedJaccard(cand: DataFrame, t: DataFrame): DataFrame =
     cand
       .join(t.select(col("doc_id").as("da"), col("iw").as("wa")), "da")
       .join(t.select(col("doc_id").as("db"), col("iw").as("wb")), "db")
@@ -262,6 +264,14 @@ object Dedup {
       .select(col("da"), col("db"),
         round(col("i") * lit(1.0) /
           (size(col("wa")) + size(col("wb")) - col("i")), 4).as("jaccard"))
+
+  private def neardupEvalHits(
+      s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val t = pinnedLshState(tokenSets(s, dir))
+    // size prune fused into the bucket join (minJ), as before.
+    val cand = bucketPairs(bandsOfPinned(t),
+      (da, db) => (da % 10 =!= 1) && (db % 10 === 1), minJ = 0.8)
+    internedJaccard(cand, t)
       .filter(col("jaccard") >= 0.8)
       .groupBy("da")
       .agg(count(lit(1)).as("n_eval_matches"), max("jaccard").as("mj"))
@@ -276,9 +286,10 @@ object Dedup {
     * connected-components clustering runs on. */
   private[graft] def lshVerifiedPairs(
       s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
-    val t = tokenSets(s, dir)
-    val bands = bandHashes(t.withColumn("sigs", sigsCol))
-    jaccardOfCandidates(bucketPairs(bands, _ < _, minJ = 0.9), t, minJ = 0.0)
+    // pinned state (r16): one signature pass for the band builder and
+    // both verify sides — see pinnedLshState.
+    val t = pinnedLshState(tokenSets(s, dir))
+    internedJaccard(bucketPairs(bandsOfPinned(t), _ < _, minJ = 0.9), t)
       .filter(col("jaccard") >= 0.9)
   }
 
@@ -325,8 +336,14 @@ object Dedup {
     * minimum such partner, -1 when kept. Both inputs are (doc_id, w)
     * token-set frames. */
   private[graft] def dedupIncremental(store: DataFrame, batch: DataFrame): DataFrame = {
-    val storeIdx = bandHashes(store.withColumn("sigs", sigsCol))
-    val bBands = bandHashes(batch.withColumn("sigs", sigsCol))
+    // pinned per-side LSH state (r16): one signature pass per side for
+    // the index build, the self-join, and the verify — see
+    // pinnedLshState (in production the store pin IS the persisted
+    // band/fingerprint index this function models).
+    val sPin = pinnedLshState(store)
+    val bPin = pinnedLshState(batch)
+    val storeIdx = bandsOfPinned(sPin)
+    val bBands = bandsOfPinned(bPin)
     val candStore = bBands.as("b")
       .join(storeIdx.as("s"),
         col("b.band") === col("s.band") && col("b.h") === col("s.h"))
@@ -339,11 +356,21 @@ object Dedup {
     val cand = candStore.union(candBatch).distinct()
     // The verify index covers ONLY store docs that actually collided
     // (semi-join on the candidate partners) plus the batch — without
-    // this, every ingest would re-explode the full store's token sets
+    // this, every ingest would re-probe the full store's sets
     // and the O(|batch|) incremental claim would be false.
-    val touched = store.join(
+    val touched = sPin.join(
       cand.select(col("db").as("doc_id")).distinct(), Seq("doc_id"), "left_semi")
-    val dup = jaccardOfCandidates(cand, touched.unionByName(batch), minJ = 0.9)
+    val verifySet = touched.unionByName(bPin)
+    // the same lossless size prune jaccardOfCandidates(…, minJ = 0.9)
+    // applied, reading the pinned sizes
+    val sz = verifySet.select(col("doc_id"), col("n"))
+    val pruned = cand
+      .join(broadcast(sz.select(col("doc_id").as("da"), col("n").as("na"))), "da")
+      .join(broadcast(sz.select(col("doc_id").as("db"), col("n").as("nb"))), "db")
+      .filter(least(col("na"), col("nb")) >=
+        (lit(0.9) - lit(0.001)) * greatest(col("na"), col("nb")))
+      .select(col("da"), col("db"))
+    val dup = internedJaccard(pruned, verifySet)
       .filter(col("jaccard") >= 0.9)
       .groupBy("da").agg(min("db").as("dup_of"))
     batch.select(col("doc_id"))
