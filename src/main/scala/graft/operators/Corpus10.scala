@@ -613,45 +613,75 @@ object Corpus10 {
         val trs = trc.groupBy("s").agg(sum("n").as("ns"))
         val tr = trc.join(trs, "s")
           .select(col("s"), col("t"), (col("n").cast("double") / col("ns")).as("p"))
-          .localCheckpoint()
 
-        def converge(trC: org.apache.spark.sql.DataFrame) = {
-          var p = Seq(("conv", 1.0)).toDF("st", "pv")
+        // r16: the five chains' 8-round value iterations ran as ~80
+        // unrolled tiny joins+aggregates — 93 sequential Spark jobs of
+        // ≤|states|²-row (≤ 36-row) work, 12-17 s of pure job-barrier
+        // floor at sf0.01 warm. The transition table is STATE-SPACE
+        // sized (corpus-size-independent by construction), so the
+        // iteration is control-plane math: collect it once — the q73
+        // KeywordTree-frontier / bpeTrainIterative discipline for
+        // driver-scale iterates — and fold the rounds in Scala,
+        // replicating the previous plan's summation orders EXACTLY
+        // (every Spark-side sum folded array_sort(collect_list(...)) in
+        // ascending key order; the Scala folds sort by the same keys,
+        // and ASCII state names make String and UTF8String order
+        // agree), so every double is bit-identical to the unrolled
+        // plan's. The ONE distributed pass (journeys → transition
+        // counts) is unchanged.
+        val edges = tr.collect()
+          .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+        // converge: K rounds of pv(s) = Σ_t [t asc] p(s,t)·pv(t),
+        // with pv(conv) pinned to 1 after every round (the union row).
+        def converge(es: Seq[(String, String, Double)]): Map[String, Double] = {
+          var pv = Map("conv" -> 1.0)
           for (_ <- 1 to K) {
-            p = trC.join(p, trC("t") === p("st"), "left")
-              .groupBy("s").agg(
-                expr("""aggregate(array_sort(collect_list(named_struct('t', t,
-                         'x', p * coalesce(pv, CAST(0.0 AS DOUBLE))))),
-                         CAST(0.0 AS DOUBLE), (acc, v) -> acc + v.x)""").as("pv"))
-              .select(col("s").as("st"), col("pv"))
-              .unionByName(Seq(("conv", 1.0)).toDF("st", "pv"))
+            val next = es.groupBy(_._1).map { case (s0, out) =>
+              s0 -> out.sortBy(_._2).foldLeft(0.0) { case (a, (_, t, p)) =>
+                a + p * pv.getOrElse(t, 0.0)
+              }
+            }
+            pv = next + ("conv" -> 1.0)
           }
-          p
+          pv
         }
-        def removedChain(c: String) = tr.where(col("s") =!= c)
-          .select(col("s"), col("t").as("t0"),
-            when(col("t") === c, "null").otherwise(col("t")).as("t"), col("p"))
-          .groupBy("s", "t").agg(
-            expr("""aggregate(array_sort(collect_list(named_struct('t0', t0, 'x', p))),
-                     CAST(0.0 AS DOUBLE), (acc, v) -> acc + v.x)""").as("p"))
-          .localCheckpoint()
-        val pc = converge(tr).where(col("st") === "start").select(col("pv").as("pcf"))
-        val rows = channels.map { c =>
-          converge(removedChain(c)).where(col("st") === "start")
-            .select(lit(c).as("channel"), col("pv").as("p_without"))
-        }.reduce(_ unionByName _)
-        val r2 = rows.crossJoin(broadcast(pc))
-          .withColumn("removal",
-            greatest(lit(0.0), lit(1.0) - col("p_without") / col("pcf")))
-        val tot = r2.agg(
-          expr("""aggregate(array_sort(collect_list(named_struct('channel', channel, 'x', removal))),
-                   CAST(0.0 AS DOUBLE), (acc, v) -> acc + v.x)""").as("trr"))
-        r2.crossJoin(broadcast(tot))
-          .select(col("channel"), round(col("pcf"), 6).as("p_conv_full"),
-            round(col("p_without"), 6).as("p_conv_without"),
-            round(col("removal"), 6).as("removal_effect"),
-            round(col("removal") / col("trr"), 6).as("share"))
-          .orderBy("channel")
+        // removed chain: drop s = c rows, redirect t = c to 'null',
+        // re-sum p per (s, t) in ascending ORIGINAL-t order.
+        def removedChain(c: String): Seq[(String, String, Double)] =
+          edges.filter(_._1 != c)
+            .map { case (s0, t, p) => (s0, if (t == c) "null" else t, p) }
+            .groupBy(e => (e._1, e._2)).toSeq
+            .map { case ((s0, t), es) =>
+              // ties in original t are impossible (tr is (s,t)-unique),
+              // so sorting by the redirected t's sources == by t0 asc
+              (s0, t, es.sortBy(_._2).foldLeft(0.0)((a, e) => a + e._3))
+            }
+        val full = converge(edges)
+        // the unrolled form emitted a 'start' row only when the chain
+        // had one (empty corpus → empty result) — replicate.
+        if (!edges.exists(_._1 == "start")) {
+          Seq.empty[(String, Double, Double, Double, Double)]
+            .toDF("channel", "p_conv_full", "p_conv_without",
+              "removal_effect", "share")
+        } else {
+          val pcf = full("start")
+          val rows = channels.map { c =>
+            val pw = converge(removedChain(c))("start")
+            val removal = math.max(0.0, 1.0 - pw / pcf)
+            (c, pw, removal)
+          }
+          // total removal summed in ascending channel order (the
+          // collect_list(struct(channel, x)) fold); channels is already
+          // ascending.
+          val trr = rows.foldLeft(0.0)((a, r) => a + r._3)
+          rows.map { case (c, pw, removal) => (c, pcf, pw, removal) }
+            .toDF("channel", "pcf", "p_without", "removal")
+            .select(col("channel"), round(col("pcf"), 6).as("p_conv_full"),
+              round(col("p_without"), 6).as("p_conv_without"),
+              round(col("removal"), 6).as("removal_effect"),
+              round(col("removal") / lit(trr), 6).as("share"))
+            .orderBy("channel")
+        }
       },
       Some {
         val K = 8
