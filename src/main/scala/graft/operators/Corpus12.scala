@@ -128,6 +128,45 @@ object Corpus12 {
     * which is the shape that survives scale-up. Same verdict as the
     * cappedShingles df-cap measurement (see its scaladoc). */
   private[graft] def repetitionBattery(docs: DataFrame): DataFrame = {
+    // r16: the five signals fold in ONE codegen pass per document
+    // ([[graft.functions.GopherStats]] — every signal is within-doc, so
+    // the former five explode→(doc_id, gram)-agg pipelines and their
+    // five joins, ~19 exchanges, computed nothing a per-row pass
+    // cannot). The battery is now ZERO-shuffle map work at any corpus
+    // size (the presentation sort is the only exchange), which is also
+    // what removes most of the q268 funnel's post-cap barrier jobs.
+    // Values are bit-identical to the aggregate twin
+    // ([[repetitionBatteryAggTwin]], kept for the spec): same grams,
+    // same (cnt, chars, gram) struct-max tie-break in binary UTF8
+    // order, same position-set-union coverage, same absent→0 semantics
+    // (Corpus12Spec asserts ≡ on the corpus AND on an adversarial
+    // tie/edge fixture; the SQL-form oracle re-certifies per gate run).
+    val zero = struct(lit(0L).as("top2c"), lit(0L).as("top3c"),
+      lit(0L).as("top4c"), lit(0L).as("dup2c"), lit(0L).as("dup3c"))
+    val t = docs.select(col("doc_id"), expr(toksExpr).as("w"),
+      expr("CAST(length(replace(text, ' ', '')) AS BIGINT)").as("tc"))
+    def frac(c: org.apache.spark.sql.Column) =
+      round(c * lit(1.0) / col("tc"), 4)
+    t.withColumn("g",
+        when(col("w").isNull, zero)
+          .otherwise(graft.functions.GopherStats.gopherStats(col("w"))))
+      .select(col("doc_id"),
+        frac(col("g.top2c")).as("top2_frac"), frac(col("g.top3c")).as("top3_frac"),
+        frac(col("g.top4c")).as("top4_frac"),
+        frac(col("g.dup2c")).as("dup2_frac"), frac(col("g.dup3c")).as("dup3_frac"))
+      .withColumn("keep",
+        col("top2_frac") <= 0.20 && col("top3_frac") <= 0.18 &&
+          col("top4_frac") <= 0.16 &&
+          col("dup2_frac") <= 0.20 && col("dup3_frac") <= 0.10)
+      .orderBy("doc_id")
+  }
+
+  /** The pre-r16 aggregate composition of the battery — kept as the
+    * value-equality TWIN for [[repetitionBattery]]'s codegen pass (the
+    * sigsHofExpr/internExpr discipline): Corpus12Spec asserts the two
+    * produce identical rows on the corpus and on the adversarial
+    * tie/edge fixture. Not used by any query. */
+  private[graft] def repetitionBatteryAggTwin(docs: DataFrame): DataFrame = {
     val t = docs.select(col("doc_id"), expr(toksExpr).as("w"),
       expr("CAST(length(replace(text, ' ', '')) AS BIGINT)").as("tc"))
     def frac(c: String) =

@@ -366,4 +366,50 @@ class Corpus12Spec extends AnyFunSuite with SparkSuite {
     }
     Seq(7, 8).foreach { i => assert(exp(i)._5 >= 0) }
   }
+
+  test("gopher_stats codegen pass ≡ the aggregate twin on the corpus (r16)") {
+    val docs = Tables.documents(spark, sfDir)
+    val a = operators.Corpus12.repetitionBattery(docs)
+      .as[(Long, Double, Double, Double, Double, Double, Boolean)].collect().toSeq
+    val b = operators.Corpus12.repetitionBatteryAggTwin(docs)
+      .as[(Long, Double, Double, Double, Double, Double, Boolean)].collect().toSeq
+    assert(a == b)
+  }
+
+  test("gopher_stats ≡ aggregate twin on the adversarial tie/edge fixture (r16)") {
+    // every tie-break arm of max(struct(cnt, chars, gram)) and every
+    // edge the absent-row→0 path covers:
+    //  1: clear winner by count;
+    //  2: count tie broken by chars (longer-token bigram wins);
+    //  3: count+chars tie broken by gram binary order ("zz b" > "aa b");
+    //  4: overlapping self-similar duplicates (q q q …);
+    //  5: fewer tokens than every width (no grams at all);
+    //  6: exactly 2 tokens (bigram exists, tri/four-gram absent);
+    //  7: the q263 corpus shape with punctuation-free mixed text.
+    val rows = Seq(
+      (1L, "a b a b a b c"),
+      (2L, "xx yy zz xx yy aa b aa b"),
+      (3L, "zz b zz b aa b aa b"),
+      (4L, "q q q q q q"),
+      (5L, "solo"),
+      (6L, "two tokens"),
+      (7L, "the cat sat on the mat the cat sat on the mat end"))
+      .toDF("doc_id", "text")
+    val a = operators.Corpus12.repetitionBattery(rows)
+      .as[(Long, Double, Double, Double, Double, Double, Boolean)].collect().toSeq
+    val b = operators.Corpus12.repetitionBatteryAggTwin(rows)
+      .as[(Long, Double, Double, Double, Double, Double, Boolean)].collect().toSeq
+    assert(a == b)
+    assert(a.size == 7)
+  }
+
+  test("gopher_stats fails loud on a null token (r16, the ShingleFps discipline)") {
+    val bad = Seq((1L, Seq("a", null, "b"))).toDF("doc_id", "w")
+      .select(graft.functions.GopherStats.gopherStats(col("w")).as("g"))
+    val e = intercept[Exception] { bad.collect() }
+    def rootMsg(t: Throwable): String =
+      (Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | "))
+    assert(rootMsg(e).contains("null token"))
+  }
 }
