@@ -127,7 +127,7 @@ object Corpus12 {
     * (all keys are (doc_id, …)-prefixed, so no corpus-wide hot key),
     * which is the shape that survives scale-up. Same verdict as the
     * cappedShingles df-cap measurement (see its scaladoc). */
-  private[graft] def repetitionBattery(docs: DataFrame): DataFrame = {
+  private[graft] def repetitionBattery(docs: DataFrame): DataFrame =
     // r16: the five signals fold in ONE codegen pass per document
     // ([[graft.functions.GopherStats]] — every signal is within-doc, so
     // the former five explode→(doc_id, gram)-agg pipelines and their
@@ -141,25 +141,52 @@ object Corpus12 {
     // order, same position-set-union coverage, same absent→0 semantics
     // (Corpus12Spec asserts ≡ on the corpus AND on an adversarial
     // tie/edge fixture; the SQL-form oracle re-certifies per gate run).
+    withGopherFracs(docs)
+      .select(col("doc_id"), col("top2_frac"), col("top3_frac"),
+        col("top4_frac"), col("dup2_frac"), col("dup3_frac"))
+      .withColumn("keep", gopherKeepCol)
+      .orderBy("doc_id")
+
+  /** The battery's five fraction columns APPENDED per row in ONE
+    * GopherStats codegen pass — the single shared definition for q263
+    * ([[repetitionBattery]]) and the funnel's appending gate form
+    * ([[withGopherKeep]]); the two cannot drift. */
+  private[graft] def withGopherFracs(df: DataFrame): DataFrame = {
     val zero = struct(lit(0L).as("top2c"), lit(0L).as("top3c"),
       lit(0L).as("top4c"), lit(0L).as("dup2c"), lit(0L).as("dup3c"))
-    val t = docs.select(col("doc_id"), expr(toksExpr).as("w"),
-      expr("CAST(length(replace(text, ' ', '')) AS BIGINT)").as("tc"))
     def frac(c: org.apache.spark.sql.Column) =
-      round(c * lit(1.0) / col("tc"), 4)
-    t.withColumn("g",
-        when(col("w").isNull, zero)
-          .otherwise(graft.functions.GopherStats.gopherStats(col("w"))))
-      .select(col("doc_id"),
-        frac(col("g.top2c")).as("top2_frac"), frac(col("g.top3c")).as("top3_frac"),
-        frac(col("g.top4c")).as("top4_frac"),
-        frac(col("g.dup2c")).as("dup2_frac"), frac(col("g.dup3c")).as("dup3_frac"))
-      .withColumn("keep",
-        col("top2_frac") <= 0.20 && col("top3_frac") <= 0.18 &&
-          col("top4_frac") <= 0.16 &&
-          col("dup2_frac") <= 0.20 && col("dup3_frac") <= 0.10)
-      .orderBy("doc_id")
+      round(c * lit(1.0) / col("__gtc"), 4)
+    df.withColumn("__gw", expr(toksExpr))
+      .withColumn("__gtc",
+        expr("CAST(length(replace(text, ' ', '')) AS BIGINT)"))
+      .withColumn("__g",
+        when(col("__gw").isNull, zero)
+          .otherwise(graft.functions.GopherStats.gopherStats(col("__gw"))))
+      .withColumn("top2_frac", frac(col("__g.top2c")))
+      .withColumn("top3_frac", frac(col("__g.top3c")))
+      .withColumn("top4_frac", frac(col("__g.top4c")))
+      .withColumn("dup2_frac", frac(col("__g.dup2c")))
+      .withColumn("dup3_frac", frac(col("__g.dup3c")))
+      .drop("__gw", "__gtc", "__g")
   }
+
+  /** The battery's keep verdict over the five fraction columns — one
+    * definition for q263 and the appending gate form. */
+  private def gopherKeepCol: org.apache.spark.sql.Column =
+    col("top2_frac") <= 0.20 && col("top3_frac") <= 0.18 &&
+      col("top4_frac") <= 0.16 &&
+      col("dup2_frac") <= 0.20 && col("dup3_frac") <= 0.10
+
+  /** APPENDING form of the battery gate (r17, the withLangGate
+    * discipline): adds `f_gopher` to `df` (doc_id + text) without a
+    * join. The battery has been ONE per-row codegen pass since r16, so
+    * joining its frame back on doc_id — as the funnel's PASS 4 did —
+    * bought nothing but the join's exchanges plus the battery's
+    * presentation sort riding into the funnel plan. */
+  private[graft] def withGopherKeep(df: DataFrame): DataFrame =
+    withGopherFracs(df)
+      .withColumn("f_gopher", gopherKeepCol)
+      .drop("top2_frac", "top3_frac", "top4_frac", "dup2_frac", "dup3_frac")
 
   /** The pre-r16 aggregate composition of the battery — kept as the
     * value-equality TWIN for [[repetitionBattery]]'s codegen pass (the
@@ -292,6 +319,12 @@ object Corpus12 {
   /** (doc_id, url, canon_url) — the stateless canonicalization stage,
     * shared by q266 and its streaming twin (`StatefulOps.urlDedupStream`
     * runs it unchanged on the stream; no shuffle, no state). */
+  /** Harness accessors (ProfR17FunnelAB replicates the r16 funnel
+    * verbatim for its A/B baseline; these just re-export the private
+    * column builders it needs). */
+  private[graft] def canonUrlCol: org.apache.spark.sql.Column = canonCol(urlCol)
+  private[graft] def hostColForProf: org.apache.spark.sql.Column = hostCol
+
   private[graft] def canonUrls(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), urlCol.as("url"))
       .withColumn("canon_url", canonCol(col("url")))
@@ -348,7 +381,8 @@ object Corpus12 {
     * winner over robots survivors, the per-host cap over lang
     * survivors, chunk df over clf survivors) keep their conditioned
     * inputs, which are identical sets by the conjunction argument.
-    * Five pins instead of eight, two decision passes instead of five:
+    * FOUR pins (r17; r16 had five, r15 eight), two decision passes
+    * instead of five:
     *   f  — pre-cap flags + election keys (doc_id, n_chars, host,
     *        canon_url, f_robots, f_lang): ~80 B/doc, the narrow-pin
     *        rule for corpus-scale frames (r11) unchanged;
@@ -357,8 +391,10 @@ object Corpus12 {
     *        CONSTRUCTION, pinned once for its five text readers
     *        (the three post-cap gate decisions, the chunk scrub, the
     *        PII pass) — the r12 ProfPinPolicy text-pin policy;
-    *   w3 — the three post-cap stateless flags over s2, narrow;
-    *   k4 — the chunk-scrub survivor ids.
+    *   w3 — the three post-cap stateless flags over s2, narrow.
+    * The chunk-scrub ids (k4) lost their pin in r17 — see the PASS 5
+    * comment: ReuseExchange already computes them once inside the one
+    * audit action.
     * The short-circuit economics survive: at 100 TB the heavy gates
     * still only ever read the cap-bounded s2 (never the corpus), and
     * the only extra evaluations the fusion admits are the Gopher
@@ -370,7 +406,8 @@ object Corpus12 {
     * q268 oracle re-certifies per gate run. Measured at sf0.1
     * (min-of-2, noop sink): q268 5.68 → see OPTIMIZATION_r16.md. */
   private[graft] def hygieneStages(
-      docs0: DataFrame, cap: Int = 10, minRetained: Double = 0.2): Seq[(String, DataFrame)] = {
+      docs0: DataFrame, cap: Int = 10, minRetained: Double = 0.2,
+      pinW3: Boolean = true): Seq[(String, DataFrame)] = {
     val docs = docs0.select(col("doc_id"), col("text"), col("n_chars"))
     // PASS 1 — every pre-cap per-doc decision + election key in one
     // scan, composed as APPENDED COLUMNS (no doc_id joins — a per-gate
@@ -418,25 +455,43 @@ object Corpus12 {
     val s2 = docs.join(
       w.filter(s15c && col("won_quota")).select("doc_id"), Seq("doc_id"), "left_semi")
       .localCheckpoint()
-    // PASS 4 — the three post-cap stateless gates over s2 in one narrow
-    // pin (blocklist q274, Gopher battery q263, classifier q273 — all
-    // per-doc; the funnel order blocklist → gopher → clf is recovered
-    // as nested conjunctions below). Blocklist and classifier are pure
-    // projections and APPEND as columns; only the battery (a per-doc
-    // aggregate) joins.
-    val fg = repetitionBattery(s2).select(col("doc_id"), col("keep").as("f_gopher"))
-    val w3 = Corpus14.withQualityMargin(Corpus14.withBlocklist(s2))
+    // PASS 4 — the three post-cap stateless gates over s2 as ONE pure
+    // per-row projection (blocklist q274, Gopher battery q263,
+    // classifier q273; the funnel order blocklist → gopher → clf is
+    // recovered as nested conjunctions below). r17: the battery has
+    // been a per-row codegen pass since r16 (GopherStats), so it now
+    // APPENDS like the other two ([[withGopherKeep]]) instead of
+    // joining its frame back on doc_id — the join's exchanges and the
+    // battery's presentation sort are gone, and with them the last
+    // shuffle in this pass. That makes w3 a zero-exchange projection
+    // over the pinned s2; dropping its PIN was then measured (same-JVM
+    // interleaved A/B, ProfR17FunnelAB, two sessions) and LOST in 9 of
+    // 11 rounds (min 3.14 vs 3.53 s): without the pin each audit stat
+    // re-runs the battery+clf flag work inside its own broadcast
+    // subtree build, and those builds serialize — one cheap barrier
+    // beats four re-evaluations even on a 240-doc s2. The pin stays
+    // (pinW3 keeps it togglable for the harness).
+    val w3raw = Corpus14.withQualityMargin(Corpus14.withBlocklist(withGopherKeep(s2)))
       .select(col("doc_id"), col("n_chars"),
         (col("blocked_total") === 0).as("f_block"),
+        col("f_gopher"),
         (col("clf_margin") > Corpus14.QThreshold).as("f_clf"))
-      .join(fg, Seq("doc_id"))
-      .localCheckpoint()
+    val w3 = if (pinW3) w3raw.localCheckpoint() else w3raw
     val s35 = s2.join(
       w3.filter(col("f_block") && col("f_gopher") && col("f_clf")).select("doc_id"),
       Seq("doc_id"), "left_semi")
     // PASS 5 — chunk-level scrub, set-dependent on the clf survivors
-    // (df counted over exactly their chunks, as before); survivor ids
-    // pinned narrow, text re-attached from the pinned s2.
+    // (df counted over exactly their chunks, as before). r17: k4 is NO
+    // LONGER pinned — its two audit readers (the chunk_scrub stat and
+    // the pii chars stat over s4) live inside the ONE audit action, and
+    // k4's internal exchanges (the chunk-fp and doc_id aggregates) are
+    // byte-identical subtrees there, so ReuseExchange computes them
+    // once; the pin bought no reuse, only a sequential barrier chain of
+    // ~4 stage-jobs. Measured (ProfR17PinMask, same-JVM interleaved,
+    // two sessions): no-k4 min 2.83/2.87 s vs all-pins 3.10/3.05 s,
+    // rows identical; dropping the w or w3 pin instead LOST (3.21 /
+    // 3.48 s mins) — their suffixes (elections / per-row battery+clf
+    // flags) re-run per reader without exchange dedup.
     val ch = Corpus.chunkTokens(s35).withColumn("fp", md5(col("chunk")))
     val dd = ch.groupBy("fp").agg(
       countDistinct("doc_id").as("df"),
@@ -449,7 +504,6 @@ object Corpus12 {
       .groupBy("doc_id")
       .agg(round(sum("kt") * lit(1.0) / sum("n_tokens"), 4).as("rf"))
       .filter(col("rf") >= minRetained).select("doc_id")
-      .localCheckpoint()
     val s4 = s2.join(k4, Seq("doc_id"), "left_semi")
     // narrow flag-conjunction frames carry exactly what funnelAudit
     // needs (count + n_chars); text-needing consumers (the chunk
