@@ -264,7 +264,7 @@ object Multimodal {
       // state would init once per partition (the Arrow-UDF shape).
       (s, dir) => {
         import s.implicits._
-        val media = Tables.documents(s, dir)
+        val media = Tables.documentsParallel(s, dir)
           .select(col("doc_id"), col("n_chars").cast("long"), col("text"))
           .as[(Long, Long, String)]
           .mapPartitions { it =>
@@ -329,7 +329,7 @@ object Multimodal {
       // over the scan — payloads are born distributed and never
       // shuffle; only (id, format, dims, luma) metadata survives.
       (s, dir) => {
-        val media = toImageTable(Tables.documents(s, dir))
+        val media = toImageTable(Tables.documentsParallel(s, dir))
         decodeBatch(media)
           .select(col("media_id"), col("format"),
             col("width").cast("long").as("width"),
@@ -363,7 +363,7 @@ object Multimodal {
       // object-store bytes and the fold for any per-sample DSP kernel.
       (s, dir) => {
         import s.implicits._
-        val media = Tables.documents(s, dir)
+        val media = Tables.documentsParallel(s, dir)
           .filter(col("doc_id") % 2 === 0)
           .select(col("doc_id"), col("n_chars").cast("long"), col("text"))
           .as[(Long, Long, String)]
@@ -421,7 +421,7 @@ object Multimodal {
       // downsample to zero pixels → NULL. Same mapPartitions scale
       // contract as q254.
       (s, dir) => {
-        val media = toImageTable(Tables.documents(s, dir))
+        val media = toImageTable(Tables.documentsParallel(s, dir))
         import media.sparkSession.implicits._
         media.mapPartitions { it =>
           it.map { m =>
@@ -482,7 +482,7 @@ object Multimodal {
       // frame survives (q81's explode shape, fed by a real demuxer).
       (s, dir) => {
         import s.implicits._
-        val media = Tables.documents(s, dir)
+        val media = Tables.documentsParallel(s, dir)
           .select(col("doc_id"), col("n_chars").cast("long"))
           .as[(Long, Long)]
           .mapPartitions { it =>
