@@ -649,12 +649,14 @@ object Corpus10 {
         // re-sum p per (s, t) in ascending ORIGINAL-t order.
         def removedChain(c: String): Seq[(String, String, Double)] =
           edges.filter(_._1 != c)
-            .map { case (s0, t, p) => (s0, if (t == c) "null" else t, p) }
+            .map { case (s0, t0, p) => (s0, if (t0 == c) "null" else t0, t0, p) }
             .groupBy(e => (e._1, e._2)).toSeq
             .map { case ((s0, t), es) =>
-              // ties in original t are impossible (tr is (s,t)-unique),
-              // so sorting by the redirected t's sources == by t0 asc
-              (s0, t, es.sortBy(_._2).foldLeft(0.0)((a, e) => a + e._3))
+              // fold in ascending ORIGINAL-t order — t0 rides in the
+              // tuple so the old plan's summation order holds by
+              // construction (r16 ADVICE: sorting by the redirected t
+              // was a no-op and relied on 2-element commutativity)
+              (s0, t, es.sortBy(_._3).foldLeft(0.0)((a, e) => a + e._4))
             }
         val full = converge(edges)
         // the unrolled form emitted a 'start' row only when the chain

@@ -7,6 +7,13 @@ import org.apache.spark.sql.functions._
   * NEW (r16, 5-pin fused-flags) hygiene funnel — the host window swings
   * 2-3× between minutes, so only interleaved same-JVM minima compare.
   * The OLD chain is replicated inline (it no longer exists in main).
+  *
+  * CAVEAT (r16 ADVICE, acknowledged): BOTH sides intentionally share
+  * the current repetitionBattery — in the r16 runs that was already the
+  * new codegen battery, so this A/B isolates the PIN/FLAG RESTRUCTURE
+  * only, not the battery fold; the r15 funnel's gopher stage actually
+  * ran the five-aggregate form (repetitionBatteryAggTwin). The r17
+  * old-vs-new A/B lives in ProfR17FunnelAB.
   * Run: `sbt "Test/runMain graft.ProfFunnelAB [sfDir] [rounds]"`. */
 object ProfFunnelAB {
   def main(args: Array[String]): Unit = {
