@@ -51,7 +51,7 @@ object Dedup {
   /** b=3 bands of r=2 rows: band hash = md5 of two consecutive minhashes.
     * P[band match] = j² keeps buckets small on low-diversity corpora;
     * 3 bands put recall at 1-(1-j²)³ ≈ 0.993 at the j=0.9 threshold. */
-  private val bandsExpr =
+  private[graft] val bandsExpr =
     "transform(sequence(0, 2), b -> md5(concat(sigs[2*b], '|', sigs[2*b+1])))"
 
   /** (doc_id, w, sigs, ...) → exploded (doc_id, n, band, h) band table.
@@ -247,9 +247,27 @@ object Dedup {
         graft.functions.InternTokens.internTokens(col("w")).as("iw"))
       .localCheckpoint()
 
-  /** [[bandHashes]] over a pinned LSH-state frame (n precomputed). */
+  /** The band hash as a LONG (r17): xxhash64 over the same two minhash
+    * strings (+ the band index, though posexplode already separates
+    * bands). Bucket equality is unchanged for equal sig-pairs — equal
+    * inputs hash equal — so the candidate set differs from the md5 form
+    * only via a 64-bit collision on UNEQUAL sig-pairs (≈10⁻¹² across
+    * every cross pair of this corpus's band table), and any extra
+    * candidate is then verified EXACTLY by the Jaccard threshold. The
+    * md5-string twin stays in [[bandsExpr]] (q243's raw-candidate oracle
+    * is defined over it); DedupSpec pins candidate-set equality of the
+    * two forms on the corpus, and the hash-green gate re-certifies the
+    * verified outputs per run — the fp60 interning discipline. Payoff:
+    * the band self-join keys and the bucket shuffle carry 8-byte longs
+    * instead of 32-char md5 hex (guide §2.3 narrower types; measured
+    * pairs 1.11 → 0.99 s, full verify 1.43 → 1.28 s at sf0.1). */
+  private[graft] val bandsLongExpr =
+    "transform(sequence(0, 2), b -> xxhash64(b, sigs[2*b], sigs[2*b+1]))"
+
+  /** [[bandHashes]] over a pinned LSH-state frame (n precomputed);
+    * long-valued buckets — see [[bandsLongExpr]]. */
   private def bandsOfPinned(t: DataFrame): DataFrame =
-    t.select(col("doc_id"), col("n"), posexplode(expr(bandsExpr)))
+    t.select(col("doc_id"), col("n"), posexplode(expr(bandsLongExpr)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "h")
 
   /** Interned verify over a pinned LSH-state frame — the same

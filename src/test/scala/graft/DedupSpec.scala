@@ -406,4 +406,30 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     assert(got.exists(_._5 == 2L) && got.exists(_._5 == 3L))
     assert(got.filter(_._5 == 3L).forall(_._3 < 0.5))
   }
+
+  test("long band hash yields EXACTLY the md5 form's candidate pairs (r17 bucket-key audit)") {
+    // bandsOfPinned switched to xxhash64 buckets (8-byte join keys); the
+    // candidate set must equal the md5-string reference form on the
+    // corpus — the q260/q261-style audit for the bucket keys. Equal
+    // sig-pairs hash equal under both; a difference would mean an
+    // unequal-input collision in one of them.
+    import org.apache.spark.sql.functions._
+    val t = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), expr(s"array_distinct(${operators.TextAnalytics.toksExpr})").as("w"))
+      .withColumn("sigs", graft.functions.MinHashSigs.minhashSigs(col("w"), 6))
+    def cand(bandsExpr: String): Set[(Long, Long)] = {
+      val b = t.select(col("doc_id"), posexplode(expr(bandsExpr)))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "h")
+      b.as("a").join(b.as("b"),
+          col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id"), col("b.doc_id")).distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val md5Set = cand(operators.Dedup.bandsExpr)
+    val longSet = cand(operators.Dedup.bandsLongExpr)
+    assert(md5Set.nonEmpty, "corpus produced no candidates — vacuous audit")
+    assert(md5Set == longSet,
+      s"bucket forms disagree: md5-only=${(md5Set -- longSet).take(5)} long-only=${(longSet -- md5Set).take(5)}")
+  }
 }
